@@ -1,13 +1,342 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.cdc.Changelog
+import graft.schema.SchemaMerging
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one operator/capability from SURVEY.md §2
+  * (or the training-data-pipeline extension set), expressed Spark-first.
+  * [[oracleSql]] carries the DuckDB-equivalent SQL the driver uses as the
+  * correctness oracle; entries absent there get a rows-only check.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  // ---- relational layer (SURVEY §2.9: capabilities the reference gets from
+  // ---- its host SQL engine; ours come from Spark SQL natively) ----
+
+  private def q1Agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(24, 6)))
+          .as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private def q2JoinBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val part = t(s, dir, "part")
+    // part is tiny relative to lineitem at every SF: broadcast it.
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("p_brand"))
+  }
+
+  private def q3JoinMulti(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    // dims are tiny -> broadcast chain; only orders stays distributed.
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("r_name"))
+  }
+
+  private def q4SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private def q5AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+    // parts never shipped in a near-full-quantity lineitem
+    val li = t(s, dir, "lineitem").where(col("l_quantity") >= 49)
+    p.join(li, p("p_partkey") === li("l_partkey"), "left_anti")
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy(col("p_partkey"))
+  }
+
+  private def q6WindowTopN(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    o.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rk"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  private def q7TopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .limit(10)
+
+  private def q8SetOps(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey")).distinct()
+    val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")).distinct()
+    c.intersect(sup).union(c.except(sup).withColumn("nationkey", -col("nationkey")))
+      .orderBy(col("nationkey"))
+  }
+
+  private def q9Rollup(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  private def q10Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  private def q11DistinctAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus"))
+
+  private def q12Scalar(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .where(col("o_orderkey") < 200)
+      .select(
+        col("o_orderkey"),
+        upper(col("o_orderpriority")).as("prio_upper"),
+        substring(col("o_orderpriority"), 1, 3).as("prio_pfx"),
+        length(col("o_orderpriority")).as("prio_len"),
+        concat(col("o_orderstatus"), lit("/"), col("o_orderpriority")).as("tag"),
+        year(col("o_orderdate")).as("order_year"),
+        month(col("o_orderdate")).as("order_month"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"),
+        round(col("o_totalprice") / 1000.0, 2).as("kprice"),
+        (col("o_orderkey") % 7).as("key_mod"))
+      .orderBy(col("o_orderkey"))
+
+  // ---- CDC core (SURVEY §2.2/§2.8): changelog semantics over Spark ----
+
+  /** The `events` table replayed as a CDC changelog: signup=insert,
+    * error=delete, everything else=update; `event_id` is the change
+    * sequence, `user_id` the primary key. Materializes final table state
+    * through [[graft.cdc.Changelog.materialize]] — the ValuesDatabase-sink
+    * semantics of the reference (ValuesDatabase.java:248-282).
+    */
+  private def q13Materialize(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val exploded = ev.select(
+      col("user_id"),
+      round(col("value"), 2).as("last_value"),
+      when(col("event_type") === "signup", "+I")
+        .when(col("event_type") === "error", "-D")
+        .otherwise("+U").as(Changelog.OpCol),
+      col("event_id").as(Changelog.SeqCol))
+    Changelog.materialize(exploded, Seq("user_id"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Sharded-table merge (SURVEY §2.5/§2.6): two differently-shaped shards
+    * of `customer` are routed to one sink table; schemas widen through
+    * [[graft.schema.SchemaMerging.leastCommonTableInfo]] (INT+BIGINT ->
+    * BIGINT, missing column -> null), rows coerce via pure projections.
+    */
+  private def q14ShardMerge(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val shard1 = c.where(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").cast(IntegerType).as("c_custkey"),
+        col("c_name"), col("c_nationkey"))
+    val shard2 = c.where(col("c_custkey") % 2 === 1)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"))
+    val target = SchemaMerging.leastCommonSchema(Seq(shard1.schema, shard2.schema))
+    SchemaMerging.coerce(shard1, target)
+      .unionByName(SchemaMerging.coerce(shard2, target))
+      .orderBy(col("c_custkey"))
+  }
+
+  private def q15WindowRunning(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").where(col("l_orderkey") < 100)
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    li.select(
+      col("l_orderkey"), col("l_linenumber"),
+      sum(col("l_quantity")).over(w).as("running_qty"),
+      avg(col("l_discount")).over(w).as("running_disc"))
+      .withColumn("running_disc", round(col("running_disc"), 6))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private def q16EventsWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(
+        date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  // ---- registry ----
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q2_join_broadcast" -> (q2JoinBroadcast _),
+    "q3_join_multi" -> (q3JoinMulti _),
+    "q4_semi_join" -> (q4SemiJoin _),
+    "q5_anti_join" -> (q5AntiJoin _),
+    "q6_window_topn" -> (q6WindowTopN _),
+    "q7_topk" -> (q7TopK _),
+    "q8_set_ops" -> (q8SetOps _),
+    "q9_rollup" -> (q9Rollup _),
+    "q10_cube" -> (q10Cube _),
+    "q11_distinct_agg" -> (q11DistinctAgg _),
+    "q12_scalar" -> (q12Scalar _),
+    "q13_changelog_materialize" -> (q13Materialize _),
+    "q14_shard_merge" -> (q14ShardMerge _),
+    "q15_window_running" -> (q15WindowRunning _),
+    "q16_events_window" -> (q16EventsWindow _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q2_join_broadcast" ->
+      """SELECT p_brand, count(*) AS n_items, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q3_join_multi" ->
+      """SELECT r_name, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q4_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer WHERE EXISTS
+        |  (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q5_anti_join" ->
+      """SELECT p_partkey, p_name FROM part WHERE NOT EXISTS
+        |  (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey
+        |     AND l_quantity >= 49)
+        |ORDER BY p_partkey""".stripMargin,
+    "q6_window_topn" ->
+      """SELECT o_custkey, o_orderkey, rk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    "q7_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        |LIMIT 10""".stripMargin,
+    "q8_set_ops" ->
+      """SELECT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT
+        |  SELECT s_nationkey AS nationkey FROM supplier
+        |  UNION ALL
+        |  SELECT -nationkey FROM (
+        |    SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |    EXCEPT
+        |    SELECT s_nationkey AS nationkey FROM supplier))
+        |ORDER BY nationkey""".stripMargin,
+    "q9_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q10_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q11_distinct_agg" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q12_scalar" ->
+      """SELECT o_orderkey,
+        |  upper(o_orderpriority) AS prio_upper,
+        |  substr(o_orderpriority, 1, 3) AS prio_pfx,
+        |  length(o_orderpriority) AS prio_len,
+        |  o_orderstatus || '/' || o_orderpriority AS tag,
+        |  year(o_orderdate) AS order_year,
+        |  month(o_orderdate) AS order_month,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+        |  round(o_totalprice / 1000.0, 2) AS kprice,
+        |  o_orderkey % 7 AS key_mod
+        |FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin,
+    "q13_changelog_materialize" ->
+      """WITH cl AS (
+        |  SELECT user_id, round(value, 2) AS last_value,
+        |    CASE event_type WHEN 'signup' THEN '+I'
+        |      WHEN 'error' THEN '-D' ELSE '+U' END AS op,
+        |    event_id AS seq
+        |  FROM events),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY seq DESC) AS rn FROM cl)
+        |SELECT user_id, last_value FROM ranked
+        |WHERE rn = 1 AND op <> '-D' ORDER BY user_id""".stripMargin,
+    "q14_shard_merge" ->
+      """SELECT c_custkey, c_name, c_nationkey, NULL::DOUBLE AS c_acctbal
+        |FROM customer WHERE c_custkey % 2 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal
+        |FROM customer WHERE c_custkey % 2 = 1
+        |ORDER BY c_custkey""".stripMargin,
+    "q15_window_running" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  sum(l_quantity) OVER w AS running_qty,
+        |  round(avg(l_discount) OVER w, 6) AS running_disc
+        |FROM lineitem WHERE l_orderkey < 100
+        |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q16_events_window" ->
+      """SELECT date_trunc('hour', ts)::TIMESTAMP AS hour, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
 }

@@ -1,0 +1,167 @@
+package graft.schema
+
+import graft.model.TableInfo
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types._
+
+/** Type-widening lattice used when merging sharded tables into one sink
+  * table. Re-expresses the semantics of the reference's `SchemaMergingUtils`
+  * (flink-cdc-common/.../utils/SchemaMergingUtils.java:96-940) over Spark
+  * SQL types:
+  *
+  *  - identical types merge to themselves;
+  *  - exact numerics widen along TINYINT < SMALLINT < INT < BIGINT and can
+  *    spill into DECIMAL / DOUBLE;
+  *  - DECIMAL merges keep max integer-digits and max scale (capped at 38);
+  *  - timestamps merge to the higher "zone level" (NTZ < LTZ) at max
+  *    precision (Spark has a single micros precision, so precision merge is
+  *    a no-op here);
+  *  - everything else falls back to STRING, the universal type.
+  */
+object SchemaMerging {
+
+  private val MaxPrecision = DecimalType.MAX_PRECISION // 38
+  private val DefaultDecimal = DecimalType(MaxPrecision, 0)
+
+  /** Progressively wider types reachable from `t` (the reference's
+    * TYPE_MERGING_TREE, SchemaMergingUtils.java:853-940). First common
+    * element of two chains is the least common type.
+    */
+  private def wideningChain(t: DataType): Seq[DataType] = t match {
+    case StringType | _: CharType | _: VarcharType => Seq(StringType)
+    case BooleanType => Seq(BooleanType, StringType)
+    case BinaryType => Seq(BinaryType, StringType)
+    case DoubleType => Seq(DoubleType, StringType)
+    case FloatType => Seq(FloatType, DoubleType, StringType)
+    case _: DecimalType => Seq(t, StringType) // handled by mergeDecimal first
+    case LongType => Seq(LongType, DefaultDecimal, DoubleType, StringType)
+    case IntegerType => Seq(IntegerType, LongType, DefaultDecimal, DoubleType, StringType)
+    case ShortType =>
+      Seq(ShortType, IntegerType, LongType, DefaultDecimal, FloatType, DoubleType, StringType)
+    case ByteType =>
+      Seq(ByteType, ShortType, IntegerType, LongType, DefaultDecimal, FloatType, DoubleType,
+        StringType)
+    case TimestampType => Seq(TimestampType, StringType)
+    case TimestampNTZType => Seq(TimestampNTZType, TimestampType, StringType)
+    case DateType => Seq(DateType, TimestampNTZType, TimestampType, StringType)
+    case other => Seq(other, StringType)
+  }
+
+  /** Digits needed to represent the widest value of an exact-numeric type
+    * (SchemaMergingUtils.getNumericPrecision).
+    */
+  def numericPrecision(t: DataType): Int = t match {
+    case ByteType => 3
+    case ShortType => 5
+    case IntegerType => 10
+    case LongType => 19
+    case d: DecimalType => d.precision
+    case other => throw new IllegalArgumentException(s"not exact-numeric: $other")
+  }
+
+  private def boundedDecimal(precision: Int, scale: Int): DecimalType = {
+    val p = math.min(precision, MaxPrecision)
+    DecimalType(p, math.min(scale, p))
+  }
+
+  private def isExactNumeric(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType | _: DecimalType => true
+    case _ => false
+  }
+
+  private def mergeDecimal(a: DataType, b: DataType): DataType = (a, b) match {
+    case (x: DecimalType, y: DecimalType) =>
+      val intDigits = math.max(x.precision - x.scale, y.precision - y.scale)
+      val scale = math.max(x.scale, y.scale)
+      boundedDecimal(intDigits + scale, scale)
+    case (x: DecimalType, y) if isExactNumeric(y) =>
+      boundedDecimal(math.max(x.precision, x.scale + numericPrecision(y)), x.scale)
+    case (x, y: DecimalType) if isExactNumeric(x) => mergeDecimal(y, x)
+    case _ => StringType
+  }
+
+  private def isTimestampish(t: DataType): Boolean = t match {
+    case TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  /** Least common type of two Spark types (nullable if either side is). */
+  def leastCommonType(a: DataType, b: DataType): DataType = {
+    if (a == b) a
+    else if (isTimestampish(a) && isTimestampish(b)) TimestampType // NTZ+LTZ -> LTZ
+    else if (a.isInstanceOf[DecimalType] || b.isInstanceOf[DecimalType]) mergeDecimal(a, b)
+    else wideningChain(a).find(t => wideningChain(b).contains(t)).getOrElse(StringType)
+  }
+
+  /** Can a value of `upcoming` be stored in a column of `current` without
+    * widening? (SchemaMergingUtils.isDataTypeCompatible:334; extended so a
+    * wider DECIMAL absorbs narrower exact numerics, which Spark casts
+    * losslessly.)
+    */
+  def isCompatible(current: Option[DataType], upcoming: DataType): Boolean =
+    current.exists {
+      case c if c == upcoming => true
+      case d: DecimalType if isExactNumeric(upcoming) =>
+        val (ui, us) = upcoming match {
+          case u: DecimalType => (u.precision - u.scale, u.scale)
+          case u => (numericPrecision(u), 0)
+        }
+        d.precision - d.scale >= ui && d.scale >= us
+      case c => wideningChain(upcoming).contains(c)
+    }
+
+  /** Merge two struct schemas: keep `current` column order, widen common
+    * columns, append `upcoming`-only columns at the end as nullable
+    * (SchemaMergingUtils.getLeastCommonSchema:130).
+    */
+  def leastCommonSchema(current: StructType, upcoming: StructType): StructType = {
+    val upByName = upcoming.fields.map(f => f.name -> f).toMap
+    val merged = current.fields.map { f =>
+      upByName.get(f.name) match {
+        case Some(u) =>
+          StructField(f.name, leastCommonType(f.dataType, u.dataType),
+            f.nullable || u.nullable, f.metadata)
+        case None => f.copy(nullable = true) // missing upstream -> nullable
+      }
+    }
+    val curNames = current.fieldNames.toSet
+    val appended = upcoming.fields.filterNot(f => curNames(f.name)).map(_.copy(nullable = true))
+    StructType(merged ++ appended)
+  }
+
+  def leastCommonSchema(schemas: Seq[StructType]): StructType =
+    schemas.reduceLeft(leastCommonSchema)
+
+  /** Merge full TableInfos: schemas widen; primary keys survive only if
+    * shared by all shards; options union (last wins).
+    */
+  def leastCommonTableInfo(infos: Seq[TableInfo]): TableInfo = {
+    require(infos.nonEmpty, "no schemas to merge")
+    TableInfo(
+      schema = leastCommonSchema(infos.map(_.schema)),
+      primaryKeys = infos.map(_.primaryKeys).reduceLeft((a, b) => a.filter(b.contains)),
+      partitionKeys = infos.head.partitionKeys,
+      options = infos.map(_.options).reduceLeft(_ ++ _))
+  }
+
+  /** Columns that project a frame with schema `from` onto `target`: common
+    * columns cast, missing columns filled with typed nulls — the DataFrame
+    * analogue of the reference's per-row `coerceRow`
+    * (SchemaMergingUtils.java:267-330). A pure projection: stays inside
+    * whole-stage codegen, no shuffle.
+    */
+  def coercionColumns(from: StructType, target: StructType): Seq[Column] = {
+    val have = from.fieldNames.toSet
+    target.fields.toSeq.map { f =>
+      if (have(f.name)) {
+        if (from(f.name).dataType == f.dataType) col(f.name)
+        else col(f.name).cast(f.dataType).as(f.name)
+      } else lit(null).cast(f.dataType).as(f.name)
+    }
+  }
+
+  /** Project `df` onto `target`, widening/casting and null-filling. */
+  def coerce(df: DataFrame, target: StructType): DataFrame =
+    df.select(coercionColumns(df.schema, target): _*)
+}

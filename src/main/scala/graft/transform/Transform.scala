@@ -1,0 +1,182 @@
+package graft.transform
+
+import graft.model.TableId
+import graft.route.Selectors
+import org.apache.spark.sql.graft.SparkInternals
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedStar}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.functions._
+
+/** One transform rule, after the reference's `TransformRule`
+  * (flink-cdc-runtime/.../transform/TransformRule.java; semantics in
+  * docs/core-concept/transform.md): applies to tables matching
+  * `sourceTable`; `projection` is a SQL select-list, `filter` a SQL
+  * predicate; primary/partition keys and table options can be reassigned.
+  * The first matching rule wins (transform.md:389-401).
+  */
+final case class TransformRule(
+    sourceTable: String,
+    projection: Option[String] = None,
+    filter: Option[String] = None,
+    primaryKeys: Seq[String] = Nil,
+    partitionKeys: Seq[String] = Nil,
+    tableOptions: Map[String, String] = Map.empty) {
+  lazy val selector: Selectors = Selectors.includeTables(sourceTable)
+}
+
+/** Implicit metadata columns available in projections/filters
+  * (flink-cdc-runtime/.../parser/metadata/MetadataColumns.java:29-34).
+  */
+object MetadataColumns {
+  val NamespaceName = "__namespace_name__"
+  val SchemaName = "__schema_name__"
+  val TableName = "__table_name__"
+  val DataEventType = "__data_event_type__"
+  val all: Set[String] = Set(NamespaceName, SchemaName, TableName, DataEventType)
+}
+
+/** The transform operator: SQL-expression projection + filter over change
+  * events, with the reference's filter-induced op conversion
+  * (PostTransformOperator.java:276-358):
+  *
+  *  - INSERT/REPLACE: kept iff the filter passes on `after`;
+  *  - DELETE: kept iff the filter passes on `before`;
+  *  - UPDATE: pass/pass -> UPDATE, pass/fail -> DELETE (before image),
+  *    fail/pass -> INSERT (after image), fail/fail -> dropped.
+  *
+  * Everything is a pure Catalyst projection over the paired changelog
+  * encoding (graft.cdc.Changelog): no shuffle, whole-stage codegen, and —
+  * because Catalyst prunes columns through it — the reference's dedicated
+  * `PreTransformOperator` column pruner (PreTransformOperator.java:64) is
+  * unnecessary.
+  */
+final class TransformEngine(spark: SparkSession, rules: Seq[TransformRule]) {
+
+  def ruleFor(tableId: TableId): Option[TransformRule] =
+    rules.find(_.selector.isMatch(tableId))
+
+  /** Rewrite unresolved attribute references so a row-level expression
+    * evaluates against one image struct (`before` / `after`). Metadata
+    * columns stay top-level.
+    */
+  private def remap(e: Expression, image: String): Expression = e.transformUp {
+    case UnresolvedAttribute(parts) if !MetadataColumns.all(parts.head) =>
+      UnresolvedAttribute(image +: parts)
+    case UnresolvedStar(None) => UnresolvedStar(Some(Seq(image)))
+  }
+
+  private def imageColumn(sql: String, image: String): Column =
+    SparkInternals.column(remap(SparkInternals.parseExpression(spark, sql), image))
+
+  /** Split a select-list on top-level commas (quotes / parens respected). */
+  private[transform] def splitProjection(p: String): Seq[String] =
+    TransformEngine.splitTopLevel(p)
+
+  /** Metadata columns for one image of a change on `tableId`. */
+  private def metaColumns(tableId: TableId, eventType: Column): Seq[(String, Column)] = Seq(
+    MetadataColumns.NamespaceName -> lit(tableId.namespace.getOrElse("")),
+    MetadataColumns.SchemaName -> lit(tableId.schemaName.getOrElse("")),
+    MetadataColumns.TableName -> lit(tableId.table),
+    MetadataColumns.DataEventType -> eventType)
+
+  /** Fast path: transform an insert-only DataFrame (snapshot scan) —
+    * plain select + where, fully pushdown-friendly.
+    */
+  def transformBatch(tableId: TableId, df: DataFrame): DataFrame = {
+    ruleFor(tableId) match {
+      case None => df
+      case Some(rule) =>
+        val withMeta = metaColumns(tableId, lit("+I")).foldLeft(df) {
+          case (d, (n, c)) => d.withColumn(n, c)
+        }
+        val filtered = rule.filter.fold(withMeta)(f => withMeta.where(expr(f)))
+        val projected = rule.projection match {
+          case None => filtered.select(df.columns.map(col).toIndexedSeq: _*)
+          case Some(p) => filtered.selectExpr(splitProjection(p): _*)
+        }
+        projected
+    }
+  }
+
+  /** Full path: transform a paired changelog frame with op conversion. */
+  def transformChangelog(tableId: TableId, paired: DataFrame): DataFrame = {
+    import graft.cdc.Changelog._
+    ruleFor(tableId) match {
+      case None => paired
+      case Some(rule) =>
+        val op = col(OpCol)
+        // Filter verdict per image; a null image never passes.
+        val (passB, passA) = rule.filter match {
+          case None => (lit(true), lit(true))
+          case Some(f) =>
+            (coalesce(imageColumn(f, BeforeCol), lit(false)) && col(BeforeCol).isNotNull,
+              coalesce(imageColumn(f, AfterCol), lit(false)) && col(AfterCol).isNotNull)
+        }
+        val newOp =
+          when(op === "I" && passA, "I")
+            .when(op === "R" && passA, "R")
+            .when(op === "D" && passB, "D")
+            .when(op === "U" && passB && passA, "U")
+            .when(op === "U" && passB && !passA, "D")
+            .when(op === "U" && !passB && passA, "I")
+
+        // Projected image structs (metadata columns visible to expressions).
+        def projected(image: String): Column = {
+          val cols = rule.projection match {
+            case None => Seq(col(image))
+            case Some(p) => splitProjection(p).map(item => imageColumn(item, image))
+          }
+          if (rule.projection.isEmpty) cols.head else struct(cols: _*)
+        }
+        val withMeta = metaColumns(tableId, lit(null)).foldLeft(paired) { case (d, (n, _)) =>
+          // materialize metadata as top-level literal columns so remapped
+          // expressions can reference them unprefixed
+          n match {
+            case MetadataColumns.NamespaceName => d.withColumn(n, lit(tableId.namespace.getOrElse("")))
+            case MetadataColumns.SchemaName => d.withColumn(n, lit(tableId.schemaName.getOrElse("")))
+            case MetadataColumns.TableName => d.withColumn(n, lit(tableId.table))
+            case MetadataColumns.DataEventType =>
+              d.withColumn(n, concat(when(col(OpCol) === "D", "-").otherwise("+"), col(OpCol)))
+          }
+        }
+        withMeta
+          .withColumn("__newop", newOp)
+          .where(col("__newop").isNotNull)
+          .select(
+            col("__newop").as(OpCol),
+            when(col("__newop").isin("U", "D"), projected(BeforeCol)).as(BeforeCol),
+            when(col("__newop").isin("I", "U", "R"), projected(AfterCol)).as(AfterCol),
+            col(SeqCol))
+    }
+  }
+}
+
+object TransformEngine {
+  /** Split on commas at paren/bracket depth 0, outside quoted strings. */
+  def splitTopLevel(s: String, sep: Char = ','): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        cur.append(c)
+        if (c == quote) quote = 0
+        else if (c == '\\' && i + 1 < s.length) { cur.append(s.charAt(i + 1)); i += 1 }
+      } else c match {
+        case '\'' | '"' | '`' => quote = c; cur.append(c)
+        case '(' | '[' => depth += 1; cur.append(c)
+        case ')' | ']' => depth -= 1; cur.append(c)
+        case `sep` if depth == 0 => out += cur.toString.trim; cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    val last = cur.toString.trim
+    if (last.nonEmpty) out += last
+    out.result()
+  }
+}
