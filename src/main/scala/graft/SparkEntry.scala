@@ -207,6 +207,67 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** Full transform-operator path driven through the Verify surface: the
+    * events feed becomes a paired changelog (signup=I, error=D with the row
+    * as the before image, else U with no before image), runs through
+    * [[graft.transform.TransformEngine]] with a filter (op conversion:
+    * U-without-before passing the filter becomes INSERT) and a projection,
+    * then materializes final state.
+    */
+  private def q17TransformOpconv(s: SparkSession, dir: String): DataFrame = {
+    import graft.model.TableId
+    import graft.transform.{TransformEngine, TransformRule}
+    val ev = t(s, dir, "events")
+    val payload = struct(
+      col("user_id"),
+      round(col("value"), 2).as("v"))
+    val paired = ev.select(
+      when(col("event_type") === "signup", "I")
+        .when(col("event_type") === "error", "D")
+        .otherwise("U").as(Changelog.OpCol),
+      when(col("event_type") === "error", payload).as(Changelog.BeforeCol),
+      when(col("event_type") =!= "error", payload).as(Changelog.AfterCol),
+      col("event_id").as(Changelog.SeqCol))
+    val engine = new TransformEngine(s, Seq(TransformRule(
+      "events",
+      projection = Some("user_id, v * 10 AS v10"),
+      filter = Some("v > 50"))))
+    val transformed = engine.transformChangelog(TableId.tableOnly("events"), paired)
+    Changelog.materialize(Changelog.explode(transformed), Seq("user_id"))
+      .withColumn("v10", round(col("v10"), 2))
+      .orderBy(col("user_id"))
+  }
+
+  /** Debezium-JSON round trip through the Verify surface: events encoded as
+    * debezium envelopes, decoded via [[graft.cdc.DebeziumJson.decode]]
+    * (from_json, fully distributed), then materialized — must equal the
+    * plain q13 materialization.
+    */
+  private def q18DebeziumRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ev = t(s, dir, "events")
+    val payloadSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("last_value", DoubleType)))
+    val payload = struct(col("user_id"), round(col("value"), 2).as("last_value"))
+    val json = ev.select(
+      col("event_id"),
+      to_json(struct(
+        when(col("event_type") === "error", payload).as("before"),
+        when(col("event_type") =!= "error", payload).as("after"),
+        when(col("event_type") === "signup", "c")
+          .when(col("event_type") === "error", "d")
+          .otherwise("u").as("op"),
+        (col("event_id") * 0 + 1700000000000L).as("ts_ms"),
+        struct(lit("graft").as("db"), lit("events").as("table")).as("source")
+      )).as("value"))
+    val paired = graft.cdc.DebeziumJson.decode(json, "value", payloadSchema,
+      seqCol = Some("event_id"))
+    Changelog.materialize(
+      Changelog.explode(paired.drop("__table")), Seq("user_id"))
+      .orderBy(col("user_id"))
+  }
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -225,7 +286,9 @@ object SparkEntry {
     "q13_changelog_materialize" -> (q13Materialize _),
     "q14_shard_merge" -> (q14ShardMerge _),
     "q15_window_running" -> (q15WindowRunning _),
-    "q16_events_window" -> (q16EventsWindow _)
+    "q16_events_window" -> (q16EventsWindow _),
+    "q17_transform_opconv" -> (q17TransformOpconv _),
+    "q18_debezium_roundtrip" -> (q18DebeziumRoundtrip _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -337,6 +400,35 @@ object SparkEntry {
     "q16_events_window" ->
       """SELECT date_trunc('hour', ts)::TIMESTAMP AS hour, event_type,
         |  count(*) AS n, round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q17_transform_opconv" ->
+      """WITH cl AS (
+        |  SELECT user_id, round(value, 2) AS v, event_id AS seq,
+        |    CASE event_type WHEN 'signup' THEN 'I'
+        |      WHEN 'error' THEN 'D' ELSE 'U' END AS op
+        |  FROM events),
+        |conv AS (
+        |  SELECT user_id, v, seq,
+        |    CASE WHEN op IN ('I','U') AND v > 50 THEN 'I'
+        |         WHEN op = 'D' AND v > 50 THEN 'D' END AS newop
+        |  FROM cl),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY seq DESC) AS rn
+        |  FROM conv WHERE newop IS NOT NULL)
+        |SELECT user_id, round(v * 10, 2) AS v10 FROM ranked
+        |WHERE rn = 1 AND newop <> 'D' ORDER BY user_id""".stripMargin,
+    "q18_debezium_roundtrip" ->
+      """WITH cl AS (
+        |  SELECT user_id, round(value, 2) AS last_value,
+        |    CASE event_type WHEN 'signup' THEN '+I'
+        |      WHEN 'error' THEN '-D' ELSE '+U' END AS op,
+        |    event_id AS seq
+        |  FROM events),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY seq DESC) AS rn FROM cl)
+        |SELECT user_id, last_value FROM ranked
+        |WHERE rn = 1 AND op <> '-D' ORDER BY user_id""".stripMargin
   )
 }

@@ -53,9 +53,11 @@ object Changelog {
   def explode(paired: DataFrame): DataFrame = {
     val payloadType = paired.schema(AfterCol).dataType.asInstanceOf[StructType]
     val images = array(
-      when(col(OpCol).isin(beforeOps: _*),
+      // an image row is only emitted when that image exists (e.g. an UPDATE
+      // from a source without before-images has no -U retraction)
+      when(col(OpCol).isin(beforeOps: _*) && col(BeforeCol).isNotNull,
         struct(concat(lit("-"), col(OpCol)).as("op"), col(BeforeCol).as("img"))),
-      when(col(OpCol).isin(afterOps: _*),
+      when(col(OpCol).isin(afterOps: _*) && col(AfterCol).isNotNull,
         struct(concat(lit("+"), when(col(OpCol) === "R", "R").otherwise(col(OpCol))).as("op"),
           col(AfterCol).as("img"))))
     val exploded = paired

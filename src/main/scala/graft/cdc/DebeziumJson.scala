@@ -1,0 +1,57 @@
+package graft.cdc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Debezium-JSON envelope codec: `{"before":{...},"after":{...},"op":"c|r|u|d",
+  * "ts_ms":...,"source":{"db":...,"table":...}}` — the wire format the
+  * reference consumes from Debezium (RowDataDebeziumDeserializeSchema.java:63)
+  * and emits via its Kafka sink (debezium-json format).
+  *
+  * Decoding is `from_json` into the paired changelog encoding — fully
+  * distributed and codegen-friendly; one JSON parse per record.
+  */
+object DebeziumJson {
+
+  def envelopeSchema(payload: StructType): StructType = StructType(Seq(
+    StructField("before", payload),
+    StructField("after", payload),
+    StructField("op", StringType),
+    StructField("ts_ms", LongType),
+    StructField("source", StructType(Seq(
+      StructField("db", StringType),
+      StructField("schema", StringType),
+      StructField("table", StringType))))))
+
+  /** Decode a DataFrame with a JSON string column into the paired
+    * changelog frame. `seq` orders events (offset within the feed).
+    */
+  def decode(json: DataFrame, jsonCol: String, payload: StructType,
+      seqCol: Option[String] = None): DataFrame = {
+    val env = json.withColumn("__env", from_json(col(jsonCol), envelopeSchema(payload)))
+    val seq = seqCol.map(col).getOrElse(monotonically_increasing_id())
+    env.select(
+      when(col("__env.op").isin("c", "r"), "I")
+        .when(col("__env.op") === "u", "U")
+        .when(col("__env.op") === "d", "D")
+        .otherwise("R").as(Changelog.OpCol),
+      col("__env.before").as(Changelog.BeforeCol),
+      col("__env.after").as(Changelog.AfterCol),
+      seq.cast(LongType).as(Changelog.SeqCol),
+      col("__env.source.table").as("__table"))
+  }
+
+  /** Encode a paired changelog frame back into debezium-JSON strings. */
+  def encode(paired: DataFrame, db: String, table: String): DataFrame = {
+    val op = col(Changelog.OpCol)
+    paired.select(to_json(struct(
+      col(Changelog.BeforeCol).as("before"),
+      col(Changelog.AfterCol).as("after"),
+      when(op === "I", "c").when(op === "U", "u")
+        .when(op === "D", "d").otherwise("r").as("op"),
+      (unix_timestamp(current_timestamp()) * 1000).as("ts_ms"),
+      struct(lit(db).as("db"), lit(table).as("table")).as("source")
+    )).as("value"))
+  }
+}

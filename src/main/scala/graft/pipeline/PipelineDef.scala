@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import graft.route.RouteRule
+import graft.schema.SchemaChangeBehavior
+import graft.transform.TransformRule
+import scala.jdk.CollectionConverters._
+
+/** Declarative pipeline definition — the IR the reference's YAML frontend
+  * parses into (flink-cdc-composer/.../definition/PipelineDef.java;
+  * YamlPipelineDefinitionParser.java:65-128): source, sink, transforms,
+  * routes, pipeline config.
+  */
+final case class SourceDef(kind: String, options: Map[String, String])
+final case class SinkDef(kind: String, options: Map[String, String])
+
+final case class PipelineDef(
+    source: SourceDef,
+    sink: SinkDef,
+    transforms: Seq[TransformRule] = Nil,
+    routes: Seq[RouteRule] = Nil,
+    name: String = "pipeline",
+    parallelism: Int = 1,
+    schemaChangeBehavior: SchemaChangeBehavior = SchemaChangeBehavior.Lenient)
+
+/** YAML frontend for [[PipelineDef]], accepting the reference's pipeline
+  * file shape (docs/core-concept/data-pipeline.md):
+  *
+  * {{{
+  * source: { type: values, ... }
+  * sink:   { type: values, ... }
+  * transform:
+  *   - source-table: db.tbl
+  *     projection: "id, name, id * 2 AS double_id"
+  *     filter: "id > 10"
+  *     primary-keys: id
+  * route:
+  *   - source-table: db.shard_\.*
+  *     sink-table: db.merged
+  *     replace-symbol: <t>
+  * pipeline: { name: x, parallelism: 4, schema.change.behavior: lenient }
+  * }}}
+  */
+object YamlPipelineParser {
+
+  def parse(yaml: String): PipelineDef = {
+    val root = new org.yaml.snakeyaml.Yaml()
+      .load[java.util.Map[String, Object]](yaml)
+      .asScala
+
+    def section(name: String): Map[String, String] =
+      root.get(name) match {
+        case Some(m: java.util.Map[_, _]) =>
+          m.asScala.map { case (k, v) => k.toString -> Option(v).map(_.toString).orNull }.toMap
+        case _ => Map.empty
+      }
+
+    def seqOfMaps(name: String): Seq[Map[String, String]] =
+      root.get(name) match {
+        case Some(l: java.util.List[_]) => l.asScala.toSeq.collect {
+          case m: java.util.Map[_, _] =>
+            m.asScala.map { case (k, v) => k.toString -> Option(v).map(_.toString).orNull }.toMap
+        }
+        case _ => Nil
+      }
+
+    val sourceOpts = section("source")
+    val sinkOpts = section("sink")
+    require(sourceOpts.contains("type"), "source.type is required")
+    require(sinkOpts.contains("type"), "sink.type is required")
+
+    def splitList(s: String): Seq[String] =
+      s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+    val transforms = seqOfMaps("transform").map { m =>
+      TransformRule(
+        sourceTable = m.getOrElse("source-table",
+          throw new IllegalArgumentException("transform.source-table required")),
+        projection = m.get("projection").filter(_ != null),
+        filter = m.get("filter").filter(_ != null),
+        primaryKeys = m.get("primary-keys").map(splitList).getOrElse(Nil),
+        partitionKeys = m.get("partition-keys").map(splitList).getOrElse(Nil),
+        tableOptions = m.get("table-options").map(opts =>
+          splitList(opts).flatMap { kv =>
+            kv.split("=", 2) match {
+              case Array(k, v) => Some(k.trim -> v.trim)
+              case _ => None
+            }
+          }.toMap).getOrElse(Map.empty))
+    }
+
+    val routes = seqOfMaps("route").map { m =>
+      RouteRule(
+        sourceTable = m.getOrElse("source-table",
+          throw new IllegalArgumentException("route.source-table required")),
+        sinkTable = m.getOrElse("sink-table",
+          throw new IllegalArgumentException("route.sink-table required")),
+        replaceSymbol = m.get("replace-symbol").filter(_ != null))
+    }
+
+    val pipelineOpts = section("pipeline")
+    PipelineDef(
+      source = SourceDef(sourceOpts("type"), sourceOpts - "type"),
+      sink = SinkDef(sinkOpts("type"), sinkOpts - "type"),
+      transforms = transforms,
+      routes = routes,
+      name = pipelineOpts.getOrElse("name", "pipeline"),
+      parallelism = pipelineOpts.get("parallelism").map(_.toInt).getOrElse(1),
+      schemaChangeBehavior = pipelineOpts.get("schema.change.behavior")
+        .map(SchemaChangeBehavior.parse).getOrElse(SchemaChangeBehavior.Lenient))
+  }
+}

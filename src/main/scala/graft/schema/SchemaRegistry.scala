@@ -1,0 +1,146 @@
+package graft.schema
+
+import graft.model._
+import scala.collection.mutable
+
+/** How a pipeline reacts to upstream DDL, after the reference's
+  * `SchemaChangeBehavior` (flink-cdc-common/.../pipeline/SchemaChangeBehavior.java:27-33;
+  * semantics docs/core-concept/schema-evolution.md:36-70). Default LENIENT.
+  */
+sealed trait SchemaChangeBehavior
+object SchemaChangeBehavior {
+  case object Ignore extends SchemaChangeBehavior
+  case object Lenient extends SchemaChangeBehavior
+  case object TryEvolve extends SchemaChangeBehavior
+  case object Evolve extends SchemaChangeBehavior
+  case object Exception extends SchemaChangeBehavior
+
+  def parse(s: String): SchemaChangeBehavior = s.toLowerCase match {
+    case "ignore" => Ignore
+    case "lenient" => Lenient
+    case "try_evolve" | "tryevolve" => TryEvolve
+    case "evolve" => Evolve
+    case "exception" => Exception
+    case other => throw new IllegalArgumentException(s"unknown behavior: $other")
+  }
+}
+
+/** Driver-side schema authority: tracks the original (upstream) and evolved
+  * (sink-side) TableInfo per table and decides which DDL reaches the sink.
+  *
+  * Collapses the reference's SchemaOperator/SchemaCoordinator RPC + flush
+  * protocol (SchemaOperator.java:150-253, SchemaCoordinator.java:200-440):
+  * under micro-batching the batch boundary IS the flush barrier, so schema
+  * changes apply between batches with no distributed coordination.
+  */
+final class SchemaRegistry(
+    behavior: SchemaChangeBehavior = SchemaChangeBehavior.Lenient,
+    includeKinds: Option[Set[String]] = None,
+    excludeKinds: Set[String] = Set.empty) {
+
+  private val original = mutable.Map.empty[TableId, TableInfo]
+  private val evolved = mutable.Map.empty[TableId, TableInfo]
+
+  def originalInfo(t: TableId): Option[TableInfo] = original.get(t)
+  def evolvedInfo(t: TableId): Option[TableInfo] = evolved.get(t)
+  def tables: Set[TableId] = original.keySet.toSet
+
+  private def allowed(e: SchemaChangeEvent): Boolean = e match {
+    case _: CreateTableEvent => true // create is never filtered
+    case _ =>
+      includeKinds.forall(_.contains(e.kind)) && !excludeKinds.contains(e.kind)
+  }
+
+  /** Apply one upstream schema change. Returns the events the sink's
+    * MetadataApplier should see (possibly rewritten per behavior), or Nil
+    * if absorbed. Always tracks the original schema faithfully so data can
+    * be interpreted, regardless of what the sink sees.
+    */
+  def apply(e: SchemaChangeEvent): Seq[SchemaChangeEvent] = {
+    // original plane always evolves
+    e match {
+      case CreateTableEvent(t, info) => original(t) = info
+      case DropTableEvent(t) => original.remove(t)
+      case other => original.get(other.tableId).foreach { i =>
+        original(other.tableId) = i.applySchemaChange(other)
+      }
+    }
+
+    if (!allowed(e)) return Nil
+
+    behavior match {
+      case SchemaChangeBehavior.Ignore =>
+        e match {
+          case c: CreateTableEvent => evolveWith(c)
+          case _ => Nil
+        }
+      case SchemaChangeBehavior.Exception =>
+        e match {
+          case c: CreateTableEvent => evolveWith(c)
+          case other => throw new IllegalStateException(
+            s"schema change not allowed under EXCEPTION behavior: $other")
+        }
+      case SchemaChangeBehavior.Evolve => evolveWith(e)
+      case SchemaChangeBehavior.TryEvolve =>
+        try evolveWith(e)
+        catch { case _: Exception => Nil }
+      case SchemaChangeBehavior.Lenient => lenient(e)
+    }
+  }
+
+  private def evolveWith(e: SchemaChangeEvent): Seq[SchemaChangeEvent] = {
+    e match {
+      case CreateTableEvent(t, info) => evolved(t) = info
+      case DropTableEvent(t) => evolved.remove(t)
+      case other => evolved.get(other.tableId).foreach { i =>
+        evolved(other.tableId) = i.applySchemaChange(other)
+      }
+    }
+    Seq(e)
+  }
+
+  /** LENIENT semantics (schema-evolution.md:48-70 + SchemaDerivator's
+    * lenient rewrites): sink columns are never dropped or renamed —
+    *  - AddColumn passes through (nullable);
+    *  - DropColumn is absorbed (the column keeps receiving nulls);
+    *  - RenameColumn becomes AddColumn(new) (old column stays, nulls);
+    *  - AlterColumnType widens via the merging lattice; incompatible
+    *    narrowing is absorbed.
+    */
+  private def lenient(e: SchemaChangeEvent): Seq[SchemaChangeEvent] = e match {
+    case _: CreateTableEvent | _: TruncateTableEvent | _: AlterTableCommentEvent |
+        _: DropTableEvent => evolveWith(e)
+    case AddColumnEvent(t, cols) =>
+      val existing = evolved.get(t).map(_.fieldNames.toSet).getOrElse(Set.empty)
+      val fresh = cols.collect {
+        case (f, _) if !existing(f.name) =>
+          // always append: positions relative to dropped/renamed columns
+          // may not exist sink-side
+          (f.copy(nullable = true), ColumnPosition.Last: ColumnPosition)
+      }
+      if (fresh.isEmpty) Nil else evolveWith(AddColumnEvent(t, fresh))
+    case DropColumnEvent(_, _) => Nil
+    case RenameColumnEvent(t, mapping) =>
+      val info = evolved.get(t)
+      val existing = info.map(_.fieldNames.toSet).getOrElse(Set.empty)
+      val adds = mapping.toSeq.collect {
+        case (oldName, newName) if !existing(newName) =>
+          val field = info.flatMap(_.field(oldName))
+            .getOrElse(org.apache.spark.sql.types.StructField(
+              newName, org.apache.spark.sql.types.StringType))
+          (field.copy(name = newName, nullable = true), ColumnPosition.Last: ColumnPosition)
+      }
+      if (adds.isEmpty) Nil else evolveWith(AddColumnEvent(t, adds))
+    case AlterColumnTypeEvent(t, mapping) =>
+      val info = evolved.get(t)
+      val widened = mapping.flatMap { case (name, newType) =>
+        info.flatMap(_.field(name)) match {
+          case Some(f) =>
+            val merged = SchemaMerging.leastCommonType(f.dataType, newType)
+            if (merged == f.dataType) None else Some(name -> merged)
+          case None => None
+        }
+      }
+      if (widened.isEmpty) Nil else evolveWith(AlterColumnTypeEvent(t, widened))
+  }
+}

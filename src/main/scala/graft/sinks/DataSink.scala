@@ -1,0 +1,16 @@
+package graft.sinks
+
+import graft.model.{SchemaChangeEvent, TableId, TableInfo}
+import org.apache.spark.sql.DataFrame
+
+/** Sink SPI, after the reference's `DataSink` = event-writer +
+  * MetadataApplier pair (flink-cdc-common/.../sink/DataSink.java:29,
+  * MetadataApplier.java:33-51). `write` receives one micro-batch of the
+  * exploded changelog (payload columns + `__op` + `__seq`); the batch
+  * boundary is the flush barrier, so `applySchemaChange` is only called
+  * between `write` calls.
+  */
+trait DataSink {
+  def applySchemaChange(e: SchemaChangeEvent): Unit = ()
+  def write(tableId: TableId, exploded: DataFrame, info: TableInfo): Unit
+}

@@ -1,0 +1,127 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.model._
+import graft.sinks.ValuesDatabase
+import graft.sources.ValuesSource
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+class PipelineSpec extends SparkSpec {
+
+  private val t1 = TableId.parse("default_namespace.default_schema.table1")
+  private def info(fields: (String, DataType)*) = TableInfo(
+    StructType(fields.map { case (n, d) => StructField(n, d) }),
+    primaryKeys = Seq(fields.head._1))
+
+  private def yamlDef(transform: String = "", route: String = "",
+      behavior: String = "lenient") = YamlPipelineParser.parse(
+    s"""source: { type: values }
+       |sink: { type: values }
+       |$transform
+       |$route
+       |pipeline: { schema.change.behavior: $behavior }
+       |""".stripMargin)
+
+  test("end-to-end: insert/update/delete materialize in the values sink") {
+    val script = Seq(
+      CreateTableEvent(t1, info("col1" -> StringType, "col2" -> StringType)),
+      DataChangeEvent.insert(t1, Row("1", "a")),
+      DataChangeEvent.insert(t1, Row("2", "b")),
+      DataChangeEvent.update(t1, Row("2", "b"), Row("2", "b2")),
+      DataChangeEvent.delete(t1, Row("1", "a")))
+    val sink = new ValuesDatabase
+    new PipelineRunner(spark, yamlDef(), new ValuesSource(script), sink).run()
+    assert(sink.results(t1) === Seq("default_namespace.default_schema.table1:2;b2"))
+  }
+
+  test("schema evolution mid-stream: add column, rename under LENIENT") {
+    val script = Seq(
+      CreateTableEvent(t1, info("col1" -> StringType, "col2" -> StringType)),
+      DataChangeEvent.insert(t1, Row("1", "a")),
+      AddColumnEvent(t1, Seq((StructField("col3", StringType), ColumnPosition.Last))),
+      DataChangeEvent.insert(t1, Row("2", "b", "c3")),
+      RenameColumnEvent(t1, Map("col2" -> "newCol2")),
+      DataChangeEvent.insert(t1, Row("3", "b3", "c3b")))
+    val sink = new ValuesDatabase
+    new PipelineRunner(spark, yamlDef(), new ValuesSource(script), sink).run()
+    // LENIENT: col2 stays, newCol2 appended; row3's payload lands in newCol2
+    assert(sink.info(t1).get.fieldNames === Seq("col1", "col2", "col3", "newCol2"))
+    assert(sink.results(t1) === Seq(
+      "default_namespace.default_schema.table1:1;a;null;null",
+      "default_namespace.default_schema.table1:2;b;c3;null",
+      "default_namespace.default_schema.table1:3;null;c3b;b3"))
+  }
+
+  test("route: sharded tables merge with widened schema") {
+    val sA = TableId.parse("db.shard_1")
+    val sB = TableId.parse("db.shard_2")
+    val merged = TableId.parse("db.all")
+    val script = Seq(
+      CreateTableEvent(sA, info("id" -> IntegerType, "name" -> StringType)),
+      CreateTableEvent(sB, TableInfo(
+        StructType(Seq(StructField("id", LongType), StructField("name", StringType),
+          StructField("extra", DoubleType))), primaryKeys = Seq("id"))),
+      DataChangeEvent.insert(sA, Row(1, "a")),
+      DataChangeEvent.insert(sB, Row(2L, "b", 2.5)))
+    val sink = new ValuesDatabase
+    val pd = yamlDef(route =
+      """route:
+        |  - source-table: db.shard_\.*
+        |    sink-table: db.all
+        |""".stripMargin)
+    new PipelineRunner(spark, pd, new ValuesSource(script), sink).run()
+    assert(sink.info(merged).get.schema("id").dataType === LongType)
+    assert(sink.results(merged).toSet === Set("db.all:1;a;null", "db.all:2;b;2.5"))
+  }
+
+  test("transform: projection + filter with op conversion end-to-end") {
+    val script = Seq(
+      CreateTableEvent(t1, info("col1" -> StringType, "v" -> IntegerType)),
+      DataChangeEvent.insert(t1, Row("1", 10)),
+      DataChangeEvent.insert(t1, Row("2", 3)),
+      DataChangeEvent.update(t1, Row("1", 10), Row("1", 2)), // pass->fail => DELETE
+      DataChangeEvent.insert(t1, Row("3", 30)))
+    val sink = new ValuesDatabase
+    val pd = yamlDef(transform =
+      """transform:
+        |  - source-table: default_namespace.default_schema.table1
+        |    projection: "col1, v * 10 AS v10"
+        |    filter: "v > 5"
+        |    primary-keys: col1
+        |""".stripMargin)
+    new PipelineRunner(spark, pd, new ValuesSource(script), sink).run()
+    assert(sink.info(t1).get.fieldNames === Seq("col1", "v10"))
+    assert(sink.results(t1).toSet === Set(
+      "default_namespace.default_schema.table1:3;300"))
+  }
+
+  test("YAML parser reads the reference pipeline shape") {
+    val pd = YamlPipelineParser.parse(
+      """source:
+        |  type: values
+        |  tables: db.\.*
+        |sink:
+        |  type: values
+        |transform:
+        |  - source-table: db.t1
+        |    projection: "id, upper(name) AS name"
+        |    filter: "id > 0"
+        |    primary-keys: id
+        |    table-options: "bucket=4, owner=x"
+        |route:
+        |  - source-table: db.t\.*
+        |    sink-table: sink.merged
+        |    replace-symbol: <t>
+        |pipeline:
+        |  name: sync
+        |  parallelism: 4
+        |  schema.change.behavior: evolve
+        |""".stripMargin)
+    assert(pd.source.options("tables") === "db.\\.*")
+    assert(pd.transforms.head.tableOptions === Map("bucket" -> "4", "owner" -> "x"))
+    assert(pd.routes.head.replaceSymbol === Some("<t>"))
+    assert(pd.parallelism === 4)
+    assert(pd.schemaChangeBehavior === graft.schema.SchemaChangeBehavior.Evolve)
+  }
+}
