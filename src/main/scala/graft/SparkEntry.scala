@@ -268,6 +268,103 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  // ---- training-data pipeline operators (ops package) ----
+
+  private def q19TextStats(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TextAnalysis._
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      round(punctRatio(col("text")), 6).as("punct_ratio"),
+      round(digitRatio(col("text")), 6).as("digit_ratio"),
+      round(meanTokenLength(col("text")), 6).as("mean_tok_len"),
+      qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def q20LangId(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TextAnalysis._
+    t(s, dir, "documents")
+      .select(col("doc_id"), langId(col("text")).as("lang_guess"))
+      .groupBy(col("lang_guess"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang_guess"))
+  }
+
+  private def q21DedupExact(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Dedup, TextAnalysis}
+    Dedup.exact(t(s, dir, "documents"), TextAnalysis.normalize(col("text")), col("doc_id"))
+      .select(col("keep_id"), col("n_dups"))
+      .orderBy(col("keep_id"))
+  }
+
+  private def q22DedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Dedup
+    Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text", threshold = 0.6)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** SimHash near-dup pairs — not expressible in the oracle (xxhash64-based
+    * signatures), driver records a rows-only check; semantics covered by
+    * OpsSpec.
+    */
+  private def q23DedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Dedup
+    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private def q24EmbedTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Similarity
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(
+      emb, "vec_id", "embedding",
+      emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** LSH-bucketed approximate nearest neighbors — approximate by design
+    * (recall < 1), rows-only check; recall characterized in OpsSpec.
+    */
+  private def q25EmbedAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Similarity
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopK(
+      emb, "vec_id", "embedding",
+      emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5, numPlanes = 4)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def q26Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TextAnalysis
+    t(s, dir, "documents")
+      .groupBy(TextAnalysis.fingerprint64(col("text")).as("fp"))
+      .agg(count(lit(1)).as("group_size"))
+      .groupBy(col("group_size"))
+      .agg(count(lit(1)).as("n_groups"))
+      .orderBy(col("group_size"))
+  }
+
+  /** Multimodal plumbing: text bytes as a stand-in binary payload, stub
+    * feature extraction (mapPartitions batch shape), frame sampling. The
+    * oracle replicates byte_len / checksum / frame count; float feature
+    * values are covered by OpsSpec.
+    */
+  private def q27Multimodal(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Multimodal
+    val media = t(s, dir, "documents")
+      .where(col("doc_id") < 100)
+      .select(col("doc_id").as("media_id"), lit("text").as("kind"),
+        col("text").cast(BinaryType).as("bytes"))
+    val feats = Multimodal.extractFeatures(media, featureDim = 16)
+      .select(col("media_id"), col("byte_len"),
+        size(col("features")).as("feature_dim"))
+    val frames = Multimodal.frameSample(media, "media_id", "bytes", frameSize = 256)
+      .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
+    feats.join(frames, "media_id").orderBy(col("media_id"))
+  }
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -288,7 +385,16 @@ object SparkEntry {
     "q15_window_running" -> (q15WindowRunning _),
     "q16_events_window" -> (q16EventsWindow _),
     "q17_transform_opconv" -> (q17TransformOpconv _),
-    "q18_debezium_roundtrip" -> (q18DebeziumRoundtrip _)
+    "q18_debezium_roundtrip" -> (q18DebeziumRoundtrip _),
+    "q19_text_stats" -> (q19TextStats _),
+    "q20_lang_id" -> (q20LangId _),
+    "q21_dedup_exact" -> (q21DedupExact _),
+    "q22_dedup_minhash" -> (q22DedupMinhash _),
+    "q23_dedup_simhash" -> (q23DedupSimhash _),
+    "q24_embed_topk" -> (q24EmbedTopK _),
+    "q25_embed_ann_lsh" -> (q25EmbedAnnLsh _),
+    "q26_fingerprint" -> (q26Fingerprint _),
+    "q27_multimodal" -> (q27Multimodal _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -429,6 +535,108 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY user_id
         |    ORDER BY seq DESC) AS rn FROM cl)
         |SELECT user_id, last_value FROM ranked
-        |WHERE rn = 1 AND op <> '-D' ORDER BY user_id""".stripMargin
+        |WHERE rn = 1 AND op <> '-D' ORDER BY user_id""".stripMargin,
+    "q19_text_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+        |    CASE WHEN length(text) = 0 THEN 0
+        |      ELSE len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE / length(text) END AS praw,
+        |    CASE WHEN length(text) = 0 THEN 0
+        |      ELSE len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text) END AS draw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+        |  round(praw, 6) AS punct_ratio,
+        |  round(draw, 6) AS digit_ratio,
+        |  round(CASE WHEN len(toks) = 0 THEN 0
+        |    ELSE list_sum([length(x) for x in toks])::DOUBLE / len(toks) END, 6) AS mean_tok_len,
+        |  round(
+        |    least(length(text)::DOUBLE / 500.0, 1.0) * 0.4
+        |    + least(CASE WHEN len(toks) = 0 THEN 0
+        |        ELSE len(list_filter(toks, x -> list_contains(
+        |          ['the','a','an','and','of','to','in','is','it','that','for','on','with','as'],
+        |          x)))::DOUBLE / len(toks) END * 4.0, 1.0) * 0.3
+        |    + (1.0 - least(praw * 5.0, 1.0)) * 0.2
+        |    + (1.0 - least(draw * 5.0, 1.0)) * 0.1, 6) AS quality
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q20_lang_id" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, x -> list_contains(['der','und','nicht','das','ist','ich','mit','sich'], x))) AS de,
+        |    len(list_filter(toks, x -> list_contains(['the','and','of','is','that','with','for','this'], x))) AS en,
+        |    len(list_filter(toks, x -> list_contains(['que','los','una','por','con','para','está','las'], x))) AS es,
+        |    len(list_filter(toks, x -> list_contains(['les','est','une','dans','pour','qui','pas','vous'], x))) AS fr,
+        |    len(regexp_extract_all(text, '的')) + len(regexp_extract_all(text, '是'))
+        |      + len(regexp_extract_all(text, '了')) + len(regexp_extract_all(text, '在'))
+        |      + len(regexp_extract_all(text, '我')) + len(regexp_extract_all(text, '有'))
+        |      + len(regexp_extract_all(text, '和')) + len(regexp_extract_all(text, '不')) AS zh
+        |  FROM d)
+        |SELECT lang_guess, count(*) AS n_docs FROM (
+        |  SELECT CASE WHEN greatest(de, en, es, fr, zh) = 0 THEN 'und'
+        |    WHEN zh > greatest(de, en, es, fr) THEN 'zh'
+        |    WHEN fr > greatest(de, en, es) THEN 'fr'
+        |    WHEN es > greatest(de, en) THEN 'es'
+        |    WHEN en > de THEN 'en'
+        |    ELSE 'de' END AS lang_guess
+        |  FROM s)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q21_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM (SELECT doc_id,
+        |  trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')) AS key
+        |  FROM documents)
+        |GROUP BY key ORDER BY keep_id""".stripMargin,
+    "q22_dedup_minhash" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(
+        |      trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')),
+        |      '\s+') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |          for i in range(1, len(toks) - 1)] END) AS sh
+        |  FROM d),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.sh, b.sh))::DOUBLE
+        |      / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+        |  FROM sh a JOIN sh b
+        |    ON a.doc_id < b.doc_id
+        |   AND least(len(a.sh), len(b.sh))::DOUBLE / greatest(len(a.sh), len(b.sh)) >= 0.6)
+        |SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs
+        |WHERE j >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+    "q24_embed_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+        |    list_dot_product(q.qv, e.v)
+        |      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS c
+        |  FROM e, q WHERE e.vec_id <> q.qid),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY c DESC, neighbor_id ASC) AS rank FROM scored)
+        |SELECT query_id, neighbor_id, rank, round(c, 9) AS cos
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q26_fingerprint" ->
+      """WITH g AS (
+        |  SELECT trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')) AS key,
+        |    count(*) AS group_size
+        |  FROM documents GROUP BY 1)
+        |SELECT group_size, count(*) AS n_groups FROM g
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q27_multimodal" ->
+      """SELECT doc_id AS media_id, length(text) AS byte_len,
+        |  16 AS feature_dim,
+        |  greatest(ceil(length(text) / 256.0)::INT, 1) AS n_frames
+        |FROM documents WHERE doc_id < 100 ORDER BY media_id""".stripMargin
   )
 }

@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, character-class ratios, quality scoring, language
+  * identification, document fingerprinting.
+  *
+  * Everything here is composed from `org.apache.spark.sql.functions`
+  * (codegen'd, no UDFs): at 100 TB these run inside whole-stage codegen
+  * over the parquet scan with full column pruning and no shuffle.
+  */
+object TextAnalysis {
+
+  /** Lower-cased whitespace tokens. */
+  def tokens(text: Column): Column =
+    split(trim(lower(text)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(tokens(text)))
+
+  /** BPE-ish subword count estimate: word-piece matches (`\w+` runs and
+    * single non-space symbols), plus a length penalty for long words
+    * (every ~6 chars beyond the first 6 within a word counts again —
+    * approximating subword splits).
+    */
+  def bpeTokenEstimate(text: Column): Column = {
+    val pieces = size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
+    val longWordExtra = size(regexp_extract_all(text, lit("\\w{7,12}"), lit(0))) +
+      size(regexp_extract_all(text, lit("\\w{13,}"), lit(0))) * 2
+    pieces + longWordExtra
+  }
+
+  private def countMatches(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Ratio of characters matching `pattern` (a single-char class). */
+  def charClassRatio(text: Column, pattern: String): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(countMatches(text, pattern).cast("double") / length(text))
+
+  def punctRatio(text: Column): Column = charClassRatio(text, "[.,!?;:]")
+  def digitRatio(text: Column): Column = charClassRatio(text, "[0-9]")
+  def upperRatio(text: Column): Column = charClassRatio(text, "[A-Z]")
+  def whitespaceRatio(text: Column): Column = charClassRatio(text, "[ \\t\\n]")
+
+  /** Fraction of tokens that appear in `stopwords`. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val stops = array(stopwords.map(lit): _*)
+    when(size(toks) === 0, 0.0).otherwise(
+      size(filter(toks, t => array_contains(stops, t))).cast("double") / size(toks))
+  }
+
+  /** Mean token length — a cheap gibberish / boilerplate signal. */
+  def meanTokenLength(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: favors mid-length documents with
+    * low punctuation/digit noise and a healthy stopword ratio — the usual
+    * C4/Gopher-style filter features expressed as one scalar.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val punctPenalty = least(punctRatio(text) * 5.0, lit(1.0))
+    val digitPenalty = least(digitRatio(text) * 5.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text, stopwords) * 4.0, lit(1.0))
+    round(
+      lenScore * 0.4 + stopScore * 0.3 + (lit(1.0) - punctPenalty) * 0.2 +
+        (lit(1.0) - digitPenalty) * 0.1,
+      6)
+  }
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as")
+
+  /** Tiny per-language marker dictionaries for n-gram/stopword language ID.
+    * Chosen to be discriminative (no cross-language collisions).
+    */
+  val LanguageMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "that", "with", "for", "this"),
+    "de" -> Seq("der", "und", "nicht", "das", "ist", "ich", "mit", "sich"),
+    "es" -> Seq("que", "los", "una", "por", "con", "para", "está", "las"),
+    "fr" -> Seq("les", "est", "une", "dans", "pour", "qui", "pas", "vous"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  /** Per-language marker hit counts as a map column. For zh (no spaces)
+    * markers are counted as substrings; for others as whole tokens.
+    */
+  def langScores(text: Column): Column = {
+    val entries = LanguageMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      val score =
+        if (lang == "zh") markers.map(m => countMatches(text, java.util.regex.Pattern.quote(m)))
+          .reduce(_ + _)
+        else {
+          val toks = tokens(text)
+          val stops = array(markers.map(lit): _*)
+          size(filter(toks, t => array_contains(stops, t)))
+        }
+      Seq(lit(lang), score)
+    }
+    map(entries.flatten: _*)
+  }
+
+  /** Argmax language with deterministic tiebreak (alphabetical); "und"
+    * (undetermined) when no marker hits at all.
+    */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val langs = LanguageMarkers.keys.toSeq.sorted
+    val best = langs.map(l => struct(scores.getItem(l).as("s"), lit(l).as("l")))
+      .reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
+    when(best.getField("s") === 0, "und").otherwise(best.getField("l"))
+  }
+
+  /** 64-bit document fingerprint over normalized text (case/punct/space
+    * collapsed) — exact-dup detection key.
+    */
+  def fingerprint64(text: Column): Column =
+    xxhash64(normalize(text))
+
+  /** Normalization used by [[fingerprint64]] and exact dedup. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^\\p{L}\\p{N}]+", " "))
+
+  /** Rolling-hash min-fingerprint over character shingles: the minimum of
+    * the hashes of all `k`-char windows — robust to small edits at either
+    * end of the document.
+    */
+  def rollingMinFingerprint(text: Column, k: Int = 16): Column = {
+    val n = normalize(text)
+    val shingles = transform(
+      sequence(lit(0), greatest(length(n) - k, lit(0))),
+      i => n.substr(lit(1) + i, lit(k)))
+    array_min(transform(shingles, s => xxhash64(s)))
+  }
+}

