@@ -365,6 +365,40 @@ object SparkEntry {
     feats.join(frames, "media_id").orderBy(col("media_id"))
   }
 
+  /** Scalar-function catalog parity (SURVEY §2.3): string + temporal
+    * functions incl. the SimpleDateFormat-dialect shim, base64 round trip,
+    * SIMILAR TO, TIMESTAMPADD/DIFF — all through
+    * [[graft.functions.CdcFunctions]].
+    */
+  private def q28Functions(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CdcFunctions._
+    t(s, dir, "orders")
+      .where(col("o_orderkey") < 100)
+      .select(
+        col("o_orderkey"),
+        lpad(col("o_orderstatus"), 5, "*").as("lpadded"),
+        rpad(col("o_orderstatus"), 5, "#").as("rpadded"),
+        repeat(col("o_orderstatus"), 3).as("repeated"),
+        regexp_replace(col("o_orderpriority"), "-", "_").as("replaced"),
+        call_function("left", col("o_orderpriority"), lit(3)).as("left3"),
+        call_function("right", col("o_orderpriority"), lit(3)).as("right3"),
+        instr(col("o_orderpriority"), "-").as("dash_pos"),
+        concat_ws("/", col("o_orderstatus"), col("o_orderpriority")).as("joined"),
+        reverse(col("o_orderpriority")).as("reversed"),
+        ascii(col("o_orderstatus")).as("status_ascii"),
+        similarTo(col("o_orderpriority"), "[0-9]-[A-Z ]+").as("prio_shape"),
+        fromBase64String(base64(col("o_orderpriority").cast(BinaryType))).as("rt"),
+        dateFormatSdf(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("sdf_ts"),
+        (dayofweek(col("o_orderdate"))).as("dow"),
+        quarter(col("o_orderdate")).as("qtr"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"),
+        date_format(timestampAdd("DAY", lit(5), col("o_orderdate")), "yyyy-MM-dd")
+          .as("plus5d"),
+        timestampDiff("HOUR", col("o_orderdate"),
+          timestampAdd("DAY", lit(2), col("o_orderdate"))).as("diff_hr"))
+      .orderBy(col("o_orderkey"))
+  }
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -394,7 +428,8 @@ object SparkEntry {
     "q24_embed_topk" -> (q24EmbedTopK _),
     "q25_embed_ann_lsh" -> (q25EmbedAnnLsh _),
     "q26_fingerprint" -> (q26Fingerprint _),
-    "q27_multimodal" -> (q27Multimodal _)
+    "q27_multimodal" -> (q27Multimodal _),
+    "q28_functions" -> (q28Functions _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -637,6 +672,27 @@ object SparkEntry {
       """SELECT doc_id AS media_id, length(text) AS byte_len,
         |  16 AS feature_dim,
         |  greatest(ceil(length(text) / 256.0)::INT, 1) AS n_frames
-        |FROM documents WHERE doc_id < 100 ORDER BY media_id""".stripMargin
+        |FROM documents WHERE doc_id < 100 ORDER BY media_id""".stripMargin,
+    "q28_functions" ->
+      """SELECT o_orderkey,
+        |  lpad(o_orderstatus, 5, '*') AS lpadded,
+        |  rpad(o_orderstatus, 5, '#') AS rpadded,
+        |  repeat(o_orderstatus, 3) AS repeated,
+        |  replace(o_orderpriority, '-', '_') AS replaced,
+        |  left(o_orderpriority, 3) AS left3,
+        |  right(o_orderpriority, 3) AS right3,
+        |  strpos(o_orderpriority, '-') AS dash_pos,
+        |  o_orderstatus || '/' || o_orderpriority AS joined,
+        |  reverse(o_orderpriority) AS reversed,
+        |  ascii(o_orderstatus) AS status_ascii,
+        |  regexp_full_match(o_orderpriority, '[0-9]-[A-Z ]+') AS prio_shape,
+        |  o_orderpriority AS rt,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS sdf_ts,
+        |  dayofweek(o_orderdate) + 1 AS dow,
+        |  quarter(o_orderdate) AS qtr,
+        |  epoch(o_orderdate)::BIGINT AS epoch_s,
+        |  strftime(o_orderdate + INTERVAL 5 DAY, '%Y-%m-%d') AS plus5d,
+        |  48 AS diff_hr
+        |FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""".stripMargin
   )
 }
