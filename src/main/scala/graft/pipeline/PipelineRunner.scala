@@ -114,9 +114,13 @@ final class PipelineRunner(
   }
 
   /** Run the pipeline to completion (batch mode) or until the source's
-    * batch iterator is exhausted (streaming wrappers feed batches in).
+    * batch iterator is exhausted (streaming wrappers feed batches in
+    * through [[processBatch]] directly and pass no source).
     */
-  def run(): Unit = source.batches(spark).foreach(processBatch)
+  def run(): Unit = {
+    require(source != null, "run() needs a CdcDataSource; streaming wrappers call processBatch")
+    source.batches(spark).foreach(processBatch)
+  }
 
   def processBatch(batch: SourceBatch): Unit = {
     batch.schemaChanges.foreach(handleSchemaChange)
