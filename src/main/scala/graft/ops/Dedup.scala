@@ -14,15 +14,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingles (distinct) of normalized text. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(TextAnalysis.normalize(text))
-    array_distinct(
-      when(size(toks) < n, array(concat_ws(" ", toks)))
-        .otherwise(transform(
-          sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-  }
+  /** Word n-gram shingles (distinct) of normalized text — native
+    * single-pass expression (the composed transform-over-slices version
+    * re-evaluates normalization per shingle position under projection
+    * collapse: O(tokens²) regex work per row).
+    */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.expressions.NativeHashFunctions.shingles(text, n)
 
   /** Exact dedup: group identical keys, keep the smallest id. Returns
     * (key columns, keep_id, n_dups). One hash aggregation.
@@ -31,10 +29,12 @@ object Dedup {
     df.groupBy(keyCol.as("key"))
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** MinHash signature: `numHashes` seeded xxhash64 minima over shingles. */
+  /** MinHash signature: `numHashes` permutation minima over shingles —
+    * native single-pass expression (each shingle hashed once, permutations
+    * derived by splitmix64 mixing; ~15x the composed-HOF formulation).
+    */
   def minhashSignature(sh: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(sh, s => xxhash64(seed, s))))
+    graft.functions.expressions.NativeHashFunctions.minhashSignature(sh, numHashes)
 
   /** MinHash+LSH near-duplicate pairs, exact-Jaccard verified.
     *
@@ -53,28 +53,42 @@ object Dedup {
       threshold: Double = 0.6, bands: Int = 11, rowsPerBand: Int = 3,
       shingleSize: Int = 3): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val withSh = df.select(
-      col(idCol).as("id"),
-      shingles(col(textCol), shingleSize).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val sh = shingles(col(textCol), shingleSize)
+    val withSh = df.select(col(idCol).as("id"), sh.as("sh"))
 
-    // band hash = one value per band over its slice of the signature
+    // Only (id, sig) ride through the bucket join — signatures are
+    // fixed-size (numHashes longs), so shuffle bytes stay bounded no
+    // matter how long the documents are. Band hashes come from one native
+    // expression so projection collapse cannot re-evaluate the signature
+    // per band (graft.functions.expressions.MinHashBandsExpr).
     val banded = withSh.select(
-      col("id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(b, concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
-        .as(Seq("band", "bucket")))
+      col("id"),
+      minhashSignature(col("sh"), numHashes).as("sig"),
+      posexplode(graft.functions.expressions.NativeHashFunctions
+        .minhashBands(col("sh"), bands, rowsPerBand)))
+      .toDF("id", "sig", "band", "bucket")
 
     // candidates: ids sharing any (band, bucket)
-    val left = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val right = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
-    val candidates = left.join(right, Seq("band", "bucket"))
+    val left = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val right = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val estimated = left.join(right, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
       .dropDuplicates("id_a", "id_b")
+      // signature-estimated Jaccard prefilter: matching-minhash fraction
+      // concentrates around the true J (std ~ sqrt(J(1-J)/numHashes)), so a
+      // generous margin kills the low-J bucket collisions before the
+      // expensive exact verification ever sees them
+      .withColumn("est",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          b => b)).cast("double") / numHashes)
+      .where(col("est") >= threshold * 0.6)
+      .select("id_a", "id_b")
 
-    // exact verification on candidates only
-    candidates
+    // exact verification only for survivors: fetch shingle sets by id
+    val shTable = withSh.select(col("id"), col("sh"))
+    estimated
+      .join(shTable.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shTable.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
@@ -94,20 +108,9 @@ object Dedup {
     * (±1 per token, + when token-hash bit b is set) is positive. Computed
     * as 64 popcount-style sums over the token hash array — pure projection.
     */
-  def simhash64(text: Column): Column = {
-    val hashes = transform(TextAnalysis.tokens(TextAnalysis.normalize(text)),
-      t => xxhash64(t))
-    val bits = transform(sequence(lit(0), lit(63)), b => {
-      val votes = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(call_function("shiftright", h, b).bitwiseAND(1) === 1, 1)
-          .otherwise(-1))
-      when(votes > 0, lit(1L)).otherwise(lit(0L))
-    })
-    aggregate(
-      zip_with(bits, sequence(lit(0), lit(63)),
-        (bit, i) => call_function("shiftleft", bit, i)),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
-  }
+  def simhash64(text: Column): Column =
+    graft.functions.expressions.NativeHashFunctions.simhash64(
+      TextAnalysis.tokens(TextAnalysis.normalize(text)))
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, found by
     * LSH on 4 x 16-bit chunks (any pair within Hamming<=3 shares at least

@@ -108,15 +108,12 @@ object TextAnalysis {
   }
 
   /** Argmax language with deterministic tiebreak (alphabetical); "und"
-    * (undetermined) when no marker hits at all.
+    * (undetermined) when no marker hits at all. Native single-pass
+    * expression — the composed [[langScores]] tree would be inlined once
+    * per comparison and evaluated ~10x per row.
     */
-  def langId(text: Column): Column = {
-    val scores = langScores(text)
-    val langs = LanguageMarkers.keys.toSeq.sorted
-    val best = langs.map(l => struct(scores.getItem(l).as("s"), lit(l).as("l")))
-      .reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
-    when(best.getField("s") === 0, "und").otherwise(best.getField("l"))
-  }
+  def langId(text: Column): Column =
+    graft.functions.expressions.LangIdExpr(text, LanguageMarkers, Set("zh"))
 
   /** 64-bit document fingerprint over normalized text (case/punct/space
     * collapsed) — exact-dup detection key.
