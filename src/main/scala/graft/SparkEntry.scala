@@ -399,6 +399,53 @@ object SparkEntry {
       .orderBy(col("o_orderkey"))
   }
 
+  /** As-of join (SURVEY §2.9): each purchase matched to the user's latest
+    * preceding click, via [[graft.ops.Relational.asofJoin]] (union +
+    * running last over the key window — one shuffle, no range blowup).
+    * Ordering axis is `event_id` (monotone event order).
+    */
+  private def q29AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Relational
+    val ev = t(s, dir, "events")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), round(col("value"), 2).as("amount"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"))
+    Relational.asofJoin(purchases, clicks, Seq("user_id"), "event_id", "event_id")
+      .select(col("user_id"), col("event_id"), col("amount"),
+        col("asof_event_id").as("last_click_id"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Range join: lineitems shipped within 30 days after their order's
+    * date — equi key + band predicate (Catalyst: one equi join, band as
+    * post-filter).
+    */
+  private def q30RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Relational
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_shipdate"))
+    Relational.rangeJoin(o, li, Seq("o_orderkey"),
+      col("l_shipdate"), col("o_orderdate"), col("o_orderdate") + expr("INTERVAL 30 DAY"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_quick_ships"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Session windows (streaming-window family, batch form): per-user
+    * sessions with a 30-minute inactivity gap over second-truncated event
+    * times.
+    */
+  private def q31SessionWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("ts_s", date_trunc("second", col("ts")))
+      .groupBy(session_window(col("ts_s"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -429,7 +476,10 @@ object SparkEntry {
     "q25_embed_ann_lsh" -> (q25EmbedAnnLsh _),
     "q26_fingerprint" -> (q26Fingerprint _),
     "q27_multimodal" -> (q27Multimodal _),
-    "q28_functions" -> (q28Functions _)
+    "q28_functions" -> (q28Functions _),
+    "q29_asof_join" -> (q29AsofJoin _),
+    "q30_range_join" -> (q30RangeJoin _),
+    "q31_session_window" -> (q31SessionWindow _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -693,6 +743,39 @@ object SparkEntry {
         |  epoch(o_orderdate)::BIGINT AS epoch_s,
         |  strftime(o_orderdate + INTERVAL 5 DAY, '%Y-%m-%d') AS plus5d,
         |  48 AS diff_hr
-        |FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""".stripMargin
+        |FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""".stripMargin,
+    "q29_asof_join" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, round(value, 2) AS amount
+        |  FROM events WHERE event_type = 'purchase'),
+        |clicks AS (
+        |  SELECT event_id, user_id FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, p.event_id, p.amount,
+        |  c.event_id AS last_click_id
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.event_id >= c.event_id
+        |ORDER BY p.event_id""".stripMargin,
+    "q30_range_join" ->
+      """SELECT o_orderkey, count(*) AS n_quick_ships
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate BETWEEN o_orderdate
+        |  AND o_orderdate + INTERVAL 30 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q31_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('second', ts)::TIMESTAMP AS ts_s, value
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN ts_s - lag(ts_s) OVER w >= INTERVAL 30 MINUTE
+        |    OR lag(ts_s) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)),
+        |sessions AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts_s ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, min(ts_s) AS session_start,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin
   )
 }

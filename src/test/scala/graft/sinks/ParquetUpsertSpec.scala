@@ -1,0 +1,48 @@
+package graft.sinks
+
+import graft.SparkSpec
+import graft.cdc.Changelog
+import graft.model.{TableId, TableInfo}
+import graft.functions.{ScalarUdf1, UdfRegistry}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class ParquetUpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("parquet upsert sink merges batches keyed on PK") {
+    val dir = java.nio.file.Files.createTempDirectory("pqsink").toFile
+    val sink = new ParquetUpsertSink(spark, dir.getAbsolutePath)
+    val tid = TableId.parse("db.t")
+    val info = TableInfo(
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))),
+      primaryKeys = Seq("id"))
+
+    val batch1 = Seq(
+      (1L, "a", "+I", 1L), (2L, "b", "+I", 2L)
+    ).toDF("id", "v", Changelog.OpCol, Changelog.SeqCol)
+    sink.write(tid, batch1, info)
+    assert(sink.read(tid).orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "a"), (2L, "b")))
+
+    val batch2 = Seq(
+      (1L, "a2", "+U", 3L), // update
+      (2L, "b", "-D", 4L),  // delete
+      (3L, "c", "+R", 5L)   // upsert-insert
+    ).toDF("id", "v", Changelog.OpCol, Changelog.SeqCol)
+    sink.write(tid, batch2, info)
+    assert(sink.read(tid).orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "a2"), (3L, "c")))
+  }
+
+  test("udf registry: lifecycle open runs once, eval callable from SQL") {
+    object CountingUdf extends ScalarUdf1[String, Int] {
+      var opened = 0
+      override def open(options: Map[String, String]): Unit = opened += options.size
+      def eval(in: String): Int = if (in == null) 0 else in.length
+    }
+    UdfRegistry.register(spark, "strlen_udf", CountingUdf, Map("k" -> "v"))
+    val out = spark.sql("SELECT strlen_udf('hello') AS n").head().getInt(0)
+    assert(out === 5)
+  }
+}
