@@ -1,0 +1,58 @@
+package graft
+
+/** Physical-plan audits: the optimizations we rely on for 100 TB scale
+  * must actually appear in the plans — filter/column pushdown to the
+  * parquet scan, broadcast joins for dim tables, whole-stage codegen
+  * around the hot projections, partial aggregation before shuffles.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf())
+    df.queryExecution.executedPlan.toString()
+  }
+
+  test("q12: filter and column pruning reach the parquet scan") {
+    val p = plan("q12_scalar")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderkey), LessThan(o_orderkey,200)]"),
+      s"filter not pushed:\n$p")
+    // projection pruning: lineitem columns not referenced must not be read
+    assert(!p.contains("o_custkey"), "unused column not pruned from scan")
+  }
+
+  test("q2: small dimension table is broadcast") {
+    val p = plan("q2_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("q3: dim chain broadcasts, fact side stays partitioned") {
+    val p = plan("q3_join_multi")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, s"expected 3 broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact table should not shuffle for dims:\n$p")
+  }
+
+  test("q4/q5: semi and anti joins plan as such") {
+    assert(plan("q4_semi_join").contains("LeftSemi"))
+    assert(plan("q5_anti_join").contains("LeftAnti"))
+  }
+
+  test("q1: aggregation is partial before the shuffle") {
+    val p = plan("q1_agg")
+    // two HashAggregate nodes (partial + final) around one exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+    assert(p.contains("partial_sum"), s"map-side combine missing:\n$p")
+  }
+
+  test("q7: global top-k plans as TakeOrderedAndProject, not full sort") {
+    val p = plan("q7_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("q17: transform op-conversion is shuffle-free over the scan") {
+    val p = plan("q17_transform_opconv")
+    // the transform itself adds no Exchange; only materialize's PK window
+    // may shuffle once
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"transform should not add exchanges:\n$p")
+  }
+}
