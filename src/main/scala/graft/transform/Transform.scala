@@ -93,7 +93,15 @@ final class TransformEngine(spark: SparkSession, rules: Seq[TransformRule]) {
         val filtered = rule.filter.fold(withMeta)(f => withMeta.where(expr(f)))
         val projected = rule.projection match {
           case None => filtered.select(df.columns.map(col).toIndexedSeq: _*)
-          case Some(p) => filtered.selectExpr(splitProjection(p): _*)
+          case Some(p) =>
+            // `*` expands to the physical columns only — the injected
+            // metadata columns stay implicit unless referenced by name
+            // (TransformParser.expandWildcard semantics)
+            val cols = splitProjection(p).flatMap {
+              case "*" => df.columns.toSeq.map(col)
+              case item => Seq(expr(item))
+            }
+            filtered.select(cols: _*)
         }
         projected
     }
