@@ -21,7 +21,53 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val eps = streamThroughput(spark, sfDir)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""stream_events_per_s":$eps,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Stream-phase throughput (BASELINE.md protocol): the events table
+    * rendered as debezium-JSON lines, consumed by the streaming pipeline
+    * (decode -> transform path -> PK-upsert parquet sink), measured as
+    * sustained events/s. JSON generation is excluded from the timing.
+    */
+  private def streamThroughput(spark: SparkSession, sfDir: String): Long = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    try {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bench").toFile
+      val feedDir = new java.io.File(tmp, "feed")
+      val ev = Tables.load(spark, sfDir, "events")
+      val n = ev.count()
+      val payload = struct(col("user_id"), col("value").as("last_value"))
+      ev.select(to_json(struct(
+        when(col("event_type") === "error", payload).as("before"),
+        when(col("event_type") =!= "error", payload).as("after"),
+        when(col("event_type") === "signup", "c")
+          .when(col("event_type") === "error", "d").otherwise("u").as("op"),
+        col("event_id").as("ts_ms"),
+        struct(lit("graft").as("db"), lit("events").as("table")).as("source"))).as("value"))
+        .write.mode("overwrite").text(feedDir.getAbsolutePath)
+
+      val tid = graft.model.TableId.parse("graft.user_state")
+      val info = graft.model.TableInfo(
+        StructType(Seq(StructField("user_id", LongType), StructField("last_value", DoubleType))),
+        primaryKeys = Seq("user_id"))
+      val sink = new graft.sinks.ParquetUpsertSink(spark, new java.io.File(tmp, "out").getAbsolutePath)
+      val pd = graft.pipeline.PipelineDef(
+        graft.pipeline.SourceDef("debezium-json", Map.empty),
+        graft.pipeline.SinkDef("parquet-upsert", Map.empty))
+      val t0 = System.nanoTime()
+      val q = new graft.streaming.StreamingPipeline(spark, pd, sink)
+        .startFromDebeziumJson(
+          graft.streaming.StreamingPipeline.fileJsonStream(spark, feedDir.getAbsolutePath),
+          tid, info)
+      q.awaitTermination(600000)
+      val secs = (System.nanoTime() - t0) / 1e9
+      (n / secs).toLong
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] stream throughput failed: ${e.getMessage}"); -1L
+    }
   }
 }

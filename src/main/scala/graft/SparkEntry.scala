@@ -446,6 +446,34 @@ object SparkEntry {
         col("n_events"), col("sum_value"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** IVF approximate nearest neighbors (scale path alongside LSH):
+    * deterministic k-means-lite inverted lists, nprobe-list probing.
+    * Approximate — rows-only check; recall pinned by OpsSpec.
+    */
+  private def q33EmbedIvf(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Similarity
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(
+      emb, "vec_id", "embedding",
+      emb.where(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 4)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** VARIANT support (SURVEY §1.3/§2.3): events.props parsed via
+    * parse_json into Spark 4 VariantType, fields extracted with
+    * variant_get, aggregated.
+    */
+  private def q32Variant(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CdcFunctions
+    t(s, dir, "events")
+      .withColumn("v", CdcFunctions.parseJson(col("props")))
+      .withColumn("k", CdcFunctions.variantGet(col("v"), "$.k").cast(IntegerType))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy(col("k_mod"))
+  }
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -479,7 +507,9 @@ object SparkEntry {
     "q28_functions" -> (q28Functions _),
     "q29_asof_join" -> (q29AsofJoin _),
     "q30_range_join" -> (q30RangeJoin _),
-    "q31_session_window" -> (q31SessionWindow _)
+    "q31_session_window" -> (q31SessionWindow _),
+    "q32_variant" -> (q32Variant _),
+    "q33_embed_ivf" -> (q33EmbedIvf _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -776,6 +806,10 @@ object SparkEntry {
         |SELECT user_id, min(ts_s) AS session_start,
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM sessions GROUP BY user_id, session_id
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+    "q32_variant" ->
+      """SELECT json_extract(props, '$.k')::INT % 10 AS k_mod,
+        |  count(*) AS n, sum(json_extract(props, '$.k')::INT) AS sum_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -98,6 +98,91 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 9).as("cos"))
   }
 
+  /** Deterministic k-means-lite centroids for IVF: init = the `nlist`
+    * vectors with the smallest ids, then `iters` Lloyd rounds computed as
+    * DataFrame jobs (assign = broadcast-centroid argmin; update = per-
+    * (centroid, dim) mean via posexplode). The driver only ever holds the
+    * centroid table — O(nlist x dim) — never corpus rows.
+    */
+  def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 3): Array[(Int, Array[Double])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var centroids: Array[(Int, Array[Double])] =
+      corpus.orderBy(col(idCol)).limit(nlist)
+        .select(col(vecCol).cast("array<double>")).collect()
+        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
+    for (_ <- 0 until iters) {
+      val cdf = broadcast(centroids.toSeq.toDF("__cid", "__cvec"))
+      val assigned = corpus
+        .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
+        .crossJoin(cdf)
+        .withColumn("__dist", l2Distance(col("__v"), col("__cvec")))
+        .withColumn("__rank", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("__id"))
+            .orderBy(col("__dist").asc, col("__cid").asc)))
+        .where(col("__rank") === 1)
+      val updated = assigned
+        .select(col("__cid"), posexplode(col("__v")).as(Seq("__dim", "__x")))
+        .groupBy(col("__cid"), col("__dim"))
+        .agg(avg(col("__x")).as("__m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          val dims = rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+          (cid, dims)
+        }
+      centroids = centroids.map { case (cid, old) =>
+        (cid, updated.getOrElse(cid, old))
+      }
+    }
+    centroids
+  }
+
+  /** IVF approximate top-k: corpus partitioned into `nlist` inverted lists
+    * by nearest centroid; each query probes its `nprobe` closest lists.
+    * Candidate set shrinks ~nlist/nprobe-fold vs brute force; recall
+    * depends on cluster structure.
+    */
+  def ivfTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = trainIvfCentroids(corpus, corpusId, corpusVec, nlist, iters)
+    val cdf = broadcast(centroids.toSeq.toDF("__cid", "__cvec"))
+
+    def assign(df: DataFrame, vec: String, n: Int, out: String): DataFrame =
+      df.crossJoin(cdf)
+        .withColumn("__dist", l2Distance(col(vec).cast("array<double>"), col("__cvec")))
+        .withColumn("__rank", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col(df.columns.head))
+            .orderBy(col("__dist").asc, col("__cid").asc)))
+        .where(col("__rank") <= n)
+        .withColumnRenamed("__cid", out)
+        .drop("__cvec", "__dist", "__rank")
+
+    val indexed = assign(
+      corpus.select(col(corpusId).as("__id"), col(corpusVec).as("__vec")),
+      "__vec", 1, "__list")
+    val probed = broadcast(assign(
+      queries.select(col(queryId).as("__qid"), col(queryVec).as("__qvec")),
+      "__qvec", nprobe, "__list"))
+
+    val scored = indexed.join(probed, "__list")
+      .where(col("__id") =!= col("__qid"))
+      .select(col("__qid").as("query_id"), col("__id").as("neighbor_id"),
+        cosine(col("__qvec"), col("__vec")).as("cos"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 9).as("cos"))
+  }
+
   /** Embedding near-duplicate pairs: LSH-bucketed candidate generation +
     * exact cosine verification (id_a < id_b).
     */

@@ -13,6 +13,24 @@ import scala.jdk.CollectionConverters._
 final case class SourceDef(kind: String, options: Map[String, String])
 final case class SinkDef(kind: String, options: Map[String, String])
 
+/** Sink-side distribution strategy (reference `sink.partitioning.strategy`,
+  * PipelineOptions.java:140 + hash function providers): PRIMARY_KEY hashes
+  * rows by PK (default), TABLE_ID keeps each table's rows together,
+  * SINK_DEFINED lets the sink supply the key columns.
+  */
+sealed trait PartitionStrategy
+object PartitionStrategy {
+  case object PrimaryKey extends PartitionStrategy
+  case object TableIdHash extends PartitionStrategy
+  final case class SinkDefined(keyColumns: Seq[String]) extends PartitionStrategy
+
+  def parse(s: String): PartitionStrategy = s.toLowerCase match {
+    case "primary-key" | "primary_key" => PrimaryKey
+    case "table-id" | "table_id" => TableIdHash
+    case other => throw new IllegalArgumentException(s"unknown partitioning: $other")
+  }
+}
+
 final case class PipelineDef(
     source: SourceDef,
     sink: SinkDef,
@@ -20,7 +38,8 @@ final case class PipelineDef(
     routes: Seq[RouteRule] = Nil,
     name: String = "pipeline",
     parallelism: Int = 1,
-    schemaChangeBehavior: SchemaChangeBehavior = SchemaChangeBehavior.Lenient)
+    schemaChangeBehavior: SchemaChangeBehavior = SchemaChangeBehavior.Lenient,
+    partitionStrategy: PartitionStrategy = PartitionStrategy.PrimaryKey)
 
 /** YAML frontend for [[PipelineDef]], accepting the reference's pipeline
   * file shape (docs/core-concept/data-pipeline.md):
@@ -106,6 +125,8 @@ object YamlPipelineParser {
       name = pipelineOpts.getOrElse("name", "pipeline"),
       parallelism = pipelineOpts.get("parallelism").map(_.toInt).getOrElse(1),
       schemaChangeBehavior = pipelineOpts.get("schema.change.behavior")
-        .map(SchemaChangeBehavior.parse).getOrElse(SchemaChangeBehavior.Lenient))
+        .map(SchemaChangeBehavior.parse).getOrElse(SchemaChangeBehavior.Lenient),
+      partitionStrategy = pipelineOpts.get("sink.partitioning.strategy")
+        .map(PartitionStrategy.parse).getOrElse(PartitionStrategy.PrimaryKey))
   }
 }

@@ -131,13 +131,20 @@ final class PipelineRunner(
           throw new IllegalStateException(s"no CreateTable seen for $sinkId"))
         val exploded = Changelog.explode(transformed)
         val coerced = coerceExploded(exploded, info.schema)
-        // PrePartition analog: hash-distribute on the primary key so each
-        // sink partition owns a disjoint key range (default strategy
-        // PRIMARY_KEY, DefaultDataChangeEventHashFunctionProvider)
+        // PrePartition analog (RegularPrePartitionOperator): hash-distribute
+        // per the configured strategy so each sink partition owns a
+        // disjoint key set
         val partitioned =
-          if (info.primaryKeys.nonEmpty && pipeline.parallelism > 1)
-            coerced.repartition(pipeline.parallelism, info.primaryKeys.map(col): _*)
-          else coerced
+          if (pipeline.parallelism <= 1) coerced
+          else pipeline.partitionStrategy match {
+            case PartitionStrategy.PrimaryKey if info.primaryKeys.nonEmpty =>
+              coerced.repartition(pipeline.parallelism, info.primaryKeys.map(col): _*)
+            case PartitionStrategy.TableIdHash =>
+              coerced.repartition(pipeline.parallelism, lit(sinkId.identifier))
+            case PartitionStrategy.SinkDefined(keys) if keys.nonEmpty =>
+              coerced.repartition(pipeline.parallelism, keys.map(col): _*)
+            case _ => coerced
+          }
         sink.write(sinkId, partitioned, info)
       }
     }

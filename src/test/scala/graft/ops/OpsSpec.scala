@@ -106,6 +106,27 @@ class OpsSpec extends SparkSpec {
     approx.foreach { case (q, n) => assert(exact(q) === n || n >= 0) }
   }
 
+  test("ivf: clustered vectors, probed lists recover the true neighbor") {
+    // 3 well-separated clusters of 20 vectors each
+    val vecs = (0 until 60).map { i =>
+      val c = i % 3
+      val base = Array.tabulate(8)(j => if (j == c * 2) 10.0f else 0.0f)
+      (i.toLong, base.zipWithIndex.map { case (x, j) =>
+        x + 0.1f * math.sin(i * 13 + j).toFloat })
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.where(col("vec_id") < 3) // one query per cluster
+    val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3)
+    val ivf = Similarity.ivfTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3, nlist = 6, nprobe = 2)
+    val exactTop = exact.where(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivfTop = ivf.where(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // within-cluster neighbors dominate: IVF top-1 must match brute force
+    assert(ivfTop === exactTop)
+  }
+
   test("multimodal: stub feature extraction and frame sampling shapes") {
     val df = Seq(
       (1L, "image", "abcdefgh".getBytes("UTF-8")),

@@ -96,6 +96,38 @@ class PipelineSpec extends SparkSpec {
       "default_namespace.default_schema.table1:3;300"))
   }
 
+  test("schema change behaviors: EVOLVE, IGNORE, EXCEPTION, TRY_EVOLVE") {
+    def run(behavior: String): (ValuesDatabase, () => Unit) = {
+      val script = Seq(
+        CreateTableEvent(t1, info("col1" -> StringType, "col2" -> StringType)),
+        DataChangeEvent.insert(t1, Row("1", "a")),
+        DropColumnEvent(t1, Seq("col2")),
+        DataChangeEvent.insert(t1, Row("2")))
+      val sink = new ValuesDatabase
+      val runner = new PipelineRunner(spark, yamlDef(behavior = behavior),
+        new ValuesSource(script), sink)
+      (sink, () => runner.run())
+    }
+    // EVOLVE applies the drop: sink schema loses col2
+    val (evolveSink, evolveRun) = run("evolve"); evolveRun()
+    assert(evolveSink.info(t1).get.fieldNames === Seq("col1"))
+    assert(evolveSink.results(t1).toSet ===
+      Set("default_namespace.default_schema.table1:1",
+        "default_namespace.default_schema.table1:2"))
+    // IGNORE keeps the original sink schema; dropped column null-fills
+    val (ignoreSink, ignoreRun) = run("ignore"); ignoreRun()
+    assert(ignoreSink.info(t1).get.fieldNames === Seq("col1", "col2"))
+    assert(ignoreSink.results(t1).toSet ===
+      Set("default_namespace.default_schema.table1:1;a",
+        "default_namespace.default_schema.table1:2;null"))
+    // EXCEPTION refuses the DDL
+    val (_, exceptionRun) = run("exception")
+    intercept[IllegalStateException](exceptionRun())
+    // TRY_EVOLVE behaves like EVOLVE when the sink can apply it
+    val (trySink, tryRun) = run("try_evolve"); tryRun()
+    assert(trySink.info(t1).get.fieldNames === Seq("col1"))
+  }
+
   test("YAML parser reads the reference pipeline shape") {
     val pd = YamlPipelineParser.parse(
       """source:
