@@ -474,6 +474,19 @@ object SparkEntry {
       .orderBy(col("k_mod"))
   }
 
+  /** Sketches (§2.9 top-k/HLL row): HyperLogLog distinct counts, t-digest
+    * percentiles, count-min frequency — engine-specific encodings, so
+    * rows-only check; error bounds pinned by OpsSpec.
+    */
+  private def q34Sketches(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.95))").as("price_pcts"),
+        count_min_sketch(col("l_suppkey"), lit(0.01), lit(0.95), lit(42)).as("supp_cms"))
+      .orderBy(col("l_returnflag"))
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -509,7 +522,8 @@ object SparkEntry {
     "q30_range_join" -> (q30RangeJoin _),
     "q31_session_window" -> (q31SessionWindow _),
     "q32_variant" -> (q32Variant _),
-    "q33_embed_ivf" -> (q33EmbedIvf _)
+    "q33_embed_ivf" -> (q33EmbedIvf _),
+    "q34_sketches" -> (q34Sketches _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -127,6 +127,15 @@ class OpsSpec extends SparkSpec {
     assert(ivfTop === exactTop)
   }
 
+  test("sketches: approx distinct within rsd of exact") {
+    val li = graft.Tables.load(spark, sf("sf0.001"), "lineitem")
+    val exact = li.select(countDistinct(col("l_partkey"))).head().getLong(0)
+    val approx = li.select(approx_count_distinct(col("l_partkey"), rsd = 0.02))
+      .head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"approx=$approx exact=$exact")
+  }
+
   test("multimodal: stub feature extraction and frame sampling shapes") {
     val df = Seq(
       (1L, "image", "abcdefgh".getBytes("UTF-8")),

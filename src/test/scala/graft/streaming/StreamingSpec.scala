@@ -56,6 +56,49 @@ class StreamingSpec extends SparkSpec {
       "db.users:1;a2", "db.users:2;b", "db.users:3;c"))
   }
 
+  test("stateful streaming dedup: first occurrence wins across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("id", "v")
+    val deduped = Stateful.streamingDedupe(df, "id")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    mem.addData((1L, "a"), (2L, "b"), (1L, "a_dup_same_batch"))
+    q.processAllAvailable()
+    mem.addData((1L, "a_dup_next_batch"), (3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_out").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(out.toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("stream-stream interval join with watermarks") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val joined = Stateful.intervalJoin(
+      buys.toDF().toDF("user", "bts", "amount"),
+      clicks.toDF().toDF("user", "cts"),
+      key = "user", leftTs = "bts", rightTs = "cts",
+      before = "10 MINUTE", after = "0 SECOND")
+    val q = joined.select(col("l.user"), col("amount"), col("r.cts"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    clicks.addData((1L, ts(0)), (1L, ts(20)), (2L, ts(1)))
+    buys.addData((1L, ts(5), 9.99), (2L, ts(30), 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ssj_out").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // user1 buy@10:05 matches click@10:00 (within 10min before); the
+    // 10:20 click is after the buy; user2 buy@10:30 has no click in range
+    assert(out === Seq((1L, 9.99)))
+  }
+
   test("jdbc chunk splitter heuristic: even vs skewed key spaces") {
     import JdbcChunkSplitter._
     // dense keys: factor ~1, even split, ~rowCount/chunkSize partitions
