@@ -810,7 +810,7 @@ object SparkEntry {
         |  SELECT user_id, date_trunc('second', ts)::TIMESTAMP AS ts_s, value
         |  FROM events),
         |flagged AS (
-        |  SELECT *, CASE WHEN ts_s - lag(ts_s) OVER w >= INTERVAL 30 MINUTE
+        |  SELECT *, CASE WHEN ts_s - lag(ts_s) OVER w > INTERVAL 30 MINUTE
         |    OR lag(ts_s) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)),
         |sessions AS (
