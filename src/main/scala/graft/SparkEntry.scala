@@ -487,6 +487,52 @@ object SparkEntry {
         count_min_sketch(col("l_suppkey"), lit(0.01), lit(0.95), lit(42)).as("supp_cms"))
       .orderBy(col("l_returnflag"))
 
+  /** GROUPING SETS with grouping() indicators — the explicit form behind
+    * rollup/cube (§2.9 aggregation family).
+    */
+  private def q35GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  grouping(o_orderstatus) AS g_status,
+        |  grouping(o_orderpriority) AS g_prio,
+        |  count(*) AS n
+        |FROM orders_v
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |  (o_orderstatus, o_orderpriority))
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST,
+        |  g_status, g_prio""".stripMargin)
+  }
+
+  /** Regex function family (§2.3): extract, count, replace, split, rlike —
+    * the dialect-safe core shared with the oracle.
+    */
+  private def q36Regexp(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .where(col("doc_id") < 200)
+      .select(
+        col("doc_id"),
+        regexp_extract(col("text"), "(\\w+) (\\w+)", 2).as("second_word"),
+        size(regexp_extract_all(col("text"), lit("ta[a-z]+"), lit(0))).as("n_ta"),
+        regexp_replace(col("text"), "[aeiou]", "").substr(1, 20).as("devoweled"),
+        size(split(col("text"), " value ")).as("n_value_splits"),
+        col("text").rlike("spark .* spark").as("double_spark"))
+      .orderBy(col("doc_id"))
+
+  /** Salted join for skewed keys (scale path; results identical to the
+    * plain join by construction).
+    */
+  private def q37SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Skew
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("p_partkey"), col("l_quantity"))
+    val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+    Skew.saltedJoin(li, p, "p_partkey", saltFactor = 8)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+      .orderBy(col("p_brand"))
+  }
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -523,7 +569,10 @@ object SparkEntry {
     "q31_session_window" -> (q31SessionWindow _),
     "q32_variant" -> (q32Variant _),
     "q33_embed_ivf" -> (q33EmbedIvf _),
-    "q34_sketches" -> (q34Sketches _)
+    "q34_sketches" -> (q34Sketches _),
+    "q35_grouping_sets" -> (q35GroupingSets _),
+    "q36_regexp" -> (q36Regexp _),
+    "q37_salted_join" -> (q37SaltedJoin _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -824,6 +873,28 @@ object SparkEntry {
     "q32_variant" ->
       """SELECT json_extract(props, '$.k')::INT % 10 AS k_mod,
         |  count(*) AS n, sum(json_extract(props, '$.k')::INT) AS sum_k
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q35_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  grouping(o_orderstatus) AS g_status,
+        |  grouping(o_orderpriority) AS g_prio,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |  (o_orderstatus, o_orderpriority))
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST,
+        |  g_status, g_prio""".stripMargin,
+    "q36_regexp" ->
+      """SELECT doc_id,
+        |  regexp_extract(text, '(\w+) (\w+)', 2) AS second_word,
+        |  len(regexp_extract_all(text, 'ta[a-z]+')) AS n_ta,
+        |  substr(regexp_replace(text, '[aeiou]', '', 'g'), 1, 20) AS devoweled,
+        |  len(string_split_regex(text, ' value ')) AS n_value_splits,
+        |  regexp_matches(text, 'spark .* spark') AS double_spark
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+    "q37_salted_join" ->
+      """SELECT p_brand, count(*) AS n, sum(l_quantity) AS qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

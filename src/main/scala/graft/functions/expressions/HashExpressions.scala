@@ -34,8 +34,9 @@ object HashExpressions {
   }
 }
 
-/** 64-bit SimHash over a `array<string>` token column: one pass over the
-  * tokens, integer vote accumulation, packed sign bits.
+/** 64-bit SimHash over raw text: normalize + tokenize + vote accumulation
+  * in one pass, packed sign bits. Tokenization matches
+  * TextAnalysis.tokens(TextAnalysis.normalize(_)) exactly.
   */
 case class Simhash64Expr(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -44,21 +45,30 @@ case class Simhash64Expr(child: Expression)
   override def nullable: Boolean = child.nullable
 
   override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+    val lower = input.asInstanceOf[UTF8String].toString.toLowerCase
     val votes = new Array[Int](64)
-    var i = 0
-    val n = arr.numElements()
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val h = HashExpressions.hashString(arr.getUTF8String(i))
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
+    val cur = new java.lang.StringBuilder
+    def voteToken(): Unit = {
+      // spark's split("", ...) yields [""]: empty docs hash one empty token
+      val h = HashExpressions.hashString(UTF8String.fromString(cur.toString))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
       }
+      cur.setLength(0)
+    }
+    var i = 0
+    var sawToken = false
+    while (i < lower.length) {
+      val c = lower.charAt(i)
+      if (ShinglesExpr.isAlnumChar(c)) cur.append(c)
+      else if (cur.length > 0) { voteToken(); sawToken = true }
       i += 1
     }
+    if (cur.length > 0) { voteToken(); sawToken = true }
+    if (!sawToken) voteToken() // the empty token
+
     var out = 0L
     var b = 0
     while (b < 64) {
@@ -120,14 +130,7 @@ case class ShinglesExpr(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = child.nullable
 
-  // \p{N} beyond Nd: letter-number (Nl) and other-number (No) categories
-  @inline private def isAlnum(c: Char): Boolean = {
-    if (Character.isLetter(c) || Character.isDigit(c)) true
-    else {
-      val t = Character.getType(c)
-      t == Character.LETTER_NUMBER || t == Character.OTHER_NUMBER
-    }
-  }
+  @inline private def isAlnum(c: Char): Boolean = ShinglesExpr.isAlnumChar(c)
 
   override protected def nullSafeEval(input: Any): Any = {
     val lower = input.asInstanceOf[UTF8String].toString.toLowerCase
@@ -167,6 +170,17 @@ case class ShinglesExpr(child: Expression, n: Int)
 
   override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
     copy(child = newChild)
+}
+
+object ShinglesExpr {
+  // \p{N} beyond Nd: letter-number (Nl) and other-number (No) categories
+  @inline def isAlnumChar(c: Char): Boolean = {
+    if (Character.isLetter(c) || Character.isDigit(c)) true
+    else {
+      val t = Character.getType(c)
+      t == Character.LETTER_NUMBER || t == Character.OTHER_NUMBER
+    }
+  }
 }
 
 /** LSH band hashes in one pass: minhash signature computed internally,
@@ -220,9 +234,9 @@ case class MinHashBandsExpr(child: Expression, bands: Int, rowsPerBand: Int)
 }
 
 object NativeHashFunctions {
-  /** Column API for [[Simhash64Expr]] (input: array<string> tokens). */
-  def simhash64(tokens: Column): Column =
-    SparkInternals.column(Simhash64Expr(SparkInternals.expression(tokens)))
+  /** Column API for [[Simhash64Expr]] (input: raw text). */
+  def simhash64(text: Column): Column =
+    SparkInternals.column(Simhash64Expr(SparkInternals.expression(text)))
 
   /** Column API for [[MinHashSignatureExpr]] (input: array<string>). */
   def minhashSignature(shingles: Column, numHashes: Int): Column =

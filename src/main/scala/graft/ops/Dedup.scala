@@ -109,8 +109,7 @@ object Dedup {
     * as 64 popcount-style sums over the token hash array — pure projection.
     */
   def simhash64(text: Column): Column =
-    graft.functions.expressions.NativeHashFunctions.simhash64(
-      TextAnalysis.tokens(TextAnalysis.normalize(text)))
+    graft.functions.expressions.NativeHashFunctions.simhash64(text)
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, found by
     * LSH on 4 x 16-bit chunks (any pair within Hamming<=3 shares at least
