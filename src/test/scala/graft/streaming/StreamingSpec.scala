@@ -35,6 +35,47 @@ class StreamingSpec extends SparkSpec {
     assert(sink.results(tid) === Seq("db.users:1;a2"))
   }
 
+  test("checkpoint resume: restarted stream processes only new data") {
+    val dir = java.nio.file.Files.createTempDirectory("dbz_cp").toFile
+    val feed = new java.io.File(dir, "feed"); feed.mkdirs()
+    val cp = new java.io.File(dir, "checkpoint").getAbsolutePath
+
+    final class CountingSink extends graft.sinks.DataSink {
+      val inner = new ValuesDatabase
+      var writes = 0
+      override def applySchemaChange(e: graft.model.SchemaChangeEvent): Unit =
+        inner.applySchemaChange(e)
+      override def write(tableId: TableId, exploded: org.apache.spark.sql.DataFrame,
+          info: TableInfo): Unit = { writes += 1; inner.write(tableId, exploded, info) }
+    }
+
+    def writeFeed(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(new java.io.File(feed, name).toPath,
+        lines.mkString("\n").getBytes("UTF-8"))
+
+    writeFeed("f1.json", Seq(
+      """{"before":null,"after":{"id":1,"v":"a"},"op":"c","ts_ms":1,"source":{"db":"db","table":"users"}}""",
+      """{"before":null,"after":{"id":2,"v":"b"},"op":"c","ts_ms":2,"source":{"db":"db","table":"users"}}"""))
+    val sink1 = new CountingSink
+    val q1 = new StreamingPipeline(spark, pd, sink1).startFromDebeziumJson(
+      StreamingPipeline.fileJsonStream(spark, feed.getAbsolutePath),
+      tid, tableInfo, checkpointLocation = Some(cp))
+    q1.awaitTermination(60000)
+    assert(sink1.writes === 1)
+    assert(sink1.inner.results(tid).toSet === Set("db.users:1;a", "db.users:2;b"))
+
+    // new data lands; a restarted query (same checkpoint) must see ONLY it
+    writeFeed("f2.json", Seq(
+      """{"before":{"id":1,"v":"a"},"after":{"id":1,"v":"a2"},"op":"u","ts_ms":3,"source":{"db":"db","table":"users"}}"""))
+    val sink2 = new CountingSink
+    val q2 = new StreamingPipeline(spark, pd, sink2).startFromDebeziumJson(
+      StreamingPipeline.fileJsonStream(spark, feed.getAbsolutePath),
+      tid, tableInfo, checkpointLocation = Some(cp))
+    q2.awaitTermination(60000)
+    assert(sink2.writes === 1) // f1 was not reprocessed
+    assert(sink2.inner.results(tid).toSet === Set("db.users:1;a2"))
+  }
+
   test("hybrid source: snapshot then changes past the watermark") {
     val snapshot = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     // change feed includes offsets <= watermark (already in snapshot, must
