@@ -533,6 +533,21 @@ object SparkEntry {
       .orderBy(col("p_brand"))
   }
 
+  /** Correlated scalar subquery (§2.9 optimizer family — Catalyst
+    * decorrelates it into a join): customers above their nation's average
+    * balance.
+    */
+  private def q38Subquery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer_v")
+    s.sql(
+      """SELECT c_custkey, c_nationkey,
+        |  CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |FROM customer_v c
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer_v c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -572,7 +587,8 @@ object SparkEntry {
     "q34_sketches" -> (q34Sketches _),
     "q35_grouping_sets" -> (q35GroupingSets _),
     "q36_regexp" -> (q36Regexp _),
-    "q37_salted_join" -> (q37SaltedJoin _)
+    "q37_salted_join" -> (q37SaltedJoin _),
+    "q38_subquery" -> (q38Subquery _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -895,6 +911,13 @@ object SparkEntry {
     "q37_salted_join" ->
       """SELECT p_brand, count(*) AS n, sum(l_quantity) AS qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q38_subquery" ->
+      """SELECT c_custkey, c_nationkey,
+        |  CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin
   )
 }

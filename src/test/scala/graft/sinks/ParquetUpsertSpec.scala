@@ -35,6 +35,25 @@ class ParquetUpsertSpec extends SparkSpec {
       === Seq((1L, "a2"), (3L, "c")))
   }
 
+  test("replayed batch is idempotent (at-least-once delivery, exactly-once state)") {
+    val dir = java.nio.file.Files.createTempDirectory("pqsink_replay").toFile
+    val sink = new ParquetUpsertSink(spark, dir.getAbsolutePath)
+    val tid = TableId.parse("db.r")
+    val info = TableInfo(
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))),
+      primaryKeys = Seq("id"))
+    val batch = Seq(
+      (1L, "a", "+I", 1L), (2L, "b", "+I", 2L), (1L, "a2", "+U", 3L)
+    ).toDF("id", "v", Changelog.OpCol, Changelog.SeqCol)
+    sink.write(tid, batch, info)
+    val first = sink.read(tid).orderBy("id").collect().map(_.toSeq).toSeq
+    // a checkpoint-recovery replay delivers the same batch again
+    sink.write(tid, batch, info)
+    val second = sink.read(tid).orderBy("id").collect().map(_.toSeq).toSeq
+    assert(first === second)
+    assert(first.map(r => (r(0), r(1))) === Seq((1L, "a2"), (2L, "b")))
+  }
+
   test("udf registry: lifecycle open runs once, eval callable from SQL") {
     object CountingUdf extends ScalarUdf1[String, Int] {
       var opened = 0
