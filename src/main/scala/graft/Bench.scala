@@ -16,7 +16,17 @@ object Bench {
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // consume the FULL output (hash-agg over every column): .count() lets
+      // Catalyst prune all columns, so projection-heavy queries would
+      // measure little more than the scan
+      try {
+        val df = fn(spark, sfDir)
+        import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
+        // bit_xor, not sum: summing random 64-bit hashes overflows ANSI longs
+        df.agg(bit_xor(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)))).collect()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -64,9 +74,9 @@ object Bench {
         .startFromDebeziumJson(
           graft.streaming.StreamingPipeline.fileJsonStream(spark, feedDir.getAbsolutePath),
           tid, info)
-      q.awaitTermination(600000)
+      val finished = q.awaitTermination(600000)
       val secs = (System.nanoTime() - t0) / 1e9
-      (n / secs).toLong
+      if (!finished) { q.stop(); -1L } else (n / secs).toLong
     } catch { case e: Throwable =>
       System.err.println(s"[bench] stream throughput failed: ${e.getMessage}"); -1L
     }

@@ -26,14 +26,21 @@ object SparkEntry {
   // ---- relational layer (SURVEY §2.9: capabilities the reference gets from
   // ---- its host SQL engine; ours come from Spark SQL natively) ----
 
+  /** Money sums run in exact DECIMAL and surface as DOUBLE: a decimal's
+    * pandas repr keeps trailing zeros to scale ("4434.70") while DuckDB's
+    * client converts decimals to float64 ("4434.7"), so the driver's exact
+    * hash only matches when BOTH sides emit the correctly-rounded double of
+    * the same exact decimal value.
+    */
   private def q1Agg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
-        sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("sum_base_price"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_base_price"),
         sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(24, 6)))
-          .as("sum_disc_price"),
+          .cast(DoubleType).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -58,7 +65,8 @@ object SparkEntry {
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"))
       .agg(
-        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("revenue"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("revenue"),
         count(lit(1)).as("n_orders"))
       .orderBy(col("r_name"))
   }
@@ -119,7 +127,7 @@ object SparkEntry {
     t(s, dir, "orders")
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
-        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total"))
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
   private def q11DistinctAgg(s: SparkSession, dir: String): DataFrame =
@@ -476,7 +484,9 @@ object SparkEntry {
 
   /** Sketches (§2.9 top-k/HLL row): HyperLogLog distinct counts, t-digest
     * percentiles, count-min frequency — engine-specific encodings, so
-    * rows-only check; error bounds pinned by OpsSpec.
+    * rows-only check; error bounds pinned by OpsSpec. Output is scalars
+    * only (JSON/hash of the sketch payloads): the driver's row-sort chokes
+    * on array/binary cells.
     */
   private def q34Sketches(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -485,6 +495,9 @@ object SparkEntry {
         approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
         expr("approx_percentile(l_extendedprice, array(0.5, 0.95))").as("price_pcts"),
         count_min_sketch(col("l_suppkey"), lit(0.01), lit(0.95), lit(42)).as("supp_cms"))
+      .select(col("l_returnflag"), col("approx_parts"),
+        to_json(col("price_pcts")).as("price_pcts_json"),
+        xxhash64(col("supp_cms")).as("supp_cms_hash"))
       .orderBy(col("l_returnflag"))
 
   /** GROUPING SETS with grouping() indicators — the explicit form behind
@@ -540,8 +553,7 @@ object SparkEntry {
   private def q38Subquery(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "customer").createOrReplaceTempView("customer_v")
     s.sql(
-      """SELECT c_custkey, c_nationkey,
-        |  CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      """SELECT c_custkey, c_nationkey, c_acctbal AS bal
         |FROM customer_v c
         |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer_v c2
         |                   WHERE c2.c_nationkey = c.c_nationkey)
@@ -888,7 +900,8 @@ object SparkEntry {
         |ORDER BY user_id, session_start""".stripMargin,
     "q32_variant" ->
       """SELECT json_extract(props, '$.k')::INT % 10 AS k_mod,
-        |  count(*) AS n, sum(json_extract(props, '$.k')::INT) AS sum_k
+        |  count(*) AS n,
+        |  CAST(sum(json_extract(props, '$.k')::INT) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q35_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
@@ -913,8 +926,7 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q38_subquery" ->
-      """SELECT c_custkey, c_nationkey,
-        |  CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      """SELECT c_custkey, c_nationkey, c_acctbal AS bal
         |FROM customer c
         |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
         |                   WHERE c2.c_nationkey = c.c_nationkey)

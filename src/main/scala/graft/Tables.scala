@@ -19,7 +19,9 @@ object Tables {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) =>
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast(LongType)))
+        // integral division: `/` on the ~1.7e18 nano longs would round-trip
+        // through double (ulp ≈ 512ns) and can mis-truncate near µs edges
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case None => df
     }
   }

@@ -29,6 +29,14 @@ object Changelog {
   val BeforeCol = "before"
   val AfterCol = "after"
 
+  /** Optional source metadata map (map<string,string>) riding the paired
+    * encoding — the DataFrame form of `DataChangeEvent.meta` (binlog
+    * file/pos, op_ts, ...). Sources populate it; the transform surfaces
+    * declared keys (`metadata.list`) as expression-visible columns; explode
+    * drops it (meta reaches sinks only if projected into the payload).
+    */
+  val MetaCol = "__meta"
+
   /** Ops whose `after` image is present / whose `before` image is present. */
   private val afterOps = Seq("I", "U", "R")
   private val beforeOps = Seq("U", "D")

@@ -39,7 +39,12 @@ object DebeziumJson {
       col("__env.before").as(Changelog.BeforeCol),
       col("__env.after").as(Changelog.AfterCol),
       seq.cast(LongType).as(Changelog.SeqCol),
-      col("__env.source.table").as("__table"))
+      col("__env.source.table").as("__table"),
+      // source metadata: the envelope's ts_ms surfaces as op_ts (the
+      // reference's `metadata.list: op_ts` mechanism)
+      when(col("__env.ts_ms").isNotNull,
+        map(lit("op_ts"), col("__env.ts_ms").cast(StringType)))
+        .as(Changelog.MetaCol))
   }
 
   /** Encode a paired changelog frame back into debezium-JSON strings. */

@@ -43,14 +43,17 @@ object Dedup {
     * @param textCol  text column name
     * @param threshold verified Jaccard threshold
     * @param bands    number of LSH bands
-    * @param rowsPerBand minhashes per band (detection prob of a pair with
-    *                 similarity J is 1-(1-J^r)^b; defaults give >0.999999
-    *                 for J>=0.8 while keeping J<0.2 collisions rare)
+    * @param rowsPerBand minhashes per band. Detection prob of a pair with
+    *                 similarity J is 1-(1-J^r)^b: b=24, r=3 gives ~0.997 at
+    *                 J=0.6 and 1-4e-8 at J=0.8, while J=0.2 collisions stay
+    *                 rare (~17%, and those die in the signature prefilter).
+    *                 The exact-verify step removes false positives, so b
+    *                 only trades candidate volume against recall.
     * @return (id_a, id_b, jaccard) with id_a < id_b
     */
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.6, bands: Int = 11, rowsPerBand: Int = 3,
+      threshold: Double = 0.6, bands: Int = 24, rowsPerBand: Int = 3,
       shingleSize: Int = 3): DataFrame = {
     val numHashes = bands * rowsPerBand
     val sh = shingles(col(textCol), shingleSize)

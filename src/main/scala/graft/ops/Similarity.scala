@@ -98,31 +98,54 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 9).as("cos"))
   }
 
+  /** Squared L2 distance (monotone in L2 — argmin never needs the sqrt). */
+  private def l2DistSq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double"); d * d
+    }), lit(0.0), (acc, v) => acc + v)
+
+  /** (dist², cid) structs against every centroid, sorted nearest-first —
+    * a PURE PROJECTION over a centroid array literal. The "broadcast" is
+    * the literal riding in the plan; there is no crossJoin and no window,
+    * so assignment costs nlist×dim flops per row and zero shuffle. Struct
+    * sort order (dist, then cid) gives the deterministic tie-break.
+    */
+  private def centroidDistances(
+      vec: Column, centroids: Array[(Int, Array[Double])]): Column = {
+    val carr = array(centroids.map { case (cid, v) =>
+      struct(typedLit(v).as("cvec"), lit(cid).as("cid"))
+    }.toIndexedSeq: _*)
+    array_sort(transform(carr, c =>
+      struct(l2DistSq(vec, c.getField("cvec")).as("dist"), c.getField("cid").as("cid"))))
+  }
+
+  /** Nearest centroid id — projection-only argmin. */
+  def nearestCentroid(vec: Column, centroids: Array[(Int, Array[Double])]): Column =
+    element_at(centroidDistances(vec, centroids), 1).getField("cid")
+
+  /** The `n` nearest centroid ids, nearest first — projection-only. */
+  def nearestCentroids(vec: Column, centroids: Array[(Int, Array[Double])], n: Int): Column =
+    transform(slice(centroidDistances(vec, centroids), 1, n), c => c.getField("cid"))
+
   /** Deterministic k-means-lite centroids for IVF: init = the `nlist`
     * vectors with the smallest ids, then `iters` Lloyd rounds computed as
-    * DataFrame jobs (assign = broadcast-centroid argmin; update = per-
-    * (centroid, dim) mean via posexplode). The driver only ever holds the
-    * centroid table — O(nlist x dim) — never corpus rows.
+    * DataFrame jobs. Assignment is the [[nearestCentroid]] projection (no
+    * crossJoin/window); the mean update posexplodes dims but groupBy's
+    * map-side partial aggregation reduces each task to ≤ nlist×dim partial
+    * sums before the shuffle, so shuffle volume is O(tasks×nlist×dim) —
+    * independent of corpus size. The driver only ever holds the centroid
+    * table — O(nlist×dim) — never corpus rows.
     */
   def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int = 3): Array[(Int, Array[Double])] = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     var centroids: Array[(Int, Array[Double])] =
       corpus.orderBy(col(idCol)).limit(nlist)
         .select(col(vecCol).cast("array<double>")).collect()
         .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
     for (_ <- 0 until iters) {
-      val cdf = broadcast(centroids.toSeq.toDF("__cid", "__cvec"))
-      val assigned = corpus
-        .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
-        .crossJoin(cdf)
-        .withColumn("__dist", l2Distance(col("__v"), col("__cvec")))
-        .withColumn("__rank", org.apache.spark.sql.functions.row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("__id"))
-            .orderBy(col("__dist").asc, col("__cid").asc)))
-        .where(col("__rank") === 1)
-      val updated = assigned
+      val updated = corpus
+        .select(col(vecCol).cast("array<double>").as("__v"))
+        .withColumn("__cid", nearestCentroid(col("__v"), centroids))
         .select(col("__cid"), posexplode(col("__v")).as(Seq("__dim", "__x")))
         .groupBy(col("__cid"), col("__dim"))
         .agg(avg(col("__x")).as("__m"))
@@ -143,39 +166,31 @@ object Similarity {
     * by nearest centroid; each query probes its `nprobe` closest lists.
     * Candidate set shrinks ~nlist/nprobe-fold vs brute force; recall
     * depends on cluster structure.
+    *
+    * Plan shape: list assignment on both sides is projection-only
+    * ([[nearestCentroid]]/[[nearestCentroids]]); the probe join broadcasts
+    * the exploded query×list table, so the corpus is never shuffled until
+    * the tiny per-query top-k window. A corpus vector lives in exactly one
+    * list, so candidate pairs are already distinct — no dedup shuffle.
     */
   def ivfTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val centroids = trainIvfCentroids(corpus, corpusId, corpusVec, nlist, iters)
-    val cdf = broadcast(centroids.toSeq.toDF("__cid", "__cvec"))
 
-    def assign(df: DataFrame, vec: String, n: Int, out: String): DataFrame =
-      df.crossJoin(cdf)
-        .withColumn("__dist", l2Distance(col(vec).cast("array<double>"), col("__cvec")))
-        .withColumn("__rank", org.apache.spark.sql.functions.row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col(df.columns.head))
-            .orderBy(col("__dist").asc, col("__cid").asc)))
-        .where(col("__rank") <= n)
-        .withColumnRenamed("__cid", out)
-        .drop("__cvec", "__dist", "__rank")
-
-    val indexed = assign(
-      corpus.select(col(corpusId).as("__id"), col(corpusVec).as("__vec")),
-      "__vec", 1, "__list")
-    val probed = broadcast(assign(
-      queries.select(col(queryId).as("__qid"), col(queryVec).as("__qvec")),
-      "__qvec", nprobe, "__list"))
+    val indexed = corpus
+      .select(col(corpusId).as("__id"), col(corpusVec).as("__vec"))
+      .withColumn("__list", nearestCentroid(col("__vec").cast("array<double>"), centroids))
+    val probed = broadcast(queries
+      .select(col(queryId).as("__qid"), col(queryVec).as("__qvec"))
+      .withColumn("__list",
+        explode(nearestCentroids(col("__qvec").cast("array<double>"), centroids, nprobe))))
 
     val scored = indexed.join(probed, "__list")
       .where(col("__id") =!= col("__qid"))
       .select(col("__qid").as("query_id"), col("__id").as("neighbor_id"),
         cosine(col("__qvec"), col("__vec")).as("cos"))
-      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -104,7 +104,9 @@ object YamlPipelineParser {
               case Array(k, v) => Some(k.trim -> v.trim)
               case _ => None
             }
-          }.toMap).getOrElse(Map.empty))
+          }.toMap).getOrElse(Map.empty),
+        converter = m.get("converter-after-transform").filter(_ != null)
+          .map(graft.transform.PostTransformConverters.validate))
     }
 
     val routes = seqOfMaps("route").map { m =>

@@ -29,7 +29,9 @@ final class PipelineRunner(
     sink: DataSink) {
 
   val registry = new SchemaRegistry(pipeline.schemaChangeBehavior)
-  private val engine = new TransformEngine(spark, pipeline.transforms)
+  private val engine = new TransformEngine(spark, pipeline.transforms,
+    metadataKeys = pipeline.source.options.get("metadata.list")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
   private val router = new TableIdRouter(pipeline.routes, RouteMode.AllMatch)
 
   /** Source-table schema after the transform rule's projection, obtained by

@@ -2,8 +2,8 @@ package graft.sinks
 
 import graft.cdc.Changelog
 import graft.model._
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.{col, when}
 
 /** JDBC upsert sink: applies each changelog batch to a relational table
   * with dialect-specific upsert/delete statements executed per partition
@@ -13,6 +13,18 @@ import org.apache.spark.sql.functions.col
   * Work is executor-side via `foreachPartition` with batched statements —
   * the driver never sees rows. DDL from schema evolution maps to ALTER
   * TABLE statements through [[JdbcUpsertSink.ddlFor]].
+  *
+  * Correctness at scale (mirrors the reference's sink contract):
+  *  - the batch is repartitioned by primary key HERE, unconditionally —
+  *    each key's changes live in exactly one partition/connection, however
+  *    the caller partitioned. (PipelineRunner only pre-partitions when
+  *    parallelism > 1; relying on that left cross-partition races.)
+  *  - rows apply in `__seq` order with retractions first at equal seq
+  *    (a -U/+U pair shares its seq; delete-old must precede insert-new).
+  *  - statement batching NEVER reorders across kinds: switching between
+  *    upsert and delete flushes the other kind's pending batch first.
+  *  - a -U immediately followed by its +U with an identical primary key is
+  *    elided (the upsert overwrites in place; no transient delete).
   */
 final class JdbcUpsertSink(
     url: String,
@@ -35,41 +47,51 @@ final class JdbcUpsertSink(
     val upsertSql = dialect.upsert(table, cols, pks)
     val deleteSql = dialect.delete(table, pks)
     val (u, p, bs) = (url, props, batchSize)
-    val colIdx = cols.indices
+    val nCols = cols.size
     val pkIdx = pks.map(cols.indexOf)
     import Changelog.{OpCol, SeqCol}
-    exploded
+    val keyed =
+      if (pks.nonEmpty) exploded.repartition(pks.map(col): _*)
+      else exploded.coalesce(1) // no PK: single ordered writer is the only safe apply
+    keyed
       .select((cols.map(col) :+ col(OpCol) :+ col(SeqCol)): _*)
-      .sortWithinPartitions(col(SeqCol))
-      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      .sortWithinPartitions(
+        col(SeqCol),
+        when(col(OpCol).startsWith("-"), 0).otherwise(1))
+      .foreachPartition { rows: Iterator[Row] =>
         val conn = java.sql.DriverManager.getConnection(u, p)
         conn.setAutoCommit(false)
         val up = conn.prepareStatement(upsertSql)
         val del = conn.prepareStatement(deleteSql)
-        var pending = 0
         try {
-          rows.foreach { r =>
-            r.getString(cols.size) match {
-              case "+I" | "+U" | "+R" =>
-                colIdx.foreach(i => up.setObject(i + 1, r.get(i)))
-                up.addBatch()
-              case "-D" | "-U" =>
-                pkIdx.zipWithIndex.foreach { case (src, tgt) =>
-                  del.setObject(tgt + 1, r.get(src))
-                }
-                del.addBatch()
-              case _ => ()
+          JdbcUpsertSink.applyOrdered(rows, nCols, pkIdx, bs, new BatchApplier {
+            def upsert(row: Row): Unit = {
+              (0 until nCols).foreach(i => up.setObject(i + 1, row.get(i)))
+              up.addBatch()
             }
-            pending += 1
-            if (pending >= bs) {
-              up.executeBatch(); del.executeBatch(); pending = 0
+            def delete(row: Row): Unit = {
+              pkIdx.zipWithIndex.foreach { case (src, tgt) =>
+                del.setObject(tgt + 1, row.get(src))
+              }
+              del.addBatch()
             }
-          }
-          up.executeBatch(); del.executeBatch()
+            def flushUpserts(): Unit = { up.executeBatch(); () }
+            def flushDeletes(): Unit = { del.executeBatch(); () }
+          })
           conn.commit()
         } finally conn.close()
       }
   }
+}
+
+/** Order-preserving batched application target; the JDBC sink backs it with
+  * PreparedStatement batches, tests with a recording stub.
+  */
+trait BatchApplier {
+  def upsert(row: Row): Unit
+  def delete(row: Row): Unit
+  def flushUpserts(): Unit
+  def flushDeletes(): Unit
 }
 
 /** Upsert/DDL SQL generation per target database. */
@@ -110,6 +132,52 @@ case object PostgresDialect extends JdbcDialect {
 }
 
 object JdbcUpsertSink {
+
+  /** Walk sorted changelog rows (payload columns, then `__op` at `nCols`,
+    * `__seq` at `nCols + 1`) applying upserts/deletes IN ROW ORDER:
+    * per-kind statement batches flush whenever the kind switches, so the
+    * database observes exactly the changelog sequence. A -U whose primary
+    * key equals the immediately-following +U at the same seq is skipped.
+    * Exposed for direct testing with a recording [[BatchApplier]].
+    */
+  def applyOrdered(
+      rows: Iterator[Row],
+      nCols: Int,
+      pkIdx: Seq[Int],
+      batchSize: Int,
+      applier: BatchApplier): Unit = {
+    val it = rows.buffered
+    var pendingUp = 0
+    var pendingDel = 0
+    def flushUp(): Unit = if (pendingUp > 0) { applier.flushUpserts(); pendingUp = 0 }
+    def flushDel(): Unit = if (pendingDel > 0) { applier.flushDeletes(); pendingDel = 0 }
+    while (it.hasNext) {
+      val r = it.next()
+      r.getString(nCols) match {
+        case "+I" | "+U" | "+R" =>
+          flushDel()
+          applier.upsert(r)
+          pendingUp += 1
+          if (pendingUp >= batchSize) flushUp()
+        case "-U" if it.hasNext && {
+              val nxt = it.head
+              nxt.getString(nCols) == "+U" &&
+                java.util.Objects.equals(nxt.get(nCols + 1), r.get(nCols + 1)) &&
+                pkIdx.forall(i => java.util.Objects.equals(nxt.get(i), r.get(i)))
+            } =>
+          () // same-key update: the upcoming +U overwrites in place
+        case "-D" | "-U" =>
+          flushUp()
+          applier.delete(r)
+          pendingDel += 1
+          if (pendingDel >= batchSize) flushDel()
+        case _ => ()
+      }
+    }
+    flushUp()
+    flushDel()
+  }
+
   /** Schema-change event -> ALTER TABLE statements. */
   def ddlFor(e: SchemaChangeEvent, dialect: JdbcDialect): Seq[String] = {
     val t = e.tableId.identifier

@@ -59,7 +59,10 @@ final class ValuesSource(events: Seq[Event]) extends CdcDataSource {
 
 object ValuesSource {
 
-  /** Build a paired-changelog DataFrame from scripted DataChangeEvents. */
+  /** Build a paired-changelog DataFrame from scripted DataChangeEvents.
+    * `DataChangeEvent.meta` rides along as the `__meta` map column (null
+    * when the event carries none).
+    */
   def pairedFrame(spark: SparkSession, payload: StructType,
       events: Seq[DataChangeEvent], seqStart: Long): DataFrame = {
     val rows: Seq[Row] = events.zipWithIndex.map { case (e, i) =>
@@ -69,13 +72,15 @@ object ValuesSource {
         case Op.Delete => "D"
         case Op.Replace => "R"
       }
-      Row(opCode, e.before.orNull, e.after.orNull, seqStart + i)
+      Row(opCode, e.before.orNull, e.after.orNull, seqStart + i,
+        if (e.meta.isEmpty) null else e.meta)
     }
     val schema = StructType(Seq(
       StructField(Changelog.OpCol, StringType, nullable = false),
       StructField(Changelog.BeforeCol, payload),
       StructField(Changelog.AfterCol, payload),
-      StructField(Changelog.SeqCol, LongType, nullable = false)))
+      StructField(Changelog.SeqCol, LongType, nullable = false),
+      StructField(Changelog.MetaCol, MapType(StringType, StringType))))
     spark.createDataFrame(rows.asJava, schema)
   }
 }

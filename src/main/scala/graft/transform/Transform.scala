@@ -21,8 +21,23 @@ final case class TransformRule(
     filter: Option[String] = None,
     primaryKeys: Seq[String] = Nil,
     partitionKeys: Seq[String] = Nil,
-    tableOptions: Map[String, String] = Map.empty) {
+    tableOptions: Map[String, String] = Map.empty,
+    converter: Option[String] = None) {
   lazy val selector: Selectors = Selectors.includeTables(sourceTable)
+}
+
+/** Post-transform converter registry, after the reference's
+  * `PostTransformConverters` (flink-cdc-runtime/.../transform/converter/
+  * PostTransformConverters.java): only SOFT_DELETE exists — DELETE events
+  * become INSERTs of the before image (SoftDeleteConverter.java:30-43),
+  * typically projected together with `__data_event_type__` so the sink row
+  * records the original op.
+  */
+object PostTransformConverters {
+  val SoftDelete = "SOFT_DELETE"
+  def validate(id: String): String =
+    if (id == SoftDelete) id
+    else throw new IllegalArgumentException(s"Failed to find the converter $id.")
 }
 
 /** Implicit metadata columns available in projections/filters
@@ -51,20 +66,37 @@ object MetadataColumns {
   * `PreTransformOperator` column pruner (PreTransformOperator.java:64) is
   * unnecessary.
   */
-final class TransformEngine(spark: SparkSession, rules: Seq[TransformRule]) {
+final class TransformEngine(
+    spark: SparkSession,
+    rules: Seq[TransformRule],
+    metadataKeys: Seq[String] = Nil) {
 
   def ruleFor(tableId: TableId): Option[TransformRule] =
     rules.find(_.selector.isMatch(tableId))
 
   /** Rewrite unresolved attribute references so a row-level expression
     * evaluates against one image struct (`before` / `after`). Metadata
-    * columns stay top-level.
+    * columns — static and source-declared (`metadata.list`) — stay
+    * top-level.
     */
   private def remap(e: Expression, image: String): Expression = e.transformUp {
-    case UnresolvedAttribute(parts) if !MetadataColumns.all(parts.head) =>
+    case UnresolvedAttribute(parts)
+        if !MetadataColumns.all(parts.head) && !metadataKeys.contains(parts.head) =>
       UnresolvedAttribute(image +: parts)
     case UnresolvedStar(None) => UnresolvedStar(Some(Seq(image)))
   }
+
+  /** Source-declared metadata keys as top-level string columns, read from
+    * the frame's `__meta` map when present (null otherwise) — the
+    * reference's `metadata.list` mechanism (transform.md:63-109).
+    */
+  private def withSourceMeta(df: DataFrame): DataFrame =
+    metadataKeys.foldLeft(df) { (d, k) =>
+      d.withColumn(k,
+        if (d.columns.contains(graft.cdc.Changelog.MetaCol))
+          element_at(col(graft.cdc.Changelog.MetaCol), k)
+        else lit(null).cast(org.apache.spark.sql.types.StringType))
+    }
 
   private def imageColumn(sql: String, image: String): Column =
     SparkInternals.column(remap(SparkInternals.parseExpression(spark, sql), image))
@@ -87,9 +119,9 @@ final class TransformEngine(spark: SparkSession, rules: Seq[TransformRule]) {
     ruleFor(tableId) match {
       case None => df
       case Some(rule) =>
-        val withMeta = metaColumns(tableId, lit("+I")).foldLeft(df) {
+        val withMeta = withSourceMeta(metaColumns(tableId, lit("+I")).foldLeft(df) {
           case (d, (n, c)) => d.withColumn(n, c)
-        }
+        })
         val filtered = rule.filter.fold(withMeta)(f => withMeta.where(expr(f)))
         val projected = rule.projection match {
           case None => filtered.select(df.columns.map(col).toIndexedSeq: _*)
@@ -137,25 +169,52 @@ final class TransformEngine(spark: SparkSession, rules: Seq[TransformRule]) {
           }
           if (rule.projection.isEmpty) cols.head else struct(cols: _*)
         }
-        val withMeta = metaColumns(tableId, lit(null)).foldLeft(paired) { case (d, (n, _)) =>
-          // materialize metadata as top-level literal columns so remapped
-          // expressions can reference them unprefixed
-          n match {
-            case MetadataColumns.NamespaceName => d.withColumn(n, lit(tableId.namespace.getOrElse("")))
-            case MetadataColumns.SchemaName => d.withColumn(n, lit(tableId.schemaName.getOrElse("")))
-            case MetadataColumns.TableName => d.withColumn(n, lit(tableId.table))
-            case MetadataColumns.DataEventType =>
-              d.withColumn(n, concat(when(col(OpCol) === "D", "-").otherwise("+"), col(OpCol)))
-          }
-        }
-        withMeta
+        val withMeta = withSourceMeta(
+          metaColumns(tableId, lit(null)).foldLeft(paired) { case (d, (n, _)) =>
+            // materialize metadata as top-level literal columns so remapped
+            // expressions can reference them unprefixed
+            n match {
+              case MetadataColumns.NamespaceName => d.withColumn(n, lit(tableId.namespace.getOrElse("")))
+              case MetadataColumns.SchemaName => d.withColumn(n, lit(tableId.schemaName.getOrElse("")))
+              case MetadataColumns.TableName => d.withColumn(n, lit(tableId.table))
+              case MetadataColumns.DataEventType =>
+                d.withColumn(n, concat(when(col(OpCol) === "D", "-").otherwise("+"), col(OpCol)))
+            }
+          })
+        val metaThrough =
+          if (paired.columns.contains(graft.cdc.Changelog.MetaCol))
+            Seq(col(graft.cdc.Changelog.MetaCol)) else Nil
+        val transformed = withMeta
           .withColumn("__newop", newOp)
           .where(col("__newop").isNotNull)
           .select(
-            col("__newop").as(OpCol),
-            when(col("__newop").isin("U", "D"), projected(BeforeCol)).as(BeforeCol),
-            when(col("__newop").isin("I", "U", "R"), projected(AfterCol)).as(AfterCol),
-            col(SeqCol))
+            (Seq(
+              col("__newop").as(OpCol),
+              when(col("__newop").isin("U", "D"), projected(BeforeCol)).as(BeforeCol),
+              when(col("__newop").isin("I", "U", "R"), projected(AfterCol)).as(AfterCol),
+              col(SeqCol)) ++ metaThrough): _*)
+        applyConverter(rule, transformed)
+    }
+  }
+
+  /** `converter-after-transform` (SOFT_DELETE): runs AFTER projection, so a
+    * projected `__data_event_type__` still records the original op while
+    * the event itself becomes an INSERT of the before image.
+    */
+  private def applyConverter(rule: TransformRule, transformed: DataFrame): DataFrame = {
+    import graft.cdc.Changelog._
+    rule.converter.map(PostTransformConverters.validate) match {
+      case Some(PostTransformConverters.SoftDelete) =>
+        val beforeType = transformed.schema(BeforeCol).dataType
+        val isDelete = col(OpCol) === "D"
+        val others = transformed.columns.toSeq
+          .filterNot(c => c == OpCol || c == BeforeCol || c == AfterCol).map(col)
+        transformed.select(
+          (Seq(
+            when(isDelete, lit("I")).otherwise(col(OpCol)).as(OpCol),
+            when(isDelete, lit(null).cast(beforeType)).otherwise(col(BeforeCol)).as(BeforeCol),
+            when(isDelete, col(BeforeCol)).otherwise(col(AfterCol)).as(AfterCol)) ++ others): _*)
+      case _ => transformed
     }
   }
 }

@@ -43,7 +43,12 @@ class SpecCorpusSpec extends SparkSpec {
   private def rowOf(values: Seq[Any]): Row =
     Row.fromSeq(values.zip(schema.fields).map { case (v, f) => coerce(v, f.dataType) })
 
+  private def metaOf(e: Map[String, Any]): Map[String, String] =
+    e.get("meta").map(_.asInstanceOf[java.util.Map[String, Object]].asScala
+      .map { case (k, v) => k -> v.toString }.toMap).getOrElse(Map.empty)
+
   private def scriptEvents(extra: Seq[Map[String, Any]]): Seq[Event] = {
+    var curSchema = schema
     val seeds = root("seed-rows").asInstanceOf[java.util.List[java.util.List[Object]]]
       .asScala.toSeq.map(l => rowOf(l.asScala.toSeq))
     val state = scala.collection.mutable.LinkedHashMap[Any, Row](
@@ -51,19 +56,27 @@ class SpecCorpusSpec extends SparkSpec {
     val events = scala.collection.mutable.ArrayBuffer[Event](
       CreateTableEvent(tid, tinfo) +: seeds.map(r => DataChangeEvent.insert(tid, r)): _*)
     extra.foreach { e =>
-      val id = coerce(e("id"), schema(pk).dataType)
-      val before = state(id)
       e("op").toString match {
+        case "add-column" =>
+          val f = StructField(e("name").toString, DataType.fromDDL(e("type").toString))
+          curSchema = StructType(curSchema.fields :+ f)
+          // null-pad tracked state like the sink does
+          state.mapValuesInPlace((_, r) => Row.fromSeq(r.toSeq :+ null))
+          events += AddColumnEvent(tid, Seq((f, ColumnPosition.Last)))
         case "update" =>
+          val id = coerce(e("id"), schema(pk).dataType)
+          val before = state(id)
           val sets = e("set").asInstanceOf[java.util.Map[String, Object]].asScala
-          val after = Row.fromSeq(schema.fields.zipWithIndex.map { case (f, i) =>
+          val after = Row.fromSeq(curSchema.fields.zipWithIndex.map { case (f, i) =>
             sets.get(f.name).map(v => coerce(v, f.dataType)).getOrElse(before.get(i))
           }.toSeq)
           state(id) = after
-          events += DataChangeEvent.update(tid, before, after)
+          events += DataChangeEvent.update(tid, before, after, metaOf(e))
         case "delete" =>
+          val id = coerce(e("id"), schema(pk).dataType)
+          val before = state(id)
           state.remove(id)
-          events += DataChangeEvent.delete(tid, before)
+          events += DataChangeEvent.delete(tid, before, metaOf(e))
         case other => fail(s"unknown extra-event op $other")
       }
     }
@@ -77,13 +90,17 @@ class SpecCorpusSpec extends SparkSpec {
     test(s"spec: ${c("name")}") {
       val rule = TransformRuleOf(
         Option(c.getOrElse("projection", null)).map(_.toString),
-        Option(c.getOrElse("filter", null)).map(_.toString))
+        Option(c.getOrElse("filter", null)).map(_.toString),
+        Option(c.getOrElse("converter-after-transform", null)).map(_.toString),
+        Option(c.getOrElse("primary-keys", null)).map(_.toString))
       val extra = c.get("extra-events")
         .map(_.asInstanceOf[java.util.List[java.util.Map[String, Object]]]
           .asScala.toSeq.map(_.asScala.toMap.asInstanceOf[Map[String, Any]]))
         .getOrElse(Nil)
+      val sourceOpts = c.get("metadata-list")
+        .map(v => Map("metadata.list" -> v.toString)).getOrElse(Map.empty[String, String])
       val pd = PipelineDef(
-        SourceDef("values", Map.empty), SinkDef("values", Map.empty),
+        SourceDef("values", sourceOpts), SinkDef("values", Map.empty),
         transforms = rule.toSeq)
       val sink = new ValuesDatabase
       new PipelineRunner(spark, pd, new ValuesSource(scriptEvents(extra)), sink).run()
@@ -94,8 +111,11 @@ class SpecCorpusSpec extends SparkSpec {
     }
   }
 
-  private def TransformRuleOf(projection: Option[String], filter: Option[String]) =
-    if (projection.isEmpty && filter.isEmpty) None
+  private def TransformRuleOf(projection: Option[String], filter: Option[String],
+      converter: Option[String] = None, primaryKeys: Option[String] = None) =
+    if (projection.isEmpty && filter.isEmpty && converter.isEmpty) None
     else Some(graft.transform.TransformRule(tid.identifier,
-      projection = projection, filter = filter, primaryKeys = Seq(pk)))
+      projection = projection, filter = filter,
+      primaryKeys = primaryKeys.map(_.split(",").map(_.trim).toSeq).getOrElse(Seq(pk)),
+      converter = converter))
 }

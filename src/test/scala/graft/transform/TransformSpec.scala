@@ -72,4 +72,10 @@ class TransformSpec extends SparkSpec {
     assert(TransformEngine.splitTopLevel("a, f(b, c) AS x, 'lit,eral' AS y") ===
       Seq("a", "f(b, c) AS x", "'lit,eral' AS y"))
   }
+
+  test("converter registry: SOFT_DELETE resolves, unknown rejects") {
+    assert(PostTransformConverters.validate("SOFT_DELETE") === "SOFT_DELETE")
+    val e = intercept[IllegalArgumentException](PostTransformConverters.validate("NOPE"))
+    assert(e.getMessage.contains("NOPE"))
+  }
 }
