@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.graft.SparkInternals
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -32,6 +32,60 @@ object HashExpressions {
     x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
     x ^ (x >>> 31)
   }
+
+  /** Per-permutation minima over a shingle set (the MinHash kernel). */
+  private[expressions] def minsOf(iter: Iterator[UTF8String], numHashes: Int): Array[Long] = {
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    while (iter.hasNext) {
+      val h = hashString(iter.next())
+      var k = 0
+      while (k < numHashes) {
+        val v = mix(h ^ (k * 0xC2B2AE3D27D4EB4FL))
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+    }
+    mins
+  }
+
+  /** One combined hash per band over its rowsPerBand signature slice. */
+  private[expressions] def bandHashes(mins: Array[Long], bands: Int, rowsPerBand: Int): Array[Long] = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 0x51_7C_C1_B7_27_22_0A_95L + b
+      var r = 0
+      while (r < rowsPerBand) {
+        acc = mix(acc ^ mins(b * rowsPerBand + r))
+        r += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    out
+  }
+}
+
+/** Whole-stage-codegen-compatible eval: the generated code calls back into
+  * the expression's imperative kernel through a bound reference, so the
+  * surrounding operators keep fusing (a CodegenFallback child forces the
+  * whole projection out of WSCG). The per-row kernel stays a plain JVM
+  * method the JIT compiles once.
+  */
+trait SinglePassCodegen extends UnaryExpression {
+
+  /** Public bridge to the protected eval for generated code. */
+  final def compute(input: Any): Any = nullSafeEval(input)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftExpr", this, classOf[SinglePassCodegen].getName)
+    nullSafeCodeGen(ctx, ev, c => dataType match {
+      case LongType =>
+        s"${ev.value} = ((java.lang.Long) $ref.compute($c)).longValue();"
+      case _ =>
+        s"${ev.value} = (${CodeGenerator.javaType(dataType)}) $ref.compute($c);"
+    })
+  }
 }
 
 /** 64-bit SimHash over raw text: normalize + tokenize + vote accumulation
@@ -39,7 +93,7 @@ object HashExpressions {
   * TextAnalysis.tokens(TextAnalysis.normalize(_)) exactly.
   */
 case class Simhash64Expr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with SinglePassCodegen {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
@@ -88,29 +142,16 @@ case class Simhash64Expr(child: Expression)
   * (`array<bigint>` of length numHashes).
   */
 case class MinHashSignatureExpr(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with SinglePassCodegen {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val mins = Array.fill(numHashes)(Long.MaxValue)
-    var i = 0
-    val n = arr.numElements()
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val h = HashExpressions.hashString(arr.getUTF8String(i))
-        var k = 0
-        while (k < numHashes) {
-          val v = HashExpressions.mix(h ^ (k * 0xC2B2AE3D27D4EB4FL))
-          if (v < mins(k)) mins(k) = v
-          k += 1
-        }
-      }
-      i += 1
-    }
-    new GenericArrayData(mins)
+    val strs = (0 until arr.numElements()).iterator
+      .filterNot(arr.isNullAt).map(arr.getUTF8String)
+    new GenericArrayData(HashExpressions.minsOf(strs, numHashes))
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignatureExpr =
@@ -125,22 +166,40 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
   * (measured 8s of a 13s query at sf0.1).
   */
 case class ShinglesExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with SinglePassCodegen {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = child.nullable
 
-  @inline private def isAlnum(c: Char): Boolean = ShinglesExpr.isAlnumChar(c)
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      ShinglesExpr.shingleSet(input.asInstanceOf[UTF8String], n)
+        .asInstanceOf[Array[Any]])
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val lower = input.asInstanceOf[UTF8String].toString.toLowerCase
+  override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+    copy(child = newChild)
+}
+
+object ShinglesExpr {
+  // \p{N} beyond Nd: letter-number (Nl) and other-number (No) categories
+  @inline def isAlnumChar(c: Char): Boolean = {
+    if (Character.isLetter(c) || Character.isDigit(c)) true
+    else {
+      val t = Character.getType(c)
+      t == Character.LETTER_NUMBER || t == Character.OTHER_NUMBER
+    }
+  }
+
+  /** Distinct word n-gram shingles of normalized text (shared kernel). */
+  private[expressions] def shingleSet(text: UTF8String, n: Int): Array[UTF8String] = {
+    val lower = text.toString.toLowerCase
     // normalize + tokenize in one scan
     val toks = new scala.collection.mutable.ArrayBuffer[String](64)
     val cur = new java.lang.StringBuilder
     var i = 0
     while (i < lower.length) {
       val c = lower.charAt(i)
-      if (isAlnum(c)) cur.append(c)
+      if (isAlnumChar(c)) cur.append(c)
       else if (cur.length > 0) { toks += cur.toString; cur.setLength(0) }
       i += 1
     }
@@ -165,71 +224,60 @@ case class ShinglesExpr(child: Expression, n: Int)
         s += 1
       }
     }
-    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
-  }
-
-  override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
-    copy(child = newChild)
-}
-
-object ShinglesExpr {
-  // \p{N} beyond Nd: letter-number (Nl) and other-number (No) categories
-  @inline def isAlnumChar(c: Char): Boolean = {
-    if (Character.isLetter(c) || Character.isDigit(c)) true
-    else {
-      val t = Character.getType(c)
-      t == Character.LETTER_NUMBER || t == Character.OTHER_NUMBER
-    }
+    seen.toArray(new Array[UTF8String](seen.size))
   }
 }
 
-/** LSH band hashes in one pass: minhash signature computed internally,
-  * then one combined hash per band over its `rowsPerBand` slice. Returning
-  * the band array from a single expression matters for plan shape: a
-  * composed `transform(...slice(sig)...)` formulation gets the signature
-  * expression inlined into the lambda by projection collapse and
-  * re-evaluated once per band per row (measured 11x overhead at sf0.1).
+/** LSH band hashes over an `array<string>` shingle column: minhash
+  * signature computed internally, then one combined hash per band over its
+  * `rowsPerBand` slice. Kept for API compatibility; [[MinHashExpr]] is the
+  * one-pass form the dedup pipeline uses.
   */
 case class MinHashBandsExpr(child: Expression, bands: Int, rowsPerBand: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with SinglePassCodegen {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val numHashes = bands * rowsPerBand
-    val mins = Array.fill(numHashes)(Long.MaxValue)
-    var i = 0
-    val n = arr.numElements()
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val h = HashExpressions.hashString(arr.getUTF8String(i))
-        var k = 0
-        while (k < numHashes) {
-          val v = HashExpressions.mix(h ^ (k * 0xC2B2AE3D27D4EB4FL))
-          if (v < mins(k)) mins(k) = v
-          k += 1
-        }
-      }
-      i += 1
-    }
-    val out = new Array[Long](bands)
-    var b = 0
-    while (b < bands) {
-      var acc = 0x51_7C_C1_B7_27_22_0A_95L + b
-      var r = 0
-      while (r < rowsPerBand) {
-        acc = HashExpressions.mix(acc ^ mins(b * rowsPerBand + r))
-        r += 1
-      }
-      out(b) = acc
-      b += 1
-    }
-    new GenericArrayData(out)
+    val strs = (0 until arr.numElements()).iterator
+      .filterNot(arr.isNullAt).map(arr.getUTF8String)
+    val mins = HashExpressions.minsOf(strs, bands * rowsPerBand)
+    new GenericArrayData(HashExpressions.bandHashes(mins, bands, rowsPerBand))
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashBandsExpr =
+    copy(child = newChild)
+}
+
+/** The whole MinHash front end in ONE pass from raw text:
+  * shingle -> hash each shingle once -> permutation minima -> band hashes,
+  * returned as struct(sig array<bigint>, bands array<bigint>).
+  *
+  * Exists because the two-expression formulation (signature + bands as
+  * separate projections) re-runs shingling and the minima kernel per
+  * consumer under projection collapse — the dominant cost of the dedup
+  * pipeline. Callers materialize the struct through a generator
+  * (explode of a 1-element array) so the expression evaluates exactly
+  * once per row.
+  */
+case class MinHashExpr(child: Expression, bands: Int, rowsPerBand: Int, shingleSize: Int)
+    extends UnaryExpression with SinglePassCodegen {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("sig", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("bands", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val sh = ShinglesExpr.shingleSet(input.asInstanceOf[UTF8String], shingleSize)
+    val mins = HashExpressions.minsOf(sh.iterator, bands * rowsPerBand)
+    val bandArr = HashExpressions.bandHashes(mins, bands, rowsPerBand)
+    InternalRow(new GenericArrayData(mins), new GenericArrayData(bandArr))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashExpr =
     copy(child = newChild)
 }
 
@@ -245,6 +293,10 @@ object NativeHashFunctions {
   /** Column API for [[MinHashBandsExpr]] (input: array<string>). */
   def minhashBands(shingles: Column, bands: Int, rowsPerBand: Int): Column =
     SparkInternals.column(MinHashBandsExpr(SparkInternals.expression(shingles), bands, rowsPerBand))
+
+  /** Column API for [[MinHashExpr]] (input: raw text). */
+  def minhash(text: Column, bands: Int, rowsPerBand: Int, shingleSize: Int): Column =
+    SparkInternals.column(MinHashExpr(SparkInternals.expression(text), bands, rowsPerBand, shingleSize))
 
   /** Column API for [[ShinglesExpr]] (input: raw text). */
   def shingles(text: Column, n: Int): Column =

@@ -3,7 +3,6 @@ package graft.functions.expressions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graft.SparkInternals
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -24,7 +23,7 @@ case class LangIdExpr(
     child: Expression,
     markers: Seq[(String, Seq[String])],
     substringLangs: Set[String])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with SinglePassCodegen {
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = child.nullable

@@ -56,19 +56,19 @@ object Dedup {
       threshold: Double = 0.6, bands: Int = 24, rowsPerBand: Int = 3,
       shingleSize: Int = 3): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sh = shingles(col(textCol), shingleSize)
-    val withSh = df.select(col(idCol).as("id"), sh.as("sh"))
 
+    // The whole MinHash front end (shingle -> signature -> band hashes) is
+    // ONE native expression, materialized through a generator (explode of
+    // a 1-element array) so projection collapse cannot re-evaluate it per
+    // consumer — each document is normalized/shingled/hashed exactly once.
     // Only (id, sig) ride through the bucket join — signatures are
     // fixed-size (numHashes longs), so shuffle bytes stay bounded no
-    // matter how long the documents are. Band hashes come from one native
-    // expression so projection collapse cannot re-evaluate the signature
-    // per band (graft.functions.expressions.MinHashBandsExpr).
-    val banded = withSh.select(
-      col("id"),
-      minhashSignature(col("sh"), numHashes).as("sig"),
-      posexplode(graft.functions.expressions.NativeHashFunctions
-        .minhashBands(col("sh"), bands, rowsPerBand)))
+    // matter how long the documents are.
+    val banded = df
+      .select(col(idCol).as("id"),
+        explode(array(graft.functions.expressions.NativeHashFunctions
+          .minhash(col(textCol), bands, rowsPerBand, shingleSize))).as("m"))
+      .select(col("id"), col("m.sig").as("sig"), posexplode(col("m.bands")))
       .toDF("id", "sig", "band", "bucket")
 
     // candidates: ids sharing any (band, bucket)
@@ -87,16 +87,25 @@ object Dedup {
       .where(col("est") >= threshold * 0.6)
       .select("id_a", "id_b")
 
-    // exact verification only for survivors: fetch shingle sets by id
-    val shTable = withSh.select(col("id"), col("sh"))
-    estimated
-      .join(shTable.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(shTable.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+    // Exact verification for survivors. Pairs melt to (pair, id) rows and
+    // join the shingle table ONCE (one full shingle pass — joining it
+    // twice, per side, would run the pass twice); the per-pair regroup
+    // shuffles candidate shingle sets only, a vanishing fraction of the
+    // corpus.
+    val shTable = df.select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+    val melted = estimated
+      .select(struct(col("id_a"), col("id_b")).as("pair"))
+      .select(col("pair"), explode(array(col("pair.id_a"), col("pair.id_b"))).as("id"))
+    melted.join(shTable, "id")
+      .groupBy(col("pair"))
+      .agg(
+        max(when(col("id") === col("pair.id_a"), col("sh"))).as("sh_a"),
+        max(when(col("id") === col("pair.id_b"), col("sh"))).as("sh_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
       .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(col("pair.id_a").as("id_a"), col("pair.id_b").as("id_b"), col("jaccard"))
   }
 
   /** Exact n-gram Jaccard similarity of two text columns (for verification

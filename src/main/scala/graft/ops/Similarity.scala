@@ -22,7 +22,11 @@ object Similarity {
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Cosine similarity — native single-pass kernel (bit-identical to the
+    * fold formulation, ~dim× fewer interpreted lambda calls per pair).
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.expressions.NativeVectorFunctions.cosine(a, b)
 
   def l2Distance(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(a, b, (x, y) => {
@@ -98,34 +102,17 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 9).as("cos"))
   }
 
-  /** Squared L2 distance (monotone in L2 — argmin never needs the sqrt). */
-  private def l2DistSq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => {
-      val d = x.cast("double") - y.cast("double"); d * d
-    }), lit(0.0), (acc, v) => acc + v)
-
-  /** (dist², cid) structs against every centroid, sorted nearest-first —
-    * a PURE PROJECTION over a centroid array literal. The "broadcast" is
-    * the literal riding in the plan; there is no crossJoin and no window,
-    * so assignment costs nlist×dim flops per row and zero shuffle. Struct
-    * sort order (dist, then cid) gives the deterministic tie-break.
+  /** Nearest centroid id — projection-only argmin: the centroid table
+    * rides inside a native expression (no crossJoin, no window, no
+    * shuffle); squared-L2 with ties to the smaller centroid id.
     */
-  private def centroidDistances(
-      vec: Column, centroids: Array[(Int, Array[Double])]): Column = {
-    val carr = array(centroids.map { case (cid, v) =>
-      struct(typedLit(v).as("cvec"), lit(cid).as("cid"))
-    }.toIndexedSeq: _*)
-    array_sort(transform(carr, c =>
-      struct(l2DistSq(vec, c.getField("cvec")).as("dist"), c.getField("cid").as("cid"))))
-  }
-
-  /** Nearest centroid id — projection-only argmin. */
   def nearestCentroid(vec: Column, centroids: Array[(Int, Array[Double])]): Column =
-    element_at(centroidDistances(vec, centroids), 1).getField("cid")
+    element_at(graft.functions.expressions.NativeVectorFunctions
+      .nearestCentroids(vec, centroids, 1), 1)
 
   /** The `n` nearest centroid ids, nearest first — projection-only. */
   def nearestCentroids(vec: Column, centroids: Array[(Int, Array[Double])], n: Int): Column =
-    transform(slice(centroidDistances(vec, centroids), 1, n), c => c.getField("cid"))
+    graft.functions.expressions.NativeVectorFunctions.nearestCentroids(vec, centroids, n)
 
   /** Deterministic k-means-lite centroids for IVF: init = the `nlist`
     * vectors with the smallest ids, then `iters` Lloyd rounds computed as
@@ -138,28 +125,36 @@ object Similarity {
     */
   def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int = 3): Array[(Int, Array[Double])] = {
-    var centroids: Array[(Int, Array[Double])] =
-      corpus.orderBy(col(idCol)).limit(nlist)
-        .select(col(vecCol).cast("array<double>")).collect()
-        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
-    for (_ <- 0 until iters) {
-      val updated = corpus
-        .select(col(vecCol).cast("array<double>").as("__v"))
-        .withColumn("__cid", nearestCentroid(col("__v"), centroids))
-        .select(col("__cid"), posexplode(col("__v")).as(Seq("__dim", "__x")))
-        .groupBy(col("__cid"), col("__dim"))
-        .agg(avg(col("__x")).as("__m"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (cid, rows) =>
-          val dims = rows.sortBy(_.getInt(1)).map(_.getDouble(2))
-          (cid, dims)
+    // the vector projection feeds every Lloyd round: persist it once
+    // (standard k-means practice; spills to disk if it outgrows memory)
+    val vecs = corpus.select(col(vecCol).cast("array<double>").as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids: Array[(Int, Array[Double])] =
+        corpus.orderBy(col(idCol)).limit(nlist)
+          .select(col(vecCol).cast("array<double>")).collect()
+          .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
+      val dim = centroids.headOption.map(_._2.length).getOrElse(0)
+      for (_ <- 0 until iters) {
+        // mean update as dim per-element sum aggregates in ONE hash agg —
+        // no posexplode row multiplication; map-side partials reduce each
+        // task to nlist×(dim+1) values before the shuffle
+        val sums = (0 until dim).map(i => sum(col("__v")(i)).as(s"__s$i"))
+        val updated = vecs
+          .withColumn("__cid", nearestCentroid(col("__v"), centroids))
+          .groupBy(col("__cid"))
+          .agg(count(lit(1)).as("__n"), sums: _*)
+          .collect()
+          .map { r =>
+            val n = r.getLong(1).toDouble
+            r.getInt(0) -> Array.tabulate(dim)(i => r.getDouble(i + 2) / n)
+          }.toMap
+        centroids = centroids.map { case (cid, old) =>
+          (cid, updated.getOrElse(cid, old))
         }
-      centroids = centroids.map { case (cid, old) =>
-        (cid, updated.getOrElse(cid, old))
       }
-    }
-    centroids
+      centroids
+    } finally { vecs.unpersist(false); () }
   }
 
   /** IVF approximate top-k: corpus partitioned into `nlist` inverted lists

@@ -88,6 +88,55 @@ final class SchemaRegistry(
     }
   }
 
+  /** Serialize both schema planes for checkpoint persistence — the
+    * reference checkpoints SchemaManager's originalSchemas/evolvedSchemas
+    * (SchemaManager.java:56, restored in initializeState); here the state
+    * is a small YAML document (schemas as Spark's StructType JSON) the
+    * streaming wrapper stores next to the offsets checkpoint.
+    */
+  def snapshotState: String = {
+    import scala.jdk.CollectionConverters._
+    def infoMap(i: TableInfo): java.util.Map[String, Object] = Map[String, Object](
+      "schema" -> i.schema.json,
+      "primaryKeys" -> i.primaryKeys.asJava,
+      "partitionKeys" -> i.partitionKeys.asJava,
+      "options" -> i.options.asJava,
+      "comment" -> i.comment.orNull).asJava
+    val tables = original.keySet.toSeq.sortBy(_.identifier).map { t =>
+      Map[String, Object](
+        "id" -> t.identifier,
+        "original" -> infoMap(original(t)),
+        "evolved" -> evolved.get(t).map(infoMap).orNull).asJava
+    }.asJava
+    new org.yaml.snakeyaml.Yaml().dump(
+      Map[String, Object]("tables" -> tables).asJava)
+  }
+
+  /** Restore state written by [[snapshotState]], replacing current planes. */
+  def restoreState(state: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{DataType, StructType}
+    def infoOf(m: java.util.Map[String, Object]): TableInfo = TableInfo(
+      DataType.fromJson(m.get("schema").toString).asInstanceOf[StructType],
+      Option(m.get("primaryKeys"))
+        .map(_.asInstanceOf[java.util.List[String]].asScala.toSeq).getOrElse(Nil),
+      Option(m.get("partitionKeys"))
+        .map(_.asInstanceOf[java.util.List[String]].asScala.toSeq).getOrElse(Nil),
+      Option(m.get("options"))
+        .map(_.asInstanceOf[java.util.Map[String, String]].asScala.toMap).getOrElse(Map.empty),
+      Option(m.get("comment")).map(_.toString))
+    original.clear(); evolved.clear()
+    val root = new org.yaml.snakeyaml.Yaml().load[java.util.Map[String, Object]](state)
+    Option(root.get("tables")).foreach { ts =>
+      ts.asInstanceOf[java.util.List[java.util.Map[String, Object]]].asScala.foreach { tm =>
+        val tid = TableId.parse(tm.get("id").toString)
+        original(tid) = infoOf(tm.get("original").asInstanceOf[java.util.Map[String, Object]])
+        Option(tm.get("evolved")).foreach(e =>
+          evolved(tid) = infoOf(e.asInstanceOf[java.util.Map[String, Object]]))
+      }
+    }
+  }
+
   private def evolveWith(e: SchemaChangeEvent): Seq[SchemaChangeEvent] = {
     e match {
       case CreateTableEvent(t, info) => evolved(t) = info

@@ -26,11 +26,12 @@ final class StreamingPipeline(
     pipeline: PipelineDef,
     sink: DataSink) {
 
-  private val runner = new PipelineRunner(spark, pipeline, null, sink)
+  private[graft] val runner = new PipelineRunner(spark, pipeline, null, sink)
 
   /** Start a streaming query over debezium-JSON lines. The source table's
     * schema must be known (CDC JSON carries no types); the CreateTable
-    * event is synthesized on the first batch.
+    * event is synthesized on the first batch — unless checkpointed schema
+    * state was restored (a re-Create would reset sink-side evolution).
     */
   def startFromDebeziumJson(
       jsonStream: DataFrame, // one string column `value`
@@ -38,20 +39,48 @@ final class StreamingPipeline(
       info: TableInfo,
       checkpointLocation: Option[String] = None,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    var created = false
+    val stateFile = checkpointLocation.map(cp =>
+      new java.io.File(cp, StreamingPipeline.SchemaStateFile))
+    stateFile.filter(_.exists).foreach { f =>
+      runner.registry.restoreState(
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+    }
+    var created = runner.registry.evolvedInfo(tableId).isDefined
     val writer = jsonStream.writeStream
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epochId: Long) =>
-        import org.apache.spark.sql.functions.{col, lit}
-        // Cross-batch total order per key: monotonically_increasing_id is
-        // (partition << 33 | row) < 2^43 for < 1024 partitions, so
-        // epoch * 2^43 + id strictly orders later epochs above earlier ones.
+        import org.apache.spark.sql.functions._
+        // Cross-batch total order per key, pure projection:
+        //   seq = epoch(20 bits) | partition(20 bits) | row-in-partition(23 bits)
+        // decoded from monotonically_increasing_id's (pid << 33 | row)
+        // layout. Budgets cover a 100 TB backlog read (≤1M input
+        // partitions, ≤8.4M rows per partition per batch) and ≤1M
+        // micro-batches; any overflow raises instead of silently
+        // misordering.
+        val mono = col(Changelog.SeqCol)
+        val pid = shiftright(mono, 33)
+        val rowInPart = mono.bitwiseAND(lit((1L << 33) - 1))
+        val seq = when(
+          pid >= (1L << 20) || rowInPart >= (1L << 23) || lit(epochId >= (1L << 20)),
+          raise_error(lit("__seq encoding overflow: needs <2^20 partitions, " +
+            "<2^23 rows/partition, <2^20 epochs")))
+          .otherwise(shiftleft(lit(epochId), 43) + shiftleft(pid, 23) + rowInPart)
         val paired = DebeziumJson.decode(batch.toDF(), "value", info.schema)
           .drop("__table")
-          .withColumn(Changelog.SeqCol,
-            lit(epochId) * lit(1L << 43) + col(Changelog.SeqCol))
+          .withColumn(Changelog.SeqCol, seq)
         val ddl = if (!created) { created = true; Seq(CreateTableEvent(tableId, info)) } else Nil
         runner.processBatch(SourceBatch(ddl, Seq(tableId -> paired)))
+        // persist schema planes with the checkpoint (the reference
+        // checkpoints SchemaManager state; SchemaManager.java:56) so a
+        // restart resumes with evolved sink schemas, not the original
+        stateFile.foreach { f =>
+          f.getParentFile.mkdirs()
+          val tmp = new java.io.File(f.getParentFile, f.getName + ".tmp")
+          java.nio.file.Files.write(tmp.toPath, runner.registry.snapshotState.getBytes("UTF-8"))
+          java.nio.file.Files.move(tmp.toPath, f.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
         ()
       }
     checkpointLocation.fold(writer)(cp => writer.option("checkpointLocation", cp)).start()
@@ -59,6 +88,10 @@ final class StreamingPipeline(
 }
 
 object StreamingPipeline {
+
+  /** Schema-registry state file inside the checkpoint directory. */
+  val SchemaStateFile = "graft-schema-state.yaml"
+
   /** Convenience: a file-based debezium-JSON stream (one JSON per line) —
     * the zero-dependency stand-in for a Kafka topic in this environment;
     * swap `.format("text")` for `.format("kafka")` + `selectExpr("CAST

@@ -55,4 +55,24 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges <= 1, s"transform should not add exchanges:\n$p")
   }
+
+  test("native expressions stay inside whole-stage codegen") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.expressions.NativeHashFunctions
+    // a projection mixing native exprs with built-ins must fuse into ONE
+    // WholeStageCodegen span over the scan — CodegenFallback exprs would
+    // split it (the scan's columnar-to-row conversion lands in a separate
+    // span from the projection)
+    val df = Tables.load(spark, sf(), "documents")
+      .select(
+        col("doc_id") + 1,
+        NativeHashFunctions.simhash64(col("text")).as("sh"),
+        graft.ops.TextAnalysis.langId(col("text")).as("lang"))
+    val p = df.queryExecution.executedPlan.toString()
+    assert("\\*\\(\\d+\\)".r.findAllIn(p).nonEmpty, s"no WSCG span at all:\n$p")
+    // the Project node itself must carry a codegen id (be inside a span)
+    val projLine = p.linesIterator.find(_.contains("Project")).getOrElse("")
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(projLine).isDefined,
+      s"projection fell out of WSCG:\n$p")
+  }
 }

@@ -1,0 +1,66 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.model._
+import graft.pipeline.{PipelineDef, PipelineRunner, SinkDef, SourceDef}
+import graft.sinks.ValuesDatabase
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Chunk-consistency of the snapshot->stream handoff (the DBLog backfill
+  * question, IncrementalSourceScanFetcher.java:147-149): changes landing
+  * BETWEEN chunk reads of the snapshot phase must neither be lost nor
+  * break final state, given the low-watermark + full-image + PK-upsert
+  * contract documented on [[HybridSnapshotSource]].
+  *
+  * Scenario scripted below (chunked scan is not a consistent cut):
+  *   - log pos 100, table state {1->a, 2->b}; chunk A reads row 1 ("a")
+  *   - pos 101: UPDATE 1 -> a2        (after chunk A — A missed it)
+  *   - pos 102: INSERT 3 -> c         (before chunk B — B sees it)
+  *   - chunk B reads rows 2, 3 ("b", "c")
+  * Snapshot = A ∪ B = {1->a, 2->b, 3->c}: stale for row 1, already-fresh
+  * for row 3. True final state: {1->a2, 2->b, 3->c}.
+  */
+class HybridSnapshotSpec extends SparkSpec {
+
+  private val tid = TableId.parse("db.t")
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("v", StringType)))
+  private val tinfo = TableInfo(schema, primaryKeys = Seq("id"))
+
+  private def snapshotDf = {
+    import org.apache.spark.sql.functions.col
+    spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, "a"), Row(2L, "b"), Row(3L, "c")), schema)
+      .orderBy(col("id"))
+  }
+
+  private def changeFeed = ValuesSource.pairedFrame(spark, schema, Seq(
+    DataChangeEvent.update(tid, Row(1L, "a"), Row(1L, "a2")), // pos 101
+    DataChangeEvent.insert(tid, Row(3L, "c"))), // pos 102
+    seqStart = 101L)
+
+  private def run(watermark: Long): Seq[String] = {
+    val src = new HybridSnapshotSource(tid, tinfo, snapshotDf, watermark, Seq(changeFeed))
+    val sink = new ValuesDatabase
+    new PipelineRunner(spark,
+      PipelineDef(SourceDef("hybrid", Map.empty), SinkDef("values", Map.empty)),
+      src, sink).run()
+    sink.results(tid).map(_.stripPrefix(s"${tid.identifier}:")).sorted
+  }
+
+  test("low watermark: mid-snapshot changes replay idempotently to the true state") {
+    // replay window (100, ...] covers both changes: the update chunk A
+    // missed applies; the insert chunk B already saw re-applies the
+    // identical image (idempotent upsert)
+    assert(run(watermark = 100L) === Seq("1;a2", "2;b", "3;c"))
+  }
+
+  test("high watermark loses the mid-snapshot update — the excluded failure mode") {
+    // filtering changes past the snapshot END (pos 102) drops the update
+    // chunk A never saw: row 1 stays stale. This is why the contract
+    // demands the LOW watermark.
+    assert(run(watermark = 102L) === Seq("1;a", "2;b", "3;c"))
+  }
+}

@@ -76,6 +76,54 @@ class StreamingSpec extends SparkSpec {
     assert(sink2.inner.results(tid).toSet === Set("db.users:1;a2"))
   }
 
+  test("registry state snapshot/restore roundtrip") {
+    import graft.model._
+    import graft.schema.SchemaRegistry
+    val reg = new SchemaRegistry()
+    reg.apply(CreateTableEvent(tid, tableInfo))
+    reg.apply(AddColumnEvent(tid,
+      Seq((StructField("extra", IntegerType), ColumnPosition.Last))))
+    val restored = new SchemaRegistry()
+    restored.restoreState(reg.snapshotState)
+    assert(restored.originalInfo(tid) === reg.originalInfo(tid))
+    assert(restored.evolvedInfo(tid) === reg.evolvedInfo(tid))
+    assert(restored.evolvedInfo(tid).get.fieldNames === Seq("id", "v", "extra"))
+    assert(restored.evolvedInfo(tid).get.primaryKeys === Seq("id"))
+  }
+
+  test("restart with checkpointed schema state keeps the evolved sink schema") {
+    import graft.model._
+    import graft.schema.SchemaRegistry
+    val dir = java.nio.file.Files.createTempDirectory("dbz_schema").toFile
+    val feed = new java.io.File(dir, "feed"); feed.mkdirs()
+    val cpDir = new java.io.File(dir, "checkpoint"); cpDir.mkdirs()
+
+    // simulate a prior run that saw ADD COLUMN extra INT: its registry
+    // state sits in the checkpoint directory
+    val prior = new SchemaRegistry()
+    prior.apply(CreateTableEvent(tid, tableInfo))
+    prior.apply(AddColumnEvent(tid,
+      Seq((StructField("extra", IntegerType), ColumnPosition.Last))))
+    java.nio.file.Files.write(
+      new java.io.File(cpDir, StreamingPipeline.SchemaStateFile).toPath,
+      prior.snapshotState.getBytes("UTF-8"))
+
+    java.nio.file.Files.write(new java.io.File(feed, "f1.json").toPath,
+      """{"before":null,"after":{"id":1,"v":"a"},"op":"c","ts_ms":1,"source":{"db":"db","table":"users"}}"""
+        .getBytes("UTF-8"))
+    val sink = new ValuesDatabase
+    val sp = new StreamingPipeline(spark, pd, sink)
+    val q = sp.startFromDebeziumJson(
+      StreamingPipeline.fileJsonStream(spark, feed.getAbsolutePath),
+      tid, tableInfo, checkpointLocation = Some(cpDir.getAbsolutePath))
+    q.awaitTermination(60000)
+    // without restore, the synthesized CreateTable would reset the sink
+    // schema to (id, v); with it, rows coerce onto the evolved 3-column
+    // shape and the registry still knows the ADD COLUMN
+    assert(sp.runner.registry.evolvedInfo(tid).get.fieldNames === Seq("id", "v", "extra"))
+    assert(sink.results(tid) === Seq("db.users:1;a;null"))
+  }
+
   test("hybrid source: snapshot then changes past the watermark") {
     val snapshot = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     // change feed includes offsets <= watermark (already in snapshot, must
