@@ -1,0 +1,74 @@
+package graft.cdc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Canal-JSON envelope codec — the second wire format of the reference's
+  * Kafka sink (CanalJsonSerializationSchema.java:230-238:
+  * `{old: [row]|null, data: [row], type: INSERT|UPDATE|DELETE,
+  * database, table, pkNames}`). INSERT carries `after` in data; DELETE
+  * carries `before` in data (canal convention); UPDATE/REPLACE carry
+  * `after` in data with `before` in old.
+  *
+  * Like [[DebeziumJson]], both directions are pure projections
+  * (`to_json`/`from_json`), fully distributed and codegen-friendly.
+  */
+object CanalJson {
+
+  def envelopeSchema(payload: StructType): StructType = StructType(Seq(
+    StructField("old", ArrayType(payload)),
+    StructField("data", ArrayType(payload)),
+    StructField("type", StringType),
+    StructField("database", StringType),
+    StructField("table", StringType),
+    StructField("pkNames", ArrayType(StringType))))
+
+  /** Encode a paired changelog frame into canal-JSON strings (one message
+    * per change, single-element arrays — the reference's per-event shape).
+    */
+  def encode(paired: DataFrame, database: String, table: String,
+      pkNames: Seq[String]): DataFrame = {
+    val op = col(Changelog.OpCol)
+    paired.select(to_json(struct(
+      when(op.isin("U", "R") && col(Changelog.BeforeCol).isNotNull,
+        array(col(Changelog.BeforeCol))).as("old"),
+      when(op === "D", array(col(Changelog.BeforeCol)))
+        .otherwise(array(col(Changelog.AfterCol))).as("data"),
+      when(op === "I", "INSERT")
+        .when(op === "D", "DELETE")
+        .otherwise("UPDATE").as("type"),
+      lit(database).as("database"),
+      lit(table).as("table"),
+      typedLit(pkNames).as("pkNames")
+    )).as("value"))
+  }
+
+  /** Decode canal-JSON strings into the paired changelog frame. Handles
+    * multi-row messages (real canal batches several rows per message):
+    * `data` explodes and each row pairs with `old` by position. Rows of
+    * one message share its `__seq` — canal batches group distinct keys,
+    * and the -U/+U convention already shares seq within a change.
+    */
+  def decode(json: DataFrame, jsonCol: String, payload: StructType,
+      seqCol: Option[String] = None): DataFrame = {
+    val env = json.withColumn("__env", from_json(col(jsonCol), envelopeSchema(payload)))
+    val seq = seqCol.map(col).getOrElse(monotonically_increasing_id())
+    env
+      .withColumn("__seq0", seq.cast(LongType))
+      .select(col("__env"), col("__seq0"),
+        posexplode(col("__env.data")).as(Seq("__i", "__row")))
+      .select(
+        when(col("__env.type") === "INSERT", "I")
+          .when(col("__env.type") === "UPDATE", "U")
+          .when(col("__env.type") === "DELETE", "D")
+          .otherwise("R").as(Changelog.OpCol),
+        when(col("__env.type") === "DELETE", col("__row"))
+          .when(col("__env.type") === "UPDATE",
+            element_at(col("__env.old"), col("__i") + 1))
+          .as(Changelog.BeforeCol),
+        when(col("__env.type") =!= "DELETE", col("__row")).as(Changelog.AfterCol),
+        col("__seq0").as(Changelog.SeqCol),
+        col("__env.table").as("__table"))
+  }
+}

@@ -55,3 +55,90 @@ final class HybridSnapshotSource(
     Iterator(snapshotBatch) ++ streamBatches
   }
 }
+
+/** Startup modes of the incremental source, after the reference's
+  * `scan.startup.mode` (MySqlDataSourceOptions.java:123-130): initial,
+  * snapshot, earliest-offset, latest-offset, specific-offset, timestamp.
+  */
+sealed trait StartupMode
+object StartupMode {
+  case object Initial extends StartupMode
+  case object SnapshotOnly extends StartupMode
+  case object Earliest extends StartupMode
+  case object Latest extends StartupMode
+  final case class SpecificOffset(offset: Long) extends StartupMode
+  final case class AtTimestamp(tsMs: Long) extends StartupMode
+
+  /** Interpret `scan.startup.*` source options (the YAML frontend passes
+    * them through verbatim in `SourceDef.options`).
+    */
+  def fromOptions(options: Map[String, String]): StartupMode =
+    options.getOrElse("scan.startup.mode", "initial") match {
+      case "initial" => Initial
+      case "snapshot" => SnapshotOnly
+      case "earliest-offset" => Earliest
+      case "latest-offset" => Latest
+      case "specific-offset" =>
+        SpecificOffset(options.getOrElse("scan.startup.specific-offset.pos",
+          throw new IllegalArgumentException(
+            "specific-offset mode needs scan.startup.specific-offset.pos")).toLong)
+      case "timestamp" =>
+        AtTimestamp(options.getOrElse("scan.startup.timestamp-ms",
+          throw new IllegalArgumentException(
+            "timestamp mode needs scan.startup.timestamp-ms")).toLong)
+      case other => throw new IllegalArgumentException(s"unknown scan.startup.mode: $other")
+    }
+}
+
+object HybridSnapshotSource {
+
+  /** Build a source honoring a [[StartupMode]]:
+    *
+    *  - `initial`: snapshot + changes past the low watermark (the plain
+    *    [[HybridSnapshotSource]]);
+    *  - `snapshot`: the snapshot batch only (bounded);
+    *  - `earliest-offset`: no snapshot, the whole change feed;
+    *  - `latest-offset`: no snapshot, changes past `latestOffset` (the
+    *    current end of the log at startup);
+    *  - `specific-offset`: no snapshot, changes from the given offset on;
+    *  - `timestamp`: no snapshot, changes from
+    *    `offsetForTimestamp(tsMs)` on (the Kafka offsetsForTimes
+    *    analogue; identity when `__seq` IS an epoch-millis timestamp).
+    */
+  def withStartup(
+      mode: StartupMode,
+      tableId: TableId,
+      info: TableInfo,
+      snapshot: DataFrame,
+      lowWatermark: Long,
+      changeFeed: Seq[DataFrame],
+      latestOffset: Long = Long.MaxValue,
+      offsetForTimestamp: Long => Long = identity): CdcDataSource = {
+
+    def streamOnly(fromInclusive: Long): CdcDataSource = new CdcDataSource {
+      override def batches(spark: SparkSession): Iterator[SourceBatch] = {
+        val ddl = SourceBatch(Seq(CreateTableEvent(tableId, info)), Nil)
+        Iterator(ddl) ++ changeFeed.iterator.map { paired =>
+          SourceBatch(Nil,
+            Seq(tableId -> paired.where(col(Changelog.SeqCol) >= fromInclusive)))
+        }
+      }
+    }
+
+    mode match {
+      case StartupMode.Initial =>
+        new HybridSnapshotSource(tableId, info, snapshot, lowWatermark, changeFeed)
+      case StartupMode.SnapshotOnly => new CdcDataSource {
+        override def batches(spark: SparkSession): Iterator[SourceBatch] =
+          Iterator(SourceBatch(
+            Seq(CreateTableEvent(tableId, info)),
+            Seq(tableId -> Changelog.fromInsertOnly(snapshot, lit(lowWatermark)))))
+      }
+      case StartupMode.Earliest => streamOnly(Long.MinValue)
+      case StartupMode.Latest => streamOnly(
+        if (latestOffset == Long.MaxValue) Long.MaxValue else latestOffset + 1)
+      case StartupMode.SpecificOffset(o) => streamOnly(o)
+      case StartupMode.AtTimestamp(ts) => streamOnly(offsetForTimestamp(ts))
+    }
+  }
+}
