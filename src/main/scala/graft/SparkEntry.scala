@@ -560,6 +560,59 @@ object SparkEntry {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** SOFT_DELETE converter (§2.2 PostTransformConverter): DELETE becomes
+    * INSERT-of-before, with `__data_event_type__` projected BEFORE the
+    * converter runs so the sink row records the original op. Every user
+    * ever seen stays materialized; users whose last event was an error
+    * show op_type -D.
+    */
+  private def q39SoftDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.model.TableId
+    import graft.transform.{TransformEngine, TransformRule}
+    val ev = t(s, dir, "events")
+    val payload = struct(col("user_id"), round(col("value"), 2).as("v"))
+    val paired = ev.select(
+      when(col("event_type") === "signup", "I")
+        .when(col("event_type") === "error", "D")
+        .otherwise("U").as(Changelog.OpCol),
+      when(col("event_type") === "error", payload).as(Changelog.BeforeCol),
+      when(col("event_type") =!= "error", payload).as(Changelog.AfterCol),
+      col("event_id").as(Changelog.SeqCol))
+    val engine = new TransformEngine(s, Seq(TransformRule(
+      "events",
+      projection = Some("user_id, v, __data_event_type__ AS op_type"),
+      converter = Some("SOFT_DELETE"))))
+    val transformed = engine.transformChangelog(TableId.tableOnly("events"), paired)
+    Changelog.materialize(Changelog.explode(transformed), Seq("user_id"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Canal-JSON round trip (§2.8 Kafka sink, second format): the events
+    * changelog encoded as canal envelopes, decoded back, materialized —
+    * must equal the direct materialization (same oracle as q13).
+    */
+  private def q40CanalRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val payload = struct(col("user_id"), round(col("value"), 2).as("last_value"))
+    val paired = ev.select(
+      when(col("event_type") === "signup", "I")
+        .when(col("event_type") === "error", "D")
+        .otherwise("U").as(Changelog.OpCol),
+      when(col("event_type") === "error", payload).as(Changelog.BeforeCol),
+      when(col("event_type") =!= "error", payload).as(Changelog.AfterCol),
+      col("event_id").as(Changelog.SeqCol))
+    val payloadSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("last_value", DoubleType)))
+    val encoded = graft.cdc.CanalJson.encode(
+      paired, "graft", "events", Seq("user_id"), passthrough = Seq(Changelog.SeqCol))
+    val decoded = graft.cdc.CanalJson.decode(
+      encoded, "value", payloadSchema, seqCol = Some(Changelog.SeqCol))
+    Changelog.materialize(
+      Changelog.explode(decoded.drop("__table")), Seq("user_id"))
+      .orderBy(col("user_id"))
+  }
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -600,7 +653,9 @@ object SparkEntry {
     "q35_grouping_sets" -> (q35GroupingSets _),
     "q36_regexp" -> (q36Regexp _),
     "q37_salted_join" -> (q37SaltedJoin _),
-    "q38_subquery" -> (q38Subquery _)
+    "q38_subquery" -> (q38Subquery _),
+    "q39_soft_delete" -> (q39SoftDelete _),
+    "q40_canal_roundtrip" -> (q40CanalRoundtrip _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -930,6 +985,29 @@ object SparkEntry {
         |FROM customer c
         |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
         |                   WHERE c2.c_nationkey = c.c_nationkey)
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+    "q39_soft_delete" ->
+      """WITH cl AS (
+        |  SELECT user_id, round(value, 2) AS v, event_id AS seq,
+        |    CASE event_type WHEN 'signup' THEN '+I'
+        |      WHEN 'error' THEN '-D' ELSE '+U' END AS op_type
+        |  FROM events),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY seq DESC) AS rn FROM cl)
+        |SELECT user_id, v, op_type FROM ranked
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q40_canal_roundtrip" ->
+      """WITH cl AS (
+        |  SELECT user_id, round(value, 2) AS last_value,
+        |    CASE event_type WHEN 'signup' THEN '+I'
+        |      WHEN 'error' THEN '-D' ELSE '+U' END AS op,
+        |    event_id AS seq
+        |  FROM events),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY seq DESC) AS rn FROM cl)
+        |SELECT user_id, last_value FROM ranked
+        |WHERE rn = 1 AND op <> '-D' ORDER BY user_id""".stripMargin
   )
 }

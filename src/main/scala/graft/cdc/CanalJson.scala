@@ -26,11 +26,13 @@ object CanalJson {
 
   /** Encode a paired changelog frame into canal-JSON strings (one message
     * per change, single-element arrays — the reference's per-event shape).
+    * `passthrough` columns (e.g. `__seq` as the future Kafka offset) ride
+    * alongside the JSON value.
     */
   def encode(paired: DataFrame, database: String, table: String,
-      pkNames: Seq[String]): DataFrame = {
+      pkNames: Seq[String], passthrough: Seq[String] = Nil): DataFrame = {
     val op = col(Changelog.OpCol)
-    paired.select(to_json(struct(
+    paired.select((to_json(struct(
       when(op.isin("U", "R") && col(Changelog.BeforeCol).isNotNull,
         array(col(Changelog.BeforeCol))).as("old"),
       when(op === "D", array(col(Changelog.BeforeCol)))
@@ -41,7 +43,7 @@ object CanalJson {
       lit(database).as("database"),
       lit(table).as("table"),
       typedLit(pkNames).as("pkNames")
-    )).as("value"))
+    )).as("value") +: passthrough.map(col)): _*)
   }
 
   /** Decode canal-JSON strings into the paired changelog frame. Handles

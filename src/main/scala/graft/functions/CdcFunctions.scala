@@ -177,6 +177,11 @@ object CdcFunctions {
       provider: ModelProvider = new HashingModelProvider()): Unit = {
     spark.udf.register("GET_EMBEDDING", (s: String) => provider.embed(s))
     spark.udf.register("AI_CHAT_PREDICT", (s: String) => provider.chat(s))
+    // langchain-routed chat prediction (TransformSqlOperatorTable.java:677-691):
+    // (input, prompt) -> completion; same provider SPI, prompt prepended
+    spark.udf.register("AI_LANGCHAIN_PREDICT",
+      (s: String, prompt: String) =>
+        provider.chat(Option(prompt).getOrElse("") + Option(s).getOrElse("")))
     spark.udf.register("FROM_BASE64",
       (s: String) => if (s == null) null
         else new String(java.util.Base64.getDecoder.decode(s), "UTF-8"))
@@ -187,4 +192,37 @@ object CdcFunctions {
         if (ts == null || pattern == null) null
         else new java.text.SimpleDateFormat(pattern).format(ts))
   }
+
+  /** Register the pipeline `model:` block (transform.md:517-586): each
+    * `model-name` becomes a SQL function callable from transform
+    * projections/filters. Required options mirror the reference's model
+    * tables (openai.model/host/apikey); `openai.chat.prompt` prepends to
+    * chat inputs. `factory` supplies the provider — the default is the
+    * deterministic local stub (zero-egress environment); a real deployment
+    * returns an HTTP-backed provider here.
+    */
+  def registerModels(spark: SparkSession, models: Seq[graft.pipeline.ModelDef],
+      factory: graft.pipeline.ModelDef => ModelProvider = defaultModelFactory): Unit =
+    models.foreach { m =>
+      def need(keys: String*): Unit = keys.foreach(k =>
+        require(m.options.contains(k), s"model ${m.modelName}: option $k is required"))
+      val provider = factory(m)
+      m.className match {
+        case "OpenAIEmbeddingModel" =>
+          need("openai.model", "openai.host", "openai.apikey")
+          spark.udf.register(m.modelName, (s: String) => provider.embed(s))
+          ()
+        case "OpenAIChatModel" =>
+          need("openai.model", "openai.host", "openai.apikey")
+          val prompt = m.options.getOrElse("openai.chat.prompt", "")
+          spark.udf.register(m.modelName,
+            (s: String) => provider.chat(prompt + Option(s).getOrElse("")))
+          ()
+        case other =>
+          throw new IllegalArgumentException(s"unknown model class-name: $other")
+      }
+    }
+
+  def defaultModelFactory(m: graft.pipeline.ModelDef): ModelProvider =
+    new HashingModelProvider(m.options.get("embedding.dim").map(_.toInt).getOrElse(64))
 }

@@ -64,21 +64,23 @@ object Relational {
     left.join(right, keys).where(leftOn.between(lower, upper))
 
   /** Pure band join (no equi keys): bin both sides on `binWidth`-sized
-    * buckets of the ordering value, join on (bin, bin±1), then apply the
-    * exact band predicate — turns the O(n·m) cross product into a banded
-    * equi-join.
+    * buckets of the ordering value, then EQUI-join on bin — the left side
+    * explodes into its (bin-1, bin, bin+1) candidate bins so the join
+    * condition is a single equality Catalyst hash-partitions on. (An OR of
+    * three bin equalities is not an equi-join: Catalyst would fall back to
+    * BroadcastNestedLoopJoin — the cross product this helper exists to
+    * avoid.) The exact band predicate filters after the join.
     */
   def binnedRangeJoin(
       left: DataFrame, right: DataFrame,
       leftOn: Column, rightOn: Column, maxDistance: Column,
       binWidth: Long): DataFrame = {
-    val lb = left.withColumn("__bin", floor(leftOn / binWidth))
-    val rb = right.withColumn("__rbin", floor(rightOn / binWidth))
-    lb.join(rb,
-      (col("__rbin") === col("__bin")) ||
-        (col("__rbin") === col("__bin") + 1) ||
-        (col("__rbin") === col("__bin") - 1))
+    val lb = left.withColumn("__bin0", floor(leftOn / binWidth))
+      .withColumn("__bin",
+        explode(array(col("__bin0") - 1, col("__bin0"), col("__bin0") + 1)))
+    val rb = right.withColumn("__bin", floor(rightOn / binWidth))
+    lb.join(rb, "__bin")
       .where(abs(leftOn - rightOn) <= maxDistance)
-      .drop("__bin", "__rbin")
+      .drop("__bin", "__bin0")
   }
 }

@@ -13,6 +13,16 @@ import scala.jdk.CollectionConverters._
 final case class SourceDef(kind: String, options: Map[String, String])
 final case class SinkDef(kind: String, options: Map[String, String])
 
+/** A declared AI model from the pipeline `model:` block
+  * (docs/core-concept/transform.md:517-586): `model-name` becomes a SQL
+  * function callable in transform projections/filters; `class-name`
+  * selects the provider kind (OpenAIChatModel / OpenAIEmbeddingModel).
+  */
+final case class ModelDef(
+    modelName: String,
+    className: String,
+    options: Map[String, String])
+
 /** Sink-side distribution strategy (reference `sink.partitioning.strategy`,
   * PipelineOptions.java:140 + hash function providers): PRIMARY_KEY hashes
   * rows by PK (default), TABLE_ID keeps each table's rows together,
@@ -39,7 +49,8 @@ final case class PipelineDef(
     name: String = "pipeline",
     parallelism: Int = 1,
     schemaChangeBehavior: SchemaChangeBehavior = SchemaChangeBehavior.Lenient,
-    partitionStrategy: PartitionStrategy = PartitionStrategy.PrimaryKey)
+    partitionStrategy: PartitionStrategy = PartitionStrategy.PrimaryKey,
+    models: Seq[ModelDef] = Nil)
 
 /** YAML frontend for [[PipelineDef]], accepting the reference's pipeline
   * file shape (docs/core-concept/data-pipeline.md):
@@ -118,6 +129,24 @@ object YamlPipelineParser {
         replaceSymbol = m.get("replace-symbol").filter(_ != null))
     }
 
+    // pipeline.model is a nested list (the only non-scalar pipeline key)
+    val models = root.get("pipeline") match {
+      case Some(m: java.util.Map[_, _]) =>
+        m.asScala.collectFirst { case (k, l: java.util.List[_]) if k.toString == "model" =>
+          l.asScala.toSeq.collect {
+            case mm: java.util.Map[_, _] =>
+              val opts = mm.asScala.map { case (k2, v) => k2.toString -> v.toString }.toMap
+              ModelDef(
+                opts.getOrElse("model-name",
+                  throw new IllegalArgumentException("model.model-name required")),
+                opts.getOrElse("class-name",
+                  throw new IllegalArgumentException("model.class-name required")),
+                opts -- Seq("model-name", "class-name"))
+          }
+        }.getOrElse(Nil)
+      case _ => Nil
+    }
+
     val pipelineOpts = section("pipeline")
     PipelineDef(
       source = SourceDef(sourceOpts("type"), sourceOpts - "type"),
@@ -129,6 +158,7 @@ object YamlPipelineParser {
       schemaChangeBehavior = pipelineOpts.get("schema.change.behavior")
         .map(SchemaChangeBehavior.parse).getOrElse(SchemaChangeBehavior.Lenient),
       partitionStrategy = pipelineOpts.get("sink.partitioning.strategy")
-        .map(PartitionStrategy.parse).getOrElse(PartitionStrategy.PrimaryKey))
+        .map(PartitionStrategy.parse).getOrElse(PartitionStrategy.PrimaryKey),
+      models = models)
   }
 }

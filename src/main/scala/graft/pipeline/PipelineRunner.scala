@@ -29,6 +29,8 @@ final class PipelineRunner(
     sink: DataSink) {
 
   val registry = new SchemaRegistry(pipeline.schemaChangeBehavior)
+  // declared models become SQL functions visible to transform expressions
+  graft.functions.CdcFunctions.registerModels(spark, pipeline.models)
   private val engine = new TransformEngine(spark, pipeline.transforms,
     metadataKeys = pipeline.source.options.get("metadata.list")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))

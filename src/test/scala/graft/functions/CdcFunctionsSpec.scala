@@ -82,4 +82,40 @@ class CdcFunctionsSpec extends SparkSpec {
     val vals = df.collect().map(_.getTimestamp(0).getTime).distinct
     assert(vals.toSeq === Seq(epoch))
   }
+
+  test("model block: model-name becomes a SQL function; options validate") {
+    import graft.pipeline.ModelDef
+    val required = Map(
+      "openai.model" -> "text-embedding-3-small",
+      "openai.host" -> "http://example.invalid/v1",
+      "openai.apikey" -> "demo")
+    CdcFunctions.registerModels(spark, Seq(
+      ModelDef("EMB_FN", "OpenAIEmbeddingModel", required + ("embedding.dim" -> "16")),
+      ModelDef("CHAT_FN", "OpenAIChatModel",
+        required + ("openai.chat.prompt" -> "please summary this "))))
+    val r = spark.sql(
+      "SELECT EMB_FN('hello world') AS e, CHAT_FN('doc') AS c").head()
+    assert(r.getAs[collection.Seq[Float]]("e").length === 16)
+    assert(r.getAs[String]("c").startsWith("[stub-chat:"))
+    // prompt participates: same provider, different prompt -> different output
+    CdcFunctions.registerModels(spark, Seq(
+      ModelDef("CHAT_FN2", "OpenAIChatModel", required)))
+    val c2 = spark.sql("SELECT CHAT_FN2('doc') AS c").head().getString(0)
+    assert(c2 !== r.getAs[String]("c"))
+
+    intercept[IllegalArgumentException](CdcFunctions.registerModels(spark,
+      Seq(ModelDef("X", "NoSuchModel", required))))
+    intercept[IllegalArgumentException](CdcFunctions.registerModels(spark,
+      Seq(ModelDef("X", "OpenAIChatModel", Map.empty))))
+  }
+
+  test("AI_LANGCHAIN_PREDICT: prompt-routed chat prediction") {
+    CdcFunctions.registerAll(spark)
+    val out = spark.sql(
+      "SELECT AI_LANGCHAIN_PREDICT('doc body', 'summarize: ') AS p").head().getString(0)
+    assert(out.startsWith("[stub-chat:"))
+    val bare = spark.sql(
+      "SELECT AI_LANGCHAIN_PREDICT('doc body', '') AS p").head().getString(0)
+    assert(out !== bare) // the prompt changes the completion
+  }
 }

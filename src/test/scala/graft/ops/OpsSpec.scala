@@ -156,4 +156,25 @@ class OpsSpec extends SparkSpec {
       "media_id", "bytes", frameSize = 256)
     assert(frames.count() === 3) // 600 bytes -> 3 frames of 256
   }
+
+  test("binned range join matches brute force and avoids nested-loop plans") {
+    val l = Seq((1L, 100L), (2L, 250L), (3L, 990L)).toDF("lid", "lv")
+    val r = Seq((10L, 90L), (11L, 260L), (12L, 275L), (13L, 2000L)).toDF("rid", "rv")
+    val joined = Relational.binnedRangeJoin(
+      l, r, col("lv"), col("rv"), maxDistance = lit(30L), binWidth = 100L)
+    val got = joined.select(col("lid"), col("rid")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    // brute force: pairs within distance 30
+    val want = (for {
+      (lid, lv) <- Seq((1L, 100L), (2L, 250L), (3L, 990L))
+      (rid, rv) <- Seq((10L, 90L), (11L, 260L), (12L, 275L), (13L, 2000L))
+      if math.abs(lv - rv) <= 30
+    } yield (lid, rid)).toSet
+    assert(got === want)
+    assert(want === Set((1L, 10L), (2L, 11L), (2L, 12L)))
+    // plan shape: candidate-bin explode keeps this an equi join — an OR of
+    // bin equalities would fall back to BroadcastNestedLoopJoin
+    val plan = joined.queryExecution.executedPlan.toString()
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ fallback:\n$plan")
+  }
 }

@@ -156,4 +156,44 @@ class PipelineSpec extends SparkSpec {
     assert(pd.parallelism === 4)
     assert(pd.schemaChangeBehavior === graft.schema.SchemaChangeBehavior.Evolve)
   }
+
+  test("YAML model block parses and drives a transform projection") {
+    val pd = YamlPipelineParser.parse(
+      """source: { type: values }
+        |sink: { type: values }
+        |transform:
+        |  - source-table: db.docs
+        |    projection: "id, GET_EMB(body) AS emb"
+        |pipeline:
+        |  name: modeled
+        |  model:
+        |    - model-name: GET_EMB
+        |      class-name: OpenAIEmbeddingModel
+        |      openai.model: text-embedding-3-small
+        |      openai.host: http://example.invalid/v1
+        |      openai.apikey: demo
+        |      embedding.dim: 8
+        |""".stripMargin)
+    assert(pd.models === Seq(ModelDef("GET_EMB", "OpenAIEmbeddingModel", Map(
+      "openai.model" -> "text-embedding-3-small",
+      "openai.host" -> "http://example.invalid/v1",
+      "openai.apikey" -> "demo",
+      "embedding.dim" -> "8"))))
+
+    // end to end: the declared model function evaluates inside the transform
+    import graft.model._
+    import org.apache.spark.sql.types._
+    val tid = TableId.parse("db.docs")
+    val tinfo = TableInfo(StructType(Seq(
+      StructField("id", LongType), StructField("body", StringType))),
+      primaryKeys = Seq("id"))
+    val script = Seq(
+      CreateTableEvent(tid, tinfo),
+      DataChangeEvent.insert(tid, org.apache.spark.sql.Row(1L, "hello world")))
+    val sink = new ValuesDatabase
+    new PipelineRunner(spark, pd, new graft.sources.ValuesSource(script), sink).run()
+    val row = sink.rows(tid).head
+    assert(row.head === 1L)
+    assert(row(1).asInstanceOf[collection.Seq[Float]].length === 8)
+  }
 }

@@ -54,6 +54,37 @@ class ParquetUpsertSpec extends SparkSpec {
     assert(first.map(r => (r(0), r(1))) === Seq((1L, "a2"), (2L, "b")))
   }
 
+  test("bucketed COW: untouched buckets are not rewritten") {
+    val dir = java.nio.file.Files.createTempDirectory("pqsink_bucket").toFile
+    val sink = new ParquetUpsertSink(spark, dir.getAbsolutePath, numBuckets = 8)
+    val tid = TableId.parse("db.b")
+    val info = TableInfo(
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))),
+      primaryKeys = Seq("id"))
+
+    val seed = (1L to 40L).map(i => (i, s"v$i", "+I", i))
+      .toDF("id", "v", Changelog.OpCol, Changelog.SeqCol)
+    sink.write(tid, seed, info)
+    val table = new java.io.File(dir, "db/b")
+    val bucketDirs = table.listFiles().filter(_.getName.startsWith("__bucket="))
+    assert(bucketDirs.length > 1, "expected multiple bucket directories")
+    val mtimes = bucketDirs.map(d => d.getName -> d.lastModified()).toMap
+
+    Thread.sleep(1100) // ensure mtime granularity can't mask a rewrite
+    val update = Seq((1L, "v1x", "+U", 100L))
+      .toDF("id", "v", Changelog.OpCol, Changelog.SeqCol)
+    sink.write(tid, update, info)
+
+    val after = table.listFiles().filter(_.getName.startsWith("__bucket="))
+      .map(d => d.getName -> d.lastModified()).toMap
+    val rewritten = after.filter { case (n, t) => mtimes.get(n).exists(_ != t) }.keys.toSet
+    assert(rewritten.size === 1, s"exactly one bucket should be rewritten, got $rewritten")
+    // state is still correct
+    val got = sink.read(tid).orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.length === 40)
+    assert(got.head === ((1L, "v1x")))
+  }
+
   test("udf registry: lifecycle open runs once, eval callable from SQL") {
     object CountingUdf extends ScalarUdf1[String, Int] {
       var opened = 0
