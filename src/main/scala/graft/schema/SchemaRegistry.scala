@@ -40,10 +40,26 @@ final class SchemaRegistry(
 
   private val original = mutable.Map.empty[TableId, TableInfo]
   private val evolved = mutable.Map.empty[TableId, TableInfo]
+  // versioned store (SchemaManager keeps a sorted version map per table;
+  // SchemaManager.java:56): every applied change appends a version
+  private val originalHistory = mutable.Map.empty[TableId, Vector[TableInfo]]
+  private val evolvedHistory = mutable.Map.empty[TableId, Vector[TableInfo]]
 
   def originalInfo(t: TableId): Option[TableInfo] = original.get(t)
   def evolvedInfo(t: TableId): Option[TableInfo] = evolved.get(t)
   def tables: Set[TableId] = original.keySet.toSet
+
+  /** All evolved-plane versions of a table, oldest first (version = index). */
+  def evolvedVersions(t: TableId): Seq[TableInfo] =
+    evolvedHistory.getOrElse(t, Vector.empty)
+
+  /** All original-plane versions of a table, oldest first. */
+  def originalVersions(t: TableId): Seq[TableInfo] =
+    originalHistory.getOrElse(t, Vector.empty)
+
+  /** The evolved schema at a historical version (0-based). */
+  def evolvedInfoAt(t: TableId, version: Int): Option[TableInfo] =
+    evolvedVersions(t).lift(version)
 
   private def allowed(e: SchemaChangeEvent): Boolean = e match {
     case _: CreateTableEvent => true // create is never filtered
@@ -59,10 +75,16 @@ final class SchemaRegistry(
   def apply(e: SchemaChangeEvent): Seq[SchemaChangeEvent] = {
     // original plane always evolves
     e match {
-      case CreateTableEvent(t, info) => original(t) = info
-      case DropTableEvent(t) => original.remove(t)
+      case CreateTableEvent(t, info) =>
+        original(t) = info
+        originalHistory(t) = originalHistory.getOrElse(t, Vector.empty) :+ info
+      case DropTableEvent(t) =>
+        original.remove(t); originalHistory.remove(t)
       case other => original.get(other.tableId).foreach { i =>
-        original(other.tableId) = i.applySchemaChange(other)
+        val next = i.applySchemaChange(other)
+        original(other.tableId) = next
+        originalHistory(other.tableId) =
+          originalHistory.getOrElse(other.tableId, Vector.empty) :+ next
       }
     }
 
@@ -106,7 +128,11 @@ final class SchemaRegistry(
       Map[String, Object](
         "id" -> t.identifier,
         "original" -> infoMap(original(t)),
-        "evolved" -> evolved.get(t).map(infoMap).orNull).asJava
+        "evolved" -> evolved.get(t).map(infoMap).orNull,
+        "originalVersions" -> originalHistory.getOrElse(t, Vector.empty)
+          .map(infoMap).asJava,
+        "evolvedVersions" -> evolvedHistory.getOrElse(t, Vector.empty)
+          .map(infoMap).asJava).asJava
     }.asJava
     new org.yaml.snakeyaml.Yaml().dump(
       Map[String, Object]("tables" -> tables).asJava)
@@ -126,23 +152,35 @@ final class SchemaRegistry(
         .map(_.asInstanceOf[java.util.Map[String, String]].asScala.toMap).getOrElse(Map.empty),
       Option(m.get("comment")).map(_.toString))
     original.clear(); evolved.clear()
+    originalHistory.clear(); evolvedHistory.clear()
     val root = new org.yaml.snakeyaml.Yaml().load[java.util.Map[String, Object]](state)
+    def versions(tm: java.util.Map[String, Object], key: String): Vector[TableInfo] =
+      Option(tm.get(key)).map(_.asInstanceOf[java.util.List[java.util.Map[String, Object]]]
+        .asScala.map(infoOf).toVector).getOrElse(Vector.empty)
     Option(root.get("tables")).foreach { ts =>
       ts.asInstanceOf[java.util.List[java.util.Map[String, Object]]].asScala.foreach { tm =>
         val tid = TableId.parse(tm.get("id").toString)
         original(tid) = infoOf(tm.get("original").asInstanceOf[java.util.Map[String, Object]])
         Option(tm.get("evolved")).foreach(e =>
           evolved(tid) = infoOf(e.asInstanceOf[java.util.Map[String, Object]]))
+        originalHistory(tid) = versions(tm, "originalVersions")
+        evolvedHistory(tid) = versions(tm, "evolvedVersions")
       }
     }
   }
 
   private def evolveWith(e: SchemaChangeEvent): Seq[SchemaChangeEvent] = {
     e match {
-      case CreateTableEvent(t, info) => evolved(t) = info
-      case DropTableEvent(t) => evolved.remove(t)
+      case CreateTableEvent(t, info) =>
+        evolved(t) = info
+        evolvedHistory(t) = evolvedHistory.getOrElse(t, Vector.empty) :+ info
+      case DropTableEvent(t) =>
+        evolved.remove(t); evolvedHistory.remove(t)
       case other => evolved.get(other.tableId).foreach { i =>
-        evolved(other.tableId) = i.applySchemaChange(other)
+        val next = i.applySchemaChange(other)
+        evolved(other.tableId) = next
+        evolvedHistory(other.tableId) =
+          evolvedHistory.getOrElse(other.tableId, Vector.empty) :+ next
       }
     }
     Seq(e)

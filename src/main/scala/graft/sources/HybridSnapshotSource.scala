@@ -83,9 +83,10 @@ object StartupMode {
           throw new IllegalArgumentException(
             "specific-offset mode needs scan.startup.specific-offset.pos")).toLong)
       case "timestamp" =>
-        AtTimestamp(options.getOrElse("scan.startup.timestamp-ms",
-          throw new IllegalArgumentException(
-            "timestamp mode needs scan.startup.timestamp-ms")).toLong)
+        AtTimestamp(options.get("scan.startup.timestamp-millis")
+          .orElse(options.get("scan.startup.timestamp-ms"))
+          .getOrElse(throw new IllegalArgumentException(
+            "timestamp mode needs scan.startup.timestamp-millis")).toLong)
       case other => throw new IllegalArgumentException(s"unknown scan.startup.mode: $other")
     }
 }

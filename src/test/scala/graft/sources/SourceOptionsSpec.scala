@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The typed incremental-source option surface
+  * (MySqlDataSourceOptions parity): defaults, parsing, typo rejection,
+  * passthrough namespaces.
+  */
+class SourceOptionsSpec extends AnyFunSuite {
+
+  test("36 options with reference defaults") {
+    assert(SourceOptions.all.size === 36)
+    val r = SourceOptions.resolve(Map("hostname" -> "db1", "tables" -> "app.\\.*"))
+    assert(r(SourceOptions.Hostname) === "db1")
+    assert(r(SourceOptions.Port) === 3306)
+    assert(r(SourceOptions.ScanChunkSize) === 8096)
+    assert(r(SourceOptions.ChunkKeyEvenUpper) === 1000.0)
+    assert(r(SourceOptions.ChunkKeyEvenLower) === 0.05)
+    assert(r(SourceOptions.ScanStartupMode) === "initial")
+    assert(r(SourceOptions.SchemaChangeEnabled) === true)
+    assert(r(SourceOptions.TreatTinyInt1AsBoolean) === true)
+    assert(r(SourceOptions.ConnectTimeout) === java.time.Duration.ofSeconds(30))
+    assert(r.get(SourceOptions.ServerId).isEmpty)
+  }
+
+  test("typed parsing and duration formats") {
+    val r = SourceOptions.resolve(Map(
+      "port" -> "3307",
+      "connect.timeout" -> "500ms",
+      "heartbeat.interval" -> "5min",
+      "scan.incremental.snapshot.chunk.size" -> "1024",
+      "chunk-key.even-distribution.factor.upper-bound" -> "10.5",
+      "scan.newly-added-table.enabled" -> "true"))
+    assert(r(SourceOptions.Port) === 3307)
+    assert(r(SourceOptions.ConnectTimeout) === java.time.Duration.ofMillis(500))
+    assert(r(SourceOptions.HeartbeatInterval) === java.time.Duration.ofMinutes(5))
+    assert(r(SourceOptions.ScanChunkSize) === 1024)
+    assert(r(SourceOptions.ChunkKeyEvenUpper) === 10.5)
+    assert(r(SourceOptions.ScanNewlyAddedTable) === true)
+  }
+
+  test("typos inside reserved prefixes fail fast; passthrough flows") {
+    intercept[IllegalArgumentException](
+      SourceOptions.resolve(Map("scan.startup.modee" -> "initial")))
+    intercept[IllegalArgumentException](
+      SourceOptions.resolve(Map("connect.timeot" -> "30s")))
+    intercept[IllegalArgumentException](
+      SourceOptions.resolve(Map("port" -> "not-a-number")))
+    val r = SourceOptions.resolve(Map(
+      "debezium.snapshot.mode" -> "never",
+      "jdbc.properties.useSSL" -> "false",
+      "custom-key" -> "ok")) // unreserved unknown keys pass
+    assert(r.passthrough("debezium.") === Map("snapshot.mode" -> "never"))
+    assert(r.passthrough("jdbc.properties.") === Map("useSSL" -> "false"))
+  }
+
+  test("startup options integrate with StartupMode") {
+    val r = SourceOptions.resolve(Map(
+      "scan.startup.mode" -> "timestamp",
+      "scan.startup.timestamp-millis" -> "1700000000000"))
+    assert(StartupMode.fromOptions(r.raw) === StartupMode.AtTimestamp(1700000000000L))
+  }
+}

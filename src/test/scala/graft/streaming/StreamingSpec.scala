@@ -89,6 +89,30 @@ class StreamingSpec extends SparkSpec {
     assert(restored.evolvedInfo(tid) === reg.evolvedInfo(tid))
     assert(restored.evolvedInfo(tid).get.fieldNames === Seq("id", "v", "extra"))
     assert(restored.evolvedInfo(tid).get.primaryKeys === Seq("id"))
+    // version history survives the roundtrip
+    assert(restored.evolvedVersions(tid).map(_.fieldNames) ===
+      Seq(Seq("id", "v"), Seq("id", "v", "extra")))
+  }
+
+  test("versioned schema store: every change appends a version") {
+    import graft.model._
+    import graft.schema.SchemaRegistry
+    val reg = new SchemaRegistry()
+    reg.apply(CreateTableEvent(tid, tableInfo))
+    reg.apply(AddColumnEvent(tid,
+      Seq((StructField("a", IntegerType), ColumnPosition.Last))))
+    reg.apply(AddColumnEvent(tid,
+      Seq((StructField("b", StringType), ColumnPosition.Last))))
+    assert(reg.evolvedVersions(tid).size === 3)
+    assert(reg.evolvedInfoAt(tid, 0).get.fieldNames === Seq("id", "v"))
+    assert(reg.evolvedInfoAt(tid, 1).get.fieldNames === Seq("id", "v", "a"))
+    assert(reg.evolvedInfoAt(tid, 2).get.fieldNames === Seq("id", "v", "a", "b"))
+    assert(reg.evolvedInfoAt(tid, 3).isEmpty)
+    // original plane: rename is tracked faithfully even under LENIENT
+    reg.apply(RenameColumnEvent(tid, Map("v" -> "val")))
+    assert(reg.originalVersions(tid).last.fieldNames === Seq("id", "val", "a", "b"))
+    // lenient sink plane added a column instead of renaming
+    assert(reg.evolvedInfo(tid).get.fieldNames === Seq("id", "v", "a", "b", "val"))
   }
 
   test("restart with checkpointed schema state keeps the evolved sink schema") {
