@@ -11,60 +11,110 @@ import org.apache.spark.sql.functions._
   * as an upsert keyed on the primary key.
   *
   * This is the plain-Spark analogue of the reference's lakehouse sinks
-  * (paimon/iceberg/hudi pipeline connectors), which perform `MERGE INTO`
-  * per flush. The merge is copy-on-write at BUCKET granularity: a batch
-  * first resolves which of the `numBuckets` hash buckets its keys touch,
-  * reads ONLY those buckets of current state (directory-level partition
-  * pruning), merges last-wins per PK, and swaps only those bucket
-  * directories. Untouched buckets are never read or rewritten — the same
-  * cost profile as a table format's file-pruned MERGE (rewrite work scales
-  * with touched fraction, not table size). A bucket whose rows all get
-  * deleted is removed.
+  * (paimon/iceberg/hudi pipeline connectors), with both table-format write
+  * profiles:
   *
-  * The bucket count is fixed at table creation (persisted in a marker
-  * file) so key→bucket assignment stays stable across batches and
-  * processes.
+  *  - '''copy-on-write''' (default): a batch resolves which hash buckets
+  *    its keys touch, reads ONLY those buckets of current state
+  *    (directory-level partition pruning), merges last-wins per PK, and
+  *    swaps only those bucket directories. Rewrite work scales with the
+  *    touched fraction, not table size. Best for read-heavy tables.
+  *  - '''merge-on-read''' (`mergeOnRead = true`): a batch APPENDS its
+  *    changelog rows as a delta file set — no read, no merge, no window;
+  *    the cheapest possible ingest (the Paimon-LSM / Hudi-MOR profile).
+  *    [[read]] merges base ∪ deltas last-wins on the fly; [[compact]]
+  *    folds the deltas into the bucketed base via the same COW merge.
+  *
+  * The bucket count and primary keys are pinned in a marker file at table
+  * creation so key→bucket assignment and read-time merging stay stable
+  * across batches and processes.
   */
 final class ParquetUpsertSink(spark: SparkSession, baseDir: String,
-    registry: Option[SchemaRegistry] = None, numBuckets: Int = 16) extends DataSink {
+    registry: Option[SchemaRegistry] = None, numBuckets: Int = 16,
+    mergeOnRead: Boolean = false) extends DataSink {
 
   private val BucketCol = "__bucket"
 
   private def path(t: TableId) = s"$baseDir/${t.parts.mkString("/")}"
+  private def deltaRoot(p: String) = new java.io.File(p + "__delta")
 
   override def applySchemaChange(e: SchemaChangeEvent): Unit =
     registry.foreach(_.apply(e))
 
-  /** Bucket count for a table dir: the persisted marker wins (stability
-    * across restarts/config changes); first write stamps it.
-    */
-  private def resolveBuckets(p: String): Int = {
-    val marker = new java.io.File(p + "_buckets")
-    if (marker.exists())
-      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim.toInt
-    else numBuckets
+  // ---- table metadata marker (bucket count + primary keys) ----
+
+  private def metaFile(p: String) = new java.io.File(p + "_meta")
+
+  private def readMeta(p: String): Option[Map[String, String]] = {
+    val f = metaFile(p)
+    if (!f.exists()) None
+    else Some(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      .linesIterator.flatMap { l =>
+        l.split("=", 2) match { case Array(k, v) => Some(k -> v); case _ => None }
+      }.toMap)
   }
 
-  private def stampBuckets(p: String, n: Int): Unit = {
-    val marker = new java.io.File(p + "_buckets")
-    if (!marker.exists()) {
-      Option(marker.getParentFile).foreach(_.mkdirs())
-      java.nio.file.Files.write(marker.toPath, n.toString.getBytes("UTF-8"))
+  private def resolveBuckets(p: String): Int =
+    readMeta(p).flatMap(_.get("buckets")).map(_.toInt).getOrElse(numBuckets)
+
+  private def stampMeta(p: String, n: Int, pks: Seq[String]): Unit = {
+    val f = metaFile(p)
+    if (!f.exists()) {
+      Option(f.getParentFile).foreach(_.mkdirs())
+      java.nio.file.Files.write(f.toPath,
+        s"buckets=$n\npks=${pks.mkString(",")}\n".getBytes("UTF-8"))
       ()
     }
   }
 
+  // ---- write ----
+
   override def write(tableId: TableId, exploded: DataFrame, info: TableInfo): Unit = {
     require(info.primaryKeys.nonEmpty, s"$tableId needs a primary key for upsert")
     val p = path(tableId)
+    val payload = info.schema.fieldNames.toSeq
+    val batch = exploded.select(
+      (payload.map(col) :+ col(Changelog.OpCol) :+ col(Changelog.SeqCol)): _*)
+    if (mergeOnRead) {
+      // append-only delta: no read, no merge — one pass over the pipeline
+      val root = deltaRoot(p)
+      root.mkdirs()
+      val n = Option(root.listFiles()).toSeq.flatten.count(_.getName.startsWith("delta-"))
+      batch.write.mode(SaveMode.ErrorIfExists)
+        .parquet(new java.io.File(root, f"delta-$n%05d").getAbsolutePath)
+    } else {
+      cowApply(p, batch, info, writeAhead = true)
+    }
+    stampMeta(p, resolveBuckets(p), info.primaryKeys)
+  }
+
+  /** Fold all pending deltas of a merge-on-read table into the bucketed
+    * base (the LSM compaction step) via the same pruned COW merge, then
+    * drop the deltas. No-op when none are pending.
+    */
+  def compact(tableId: TableId, info: TableInfo): Unit = {
+    val p = path(tableId)
+    val dirs = deltaDirs(p)
+    if (dirs.isEmpty) return
+    val deltas = spark.read.parquet(dirs.map(_.getAbsolutePath): _*)
+    // deltas are already on disk: the touched-set probe re-reads cheap
+    // parquet, not the upstream pipeline — skip the write-ahead
+    cowApply(p, deltas, info, writeAhead = false)
+    dirs.foreach(deleteRecursively)
+  }
+
+  private def deltaDirs(p: String): Seq[java.io.File] =
+    Option(deltaRoot(p).listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("delta-")).sortBy(_.getName)
+
+  /** Bucket-granular copy-on-write merge of one changelog batch. */
+  private def cowApply(p: String, rawBatch: DataFrame, info: TableInfo,
+      writeAhead: Boolean): Unit = {
     val target = info.schema
-    val payload = target.fieldNames.toSeq
     val buckets = resolveBuckets(p)
     def bucketOf(df: DataFrame): DataFrame =
       df.withColumn(BucketCol, pmod(hash(info.primaryKeys.map(col): _*), lit(buckets)))
-
-    val batch = bucketOf(exploded.select(
-      (payload.map(col) :+ col(Changelog.OpCol) :+ col(Changelog.SeqCol)): _*))
+    val batch = bucketOf(rawBatch)
 
     val exists = Option(new java.io.File(p).listFiles())
       .exists(_.exists(_.getName.startsWith(s"$BucketCol=")))
@@ -81,13 +131,19 @@ final class ParquetUpsertSink(spark: SparkSession, baseDir: String,
       // current state, but computing it with a distinct() job would re-run
       // the whole upstream decode — so write-ahead the batch itself,
       // bucketed; the staged directory names ARE the touched set, read off
-      // the driver with no extra job.
-      val tmpBatch = p + "__batch"
-      batch.repartition(col(BucketCol))
-        .write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(tmpBatch)
-      val touched = listBuckets(tmpBatch)
-      if (touched.isEmpty) { deleteRecursively(new java.io.File(tmpBatch)); return }
-      val staged = spark.read.parquet(tmpBatch)
+      // the driver with no extra job. (Compaction input is already
+      // parquet, so it probes with a cheap distinct instead.)
+      val (staged, touched, tmpBatch) =
+        if (writeAhead) {
+          val tmp = p + "__batch"
+          batch.repartition(col(BucketCol))
+            .write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(tmp)
+          (spark.read.parquet(tmp), listBuckets(tmp), Some(tmp))
+        } else {
+          val t = batch.select(col(BucketCol)).distinct().collect().map(_.getInt(0)).toSeq
+          (batch, t, None)
+        }
+      if (touched.isEmpty) { tmpBatch.foreach(t => deleteRecursively(new java.io.File(t))); return }
 
       // read ONLY the touched buckets — partition pruning keeps untouched
       // directories off the scan entirely
@@ -100,9 +156,8 @@ final class ParquetUpsertSink(spark: SparkSession, baseDir: String,
       val written = stage(p, merged)
       // a touched bucket absent from staging lost all its rows: remove it
       swap(p, written, removeMissing = touched.filterNot(written.contains))
-      deleteRecursively(new java.io.File(tmpBatch))
+      tmpBatch.foreach(t => deleteRecursively(new java.io.File(t)))
     }
-    stampBuckets(p, buckets)
   }
 
   private def listBuckets(dir: String): Seq[Int] =
@@ -146,6 +201,29 @@ final class ParquetUpsertSink(spark: SparkSession, baseDir: String,
     f.delete(); ()
   }
 
-  def read(tableId: TableId): DataFrame =
-    spark.read.parquet(path(tableId)).drop(BucketCol)
+  /** Current table state. COW tables read the base directly; MOR tables
+    * with pending deltas merge base ∪ deltas last-wins on the fly (the
+    * "read" half of merge-on-read), keyed by the marker-pinned PKs.
+    */
+  def read(tableId: TableId): DataFrame = {
+    val p = path(tableId)
+    val dirs = deltaDirs(p)
+    val baseExists = Option(new java.io.File(p).listFiles())
+      .exists(_.exists(_.getName.startsWith(s"$BucketCol=")))
+    if (dirs.isEmpty) {
+      spark.read.parquet(p).drop(BucketCol)
+    } else {
+      val pks = readMeta(p).flatMap(_.get("pks"))
+        .map(_.split(",").filter(_.nonEmpty).toSeq)
+        .getOrElse(throw new IllegalStateException(s"no pk marker for $tableId"))
+      val deltas = spark.read.parquet(dirs.map(_.getAbsolutePath): _*)
+      val all =
+        if (!baseExists) deltas
+        else spark.read.parquet(p).drop(BucketCol)
+          .withColumn(Changelog.OpCol, lit("+I"))
+          .withColumn(Changelog.SeqCol, lit(-1L))
+          .unionByName(deltas)
+      Changelog.materialize(all, pks)
+    }
+  }
 }

@@ -85,6 +85,43 @@ class ParquetUpsertSpec extends SparkSpec {
     assert(got.head === ((1L, "v1x")))
   }
 
+  test("merge-on-read: appends merge at read time, compact folds into base") {
+    val dir = java.nio.file.Files.createTempDirectory("pqsink_mor").toFile
+    val sink = new ParquetUpsertSink(spark, dir.getAbsolutePath,
+      numBuckets = 4, mergeOnRead = true)
+    val tid = TableId.parse("db.m")
+    val info = TableInfo(
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))),
+      primaryKeys = Seq("id"))
+
+    def state() = sink.read(tid).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+
+    sink.write(tid, Seq((1L, "a", "+I", 1L), (2L, "b", "+I", 2L))
+      .toDF("id", "v", Changelog.OpCol, Changelog.SeqCol), info)
+    sink.write(tid, Seq((1L, "a2", "+U", 3L), (2L, "b", "-D", 4L), (3L, "c", "+I", 5L))
+      .toDF("id", "v", Changelog.OpCol, Changelog.SeqCol), info)
+
+    // no base yet: both deltas merge at read time
+    val table = new java.io.File(dir, "db/m")
+    assert(!table.exists() || table.listFiles().forall(!_.getName.startsWith("__bucket=")))
+    assert(state() === Seq((1L, "a2"), (3L, "c")))
+
+    // compaction folds deltas into the bucketed base and removes them
+    sink.compact(tid, info)
+    assert(new java.io.File(dir, "db/m__delta").listFiles() === null ||
+      new java.io.File(dir, "db/m__delta").listFiles().isEmpty)
+    assert(table.listFiles().exists(_.getName.startsWith("__bucket=")))
+    assert(state() === Seq((1L, "a2"), (3L, "c")))
+
+    // post-compaction deltas still merge against the base
+    sink.write(tid, Seq((3L, "c", "-D", 6L), (4L, "d", "+I", 7L))
+      .toDF("id", "v", Changelog.OpCol, Changelog.SeqCol), info)
+    assert(state() === Seq((1L, "a2"), (4L, "d")))
+    sink.compact(tid, info)
+    assert(state() === Seq((1L, "a2"), (4L, "d")))
+  }
+
   test("udf registry: lifecycle open runs once, eval callable from SQL") {
     object CountingUdf extends ScalarUdf1[String, Int] {
       var opened = 0
