@@ -56,6 +56,31 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, s"transform should not add exchanges:\n$p")
   }
 
+  test("q22 minhash: banded equi-joins only — no cartesian/nested-loop") {
+    val p = plan("q22_dedup_minhash")
+    assert(!p.contains("CartesianProduct"), s"cartesian in dedup plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in dedup plan:\n$p")
+  }
+
+  test("q24 brute-force ANN: corpus streams against a broadcast query set") {
+    val p = plan("q24_embed_topk")
+    // the cross join IS the algorithm; the small side must be broadcast
+    // (corpus never shuffles until the tiny per-query top-k window)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query set not broadcast:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"corpus should shuffle at most once (top-k window):\n$p")
+  }
+
+  test("q33 IVF: assignment is projection-only — no crossJoin, no assignment window") {
+    val p = plan("q33_embed_ivf")
+    assert(!p.contains("CartesianProduct"), s"crossJoin leaked back into IVF:\n$p")
+    // exactly one Window NODE (per-query top-k) — the old per-row argmin
+    // window would add a second
+    val windowNodes = p.linesIterator.count(_.contains("Window ["))
+    assert(windowNodes <= 1, s"extra window in IVF plan:\n$p")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     import graft.functions.expressions.NativeHashFunctions
