@@ -99,7 +99,10 @@ object Multimodal {
         greatest(ceil(length(col(bytesCol)) / frameSize.toDouble).cast("int") - 1, lit(0))),
       i => struct(
         i.as("frame_no"),
-        xxhash64(substring(base64(col(bytesCol)), 1, 32), i).as("frame_digest")))
+        // digest over the frame's OWN byte slice (1-based substring on
+        // binary), not a prefix of the whole payload
+        xxhash64(col(bytesCol).substr(i * frameSize + 1, lit(frameSize)), i)
+          .as("frame_digest")))
     df.select(col(idCol), posexplode(frames).as(Seq("pos", "frame")))
       .select(col(idCol), col("frame.frame_no").as("frame_no"),
         col("frame.frame_digest").as("frame_digest"))

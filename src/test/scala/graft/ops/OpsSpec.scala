@@ -155,6 +155,16 @@ class OpsSpec extends SparkSpec {
       Seq((1L, ("x" * 600).getBytes("UTF-8"))).toDF("media_id", "bytes"),
       "media_id", "bytes", frameSize = 256)
     assert(frames.count() === 3) // 600 bytes -> 3 frames of 256
+
+    // digests hash each frame's OWN slice: payloads differing only in a
+    // later frame must produce identical digests for the earlier frames
+    def digests(payload: Array[Byte]) = Multimodal.frameSample(
+      Seq((1L, payload)).toDF("media_id", "bytes"), "media_id", "bytes", frameSize = 4)
+      .orderBy("frame_no").collect().map(_.getLong(2)).toSeq
+    val a = digests("aaaabbbb".getBytes("UTF-8"))
+    val b = digests("aaaacccc".getBytes("UTF-8"))
+    assert(a.head === b.head, "frame 0 digest should not depend on frame 1 bytes")
+    assert(a(1) !== b(1), "frame 1 digest must reflect frame 1 bytes")
   }
 
   test("binned range join matches brute force and avoids nested-loop plans") {
