@@ -69,4 +69,29 @@ object JdbcChunkSplitter {
       props: java.util.Properties = new java.util.Properties()): DataFrame =
     spark.read.jdbc(url, table, plan.partitionColumn,
       plan.lowerBound, plan.upperBound, plan.numPartitions, props)
+
+  /** Explicit per-chunk WHERE predicates with the reference's
+    * SnapshotSplit boundary semantics (ChunkUtils: first split unbounded
+    * below, last unbounded above, half-open [lo, hi) in between) — for
+    * `spark.read.jdbc(url, table, predicates, props)` when explicit
+    * chunk-at-a-time reads are wanted instead of stride partitioning, and
+    * so chunk coverage is testable (each key matches exactly one chunk,
+    * including keys outside the sampled [min, max]).
+    * `unboundedChunkFirst` assigns the unbounded-above split first
+    * (`scan.incremental.snapshot.unbounded-chunk-first.enabled`).
+    */
+  def chunkPredicates(plan: ChunkPlan, unboundedChunkFirst: Boolean = false): Seq[String] = {
+    val c = plan.partitionColumn
+    val n = plan.numPartitions
+    if (n <= 1) return Seq("1 = 1")
+    val span = math.max(1L,
+      math.ceil((plan.upperBound - plan.lowerBound).toDouble / n).toLong)
+    def b(i: Int): Long = plan.lowerBound + i * span
+    val preds = (0 until n).map { i =>
+      if (i == 0) s"$c < ${b(1)}"
+      else if (i == n - 1) s"$c >= ${b(i)}"
+      else s"$c >= ${b(i)} AND $c < ${b(i + 1)}"
+    }
+    if (unboundedChunkFirst) preds.last +: preds.init else preds
+  }
 }

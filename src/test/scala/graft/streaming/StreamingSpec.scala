@@ -212,6 +212,26 @@ class StreamingSpec extends SparkSpec {
     assert(out === Seq((1L, 9.99)))
   }
 
+  test("chunk predicates: every key matches exactly one chunk, edges unbounded") {
+    import JdbcChunkSplitter._
+    val plan = JdbcChunkSplitter.plan("id", KeyStats(0, 999, 1000), chunkSize = 250)
+    val preds = chunkPredicates(plan)
+    assert(preds.size === plan.numPartitions)
+    // include keys OUTSIDE the sampled [min, max] — rows inserted after
+    // stats were taken must still land in an edge chunk
+    val df = spark.range(-50, 1100).toDF("id")
+    val total = df.count()
+    val counts = preds.map(p => df.where(p).count())
+    assert(counts.sum === total, s"coverage not exactly-once: $counts")
+    assert(preds.map(p => df.where(p)).reduce(_ union _).distinct().count() === total)
+    // unbounded-chunk-first reorders only
+    val firstMode = chunkPredicates(plan, unboundedChunkFirst = true)
+    assert(firstMode.head === preds.last)
+    assert(firstMode.toSet === preds.toSet)
+    // degenerate single-chunk plan
+    assert(chunkPredicates(JdbcChunkSplitter.plan("id", KeyStats(0, 10, 10))) === Seq("1 = 1"))
+  }
+
   test("jdbc chunk splitter heuristic: even vs skewed key spaces") {
     import JdbcChunkSplitter._
     // dense keys: factor ~1, even split, ~rowCount/chunkSize partitions
