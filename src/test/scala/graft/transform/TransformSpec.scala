@@ -73,6 +73,18 @@ class TransformSpec extends SparkSpec {
       Seq("a", "f(b, c) AS x", "'lit,eral' AS y"))
   }
 
+  test("first matching rule wins (transform.md:389-401)") {
+    val engine = new TransformEngine(spark, Seq(
+      TransformRule("db.t", projection = Some("id, v * 10 AS out")),
+      TransformRule("db.\\.*", projection = Some("id, v * 100 AS out"))))
+    val df = Seq((1L, 2)).toDF("id", "v")
+    val got = engine.transformBatch(tid, df).collect().head
+    assert(got.getInt(1) === 20, "the earlier, more specific rule must win")
+    // a table matching only the second rule takes it
+    val other = engine.transformBatch(TableId.parse("db.other"), df).collect().head
+    assert(other.getInt(1) === 200)
+  }
+
   test("converter registry: SOFT_DELETE resolves, unknown rejects") {
     assert(PostTransformConverters.validate("SOFT_DELETE") === "SOFT_DELETE")
     val e = intercept[IllegalArgumentException](PostTransformConverters.validate("NOPE"))
