@@ -29,6 +29,9 @@ final class PipelineRunner(
     sink: DataSink) {
 
   val registry = new SchemaRegistry(pipeline.schemaChangeBehavior)
+  // fail fast on source-option typos (unknown keys under scan./chunk-/
+  // connect reserved prefixes), whatever backend ends up interpreting them
+  graft.sources.SourceOptions.resolve(pipeline.source.options)
   // declared models become SQL functions visible to transform expressions
   graft.functions.CdcFunctions.registerModels(spark, pipeline.models)
   private val engine = new TransformEngine(spark, pipeline.transforms,

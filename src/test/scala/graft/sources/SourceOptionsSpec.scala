@@ -54,6 +54,14 @@ class SourceOptionsSpec extends AnyFunSuite {
     assert(r.passthrough("jdbc.properties.") === Map("useSSL" -> "false"))
   }
 
+  test("pipeline runner rejects option typos at construction") {
+    import graft.pipeline._
+    val bad = PipelineDef(
+      SourceDef("values", Map("scan.startup.modee" -> "initial")),
+      SinkDef("values", Map.empty))
+    intercept[IllegalArgumentException](new PipelineRunner(null, bad, null, null))
+  }
+
   test("startup options integrate with StartupMode") {
     val r = SourceOptions.resolve(Map(
       "scan.startup.mode" -> "timestamp",
