@@ -121,11 +121,15 @@ final class ParquetUpsertSink(spark: SparkSession, baseDir: String,
 
     if (!exists) {
       // bootstrap: everything is new — materialize the batch straight off
-      // the upstream pipeline in ONE pass; the staged dirs define the
-      // bucket set to move in (no deletions possible)
+      // the upstream pipeline in ONE pass and write partitionBy directly
+      // (no bucket repartition: the extra shuffle isn't worth one-file-
+      // per-bucket here — later rewrites re-compact each touched bucket
+      // to a single file). The staged dirs define the bucket set to move
+      // in (no deletions possible).
       val merged = Changelog.materialize(batch, info.primaryKeys)
-      val written = stage(p, merged)
-      swap(p, written, removeMissing = Nil)
+      val tmp = p + "__staging"
+      merged.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(tmp)
+      swap(p, listBuckets(tmp), removeMissing = Nil)
     } else {
       // Steady state. The touched-bucket set must be known BEFORE reading
       // current state, but computing it with a distinct() job would re-run
