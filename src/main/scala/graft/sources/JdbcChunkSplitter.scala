@@ -70,6 +70,21 @@ object JdbcChunkSplitter {
     spark.read.jdbc(url, table, plan.partitionColumn,
       plan.lowerBound, plan.upperBound, plan.numPartitions, props)
 
+  /** Plan from the resolved source options: chunk size, distribution
+    * bounds, and the chunk-key-column override
+    * (`scan.incremental.snapshot.*` / `chunk-key.*`) all take effect.
+    */
+  def planFromOptions(
+      defaultKeyColumn: String,
+      stats: KeyStats,
+      opts: SourceOptions.Resolved): ChunkPlan =
+    plan(
+      opts.get(SourceOptions.ScanChunkKeyColumn).getOrElse(defaultKeyColumn),
+      stats,
+      chunkSize = opts(SourceOptions.ScanChunkSize),
+      factorUpper = opts(SourceOptions.ChunkKeyEvenUpper),
+      factorLower = opts(SourceOptions.ChunkKeyEvenLower))
+
   /** Explicit per-chunk WHERE predicates with the reference's
     * SnapshotSplit boundary semantics (ChunkUtils: first split unbounded
     * below, last unbounded above, half-open [lo, hi) in between) — for

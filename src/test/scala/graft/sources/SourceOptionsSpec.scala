@@ -62,6 +62,23 @@ class SourceOptionsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](new PipelineRunner(null, bad, null, null))
   }
 
+  test("chunk options drive the splitter plan") {
+    import JdbcChunkSplitter._
+    val opts = SourceOptions.resolve(Map(
+      "scan.incremental.snapshot.chunk.size" -> "1000",
+      "scan.incremental.snapshot.chunk.key-column" -> "order_id",
+      "chunk-key.even-distribution.factor.upper-bound" -> "2000.0"))
+    val p = planFromOptions("id", KeyStats(0, 999999, 1000000), opts)
+    assert(p.partitionColumn === "order_id")
+    assert(p.numPartitions === 1000) // 1M keys / (1000 * factor 1.0)
+    assert(p.evenlyDistributed)
+    // defaults apply when options are absent
+    val d = planFromOptions("id", KeyStats(0, 999999, 1000000),
+      SourceOptions.resolve(Map.empty))
+    assert(d.partitionColumn === "id")
+    assert(d.numPartitions === math.ceil(1000000.0 / 8096).toInt)
+  }
+
   test("startup options integrate with StartupMode") {
     val r = SourceOptions.resolve(Map(
       "scan.startup.mode" -> "timestamp",
