@@ -47,8 +47,12 @@ object DebeziumJson {
         .as(Changelog.MetaCol))
   }
 
-  /** Encode a paired changelog frame back into debezium-JSON strings. */
-  def encode(paired: DataFrame, db: String, table: String): DataFrame = {
+  /** Encode a paired changelog frame back into debezium-JSON strings.
+    * `passthrough` columns (e.g. `__seq` as the future Kafka offset) ride
+    * alongside the JSON value.
+    */
+  def encode(paired: DataFrame, db: String, table: String,
+      passthrough: Seq[String] = Nil): DataFrame = {
     val op = col(Changelog.OpCol)
     paired.select(to_json(struct(
       col(Changelog.BeforeCol).as("before"),
@@ -57,6 +61,6 @@ object DebeziumJson {
         .when(op === "D", "d").otherwise("r").as("op"),
       (unix_timestamp(current_timestamp()) * 1000).as("ts_ms"),
       struct(lit(db).as("db"), lit(table).as("table")).as("source")
-    )).as("value"))
+    )).as("value") +: passthrough.map(col): _*)
   }
 }

@@ -1,0 +1,149 @@
+package graft.sinks
+
+import graft.cdc.{CanalJson, Changelog, DebeziumJson}
+import graft.model.{SchemaChangeEvent, TableId, TableInfo}
+import graft.route.Selectors
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Where encoded records go. The environment has no Kafka broker, so the
+  * producer is a trait: a real deployment swaps in a writer that does
+  * `records.write.format("kafka").option("kafka.bootstrap.servers", ...)`
+  * (the Spark Kafka sink consumes exactly this topic/key/value/headers
+  * column contract); tests and this environment use [[FileTopicWriter]],
+  * which appends each topic's records to a directory of parquet segment
+  * files — same distributed write path, different transport.
+  */
+trait KafkaRecordWriter {
+  /** `records` columns: topic STRING, key STRING, value STRING,
+    * headers MAP<STRING,STRING>, offset LONG. Must append (a topic is a
+    * log). A real Kafka writer drops `offset` (the broker assigns its
+    * own); the file shim persists it.
+    */
+  def produce(records: DataFrame): Unit
+}
+
+/** File-backed stand-in topic: `<dir>/<topic>/` accumulates parquet
+  * segments; [[FileTopicWriter.read]] returns a topic's records in
+  * produced order (per-partition order is what real Kafka guarantees;
+  * the `__segment` column stands in for the partition offset).
+  */
+final class FileTopicWriter(spark: org.apache.spark.sql.SparkSession, dir: String)
+    extends KafkaRecordWriter {
+  private var segment = 0
+
+  override def produce(records: DataFrame): Unit = synchronized {
+    val seg = segment; segment += 1
+    records.withColumn("__segment", lit(seg))
+      .write.mode(SaveMode.Append).partitionBy("topic")
+      .parquet(dir)
+  }
+
+  def read(topic: String): DataFrame =
+    spark.read.parquet(dir).where(col("topic") === topic)
+}
+
+/** Kafka-shaped changelog sink, after the reference's pipeline Kafka
+  * connector (KafkaDataSink.java, KafkaDataSinkOptions.java:38-105,
+  * PipelineKafkaRecordSerializationSchema.java):
+  *
+  *  - `value.format`: debezium-json (default) or canal-json — the two
+  *    formats of ChangeLogJsonFormatFactory;
+  *  - `key.format` json: the primary-key struct as JSON (so Kafka's
+  *    key-hash partitioner keeps a key's changes in one partition —
+  *    PartitionStrategy.HASH_BY_KEY); `partition.strategy=all-to-zero`
+  *    sends everything to partition 0 instead (global order, no
+  *    parallelism);
+  *  - topic routing: `sink.tableId-to-topic.mapping` is a
+  *    `selector:topic;selector:topic` list resolved left to right
+  *    (KafkaSinkUtils.parseSelectorsToTopicMap), falling back to the
+  *    `topic` option, falling back to the table identifier;
+  *  - `sink.add-tableId-to-header-enabled` + `sink.custom-header` emit
+  *    record headers.
+  *
+  * Schema-change events need no topic write: debezium/canal JSON carries
+  * field names per record, so consumers absorb evolution record by record
+  * (the reference's KafkaMetaDataApplier likewise only logs).
+  */
+final class KafkaSink(
+    writer: KafkaRecordWriter,
+    options: Map[String, String] = Map.empty) extends DataSink {
+
+  private val valueFormat = options.getOrElse("value.format", "debezium-json")
+  require(Seq("debezium-json", "canal-json").contains(valueFormat),
+    s"unsupported value.format: $valueFormat")
+  private val partitionStrategy = options.getOrElse("partition.strategy", "all-to-zero")
+  require(Seq("all-to-zero", "hash-by-key").contains(partitionStrategy),
+    s"unsupported partition.strategy: $partitionStrategy")
+  private val addTableIdHeader =
+    options.get("sink.add-tableId-to-header-enabled").exists(_.toBoolean)
+  private val customHeaders: Seq[(String, String)] =
+    options.get("sink.custom-header").toSeq.flatMap(_.split(",")).flatMap { kv =>
+      kv.split("[:=]", 2) match {
+        case Array(k, v) => Some(k.trim -> v.trim)
+        case _ => None
+      }
+    }
+
+  /** `selector:topic;...` parsed once, matched per table with the same
+    * memoised Selectors the router uses.
+    */
+  private val topicMapping: Seq[(Selectors, String)] =
+    options.get("sink.tableId-to-topic.mapping").toSeq
+      .flatMap(_.split(";")).flatMap { m =>
+        m.split(":", 2) match {
+          case Array(sel, topic) if sel.nonEmpty && topic.nonEmpty =>
+            Some(Selectors.includeTables(sel) -> topic)
+          case _ => None
+        }
+      }
+
+  def topicFor(tableId: TableId): String =
+    topicMapping.collectFirst { case (sel, t) if sel.isMatch(tableId) => t }
+      .orElse(options.get("topic"))
+      .getOrElse(tableId.identifier)
+
+  override def applySchemaChange(e: SchemaChangeEvent): Unit = ()
+
+  override def write(tableId: TableId, exploded: DataFrame, info: TableInfo): Unit = {
+    val payload = info.schema.fieldNames.toSeq
+    // key first (KeyFormat.JSON: the PK image as JSON, so Kafka's key-hash
+    // partitioner keeps a key's changes in one partition); with all-to-zero
+    // the key is constant and every record lands on partition 0
+    val keyExpr =
+      if (partitionStrategy == "all-to-zero") lit("")
+      else {
+        val pks = info.primaryKeys
+        require(pks.nonEmpty, s"hash-by-key needs primary keys on $tableId")
+        to_json(struct(pks.map(k =>
+          coalesce(col(s"${Changelog.AfterCol}.$k"),
+            col(s"${Changelog.BeforeCol}.$k")).as(k)): _*))
+      }
+    val paired = Changelog.pair(exploded, payload).withColumn("__key", keyExpr)
+    val db = tableId.namespace.orElse(tableId.schemaName).getOrElse("")
+    val valued = valueFormat match {
+      case "canal-json" =>
+        CanalJson.encode(paired, db, tableId.table, info.primaryKeys,
+          passthrough = Seq(Changelog.SeqCol, "__key"))
+      case _ =>
+        DebeziumJson.encode(paired, db, tableId.table,
+          passthrough = Seq(Changelog.SeqCol, "__key"))
+    }
+    val headers = customHeaders ++
+      (if (addTableIdHeader) Seq("tableId" -> tableId.identifier) else Nil)
+    val headerCol =
+      if (headers.isEmpty) typedLit(Map.empty[String, String])
+      else map(headers.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    // `offset` carries the changelog sequence explicitly — the stand-in
+    // for the per-partition offset a real broker would assign (a kafka
+    // writer drops it; the file shim persists it so consumers can order)
+    writer.produce(valued
+      .orderBy(col(Changelog.SeqCol))
+      .select(
+        lit(topicFor(tableId)).as("topic"),
+        col("__key").as("key"),
+        col("value"),
+        headerCol.as("headers"),
+        col(Changelog.SeqCol).as("offset")))
+  }
+}

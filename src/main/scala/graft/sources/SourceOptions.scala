@@ -136,9 +136,13 @@ object SourceOptions {
       raw.collect { case (k, v) if k.startsWith(prefix) => k.stripPrefix(prefix) -> v }
   }
 
-  def resolve(raw: Map[String, String]): Resolved = {
+  /** `extraKnown`: connector-specific option keys (a [[ConnectorDialect]]'s
+    * extras) that the reserved-prefix typo guard must accept.
+    */
+  def resolve(raw: Map[String, String],
+      extraKnown: Set[String] = Set.empty): Resolved = {
     raw.keys.foreach { k =>
-      val known = knownKeys(k) || k == "type" ||
+      val known = knownKeys(k) || extraKnown(k) || k == "type" ||
         passthroughPrefixes.exists(k.startsWith)
       if (!known && reservedPrefixes.exists(k.startsWith))
         throw new IllegalArgumentException(
