@@ -127,11 +127,79 @@ case class NearestCentroidsExpr(
     copy(child = newChild)
 }
 
+/** Sign-bit LSH bucket id from `numPlanes` pseudo-random hyperplanes —
+  * native single-pass kernel. Bit-identical to the composed formulation
+  * (`aggregate(zip_with(vec, sequence(...)))` per plane): the plane
+  * component for (p, i) is pmod(xxhash64(p, i), 1e6)/1e6 - 0.5 with
+  * Spark's chained xxhash64 (seed 42), and the projection accumulates
+  * left-to-right in double, exactly like the sequential fold. The
+  * composed form costs numPlanes × dim interpreted closure calls per
+  * row; this runs one fused loop over a per-dimension component table
+  * computed once per (numPlanes, dim).
+  */
+case class LshBucketExpr(child: Expression, numPlanes: Int)
+    extends UnaryExpression with SinglePassCodegen {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val isFloat = VectorExpressions.isFloatArray(child.dataType)
+
+  // plane components depend only on (plane, index): computed once per
+  // observed dimension, shared across rows (and across local threads)
+  @transient private lazy val componentCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Double]]]
+
+  private def components(dim: Int): Array[Array[Double]] =
+    componentCache.computeIfAbsent(dim, { d =>
+      Array.tabulate(numPlanes) { p =>
+        Array.tabulate(d) { i =>
+          // Spark's multi-arg xxhash64 chains: seed 42, then each argument
+          // (both IntegerType here) feeds the next hash
+          val h1 = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+            .hash(p, IntegerType, 42L)
+          val h2 = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+            .hash(i, IntegerType, h1)
+          val m = 1000000L
+          val pm = ((h2 % m) + m) % m
+          pm.toDouble / 1000000.0 - 0.5
+        }
+      }
+    })
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    val comps = components(dim)
+    var bucket = 0L
+    var p = 0
+    while (p < numPlanes) {
+      val comp = comps(p)
+      var proj = 0.0
+      var i = 0
+      while (i < dim) {
+        proj += VectorExpressions.elem(v, i, isFloat) * comp(i)
+        i += 1
+      }
+      if (proj > 0) bucket |= (1L << p)
+      p += 1
+    }
+    java.lang.Long.valueOf(bucket)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucketExpr =
+    copy(child = newChild)
+}
+
 object NativeVectorFunctions {
   /** Column API for [[CosineSimExpr]]. */
   def cosine(a: Column, b: Column): Column =
     SparkInternals.column(CosineSimExpr(
       SparkInternals.expression(a), SparkInternals.expression(b)))
+
+  /** Column API for [[LshBucketExpr]]. */
+  def lshBucket(vec: Column, numPlanes: Int): Column =
+    SparkInternals.column(LshBucketExpr(SparkInternals.expression(vec), numPlanes))
 
   /** Column API for [[NearestCentroidsExpr]]. */
   def nearestCentroids(vec: Column, centroids: Array[(Int, Array[Double])], n: Int): Column =

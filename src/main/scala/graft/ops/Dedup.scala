@@ -123,23 +123,65 @@ object Dedup {
   def simhash64(text: Column): Column =
     graft.functions.expressions.NativeHashFunctions.simhash64(text)
 
-  /** SimHash near-dup pairs with Hamming distance <= maxHamming, found by
-    * LSH on 4 x 16-bit chunks (any pair within Hamming<=3 shares at least
-    * one exact chunk by pigeonhole).
+  /** The (table, blockKey) pairs for pigeonhole-correct SimHash LSH.
+    *
+    * The 64-bit simhash splits into `numChunks` near-equal bit chunks; a
+    * block key concatenates `g = numChunks - maxHamming` chunk values, one
+    * key per C(numChunks, g) chunk combination. Pigeonhole: a pair within
+    * Hamming <= maxHamming differs in at most maxHamming chunks, leaving
+    * >= g untouched — so at least one combination matches exactly on both
+    * sides. Recall is therefore EXACT for distance <= maxHamming, same as
+    * the single-chunk scheme, but the join key is g chunks wide
+    * (~`g*64/numChunks` bits instead of 16): with the default
+    * (numChunks=6, maxHamming=3) keys are 32 bits across 20 tables, so
+    * bucket population — and with it candidate pairs — drops by ~2^16 per
+    * table vs the 16-bit scheme. That is the difference between n²/2^16
+    * (fatal at billions of docs) and 20·n²/2^32 candidates.
+    *
+    * Pure projection + one posexplode (×C(numChunks,g)) — no interpreted
+    * HOFs; the combination table is static so Catalyst folds the bit
+    * arithmetic into codegen.
     */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "4-chunk LSH guarantees recall only for distance <= 3")
-    val sh = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
-    val chunked = sh.select(col("id"), col("sim"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        c => call_function("shiftright", col("sim"), c * 16).bitwiseAND(0xFFFFL)))
-        .as(Seq("chunk", "val")))
-    val l = chunked.select(col("chunk"), col("val"), col("id").as("id_a"), col("sim").as("sim_a"))
-    val r = chunked.select(col("chunk"), col("val"), col("id").as("id_b"), col("sim").as("sim_b"))
-    l.join(r, Seq("chunk", "val"))
+  private[ops] def simhashBlockKeys(sim: Column, maxHamming: Int, numChunks: Int): Column = {
+    require(maxHamming < numChunks,
+      s"pigeonhole LSH needs numChunks > maxHamming (got $numChunks <= $maxHamming)")
+    val g = numChunks - maxHamming
+    // near-equal chunk bit ranges over the 64 bits
+    val bounds = (0 to numChunks).map(c => c * 64 / numChunks)
+    val lens = (0 until numChunks).map(c => bounds(c + 1) - bounds(c))
+    def chunkVal(c: Int): Column =
+      shiftrightunsigned(sim, bounds(c)).bitwiseAND(lit((1L << lens(c)) - 1))
+    val combos = (0 until numChunks).combinations(g).toSeq
+    val keys = combos.map { chunks =>
+      chunks.foldLeft(lit(0L)) { (acc, c) =>
+        shiftleft(acc, lens(c)).bitwiseOR(chunkVal(c))
+      }
+    }
+    posexplode(array(keys: _*))
+  }
+
+  /** Candidate id pairs sharing any LSH block — exposed for the
+    * bounded-candidate scale law in OpsSpec. Input: (id, sim) columns.
+    */
+  private[ops] def simhashCandidates(sh: DataFrame,
+      maxHamming: Int, numChunks: Int): DataFrame = {
+    val keyed = sh.select(col("id"), col("sim"),
+      simhashBlockKeys(col("sim"), maxHamming, numChunks).as(Seq("tbl", "key")))
+    val l = keyed.select(col("tbl"), col("key"), col("id").as("id_a"), col("sim").as("sim_a"))
+    val r = keyed.select(col("tbl"), col("key"), col("id").as("id_b"), col("sim").as("sim_b"))
+    l.join(r, Seq("tbl", "key"))
       .where(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming, found by
+    * pigeonhole LSH over multi-chunk block keys (exact recall at
+    * <= maxHamming; see [[simhashBlockKeys]] for the scale analysis).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, numChunks: Int = 6): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
+    simhashCandidates(sh, maxHamming, numChunks)
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .where(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))

@@ -57,24 +57,16 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 9).as("cos"))
   }
 
-  /** Deterministic pseudo-random hyperplane component h_{p,i}: a hash of
-    * (plane, index) mapped into [-0.5, 0.5). Shared by bucketing and
-    * probing, so no stored model is needed — the "model" is the hash seed.
+  /** Sign-bit LSH bucket id from `numPlanes` pseudo-random hyperplanes —
+    * native single-pass kernel. The deterministic plane component for
+    * (plane, i) is a hash mapped into [-0.5, 0.5); bucketing and probing
+    * share it, so no stored model is needed — the "model" is the hash
+    * seed. (The composed `aggregate(zip_with(...))` formulation costs
+    * numPlanes × dim interpreted closure calls per row; the kernel is
+    * bit-identical — see OpsSpec's equivalence law.)
     */
-  private def planeComponent(plane: Int, i: Column): Column =
-    (pmod(xxhash64(lit(plane), i), lit(1000000L)).cast("double") / 1000000.0) - 0.5
-
-  /** Sign-bit LSH bucket id from `numPlanes` pseudo-random hyperplanes. */
-  def lshBucket(vec: Column, numPlanes: Int = 8): Column = {
-    val bits = (0 until numPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def lshBucket(vec: Column, numPlanes: Int = 8): Column =
+    graft.functions.expressions.NativeVectorFunctions.lshBucket(vec, numPlanes)
 
   /** Approximate top-k: corpus bucketed by [[lshBucket]]; each query only
     * scans its own bucket. Recall < 1 by construction; increase recall by

@@ -134,11 +134,22 @@ final class KafkaSink(
     val headerCol =
       if (headers.isEmpty) typedLit(Map.empty[String, String])
       else map(headers.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    // Ordering matches what real Kafka can actually promise: per-partition
+    // only. hash-by-key co-locates each key's changes in one task
+    // (repartition on the key) and orders within the task — no global sort,
+    // no range exchange, fully parallel at any scale. all-to-zero is
+    // inherently serial (everything on partition 0), so a single ordered
+    // partition is the honest plan there.
+    val ordered = partitionStrategy match {
+      case "hash-by-key" =>
+        valued.repartition(col("__key")).sortWithinPartitions(col(Changelog.SeqCol))
+      case _ =>
+        valued.repartition(1).sortWithinPartitions(col(Changelog.SeqCol))
+    }
     // `offset` carries the changelog sequence explicitly — the stand-in
     // for the per-partition offset a real broker would assign (a kafka
     // writer drops it; the file shim persists it so consumers can order)
-    writer.produce(valued
-      .orderBy(col(Changelog.SeqCol))
+    writer.produce(ordered
       .select(
         lit(topicFor(tableId)).as("topic"),
         col("__key").as("key"),

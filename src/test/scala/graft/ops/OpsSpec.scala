@@ -76,6 +76,79 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("simhash pigeonhole LSH: exact recall at hamming <= 3 on synthetic hashes") {
+    // base hashes + variants with exactly 1..3 flipped bits (flip positions
+    // spread across chunks to exercise all combination tables)
+    def mix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    val rows = (0 until 20).flatMap { i =>
+      val base = mix(i.toLong)
+      val variants = Seq(
+        base ^ (1L << (i % 64)),                                      // d=1
+        base ^ (1L << (i % 64)) ^ (1L << ((i + 21) % 64)),            // d=2
+        base ^ (1L << (i % 64)) ^ (1L << ((i + 21) % 64)) ^ (1L << ((i + 43) % 64))) // d=3
+      (i.toLong * 10, base) +: variants.zipWithIndex.map { case (v, j) =>
+        (i.toLong * 10 + j + 1, v)
+      }
+    }
+    val sh = rows.toDF("id", "sim")
+    val candidates = Dedup.simhashCandidates(sh, maxHamming = 3, numChunks = 6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every within-hamming-3 pair MUST be a candidate (pigeonhole law)
+    val all = rows.toIndexedSeq
+    for {
+      a <- all.indices; b <- (a + 1) until all.length
+      if java.lang.Long.bitCount(all(a)._2 ^ all(b)._2) <= 3
+    } {
+      val pair = if (all(a)._1 < all(b)._1) (all(a)._1, all(b)._1) else (all(b)._1, all(a)._1)
+      assert(candidates.contains(pair), s"missed pair $pair")
+    }
+  }
+
+  test("simhash LSH candidates stay bounded on a shared-chunk adversarial corpus") {
+    // 200 hashes agreeing on the low 16 bits (one full chunk of the old
+    // 4x16 scheme) with pseudo-random high 48 bits: the 16-bit-key scheme
+    // put all of them in ONE bucket -> C(200,2) = 19900 candidates, the
+    // n²/2^16 blowup. Multi-chunk block keys need 3 of 6 chunks equal, so
+    // the shared low bits alone produce no candidates.
+    def mix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    val sh = (0 until 200).map { i =>
+      (i.toLong, (mix(i.toLong) & ~0xFFFFL) | 0xABCDL)
+    }.toDF("id", "sim")
+    val n = Dedup.simhashCandidates(sh, maxHamming = 3, numChunks = 6).count()
+    assert(n < 200, s"adversarial corpus produced $n candidates (old scheme: 19900)")
+  }
+
+  test("native lshBucket is bit-identical to the composed fold formulation") {
+    val numPlanes = 8
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 31 + j * 7).toFloat)))
+      .toDF("id", "v")
+    // the composed formulation the kernel replaced (interpreted HOF folds)
+    def planeComponent(plane: Int, i: org.apache.spark.sql.Column) =
+      (pmod(xxhash64(lit(plane), i), lit(1000000L)).cast("double") / 1000000.0) - 0.5
+    val composed = (0 until numPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
+          (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val out = vecs.select(
+      Similarity.lshBucket(col("v"), numPlanes).as("native"),
+      composed.as("composed")).collect()
+    out.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("brute-force topk and cosine math") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),

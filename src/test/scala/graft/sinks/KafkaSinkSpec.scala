@@ -69,6 +69,42 @@ class KafkaSinkSpec extends SparkSpec {
       === Seq((1L, "a2")))
   }
 
+  test("hash-by-key keeps per-key order with no global sort in the plan") {
+    // capture the produced frame instead of writing it, to audit the plan
+    var produced: org.apache.spark.sql.DataFrame = null
+    val capture = new KafkaRecordWriter {
+      def produce(records: org.apache.spark.sql.DataFrame): Unit = { produced = records }
+    }
+    val sink = new KafkaSink(capture, Map("partition.strategy" -> "hash-by-key"))
+    // multi-key batch: 3 keys, interleaved changes
+    val df = Seq(
+      (1L, "a", "+I", 1L), (2L, "x", "+I", 2L), (3L, "p", "+I", 3L),
+      (1L, "a", "-U", 4L), (1L, "b", "+U", 4L),
+      (2L, "x", "-D", 5L),
+      (3L, "p", "-U", 6L), (3L, "q", "+U", 6L),
+      (1L, "b", "-U", 7L), (1L, "c", "+U", 7L)
+    ).toDF("id", "v", Changelog.OpCol, Changelog.SeqCol)
+    sink.write(tid, df, tinfo)
+
+    val plan = produced.queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"),
+      s"hash-by-key must not range-shuffle for a global sort:\n$plan")
+    // per-key order: within each spark partition (= kafka partition under
+    // hash-by-key), each key's offsets must be non-decreasing in row order
+    val rows = produced.select(col("key"), col("offset"))
+      .rdd.mapPartitionsWithIndex { (pid, it) =>
+        it.map(r => (pid, r.getString(0), r.getLong(1)))
+      }.collect()
+    rows.groupBy(r => (r._1, r._2)).foreach { case (_, keyRows) =>
+      val offsets = keyRows.map(_._3).toSeq
+      assert(offsets === offsets.sorted, s"per-key offsets out of order: $offsets")
+    }
+    // and every key lives in exactly one partition
+    rows.groupBy(_._2).foreach { case (k, keyRows) =>
+      assert(keyRows.map(_._1).distinct.length === 1, s"key $k spans partitions")
+    }
+  }
+
   test("option validation fails fast") {
     val writer = new FileTopicWriter(spark, "/tmp/unused")
     assertThrows[IllegalArgumentException](
