@@ -47,6 +47,19 @@ object DebeziumJson {
         .as(Changelog.MetaCol))
   }
 
+  /** DDL statement carried by a schema-change envelope, or null for data
+    * rows. Debezium schema-change messages put the statement at `ddl`
+    * (also inside the `historyRecord` document the reference routes,
+    * JdbcSourceEventDispatcher.java:69); canal flags `isDdl` with the
+    * statement at `sql`. One cheap JSON-path probe per record.
+    */
+  def ddlOf(jsonCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    coalesce(
+      get_json_object(jsonCol, "$.ddl"),
+      get_json_object(jsonCol, "$.historyRecord.ddl"),
+      when(get_json_object(jsonCol, "$.isDdl") === "true",
+        get_json_object(jsonCol, "$.sql")))
+
   /** Encode a paired changelog frame back into debezium-JSON strings.
     * `passthrough` columns (e.g. `__seq` as the future Kafka offset) ride
     * alongside the JSON value.

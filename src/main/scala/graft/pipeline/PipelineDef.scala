@@ -77,10 +77,18 @@ object YamlPipelineParser {
       .load[java.util.Map[String, Object]](yaml)
       .asScala
 
+    def scalarOrList(v: Object): String = v match {
+      // YAML lists (e.g. `exclude.schema.changes: [drop, truncate.table]`)
+      // flatten to the comma form the option parsers split on
+      case l: java.util.List[_] => l.asScala.map(_.toString.trim).mkString(",")
+      case other => Option(other).map(_.toString).orNull
+    }
+
     def section(name: String): Map[String, String] =
       root.get(name) match {
         case Some(m: java.util.Map[_, _]) =>
-          m.asScala.map { case (k, v) => k.toString -> Option(v).map(_.toString).orNull }.toMap
+          m.asScala.map { case (k, v) =>
+            k.toString -> scalarOrList(v.asInstanceOf[Object]) }.toMap
         case _ => Map.empty
       }
 

@@ -28,7 +28,18 @@ final class PipelineRunner(
     source: CdcDataSource,
     sink: DataSink) {
 
-  val registry = new SchemaRegistry(pipeline.schemaChangeBehavior)
+  // Per-sink DDL filtering (the reference's MetadataApplier contract,
+  // MetadataApplier.java:36-51; option surface schema-evolution.md:71-109):
+  // `include.schema.changes` / `exclude.schema.changes` accept kinds or
+  // families ("drop" = drop.column + drop.table), exclude wins over include.
+  private def sinkKinds(key: String): Option[Set[String]] =
+    pipeline.sink.options.get(key).map(s =>
+      SchemaChangeEvent.expand(s.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+
+  val registry = new SchemaRegistry(
+    pipeline.schemaChangeBehavior,
+    includeKinds = sinkKinds("include.schema.changes"),
+    excludeKinds = sinkKinds("exclude.schema.changes").getOrElse(Set.empty))
   // fail fast on source-option typos (unknown keys under scan./chunk-/
   // connect reserved prefixes), whatever backend ends up interpreting them
   graft.sources.SourceOptions.resolve(pipeline.source.options)

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.cdc.{Changelog, DebeziumJson}
+import graft.cdc.{Changelog, DdlParser, DebeziumJson}
 import graft.model.{CreateTableEvent, TableId, TableInfo}
 import graft.pipeline.{PipelineDef, PipelineRunner}
 import graft.sinks.DataSink
@@ -57,7 +57,7 @@ final class StreamingPipeline(
         // partitions, ≤8.4M rows per partition per batch) and ≤1M
         // micro-batches; any overflow raises instead of silently
         // misordering.
-        val mono = col(Changelog.SeqCol)
+        val mono = monotonically_increasing_id()
         val pid = shiftright(mono, 33)
         val rowInPart = mono.bitwiseAND(lit((1L << 33) - 1))
         val seq = when(
@@ -65,11 +65,51 @@ final class StreamingPipeline(
           raise_error(lit("__seq encoding overflow: needs <2^20 partitions, " +
             "<2^23 rows/partition, <2^20 epochs")))
           .otherwise(shiftleft(lit(epochId), 43) + shiftleft(pid, 23) + rowInPart)
-        val paired = DebeziumJson.decode(batch.toDF(), "value", info.schema)
-          .drop("__table")
+        val sequenced = batch.toDF()
           .withColumn(Changelog.SeqCol, seq)
-        val ddl = if (!created) { created = true; Seq(CreateTableEvent(tableId, info)) } else Nil
-        runner.processBatch(SourceBatch(ddl, Seq(tableId -> paired)))
+          .withColumn("__ddl", DebeziumJson.ddlOf(col("value")))
+
+        // Control plane: schema-change envelopes are rare, so collecting
+        // just their (seq, statement) pairs is O(#DDL) driver work, never
+        // O(rows) — the reference likewise routes history records through
+        // the driver-side coordinator. Data decodes per segment BETWEEN
+        // DDL positions with the schema valid at that point, so an ALTER
+        // TABLE mid-batch applies exactly where the log says it does (the
+        // micro-batch boundary alone is no longer the only DDL barrier).
+        val ddlRows = sequenced.where(col("__ddl").isNotNull)
+          .select(col(Changelog.SeqCol), col("__ddl"))
+          .collect().sortBy(_.getLong(0))
+        val data = sequenced.where(col("__ddl").isNull)
+
+        if (!created) {
+          created = true
+          runner.processBatch(SourceBatch(Seq(CreateTableEvent(tableId, info)), Nil))
+        }
+
+        def emit(segment: DataFrame): Unit = {
+          // decode with the CURRENT original-plane schema: columns added/
+          // renamed by earlier DDL in this very batch parse from this row on
+          val cur = runner.registry.originalInfo(tableId).getOrElse(info)
+          val paired = DebeziumJson
+            .decode(segment, "value", cur.schema, seqCol = Some(Changelog.SeqCol))
+            .drop("__table")
+          runner.processBatch(SourceBatch(Nil, Seq(tableId -> paired)))
+        }
+
+        if (ddlRows.isEmpty) emit(data)
+        else {
+          var lower = Long.MinValue
+          ddlRows.foreach { r =>
+            val at = r.getLong(0)
+            val segment = data.where(col(Changelog.SeqCol) > lower && col(Changelog.SeqCol) < at)
+            if (!segment.isEmpty) emit(segment)
+            runner.processBatch(
+              SourceBatch(DdlParser.parse(r.getString(1), tableId), Nil))
+            lower = at
+          }
+          val tail = data.where(col(Changelog.SeqCol) > lower)
+          if (!tail.isEmpty) emit(tail)
+        }
         // persist schema planes with the checkpoint (the reference
         // checkpoints SchemaManager state; SchemaManager.java:56) so a
         // restart resumes with evolved sink schemas, not the original

@@ -1,0 +1,70 @@
+package graft.cdc
+
+import graft.model._
+import graft.sources.ConnectorCatalog
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DdlParserSpec extends AnyFunSuite {
+
+  private val tid = TableId.parse("db.users")
+
+  test("ALTER TABLE ADD/DROP/RENAME/MODIFY parse to the right events") {
+    assert(DdlParser.parse("ALTER TABLE `db`.`users` ADD COLUMN `age` INT", tid) ===
+      Seq(AddColumnEvent(tid, Seq((StructField("age", IntegerType), ColumnPosition.Last)))))
+    assert(DdlParser.parse("ALTER TABLE users ADD nick VARCHAR(32) NOT NULL DEFAULT 'x'", tid) ===
+      Seq(AddColumnEvent(tid, Seq((StructField("nick", StringType), ColumnPosition.Last)))))
+    assert(DdlParser.parse("alter table users drop column age", tid) ===
+      Seq(DropColumnEvent(tid, Seq("age"))))
+    assert(DdlParser.parse("ALTER TABLE users RENAME COLUMN nick TO handle", tid) ===
+      Seq(RenameColumnEvent(tid, Map("nick" -> "handle"))))
+    assert(DdlParser.parse("ALTER TABLE users MODIFY COLUMN age BIGINT", tid) ===
+      Seq(AlterColumnTypeEvent(tid, Map("age" -> LongType))))
+    // postgres spelling
+    assert(DdlParser.parse(
+      "ALTER TABLE users ALTER COLUMN age SET DATA TYPE NUMERIC(10,2)", tid,
+      ConnectorCatalog.postgresTypes) ===
+      Seq(AlterColumnTypeEvent(tid, Map("age" -> DecimalType(10, 2)))))
+  }
+
+  test("MySQL CHANGE is rename + retype; multi-clause ALTER splits") {
+    assert(DdlParser.parse("ALTER TABLE users CHANGE COLUMN a b BIGINT", tid) ===
+      Seq(RenameColumnEvent(tid, Map("a" -> "b")),
+        AlterColumnTypeEvent(tid, Map("b" -> LongType))))
+    assert(DdlParser.parse(
+      "ALTER TABLE users ADD c1 INT, DROP COLUMN c0, ADD c2 DECIMAL(8,2)", tid) ===
+      Seq(
+        AddColumnEvent(tid, Seq((StructField("c1", IntegerType), ColumnPosition.Last))),
+        DropColumnEvent(tid, Seq("c0")),
+        AddColumnEvent(tid, Seq((StructField("c2", DecimalType(8, 2)), ColumnPosition.Last)))))
+  }
+
+  test("CREATE TABLE parses columns, modifiers, and primary keys") {
+    val Seq(ev: CreateTableEvent) = DdlParser.parse(
+      """CREATE TABLE `users` (
+        |  `id` BIGINT NOT NULL AUTO_INCREMENT,
+        |  `name` VARCHAR(255) DEFAULT NULL,
+        |  score DOUBLE,
+        |  PRIMARY KEY (`id`)
+        |) ENGINE=InnoDB""".stripMargin, tid)
+    assert(ev.tableId === tid)
+    assert(ev.info.schema === StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType),
+      StructField("score", DoubleType))))
+    assert(ev.info.primaryKeys === Seq("id"))
+    // inline PK spelling
+    val Seq(ev2: CreateTableEvent) =
+      DdlParser.parse("CREATE TABLE t (id INT PRIMARY KEY, v TEXT)", tid)
+    assert(ev2.info.primaryKeys === Seq("id"))
+    assert(!ev2.info.schema("id").nullable)
+  }
+
+  test("DROP/TRUNCATE TABLE and schema-neutral statements") {
+    assert(DdlParser.parse("DROP TABLE IF EXISTS users", tid) === Seq(DropTableEvent(tid)))
+    assert(DdlParser.parse("TRUNCATE TABLE users;", tid) === Seq(TruncateTableEvent(tid)))
+    assert(DdlParser.parse("CREATE INDEX idx ON users(name)", tid) === Nil)
+    assert(DdlParser.parse("ALTER TABLE users ADD INDEX idx (name)", tid) === Nil)
+    assert(DdlParser.parse("GRANT SELECT ON users TO x", tid) === Nil)
+  }
+}

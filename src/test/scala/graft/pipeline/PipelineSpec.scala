@@ -128,6 +128,59 @@ class PipelineSpec extends SparkSpec {
     assert(trySink.info(t1).get.fieldNames === Seq("col1"))
   }
 
+  test("exclude.schema.changes: excluded drop family is ignored, data still flows") {
+    val script = Seq(
+      CreateTableEvent(t1, info("col1" -> StringType, "col2" -> StringType)),
+      DataChangeEvent.insert(t1, Row("1", "a")),
+      DropColumnEvent(t1, Seq("col2")), // excluded: sink keeps col2
+      DataChangeEvent.insert(t1, Row("2")), // upstream rows now lack col2
+      AddColumnEvent(t1, Seq((StructField("col3", StringType), ColumnPosition.Last))),
+      DataChangeEvent.insert(t1, Row("3", "c3")))
+    val sink = new ValuesDatabase
+    val pd = YamlPipelineParser.parse(
+      """source: { type: values }
+        |sink:
+        |  type: values
+        |  exclude.schema.changes: [drop]
+        |pipeline: { schema.change.behavior: evolve }
+        |""".stripMargin)
+    new PipelineRunner(spark, pd, new ValuesSource(script), sink).run()
+    // the drop was filtered (col2 survives, null-filled) but the add — not
+    // excluded — applied; all three rows flowed
+    assert(sink.info(t1).get.fieldNames === Seq("col1", "col2", "col3"))
+    assert(sink.results(t1).toSet === Set(
+      "default_namespace.default_schema.table1:1;a;null",
+      "default_namespace.default_schema.table1:2;null;null",
+      "default_namespace.default_schema.table1:3;null;c3"))
+  }
+
+  test("include.schema.changes: only included families reach the sink") {
+    val script = Seq(
+      CreateTableEvent(t1, info("col1" -> StringType, "col2" -> StringType)),
+      DataChangeEvent.insert(t1, Row("1", "a")),
+      AddColumnEvent(t1, Seq((StructField("col3", StringType), ColumnPosition.Last))), // included
+      DataChangeEvent.insert(t1, Row("2", "b", "c3")),
+      RenameColumnEvent(t1, Map("col2" -> "renamed")), // NOT included: filtered
+      DataChangeEvent.insert(t1, Row("3", "b3", "c3b")))
+    val sink = new ValuesDatabase
+    val pd = YamlPipelineParser.parse(
+      """source: { type: values }
+        |sink:
+        |  type: values
+        |  include.schema.changes: [add]
+        |pipeline: { schema.change.behavior: evolve }
+        |""".stripMargin)
+    new PipelineRunner(spark, pd, new ValuesSource(script), sink).run()
+    // add.column applied; rename.column filtered — sink never sees
+    // "renamed"; row 3's payload arrives under the upstream name, so the
+    // sink's col2 null-fills (same as the reference's per-sink filtering)
+    assert(sink.info(t1).get.fieldNames === Seq("col1", "col2", "col3"))
+    assert(sink.results(t1).toSet === Set(
+      "default_namespace.default_schema.table1:1;a;null",
+      "default_namespace.default_schema.table1:2;b;c3",
+      "default_namespace.default_schema.table1:3;null;c3b"))
+  }
+
   test("YAML parser reads the reference pipeline shape") {
     val pd = YamlPipelineParser.parse(
       """source:

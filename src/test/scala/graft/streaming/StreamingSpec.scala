@@ -76,6 +76,69 @@ class StreamingSpec extends SparkSpec {
     assert(sink2.inner.results(tid).toSet === Set("db.users:1;a2"))
   }
 
+  test("mid-stream ALTER TABLE from the wire: schema widens at the DDL's log position") {
+    val dir = java.nio.file.Files.createTempDirectory("dbz_ddl").toFile
+    // ONE batch: inserts, then ALTER TABLE ADD COLUMN mid-file, then rows
+    // carrying the new column — the segment before the DDL must decode
+    // without `age`, the segment after with it
+    val lines = Seq(
+      """{"before":null,"after":{"id":1,"v":"a"},"op":"c","ts_ms":1,"source":{"db":"db","table":"users"}}""",
+      """{"before":null,"after":{"id":2,"v":"b"},"op":"c","ts_ms":2,"source":{"db":"db","table":"users"}}""",
+      """{"source":{"db":"db","table":"users"},"ddl":"ALTER TABLE `db`.`users` ADD COLUMN `age` INT","tableChanges":[]}""",
+      """{"before":null,"after":{"id":3,"v":"c","age":30},"op":"c","ts_ms":3,"source":{"db":"db","table":"users"}}""",
+      """{"before":{"id":1,"v":"a","age":null},"after":{"id":1,"v":"a2","age":11},"op":"u","ts_ms":4,"source":{"db":"db","table":"users"}}""")
+    java.nio.file.Files.write(new java.io.File(dir, "feed.json").toPath,
+      lines.mkString("\n").getBytes("UTF-8"))
+
+    val sink = new ValuesDatabase
+    val sp = new StreamingPipeline(spark, pd, sink)
+    val q = sp.startFromDebeziumJson(
+      StreamingPipeline.fileJsonStream(spark, dir.getAbsolutePath), tid, tableInfo)
+    q.awaitTermination(60000)
+    // the wire DDL evolved both planes and reached the sink
+    assert(sp.runner.registry.originalInfo(tid).get.fieldNames === Seq("id", "v", "age"))
+    assert(sink.info(tid).get.fieldNames === Seq("id", "v", "age"))
+    // oracle materialization: id1 updated post-DDL with age, id2 pre-DDL
+    // (age null-fills), id3 inserted with age
+    assert(sink.results(tid).toSet === Set(
+      "db.users:1;a2;11", "db.users:2;b;null", "db.users:3;c;30"))
+  }
+
+  test("wire DDL + checkpoint restart: evolved schema survives, only new data processes") {
+    val dir = java.nio.file.Files.createTempDirectory("dbz_ddl_cp").toFile
+    val feed = new java.io.File(dir, "feed"); feed.mkdirs()
+    val cp = new java.io.File(dir, "checkpoint").getAbsolutePath
+    def writeFeed(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(new java.io.File(feed, name).toPath,
+        lines.mkString("\n").getBytes("UTF-8"))
+
+    // run 1: insert, then DDL, then a row using the new column
+    writeFeed("f1.json", Seq(
+      """{"before":null,"after":{"id":1,"v":"a"},"op":"c","ts_ms":1,"source":{"db":"db","table":"users"}}""",
+      """{"source":{"db":"db","table":"users"},"ddl":"ALTER TABLE users ADD COLUMN age INT"}""",
+      """{"before":null,"after":{"id":2,"v":"b","age":20},"op":"c","ts_ms":2,"source":{"db":"db","table":"users"}}"""))
+    val sink1 = new ValuesDatabase
+    val q1 = new StreamingPipeline(spark, pd, sink1).startFromDebeziumJson(
+      StreamingPipeline.fileJsonStream(spark, feed.getAbsolutePath),
+      tid, tableInfo, checkpointLocation = Some(cp))
+    q1.awaitTermination(60000)
+    assert(sink1.results(tid).toSet === Set("db.users:1;a;null", "db.users:2;b;20"))
+
+    // run 2 (fresh pipeline, same checkpoint): rows with the new column
+    // must decode correctly — the evolved schema came from checkpoint
+    // state, not a re-synthesized CreateTable
+    writeFeed("f2.json", Seq(
+      """{"before":{"id":1,"v":"a","age":null},"after":{"id":1,"v":"a2","age":11},"op":"u","ts_ms":3,"source":{"db":"db","table":"users"}}"""))
+    val sink2 = new ValuesDatabase
+    val sp2 = new StreamingPipeline(spark, pd, sink2)
+    val q2 = sp2.startFromDebeziumJson(
+      StreamingPipeline.fileJsonStream(spark, feed.getAbsolutePath),
+      tid, tableInfo, checkpointLocation = Some(cp))
+    q2.awaitTermination(60000)
+    assert(sp2.runner.registry.evolvedInfo(tid).get.fieldNames === Seq("id", "v", "age"))
+    assert(sink2.results(tid).toSet === Set("db.users:1;a2;11"))
+  }
+
   test("registry state snapshot/restore roundtrip") {
     import graft.model._
     import graft.schema.SchemaRegistry
