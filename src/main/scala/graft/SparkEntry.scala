@@ -613,6 +613,27 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  /** REPLACE-op changelog replay (SURVEY §1.1: `+R` is an upsert without a
+    * before image, DataChangeEvent.java:100-154 — MongoDB and Kafka
+    * upsert feeds emit it). A REPLACE-heavy changelog over `events`
+    * (every non-error event is a whole-row upsert keyed by user, errors
+    * are -D tombstones, event_id the unique log position) materializes
+    * last-wins-by-seq — before-images are irrelevant by construction,
+    * which is exactly the REPLACE contract. One keyed shuffle (the
+    * materialize window), same plan shape at any scale.
+    */
+  private def q41Replace(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val exploded = ev.select(
+      col("user_id"),
+      col("event_type").as("last_type"),
+      round(col("value"), 2).as("last_value"),
+      when(col("event_type") === "error", "-D").otherwise("+R").as(Changelog.OpCol),
+      col("event_id").as(Changelog.SeqCol))
+    Changelog.materialize(exploded, Seq("user_id"))
+      .orderBy(col("user_id"))
+  }
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -655,7 +676,8 @@ object SparkEntry {
     "q37_salted_join" -> (q37SaltedJoin _),
     "q38_subquery" -> (q38Subquery _),
     "q39_soft_delete" -> (q39SoftDelete _),
-    "q40_canal_roundtrip" -> (q40CanalRoundtrip _)
+    "q40_canal_roundtrip" -> (q40CanalRoundtrip _),
+    "q41_replace" -> (q41Replace _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1008,6 +1030,17 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY user_id
         |    ORDER BY seq DESC) AS rn FROM cl)
         |SELECT user_id, last_value FROM ranked
-        |WHERE rn = 1 AND op <> '-D' ORDER BY user_id""".stripMargin
+        |WHERE rn = 1 AND op <> '-D' ORDER BY user_id""".stripMargin,
+    "q41_replace" ->
+      """WITH cl AS (
+        |  SELECT user_id, event_type AS last_type, round(value, 2) AS last_value,
+        |    CASE WHEN event_type = 'error' THEN '-D' ELSE '+R' END AS op,
+        |    event_id AS seq
+        |  FROM events),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY seq DESC) AS rn FROM cl)
+        |SELECT user_id, last_type, last_value FROM ranked
+        |WHERE rn = 1 AND op = '+R' ORDER BY user_id""".stripMargin
   )
 }

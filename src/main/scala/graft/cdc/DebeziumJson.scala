@@ -54,11 +54,15 @@ object DebeziumJson {
     * statement at `sql`. One cheap JSON-path probe per record.
     */
   def ddlOf(jsonCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    coalesce(
-      get_json_object(jsonCol, "$.ddl"),
-      get_json_object(jsonCol, "$.historyRecord.ddl"),
-      when(get_json_object(jsonCol, "$.isDdl") === "true",
-        get_json_object(jsonCol, "$.sql")))
+    // cheap substring prefilter so the hot data path pays two contains()
+    // scans, not three JSON parses, per record ("\"ddl\"" also matches
+    // inside historyRecord; isDdl spells differently)
+    when(jsonCol.contains("\"ddl\"") || jsonCol.contains("\"isDdl\""),
+      coalesce(
+        get_json_object(jsonCol, "$.ddl"),
+        get_json_object(jsonCol, "$.historyRecord.ddl"),
+        when(get_json_object(jsonCol, "$.isDdl") === "true",
+          get_json_object(jsonCol, "$.sql"))))
 
   /** Encode a paired changelog frame back into debezium-JSON strings.
     * `passthrough` columns (e.g. `__seq` as the future Kafka offset) ride

@@ -17,6 +17,12 @@ trait UserDefinedFunction extends Serializable {
     */
   def open(options: Map[String, String]): Unit = ()
   def close(): Unit = ()
+
+  /** Optional return-type override, the reference's `getReturnType`
+    * (UserDefinedFunction.java) — None infers from `eval`'s Java
+    * signature.
+    */
+  def returnType: Option[org.apache.spark.sql.types.DataType] = None
 }
 
 /** Typed single-argument scalar UDF. For wider arities, register plain
@@ -54,5 +60,89 @@ object UdfRegistry {
       options: Map[String, String]) extends Serializable {
     @transient private lazy val done: Unit = udf.open(options)
     def ensureOpen(): Unit = done
+  }
+
+  /** Reflectively register a UDF declared by classpath — the YAML
+    * `user-defined-function:` block contract
+    * (YamlPipelineDefinitionParser.java:310-338, transform.md:403-506):
+    * a public no-arg constructor and a public `eval` method; classes
+    * implementing [[UserDefinedFunction]] additionally get the open/close
+    * lifecycle and may override `returnType`. The instance must be
+    * Serializable (it ships inside the task closure).
+    */
+  def registerByClasspath(spark: SparkSession, name: String, classpath: String,
+      options: Map[String, String] = Map.empty): Unit = {
+    val cls = Class.forName(classpath)
+    val instance = cls.getDeclaredConstructor().newInstance().asInstanceOf[AnyRef]
+    val evals = cls.getMethods.filter(m =>
+      m.getName == "eval" && !m.isBridge && !m.isSynthetic)
+    require(evals.nonEmpty, s"$classpath has no public eval method")
+    val eval = evals.maxBy(_.getParameterCount)
+    val rt: org.apache.spark.sql.types.DataType = instance match {
+      case u: UserDefinedFunction if u.returnType.isDefined => u.returnType.get
+      case _ => sparkTypeOf(eval.getReturnType, classpath)
+    }
+    val opened = instance match {
+      case u: UserDefinedFunction => Some(new ThreadSafeOnce(u, options))
+      case _ => None
+    }
+    val fn = new ReflectiveCall(instance, cls.getName, eval.getName,
+      eval.getParameterTypes.map(_.getName), opened)
+    import org.apache.spark.sql.api.java._
+    eval.getParameterCount match {
+      case 0 => spark.udf.register(name, new UDF0[Any] {
+        def call(): Any = fn(Array.empty) }, rt)
+      case 1 => spark.udf.register(name, new UDF1[AnyRef, Any] {
+        def call(a: AnyRef): Any = fn(Array(a)) }, rt)
+      case 2 => spark.udf.register(name, new UDF2[AnyRef, AnyRef, Any] {
+        def call(a: AnyRef, b: AnyRef): Any = fn(Array(a, b)) }, rt)
+      case 3 => spark.udf.register(name, new UDF3[AnyRef, AnyRef, AnyRef, Any] {
+        def call(a: AnyRef, b: AnyRef, c: AnyRef): Any = fn(Array(a, b, c)) }, rt)
+      case n => throw new IllegalArgumentException(
+        s"$classpath.eval arity $n unsupported (max 3)")
+    }
+    ()
+  }
+
+  /** Serializable eval dispatcher: re-resolves the Method on each executor
+    * (java.lang.reflect.Method is not serializable) and caches it.
+    */
+  private final class ReflectiveCall(
+      instance: AnyRef, className: String, methodName: String,
+      paramTypeNames: Array[String],
+      opened: Option[ThreadSafeOnce]) extends Serializable {
+    @transient private lazy val method: java.lang.reflect.Method = {
+      val cls = Class.forName(className)
+      cls.getMethods.find(m => m.getName == methodName &&
+        m.getParameterTypes.map(_.getName).sameElements(paramTypeNames))
+        .getOrElse(throw new IllegalStateException(s"$className.$methodName lost"))
+    }
+    def apply(args: Array[AnyRef]): Any = {
+      opened.foreach(_.ensureOpen())
+      method.invoke(instance, args: _*)
+    }
+  }
+
+  /** Java eval signature -> Spark type, for UDFs without an explicit
+    * returnType.
+    */
+  private def sparkTypeOf(c: Class[_], where: String): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    c.getName match {
+      case "java.lang.String" => StringType
+      case "int" | "java.lang.Integer" => IntegerType
+      case "long" | "java.lang.Long" => LongType
+      case "double" | "java.lang.Double" => DoubleType
+      case "float" | "java.lang.Float" => FloatType
+      case "boolean" | "java.lang.Boolean" => BooleanType
+      case "short" | "java.lang.Short" => ShortType
+      case "byte" | "java.lang.Byte" => ByteType
+      case "[B" => BinaryType
+      case "java.math.BigDecimal" => DecimalType(38, 18)
+      case "java.sql.Timestamp" => TimestampType
+      case "java.sql.Date" => DateType
+      case other => throw new IllegalArgumentException(
+        s"$where.eval returns $other — override returnType to register it")
+    }
   }
 }

@@ -23,6 +23,17 @@ final case class ModelDef(
     className: String,
     options: Map[String, String])
 
+/** A declared user-defined function from the pipeline
+  * `user-defined-function:` block (YamlPipelineDefinitionParser.java:93,
+  * 310-338; docs/core-concept/transform.md:403-506): `name` becomes a SQL
+  * function callable in transform expressions, `classpath` is reflectively
+  * instantiated (public no-arg constructor + public `eval`).
+  */
+final case class UdfDef(
+    name: String,
+    classpath: String,
+    options: Map[String, String] = Map.empty)
+
 /** Sink-side distribution strategy (reference `sink.partitioning.strategy`,
   * PipelineOptions.java:140 + hash function providers): PRIMARY_KEY hashes
   * rows by PK (default), TABLE_ID keeps each table's rows together,
@@ -50,7 +61,8 @@ final case class PipelineDef(
     parallelism: Int = 1,
     schemaChangeBehavior: SchemaChangeBehavior = SchemaChangeBehavior.Lenient,
     partitionStrategy: PartitionStrategy = PartitionStrategy.PrimaryKey,
-    models: Seq[ModelDef] = Nil)
+    models: Seq[ModelDef] = Nil,
+    udfs: Seq[UdfDef] = Nil)
 
 /** YAML frontend for [[PipelineDef]], accepting the reference's pipeline
   * file shape (docs/core-concept/data-pipeline.md):
@@ -137,22 +149,36 @@ object YamlPipelineParser {
         replaceSymbol = m.get("replace-symbol").filter(_ != null))
     }
 
-    // pipeline.model is a nested list (the only non-scalar pipeline key)
-    val models = root.get("pipeline") match {
-      case Some(m: java.util.Map[_, _]) =>
-        m.asScala.collectFirst { case (k, l: java.util.List[_]) if k.toString == "model" =>
-          l.asScala.toSeq.collect {
-            case mm: java.util.Map[_, _] =>
-              val opts = mm.asScala.map { case (k2, v) => k2.toString -> v.toString }.toMap
-              ModelDef(
-                opts.getOrElse("model-name",
-                  throw new IllegalArgumentException("model.model-name required")),
-                opts.getOrElse("class-name",
-                  throw new IllegalArgumentException("model.class-name required")),
-                opts -- Seq("model-name", "class-name"))
-          }
-        }.getOrElse(Nil)
-      case _ => Nil
+    // pipeline.model / pipeline.user-defined-function are nested lists
+    // (the only non-scalar pipeline keys)
+    def pipelineList(key: String): Seq[Map[String, String]] =
+      root.get("pipeline") match {
+        case Some(m: java.util.Map[_, _]) =>
+          m.asScala.collectFirst { case (k, l: java.util.List[_]) if k.toString == key =>
+            l.asScala.toSeq.collect {
+              case mm: java.util.Map[_, _] =>
+                mm.asScala.map { case (k2, v) => k2.toString -> v.toString }.toMap
+            }
+          }.getOrElse(Nil)
+        case _ => Nil
+      }
+
+    val models = pipelineList("model").map { opts =>
+      ModelDef(
+        opts.getOrElse("model-name",
+          throw new IllegalArgumentException("model.model-name required")),
+        opts.getOrElse("class-name",
+          throw new IllegalArgumentException("model.class-name required")),
+        opts -- Seq("model-name", "class-name"))
+    }
+
+    val udfs = pipelineList("user-defined-function").map { opts =>
+      UdfDef(
+        opts.getOrElse("name",
+          throw new IllegalArgumentException("user-defined-function.name required")),
+        opts.getOrElse("classpath",
+          throw new IllegalArgumentException("user-defined-function.classpath required")),
+        opts -- Seq("name", "classpath"))
     }
 
     val pipelineOpts = section("pipeline")
@@ -167,6 +193,7 @@ object YamlPipelineParser {
         .map(SchemaChangeBehavior.parse).getOrElse(SchemaChangeBehavior.Lenient),
       partitionStrategy = pipelineOpts.get("sink.partitioning.strategy")
         .map(PartitionStrategy.parse).getOrElse(PartitionStrategy.PrimaryKey),
-      models = models)
+      models = models,
+      udfs = udfs)
   }
 }

@@ -45,6 +45,9 @@ final class PipelineRunner(
   graft.sources.SourceOptions.resolve(pipeline.source.options)
   // declared models become SQL functions visible to transform expressions
   graft.functions.CdcFunctions.registerModels(spark, pipeline.models)
+  // declared UDFs register by classpath (public no-arg ctor + eval)
+  pipeline.udfs.foreach(u =>
+    graft.functions.UdfRegistry.registerByClasspath(spark, u.name, u.classpath, u.options))
   private val engine = new TransformEngine(spark, pipeline.transforms,
     metadataKeys = pipeline.source.options.get("metadata.list")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))

@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Lossless CDC temporal encodings (SURVEY §1.3). Spark has no TIME type
+  * and no zone-preserving timestamp, so:
+  *
+  *  - `TIME(p)` rides as '''millis-of-day INT''' — the reference's
+  *    `TimeData` representation (common/data/TimeData.java), tagged with
+  *    field metadata so sinks can render it back;
+  *  - `TIMESTAMP WITH TIME ZONE` / `DATETIMEOFFSET` ride as a
+  *    '''(instant, tz) struct''' — UTC instant plus the original
+  *    zone/offset id, the reference's `ZonedTimestampData`
+  *    (common/data/ZonedTimestampData.java). Postgres `TIMESTAMPTZ`
+  *    stays plain TimestampType: postgres normalizes to UTC on storage,
+  *    so there is no zone to preserve;
+  *  - `TIMETZ` rides as a '''(millis, tz) struct'''.
+  *
+  * Both directions are pure column projections (codegen'd) — encode on
+  * read, decode in sinks that can store the original form.
+  */
+object CdcTemporal {
+
+  /** Millis-of-day encoding of TIME(p). */
+  val TimeType: DataType = IntegerType
+
+  /** Field-metadata tag marking an INT column as millis-of-day TIME. */
+  val timeMetadata: Metadata =
+    new MetadataBuilder().putString("graft.cdc.type", "time").build()
+
+  /** Zone-preserving timestamp: UTC instant + original zone/offset id. */
+  val ZonedTimestampType: StructType = StructType(Seq(
+    StructField("instant", TimestampType),
+    StructField("tz", StringType)))
+
+  /** Offset-preserving time-of-day: millis-of-day + offset id. */
+  val ZonedTimeType: StructType = StructType(Seq(
+    StructField("millis", IntegerType),
+    StructField("tz", StringType)))
+
+  /** "HH:mm:ss[.SSS]" -> millis-of-day (timezone-independent string
+    * arithmetic — no session-zone dependency).
+    */
+  def timeFromString(c: Column): Column = {
+    val parts = split(c, ":")
+    (parts(0).cast(IntegerType) * 3600000 +
+      parts(1).cast(IntegerType) * 60000 +
+      (parts(2).cast(DecimalType(9, 3)) * 1000).cast(IntegerType))
+  }
+
+  /** Millis-of-day -> canonical "HH:mm:ss.SSS". */
+  def timeToString(c: Column): Column = concat(
+    lpad((c / 3600000).cast(IntegerType).cast(StringType), 2, "0"), lit(":"),
+    lpad((c % 3600000 / 60000).cast(IntegerType).cast(StringType), 2, "0"), lit(":"),
+    lpad((c % 60000 / 1000).cast(IntegerType).cast(StringType), 2, "0"), lit("."),
+    lpad((c % 1000).cast(StringType), 3, "0"))
+
+  /** ISO-8601 string with offset ("2024-03-01T10:15:30+05:30" / "...Z")
+    * -> (instant, tz) struct. The cast to timestamp honors the inline
+    * offset; the original offset id is kept alongside.
+    */
+  def zonedTimestampFromString(c: Column): Column = struct(
+    c.cast(TimestampType).as("instant"),
+    regexp_extract(c, "([+-]\\d{2}:\\d{2}|Z)$", 1).as("tz"))
+
+  /** (instant, tz) struct -> ISO-8601 string rendered in the preserved
+    * offset. Sessions run UTC (graft.Sessions.tuned), so the stored
+    * instant is the UTC wall clock `from_utc_timestamp` expects.
+    */
+  def zonedTimestampToString(c: Column): Column = {
+    val tz = c.getField("tz")
+    val zone = when(tz === "Z", "UTC").otherwise(tz)
+    concat(
+      date_format(from_utc_timestamp(c.getField("instant"), zone),
+        "yyyy-MM-dd'T'HH:mm:ss"),
+      tz)
+  }
+}

@@ -168,7 +168,7 @@ object ConnectorCatalog {
       case "DOUBLE" | "REAL" => DoubleType
       case "DECIMAL" | "NUMERIC" | "FIXED" => decimalOr(p, s, DecimalType(10, 0))
       case "DATE" => DateType
-      case "TIME" => StringType // Spark has no TIME; reference keeps TIME(p)
+      case "TIME" => CdcTemporal.TimeType // millis-of-day (TimeData.java)
       case "DATETIME" => TimestampNTZType
       case "TIMESTAMP" => TimestampType
       case "CHAR" | "VARCHAR" | "TINYTEXT" | "TEXT" | "MEDIUMTEXT" |
@@ -189,8 +189,11 @@ object ConnectorCatalog {
       case "DOUBLE PRECISION" | "FLOAT8" => DoubleType
       case "NUMERIC" | "DECIMAL" => decimalOr(p, s, DecimalType(38, 18))
       case "DATE" => DateType
-      case "TIME" | "TIMETZ" => StringType
+      case "TIME" => CdcTemporal.TimeType // millis-of-day (TimeData.java)
+      case "TIMETZ" => CdcTemporal.ZonedTimeType // offset preserved
       case "TIMESTAMP" => TimestampNTZType
+      // postgres normalizes TIMESTAMPTZ to UTC on storage — no zone to
+      // preserve, plain instant is faithful
       case "TIMESTAMPTZ" => TimestampType
       case "CHAR" | "CHARACTER" | "VARCHAR" | "CHARACTER VARYING" | "TEXT" |
           "JSON" | "JSONB" | "UUID" | "XML" => StringType
@@ -208,7 +211,11 @@ object ConnectorCatalog {
       case "BINARY_FLOAT" => FloatType
       case "BINARY_DOUBLE" | "FLOAT" => DoubleType
       case "DATE" | "TIMESTAMP" => TimestampNTZType
-      case "TIMESTAMP WITH TIME ZONE" | "TIMESTAMP WITH LOCAL TIME ZONE" => TimestampType
+      // oracle TIMESTAMP WITH TIME ZONE stores the original zone — keep it
+      // (ZonedTimestampData.java); LOCAL TIME ZONE normalizes, instant is
+      // faithful
+      case "TIMESTAMP WITH TIME ZONE" => CdcTemporal.ZonedTimestampType
+      case "TIMESTAMP WITH LOCAL TIME ZONE" => TimestampType
       case "CHAR" | "NCHAR" | "VARCHAR" | "VARCHAR2" | "NVARCHAR2" |
           "CLOB" | "NCLOB" | "XMLTYPE" => StringType
       case "BLOB" | "RAW" | "LONG RAW" => BinaryType
@@ -228,9 +235,9 @@ object ConnectorCatalog {
       case "DECIMAL" | "NUMERIC" | "MONEY" | "SMALLMONEY" =>
         decimalOr(p, s, DecimalType(19, 4))
       case "DATE" => DateType
-      case "TIME" => StringType
+      case "TIME" => CdcTemporal.TimeType // millis-of-day (TimeData.java)
       case "DATETIME" | "DATETIME2" | "SMALLDATETIME" => TimestampNTZType
-      case "DATETIMEOFFSET" => TimestampType
+      case "DATETIMEOFFSET" => CdcTemporal.ZonedTimestampType // offset preserved
       case "CHAR" | "NCHAR" | "VARCHAR" | "NVARCHAR" | "TEXT" | "NTEXT" |
           "XML" | "UNIQUEIDENTIFIER" => StringType
       case "BINARY" | "VARBINARY" | "IMAGE" => BinaryType
@@ -250,7 +257,7 @@ object ConnectorCatalog {
       case "DOUBLE" | "FLOAT" => DoubleType
       case "DECIMAL" | "NUMERIC" | "DECFLOAT" => decimalOr(p, s, DecimalType(31, 6))
       case "DATE" => DateType
-      case "TIME" => StringType
+      case "TIME" => CdcTemporal.TimeType // millis-of-day (TimeData.java)
       case "TIMESTAMP" => TimestampNTZType
       case "CHAR" | "VARCHAR" | "CLOB" | "GRAPHIC" | "VARGRAPHIC" | "DBCLOB" => StringType
       case "BINARY" | "VARBINARY" | "BLOB" => BinaryType

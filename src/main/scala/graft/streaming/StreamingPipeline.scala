@@ -28,6 +28,15 @@ final class StreamingPipeline(
 
   private[graft] val runner = new PipelineRunner(spark, pipeline, null, sink)
 
+  /** Upstream (pre-transform, pre-route) schema plane. The runner's
+    * registry tracks SINK tables with transformed schemas; decoding the
+    * wire needs the schema of what the DATABASE is sending, so wire DDL
+    * evolves this registry too (faithfully — Evolve behavior) and its
+    * state checkpoints alongside the sink-plane state.
+    */
+  private[graft] val upstream =
+    new graft.schema.SchemaRegistry(graft.schema.SchemaChangeBehavior.Evolve)
+
   /** Start a streaming query over debezium-JSON lines. The source table's
     * schema must be known (CDC JSON carries no types); the CreateTable
     * event is synthesized on the first batch — unless checkpointed schema
@@ -43,6 +52,12 @@ final class StreamingPipeline(
       new java.io.File(cp, StreamingPipeline.SchemaStateFile))
     stateFile.filter(_.exists).foreach { f =>
       runner.registry.restoreState(
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+    }
+    val upstreamFile = checkpointLocation.map(cp =>
+      new java.io.File(cp, StreamingPipeline.UpstreamStateFile))
+    upstreamFile.filter(_.exists).foreach { f =>
+      upstream.restoreState(
         new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
     }
     var created = runner.registry.evolvedInfo(tableId).isDefined
@@ -83,13 +98,16 @@ final class StreamingPipeline(
 
         if (!created) {
           created = true
+          upstream.apply(CreateTableEvent(tableId, info))
           runner.processBatch(SourceBatch(Seq(CreateTableEvent(tableId, info)), Nil))
         }
 
         def emit(segment: DataFrame): Unit = {
-          // decode with the CURRENT original-plane schema: columns added/
-          // renamed by earlier DDL in this very batch parse from this row on
-          val cur = runner.registry.originalInfo(tableId).getOrElse(info)
+          // decode with the CURRENT upstream schema (what the database is
+          // sending now — NOT the runner's transformed sink plane): columns
+          // added/renamed by earlier DDL in this very batch parse from this
+          // row on
+          val cur = upstream.evolvedInfo(tableId).getOrElse(info)
           val paired = DebeziumJson
             .decode(segment, "value", cur.schema, seqCol = Some(Changelog.SeqCol))
             .drop("__table")
@@ -103,8 +121,9 @@ final class StreamingPipeline(
             val at = r.getLong(0)
             val segment = data.where(col(Changelog.SeqCol) > lower && col(Changelog.SeqCol) < at)
             if (!segment.isEmpty) emit(segment)
-            runner.processBatch(
-              SourceBatch(DdlParser.parse(r.getString(1), tableId), Nil))
+            val events = DdlParser.parse(r.getString(1), tableId)
+            events.foreach(upstream.apply)
+            runner.processBatch(SourceBatch(events, Nil))
             lower = at
           }
           val tail = data.where(col(Changelog.SeqCol) > lower)
@@ -112,15 +131,18 @@ final class StreamingPipeline(
         }
         // persist schema planes with the checkpoint (the reference
         // checkpoints SchemaManager state; SchemaManager.java:56) so a
-        // restart resumes with evolved sink schemas, not the original
-        stateFile.foreach { f =>
+        // restart resumes with evolved sink schemas AND the upstream
+        // decode schema, not the originals
+        def persist(f: java.io.File, state: String): Unit = {
           f.getParentFile.mkdirs()
           val tmp = new java.io.File(f.getParentFile, f.getName + ".tmp")
-          java.nio.file.Files.write(tmp.toPath, runner.registry.snapshotState.getBytes("UTF-8"))
+          java.nio.file.Files.write(tmp.toPath, state.getBytes("UTF-8"))
           java.nio.file.Files.move(tmp.toPath, f.toPath,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         }
+        stateFile.foreach(persist(_, runner.registry.snapshotState))
+        upstreamFile.foreach(persist(_, upstream.snapshotState))
         ()
       }
     checkpointLocation.fold(writer)(cp => writer.option("checkpointLocation", cp)).start()
@@ -131,6 +153,9 @@ object StreamingPipeline {
 
   /** Schema-registry state file inside the checkpoint directory. */
   val SchemaStateFile = "graft-schema-state.yaml"
+
+  /** Upstream (wire-decode) schema state file inside the checkpoint. */
+  val UpstreamStateFile = "graft-upstream-schema.yaml"
 
   /** Convenience: a file-based debezium-JSON stream (one JSON per line) —
     * the zero-dependency stand-in for a Kafka topic in this environment;

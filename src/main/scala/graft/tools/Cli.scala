@@ -1,0 +1,112 @@
+package graft.tools
+
+import graft.Sessions
+import graft.cdc.DdlParser
+import graft.model.{CreateTableEvent, TableId}
+import graft.pipeline._
+import graft.sinks._
+import graft.streaming.StreamingPipeline
+import org.apache.spark.sql.SparkSession
+
+/** Pipeline-file frontend — the `flink-cdc.sh` analog
+  * (flink-cdc-cli/.../CliFrontend.java:65): takes a pipeline YAML path,
+  * builds the declared source and sink, and runs the pipeline to
+  * completion (AvailableNow semantics: process everything present, then
+  * stop). A user runs a pipeline file end to end without writing Scala:
+  *
+  * {{{
+  * sbt "runMain graft.tools.Cli /path/to/pipeline.yaml"
+  * }}}
+  *
+  * Source types:
+  *  - `debezium-file`: debezium-JSON lines (data + DDL envelopes) under
+  *    `path`; `table` names the pipeline table id; `schema.ddl` declares
+  *    the initial schema as a CREATE TABLE statement (CDC JSON carries no
+  *    types — the reference reads the same from the database's history);
+  *    optional `checkpoint` resumes from prior state.
+  *
+  * Sink types: `values` (materialized rows print to stdout — the test
+  * sink), `parquet` (lakehouse MERGE sink at `path`), `kafka`
+  * (file-backed topic log at `path`), `jdbc` (`url` + `dialect`).
+  */
+object Cli {
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: graft.tools.Cli <pipeline.yaml>")
+    val yaml = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(0))), "UTF-8")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = Sessions.tuned(SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("graft-pipeline")
+      .config("spark.sql.shuffle.partitions", cpus))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, yaml).foreach(println)
+    finally spark.stop()
+  }
+
+  /** Run a pipeline definition to completion; returns a summary line per
+    * sink table (and the materialized rows for the values sink).
+    */
+  def run(spark: SparkSession, yaml: String): Seq[String] = {
+    val pd = YamlPipelineParser.parse(yaml)
+    val (sink, report) = buildSink(spark, pd)
+    pd.source.kind match {
+      case "debezium-file" =>
+        val path = pd.source.options.getOrElse("path",
+          throw new IllegalArgumentException("source.path is required for debezium-file"))
+        val tid = TableId.parse(pd.source.options.getOrElse("table",
+          throw new IllegalArgumentException("source.table is required for debezium-file")))
+        val ddl = pd.source.options.getOrElse("schema.ddl",
+          throw new IllegalArgumentException(
+            "source.schema.ddl (CREATE TABLE ...) is required for debezium-file"))
+        val info = DdlParser.parse(ddl, tid) match {
+          case Seq(CreateTableEvent(_, i)) => i
+          case other => throw new IllegalArgumentException(
+            s"schema.ddl must be a single CREATE TABLE statement, parsed: $other")
+        }
+        val q = new StreamingPipeline(spark, pd, sink).startFromDebeziumJson(
+          StreamingPipeline.fileJsonStream(spark, path), tid, info,
+          checkpointLocation = pd.source.options.get("checkpoint"))
+        q.awaitTermination()
+        s"pipeline '${pd.name}': processed $path into ${pd.sink.kind} sink" +: report()
+      case other => throw new IllegalArgumentException(
+        s"source.type $other is not runnable from the CLI " +
+          "(values is programmatic; DB connectors need live transports)")
+    }
+  }
+
+  private def buildSink(spark: SparkSession, pd: PipelineDef): (DataSink, () => Seq[String]) =
+    pd.sink.kind match {
+      case "values" =>
+        val v = new ValuesDatabase
+        (v, () => v.tableIds.flatMap(v.results))
+      case "parquet" =>
+        val path = pd.sink.options.getOrElse("path",
+          throw new IllegalArgumentException("sink.path is required for parquet"))
+        val p = new ParquetUpsertSink(spark, path,
+          numBuckets = pd.sink.options.get("buckets").map(_.toInt).getOrElse(16),
+          mergeOnRead = pd.sink.options.get("merge-on-read").exists(_.toBoolean))
+        (p, () => Seq(s"parquet tables under $path"))
+      case "kafka" =>
+        val path = pd.sink.options.getOrElse("path",
+          throw new IllegalArgumentException("sink.path is required for kafka (file-backed)"))
+        val k = new KafkaSink(new FileTopicWriter(spark, path), pd.sink.options)
+        (k, () => Seq(s"topic segments under $path"))
+      case "jdbc" =>
+        val url = pd.sink.options.getOrElse("url",
+          throw new IllegalArgumentException("sink.url is required for jdbc"))
+        val props = new java.util.Properties()
+        pd.sink.options.foreach { case (k, v) =>
+          if (k.startsWith("jdbc.properties.")) props.put(k.stripPrefix("jdbc.properties."), v)
+        }
+        val dialect = pd.sink.options.get("dialect").map(_.toLowerCase) match {
+          case Some("postgres") | Some("postgresql") => PostgresDialect
+          case _ => MySqlDialect
+        }
+        (new JdbcUpsertSink(url, props, dialect), () => Seq(s"jdbc tables at $url"))
+      case other => throw new IllegalArgumentException(s"unsupported sink.type: $other")
+    }
+}

@@ -210,6 +210,71 @@ class PipelineSpec extends SparkSpec {
     assert(pd.schemaChangeBehavior === graft.schema.SchemaChangeBehavior.Evolve)
   }
 
+  test("YAML user-defined-function block registers by classpath and runs in a projection") {
+    val pd = YamlPipelineParser.parse(
+      """source: { type: values }
+        |sink: { type: values }
+        |transform:
+        |  - source-table: db.t
+        |    projection: "id, ADDN(v) AS v_plus, BANG(name) AS name_bang"
+        |pipeline:
+        |  user-defined-function:
+        |    - name: addn
+        |      classpath: graft.functions.AddNUdf
+        |      n: 5
+        |    - name: bang
+        |      classpath: graft.functions.BangUdf
+        |""".stripMargin)
+    assert(pd.udfs === Seq(
+      UdfDef("addn", "graft.functions.AddNUdf", Map("n" -> "5")),
+      UdfDef("bang", "graft.functions.BangUdf")))
+
+    val tid = TableId.parse("db.t")
+    val tinfo = TableInfo(StructType(Seq(
+      StructField("id", LongType), StructField("v", IntegerType),
+      StructField("name", StringType))), primaryKeys = Seq("id"))
+    val script = Seq(
+      CreateTableEvent(tid, tinfo),
+      DataChangeEvent.insert(tid, Row(1L, 10, "a")),
+      DataChangeEvent.insert(tid, Row(2L, 20, "b")))
+    val sink = new ValuesDatabase
+    new PipelineRunner(spark, pd, new ValuesSource(script), sink).run()
+    // AddN opened with n=5 (lifecycle honored); Bang has no lifecycle
+    assert(sink.results(tid).toSet === Set("db.t:1;15;a!", "db.t:2;25;b!"))
+  }
+
+  test("CLI runs a pipeline file end to end: debezium-file source, UDF, values sink") {
+    val dir = java.nio.file.Files.createTempDirectory("cli").toFile
+    val feed = new java.io.File(dir, "feed"); feed.mkdirs()
+    java.nio.file.Files.write(new java.io.File(feed, "f1.json").toPath, Seq(
+      """{"before":null,"after":{"id":1,"v":10},"op":"c","ts_ms":1,"source":{"db":"db","table":"t"}}""",
+      """{"source":{"db":"db","table":"t"},"ddl":"ALTER TABLE t ADD COLUMN note VARCHAR(20)"}""",
+      """{"before":null,"after":{"id":2,"v":20,"note":"hi"},"op":"c","ts_ms":2,"source":{"db":"db","table":"t"}}"""
+    ).mkString("\n").getBytes("UTF-8"))
+    val yaml =
+      s"""source:
+         |  type: debezium-file
+         |  path: ${feed.getAbsolutePath}
+         |  table: db.t
+         |  schema.ddl: "CREATE TABLE t (id BIGINT PRIMARY KEY, v INT)"
+         |sink: { type: values }
+         |transform:
+         |  - source-table: db.t
+         |    projection: "*, ADDN(v) AS v_plus"
+         |pipeline:
+         |  name: cli_demo
+         |  user-defined-function:
+         |    - name: addn
+         |      classpath: graft.functions.AddNUdf
+         |      n: 100
+         |""".stripMargin
+    val out = graft.tools.Cli.run(spark, yaml)
+    assert(out.head.startsWith("pipeline 'cli_demo'"))
+    // the wire DDL widened the schema mid-feed (lenient: `note` appends
+    // after the transform's output columns); the UDF computed v_plus
+    assert(out.tail.toSet === Set("db.t:1;10;110;null", "db.t:2;20;120;hi"))
+  }
+
   test("YAML model block parses and drives a transform projection") {
     val pd = YamlPipelineParser.parse(
       """source: { type: values }
