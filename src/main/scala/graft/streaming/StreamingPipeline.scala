@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.cdc.{Changelog, DdlParser, DebeziumJson}
+import graft.cdc.{CanalJson, Changelog, DdlParser, DebeziumJson}
 import graft.model.{CreateTableEvent, TableId, TableInfo}
 import graft.pipeline.{PipelineDef, PipelineRunner}
 import graft.sinks.DataSink
@@ -9,11 +9,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
-/** Structured Streaming front end: a streaming DataFrame of debezium-JSON
-  * envelopes drives the [[PipelineRunner]] through `foreachBatch` — the
-  * micro-batch boundary is the flush/DDL barrier (the reference needs an
-  * explicit FlushEvent + coordinator RPC for this;
-  * SchemaOperator.java:161-199).
+/** Structured Streaming front end: a streaming DataFrame of CDC-JSON
+  * envelopes (debezium or canal — the two wire formats of the reference's
+  * Kafka pipeline source) drives the [[PipelineRunner]] through
+  * `foreachBatch` — the micro-batch boundary is the flush/DDL barrier
+  * (the reference needs an explicit FlushEvent + coordinator RPC for
+  * this; SchemaOperator.java:161-199).
   *
   * Offsets and sink state ride on Spark's checkpoint mechanism: with a
   * `checkpointLocation` the stream resumes exactly where it stopped, and
@@ -47,7 +48,39 @@ final class StreamingPipeline(
       tableId: TableId,
       info: TableInfo,
       checkpointLocation: Option[String] = None,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    startFromJsonLines(jsonStream, tableId, info, checkpointLocation, trigger) {
+      (segment, schema) =>
+        DebeziumJson.decode(segment, "value", schema, seqCol = Some(Changelog.SeqCol))
+          .drop("__table")
+    }
+
+  /** Same front end over canal-JSON lines (multi-row messages explode,
+    * `isDdl` envelopes drive schema evolution).
+    */
+  def startFromCanalJson(
+      jsonStream: DataFrame,
+      tableId: TableId,
+      info: TableInfo,
+      checkpointLocation: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    startFromJsonLines(jsonStream, tableId, info, checkpointLocation, trigger) {
+      (segment, schema) =>
+        CanalJson.decode(segment, "value", schema, seqCol = Some(Changelog.SeqCol))
+          .drop("__table")
+    }
+
+  /** The shared micro-batch loop: sequence, split out DDL envelopes,
+    * decode data segments with the schema valid at their log position,
+    * checkpoint both schema planes.
+    */
+  private def startFromJsonLines(
+      jsonStream: DataFrame,
+      tableId: TableId,
+      info: TableInfo,
+      checkpointLocation: Option[String],
+      trigger: Trigger)(
+      decodeSegment: (DataFrame, StructType) => DataFrame): StreamingQuery = {
     val stateFile = checkpointLocation.map(cp =>
       new java.io.File(cp, StreamingPipeline.SchemaStateFile))
     stateFile.filter(_.exists).foreach { f =>
@@ -108,10 +141,8 @@ final class StreamingPipeline(
           // added/renamed by earlier DDL in this very batch parse from this
           // row on
           val cur = upstream.evolvedInfo(tableId).getOrElse(info)
-          val paired = DebeziumJson
-            .decode(segment, "value", cur.schema, seqCol = Some(Changelog.SeqCol))
-            .drop("__table")
-          runner.processBatch(SourceBatch(Nil, Seq(tableId -> paired)))
+          runner.processBatch(
+            SourceBatch(Nil, Seq(tableId -> decodeSegment(segment, cur.schema))))
         }
 
         if (ddlRows.isEmpty) emit(data)

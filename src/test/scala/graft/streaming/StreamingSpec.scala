@@ -139,6 +139,26 @@ class StreamingSpec extends SparkSpec {
     assert(sink2.results(tid).toSet === Set("db.users:1;a2;11"))
   }
 
+  test("canal-json stream: multi-row messages and isDdl envelopes drive the pipeline") {
+    val dir = java.nio.file.Files.createTempDirectory("canal_stream").toFile
+    val lines = Seq(
+      // one multi-row INSERT message (real canal batches rows per message)
+      """{"old":null,"data":[{"id":1,"v":"a"},{"id":2,"v":"b"}],"type":"INSERT","database":"db","table":"users","pkNames":["id"]}""",
+      """{"isDdl":true,"sql":"ALTER TABLE users ADD COLUMN age INT","database":"db","table":"users"}""",
+      """{"old":[{"id":1,"v":"a","age":null}],"data":[{"id":1,"v":"a2","age":11}],"type":"UPDATE","database":"db","table":"users","pkNames":["id"]}""",
+      """{"old":null,"data":[{"id":2,"v":"b","age":null}],"type":"DELETE","database":"db","table":"users","pkNames":["id"]}""")
+    java.nio.file.Files.write(new java.io.File(dir, "feed.json").toPath,
+      lines.mkString("\n").getBytes("UTF-8"))
+
+    val sink = new ValuesDatabase
+    val sp = new StreamingPipeline(spark, pd, sink)
+    val q = sp.startFromCanalJson(
+      StreamingPipeline.fileJsonStream(spark, dir.getAbsolutePath), tid, tableInfo)
+    q.awaitTermination(60000)
+    assert(sp.upstream.evolvedInfo(tid).get.fieldNames === Seq("id", "v", "age"))
+    assert(sink.results(tid).toSet === Set("db.users:1;a2;11"))
+  }
+
   test("registry state snapshot/restore roundtrip") {
     import graft.model._
     import graft.schema.SchemaRegistry
