@@ -15,8 +15,9 @@ import org.apache.spark.sql.types._
   * Covers the ALTER/CREATE/DROP/TRUNCATE grammar of the supported
   * dialects' DDL as it appears in logs: column clauses with MySQL
   * (`MODIFY`, `CHANGE`) and standard/Postgres (`ALTER COLUMN ... TYPE`)
-  * spellings, multi-clause ALTERs, quoted identifiers, and typed columns
-  * resolved through the connector dialect type maps.
+  * spellings, multi-clause ALTERs, quoted identifiers, column placement
+  * (`FIRST` / `AFTER x`), charset/collation tails, ENUM/SET args, and
+  * typed columns resolved through the connector dialect type maps.
   *
   * The event's table id comes from the envelope's source metadata (the
   * authoritative routing key), not from the statement text — statement
@@ -30,20 +31,31 @@ object DdlParser {
       .stripPrefix("\"").stripSuffix("\"")
       .stripPrefix("[").stripSuffix("]")
 
-  /** "VARCHAR(255)" / "DECIMAL(10,2)" / "INT UNSIGNED" -> Spark type via
-    * the dialect type map.
+  /** "VARCHAR(255)" / "DECIMAL(10,2)" / "INT UNSIGNED" ->  Spark type via
+    * the dialect type map. Charset/collation tails are stripped;
+    * non-numeric parenthesized args (ENUM('a','b'), SET(...)) resolve by
+    * type name alone.
     */
-  private[cdc] def parseType(spec: String,
+  private[cdc] def parseType(spec0: String,
       types: (String, Int, Int) => DataType): DataType = {
+    val spec = spec0.trim
+      .replaceAll("(?i)\\s+CHARACTER\\s+SET\\s+\\S+", "")
+      .replaceAll("(?i)\\s+CHARSET\\s+\\S+", "")
+      .replaceAll("(?i)\\s+COLLATE\\s+\\S+", "")
+      .trim
     val TypeRe = """(?i)\s*([A-Za-z][A-Za-z0-9 ]*?)\s*(?:\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\))?\s*(UNSIGNED)?\s*""".r
-    spec.trim match {
+    spec match {
       case TypeRe(name, p, s, unsigned) =>
         val full = (name.trim + Option(unsigned).map(" " + _.trim.toUpperCase).getOrElse(""))
           .replaceAll("\\s+", " ")
         types(full,
           Option(p).map(_.toInt).getOrElse(-1),
           Option(s).map(_.toInt).getOrElse(-1))
-      case other => throw new IllegalArgumentException(s"unparseable type: $other")
+      case other =>
+        // ENUM('on','off'), SET('a','b'), ... — name-only resolution
+        val name = other.takeWhile(_ != '(').replaceAll("\\s+", " ").trim
+        if (name.nonEmpty) types(name, -1, -1)
+        else throw new IllegalArgumentException(s"unparseable type: $other")
     }
   }
 
@@ -67,27 +79,70 @@ object DdlParser {
     out.result().map(_.trim).filter(_.nonEmpty)
   }
 
+  /** The prefix of `s` up to the ')' that balances an already-open paren
+    * (quotes respected) — the CREATE TABLE body, robust against table
+    * options containing parens (PARTITION BY HASH(id), COMMENT='x (y)').
+    */
+  private def balancedBody(s: String): String = {
+    var depth = 1
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '`' | '"' | '\'' => quote = c
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return s.substring(0, i)
+        case _ => ()
+      }
+      i += 1
+    }
+    s // unbalanced: treat the rest as the body
+  }
+
   private val AlterTable = """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+(.*)""".r
-  private val CreateTable = """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\S+)\s*\((.*)\)\s*[^)]*""".r
+  private val CreateTableHead = """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\S+)\s*\((.*)""".r
   private val DropTable = """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\S+)\s*""".r
   private val TruncateTable = """(?is)\s*TRUNCATE\s+(?:TABLE\s+)?(\S+)\s*""".r
 
-  // ALTER clauses
-  private val AddCol = """(?is)ADD\s+(?:COLUMN\s+)?(\S+)\s+(.+?)(?:\s+(?:NOT\s+NULL|NULL|DEFAULT\s+.*|COMMENT\s+.*|FIRST|AFTER\s+\S+))*""".r
+  // column-clause modifiers (quoted literals matched as wholes so DEFAULT
+  // 'a b' or COMMENT 'added after id' cannot confuse the tail scan)
+  private val Modifier =
+    """NOT\s+NULL|NULL|DEFAULT\s+'[^']*'|DEFAULT\s+\S+|COMMENT\s+'[^']*'|COMMENT\s+\S+|AUTO_INCREMENT|UNIQUE|FIRST|AFTER\s+\S+"""
+  private val AddCol = s"""(?is)ADD\\s+(?:COLUMN\\s+)?(\\S+)\\s+(.+?)((?:\\s+(?:$Modifier))*)""".r
   private val DropCol = """(?is)DROP\s+(?:COLUMN\s+)?(\S+)\s*""".r
   private val RenameCol = """(?is)RENAME\s+(?:COLUMN\s+)?(\S+)\s+TO\s+(\S+)\s*""".r
-  private val ModifyCol = """(?is)MODIFY\s+(?:COLUMN\s+)?(\S+)\s+(.+?)(?:\s+(?:NOT\s+NULL|NULL|DEFAULT\s+.*|COMMENT\s+.*|FIRST|AFTER\s+\S+))*""".r
-  private val ChangeCol = """(?is)CHANGE\s+(?:COLUMN\s+)?(\S+)\s+(\S+)\s+(.+?)(?:\s+(?:NOT\s+NULL|NULL|DEFAULT\s+.*|COMMENT\s+.*|FIRST|AFTER\s+\S+))*""".r
+  private val ModifyCol = s"""(?is)MODIFY\\s+(?:COLUMN\\s+)?(\\S+)\\s+(.+?)((?:\\s+(?:$Modifier))*)""".r
+  private val ChangeCol = s"""(?is)CHANGE\\s+(?:COLUMN\\s+)?(\\S+)\\s+(\\S+)\\s+(.+?)((?:\\s+(?:$Modifier))*)""".r
   private val AlterColType = """(?is)ALTER\s+(?:COLUMN\s+)?(\S+)\s+(?:SET\s+DATA\s+)?TYPE\s+(.+)""".r
+
+  /** MySQL column placement from a modifier tail: FIRST / AFTER `col`.
+    * Quoted literals are blanked first so a COMMENT mentioning "after x"
+    * cannot fake a placement.
+    */
+  private def positionOf(tail: String): ColumnPosition = {
+    val cleaned = tail.replaceAll("'[^']*'", "''")
+    val AfterRe = """(?is).*\bAFTER\s+(\S+).*""".r
+    cleaned match {
+      case AfterRe(c) => ColumnPosition.After(unquote(c))
+      case _ if """(?is).*\bFIRST\b.*""".r.matches(cleaned) => ColumnPosition.First
+      case _ => ColumnPosition.Last
+    }
+  }
 
   /** Parse one DDL statement into its schema-change events. Unrecognized
     * statements (GRANT, CREATE INDEX, ...) return Nil — the log replays
     * them but they carry no schema consequence for the pipeline.
+    * Recognized clauses with genuinely unresolvable types still throw;
+    * stream callers decide whether to skip or fail.
     */
   def parse(ddl: String, tableId: TableId,
       types: (String, Int, Int) => DataType = ConnectorCatalog.mysqlTypes): Seq[SchemaChangeEvent] =
     ddl.trim.stripSuffix(";") match {
-      case CreateTable(_, body) => Seq(createEvent(tableId, body, types))
+      case CreateTableHead(_, rest) => Seq(createEvent(tableId, balancedBody(rest), types))
       case AlterTable(_, clauses) =>
         splitClauses(clauses).flatMap {
           // index/constraint clauses carry no schema consequence and must
@@ -95,24 +150,24 @@ object DdlParser {
           case c if c.toUpperCase.matches(
               "(?s)\\s*(ADD|DROP)\\s+(INDEX|KEY|UNIQUE|CONSTRAINT|FOREIGN|FULLTEXT|SPATIAL|PARTITION|PRIMARY)\\b.*") =>
             None
-          case AddCol(name, spec) =>
+          case AddCol(name, spec, tail) =>
             Some(AddColumnEvent(tableId, Seq(
-              (StructField(unquote(name), parseType(spec, types)), ColumnPosition.Last))))
+              (StructField(unquote(name), parseType(spec, types)), positionOf(tail)))))
           case DropCol(name) =>
             Some(DropColumnEvent(tableId, Seq(unquote(name))))
           case RenameCol(from, to) =>
             Some(RenameColumnEvent(tableId, Map(unquote(from) -> unquote(to))))
-          case ChangeCol(from, to, spec) =>
+          case ChangeCol(from, to, spec, _) =>
             // MySQL CHANGE = rename + retype in one clause
             val (f, t) = (unquote(from), unquote(to))
             val retype = AlterColumnTypeEvent(tableId, Map(t -> parseType(spec, types)))
             if (f == t) Seq(retype)
             else Seq(RenameColumnEvent(tableId, Map(f -> t)), retype)
-          case ModifyCol(name, spec) =>
+          case ModifyCol(name, spec, _) =>
             Some(AlterColumnTypeEvent(tableId, Map(unquote(name) -> parseType(spec, types))))
           case AlterColType(name, spec) =>
             Some(AlterColumnTypeEvent(tableId, Map(unquote(name) -> parseType(spec, types))))
-          case _ => None // ADD INDEX, DROP KEY, engine options, ...
+          case _ => None // engine options, ...
         }
       case DropTable(_) => Seq(DropTableEvent(tableId))
       case TruncateTable(_) => Seq(TruncateTableEvent(tableId))

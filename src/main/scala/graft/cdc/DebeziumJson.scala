@@ -54,15 +54,28 @@ object DebeziumJson {
     * statement at `sql`. One cheap JSON-path probe per record.
     */
   def ddlOf(jsonCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    // cheap substring prefilter so the hot data path pays two contains()
-    // scans, not three JSON parses, per record ("\"ddl\"" also matches
-    // inside historyRecord; isDdl spells differently)
-    when(jsonCol.contains("\"ddl\"") || jsonCol.contains("\"isDdl\""),
+    // cheap substring prefilter so the hot data path pays contains()
+    // scans, not three JSON parses, per record. "\"ddl\"" also matches
+    // inside historyRecord. Real canal feeds carry "isDdl":false on EVERY
+    // data record, so the common false spellings are excluded up front;
+    // unusual whitespace only costs the JSON probe (the $.isDdl === true
+    // check keeps correctness), never a missed DDL.
+    when((jsonCol.contains("\"ddl\"") || jsonCol.contains("\"isDdl\"")) &&
+        !jsonCol.contains("\"isDdl\":false") && !jsonCol.contains("\"isDdl\": false"),
       coalesce(
         get_json_object(jsonCol, "$.ddl"),
         get_json_object(jsonCol, "$.historyRecord.ddl"),
         when(get_json_object(jsonCol, "$.isDdl") === "true",
           get_json_object(jsonCol, "$.sql"))))
+
+  /** Table named by a schema-change envelope (debezium `source.table`,
+    * canal top-level `table`) — null when absent. Only evaluated on the
+    * rare DDL rows, so plain JSON probes are fine.
+    */
+  def ddlTableOf(jsonCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    coalesce(
+      get_json_object(jsonCol, "$.source.table"),
+      get_json_object(jsonCol, "$.table"))
 
   /** Encode a paired changelog frame back into debezium-JSON strings.
     * `passthrough` columns (e.g. `__seq` as the future Kafka offset) ride

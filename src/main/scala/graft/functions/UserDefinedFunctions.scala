@@ -77,7 +77,14 @@ object UdfRegistry {
     val evals = cls.getMethods.filter(m =>
       m.getName == "eval" && !m.isBridge && !m.isSynthetic)
     require(evals.nonEmpty, s"$classpath has no public eval method")
-    val eval = evals.maxBy(_.getParameterCount)
+    // one SQL function registers one signature: overloaded evals would be
+    // silently narrowed to whichever this picked — reject loudly instead
+    // (the reference resolves overloads per call site via codegen; a
+    // registered Spark UDF cannot)
+    require(evals.length == 1,
+      s"$classpath has ${evals.length} eval overloads; a registered SQL " +
+        "function binds ONE signature — split them across classes/names")
+    val eval = evals.head
     val rt: org.apache.spark.sql.types.DataType = instance match {
       case u: UserDefinedFunction if u.returnType.isDefined => u.returnType.get
       case _ => sparkTypeOf(eval.getReturnType, classpath)

@@ -40,22 +40,31 @@ object CdcTemporal {
     StructField("millis", IntegerType),
     StructField("tz", StringType)))
 
-  /** "HH:mm:ss[.SSS]" -> millis-of-day (timezone-independent string
-    * arithmetic — no session-zone dependency).
+  /** "[-]HH:mm:ss[.SSS]" -> signed millis (timezone-independent string
+    * arithmetic — no session-zone dependency). The reference TimeData
+    * domain is millis-of-day 0..86399999; MySQL's signed duration TIME
+    * ("-01:30:00") keeps its sign. Arithmetic runs in LONG so hour
+    * counts beyond a day cannot silently wrap before the final cast.
     */
   def timeFromString(c: Column): Column = {
-    val parts = split(c, ":")
-    (parts(0).cast(IntegerType) * 3600000 +
-      parts(1).cast(IntegerType) * 60000 +
-      (parts(2).cast(DecimalType(9, 3)) * 1000).cast(IntegerType))
+    val body = regexp_replace(c, "^-", "")
+    val parts = split(body, ":")
+    val millis = (parts(0).cast(LongType) * 3600000L +
+      parts(1).cast(LongType) * 60000L +
+      (parts(2).cast(DecimalType(12, 3)) * 1000).cast(LongType))
+    when(c.startsWith("-"), -millis).otherwise(millis).cast(IntegerType)
   }
 
-  /** Millis-of-day -> canonical "HH:mm:ss.SSS". */
-  def timeToString(c: Column): Column = concat(
-    lpad((c / 3600000).cast(IntegerType).cast(StringType), 2, "0"), lit(":"),
-    lpad((c % 3600000 / 60000).cast(IntegerType).cast(StringType), 2, "0"), lit(":"),
-    lpad((c % 60000 / 1000).cast(IntegerType).cast(StringType), 2, "0"), lit("."),
-    lpad((c % 1000).cast(StringType), 3, "0"))
+  /** Signed millis -> canonical "[-]HH:mm:ss.SSS". */
+  def timeToString(c: Column): Column = {
+    val a = abs(c)
+    concat(
+      when(c < 0, "-").otherwise(""),
+      lpad((a / 3600000).cast(IntegerType).cast(StringType), 2, "0"), lit(":"),
+      lpad((a % 3600000 / 60000).cast(IntegerType).cast(StringType), 2, "0"), lit(":"),
+      lpad((a % 60000 / 1000).cast(IntegerType).cast(StringType), 2, "0"), lit("."),
+      lpad((a % 1000).cast(StringType), 3, "0"))
+  }
 
   /** ISO-8601 string with offset ("2024-03-01T10:15:30+05:30" / "...Z")
     * -> (instant, tz) struct. The cast to timestamp honors the inline
@@ -66,15 +75,19 @@ object CdcTemporal {
     regexp_extract(c, "([+-]\\d{2}:\\d{2}|Z)$", 1).as("tz"))
 
   /** (instant, tz) struct -> ISO-8601 string rendered in the preserved
-    * offset. Sessions run UTC (graft.Sessions.tuned), so the stored
-    * instant is the UTC wall clock `from_utc_timestamp` expects.
+    * offset, sub-second digits included when present (trailing zeros
+    * trimmed, so whole-second values round-trip byte-identically).
+    * Sessions run UTC (graft.Sessions.tuned), so the stored instant is
+    * the UTC wall clock `from_utc_timestamp` expects.
     */
   def zonedTimestampToString(c: Column): Column = {
     val tz = c.getField("tz")
     val zone = when(tz === "Z", "UTC").otherwise(tz)
+    val local = from_utc_timestamp(c.getField("instant"), zone)
+    val frac = regexp_replace(date_format(local, "SSSSSS"), "0+$", "")
     concat(
-      date_format(from_utc_timestamp(c.getField("instant"), zone),
-        "yyyy-MM-dd'T'HH:mm:ss"),
+      date_format(local, "yyyy-MM-dd'T'HH:mm:ss"),
+      when(length(frac) > 0, concat(lit("."), frac)).otherwise(lit("")),
       tz)
   }
 }

@@ -38,6 +38,16 @@ final class StreamingPipeline(
   private[graft] val upstream =
     new graft.schema.SchemaRegistry(graft.schema.SchemaChangeBehavior.Evolve)
 
+  /** DDL type names resolve through the SOURCE database's dialect map
+    * (`source.dialect` option, e.g. "postgres" — a postgres feed's
+    * `ALTER COLUMN ... TYPE TIMESTAMPTZ` is not a MySQL spelling);
+    * defaults to MySQL, the reference's flagship source.
+    */
+  private val ddlTypes: (String, Int, Int) => org.apache.spark.sql.types.DataType =
+    pipeline.source.options.get("dialect")
+      .map(d => graft.sources.ConnectorCatalog.forName(d).typeMap)
+      .getOrElse(graft.sources.ConnectorCatalog.mysqlTypes)
+
   /** Start a streaming query over debezium-JSON lines. The source table's
     * schema must be known (CDC JSON carries no types); the CreateTable
     * event is synthesized on the first batch — unless checkpointed schema
@@ -113,20 +123,31 @@ final class StreamingPipeline(
           raise_error(lit("__seq encoding overflow: needs <2^20 partitions, " +
             "<2^23 rows/partition, <2^20 epochs")))
           .otherwise(shiftleft(lit(epochId), 43) + shiftleft(pid, 23) + rowInPart)
+        // Persisted before any action: the control-plane collect, the
+        // segment emptiness probes, and each emit all act on this frame,
+        // and monotonically_increasing_id is only stable if the batch is
+        // NOT recomputed between jobs (a task retry or repartition would
+        // otherwise renumber rows and tear the segment boundaries).
         val sequenced = batch.toDF()
           .withColumn(Changelog.SeqCol, seq)
           .withColumn("__ddl", DebeziumJson.ddlOf(col("value")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
         // Control plane: schema-change envelopes are rare, so collecting
-        // just their (seq, statement) pairs is O(#DDL) driver work, never
-        // O(rows) — the reference likewise routes history records through
-        // the driver-side coordinator. Data decodes per segment BETWEEN
-        // DDL positions with the schema valid at that point, so an ALTER
-        // TABLE mid-batch applies exactly where the log says it does (the
-        // micro-batch boundary alone is no longer the only DDL barrier).
+        // just their (seq, statement, table) triples is O(#DDL) driver
+        // work, never O(rows) — the reference likewise routes history
+        // records through the driver-side coordinator. Data decodes per
+        // segment BETWEEN DDL positions with the schema valid at that
+        // point, so an ALTER TABLE mid-batch applies exactly where the
+        // log says it does (the micro-batch boundary alone is no longer
+        // the only DDL barrier). DDL naming a DIFFERENT table (schema-
+        // change topics record every captured table) is ignored here.
         val ddlRows = sequenced.where(col("__ddl").isNotNull)
-          .select(col(Changelog.SeqCol), col("__ddl"))
-          .collect().sortBy(_.getLong(0))
+          .select(col(Changelog.SeqCol), col("__ddl"),
+            DebeziumJson.ddlTableOf(col("value")).as("__tbl"))
+          .collect()
+          .filter(r => r.isNullAt(2) || r.getString(2) == tableId.table)
+          .sortBy(_.getLong(0))
         val data = sequenced.where(col("__ddl").isNull)
 
         if (!created) {
@@ -152,7 +173,16 @@ final class StreamingPipeline(
             val at = r.getLong(0)
             val segment = data.where(col(Changelog.SeqCol) > lower && col(Changelog.SeqCol) < at)
             if (!segment.isEmpty) emit(segment)
-            val events = DdlParser.parse(r.getString(1), tableId)
+            // an unparseable statement must not kill the stream — log and
+            // keep consuming (the reference's history replay does the same
+            // for statements it cannot interpret)
+            val events =
+              try DdlParser.parse(r.getString(1), tableId, ddlTypes)
+              catch { case e: Exception =>
+                System.err.println(s"[graft] skipping unparseable DDL at seq $at: " +
+                  s"${r.getString(1).take(200)} (${e.getMessage})")
+                Nil
+              }
             events.foreach(upstream.apply)
             runner.processBatch(SourceBatch(events, Nil))
             lower = at
@@ -160,6 +190,7 @@ final class StreamingPipeline(
           val tail = data.where(col(Changelog.SeqCol) > lower)
           if (!tail.isEmpty) emit(tail)
         }
+        sequenced.unpersist(false)
         // persist schema planes with the checkpoint (the reference
         // checkpoints SchemaManager state; SchemaManager.java:56) so a
         // restart resumes with evolved sink schemas AND the upstream

@@ -81,6 +81,22 @@ class PlanSpec extends SparkSpec {
     assert(windowNodes <= 1, s"extra window in IVF plan:\n$p")
   }
 
+  test("q41: REPLACE materialize is one keyed shuffle, no extra exchange") {
+    val p = plan("q41_replace")
+    // materialize's PK window is the single unavoidable keyed exchange;
+    // the final orderBy adds a range exchange over the (small) survivors
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"REPLACE replay should shuffle once on the key:\n$p")
+  }
+
+  test("q23 simhash: pigeonhole block keys stay an equi-join — no cartesian/BNLJ") {
+    val p = plan("q23_dedup_simhash")
+    assert(!p.contains("CartesianProduct"), s"cartesian in simhash plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in simhash plan:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected an equi join on (tbl,key):\n$p")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     import graft.functions.expressions.NativeHashFunctions

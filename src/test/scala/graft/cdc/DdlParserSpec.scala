@@ -16,6 +16,13 @@ class DdlParserSpec extends AnyFunSuite {
       Seq(AddColumnEvent(tid, Seq((StructField("nick", StringType), ColumnPosition.Last)))))
     assert(DdlParser.parse("alter table users drop column age", tid) ===
       Seq(DropColumnEvent(tid, Seq("age"))))
+    // MySQL column placement
+    assert(DdlParser.parse("ALTER TABLE users ADD COLUMN c INT AFTER `id`", tid) ===
+      Seq(AddColumnEvent(tid, Seq(
+        (StructField("c", IntegerType), ColumnPosition.After("id"))))))
+    assert(DdlParser.parse("ALTER TABLE users ADD COLUMN c INT FIRST", tid) ===
+      Seq(AddColumnEvent(tid, Seq(
+        (StructField("c", IntegerType), ColumnPosition.First)))))
     assert(DdlParser.parse("ALTER TABLE users RENAME COLUMN nick TO handle", tid) ===
       Seq(RenameColumnEvent(tid, Map("nick" -> "handle"))))
     assert(DdlParser.parse("ALTER TABLE users MODIFY COLUMN age BIGINT", tid) ===
@@ -58,6 +65,28 @@ class DdlParserSpec extends AnyFunSuite {
       DdlParser.parse("CREATE TABLE t (id INT PRIMARY KEY, v TEXT)", tid)
     assert(ev2.info.primaryKeys === Seq("id"))
     assert(!ev2.info.schema("id").nullable)
+  }
+
+  test("log-grade spellings: ENUM/SET args, charset tails, parenthesized table options") {
+    // ENUM/SET carry value lists, not precision — resolve by name
+    assert(DdlParser.parse("ALTER TABLE users ADD COLUMN status ENUM('on','off')", tid) ===
+      Seq(AddColumnEvent(tid, Seq((StructField("status", StringType), ColumnPosition.Last)))))
+    assert(DdlParser.parse(
+      "ALTER TABLE users ADD nick VARCHAR(32) CHARACTER SET utf8mb4 COLLATE utf8mb4_bin", tid) ===
+      Seq(AddColumnEvent(tid, Seq((StructField("nick", StringType), ColumnPosition.Last)))))
+    // a COMMENT mentioning "after x" must not fake a column placement
+    assert(DdlParser.parse(
+      "ALTER TABLE users ADD COLUMN c INT COMMENT 'added after id'", tid) ===
+      Seq(AddColumnEvent(tid, Seq((StructField("c", IntegerType), ColumnPosition.Last)))))
+    // table options with parens after the column list
+    val Seq(ev: CreateTableEvent) = DdlParser.parse(
+      "CREATE TABLE t (id INT PRIMARY KEY, v TEXT) PARTITION BY HASH(id) PARTITIONS 4", tid)
+    assert(ev.info.schema.fieldNames.toSeq === Seq("id", "v"))
+    assert(ev.info.primaryKeys === Seq("id"))
+    // postgres dialect spelling through the postgres type map
+    assert(DdlParser.parse("ALTER TABLE users ALTER COLUMN created TYPE TIMESTAMPTZ", tid,
+      graft.sources.ConnectorCatalog.postgresTypes) ===
+      Seq(AlterColumnTypeEvent(tid, Map("created" -> TimestampType))))
   }
 
   test("DROP/TRUNCATE TABLE and schema-neutral statements") {

@@ -43,6 +43,27 @@ class CdcTemporalSpec extends SparkSpec {
     assert(rendered === Seq("00:00:00.000", "13:45:30.000", "13:45:30.250", "23:59:59.999"))
   }
 
+  test("signed TIME (MySQL duration spelling) keeps its sign") {
+    val df = Seq("-01:30:00", "-00:00:00.500").toDF("t")
+    val millis = df.select(CdcTemporal.timeFromString(col("t")).as("m"))
+      .as[Int].collect().toSeq
+    assert(millis === Seq(-5400000, -500))
+    val rendered = df.select(
+      CdcTemporal.timeToString(CdcTemporal.timeFromString(col("t"))).as("s"))
+      .as[String].collect().toSeq
+    assert(rendered === Seq("-01:30:00.000", "-00:00:00.500"))
+  }
+
+  test("TIMESTAMP_TZ keeps sub-second precision through the round trip") {
+    val df = Seq(
+      "2024-03-01T10:15:30.123+05:30",
+      "2024-03-01T10:15:30.000001Z").toDF("ts")
+    val back = df.select(CdcTemporal.zonedTimestampToString(
+      CdcTemporal.zonedTimestampFromString(col("ts"))).as("s"), col("ts"))
+      .collect()
+    back.foreach(r => assert(r.getString(0) === r.getString(1), r.getString(1)))
+  }
+
   test("TIMESTAMP_TZ round-trips preserving the original offset") {
     val df = Seq(
       "2024-03-01T10:15:30+05:30",

@@ -84,6 +84,9 @@ class StreamingSpec extends SparkSpec {
     val lines = Seq(
       """{"before":null,"after":{"id":1,"v":"a"},"op":"c","ts_ms":1,"source":{"db":"db","table":"users"}}""",
       """{"before":null,"after":{"id":2,"v":"b"},"op":"c","ts_ms":2,"source":{"db":"db","table":"users"}}""",
+      // DDL for a DIFFERENT captured table rides the same schema-change
+      // feed and must be ignored for this pipeline table
+      """{"source":{"db":"db","table":"other"},"ddl":"ALTER TABLE other ADD COLUMN zzz INT"}""",
       """{"source":{"db":"db","table":"users"},"ddl":"ALTER TABLE `db`.`users` ADD COLUMN `age` INT","tableChanges":[]}""",
       """{"before":null,"after":{"id":3,"v":"c","age":30},"op":"c","ts_ms":3,"source":{"db":"db","table":"users"}}""",
       """{"before":{"id":1,"v":"a","age":null},"after":{"id":1,"v":"a2","age":11},"op":"u","ts_ms":4,"source":{"db":"db","table":"users"}}""")
@@ -95,9 +98,11 @@ class StreamingSpec extends SparkSpec {
     val q = sp.startFromDebeziumJson(
       StreamingPipeline.fileJsonStream(spark, dir.getAbsolutePath), tid, tableInfo)
     q.awaitTermination(60000)
-    // the wire DDL evolved both planes and reached the sink
+    // the wire DDL evolved both planes and reached the sink; the other
+    // table's DDL left no trace
     assert(sp.runner.registry.originalInfo(tid).get.fieldNames === Seq("id", "v", "age"))
     assert(sink.info(tid).get.fieldNames === Seq("id", "v", "age"))
+    assert(!sp.upstream.evolvedInfo(tid).get.fieldNames.contains("zzz"))
     // oracle materialization: id1 updated post-DDL with age, id2 pre-DDL
     // (age null-fills), id3 inserted with age
     assert(sink.results(tid).toSet === Set(
