@@ -634,6 +634,32 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  /** Gopher-style repetition quality signals over `documents` (Rae et
+    * al. 2021 §A1.1): duplicate-word fraction, top-word fraction,
+    * top-bigram fraction — the filters a 100 TB pretraining pipeline
+    * applies before dedup. All per-row bounded projections (HOF counting
+    * is O(doc_len²) within a row, no shuffle, full column pruning);
+    * tokenization is a literal single-space split so the DuckDB oracle
+    * computes the identical token stream.
+    */
+  private def q42Repetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // one-pass native kernel, materialized through a generator so
+    // projection collapse cannot re-run it per consumed field (the
+    // composed HOF formulation is O(distinct×n) per row — minutes at
+    // sf0.1; the kernel is O(n) hash counting)
+    docs.select(col("doc_id"),
+      explode(array(graft.functions.expressions.NativeTextFunctions
+        .repetitionStats(col("text")))).as("r"))
+      .select(
+        col("doc_id"),
+        col("r.n_words").cast(LongType).as("n_words"),
+        col("r.dup_word_frac").as("dup_word_frac"),
+        col("r.top_word_frac").as("top_word_frac"),
+        col("r.top_bigram_frac").as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -677,7 +703,8 @@ object SparkEntry {
     "q38_subquery" -> (q38Subquery _),
     "q39_soft_delete" -> (q39SoftDelete _),
     "q40_canal_roundtrip" -> (q40CanalRoundtrip _),
-    "q41_replace" -> (q41Replace _)
+    "q41_replace" -> (q41Replace _),
+    "q42_repetition" -> (q42Repetition _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1041,6 +1068,27 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY user_id
         |    ORDER BY seq DESC) AS rn FROM cl)
         |SELECT user_id, last_type, last_value FROM ranked
-        |WHERE rn = 1 AND op = '+R' ORDER BY user_id""".stripMargin
+        |WHERE rn = 1 AND op = '+R' ORDER BY user_id""".stripMargin,
+    "q42_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |c AS (
+        |  SELECT doc_id, words, len(words) AS n,
+        |    list_transform(range(1, len(words)),
+        |      i -> words[i] || ' ' || words[i+1]) AS bigrams
+        |  FROM w)
+        |SELECT doc_id, n::BIGINT AS n_words,
+        |  CASE WHEN n > 0
+        |    THEN (n - len(list_distinct(words)))::DOUBLE / n ELSE 0.0
+        |  END AS dup_word_frac,
+        |  CASE WHEN n > 0
+        |    THEN list_max(list_transform(list_distinct(words),
+        |           x -> len(list_filter(words, y -> y = x))))::DOUBLE / n
+        |    ELSE 0.0 END AS top_word_frac,
+        |  CASE WHEN n >= 2
+        |    THEN list_max(list_transform(list_distinct(bigrams),
+        |           x -> len(list_filter(bigrams, y -> y = x))))::DOUBLE / (n - 1)
+        |    ELSE 0.0 END AS top_bigram_frac
+        |FROM c ORDER BY doc_id""".stripMargin
   )
 }

@@ -17,6 +17,32 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     split(trim(lower(text)), "\\s+")
 
+  // ---- repetition signals (Gopher-style quality filters: a document
+  // dominated by repeated words/n-grams is boilerplate or spam; see
+  // Rae et al. 2021 §A1.1 "repetition" filters) ----
+
+  /** One-pass repetition signals over single-space tokens: struct of
+    * (n_words, dup_word_frac, top_word_frac, top_bigram_frac). Native
+    * O(n)-per-row kernel — the composed HOF counting alternative is
+    * O(distinct × n) interpreted calls per row, minutes over sf0.1.
+    * Materialize through a generator (explode of a 1-element array) when
+    * consuming several fields.
+    */
+  def repetitionStats(text: Column): Column =
+    graft.functions.expressions.NativeTextFunctions.repetitionStats(text)
+
+  /** Fraction of tokens that are repeats of an earlier token. */
+  def duplicateWordFraction(text: Column): Column =
+    repetitionStats(text).getField("dup_word_frac")
+
+  /** Fraction of tokens taken by the single most frequent token. */
+  def topWordFraction(text: Column): Column =
+    repetitionStats(text).getField("top_word_frac")
+
+  /** Fraction of bigrams taken by the most frequent bigram. */
+  def topBigramFraction(text: Column): Column =
+    repetitionStats(text).getField("top_bigram_frac")
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, 0).otherwise(size(tokens(text)))

@@ -149,6 +149,41 @@ class OpsSpec extends SparkSpec {
     out.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("repetition stats kernel matches the composed HOF formulation") {
+    val df = Seq(
+      (1L, "a b c a b a"),
+      (2L, "x"),
+      (3L, ""),
+      (4L, "w w w w"),
+      (5L, "one two one two one two three")).toDF("id", "text")
+    // composed reference formulation (what the kernel replaced)
+    val words = split(col("text"), " ")
+    val n = size(words)
+    val dup = when(n > 0, (n - size(array_distinct(words))).cast("double") / n).otherwise(0.0)
+    val topW = when(n > 0, array_max(transform(array_distinct(words),
+      w => size(filter(words, x => x === w)))).cast("double") / n).otherwise(0.0)
+    val bigrams = transform(sequence(lit(1), n - 1),
+      i => concat_ws(" ", element_at(words, i), element_at(words, i + 1)))
+    val topB = when(n >= 2, array_max(transform(array_distinct(bigrams),
+      b => size(filter(bigrams, x => x === b)))).cast("double") / (n - 1)).otherwise(0.0)
+    val out = df.select(
+      graft.ops.TextAnalysis.repetitionStats(col("text")).as("k"),
+      n.as("n"), dup.as("dup"), topW.as("topw"), topB.as("topb")).collect()
+    out.foreach { r =>
+      val k = r.getStruct(0)
+      assert(k.getInt(0) === r.getInt(1))
+      assert(k.getDouble(1) === r.getDouble(2))
+      assert(k.getDouble(2) === r.getDouble(3))
+      assert(k.getDouble(3) === r.getDouble(4))
+    }
+    // sanity: the all-repeats doc maxes out
+    val allRep = df.where(col("id") === 4)
+      .select(graft.ops.TextAnalysis.repetitionStats(col("text")).as("k")).head().getStruct(0)
+    assert(allRep.getDouble(1) === 0.75) // 4 words, 1 distinct
+    assert(allRep.getDouble(2) === 1.0)
+    assert(allRep.getDouble(3) === 1.0)
+  }
+
   test("brute-force topk and cosine math") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
