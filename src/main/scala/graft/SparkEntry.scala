@@ -660,6 +660,34 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic held-out split (Curation.deterministicSplit): ~10% of
+    * documents label "val" by md5-prefix hash — reproducible across
+    * engines and reruns (the DuckDB oracle computes the SAME md5 split).
+    * Pure projection + one 2-group aggregate.
+    */
+  private def q43Split(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    docs.select(col("doc_id"),
+      graft.ops.Curation.deterministicSplit(col("doc_id"), 0.1).as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+      .orderBy(col("split"))
+  }
+
+  /** Benchmark decontamination (Curation.ngramContamination): documents
+    * sharing any word 3-gram with a probe set (here: the 5 lowest-id
+    * documents standing in for an eval benchmark), with the distinct
+    * shared-gram count. Probe grams broadcast; corpus streams.
+    */
+  private def q44Decontam(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.ops.Curation.ngramContamination(
+      docs.where(col("doc_id") >= 5), "doc_id", "text",
+      docs.where(col("doc_id") < 5), "text", n = 3)
+      .select(col("doc_id"), col("n_matched").cast(LongType).as("n_matched"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -704,7 +732,9 @@ object SparkEntry {
     "q39_soft_delete" -> (q39SoftDelete _),
     "q40_canal_roundtrip" -> (q40CanalRoundtrip _),
     "q41_replace" -> (q41Replace _),
-    "q42_repetition" -> (q42Repetition _)
+    "q42_repetition" -> (q42Repetition _),
+    "q43_split" -> (q43Split _),
+    "q44_decontam" -> (q44Decontam _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1089,6 +1119,27 @@ object SparkEntry {
         |    THEN list_max(list_transform(list_distinct(bigrams),
         |           x -> len(list_filter(bigrams, y -> y = x))))::DOUBLE / (n - 1)
         |    ELSE 0.0 END AS top_bigram_frac
-        |FROM c ORDER BY doc_id""".stripMargin
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q43_split" ->
+      """SELECT
+        |  CASE WHEN substr(md5(doc_id::VARCHAR), 1, 4) < '1999'
+        |    THEN 'val' ELSE 'train' END AS split,
+        |  count(*)::BIGINT AS n_docs,
+        |  sum(doc_id)::BIGINT AS sum_ids
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q44_decontam" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(words) >= 3
+        |    THEN list_transform(range(1, len(words) - 1),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+        |    ELSE [] END) AS gram
+        |  FROM w),
+        |probe AS (SELECT DISTINCT gram FROM g WHERE doc_id < 5)
+        |SELECT g.doc_id, count(DISTINCT g.gram)::BIGINT AS n_matched
+        |FROM g JOIN probe USING (gram)
+        |WHERE g.doc_id >= 5
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
   )
 }

@@ -184,6 +184,35 @@ class OpsSpec extends SparkSpec {
     assert(allRep.getDouble(3) === 1.0)
   }
 
+  test("curation: deterministic sampling is stable, proportional, and split is consistent") {
+    val df = (0L until 2000L).toDF("id")
+    val sampled = Curation.hashSample(df, col("id"), 0.2)
+    val n = sampled.count()
+    assert(n > 2000 * 0.2 * 0.7 && n < 2000 * 0.2 * 1.3, s"rate off: $n/2000")
+    // determinism: same rows every run
+    assert(Curation.hashSample(df, col("id"), 0.2).collect().toSet === sampled.collect().toSet)
+    // a smaller rate selects a SUBSET (nested samples — hex-prefix order)
+    val smaller = Curation.hashSample(df, col("id"), 0.1).as[Long].collect().toSet
+    assert(smaller.subsetOf(sampled.as[Long].collect().toSet))
+    // split labels partition the keyspace consistently with hashSample
+    val split = df.select(col("id"),
+      Curation.deterministicSplit(col("id"), 0.1).as("s"))
+    assert(split.where(col("s") === "val").as[(Long, String)].collect().map(_._1).toSet
+      === smaller)
+  }
+
+  test("curation: ngram contamination flags planted overlap only") {
+    val probes = Seq((0L, "the quick brown fox jumps over dogs")).toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "something with the quick brown fox inside it"), // shares 2 3-grams
+      (11L, "entirely different words appear here today"),
+      (12L, "short doc")).toDF("doc_id", "text")
+    val out = Curation.ngramContamination(docs, "doc_id", "text", probes, "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // "the quick brown" + "quick brown fox" match; doc 11/12 clean
+    assert(out === Map(10L -> 2L))
+  }
+
   test("brute-force topk and cosine math") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
