@@ -688,6 +688,22 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Near-dup cluster resolution (Dedup.nearDupClusters): the exact-
+    * verified MinHash pair set (q22's operator) resolves to connected
+    * components by min-label propagation; every document reports its
+    * cluster representative (itself when canonical/singleton) — the
+    * "keep one per cluster" decision a dedup pipeline actually applies.
+    * Oracle: DuckDB recursive transitive closure over the same exact-
+    * Jaccard pair set.
+    */
+  private def q45DedupResolve(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.6)
+    graft.ops.Dedup.nearDupClusters(docs.select(col("doc_id")), "doc_id", pairs)
+      .select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -734,7 +750,8 @@ object SparkEntry {
     "q41_replace" -> (q41Replace _),
     "q42_repetition" -> (q42Repetition _),
     "q43_split" -> (q43Split _),
-    "q44_decontam" -> (q44Decontam _)
+    "q44_decontam" -> (q44Decontam _),
+    "q45_dedup_resolve" -> (q45DedupResolve _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1140,6 +1157,35 @@ object SparkEntry {
         |SELECT g.doc_id, count(DISTINCT g.gram)::BIGINT AS n_matched
         |FROM g JOIN probe USING (gram)
         |WHERE g.doc_id >= 5
-        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    "q45_dedup_resolve" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(
+        |      trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')),
+        |      '\s+') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |          for i in range(1, len(toks) - 1)] END) AS sh
+        |  FROM d),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b
+        |    ON a.doc_id < b.doc_id
+        |   AND least(len(a.sh), len(b.sh))::DOUBLE / greatest(len(a.sh), len(b.sh)) >= 0.6
+        |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6),
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+        |SELECT u AS doc_id, min(v)::BIGINT AS cluster_rep
+        |FROM reach GROUP BY u ORDER BY u""".stripMargin
   )
 }

@@ -108,6 +108,48 @@ object Dedup {
       .select(col("pair.id_a").as("id_a"), col("pair.id_b").as("id_b"), col("jaccard"))
   }
 
+  /** Resolve near-dup pairs into clusters: every id labels with the
+    * smallest id reachable through the pair graph (connected components
+    * by iterative min-label propagation). Each round is one join + one
+    * min-aggregate; rounds needed = component diameter, and near-dup
+    * clusters are shallow, so a handful of rounds suffices at any corpus
+    * size (the same Pregel shape GraphFrames uses). Convergence is
+    * detected by the strictly-decreasing label sum — one cheap aggregate,
+    * no extra join — and each round localCheckpoints so plan lineage
+    * stays flat. Returns (id, rep); a document is the cluster's canonical
+    * keeper iff id == rep.
+    */
+  def nearDupClusters(ids: DataFrame, idCol: String, pairs: DataFrame,
+      idA: String = "id_a", idB: String = "id_b", maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col(idA).as("u"), col(idB).as("v"))
+      .union(pairs.select(col(idB).as("u"), col(idA).as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = ids.select(col(idCol).as("id"), col(idCol).cast("long").as("rep"))
+        .localCheckpoint()
+      var prevSum = labels.agg(sum(col("rep"))).head().getLong(0)
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIters) {
+        val nmin = edges
+          .join(labels.select(col("id").as("__v"), col("rep").as("__vrep")),
+            col("v") === col("__v"))
+          .groupBy(col("u")).agg(min(col("__vrep")).as("__nrep"))
+        val next = labels
+          .join(nmin, labels("id") === nmin("u"), "left")
+          .select(labels("id"),
+            least(labels("rep"), coalesce(col("__nrep"), labels("rep"))).as("rep"))
+          .localCheckpoint()
+        val s = next.agg(sum(col("rep"))).head().getLong(0)
+        converged = s == prevSum
+        prevSum = s
+        labels = next
+        iter += 1
+      }
+      labels
+    } finally { edges.unpersist(false); () }
+  }
+
   /** Exact n-gram Jaccard similarity of two text columns (for verification
     * or small cross products).
     */

@@ -184,6 +184,17 @@ class OpsSpec extends SparkSpec {
     assert(allRep.getDouble(3) === 1.0)
   }
 
+  test("near-dup cluster resolution: min-label propagation finds components") {
+    // components: {1,2,3,4} (a chain, diameter 3), {7,9}, singletons 5, 8
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 7L, 8L, 9L).toDF("id")
+    val pairs = Seq((2L, 3L), (3L, 4L), (1L, 2L), (7L, 9L)).toDF("id_a", "id_b")
+    val out = Dedup.nearDupClusters(ids, "id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 7L -> 7L, 8L -> 8L, 9L -> 7L))
+  }
+
   test("curation: deterministic sampling is stable, proportional, and split is consistent") {
     val df = (0L until 2000L).toDF("id")
     val sampled = Curation.hashSample(df, col("id"), 0.2)
