@@ -704,6 +704,74 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** PII detection + redaction (ops.Pii): per-kind match counts and the
+    * redacted text over a deterministic PII-bearing derivation of the
+    * documents table (synthetic text carries no PII of its own, so each
+    * doc embeds an email/phone/SSN/IPv4 built from its own columns — the
+    * DuckDB oracle derives the identical string and applies the identical
+    * RE2-compatible patterns). Pure projection: one codegen'd pass, no
+    * shuffle, no UDFs.
+    */
+  private def q46Pii(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val synth = concat(
+      lit("contact user"), col("doc_id").cast(StringType),
+      lit("@"), col("source"), lit(".org call 202-555-"),
+      lpad((col("doc_id") % 10000).cast(StringType), 4, "0"),
+      lit(" ssn 123-45-"), lpad((col("doc_id") % 10000).cast(StringType), 4, "0"),
+      lit(" ip 10.0."), (col("doc_id") % 256).cast(StringType), lit(".7 "),
+      col("text"))
+    docs.select(col("doc_id"), synth.as("t"))
+      .select(
+        col("doc_id"),
+        graft.ops.Pii.count(col("t"), "email").cast(LongType).as("n_email"),
+        graft.ops.Pii.count(col("t"), "phone").cast(LongType).as("n_phone"),
+        graft.ops.Pii.count(col("t"), "ssn").cast(LongType).as("n_ssn"),
+        graft.ops.Pii.count(col("t"), "ipv4").cast(LongType).as("n_ipv4"),
+        substring(graft.ops.Pii.redact(col("t")), 1, 96).as("redacted_prefix"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Weighted domain mixing (Curation.domainMix): rebalance the 20
+    * document sources to target rates (75%/50%/25% for three named
+    * domains, 10% elsewhere) by the portable md5 draw — the oracle
+    * applies the same CASE-mapped hex thresholds. Projection + filter +
+    * one small aggregate; no shuffle before the group-by.
+    */
+  private def q47DomainMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.ops.Curation.domainMix(docs, col("source"), col("doc_id"),
+      Map("src0" -> 0.75, "src1" -> 0.5, "src2" -> 0.25), defaultRate = 0.1)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+      .orderBy(col("source"))
+  }
+
+  /** Gopher-style document filter (TextAnalysis.gopherReasons): pass/fail
+    * verdict with ordered reason codes from word-count bounds, repetition
+    * caps, and token-shape bounds — the decision step on top of q42's
+    * signals. The repetition kernel materializes once through a
+    * generator; thresholds are tuned to exercise every reason code on
+    * this corpus.
+    */
+  private def q48GopherFilter(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TextAnalysis
+    val docs = t(s, dir, "documents")
+    val thresholds = TextAnalysis.GopherThresholds(
+      minWords = 30, maxWords = 90, maxDupWordFrac = 0.55,
+      maxTopWordFrac = 0.12, minMeanTokenLen = 4.2, maxMeanTokenLen = 4.8)
+    docs.select(col("doc_id"), split(col("text"), " ").as("words"),
+        explode(array(graft.functions.expressions.NativeTextFunctions
+          .repetitionStats(col("text")))).as("r"))
+      .select(col("doc_id"),
+        TextAnalysis.gopherReasons(
+          col("r"), TextAnalysis.meanWordLength(col("words")), thresholds).as("rs"))
+      .select(col("doc_id"),
+        (size(col("rs")) === 0).as("pass"),
+        concat_ws(",", col("rs")).as("reasons"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -751,7 +819,10 @@ object SparkEntry {
     "q42_repetition" -> (q42Repetition _),
     "q43_split" -> (q43Split _),
     "q44_decontam" -> (q44Decontam _),
-    "q45_dedup_resolve" -> (q45DedupResolve _)
+    "q45_dedup_resolve" -> (q45DedupResolve _),
+    "q46_pii" -> (q46Pii _),
+    "q47_domain_mix" -> (q47DomainMix _),
+    "q48_gopher_filter" -> (q48GopherFilter _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1186,6 +1257,61 @@ object SparkEntry {
         |  UNION
         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
         |SELECT u AS doc_id, min(v)::BIGINT AS cluster_rep
-        |FROM reach GROUP BY u ORDER BY u""".stripMargin
+        |FROM reach GROUP BY u ORDER BY u""".stripMargin,
+    "q46_pii" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    'contact user' || doc_id::VARCHAR || '@' || source ||
+        |    '.org call 202-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+        |    ' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+        |    ' ip 10.0.' || (doc_id % 256)::VARCHAR || '.7 ' || text AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+        |  len(regexp_extract_all(t,
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))::BIGINT AS n_phone,
+        |  len(regexp_extract_all(t,
+        |    '\b\d{3}-\d{2}-\d{4}\b'))::BIGINT AS n_ssn,
+        |  len(regexp_extract_all(t,
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b'))::BIGINT AS n_ipv4,
+        |  substr(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+        |      '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+        |      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IPV4]', 'g'),
+        |    1, 96) AS redacted_prefix
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q47_domain_mix" ->
+      """SELECT source, count(*)::BIGINT AS n_docs, sum(doc_id)::BIGINT AS sum_ids
+        |FROM documents
+        |WHERE substr(md5(doc_id::VARCHAR), 1, 4) <
+        |  CASE source WHEN 'src0' THEN 'c000' WHEN 'src1' THEN '8000'
+        |    WHEN 'src2' THEN '4000' ELSE '1999' END
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q48_gopher_filter" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |c AS (
+        |  SELECT doc_id, len(words) AS n,
+        |    (len(words) - len(list_distinct(words)))::DOUBLE / len(words) AS dup,
+        |    list_max(list_transform(list_distinct(words),
+        |      x -> len(list_filter(words, y -> y = x))))::DOUBLE / len(words) AS topw,
+        |    list_sum(list_transform(words, x -> len(x)))::DOUBLE / len(words) AS meanlen
+        |  FROM w),
+        |r AS (
+        |  SELECT doc_id, list_filter([
+        |    CASE WHEN n < 30 THEN 'too_short' END,
+        |    CASE WHEN n > 90 THEN 'too_long' END,
+        |    CASE WHEN dup > 0.55 THEN 'dup_words' END,
+        |    CASE WHEN topw > 0.12 THEN 'top_word' END,
+        |    CASE WHEN meanlen < 4.2 THEN 'short_tokens' END,
+        |    CASE WHEN meanlen > 4.8 THEN 'long_tokens' END],
+        |    x -> x IS NOT NULL) AS reasons
+        |  FROM c)
+        |SELECT doc_id, len(reasons) = 0 AS pass,
+        |  coalesce(array_to_string(reasons, ','), '') AS reasons
+        |FROM r ORDER BY doc_id""".stripMargin
   )
 }

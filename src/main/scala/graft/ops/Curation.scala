@@ -22,8 +22,11 @@ object Curation {
   private def hashBucket(key: Column): Column =
     substring(md5(key.cast("string")), 1, 4)
 
+  // "g" sorts above every 4-hex-digit bucket, so rate 1.0 keeps all rows
+  // (the naive floor(1.0*65536) formats as the 5-char "10000", which
+  // string-compares BELOW buckets starting 1-f and silently kept ~6%)
   private def hexThreshold(fraction: Double): String =
-    f"${math.floor(fraction * 65536).toInt}%04x"
+    if (fraction >= 1.0) "g" else f"${math.floor(fraction * 65536).toInt}%04x"
 
   /** Deterministic sample: keep ~`rate` of rows, chosen by key hash —
     * stable under reruns, resumable, join-free.
@@ -72,5 +75,53 @@ object Curation {
     grams.join(broadcast(probeGrams), "gram")
       .groupBy(col("doc_id"))
       .agg(count_distinct(col("gram")).as("n_matched"))
+  }
+
+  /** Decontamination for probe sets too large to broadcast as exact
+    * strings (a full eval-suite union can run to billions of grams): a
+    * Bloom filter over the probe grams prefilters the corpus gram stream
+    * executor-side, then the survivors — a tiny fraction of the corpus —
+    * take the exact (shuffle) join that removes the Bloom's false
+    * positives. Output is bit-identical to [[ngramContamination]]; only
+    * the plan changes. The filter itself is a few hundred MB where the
+    * gram strings would be tens of GB, and the corpus-side shuffle
+    * carries survivors only.
+    */
+  def ngramContaminationBloom(
+      docs: DataFrame, idCol: String, textCol: String,
+      probes: DataFrame, probeTextCol: String, n: Int = 3,
+      expectedGrams: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val probeGrams = probes
+      .select(explode(wordNgrams(split(col(probeTextCol), " "), n)).as("gram"))
+      .distinct()
+    val bloom = probeGrams.stat.bloomFilter("gram", expectedGrams, fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) => g != null && bc.value.mightContainString(g))
+    val grams = docs.select(col(idCol).as("doc_id"),
+      explode(wordNgrams(split(col(textCol), " "), n)).as("gram"))
+    grams.where(mightContain(col("gram")))
+      .join(probeGrams, "gram") // exact verify: kills Bloom false positives
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("gram")).as("n_matched"))
+  }
+
+  /** Weighted domain mixing: keep ~`rates(domain)` of each domain's rows
+    * (`defaultRate` for unlisted domains), decided by the same portable
+    * md5 draw as [[hashSample]] — the resampling step that rebalances
+    * web/books/code/reference sources to a target mixture. Pure
+    * projection + filter: no shuffle, reproducible across engines and
+    * reruns, and upsampling-free by design (rates are capped at 1.0;
+    * repeat-epoch upsampling belongs in the trainer, not the corpus).
+    */
+  def domainMix(
+      df: DataFrame, domainCol: Column, key: Column,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    (rates.valuesIterator ++ Iterator(defaultRate)).foreach(r =>
+      require(r >= 0 && r <= 1, s"rate must be in [0,1]: $r"))
+    val threshold = rates.toSeq.sortBy(_._1).foldLeft(lit(hexThreshold(defaultRate))) {
+      case (acc, (domain, rate)) =>
+        when(domainCol === domain, lit(hexThreshold(rate))).otherwise(acc)
+    }
+    df.where(hashBucket(key) < threshold)
   }
 }

@@ -141,6 +141,46 @@ object TextAnalysis {
   def langId(text: Column): Column =
     graft.functions.expressions.LangIdExpr(text, LanguageMarkers, Set("zh"))
 
+  /** Thresholds for [[gopherReasons]] — the Gopher paper's document-level
+    * quality gates (word-count bounds, repetition caps, token-shape
+    * bounds; Rae et al. 2021 §A1.1), defaulted to its published values
+    * where the signal maps one-to-one.
+    */
+  final case class GopherThresholds(
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      maxDupWordFrac: Double = 0.3,
+      maxTopWordFrac: Double = 0.2,
+      minMeanTokenLen: Double = 3.0,
+      maxMeanTokenLen: Double = 10.0)
+
+  /** Reason codes (possibly empty) for rejecting a document, given an
+    * already-materialized [[repetitionStats]] struct and a mean token
+    * length. Takes the struct as an argument — NOT the text — so callers
+    * materialize the O(n) kernel once (explode of a 1-element array)
+    * instead of re-running it per consumed field under projection
+    * collapse. Reason order is fixed, so downstream grouping is stable.
+    */
+  def gopherReasons(stats: Column, meanLen: Column,
+      t: GopherThresholds = GopherThresholds()): Column =
+    filter(
+      array(
+        when(stats.getField("n_words") < t.minWords, lit("too_short")),
+        when(stats.getField("n_words") > t.maxWords, lit("too_long")),
+        when(stats.getField("dup_word_frac") > t.maxDupWordFrac, lit("dup_words")),
+        when(stats.getField("top_word_frac") > t.maxTopWordFrac, lit("top_word")),
+        when(meanLen < t.minMeanTokenLen, lit("short_tokens")),
+        when(meanLen > t.maxMeanTokenLen, lit("long_tokens"))),
+      x => x.isNotNull)
+
+  /** Mean length of single-space tokens (the [[repetitionStats]]
+    * tokenization, so the two signals agree on what a "word" is).
+    */
+  def meanWordLength(words: Column): Column =
+    when(size(words) === 0, 0.0).otherwise(
+      aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+        size(words))
+
   /** 64-bit document fingerprint over normalized text (case/punct/space
     * collapsed) — exact-dup detection key.
     */

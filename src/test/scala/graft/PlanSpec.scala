@@ -97,6 +97,23 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), s"expected an equi join on (tbl,key):\n$p")
   }
 
+  test("q46 pii: scrub is a pure projection — no shuffle before the output sort") {
+    val p = plan("q46_pii")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"PII scrub must not shuffle (projection-only):\n$p")
+    // the only exchange is the final output sort's range partitioning
+    val exchanges = "Exchange ".r.findAllIn(p).size
+    assert(exchanges <= 1, s"extra exchange in scrub plan:\n$p")
+  }
+
+  test("q47 domain mix: filter + single partial-agg shuffle, nothing else") {
+    val p = plan("q47_domain_mix")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"domain mix should shuffle once (group-by):\n$p")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"aggregation not partial before the shuffle:\n$p")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     import graft.functions.expressions.NativeHashFunctions

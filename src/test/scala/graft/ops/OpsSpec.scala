@@ -224,6 +224,83 @@ class OpsSpec extends SparkSpec {
     assert(out === Map(10L -> 2L))
   }
 
+  test("curation: bloom decontamination output is identical to the exact path") {
+    val probes = Seq((0L, "the quick brown fox jumps over dogs")).toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "something with the quick brown fox inside it"),
+      (11L, "entirely different words appear here today"),
+      (12L, "the quick brown fox jumps over dogs and cats"),
+      (13L, "short doc")).toDF("doc_id", "text")
+    val exact = Curation.ngramContamination(docs, "doc_id", "text", probes, "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bloom = Curation.ngramContaminationBloom(docs, "doc_id", "text", probes, "text",
+      n = 3, expectedGrams = 100, fpp = 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bloom === exact)
+    assert(exact.map(_._1) === Set(10L, 12L))
+  }
+
+  test("curation: domain mixing keeps per-domain rates and nests within hashSample") {
+    val df = (0L until 3000L).toDF("id")
+      .withColumn("domain", concat(lit("d"), (col("id") % 3).cast("string")))
+    val mixed = Curation.domainMix(df, col("domain"), col("id"),
+      Map("d0" -> 1.0, "d1" -> 0.3), defaultRate = 0.0)
+    val byDomain = mixed.groupBy("domain").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDomain("d0") === 1000L) // rate 1.0 keeps everything
+    val d1 = byDomain("d1")
+    assert(d1 > 1000 * 0.3 * 0.7 && d1 < 1000 * 0.3 * 1.3, s"rate off: $d1/1000")
+    assert(!byDomain.contains("d2")) // default rate 0 drops unlisted domains
+    // the d1 selection is the same md5 draw hashSample makes
+    val viaSample = Curation.hashSample(df.where(col("domain") === "d1"), col("id"), 0.3)
+    assert(mixed.where(col("domain") === "d1").select("id").as[Long].collect().toSet
+      === viaSample.select("id").as[Long].collect().toSet)
+  }
+
+  test("pii: counts per kind, redaction order, clean flag") {
+    val df = Seq(
+      (1L, "mail a.user+tag@sub.example.org or call 415-555-1234 from 192.168.0.1"),
+      (2L, "ssn 123-45-6789 stays distinct from phone 123-456-7890"),
+      (3L, "nothing sensitive here at all")).toDF("id", "text")
+    val out = df.select(col("id"),
+      Pii.counts(col("text")).as("c"),
+      Pii.redact(col("text")).as("r"),
+      Pii.clean(col("text")).as("ok"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val c1 = out(1L).getMap[String, Int](1)
+    assert(c1("email") === 1 && c1("phone") === 1 && c1("ipv4") === 1 && c1("ssn") === 0)
+    assert(out(1L).getString(2) ===
+      "mail [EMAIL] or call [PHONE] from [IPV4]")
+    val c2 = out(2L).getMap[String, Int](1)
+    assert(c2("ssn") === 1 && c2("phone") === 1)
+    assert(out(2L).getString(2) ===
+      "ssn [SSN] stays distinct from phone [PHONE]")
+    assert(!out(1L).getBoolean(3) && out(3L).getBoolean(3))
+  }
+
+  test("gopher filter: each reason code fires on its own trigger") {
+    import TextAnalysis._
+    val repeats = Seq.fill(60)("spam").mkString(" ")                  // dup + top word
+    val healthy = (0 until 60).map(i => s"word${i}xy").mkString(" ")  // all distinct, len 8
+    val tiny = "just four little words"
+    val longTok = Seq.fill(60)(("x" * 30)).zipWithIndex
+      .map { case (w, i) => s"$w$i" }.mkString(" ")                   // mean len > 10
+    val df = Seq((1L, repeats), (2L, healthy), (3L, tiny), (4L, longTok))
+      .toDF("id", "text")
+    val out = df.select(col("id"),
+        explode(array(graft.functions.expressions.NativeTextFunctions
+          .repetitionStats(col("text")))).as("r"),
+        split(col("text"), " ").as("w"))
+      .select(col("id"),
+        gopherReasons(col("r"), meanWordLength(col("w"))).as("reasons"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L).contains("dup_words") && out(1L).contains("top_word"))
+    assert(out(2L) === Seq())
+    // 4 distinct words: top_word_frac = 1/4 also trips the 0.2 cap
+    assert(out(3L) === Seq("too_short", "top_word"))
+    assert(out(4L) === Seq("long_tokens"))
+  }
+
   test("brute-force topk and cosine math") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
