@@ -772,6 +772,23 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Sequence packing (Curation.packOffsets): concatenate documents in
+    * id order, split at 512-token context boundaries, report each doc's
+    * global token offset / pack id / in-pack position. The running sum is
+    * a two-level prefix sum (parallel bucket subtotals + driver prefix
+    * over ~50 bucket totals + bucket-partitioned windows) — NOT a global
+    * single-partition window, which would serialize the corpus through
+    * one task at scale. Oracle: DuckDB's global window cumsum.
+    */
+  private def q49Pack(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.ops.TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tok"))
+    graft.ops.Curation.packOffsets(docs, "doc_id", "n_tok",
+      ctxLen = 512, bucketWidth = 100L)
+      .orderBy(col("doc_id"))
+  }
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -822,7 +839,8 @@ object SparkEntry {
     "q45_dedup_resolve" -> (q45DedupResolve _),
     "q46_pii" -> (q46Pii _),
     "q47_domain_mix" -> (q47DomainMix _),
-    "q48_gopher_filter" -> (q48GopherFilter _)
+    "q48_gopher_filter" -> (q48GopherFilter _),
+    "q49_pack" -> (q49Pack _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1312,6 +1330,20 @@ object SparkEntry {
         |  FROM c)
         |SELECT doc_id, len(reasons) = 0 AS pass,
         |  coalesce(array_to_string(reasons, ','), '') AS reasons
-        |FROM r ORDER BY doc_id""".stripMargin
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q49_pack" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |      ELSE len(string_split(trim(text), ' ')) END AS n_tok
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id,
+        |    coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+        |  FROM c)
+        |SELECT doc_id, s::BIGINT AS start_offset,
+        |  (s // 512)::BIGINT AS pack_id, (s % 512)::BIGINT AS pos_in_pack
+        |FROM o ORDER BY doc_id""".stripMargin
   )
 }

@@ -67,10 +67,14 @@ object Curation {
   def ngramContamination(
       docs: DataFrame, idCol: String, textCol: String,
       probes: DataFrame, probeTextCol: String, n: Int = 3): DataFrame = {
+    // native one-pass gram kernel, per-doc distinct: a repeated
+    // (doc, gram) pair only adds join work — count_distinct is unchanged
     val grams = docs.select(col(idCol).as("doc_id"),
-      explode(wordNgrams(split(col(textCol), " "), n)).as("gram"))
+      explode(graft.functions.expressions.NativeTextFunctions
+        .wordNgrams(col(textCol), n, distinct = true)).as("gram"))
     val probeGrams = probes
-      .select(explode(wordNgrams(split(col(probeTextCol), " "), n)).as("gram"))
+      .select(explode(graft.functions.expressions.NativeTextFunctions
+        .wordNgrams(col(probeTextCol), n, distinct = true)).as("gram"))
       .distinct()
     grams.join(broadcast(probeGrams), "gram")
       .groupBy(col("doc_id"))
@@ -92,17 +96,63 @@ object Curation {
       probes: DataFrame, probeTextCol: String, n: Int = 3,
       expectedGrams: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
     val probeGrams = probes
-      .select(explode(wordNgrams(split(col(probeTextCol), " "), n)).as("gram"))
+      .select(explode(graft.functions.expressions.NativeTextFunctions
+        .wordNgrams(col(probeTextCol), n, distinct = true)).as("gram"))
       .distinct()
     val bloom = probeGrams.stat.bloomFilter("gram", expectedGrams, fpp)
     val bc = docs.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((g: String) => g != null && bc.value.mightContainString(g))
     val grams = docs.select(col(idCol).as("doc_id"),
-      explode(wordNgrams(split(col(textCol), " "), n)).as("gram"))
+      explode(graft.functions.expressions.NativeTextFunctions
+        .wordNgrams(col(textCol), n, distinct = true)).as("gram"))
     grams.where(mightContain(col("gram")))
       .join(probeGrams, "gram") // exact verify: kills Bloom false positives
       .groupBy(col("doc_id"))
       .agg(count_distinct(col("gram")).as("n_matched"))
+  }
+
+  /** Sequence packing for training: concatenate documents in `idCol`
+    * order and split at `ctxLen`-token boundaries (the GPT-style pack
+    * that wastes no tokens; docs may straddle a boundary). Returns one
+    * row per document: its global token `start_offset`, the `pack_id`
+    * its first token lands in, and `pos_in_pack` there.
+    *
+    * The global running sum is a two-level prefix sum, NOT a
+    * single-partition window (which would serialize the whole corpus
+    * through one task): per-bucket token subtotals aggregate in parallel,
+    * the driver prefix-sums the bucket totals (O(#buckets) — thousands,
+    * not rows), the offsets broadcast back, and each bucket's internal
+    * cumsum runs as a window PARTITIONED by bucket. Choose `bucketWidth`
+    * so one bucket's rows fit an executor (1e6 default ≈ a few MB of
+    * (id, n_tok) pairs).
+    */
+  def packOffsets(
+      df: DataFrame, idCol: String, tokCol: String,
+      ctxLen: Int, bucketWidth: Long = 1000000L): DataFrame = {
+    require(ctxLen > 0, s"ctxLen must be positive: $ctxLen")
+    val bucket = floor(col(idCol) / bucketWidth)
+    val withBucket = df.select(col(idCol), col(tokCol), bucket.as("__bucket"))
+    // tiny: one row per bucket
+    val totals = withBucket.groupBy(col("__bucket"))
+      .agg(sum(col(tokCol)).as("__total"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    // bucket -> sum of all PRIOR buckets' tokens (exclusive prefix)
+    val exclusive = {
+      var acc = 0L
+      totals.map { case (b, tot) => val start = acc; acc += tot; b -> start }.toMap
+    }
+    val offsetOf = udf((b: Long) => exclusive(b))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bucket")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    withBucket
+      .withColumn("__local", coalesce(sum(col(tokCol)).over(w), lit(0L)))
+      .withColumn("start_offset", offsetOf(col("__bucket")) + col("__local"))
+      .select(col(idCol),
+        col("start_offset"),
+        // integral div: double division loses exactness past 2^53 tokens
+        expr(s"start_offset div $ctxLen").as("pack_id"),
+        (col("start_offset") % ctxLen).as("pos_in_pack"))
   }
 
   /** Weighted domain mixing: keep ~`rates(domain)` of each domain's rows

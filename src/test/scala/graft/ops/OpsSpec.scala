@@ -224,6 +224,23 @@ class OpsSpec extends SparkSpec {
     assert(out === Map(10L -> 2L))
   }
 
+  test("native wordNgrams is bit-identical to the composed HOF formulation") {
+    val df = Seq(
+      "alpha beta gamma delta", "a b", "", "one one one one",
+      "x  y   z", " lead", "trail ", "exactly three words").toDF("text")
+    val composed = df.select(
+      Curation.wordNgrams(split(col("text"), " "), 3).as("g")).collect().map(_.getSeq[String](0))
+    val native = df.select(
+      graft.functions.expressions.NativeTextFunctions
+        .wordNgrams(col("text"), 3).as("g")).collect().map(_.getSeq[String](0))
+    assert(native.toSeq === composed.toSeq)
+    // distinct mode dedupes in first-seen order
+    val d = Seq("a b a b a b").toDF("text").select(
+      graft.functions.expressions.NativeTextFunctions
+        .wordNgrams(col("text"), 2, distinct = true)).collect().head.getSeq[String](0)
+    assert(d === Seq("a b", "b a"))
+  }
+
   test("curation: bloom decontamination output is identical to the exact path") {
     val probes = Seq((0L, "the quick brown fox jumps over dogs")).toDF("doc_id", "text")
     val docs = Seq(
@@ -255,6 +272,19 @@ class OpsSpec extends SparkSpec {
     val viaSample = Curation.hashSample(df.where(col("domain") === "d1"), col("id"), 0.3)
     assert(mixed.where(col("domain") === "d1").select("id").as[Long].collect().toSet
       === viaSample.select("id").as[Long].collect().toSet)
+  }
+
+  test("curation: sequence packing matches a global cumsum across buckets") {
+    val df = Seq((0L, 100L), (5L, 300L), (150L, 200L), (250L, 50L), (999L, 700L))
+      .toDF("id", "n_tok")
+    // bucketWidth=100 puts ids in buckets 0/0/1/2/9 — the driver prefix
+    // path over several buckets, not one big window
+    val out = Curation.packOffsets(df, "id", "n_tok", ctxLen = 256, bucketWidth = 100L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (0L, 0L, 0L, 0L), (5L, 100L, 0L, 100L), (150L, 400L, 1L, 144L),
+      (250L, 600L, 2L, 88L), (999L, 650L, 2L, 138L)))
   }
 
   test("pii: counts per kind, redaction order, clean flag") {
