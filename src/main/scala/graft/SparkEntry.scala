@@ -789,6 +789,25 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Web-corpus pre-clean (TextAnalysis.cleanHtml): strip tags, decode
+    * common entities, collapse whitespace — over a deterministic HTML-ish
+    * derivation of each document (synthetic text has no markup of its
+    * own). Pure codegen'd projection; the oracle applies the identical
+    * replace/regexp chain.
+    */
+  private def q50Clean(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val synth = concat(
+      lit("<div id=\""), col("source"), lit("\" class='c'>\n  <p>"),
+      substring(col("text"), 1, 60),
+      lit("</p><br/>tail &amp; more&nbsp;&lt;ok&gt;</div>"))
+    docs.select(col("doc_id"), synth.as("t"))
+      .select(col("doc_id"),
+        graft.ops.TextAnalysis.cleanHtml(col("t")).as("cleaned"),
+        length(col("t")).cast(LongType).as("orig_len"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -840,7 +859,8 @@ object SparkEntry {
     "q46_pii" -> (q46Pii _),
     "q47_domain_mix" -> (q47DomainMix _),
     "q48_gopher_filter" -> (q48GopherFilter _),
-    "q49_pack" -> (q49Pack _)
+    "q49_pack" -> (q49Pack _),
+    "q50_clean" -> (q50Clean _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1344,6 +1364,22 @@ object SparkEntry {
         |  FROM c)
         |SELECT doc_id, s::BIGINT AS start_offset,
         |  (s // 512)::BIGINT AS pack_id, (s % 512)::BIGINT AS pos_in_pack
-        |FROM o ORDER BY doc_id""".stripMargin
+        |FROM o ORDER BY doc_id""".stripMargin,
+    "q50_clean" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    '<div id="' || source || '" class=''c''>' || chr(10) || '  <p>' ||
+        |    substr(text, 1, 60) ||
+        |    '</p><br/>tail &amp; more&nbsp;&lt;ok&gt;</div>' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(t, '<[^>]*>', ' ', 'g'),
+        |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        |      '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS cleaned,
+        |  length(t)::BIGINT AS orig_len
+        |FROM s ORDER BY doc_id""".stripMargin
   )
 }

@@ -181,6 +181,36 @@ object TextAnalysis {
       aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") /
         size(words))
 
+  // ---- web-corpus pre-cleaning (the strip-markup step that runs before
+  // any quality/dedup signal on crawled text) ----
+
+  /** Drop HTML/XML tags, replacing each with a space so adjacent text
+    * doesn't fuse ("a<br>b" → "a b", not "ab").
+    */
+  def stripHtmlTags(text: Column): Column =
+    regexp_replace(text, "<[^>]*>", " ")
+
+  /** Decode the few entities that dominate crawled text. `&amp;` decodes
+    * LAST so double-encoded input ("&amp;lt;") can't manufacture new
+    * entities mid-chain.
+    */
+  def decodeBasicEntities(text: Column): Column = {
+    val pairs = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+    pairs.foldLeft(text) { case (acc, (from, to)) => replace(acc, lit(from), lit(to)) }
+  }
+
+  /** Collapse whitespace runs to single spaces and trim. */
+  def collapseWhitespace(text: Column): Column =
+    trim(regexp_replace(text, "\\s+", " "))
+
+  /** Full pre-clean: tags out, entities decoded, whitespace collapsed —
+    * one codegen'd projection, no UDFs.
+    */
+  def cleanHtml(text: Column): Column =
+    collapseWhitespace(decodeBasicEntities(stripHtmlTags(text)))
+
   /** 64-bit document fingerprint over normalized text (case/punct/space
     * collapsed) — exact-dup detection key.
     */

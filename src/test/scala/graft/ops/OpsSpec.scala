@@ -308,6 +308,20 @@ class OpsSpec extends SparkSpec {
     assert(!out(1L).getBoolean(3) && out(3L).getBoolean(3))
   }
 
+  test("html cleaning: tags stripped, entities decoded, whitespace collapsed") {
+    val df = Seq(
+      (1L, "<p>a<br>b</p>"),                      // tag becomes separator
+      (2L, "x &amp;lt; y"),                       // double-encoded: amp LAST
+      (3L, "  already \t clean\n text  "),
+      (4L, "<a href=\"u\">link&nbsp;&quot;q&quot;&#39;s</a>")).toDF("id", "text")
+    val out = df.select(col("id"), TextAnalysis.cleanHtml(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "a b")
+    assert(out(2L) === "x &lt; y") // NOT "x < y": double-encoded stays one level
+    assert(out(3L) === "already clean text")
+    assert(out(4L) === "link \"q\"'s")
+  }
+
   test("gopher filter: each reason code fires on its own trigger") {
     import TextAnalysis._
     val repeats = Seq.fill(60)("spam").mkString(" ")                  // dup + top word
