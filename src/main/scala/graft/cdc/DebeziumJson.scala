@@ -77,6 +77,14 @@ object DebeziumJson {
       get_json_object(jsonCol, "$.source.table"),
       get_json_object(jsonCol, "$.table"))
 
+  /** Table named by a DATA envelope — same coordinates as [[ddlTableOf]]
+    * (debezium `source.table`, canal top-level `table`). The multi-table
+    * front end routes every record through this, so it runs on the hot
+    * path: one JSON probe per record, two when the first is absent.
+    */
+  def dataTableOf(jsonCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    ddlTableOf(jsonCol)
+
   /** Encode a paired changelog frame back into debezium-JSON strings.
     * `passthrough` columns (e.g. `__seq` as the future Kafka offset) ride
     * alongside the JSON value.

@@ -59,7 +59,7 @@ final class StreamingPipeline(
       info: TableInfo,
       checkpointLocation: Option[String] = None,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    startFromJsonLines(jsonStream, tableId, info, checkpointLocation, trigger) {
+    startFromJsonLines(jsonStream, Seq(tableId -> info), checkpointLocation, trigger) {
       (segment, schema) =>
         DebeziumJson.decode(segment, "value", schema, seqCol = Some(Changelog.SeqCol))
           .drop("__table")
@@ -74,9 +74,27 @@ final class StreamingPipeline(
       info: TableInfo,
       checkpointLocation: Option[String] = None,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    startFromJsonLines(jsonStream, tableId, info, checkpointLocation, trigger) {
+    startFromJsonLines(jsonStream, Seq(tableId -> info), checkpointLocation, trigger) {
       (segment, schema) =>
         CanalJson.decode(segment, "value", schema, seqCol = Some(Changelog.SeqCol))
+          .drop("__table")
+    }
+
+  /** Multi-table topic: one debezium-JSON stream carrying several tables
+    * (the reference's Kafka pipeline source and the MySQL source both
+    * multiplex every captured table onto one feed). Each record routes by
+    * its envelope's `source.table`; every table keeps its own upstream
+    * schema plane and its own DDL segmentation, so an ALTER TABLE on one
+    * table never re-decodes or blocks the others.
+    */
+  def startMultiFromDebeziumJson(
+      jsonStream: DataFrame,
+      tables: Seq[(TableId, TableInfo)],
+      checkpointLocation: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    startFromJsonLines(jsonStream, tables, checkpointLocation, trigger) {
+      (segment, schema) =>
+        DebeziumJson.decode(segment, "value", schema, seqCol = Some(Changelog.SeqCol))
           .drop("__table")
     }
 
@@ -86,8 +104,7 @@ final class StreamingPipeline(
     */
   private def startFromJsonLines(
       jsonStream: DataFrame,
-      tableId: TableId,
-      info: TableInfo,
+      tables: Seq[(TableId, TableInfo)],
       checkpointLocation: Option[String],
       trigger: Trigger)(
       decodeSegment: (DataFrame, StructType) => DataFrame): StreamingQuery = {
@@ -103,7 +120,8 @@ final class StreamingPipeline(
       upstream.restoreState(
         new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
     }
-    var created = runner.registry.evolvedInfo(tableId).isDefined
+    val created = scala.collection.mutable.Set[TableId](
+      tables.map(_._1).filter(runner.registry.evolvedInfo(_).isDefined): _*)
     val writer = jsonStream.writeStream
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epochId: Long) =>
@@ -128,6 +146,7 @@ final class StreamingPipeline(
         // and monotonically_increasing_id is only stable if the batch is
         // NOT recomputed between jobs (a task retry or repartition would
         // otherwise renumber rows and tear the segment boundaries).
+        val multi = tables.size > 1
         val sequenced = batch.toDF()
           .withColumn(Changelog.SeqCol, seq)
           .withColumn("__ddl", DebeziumJson.ddlOf(col("value")))
@@ -140,55 +159,68 @@ final class StreamingPipeline(
         // segment BETWEEN DDL positions with the schema valid at that
         // point, so an ALTER TABLE mid-batch applies exactly where the
         // log says it does (the micro-batch boundary alone is no longer
-        // the only DDL barrier). DDL naming a DIFFERENT table (schema-
-        // change topics record every captured table) is ignored here.
-        val ddlRows = sequenced.where(col("__ddl").isNotNull)
+        // the only DDL barrier).
+        val allDdl = sequenced.where(col("__ddl").isNotNull)
           .select(col(Changelog.SeqCol), col("__ddl"),
             DebeziumJson.ddlTableOf(col("value")).as("__tbl"))
           .collect()
-          .filter(r => r.isNullAt(2) || r.getString(2) == tableId.table)
           .sortBy(_.getLong(0))
         val data = sequenced.where(col("__ddl").isNull)
 
-        if (!created) {
-          created = true
-          upstream.apply(CreateTableEvent(tableId, info))
-          runner.processBatch(SourceBatch(Seq(CreateTableEvent(tableId, info)), Nil))
-        }
+        tables.foreach { case (tableId, info) =>
+          // On a single-table stream every record is this table's; on a
+          // multi-table topic, route by the envelope's source.table. DDL
+          // naming no table at all is accepted only in single-table mode
+          // (ambiguous on a shared topic).
+          val tblData =
+            if (multi) data.where(
+              DebeziumJson.dataTableOf(col("value")) === tableId.table)
+            else data
+          val ddlRows = allDdl.filter(r =>
+            if (multi) !r.isNullAt(2) && r.getString(2) == tableId.table
+            else r.isNullAt(2) || r.getString(2) == tableId.table)
 
-        def emit(segment: DataFrame): Unit = {
-          // decode with the CURRENT upstream schema (what the database is
-          // sending now — NOT the runner's transformed sink plane): columns
-          // added/renamed by earlier DDL in this very batch parse from this
-          // row on
-          val cur = upstream.evolvedInfo(tableId).getOrElse(info)
-          runner.processBatch(
-            SourceBatch(Nil, Seq(tableId -> decodeSegment(segment, cur.schema))))
-        }
-
-        if (ddlRows.isEmpty) emit(data)
-        else {
-          var lower = Long.MinValue
-          ddlRows.foreach { r =>
-            val at = r.getLong(0)
-            val segment = data.where(col(Changelog.SeqCol) > lower && col(Changelog.SeqCol) < at)
-            if (!segment.isEmpty) emit(segment)
-            // an unparseable statement must not kill the stream — log and
-            // keep consuming (the reference's history replay does the same
-            // for statements it cannot interpret)
-            val events =
-              try DdlParser.parse(r.getString(1), tableId, ddlTypes)
-              catch { case e: Exception =>
-                System.err.println(s"[graft] skipping unparseable DDL at seq $at: " +
-                  s"${r.getString(1).take(200)} (${e.getMessage})")
-                Nil
-              }
-            events.foreach(upstream.apply)
-            runner.processBatch(SourceBatch(events, Nil))
-            lower = at
+          if (!created.contains(tableId)) {
+            created += tableId
+            upstream.apply(CreateTableEvent(tableId, info))
+            runner.processBatch(SourceBatch(Seq(CreateTableEvent(tableId, info)), Nil))
           }
-          val tail = data.where(col(Changelog.SeqCol) > lower)
-          if (!tail.isEmpty) emit(tail)
+
+          def emit(segment: DataFrame): Unit = {
+            // decode with the CURRENT upstream schema (what the database is
+            // sending now — NOT the runner's transformed sink plane): columns
+            // added/renamed by earlier DDL in this very batch parse from this
+            // row on
+            val cur = upstream.evolvedInfo(tableId).getOrElse(info)
+            runner.processBatch(
+              SourceBatch(Nil, Seq(tableId -> decodeSegment(segment, cur.schema))))
+          }
+
+          if (ddlRows.isEmpty) emit(tblData)
+          else {
+            var lower = Long.MinValue
+            ddlRows.foreach { r =>
+              val at = r.getLong(0)
+              val segment = tblData.where(
+                col(Changelog.SeqCol) > lower && col(Changelog.SeqCol) < at)
+              if (!segment.isEmpty) emit(segment)
+              // an unparseable statement must not kill the stream — log and
+              // keep consuming (the reference's history replay does the same
+              // for statements it cannot interpret)
+              val events =
+                try DdlParser.parse(r.getString(1), tableId, ddlTypes)
+                catch { case e: Exception =>
+                  System.err.println(s"[graft] skipping unparseable DDL at seq $at: " +
+                    s"${r.getString(1).take(200)} (${e.getMessage})")
+                  Nil
+                }
+              events.foreach(upstream.apply)
+              runner.processBatch(SourceBatch(events, Nil))
+              lower = at
+            }
+            val tail = tblData.where(col(Changelog.SeqCol) > lower)
+            if (!tail.isEmpty) emit(tail)
+          }
         }
         sequenced.unpersist(false)
         // persist schema planes with the checkpoint (the reference

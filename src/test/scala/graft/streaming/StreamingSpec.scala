@@ -144,6 +144,38 @@ class StreamingSpec extends SparkSpec {
     assert(sink2.results(tid).toSet === Set("db.users:1;a2;11"))
   }
 
+  test("multi-table topic: records route per table, DDL segments only its own table") {
+    val dir = java.nio.file.Files.createTempDirectory("dbz_multi").toFile
+    val tidB = TableId.parse("db.orders")
+    val infoB = TableInfo(
+      StructType(Seq(StructField("id", LongType), StructField("amt", LongType))),
+      primaryKeys = Seq("id"))
+    // one interleaved feed: users rows, an orders row, ALTER on users
+    // (orders must keep decoding with its original schema and must NOT
+    // pick up users' DDL), post-DDL users row with the new column, a
+    // second orders row
+    val lines = Seq(
+      """{"before":null,"after":{"id":1,"v":"a"},"op":"c","ts_ms":1,"source":{"db":"db","table":"users"}}""",
+      """{"before":null,"after":{"id":10,"amt":100},"op":"c","ts_ms":2,"source":{"db":"db","table":"orders"}}""",
+      """{"source":{"db":"db","table":"users"},"ddl":"ALTER TABLE users ADD COLUMN age INT"}""",
+      """{"before":null,"after":{"id":2,"v":"b","age":22},"op":"c","ts_ms":3,"source":{"db":"db","table":"users"}}""",
+      """{"before":{"id":10,"amt":100},"after":{"id":10,"amt":150},"op":"u","ts_ms":4,"source":{"db":"db","table":"orders"}}""")
+    java.nio.file.Files.write(new java.io.File(dir, "feed.json").toPath,
+      lines.mkString("\n").getBytes("UTF-8"))
+
+    val sink = new ValuesDatabase
+    val sp = new StreamingPipeline(spark, pd, sink)
+    val q = sp.startMultiFromDebeziumJson(
+      StreamingPipeline.fileJsonStream(spark, dir.getAbsolutePath),
+      Seq(tid -> tableInfo, tidB -> infoB))
+    q.awaitTermination(60000)
+    // users evolved; orders untouched by the users DDL
+    assert(sp.runner.registry.evolvedInfo(tid).get.fieldNames === Seq("id", "v", "age"))
+    assert(sp.runner.registry.evolvedInfo(tidB).get.fieldNames === Seq("id", "amt"))
+    assert(sink.results(tid).toSet === Set("db.users:1;a;null", "db.users:2;b;22"))
+    assert(sink.results(tidB).toSet === Set("db.orders:10;150"))
+  }
+
   test("canal-json stream: multi-row messages and isDdl envelopes drive the pipeline") {
     val dir = java.nio.file.Files.createTempDirectory("canal_stream").toFile
     val lines = Seq(
