@@ -48,7 +48,20 @@ object GraftExtensions {
     (new FunctionIdentifier("lang_id"),
       new ExpressionInfo(classOf[LangIdExpr].getName, "lang_id"),
       (args: Seq[Expression]) => new LangIdExpr(args.head,
-        graft.ops.TextAnalysis.LanguageMarkers.toSeq.sortBy(_._1), Set("zh"))))
+        graft.ops.TextAnalysis.LanguageMarkers.toSeq.sortBy(_._1), Set("zh"))),
+    (new FunctionIdentifier("repetition_stats"),
+      new ExpressionInfo(classOf[RepetitionStatsExpr].getName, "repetition_stats"),
+      (args: Seq[Expression]) => RepetitionStatsExpr(args.head)),
+    (new FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgramsExpr].getName, "word_ngrams"),
+      (args: Seq[Expression]) => WordNgramsExpr(
+        args.head,
+        if (args.size > 1) intArg(args(1), "n") else 3,
+        distinct = args.size > 2 && (args(2) match {
+          case Literal(v: Boolean, _) => v
+          case other => throw new IllegalArgumentException(
+            s"distinct must be a boolean literal, got $other")
+        }))))
 
   /** Register the same functions on an already-built session (the
     * extension path only applies at session construction).

@@ -130,7 +130,11 @@ object Curation {
       df: DataFrame, idCol: String, tokCol: String,
       ctxLen: Int, bucketWidth: Long = 1000000L): DataFrame = {
     require(ctxLen > 0, s"ctxLen must be positive: $ctxLen")
-    val bucket = floor(col(idCol) / bucketWidth)
+    // exact long-domain floor division (monotone in id, unlike `div`
+    // for negatives; double floor(id/w) drifts past 2^53)
+    val id = col(idCol).cast("long")
+    val bucket = expr(s"`$idCol` div $bucketWidth") -
+      when(id % bucketWidth < 0, 1L).otherwise(0L)
     val withBucket = df.select(col(idCol), col(tokCol), bucket.as("__bucket"))
     // tiny: one row per bucket
     val totals = withBucket.groupBy(col("__bucket"))

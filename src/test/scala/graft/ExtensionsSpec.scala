@@ -29,5 +29,14 @@ class ExtensionsSpec extends SparkSpec {
     val viaColumns = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
       .select(graft.ops.Dedup.simhash64(col("text"))).head().getLong(0)
     assert(viaColumns === row(0).getLong(2))
+
+    val textRow = spark.sql(
+      """SELECT repetition_stats(text).n_words AS n,
+        |  word_ngrams(text, 2) AS bigrams,
+        |  word_ngrams('a b a b', 2, true) AS dedup
+        |FROM docs_ext WHERE id = 1""".stripMargin).collect().head
+    assert(textRow.getInt(0) === 9)
+    assert(textRow.getSeq[String](1).head === "the quick")
+    assert(textRow.getSeq[String](2) === Seq("a b", "b a"))
   }
 }
