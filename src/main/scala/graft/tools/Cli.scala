@@ -57,19 +57,35 @@ object Cli {
       case "debezium-file" =>
         val path = pd.source.options.getOrElse("path",
           throw new IllegalArgumentException("source.path is required for debezium-file"))
-        val tid = TableId.parse(pd.source.options.getOrElse("table",
-          throw new IllegalArgumentException("source.table is required for debezium-file")))
-        val ddl = pd.source.options.getOrElse("schema.ddl",
-          throw new IllegalArgumentException(
-            "source.schema.ddl (CREATE TABLE ...) is required for debezium-file"))
-        val info = DdlParser.parse(ddl, tid) match {
-          case Seq(CreateTableEvent(_, i)) => i
-          case other => throw new IllegalArgumentException(
-            s"schema.ddl must be a single CREATE TABLE statement, parsed: $other")
+        def schemaOf(tid: TableId, key: String) = {
+          val ddl = pd.source.options.getOrElse(key,
+            throw new IllegalArgumentException(
+              s"source.$key (CREATE TABLE ...) is required for debezium-file"))
+          DdlParser.parse(ddl, tid) match {
+            case Seq(CreateTableEvent(_, i)) => i
+            case other => throw new IllegalArgumentException(
+              s"$key must be a single CREATE TABLE statement, parsed: $other")
+          }
         }
-        val q = new StreamingPipeline(spark, pd, sink).startFromDebeziumJson(
-          StreamingPipeline.fileJsonStream(spark, path), tid, info,
-          checkpointLocation = pd.source.options.get("checkpoint"))
+        val sp = new StreamingPipeline(spark, pd, sink)
+        val stream = StreamingPipeline.fileJsonStream(spark, path)
+        val checkpoint = pd.source.options.get("checkpoint")
+        // `tables: db.a, db.b` (one topic, many tables — per-table
+        // schemas under schema.ddl.<table>) or single `table:` + schema.ddl
+        val q = pd.source.options.get("tables") match {
+          case Some(list) =>
+            val pairs = list.split(',').map(_.trim).filter(_.nonEmpty).toSeq.map { t =>
+              val tid = TableId.parse(t)
+              tid -> schemaOf(tid, s"schema.ddl.${tid.table}")
+            }
+            sp.startMultiFromDebeziumJson(stream, pairs, checkpointLocation = checkpoint)
+          case None =>
+            val tid = TableId.parse(pd.source.options.getOrElse("table",
+              throw new IllegalArgumentException(
+                "source.table (or source.tables) is required for debezium-file")))
+            sp.startFromDebeziumJson(stream, tid, schemaOf(tid, "schema.ddl"),
+              checkpointLocation = checkpoint)
+        }
         q.awaitTermination()
         s"pipeline '${pd.name}': processed $path into ${pd.sink.kind} sink" +: report()
       case other => throw new IllegalArgumentException(

@@ -275,6 +275,33 @@ class PipelineSpec extends SparkSpec {
     assert(out.tail.toSet === Set("db.t:1;10;110;null", "db.t:2;20;120;hi"))
   }
 
+  test("CLI multi-table feed: shards on one topic route into one sink table") {
+    val dir = java.nio.file.Files.createTempDirectory("cli_multi").toFile
+    val feed = new java.io.File(dir, "feed"); feed.mkdirs()
+    java.nio.file.Files.write(new java.io.File(feed, "f1.json").toPath, Seq(
+      """{"before":null,"after":{"id":1,"name":"a"},"op":"c","ts_ms":1,"source":{"db":"db","table":"shard_1"}}""",
+      """{"before":null,"after":{"id":2,"name":"b"},"op":"c","ts_ms":2,"source":{"db":"db","table":"shard_2"}}""",
+      """{"before":{"id":1,"name":"a"},"after":{"id":1,"name":"a2"},"op":"u","ts_ms":3,"source":{"db":"db","table":"shard_1"}}"""
+    ).mkString("\n").getBytes("UTF-8"))
+    val yaml =
+      s"""source:
+         |  type: debezium-file
+         |  path: ${feed.getAbsolutePath}
+         |  tables: db.shard_1, db.shard_2
+         |  schema.ddl.shard_1: "CREATE TABLE shard_1 (id BIGINT PRIMARY KEY, name VARCHAR(10))"
+         |  schema.ddl.shard_2: "CREATE TABLE shard_2 (id BIGINT PRIMARY KEY, name VARCHAR(10))"
+         |sink: { type: values }
+         |route:
+         |  - source-table: db.shard_\\.*
+         |    sink-table: db.all
+         |pipeline:
+         |  name: cli_shards
+         |""".stripMargin
+    val out = graft.tools.Cli.run(spark, yaml)
+    assert(out.head.startsWith("pipeline 'cli_shards'"))
+    assert(out.tail.toSet === Set("db.all:1;a2", "db.all:2;b"))
+  }
+
   test("YAML model block parses and drives a transform projection") {
     val pd = YamlPipelineParser.parse(
       """source: { type: values }
