@@ -808,6 +808,32 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Int8 embedding quantization (Similarity.quantizeInt8): the 4×
+    * storage shrink a billion-vector store applies, gated on exact code
+    * sums and max reconstruction error (max, not sum, of float errors —
+    * order-independent, so engine summation order can't break the exact
+    * gate). Scale materializes into its own column first; an inlined
+    * scale would re-run the max fold per element.
+    */
+  private def q51Quantize(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Similarity
+    val emb = t(s, dir, "embeddings")
+    emb.select(col("vec_id"), col("embedding"),
+        Similarity.int8Scale(col("embedding")).as("scale"))
+      .select(col("vec_id"), col("scale"), col("embedding"),
+        Similarity.quantizeInt8(col("embedding"), col("scale")).as("q"))
+      .select(
+        col("vec_id"),
+        col("scale"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x.cast(LongType)).as("q_sum"),
+        aggregate(
+          zip_with(col("embedding"),
+            Similarity.dequantizeInt8(col("q"), col("scale")),
+            (a, b) => abs(a.cast(DoubleType) - b)),
+          lit(0.0), (acc, v) => greatest(acc, v)).as("max_err"))
+      .orderBy(col("vec_id"))
+  }
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -860,7 +886,8 @@ object SparkEntry {
     "q47_domain_mix" -> (q47DomainMix _),
     "q48_gopher_filter" -> (q48GopherFilter _),
     "q49_pack" -> (q49Pack _),
-    "q50_clean" -> (q50Clean _)
+    "q50_clean" -> (q50Clean _),
+    "q51_quantize" -> (q51Quantize _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1380,6 +1407,23 @@ object SparkEntry {
         |      '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
         |    '\s+', ' ', 'g')) AS cleaned,
         |  length(t)::BIGINT AS orig_len
-        |FROM s ORDER BY doc_id""".stripMargin
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q51_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0
+        |      AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, scale, embedding,
+        |    list_transform(embedding, x ->
+        |      CASE WHEN scale = 0 THEN 0
+        |        ELSE floor(x::DOUBLE / scale + 0.5)::BIGINT END) AS qs
+        |  FROM s)
+        |SELECT vec_id, scale,
+        |  list_sum(qs)::BIGINT AS q_sum,
+        |  list_max(list_transform(range(1, len(embedding) + 1), i ->
+        |    abs(embedding[i]::DOUBLE - qs[i]::DOUBLE * scale))) AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin
   )
 }

@@ -118,6 +118,11 @@ object Dedup {
     * no extra join — and each round localCheckpoints so plan lineage
     * stays flat. Returns (id, rep); a document is the cluster's canonical
     * keeper iff id == rep.
+    *
+    * The iteration runs over edge-TOUCHED vertices only: duplicates are
+    * a small fraction of any corpus, so the per-round shuffle is
+    * O(edges), never O(corpus) — untouched ids join back as their own
+    * representative in one final left join.
     */
   def nearDupClusters(ids: DataFrame, idCol: String, pairs: DataFrame,
       idA: String = "id_a", idB: String = "id_b", maxIters: Int = 50): DataFrame = {
@@ -125,9 +130,15 @@ object Dedup {
       .union(pairs.select(col(idB).as("u"), col(idA).as("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      var labels = ids.select(col(idCol).as("id"), col(idCol).cast("long").as("rep"))
+      var labels = edges.select(col("u").as("id")).distinct()
+        .select(col("id"), col("id").cast("long").as("rep"))
         .localCheckpoint()
-      var prevSum = labels.agg(sum(col("rep"))).head().getLong(0)
+      // sum over an EMPTY label set (no pairs at all) is null -> 0
+      def labelSum(df: DataFrame): Long = {
+        val v = df.agg(sum(col("rep"))).head()
+        if (v.isNullAt(0)) 0L else v.getLong(0)
+      }
+      var prevSum = labelSum(labels)
       var iter = 0
       var converged = false
       while (!converged && iter < maxIters) {
@@ -140,13 +151,17 @@ object Dedup {
           .select(labels("id"),
             least(labels("rep"), coalesce(col("__nrep"), labels("rep"))).as("rep"))
           .localCheckpoint()
-        val s = next.agg(sum(col("rep"))).head().getLong(0)
+        val s = labelSum(next)
         converged = s == prevSum
         prevSum = s
         labels = next
         iter += 1
       }
-      labels
+      // untouched ids (no near-dup pair) are their own representative
+      ids.select(col(idCol).as("id"))
+        .join(labels.withColumnRenamed("id", "__lid"),
+          col("id") === col("__lid"), "left")
+        .select(col("id"), coalesce(col("rep"), col("id").cast("long")).as("rep"))
     } finally { edges.unpersist(false); () }
   }
 

@@ -33,6 +33,33 @@ object Similarity {
       val d = x.cast("double") - y.cast("double"); d * d
     }), lit(0.0), (acc, v) => acc + v))
 
+  // ---- embedding storage compression (symmetric int8 quantization:
+  // the standard 4× shrink for billion-vector stores; cosine/dot on
+  // dequantized vectors stays within ~1% for typical embeddings) ----
+
+  /** Per-vector scale for symmetric int8 quantization: `max|v| / 127`.
+    * Materialize this into its own column BEFORE [[quantizeInt8]] — an
+    * inlined scale expression would re-run the max fold once per element
+    * (O(dim²) per row).
+    */
+  def int8Scale(vec: Column): Column =
+    aggregate(vec, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double")))) / 127.0
+
+  /** Symmetric int8 codes: `q_i = floor(v_i/scale + 0.5)` — explicit
+    * half-up, because `round()` rounds half-to-even in some engines and
+    * the oracle must compute identical codes. A zero vector (scale 0)
+    * keeps all-zero codes.
+    */
+  def quantizeInt8(vec: Column, scale: Column): Column =
+    transform(vec, x =>
+      when(scale === 0.0, lit(0L))
+        .otherwise(floor(x.cast("double") / scale + 0.5))
+        .cast("tinyint"))
+
+  /** Reconstruct approximate values from int8 codes + scale. */
+  def dequantizeInt8(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale)
+
   /** Exact brute-force top-k cosine neighbors for each query vector.
     * `queries` must be small enough to broadcast (the standard ANN-recall
     * baseline); corpus side stays partition-parallel with no shuffle until

@@ -195,6 +195,14 @@ class OpsSpec extends SparkSpec {
       5L -> 5L, 7L -> 7L, 8L -> 8L, 9L -> 7L))
   }
 
+  test("cluster resolution with zero pairs: every id is its own rep") {
+    val ids = Seq(1L, 2L, 3L).toDF("id")
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val out = Dedup.nearDupClusters(ids, "id", empty)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("curation: deterministic sampling is stable, proportional, and split is consistent") {
     val df = (0L until 2000L).toDF("id")
     val sampled = Curation.hashSample(df, col("id"), 0.2)
@@ -343,6 +351,32 @@ class OpsSpec extends SparkSpec {
     // 4 distinct words: top_word_frac = 1/4 also trips the 0.2 cap
     assert(out(3L) === Seq("too_short", "top_word"))
     assert(out(4L) === Seq("long_tokens"))
+  }
+
+  test("int8 quantization: codes bounded, zero vector safe, reconstruction close") {
+    val df = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(-2.0f, 2.0f, 1.0f, -1.0f))).toDF("id", "v")
+    val out = df
+      .withColumn("scale", Similarity.int8Scale(col("v")))
+      .withColumn("q", Similarity.quantizeInt8(col("v"), col("scale")))
+      .withColumn("back", Similarity.dequantizeInt8(col("q"), col("scale")))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // max|v| maps to ±127 exactly
+    assert(out(1L).getSeq[Byte](3).head === 127)
+    // floor(x+0.5) ties round toward +inf: -63.5 -> -63
+    assert(out(3L).getSeq[Byte](3).toSeq === Seq(-127, 127, 64, -63))
+    // zero vector: scale 0, all-zero codes, reconstructs to zeros
+    assert(out(2L).getDouble(2) === 0.0)
+    assert(out(2L).getSeq[Byte](3).forall(_ === 0))
+    // reconstruction error bounded by scale/2 per element
+    assert(out.values.forall { r =>
+      val orig = r.getSeq[Float](r.fieldIndex("v"))
+      val back = r.getSeq[Double](r.fieldIndex("back"))
+      val scale = r.getDouble(r.fieldIndex("scale"))
+      orig.zip(back).forall { case (o, b) => math.abs(o - b) <= scale / 2 + 1e-12 }
+    })
   }
 
   test("brute-force topk and cosine math") {
