@@ -1,7 +1,7 @@
 package graft.sinks
 
 import graft.cdc.Changelog
-import graft.model.{SchemaChangeEvent, TableId, TableInfo}
+import graft.model.{DropTableEvent, SchemaChangeEvent, TableId, TableInfo, TruncateTableEvent}
 import graft.schema.{SchemaMerging, SchemaRegistry}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -38,8 +38,22 @@ final class ParquetUpsertSink(spark: SparkSession, baseDir: String,
   private def path(t: TableId) = s"$baseDir/${t.parts.mkString("/")}"
   private def deltaRoot(p: String) = new java.io.File(p + "__delta")
 
-  override def applySchemaChange(e: SchemaChangeEvent): Unit =
+  override def applySchemaChange(e: SchemaChangeEvent): Unit = {
+    // TRUNCATE/DROP reach the storage layer (the reference's sinks clear
+    // data, not just metadata): truncate deletes bucket + delta files but
+    // keeps the table marker; drop removes the table entirely.
+    e match {
+      case TruncateTableEvent(t) =>
+        deleteRecursively(new java.io.File(path(t)))
+        deleteRecursively(deltaRoot(path(t)))
+      case DropTableEvent(t) =>
+        deleteRecursively(new java.io.File(path(t)))
+        deleteRecursively(deltaRoot(path(t)))
+        metaFile(path(t)).delete()
+      case _ => ()
+    }
     registry.foreach(_.apply(e))
+  }
 
   // ---- table metadata marker (bucket count + primary keys) ----
 
@@ -214,6 +228,15 @@ final class ParquetUpsertSink(spark: SparkSession, baseDir: String,
     val dirs = deltaDirs(p)
     val baseExists = Option(new java.io.File(p).listFiles())
       .exists(_.exists(_.getName.startsWith(s"$BucketCol=")))
+    if (!baseExists && dirs.isEmpty) {
+      // truncated (or never-written) table: empty frame with the
+      // registry's schema, so downstream reads keep working
+      val schema = registry.flatMap(_.evolvedInfo(tableId)).map(_.schema)
+        .getOrElse(throw new IllegalStateException(
+          s"$tableId has no data and no registered schema"))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
     if (dirs.isEmpty) {
       spark.read.parquet(p).drop(BucketCol)
     } else {

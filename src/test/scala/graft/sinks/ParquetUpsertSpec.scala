@@ -122,6 +122,31 @@ class ParquetUpsertSpec extends SparkSpec {
     assert(state() === Seq((1L, "a2"), (4L, "d")))
   }
 
+  test("truncate clears data but keeps the table writable; drop removes it") {
+    import graft.model.{CreateTableEvent, DropTableEvent, TruncateTableEvent}
+    val dir = java.nio.file.Files.createTempDirectory("pqsink_trunc").toFile
+    val tid = TableId.parse("db.t")
+    val info = TableInfo(
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))),
+      primaryKeys = Seq("id"))
+    val reg = new graft.schema.SchemaRegistry(graft.schema.SchemaChangeBehavior.Evolve)
+    reg.apply(CreateTableEvent(tid, info))
+    val sink = new ParquetUpsertSink(spark, dir.getAbsolutePath, registry = Some(reg))
+    sink.write(tid, Seq((1L, "a", "+I", 1L), (2L, "b", "+I", 2L))
+      .toDF("id", "v", Changelog.OpCol, Changelog.SeqCol), info)
+    assert(sink.read(tid).count() === 2)
+
+    sink.applySchemaChange(TruncateTableEvent(tid))
+    assert(sink.read(tid).count() === 0)
+    // still writable after truncate (marker kept)
+    sink.write(tid, Seq((3L, "c", "+I", 3L))
+      .toDF("id", "v", Changelog.OpCol, Changelog.SeqCol), info)
+    assert(sink.read(tid).collect().map(_.getLong(0)).toSeq === Seq(3L))
+
+    sink.applySchemaChange(DropTableEvent(tid))
+    assert(!new java.io.File(dir, "db/t").exists())
+  }
+
   test("udf registry: lifecycle open runs once, eval callable from SQL") {
     object CountingUdf extends ScalarUdf1[String, Int] {
       var opened = 0

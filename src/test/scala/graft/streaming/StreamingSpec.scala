@@ -144,6 +144,23 @@ class StreamingSpec extends SparkSpec {
     assert(sink2.results(tid).toSet === Set("db.users:1;a2;11"))
   }
 
+  test("wire TRUNCATE TABLE clears sink state at its log position") {
+    val dir = java.nio.file.Files.createTempDirectory("dbz_trunc").toFile
+    val lines = Seq(
+      """{"before":null,"after":{"id":1,"v":"a"},"op":"c","ts_ms":1,"source":{"db":"db","table":"users"}}""",
+      """{"before":null,"after":{"id":2,"v":"b"},"op":"c","ts_ms":2,"source":{"db":"db","table":"users"}}""",
+      """{"source":{"db":"db","table":"users"},"ddl":"TRUNCATE TABLE users"}""",
+      """{"before":null,"after":{"id":3,"v":"c"},"op":"c","ts_ms":3,"source":{"db":"db","table":"users"}}""")
+    java.nio.file.Files.write(new java.io.File(dir, "feed.json").toPath,
+      lines.mkString("\n").getBytes("UTF-8"))
+    val sink = new ValuesDatabase
+    val q = new StreamingPipeline(spark, pd, sink).startFromDebeziumJson(
+      StreamingPipeline.fileJsonStream(spark, dir.getAbsolutePath), tid, tableInfo)
+    q.awaitTermination(60000)
+    // rows 1-2 applied, wiped by the truncate, row 3 survives
+    assert(sink.results(tid) === Seq("db.users:3;c"))
+  }
+
   test("multi-table topic: records route per table, DDL segments only its own table") {
     val dir = java.nio.file.Files.createTempDirectory("dbz_multi").toFile
     val tidB = TableId.parse("db.orders")
