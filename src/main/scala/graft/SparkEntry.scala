@@ -834,6 +834,39 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** Pivot (wide aggregation): order counts by status × priority. The
+    * pivot values are declared explicitly — Spark then skips the extra
+    * distinct-values job, the exact shape a 100 TB pivot needs (never
+    * let the engine scan the fact table once just to learn the columns).
+    * Counts coalesce to 0 so absent combinations match the SQL FILTER
+    * formulation.
+    */
+  private def q52Pivot(s: SparkSession, dir: String): DataFrame = {
+    val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val orders = t(s, dir, "orders")
+    val wide = orders.groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", priorities)
+      .agg(count(lit(1)))
+    wide.select(col("o_orderstatus") +:
+        priorities.map(p => coalesce(col(s"`$p`"), lit(0L)).as(p)): _*)
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Exact percentiles (sort-based, not sketch — complements q34's
+    * approx family): median and p90 of per-order quantities by return
+    * flag. Both engines interpolate `lower + (upper-lower)*frac` at rank
+    * p*(n-1) over doubles, so results gate exactly.
+    */
+  private def q53Percentile(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.9)").as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -887,7 +920,9 @@ object SparkEntry {
     "q48_gopher_filter" -> (q48GopherFilter _),
     "q49_pack" -> (q49Pack _),
     "q50_clean" -> (q50Clean _),
-    "q51_quantize" -> (q51Quantize _)
+    "q51_quantize" -> (q51Quantize _),
+    "q52_pivot" -> (q52Pivot _),
+    "q53_percentile" -> (q53Percentile _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1424,6 +1459,21 @@ object SparkEntry {
         |  list_sum(qs)::BIGINT AS q_sum,
         |  list_max(list_transform(range(1, len(embedding) + 1), i ->
         |    abs(embedding[i]::DOUBLE - qs[i]::DOUBLE * scale))) AS max_err
-        |FROM q ORDER BY vec_id""".stripMargin
+        |FROM q ORDER BY vec_id""".stripMargin,
+    "q52_pivot" ->
+      """SELECT o_orderstatus,
+        |  count(*) FILTER (o_orderpriority = '1-URGENT')::BIGINT AS "1-URGENT",
+        |  count(*) FILTER (o_orderpriority = '2-HIGH')::BIGINT AS "2-HIGH",
+        |  count(*) FILTER (o_orderpriority = '3-MEDIUM')::BIGINT AS "3-MEDIUM",
+        |  count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED')::BIGINT
+        |    AS "4-NOT SPECIFIED",
+        |  count(*) FILTER (o_orderpriority = '5-LOW')::BIGINT AS "5-LOW"
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q53_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.9) AS p90,
+        |  count(*)::BIGINT AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
