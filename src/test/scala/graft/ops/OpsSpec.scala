@@ -295,6 +295,37 @@ class OpsSpec extends SparkSpec {
       (250L, 600L, 2L, 88L), (999L, 650L, 2L, 138L)))
   }
 
+  test("packing law: two-level prefix sum equals brute-force cumsum on random inputs") {
+    val rnd = new scala.util.Random(7)
+    // sparse ids across many buckets, including bucket-boundary ids
+    val rows = (0 until 200).map(_ => rnd.nextLong(10000L))
+      .distinct.map(id => (id, 1L + rnd.nextInt(400).toLong))
+    val expected = {
+      var acc = 0L
+      rows.sortBy(_._1).map { case (id, tok) =>
+        val start = acc; acc += tok; (id, start, start / 777, start % 777)
+      }
+    }
+    val got = Curation.packOffsets(rows.toDF("id", "n_tok"), "id", "n_tok",
+      ctxLen = 777, bucketWidth = 250L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+  }
+
+  test("pii law: redaction is idempotent") {
+    val samples = Seq(
+      "mail a@b.co or b@c.org call 415-555-1234 and 415.555.9999",
+      "ssn 123-45-6789 ip 10.0.0.1 and 255.255.255.255",
+      "[EMAIL] already redacted, keep 42 intact",
+      "no pii at all")
+    val df = samples.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "text")
+    val out = df.select(col("id"),
+      Pii.redact(col("text")).as("once"),
+      Pii.redact(Pii.redact(col("text"))).as("twice")).collect()
+    out.foreach(r => assert(r.getString(1) === r.getString(2)))
+  }
+
   test("pii: counts per kind, redaction order, clean flag") {
     val df = Seq(
       (1L, "mail a.user+tag@sub.example.org or call 415-555-1234 from 192.168.0.1"),
