@@ -89,7 +89,10 @@ object Curation {
     * positives. Output is bit-identical to [[ngramContamination]]; only
     * the plan changes. The filter itself is a few hundred MB where the
     * gram strings would be tens of GB, and the corpus-side shuffle
-    * carries survivors only.
+    * carries survivors only. The probe is a Scala UDF by necessity —
+    * Spark's Bloom expressions are internal-only (runtime filters), and
+    * a membership test against a broadcast sketch has no builtin; it is
+    * a single hash per gram, not an interpreted expression tree.
     */
   def ngramContaminationBloom(
       docs: DataFrame, idCol: String, textCol: String,
@@ -172,10 +175,25 @@ object Curation {
       rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
     (rates.valuesIterator ++ Iterator(defaultRate)).foreach(r =>
       require(r >= 0 && r <= 1, s"rate must be in [0,1]: $r"))
-    val threshold = rates.toSeq.sortBy(_._1).foldLeft(lit(hexThreshold(defaultRate))) {
-      case (acc, (domain, rate)) =>
-        when(domainCol === domain, lit(hexThreshold(rate))).otherwise(acc)
+    if (rates.size <= 64) {
+      // few domains: a when-chain stays a single codegen'd projection
+      val threshold = rates.toSeq.sortBy(_._1).foldLeft(lit(hexThreshold(defaultRate))) {
+        case (acc, (domain, rate)) =>
+          when(domainCol === domain, lit(hexThreshold(rate))).otherwise(acc)
+      }
+      df.where(hashBucket(key) < threshold)
+    } else {
+      // thousands of domains: a 10k-deep when-chain blows up codegen —
+      // broadcast-join the rate table instead (one tiny build side, no
+      // shuffle of the corpus)
+      val spark = df.sparkSession
+      import spark.implicits._
+      val rateDf = broadcast(
+        rates.toSeq.map { case (d, r) => (d, hexThreshold(r)) }
+          .toDF("__domain", "__thr"))
+      df.join(rateDf, domainCol === col("__domain"), "left")
+        .where(hashBucket(key) < coalesce(col("__thr"), lit(hexThreshold(defaultRate))))
+        .drop("__domain", "__thr")
     }
-    df.where(hashBucket(key) < threshold)
   }
 }

@@ -280,6 +280,14 @@ class OpsSpec extends SparkSpec {
     val viaSample = Curation.hashSample(df.where(col("domain") === "d1"), col("id"), 0.3)
     assert(mixed.where(col("domain") === "d1").select("id").as[Long].collect().toSet
       === viaSample.select("id").as[Long].collect().toSet)
+    // the broadcast-join path (many domains) selects the identical rows
+    val padded = (0 until 100).map(i => s"pad$i" -> 0.5).toMap ++
+      Map("d0" -> 1.0, "d1" -> 0.3)
+    val viaJoin = Curation.domainMix(df, col("domain"), col("id"), padded,
+      defaultRate = 0.0)
+    assert(viaJoin.select("id").as[Long].collect().toSet
+      === mixed.select("id").as[Long].collect().toSet)
+    assert(viaJoin.columns.toSeq === df.columns.toSeq) // helper cols dropped
   }
 
   test("curation: sequence packing matches a global cumsum across buckets") {
