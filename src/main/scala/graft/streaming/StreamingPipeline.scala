@@ -98,6 +98,75 @@ final class StreamingPipeline(
           .drop("__table")
     }
 
+  /** Schema-less topic: no declared schema and no DDL channel (the
+    * reference's Kafka pipeline source in JSON mode infers schemas
+    * continuously from records). Each micro-batch infers the payload
+    * schema from its `after`/`before` documents, widens the current
+    * upstream schema through the merging lattice, and emits the
+    * difference as AddColumn / AlterColumnType events before decoding —
+    * so a field that appears (or widens) mid-stream evolves the sink
+    * exactly like wire DDL would. First batch synthesizes CreateTable
+    * from its own inference (fields alphabetical, the inference order).
+    */
+  def startFromDebeziumJsonInferred(
+      jsonStream: DataFrame,
+      tableId: TableId,
+      primaryKeys: Seq[String],
+      checkpointLocation: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    restoreSchemaPlanes(checkpointLocation)
+    val writer = jsonStream.writeStream
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        import org.apache.spark.sql.functions._
+        val sequenced = batch.toDF()
+          .withColumn(Changelog.SeqCol, StreamingPipeline.seqColumn(epochId))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val payloads = sequenced.select(
+          coalesce(
+            get_json_object(col("value"), "$.after"),
+            get_json_object(col("value"), "$.before")).as("p"))
+          .where(col("p").isNotNull)
+        // one inference pass per batch — the same per-record scan the
+        // reference's schema-aware JSON source pays, batched
+        val session = sequenced.sparkSession
+        import session.implicits._
+        val inferred = session.read.json(payloads.as[String]).schema
+        upstream.evolvedInfo(tableId) match {
+          case None if inferred.isEmpty => // empty first batch: wait for data
+          case None =>
+            val info = TableInfo(inferred, primaryKeys)
+            upstream.apply(CreateTableEvent(tableId, info))
+            runner.processBatch(SourceBatch(Seq(CreateTableEvent(tableId, info)), Nil))
+          case Some(cur) if !inferred.isEmpty =>
+            val merged = graft.schema.SchemaMerging.leastCommonSchema(cur.schema, inferred)
+            val curTypes = cur.schema.fields.map(f => f.name -> f.dataType).toMap
+            val adds = merged.fields.filterNot(f => curTypes.contains(f.name))
+              .map(f => (f, graft.model.ColumnPosition.Last: graft.model.ColumnPosition))
+            val widens = merged.fields
+              .filter(f => curTypes.get(f.name).exists(_ != f.dataType))
+              .map(f => f.name -> f.dataType).toMap
+            val events: Seq[graft.model.SchemaChangeEvent] =
+              (if (adds.nonEmpty) Seq(graft.model.AddColumnEvent(tableId, adds)) else Nil) ++
+                (if (widens.nonEmpty) Seq(graft.model.AlterColumnTypeEvent(tableId, widens)) else Nil)
+            if (events.nonEmpty) {
+              events.foreach(upstream.apply)
+              runner.processBatch(SourceBatch(events, Nil))
+            }
+          case _ => ()
+        }
+        upstream.evolvedInfo(tableId).foreach { cur =>
+          runner.processBatch(SourceBatch(Nil, Seq(tableId ->
+            DebeziumJson.decode(sequenced, "value", cur.schema,
+              seqCol = Some(Changelog.SeqCol)).drop("__table"))))
+        }
+        sequenced.unpersist(false)
+        persistSchemaPlanes(checkpointLocation)
+        ()
+      }
+    checkpointLocation.fold(writer)(cp => writer.option("checkpointLocation", cp)).start()
+  }
+
   /** The shared micro-batch loop: sequence, split out DDL envelopes,
     * decode data segments with the schema valid at their log position,
     * checkpoint both schema planes.
