@@ -781,9 +781,13 @@ object SparkEntry {
     * one task at scale. Oracle: DuckDB's global window cumsum.
     */
   private def q49Pack(s: SparkSession, dir: String): DataFrame = {
+    // token convention matches the oracle by construction: single-space
+    // split with empty tokens counted (NOT \s+ runs — the two diverge on
+    // any doc with consecutive whitespace)
+    val nTok = when(trim(col("text")) === "", lit(0L))
+      .otherwise(size(split(trim(col("text")), " ", -1)).cast(LongType))
     val docs = t(s, dir, "documents")
-      .select(col("doc_id"),
-        graft.ops.TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tok"))
+      .select(col("doc_id"), nTok.as("n_tok"))
     graft.ops.Curation.packOffsets(docs, "doc_id", "n_tok",
       ctxLen = 512, bucketWidth = 100L)
       .orderBy(col("doc_id"))

@@ -93,6 +93,14 @@ object Curation {
     * Spark's Bloom expressions are internal-only (runtime filters), and
     * a membership test against a broadcast sketch has no builtin; it is
     * a single hash per gram, not an interpreted expression tree.
+    *
+    * Broadcast lifetime: the Bloom broadcast backs the (lazy) returned
+    * DataFrame, so it cannot be destroyed here — callers own it. A loop
+    * over many probe sets in one session should drain each result with an
+    * action and then `spark.sparkContext.broadcast`-cleanup via
+    * `ContextCleaner` (drop all references) before the next call;
+    * otherwise each call pins ~`-expectedGrams·ln(fpp)/ln²2` bits on the
+    * driver and every executor until the session ends.
     */
   def ngramContaminationBloom(
       docs: DataFrame, idCol: String, textCol: String,
@@ -139,9 +147,13 @@ object Curation {
     val bucket = expr(s"`$idCol` div $bucketWidth") -
       when(id % bucketWidth < 0, 1L).otherwise(0L)
     val withBucket = df.select(col(idCol), col(tokCol), bucket.as("__bucket"))
-    // tiny: one row per bucket
+    // tiny: one row per bucket. coalesce: an all-null bucket sums to
+    // null, which must count as 0 tokens, not NPE. NOTE: `df` is
+    // evaluated twice (this collect + the final plan) — it must be
+    // deterministic across evaluations (a parquet read is; a
+    // rand()-derived frame is not — persist such inputs first).
     val totals = withBucket.groupBy(col("__bucket"))
-      .agg(sum(col(tokCol)).as("__total"))
+      .agg(coalesce(sum(col(tokCol)), lit(0L)).as("__total"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
     // bucket -> sum of all PRIOR buckets' tokens (exclusive prefix)
     val exclusive = {

@@ -167,6 +167,41 @@ final class StreamingPipeline(
     checkpointLocation.fold(writer)(cp => writer.option("checkpointLocation", cp)).start()
   }
 
+  /** Restore both schema planes (sink-side registry + upstream decode
+    * plane) from their checkpoint state files, if present. No-op without
+    * a checkpoint location or on a fresh checkpoint.
+    */
+  private def restoreSchemaPlanes(checkpointLocation: Option[String]): Unit = {
+    def restore(name: String, apply: String => Unit): Unit =
+      checkpointLocation.map(cp => new java.io.File(cp, name))
+        .filter(_.exists)
+        .foreach(f => apply(
+          new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")))
+    restore(StreamingPipeline.SchemaStateFile, runner.registry.restoreState)
+    restore(StreamingPipeline.UpstreamStateFile, upstream.restoreState)
+  }
+
+  /** Persist both schema planes next to the checkpoint (the reference
+    * checkpoints SchemaManager state; SchemaManager.java:56) so a restart
+    * resumes with evolved sink schemas AND the upstream decode schema,
+    * not the originals. Writes are atomic (tmp + ATOMIC_MOVE) so a crash
+    * mid-write never leaves a torn state file.
+    */
+  private def persistSchemaPlanes(checkpointLocation: Option[String]): Unit = {
+    def persist(name: String, state: String): Unit =
+      checkpointLocation.foreach { cp =>
+        val f = new java.io.File(cp, name)
+        f.getParentFile.mkdirs()
+        val tmp = new java.io.File(f.getParentFile, f.getName + ".tmp")
+        java.nio.file.Files.write(tmp.toPath, state.getBytes("UTF-8"))
+        java.nio.file.Files.move(tmp.toPath, f.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+    persist(StreamingPipeline.SchemaStateFile, runner.registry.snapshotState)
+    persist(StreamingPipeline.UpstreamStateFile, upstream.snapshotState)
+  }
+
   /** The shared micro-batch loop: sequence, split out DDL envelopes,
     * decode data segments with the schema valid at their log position,
     * checkpoint both schema planes.
@@ -177,39 +212,13 @@ final class StreamingPipeline(
       checkpointLocation: Option[String],
       trigger: Trigger)(
       decodeSegment: (DataFrame, StructType) => DataFrame): StreamingQuery = {
-    val stateFile = checkpointLocation.map(cp =>
-      new java.io.File(cp, StreamingPipeline.SchemaStateFile))
-    stateFile.filter(_.exists).foreach { f =>
-      runner.registry.restoreState(
-        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
-    }
-    val upstreamFile = checkpointLocation.map(cp =>
-      new java.io.File(cp, StreamingPipeline.UpstreamStateFile))
-    upstreamFile.filter(_.exists).foreach { f =>
-      upstream.restoreState(
-        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
-    }
+    restoreSchemaPlanes(checkpointLocation)
     val created = scala.collection.mutable.Set[TableId](
       tables.map(_._1).filter(runner.registry.evolvedInfo(_).isDefined): _*)
     val writer = jsonStream.writeStream
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epochId: Long) =>
         import org.apache.spark.sql.functions._
-        // Cross-batch total order per key, pure projection:
-        //   seq = epoch(20 bits) | partition(20 bits) | row-in-partition(23 bits)
-        // decoded from monotonically_increasing_id's (pid << 33 | row)
-        // layout. Budgets cover a 100 TB backlog read (≤1M input
-        // partitions, ≤8.4M rows per partition per batch) and ≤1M
-        // micro-batches; any overflow raises instead of silently
-        // misordering.
-        val mono = monotonically_increasing_id()
-        val pid = shiftright(mono, 33)
-        val rowInPart = mono.bitwiseAND(lit((1L << 33) - 1))
-        val seq = when(
-          pid >= (1L << 20) || rowInPart >= (1L << 23) || lit(epochId >= (1L << 20)),
-          raise_error(lit("__seq encoding overflow: needs <2^20 partitions, " +
-            "<2^23 rows/partition, <2^20 epochs")))
-          .otherwise(shiftleft(lit(epochId), 43) + shiftleft(pid, 23) + rowInPart)
         // Persisted before any action: the control-plane collect, the
         // segment emptiness probes, and each emit all act on this frame,
         // and monotonically_increasing_id is only stable if the batch is
@@ -217,7 +226,7 @@ final class StreamingPipeline(
         // otherwise renumber rows and tear the segment boundaries).
         val multi = tables.size > 1
         val sequenced = batch.toDF()
-          .withColumn(Changelog.SeqCol, seq)
+          .withColumn(Changelog.SeqCol, StreamingPipeline.seqColumn(epochId))
           .withColumn("__ddl", DebeziumJson.ddlOf(col("value")))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -292,20 +301,7 @@ final class StreamingPipeline(
           }
         }
         sequenced.unpersist(false)
-        // persist schema planes with the checkpoint (the reference
-        // checkpoints SchemaManager state; SchemaManager.java:56) so a
-        // restart resumes with evolved sink schemas AND the upstream
-        // decode schema, not the originals
-        def persist(f: java.io.File, state: String): Unit = {
-          f.getParentFile.mkdirs()
-          val tmp = new java.io.File(f.getParentFile, f.getName + ".tmp")
-          java.nio.file.Files.write(tmp.toPath, state.getBytes("UTF-8"))
-          java.nio.file.Files.move(tmp.toPath, f.toPath,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        }
-        stateFile.foreach(persist(_, runner.registry.snapshotState))
-        upstreamFile.foreach(persist(_, upstream.snapshotState))
+        persistSchemaPlanes(checkpointLocation)
         ()
       }
     checkpointLocation.fold(writer)(cp => writer.option("checkpointLocation", cp)).start()
@@ -319,6 +315,26 @@ object StreamingPipeline {
 
   /** Upstream (wire-decode) schema state file inside the checkpoint. */
   val UpstreamStateFile = "graft-upstream-schema.yaml"
+
+  /** Cross-batch total order per key, pure projection:
+    *   seq = epoch(20 bits) | partition(20 bits) | row-in-partition(23 bits)
+    * decoded from monotonically_increasing_id's (pid << 33 | row) layout.
+    * Budgets cover a 100 TB backlog read (≤1M input partitions, ≤8.4M rows
+    * per partition per batch) and ≤1M micro-batches; any overflow raises
+    * instead of silently misordering. Only stable while the batch frame is
+    * persisted (a recompute would renumber rows).
+    */
+  def seqColumn(epochId: Long): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val mono = monotonically_increasing_id()
+    val pid = shiftright(mono, 33)
+    val rowInPart = mono.bitwiseAND(lit((1L << 33) - 1))
+    when(
+      pid >= (1L << 20) || rowInPart >= (1L << 23) || lit(epochId >= (1L << 20)),
+      raise_error(lit("__seq encoding overflow: needs <2^20 partitions, " +
+        "<2^23 rows/partition, <2^20 epochs")))
+      .otherwise(shiftleft(lit(epochId), 43) + shiftleft(pid, 23) + rowInPart)
+  }
 
   /** Convenience: a file-based debezium-JSON stream (one JSON per line) —
     * the zero-dependency stand-in for a Kafka topic in this environment;

@@ -76,7 +76,12 @@ object Cli {
           case Some(list) =>
             val pairs = list.split(',').map(_.trim).filter(_.nonEmpty).toSeq.map { t =>
               val tid = TableId.parse(t)
-              tid -> schemaOf(tid, s"schema.ddl.${tid.table}")
+              // full-id key first (db1.users and db2.users must not share
+              // one schema), bare table name as a back-compat fallback
+              val fullKey = s"schema.ddl.${tid.identifier}"
+              val key = if (pd.source.options.contains(fullKey)) fullKey
+                        else s"schema.ddl.${tid.table}"
+              tid -> schemaOf(tid, key)
             }
             sp.startMultiFromDebeziumJson(stream, pairs, checkpointLocation = checkpoint)
           case None =>
