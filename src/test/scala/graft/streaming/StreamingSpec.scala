@@ -193,6 +193,117 @@ class StreamingSpec extends SparkSpec {
     assert(sink.results(tidB).toSet === Set("db.orders:10;150"))
   }
 
+  test("inferred schema: CreateTable synthesized from payloads, new field mid-stream adds a column") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val sink = new ValuesDatabase
+    val sp = new StreamingPipeline(spark, pd, sink)
+    val q = sp.startFromDebeziumJsonInferred(
+      mem.toDF().toDF("value"), tid, primaryKeys = Seq("id"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    mem.addData(
+      """{"before":null,"after":{"id":1,"v":"a"},"op":"c","ts_ms":1,"source":{"db":"db","table":"users"}}""",
+      """{"before":null,"after":{"id":2,"v":"b"},"op":"c","ts_ms":2,"source":{"db":"db","table":"users"}}""")
+    q.processAllAvailable()
+    // first batch synthesized CreateTable from its own inference
+    assert(sp.upstream.evolvedInfo(tid).get.fieldNames === Seq("id", "v"))
+    assert(sink.info(tid).get.primaryKeys === Seq("id"))
+    // a field appears mid-stream: AddColumn flows through to the sink and
+    // earlier rows null-fill
+    mem.addData(
+      """{"before":null,"after":{"id":3,"v":"c","age":30},"op":"c","ts_ms":3,"source":{"db":"db","table":"users"}}""")
+    q.processAllAvailable()
+    q.stop()
+    assert(sp.upstream.evolvedInfo(tid).get.fieldNames === Seq("id", "v", "age"))
+    assert(sink.info(tid).get.fieldNames === Seq("id", "v", "age"))
+    assert(sink.results(tid).toSet === Set(
+      "db.users:1;a;null", "db.users:2;b;null", "db.users:3;c;30"))
+  }
+
+  test("inferred schema: a type widening mid-stream produces AlterColumnType") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val sink = new ValuesDatabase
+    val sp = new StreamingPipeline(spark, pd, sink)
+    val q = sp.startFromDebeziumJsonInferred(
+      mem.toDF().toDF("value"), tid, primaryKeys = Seq("id"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    mem.addData(
+      """{"before":null,"after":{"id":1,"n":5},"op":"c","ts_ms":1,"source":{"db":"db","table":"users"}}""")
+    q.processAllAvailable()
+    assert(sp.upstream.evolvedInfo(tid).get.schema("n").dataType ===
+      org.apache.spark.sql.types.LongType)
+    // the same field arrives as a string: widen long -> string through the
+    // merging lattice, decode THIS batch with the widened schema
+    mem.addData(
+      """{"before":null,"after":{"id":2,"n":"x"},"op":"c","ts_ms":2,"source":{"db":"db","table":"users"}}""")
+    q.processAllAvailable()
+    q.stop()
+    assert(sp.upstream.evolvedInfo(tid).get.schema("n").dataType === StringType)
+    assert(sink.info(tid).get.schema("n").dataType === StringType)
+    assert(sink.results(tid).toSet === Set("db.users:1;5", "db.users:2;x"))
+  }
+
+  test("inferred schema: an empty first batch waits instead of creating an empty table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val sink = new ValuesDatabase
+    val sp = new StreamingPipeline(spark, pd, sink)
+    val q = sp.startFromDebeziumJsonInferred(
+      mem.toDF().toDF("value"), tid, primaryKeys = Seq("id"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    // heartbeat-style envelope with no before/after: nothing to infer from
+    mem.addData("""{"op":"h","ts_ms":0,"source":{"db":"db","table":"users"}}""")
+    q.processAllAvailable()
+    assert(sp.upstream.evolvedInfo(tid).isEmpty)
+    assert(sink.info(tid).isEmpty)
+    mem.addData(
+      """{"before":null,"after":{"id":1,"v":"a"},"op":"c","ts_ms":1,"source":{"db":"db","table":"users"}}""")
+    q.processAllAvailable()
+    q.stop()
+    assert(sp.upstream.evolvedInfo(tid).get.fieldNames === Seq("id", "v"))
+    assert(sink.results(tid) === Seq("db.users:1;a"))
+  }
+
+  test("inferred schema + checkpoint restart: resumes with the inferred schema, no re-Create") {
+    val dir = java.nio.file.Files.createTempDirectory("dbz_inf_cp").toFile
+    val feed = new java.io.File(dir, "feed"); feed.mkdirs()
+    val cp = new java.io.File(dir, "checkpoint").getAbsolutePath
+    def writeFeed(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(new java.io.File(feed, name).toPath,
+        lines.mkString("\n").getBytes("UTF-8"))
+
+    // run 1: rows carry (age, id, v) — inference orders alphabetically
+    writeFeed("f1.json", Seq(
+      """{"before":null,"after":{"id":1,"v":"a","age":10},"op":"c","ts_ms":1,"source":{"db":"db","table":"users"}}"""))
+    val sink1 = new ValuesDatabase
+    val sp1 = new StreamingPipeline(spark, pd, sink1)
+    val q1 = sp1.startFromDebeziumJsonInferred(
+      StreamingPipeline.fileJsonStream(spark, feed.getAbsolutePath),
+      tid, primaryKeys = Seq("id"), checkpointLocation = Some(cp))
+    q1.awaitTermination(60000)
+    assert(sp1.upstream.evolvedInfo(tid).get.fieldNames === Seq("age", "id", "v"))
+    assert(sink1.results(tid) === Seq("db.users:10;1;a"))
+
+    // run 2 (fresh pipeline, same checkpoint): a narrower row must decode
+    // onto the RESTORED 3-column schema — a re-synthesized CreateTable
+    // would have reset the sink to (id, v)
+    writeFeed("f2.json", Seq(
+      """{"before":null,"after":{"id":9,"v":"z"},"op":"c","ts_ms":2,"source":{"db":"db","table":"users"}}"""))
+    val sink2 = new ValuesDatabase
+    val sp2 = new StreamingPipeline(spark, pd, sink2)
+    val q2 = sp2.startFromDebeziumJsonInferred(
+      StreamingPipeline.fileJsonStream(spark, feed.getAbsolutePath),
+      tid, primaryKeys = Seq("id"), checkpointLocation = Some(cp))
+    q2.awaitTermination(60000)
+    assert(sp2.upstream.evolvedInfo(tid).get.fieldNames === Seq("age", "id", "v"))
+    assert(sp2.runner.registry.evolvedInfo(tid).get.fieldNames === Seq("age", "id", "v"))
+    assert(sink2.results(tid) === Seq("db.users:null;9;z"))
+  }
+
   test("canal-json stream: multi-row messages and isDdl envelopes drive the pipeline") {
     val dir = java.nio.file.Files.createTempDirectory("canal_stream").toFile
     val lines = Seq(
