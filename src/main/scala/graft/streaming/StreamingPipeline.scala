@@ -48,6 +48,22 @@ final class StreamingPipeline(
       .map(d => graft.sources.ConnectorCatalog.forName(d).typeMap)
       .getOrElse(graft.sources.ConnectorCatalog.mysqlTypes)
 
+  /** Newly-added-table capture (the reference's
+    * `scan.newly-added-table.enabled`, MySqlDataSourceOptions.java:239):
+    * when enabled, a wire `CREATE TABLE` for a table NOT in the declared
+    * list registers it mid-stream — data from that position on
+    * materializes with the wire-declared schema. Off by default, like the
+    * reference.
+    */
+  private val newlyAddedCapture: Boolean =
+    pipeline.source.options.get("scan.newly-added-table.enabled").exists(_.toBoolean)
+
+  /** Tables discovered from wire CREATEs (undeclared at start). Restored
+    * from the upstream schema plane on checkpoint restart.
+    */
+  private[graft] val dynamicTables =
+    scala.collection.mutable.LinkedHashMap.empty[TableId, TableInfo]
+
   /** Start a streaming query over debezium-JSON lines. The source table's
     * schema must be known (CDC JSON carries no types); the CreateTable
     * event is synthesized on the first batch — unless checkpointed schema
@@ -213,8 +229,20 @@ final class StreamingPipeline(
       trigger: Trigger)(
       decodeSegment: (DataFrame, StructType) => DataFrame): StreamingQuery = {
     restoreSchemaPlanes(checkpointLocation)
+    // a multi-table topic routes by the envelope table; declaring one
+    // table with newly-added capture on still needs routing (undeclared
+    // tables' rows must not decode as the declared table's)
+    val multi = tables.size > 1 || newlyAddedCapture
+    val declaredNames = tables.map(_._1.table).toSet
+    if (multi && newlyAddedCapture)
+      // restart: tables captured in a previous run live in the restored
+      // upstream plane — resume capturing them without a fresh CREATE
+      upstream.tables.filterNot(tables.map(_._1).toSet).foreach { t =>
+        upstream.evolvedInfo(t).foreach(i => dynamicTables(t) = i)
+      }
     val created = scala.collection.mutable.Set[TableId](
-      tables.map(_._1).filter(runner.registry.evolvedInfo(_).isDefined): _*)
+      (tables.map(_._1) ++ dynamicTables.keys)
+        .filter(runner.registry.evolvedInfo(_).isDefined): _*)
     val writer = jsonStream.writeStream
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epochId: Long) =>
@@ -224,14 +252,22 @@ final class StreamingPipeline(
         // and monotonically_increasing_id is only stable if the batch is
         // NOT recomputed between jobs (a task retry or repartition would
         // otherwise renumber rows and tear the segment boundaries).
-        val multi = tables.size > 1
-        val sequenced = batch.toDF()
+        //
+        // Routing key: on a multi-table topic the envelope's table name
+        // materializes ONCE into the persisted frame (`__tbl`), so the
+        // per-table filters below are cached-column string equalities —
+        // the JSON probe runs one pass over the data, not once per
+        // declared table (500 captured tables would otherwise pay 500
+        // JSON probes per record).
+        val sequencedBase = batch.toDF()
           .withColumn(Changelog.SeqCol, StreamingPipeline.seqColumn(epochId))
           .withColumn("__ddl", DebeziumJson.ddlOf(col("value")))
+        val sequenced = (if (multi) StreamingPipeline.withRoutingKey(sequencedBase)
+          else sequencedBase)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
         // Control plane: schema-change envelopes are rare, so collecting
-        // just their (seq, statement, table) triples is O(#DDL) driver
+        // just their (seq, statement, table, db) tuples is O(#DDL) driver
         // work, never O(rows) — the reference likewise routes history
         // records through the driver-side coordinator. Data decodes per
         // segment BETWEEN DDL positions with the schema valid at that
@@ -240,19 +276,49 @@ final class StreamingPipeline(
         // the only DDL barrier).
         val allDdl = sequenced.where(col("__ddl").isNotNull)
           .select(col(Changelog.SeqCol), col("__ddl"),
-            DebeziumJson.ddlTableOf(col("value")).as("__tbl"))
+            (if (multi) col(StreamingPipeline.RoutingCol)
+             else DebeziumJson.ddlTableOf(col("value"))).as("__tbl"),
+            coalesce(
+              get_json_object(col("value"), "$.source.db"),
+              get_json_object(col("value"), "$.database")).as("__db"))
           .collect()
           .sortBy(_.getLong(0))
         val data = sequenced.where(col("__ddl").isNull)
 
-        tables.foreach { case (tableId, info) =>
+        // Newly-added-table capture: a wire CREATE TABLE naming an
+        // undeclared table registers it for this and later batches. The
+        // CREATE itself applies at its log position through the per-table
+        // DDL loop below (it is THE creation event — no synthesis).
+        if (multi && newlyAddedCapture) {
+          val knownNames = declaredNames ++ dynamicTables.keys.map(_.table)
+          allDdl.iterator
+            .filter(r => !r.isNullAt(2) && !knownNames(r.getString(2)))
+            .foreach { r =>
+              val tid = Option(r.getString(3))
+                .map(db => TableId.schemaTable(db, r.getString(2)))
+                .getOrElse(TableId.tableOnly(r.getString(2)))
+              try DdlParser.parse(r.getString(1), tid, ddlTypes) match {
+                case Seq(CreateTableEvent(_, info)) =>
+                  dynamicTables(tid) = info
+                  created += tid // the wire CREATE creates it, below
+                case _ => () // ALTER etc. for a never-created table: skip
+              } catch {
+                case e: Exception =>
+                  System.err.println(s"[graft] skipping unparseable DDL for " +
+                    s"undeclared table ${r.getString(2)}: ${e.getMessage}")
+              }
+            }
+        }
+
+        val activeTables = tables ++ dynamicTables.toSeq
+
+        activeTables.foreach { case (tableId, info) =>
           // On a single-table stream every record is this table's; on a
-          // multi-table topic, route by the envelope's source.table. DDL
-          // naming no table at all is accepted only in single-table mode
-          // (ambiguous on a shared topic).
+          // multi-table topic, route by the materialized envelope table.
+          // DDL naming no table at all is accepted only in single-table
+          // mode (ambiguous on a shared topic).
           val tblData =
-            if (multi) data.where(
-              DebeziumJson.dataTableOf(col("value")) === tableId.table)
+            if (multi) StreamingPipeline.routeByTable(data, tableId.table)
             else data
           val ddlRows = allDdl.filter(r =>
             if (multi) !r.isNullAt(2) && r.getString(2) == tableId.table
@@ -315,6 +381,23 @@ object StreamingPipeline {
 
   /** Upstream (wire-decode) schema state file inside the checkpoint. */
   val UpstreamStateFile = "graft-upstream-schema.yaml"
+
+  /** Column holding the envelope's table name on multi-table topics. */
+  val RoutingCol = "__tbl"
+
+  /** Materialize the routing key once into the batch frame — one JSON
+    * probe per record, stored with the persisted batch.
+    */
+  def withRoutingKey(batch: DataFrame): DataFrame =
+    batch.withColumn(RoutingCol,
+      DebeziumJson.dataTableOf(org.apache.spark.sql.functions.col("value")))
+
+  /** Route a persisted batch to one table's rows: a plain string
+    * equality on the cached routing column — NO per-table JSON probe
+    * (the probe already ran, once, in [[withRoutingKey]]).
+    */
+  def routeByTable(data: DataFrame, table: String): DataFrame =
+    data.where(org.apache.spark.sql.functions.col(RoutingCol) === table)
 
   /** Cross-batch total order per key, pure projection:
     *   seq = epoch(20 bits) | partition(20 bits) | row-in-partition(23 bits)

@@ -193,6 +193,92 @@ class StreamingSpec extends SparkSpec {
     assert(sink.results(tidB).toSet === Set("db.orders:10;150"))
   }
 
+  test("newly-added-table capture: a wire CREATE TABLE materializes an undeclared table") {
+    val dir = java.nio.file.Files.createTempDirectory("dbz_newtbl").toFile
+    // users is declared; products appears mid-stream via wire CREATE and
+    // must materialize with its wire-declared schema from that position on
+    val lines = Seq(
+      """{"before":null,"after":{"id":1,"v":"a"},"op":"c","ts_ms":1,"source":{"db":"db","table":"users"}}""",
+      """{"source":{"db":"db","table":"products"},"ddl":"CREATE TABLE products (id BIGINT PRIMARY KEY, name VARCHAR(20))"}""",
+      """{"before":null,"after":{"id":100,"name":"widget"},"op":"c","ts_ms":2,"source":{"db":"db","table":"products"}}""",
+      """{"before":null,"after":{"id":2,"v":"b"},"op":"c","ts_ms":3,"source":{"db":"db","table":"users"}}""",
+      """{"before":{"id":100,"name":"widget"},"after":{"id":100,"name":"gadget"},"op":"u","ts_ms":4,"source":{"db":"db","table":"products"}}""")
+    java.nio.file.Files.write(new java.io.File(dir, "feed.json").toPath,
+      lines.mkString("\n").getBytes("UTF-8"))
+
+    val pdCapture = PipelineDef(
+      SourceDef("values", Map("scan.newly-added-table.enabled" -> "true")),
+      SinkDef("values", Map.empty))
+    val sink = new ValuesDatabase
+    val sp = new StreamingPipeline(spark, pdCapture, sink)
+    val q = sp.startMultiFromDebeziumJson(
+      StreamingPipeline.fileJsonStream(spark, dir.getAbsolutePath),
+      Seq(tid -> tableInfo))
+    q.awaitTermination(60000)
+    val pid = TableId.parse("db.products")
+    assert(sp.dynamicTables.keySet === Set(pid))
+    assert(sp.runner.registry.evolvedInfo(pid).get.fieldNames === Seq("id", "name"))
+    assert(sp.runner.registry.evolvedInfo(pid).get.primaryKeys === Seq("id"))
+    assert(sink.results(pid) === Seq("db.products:100;gadget"))
+    assert(sink.results(tid).toSet === Set("db.users:1;a", "db.users:2;b"))
+  }
+
+  test("newly-added-table capture OFF (default): undeclared tables stay dropped") {
+    val dir = java.nio.file.Files.createTempDirectory("dbz_newtbl_off").toFile
+    val tidB = TableId.parse("db.orders")
+    val infoB = TableInfo(
+      StructType(Seq(StructField("id", LongType), StructField("amt", LongType))),
+      primaryKeys = Seq("id"))
+    val lines = Seq(
+      """{"before":null,"after":{"id":1,"v":"a"},"op":"c","ts_ms":1,"source":{"db":"db","table":"users"}}""",
+      """{"source":{"db":"db","table":"products"},"ddl":"CREATE TABLE products (id BIGINT PRIMARY KEY, name VARCHAR(20))"}""",
+      """{"before":null,"after":{"id":100,"name":"w"},"op":"c","ts_ms":2,"source":{"db":"db","table":"products"}}""",
+      """{"before":null,"after":{"id":10,"amt":5},"op":"c","ts_ms":3,"source":{"db":"db","table":"orders"}}""")
+    java.nio.file.Files.write(new java.io.File(dir, "feed.json").toPath,
+      lines.mkString("\n").getBytes("UTF-8"))
+    val sink = new ValuesDatabase
+    val sp = new StreamingPipeline(spark, pd, sink)
+    val q = sp.startMultiFromDebeziumJson(
+      StreamingPipeline.fileJsonStream(spark, dir.getAbsolutePath),
+      Seq(tid -> tableInfo, tidB -> infoB))
+    q.awaitTermination(60000)
+    assert(sp.dynamicTables.isEmpty)
+    assert(sp.runner.registry.evolvedInfo(TableId.parse("db.products")).isEmpty)
+    assert(sink.results(tid) === Seq("db.users:1;a"))
+    assert(sink.results(tidB) === Seq("db.orders:10;5"))
+  }
+
+  test("multi-table routing probes the envelope JSON once, not once per table") {
+    // the routing key materializes into the persisted batch; per-table
+    // filters must be plain string equalities on that cached column —
+    // a JSON probe (get_json_object) in the routed plan means the batch
+    // is re-parsed once per declared table (500 tables = 500 parses/rec)
+    val dir = java.nio.file.Files.createTempDirectory("route_plan").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "b.json").toPath, Seq(
+      """{"after":{"id":1},"op":"c","source":{"db":"db","table":"users"}}""",
+      """{"after":{"id":2},"op":"c","source":{"db":"db","table":"orders"}}""")
+      .mkString("\n").getBytes("UTF-8"))
+    val batch = spark.read.text(dir.getAbsolutePath).toDF("value")
+    val keyed = StreamingPipeline.withRoutingKey(batch)
+    // one probe in the keyed frame itself (the single pass)...
+    assert(keyed.queryExecution.optimizedPlan.toString.contains("get_json_object"))
+    val routed = StreamingPipeline.routeByTable(
+      keyed.persist(), "users")
+    // ...and NONE in the per-table route above the cache boundary: the
+    // filter must be an attribute equality over the InMemoryRelation
+    // (whose displayed child plan is provenance — the probe that ran once
+    // at cache build), never a fresh probe of `value`
+    val routedPlan = routed.queryExecution.optimizedPlan.toString
+    val aboveCache = routedPlan.linesIterator
+      .takeWhile(!_.contains("InMemoryRelation")).mkString("\n")
+    assert(aboveCache.contains("__tbl"), s"routing not by cached key:\n$routedPlan")
+    assert(!aboveCache.contains("get_json_object"),
+      s"per-table routing re-probes the JSON:\n$routedPlan")
+    assert(routed.collect().map(_.getString(0)).toSeq ===
+      Seq("""{"after":{"id":1},"op":"c","source":{"db":"db","table":"users"}}"""))
+    keyed.unpersist()
+  }
+
   test("inferred schema: CreateTable synthesized from payloads, new field mid-stream adds a column") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
