@@ -871,6 +871,70 @@ object SparkEntry {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Lossless temporal round trip: TIME and TIMESTAMP-with-zone values
+    * ride the debezium wire (CDC JSON carries them as strings — Spark has
+    * neither type natively), decode through [[graft.sources.CdcTemporal]]
+    * into their carrier encodings (millis-of-day INT; (instant, tz)
+    * struct), survive changelog materialization with updates, and render
+    * back byte-identically. The oracle rebuilds the same values with
+    * DuckDB's native TIME / TIMESTAMPTZ arithmetic — a genuine
+    * cross-engine check of offset math (epoch_us of a '+05:30' literal)
+    * and time-of-day epoch extraction, not a string echo. Pure codegen'd
+    * projections end to end; the only shuffle is the keyed materialize.
+    */
+  private def q54Temporal(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.CdcTemporal
+    import org.apache.spark.sql.types._
+    val ev = t(s, dir, "events").select(col("event_id"))
+    val h0 = col("event_id") % 24
+    val m = (col("event_id") * 7) % 60
+    val sec = (col("event_id") * 13) % 60
+    val ms = col("event_id") % 1000
+    def two(c: org.apache.spark.sql.Column) = lpad(c.cast(StringType), 2, "0")
+    def timeStr(h: org.apache.spark.sql.Column) = concat(
+      two(h), lit(":"), two(m), lit(":"), two(sec), lit("."),
+      lpad(ms.cast(StringType), 3, "0"))
+    val tz = element_at(
+      array(lit("Z"), lit("+05:30"), lit("-08:00"), lit("+02:00")),
+      (col("event_id") % 4).cast(IntegerType) + 1)
+    val localStr = date_format( // session is UTC (Sessions.tuned)
+      timestamp_seconds(lit(1700000000L) + col("event_id") % 100000),
+      "yyyy-MM-dd'T'HH:mm:ss")
+    val payloadSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("t", StringType),
+      StructField("tsz", StringType)))
+    def wire(rows: DataFrame) = rows.select(col("seq"), to_json(struct(
+      when(lit(false), struct(col("event_id"), col("t"), col("tsz"))).as("before"),
+      struct(col("event_id"), col("t"), col("tsz")).as("after"),
+      col("op"),
+      lit(1700000000000L).as("ts_ms"),
+      struct(lit("graft").as("db"), lit("events").as("table")).as("source")
+    )).as("value"))
+    // inserts for every key; updates (higher seq) shift the hour for every
+    // 10th key — materialize must keep the updated time
+    val inserts = ev.select(col("event_id"), timeStr(h0).as("t"),
+      concat(localStr, tz).as("tsz"), lit("c").as("op"), col("event_id").as("seq"))
+    val updates = ev.where(col("event_id") % 10 === 0)
+      .select(col("event_id"), timeStr((h0 + 1) % 24).as("t"),
+        concat(localStr, tz).as("tsz"), lit("u").as("op"),
+        (col("event_id") + lit(1000000000L)).as("seq"))
+    val paired = graft.cdc.DebeziumJson.decode(
+      wire(inserts.unionByName(updates)), "value", payloadSchema, seqCol = Some("seq"))
+    val mat = Changelog.materialize(
+      Changelog.explode(paired.drop("__table")), Seq("event_id"))
+    val tm = CdcTemporal.timeFromString(col("t"))
+    val z = CdcTemporal.zonedTimestampFromString(col("tsz"))
+    mat.select(
+      col("event_id"),
+      tm.as("time_millis"),
+      CdcTemporal.timeToString(tm).as("time_str"),
+      unix_micros(z.getField("instant")).as("ts_micros"),
+      CdcTemporal.zonedTimestampToString(z).as("ts_str"),
+      z.getField("tz").as("tz"))
+      .orderBy(col("event_id"))
+  }
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -926,7 +990,8 @@ object SparkEntry {
     "q50_clean" -> (q50Clean _),
     "q51_quantize" -> (q51Quantize _),
     "q52_pivot" -> (q52Pivot _),
-    "q53_percentile" -> (q53Percentile _)
+    "q53_percentile" -> (q53Percentile _),
+    "q54_temporal" -> (q54Temporal _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1478,6 +1543,31 @@ object SparkEntry {
         |  quantile_cont(l_quantity, 0.5) AS p50,
         |  quantile_cont(l_quantity, 0.9) AS p90,
         |  count(*)::BIGINT AS n
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q54_temporal" ->
+      """WITH e AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 10 = 0 THEN (event_id % 24 + 1) % 24
+        |         ELSE event_id % 24 END AS h,
+        |    (event_id * 7) % 60 AS m,
+        |    (event_id * 13) % 60 AS s,
+        |    event_id % 1000 AS ms,
+        |    CASE event_id % 4 WHEN 0 THEN 'Z' WHEN 1 THEN '+05:30'
+        |      WHEN 2 THEN '-08:00' ELSE '+02:00' END AS tz,
+        |    strftime(make_timestamp((1700000000 + event_id % 100000) * 1000000),
+        |      '%Y-%m-%dT%H:%M:%S') AS local_str
+        |  FROM events),
+        |d AS (
+        |  SELECT *, make_time(h, m, s + ms/1000.0) AS tval,
+        |    (local_str || tz)::TIMESTAMPTZ AS tsz
+        |  FROM e)
+        |SELECT event_id,
+        |  CAST(round(extract(epoch FROM tval) * 1000) AS INTEGER) AS time_millis,
+        |  lpad(h::VARCHAR,2,'0') || ':' || lpad(m::VARCHAR,2,'0') || ':' ||
+        |    lpad(s::VARCHAR,2,'0') || '.' || lpad(ms::VARCHAR,3,'0') AS time_str,
+        |  epoch_us(tsz) AS ts_micros,
+        |  local_str || tz AS ts_str,
+        |  tz
+        |FROM d ORDER BY event_id""".stripMargin
   )
 }

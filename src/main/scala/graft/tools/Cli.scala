@@ -116,6 +116,12 @@ object Cli {
           throw new IllegalArgumentException("sink.path is required for kafka (file-backed)"))
         val k = new KafkaSink(new FileTopicWriter(spark, path), pd.sink.options)
         (k, () => Seq(s"topic segments under $path"))
+      case "delta" | "iceberg" =>
+        // needs the format jar + catalog config on the cluster; the sink
+        // itself only issues SQL (CREATE/ALTER/MERGE INTO)
+        val dialect = if (pd.sink.kind == "delta") DeltaDialect else IcebergDialect
+        (new LakehouseMergeSink(spark, dialect),
+          () => Seq(s"${pd.sink.kind} catalog tables (MERGE INTO)"))
       case "jdbc" =>
         val url = pd.sink.options.getOrElse("url",
           throw new IllegalArgumentException("sink.url is required for jdbc"))
