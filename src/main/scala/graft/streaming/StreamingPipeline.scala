@@ -134,53 +134,110 @@ final class StreamingPipeline(
     val writer = jsonStream.writeStream
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epochId: Long) =>
-        import org.apache.spark.sql.functions._
         val sequenced = batch.toDF()
           .withColumn(Changelog.SeqCol, StreamingPipeline.seqColumn(epochId))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val payloads = sequenced.select(
-          coalesce(
-            get_json_object(col("value"), "$.after"),
-            get_json_object(col("value"), "$.before")).as("p"))
-          .where(col("p").isNotNull)
-        // one inference pass per batch — the same per-record scan the
-        // reference's schema-aware JSON source pays, batched
-        val session = sequenced.sparkSession
-        import session.implicits._
-        val inferred = session.read.json(payloads.as[String]).schema
-        upstream.evolvedInfo(tableId) match {
-          case None if inferred.isEmpty => // empty first batch: wait for data
-          case None =>
-            val info = TableInfo(inferred, primaryKeys)
-            upstream.apply(CreateTableEvent(tableId, info))
-            runner.processBatch(SourceBatch(Seq(CreateTableEvent(tableId, info)), Nil))
-          case Some(cur) if !inferred.isEmpty =>
-            val merged = graft.schema.SchemaMerging.leastCommonSchema(cur.schema, inferred)
-            val curTypes = cur.schema.fields.map(f => f.name -> f.dataType).toMap
-            val adds = merged.fields.filterNot(f => curTypes.contains(f.name))
-              .map(f => (f, graft.model.ColumnPosition.Last: graft.model.ColumnPosition))
-            val widens = merged.fields
-              .filter(f => curTypes.get(f.name).exists(_ != f.dataType))
-              .map(f => f.name -> f.dataType).toMap
-            val events: Seq[graft.model.SchemaChangeEvent] =
-              (if (adds.nonEmpty) Seq(graft.model.AddColumnEvent(tableId, adds)) else Nil) ++
-                (if (widens.nonEmpty) Seq(graft.model.AlterColumnTypeEvent(tableId, widens)) else Nil)
-            if (events.nonEmpty) {
-              events.foreach(upstream.apply)
-              runner.processBatch(SourceBatch(events, Nil))
-            }
-          case _ => ()
-        }
-        upstream.evolvedInfo(tableId).foreach { cur =>
-          runner.processBatch(SourceBatch(Nil, Seq(tableId ->
-            DebeziumJson.decode(sequenced, "value", cur.schema,
-              seqCol = Some(Changelog.SeqCol)).drop("__table"))))
+        inferAndApply(tableId, primaryKeys, sequenced)
+        sequenced.unpersist(false)
+        persistSchemaPlanes(checkpointLocation)
+        ()
+      }
+    checkpointLocation.fold(writer)(cp => writer.option("checkpointLocation", cp)).start()
+  }
+
+  /** Multi-table schema-less topic: every table on the feed materializes
+    * (inherently newly-added-table capture — there is no declared list),
+    * each with its own inferred, continuously-widened schema. One pass
+    * stamps the routing key; the per-batch table list is an O(#tables)
+    * distinct, and each table's slice pays one inference + one decode —
+    * the same work the reference's schema-aware JSON source does per
+    * table, batched.
+    *
+    * `primaryKeysOf` maps bare table names to primary keys (CDC JSON
+    * carries none); unlisted tables materialize keyless (append-only
+    * semantics in keyed sinks).
+    */
+  def startMultiFromDebeziumJsonInferred(
+      jsonStream: DataFrame,
+      primaryKeysOf: Map[String, Seq[String]],
+      checkpointLocation: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    restoreSchemaPlanes(checkpointLocation)
+    val writer = jsonStream.writeStream
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        import org.apache.spark.sql.functions._
+        val sequenced = StreamingPipeline.withRoutingKey(batch.toDF())
+          .withColumn(Changelog.SeqCol, StreamingPipeline.seqColumn(epochId))
+          .withColumn("__db", coalesce(
+            get_json_object(col("value"), "$.source.db"),
+            get_json_object(col("value"), "$.database")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // O(#tables observed this batch) driver rows, never O(rows)
+        val tbls = sequenced
+          .where(col(StreamingPipeline.RoutingCol).isNotNull)
+          .select(col(StreamingPipeline.RoutingCol), col("__db"))
+          .distinct().collect()
+          .map(r => (r.getString(0), Option(r.getString(1)))).sortBy(_._1)
+        tbls.foreach { case (name, db) =>
+          val tid = db.map(d => TableId.schemaTable(d, name))
+            .getOrElse(TableId.tableOnly(name))
+          inferAndApply(tid, primaryKeysOf.getOrElse(name, Nil),
+            StreamingPipeline.routeByTable(sequenced, name))
         }
         sequenced.unpersist(false)
         persistSchemaPlanes(checkpointLocation)
         ()
       }
     checkpointLocation.fold(writer)(cp => writer.option("checkpointLocation", cp)).start()
+  }
+
+  /** One table's slice of a schema-less batch: infer the payload schema,
+    * widen the upstream plane through the merging lattice (CreateTable on
+    * first sight, AddColumn / AlterColumnType after), then decode and run
+    * the slice with the post-evolution schema.
+    */
+  private def inferAndApply(
+      tableId: TableId, primaryKeys: Seq[String], tblSlice: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    val payloads = tblSlice.select(
+      coalesce(
+        get_json_object(col("value"), "$.after"),
+        get_json_object(col("value"), "$.before")).as("p"))
+      .where(col("p").isNotNull)
+    // one inference pass per batch — the same per-record scan the
+    // reference's schema-aware JSON source pays, batched
+    val session = tblSlice.sparkSession
+    import session.implicits._
+    val inferred = session.read.json(payloads.as[String]).schema
+    upstream.evolvedInfo(tableId) match {
+      case None if inferred.isEmpty => // empty first batch: wait for data
+      case None =>
+        val info = TableInfo(inferred, primaryKeys)
+        upstream.apply(CreateTableEvent(tableId, info))
+        runner.processBatch(SourceBatch(Seq(CreateTableEvent(tableId, info)), Nil))
+      case Some(cur) if !inferred.isEmpty =>
+        val merged = graft.schema.SchemaMerging.leastCommonSchema(cur.schema, inferred)
+        val curTypes = cur.schema.fields.map(f => f.name -> f.dataType).toMap
+        val adds = merged.fields.filterNot(f => curTypes.contains(f.name))
+          .map(f => (f, graft.model.ColumnPosition.Last: graft.model.ColumnPosition))
+        val widens = merged.fields
+          .filter(f => curTypes.get(f.name).exists(_ != f.dataType))
+          .map(f => f.name -> f.dataType).toMap
+        val events: Seq[graft.model.SchemaChangeEvent] =
+          (if (adds.nonEmpty) Seq(graft.model.AddColumnEvent(tableId, adds)) else Nil) ++
+            (if (widens.nonEmpty) Seq(graft.model.AlterColumnTypeEvent(tableId, widens)) else Nil)
+        if (events.nonEmpty) {
+          events.foreach(upstream.apply)
+          runner.processBatch(SourceBatch(events, Nil))
+        }
+      case _ => ()
+    }
+    upstream.evolvedInfo(tableId).foreach { cur =>
+      runner.processBatch(SourceBatch(Nil, Seq(tableId ->
+        DebeziumJson.decode(tblSlice, "value", cur.schema,
+          seqCol = Some(Changelog.SeqCol)).drop("__table"))))
+    }
   }
 
   /** Restore both schema planes (sink-side registry + upstream decode

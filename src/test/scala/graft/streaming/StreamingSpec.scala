@@ -354,6 +354,36 @@ class StreamingSpec extends SparkSpec {
     assert(sink.results(tid) === Seq("db.users:1;a"))
   }
 
+  test("multi-table inferred schema: every table on the topic materializes independently") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val sink = new ValuesDatabase
+    val sp = new StreamingPipeline(spark, pd, sink)
+    val q = sp.startMultiFromDebeziumJsonInferred(
+      mem.toDF().toDF("value"),
+      primaryKeysOf = Map("users" -> Seq("id"), "orders" -> Seq("id")),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    mem.addData(
+      """{"before":null,"after":{"id":1,"v":"a"},"op":"c","ts_ms":1,"source":{"db":"db","table":"users"}}""",
+      """{"before":null,"after":{"id":10,"amt":100},"op":"c","ts_ms":2,"source":{"db":"db","table":"orders"}}""")
+    q.processAllAvailable()
+    val uid = TableId.schemaTable("db", "users")
+    val oid = TableId.schemaTable("db", "orders")
+    assert(sp.upstream.evolvedInfo(uid).get.fieldNames === Seq("id", "v"))
+    assert(sp.upstream.evolvedInfo(oid).get.fieldNames === Seq("amt", "id"))
+    // a field appears on ONE table: only that table's schema widens
+    mem.addData(
+      """{"before":null,"after":{"id":2,"v":"b","vip":true},"op":"c","ts_ms":3,"source":{"db":"db","table":"users"}}""",
+      """{"before":{"id":10,"amt":100},"after":{"id":10,"amt":150},"op":"u","ts_ms":4,"source":{"db":"db","table":"orders"}}""")
+    q.processAllAvailable()
+    q.stop()
+    assert(sp.upstream.evolvedInfo(uid).get.fieldNames === Seq("id", "v", "vip"))
+    assert(sp.upstream.evolvedInfo(oid).get.fieldNames === Seq("amt", "id"))
+    assert(sink.results(uid).toSet === Set("db.users:1;a;null", "db.users:2;b;true"))
+    assert(sink.results(oid).toSet === Set("db.orders:150;10"))
+  }
+
   test("inferred schema + checkpoint restart: resumes with the inferred schema, no re-Create") {
     val dir = java.nio.file.Files.createTempDirectory("dbz_inf_cp").toFile
     val feed = new java.io.File(dir, "feed"); feed.mkdirs()
