@@ -114,6 +114,22 @@ final class StreamingPipeline(
           .drop("__table")
     }
 
+  /** Multi-table canal-JSON topic: same routing/DDL-segmentation loop as
+    * the debezium variant (canal names its table at the top-level
+    * `table` key, which the shared routing probe already reads; `isDdl`
+    * envelopes drive that table's schema plane only).
+    */
+  def startMultiFromCanalJson(
+      jsonStream: DataFrame,
+      tables: Seq[(TableId, TableInfo)],
+      checkpointLocation: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    startFromJsonLines(jsonStream, tables, checkpointLocation, trigger) {
+      (segment, schema) =>
+        CanalJson.decode(segment, "value", schema, seqCol = Some(Changelog.SeqCol))
+          .drop("__table")
+    }
+
   /** Schema-less topic: no declared schema and no DDL channel (the
     * reference's Kafka pipeline source in JSON mode infers schemas
     * continuously from records). Each micro-batch infers the payload

@@ -114,6 +114,42 @@ class PlanSpec extends SparkSpec {
       s"aggregation not partial before the shuffle:\n$p")
   }
 
+  test("q44 decontam: probe grams broadcast, corpus never cartesian-joined") {
+    val p = plan("q44_decontam")
+    assert(p.contains("BroadcastHashJoin"), s"probe grams not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in decontam plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in decontam plan:\n$p")
+  }
+
+  test("q49 pack: prefix sum never serializes through a single partition") {
+    val p = plan("q49_pack")
+    // a global (unpartitioned) window would plan Exchange SinglePartition —
+    // the exact shape the two-level prefix sum exists to avoid
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global single-partition window in packing plan:\n$p")
+    assert(p.contains("Window"), s"expected bucket-partitioned window:\n$p")
+  }
+
+  test("q54 temporal: one keyed shuffle (materialize), the rest projections") {
+    val p = plan("q54_temporal")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"temporal round-trip should shuffle once on the key:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("lakehouse latestPerKey: exactly one keyed exchange") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val exploded = Tables.load(spark, sf(), "orders")
+      .select(col("o_orderkey").as("id"), col("o_orderstatus").as("v"),
+        lit("+I").as(graft.cdc.Changelog.OpCol),
+        col("o_orderkey").as(graft.cdc.Changelog.SeqCol))
+    val p = graft.sinks.LakehouseMergeSink.latestPerKey(exploded, Seq("id"))
+      .queryExecution.executedPlan.toString()
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1, s"MERGE-source reduction must shuffle exactly once:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), s"global window in reduction:\n$p")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     import graft.functions.expressions.NativeHashFunctions

@@ -440,6 +440,34 @@ class StreamingSpec extends SparkSpec {
     assert(sink.results(tid).toSet === Set("db.users:1;a2;11"))
   }
 
+  test("multi-table canal topic: routing + per-table DDL, multi-row messages intact") {
+    val dir = java.nio.file.Files.createTempDirectory("canal_multi").toFile
+    val tidB = TableId.parse("db.orders")
+    val infoB = TableInfo(
+      StructType(Seq(StructField("id", LongType), StructField("amt", LongType))),
+      primaryKeys = Seq("id"))
+    val lines = Seq(
+      """{"old":null,"data":[{"id":1,"v":"a"},{"id":2,"v":"b"}],"type":"INSERT","database":"db","table":"users","pkNames":["id"]}""",
+      """{"old":null,"data":[{"id":10,"amt":100}],"type":"INSERT","database":"db","table":"orders","pkNames":["id"]}""",
+      """{"isDdl":true,"sql":"ALTER TABLE users ADD COLUMN age INT","database":"db","table":"users"}""",
+      """{"old":[{"id":1,"v":"a","age":null}],"data":[{"id":1,"v":"a2","age":11}],"type":"UPDATE","database":"db","table":"users","pkNames":["id"]}""",
+      """{"old":[{"id":10,"amt":100}],"data":[{"id":10,"amt":150}],"type":"UPDATE","database":"db","table":"orders","pkNames":["id"]}""")
+    java.nio.file.Files.write(new java.io.File(dir, "feed.json").toPath,
+      lines.mkString("\n").getBytes("UTF-8"))
+    val sink = new ValuesDatabase
+    val sp = new StreamingPipeline(spark, pd, sink)
+    val q = sp.startMultiFromCanalJson(
+      StreamingPipeline.fileJsonStream(spark, dir.getAbsolutePath),
+      Seq(tid -> tableInfo, tidB -> infoB))
+    q.awaitTermination(60000)
+    // users evolved by its DDL; orders untouched
+    assert(sp.upstream.evolvedInfo(tid).get.fieldNames === Seq("id", "v", "age"))
+    assert(sp.upstream.evolvedInfo(tidB).get.fieldNames === Seq("id", "amt"))
+    assert(sink.results(tid).toSet === Set(
+      "db.users:1;a2;11", "db.users:2;b;null"))
+    assert(sink.results(tidB).toSet === Set("db.orders:10;150"))
+  }
+
   test("registry state snapshot/restore roundtrip") {
     import graft.model._
     import graft.schema.SchemaRegistry
