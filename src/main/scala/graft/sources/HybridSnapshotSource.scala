@@ -56,6 +56,43 @@ final class HybridSnapshotSource(
   }
 }
 
+/** Chunk-at-a-time snapshot: the snapshot phase reads one SnapshotSplit
+  * per micro-batch through the planned chunk predicates — the reference's
+  * split-at-a-time assignment (HybridSplitAssigner.java:147-175 hands a
+  * fetcher one split at a time) — then replays the change feed past the
+  * low watermark. Each chunk lifts insert-only; the replay-over-upsert
+  * contract (see [[HybridSnapshotSource]]'s chunk-consistency scaladoc)
+  * repairs any change that landed between two chunk reads.
+  *
+  * `table` is the "database table": `spark.read.jdbc(url, table, ...)`
+  * in production, a scripted DataFrame in tests — the chunk predicates
+  * are plain SQL strings either way, so coverage semantics (every key in
+  * exactly one chunk, edge chunks unbounded) are identical.
+  */
+final class ChunkedSnapshotSource(
+    tableId: TableId,
+    info: TableInfo,
+    table: DataFrame,
+    plan: JdbcChunkSplitter.ChunkPlan,
+    lowWatermark: Long,
+    changeFeed: Seq[DataFrame],
+    unboundedChunkFirst: Boolean = false) extends CdcDataSource {
+
+  override def batches(spark: SparkSession): Iterator[SourceBatch] = {
+    val preds = JdbcChunkSplitter.chunkPredicates(plan, unboundedChunkFirst)
+    val ddl = SourceBatch(Seq(CreateTableEvent(tableId, info)), Nil)
+    val chunks = preds.iterator.map { p =>
+      SourceBatch(Nil, Seq(tableId ->
+        Changelog.fromInsertOnly(table.where(p), lit(lowWatermark))))
+    }
+    val replay = changeFeed.iterator.map { paired =>
+      SourceBatch(Nil,
+        Seq(tableId -> paired.where(col(Changelog.SeqCol) > lowWatermark)))
+    }
+    Iterator(ddl) ++ chunks ++ replay
+  }
+}
+
 /** Startup modes of the incremental source, after the reference's
   * `scan.startup.mode` (MySqlDataSourceOptions.java:123-130): initial,
   * snapshot, earliest-offset, latest-offset, specific-offset, timestamp.

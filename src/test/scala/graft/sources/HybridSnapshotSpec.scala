@@ -63,4 +63,45 @@ class HybridSnapshotSpec extends SparkSpec {
     // demands the LOW watermark.
     assert(run(watermark = 102L) === Seq("1;a", "2;b", "3;c"))
   }
+
+  test("chunk-at-a-time snapshot: splitter plan drives per-chunk reads, replay repairs") {
+    import org.apache.spark.sql.functions.col
+    import graft.sinks.DataSink
+    import org.apache.spark.sql.DataFrame
+    // 1000 dense keys, chunkSize 250 -> 4 even chunks
+    val table = spark.range(0, 1000).select(
+      col("id"), concat_str(col("id")).as("v"))
+    val plan = JdbcChunkSplitter.plan("id",
+      JdbcChunkSplitter.KeyStats(0, 999, 1000), chunkSize = 250)
+    assert(plan.numPartitions === 4)
+    // change feed: an update to a row in the FIRST chunk (landed after
+    // that chunk was read -> only the replay can repair it) and an insert
+    // past the key range
+    val feed = ValuesSource.pairedFrame(spark, schema, Seq(
+      DataChangeEvent.update(tid, Row(10L, "10"), Row(10L, "patched")),
+      DataChangeEvent.insert(tid, Row(2000L, "late"))), seqStart = 101L)
+
+    final class CountingSink extends DataSink {
+      val inner = new ValuesDatabase
+      var writes = 0
+      override def applySchemaChange(e: graft.model.SchemaChangeEvent): Unit =
+        inner.applySchemaChange(e)
+      override def write(tableId: TableId, exploded: DataFrame,
+          info: TableInfo): Unit = { writes += 1; inner.write(tableId, exploded, info) }
+    }
+    val sink = new CountingSink
+    val src = new ChunkedSnapshotSource(tid, tinfo, table, plan,
+      lowWatermark = 100L, changeFeed = Seq(feed))
+    new PipelineRunner(spark,
+      PipelineDef(SourceDef("hybrid", Map.empty), SinkDef("values", Map.empty)),
+      src, sink).run()
+    // one write per chunk + one replay batch — the split-at-a-time shape
+    assert(sink.writes === plan.numPartitions + 1)
+    val rows = sink.inner.results(tid).map(_.stripPrefix(s"${tid.identifier}:"))
+    assert(rows.size === 1001)
+    assert(rows.contains("10;patched") && !rows.contains("10;10"))
+    assert(rows.contains("2000;late"))
+  }
+
+  private def concat_str(c: org.apache.spark.sql.Column) = c.cast("string")
 }
