@@ -935,6 +935,21 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** Token counting both ways the brief asks for: whitespace tokens and
+    * the BPE-ish regex estimate (word pieces + single symbols + a long-
+    * word subword penalty). Pure regexp projections; the oracle applies
+    * the identical ASCII-class patterns (Java and RE2 agree on `\w`/`\s`
+    * without unicode flags), so counts gate exactly.
+    */
+  private def q55Tokens(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TextAnalysis
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_ws"),
+      TextAnalysis.bpeTokenEstimate(col("text")).cast(LongType).as("n_bpe"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -991,7 +1006,8 @@ object SparkEntry {
     "q51_quantize" -> (q51Quantize _),
     "q52_pivot" -> (q52Pivot _),
     "q53_percentile" -> (q53Percentile _),
-    "q54_temporal" -> (q54Temporal _)
+    "q54_temporal" -> (q54Temporal _),
+    "q55_tokens" -> (q55Tokens _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1568,6 +1584,14 @@ object SparkEntry {
         |  epoch_us(tsz) AS ts_micros,
         |  local_str || tz AS ts_str,
         |  tz
-        |FROM d ORDER BY event_id""".stripMargin
+        |FROM d ORDER BY event_id""".stripMargin,
+    "q55_tokens" ->
+      """SELECT doc_id,
+        |  (CASE WHEN trim(text) = '' THEN 0
+        |    ELSE len(regexp_extract_all(trim(text), '\S+')) END)::BIGINT AS n_ws,
+        |  (len(regexp_extract_all(text, '\w+|[^\w\s]'))
+        |    + len(regexp_extract_all(text, '\w{7,12}'))
+        |    + 2 * len(regexp_extract_all(text, '\w{13,}')))::BIGINT AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
