@@ -1,0 +1,122 @@
+package graft.sources
+
+import graft.cdc.{Changelog, DdlParser, DebeziumJson}
+import graft.model.{CreateTableEvent, TableId}
+import org.apache.spark.sql.SQLContext
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, TableScan}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** SQL/Table-API entry point (SURVEY §3.3): the Spark analog of the
+  * reference's `CREATE TABLE ... WITH ('connector' = 'mysql-cdc')`
+  * (MySqlTableSourceFactory → ChangelogMode.all(),
+  * flink-connector-mysql-cdc/.../table/MySqlTableSource.java:184-193) —
+  * a DataSourceV2 `TableProvider` registered as `graft-cdc` that exposes
+  * a debezium-JSON feed as the EXPLODED changelog relation
+  * (payload columns + `__op` +I/-U/+U/-D/+R + `__seq`), so plain Spark
+  * SQL works on top:
+  *
+  * {{{
+  * spark.read.format("graft-cdc")
+  *   .option("path", "/feeds/users")
+  *   .option("schema.ddl", "CREATE TABLE users (id BIGINT PRIMARY KEY, v VARCHAR(32))")
+  *   .load()
+  *   .createOrReplaceTempView("users_changelog")
+  * spark.sql("SELECT count(*) FROM users_changelog WHERE __op = '-D'")
+  * }}}
+  *
+  * The scan goes through the `V1Scan` bridge so decoding stays the same
+  * declarative `DebeziumJson.decode` → `Changelog.explode` projection
+  * every other front end uses (one codegen'd JSON parse per record — no
+  * hand-rolled row reader to drift out of sync), and Catalyst still
+  * prunes/pushes over the resulting plan. Batch reads only: streams with
+  * wire DDL, schema planes, and checkpoint resume belong to
+  * [[graft.streaming.StreamingPipeline]], which this provider does not
+  * duplicate.
+  *
+  * Options: `path` (directory of JSON-lines files), `schema.ddl`
+  * (CREATE TABLE statement — CDC JSON carries no types), optional
+  * `dialect` for the DDL's type spellings.
+  */
+final class CdcTableProvider extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-cdc"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    CdcTableProvider.explodedSchema(CdcTableProvider.payloadSchema(options))
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new CdcTableProvider.CdcTable(schema,
+      new CaseInsensitiveStringMap(properties))
+}
+
+object CdcTableProvider {
+
+  /** Payload schema from the `schema.ddl` CREATE TABLE statement. */
+  private[sources] def payloadSchema(options: CaseInsensitiveStringMap): StructType = {
+    val ddl = Option(options.get("schema.ddl")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-cdc needs schema.ddl (a CREATE TABLE statement; CDC JSON carries no types)"))
+    val types = Option(options.get("dialect"))
+      .map(d => ConnectorCatalog.forName(d).typeMap)
+      .getOrElse(ConnectorCatalog.mysqlTypes)
+    DdlParser.parse(ddl, TableId.tableOnly("t"), types) match {
+      case Seq(CreateTableEvent(_, info)) => info.schema
+      case other => throw new IllegalArgumentException(
+        s"schema.ddl must be a single CREATE TABLE statement, parsed: $other")
+    }
+  }
+
+  /** The relation's schema: payload columns + changelog op + sequence. */
+  private[sources] def explodedSchema(payload: StructType): StructType =
+    StructType(payload.fields.toSeq :+
+      StructField(Changelog.OpCol, StringType) :+
+      StructField(Changelog.SeqCol, LongType, nullable = false))
+
+  private final class CdcTable(
+      tableSchema: StructType,
+      options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+
+    override def name(): String =
+      s"graft-cdc(${Option(options.get("path")).getOrElse("?")})"
+    override def schema(): StructType = tableSchema
+    override def capabilities(): java.util.Set[TableCapability] =
+      java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+    override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder = {
+      val path = Option(options.get("path")).getOrElse(
+        throw new IllegalArgumentException("graft-cdc needs a path option"))
+      val payload = payloadSchema(options)
+      val fullSchema = tableSchema
+      new ScanBuilder {
+        override def build(): Scan = new V1Scan {
+          override def readSchema(): StructType = fullSchema
+          override def toV1TableScan[T <: BaseRelation with TableScan](
+              context: SQLContext): T =
+            new BaseRelation with TableScan {
+              override def sqlContext: SQLContext = context
+              override def schema: StructType = fullSchema
+              override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+                val json = context.sparkSession.read.text(path).toDF("value")
+                // file order is the feed order: one deterministic seq per
+                // line, shared by an update's -U/+U pair (they explode
+                // from one envelope)
+                val paired = DebeziumJson.decode(
+                  json, "value", payload,
+                  seqCol = None).drop("__table").drop(Changelog.MetaCol)
+                Changelog.explode(paired).rdd
+              }
+            }.asInstanceOf[T]
+        }
+      }
+    }
+  }
+}
