@@ -110,7 +110,16 @@ final class ParquetUpsertSink(spark: SparkSession, baseDir: String,
     val p = path(tableId)
     val dirs = deltaDirs(p)
     if (dirs.isEmpty) return
-    val deltas = spark.read.parquet(dirs.map(_.getAbsolutePath): _*)
+    // coerce the widened deltas onto the table's CURRENT schema (the
+    // compaction target) — a column the registry added but no delta
+    // carried still null-fills
+    val deltas = SchemaMerging.coerce(
+      readDeltasWidened(dirs),
+      org.apache.spark.sql.types.StructType(info.schema.fields.toSeq :+
+        org.apache.spark.sql.types.StructField(Changelog.OpCol,
+          org.apache.spark.sql.types.StringType) :+
+        org.apache.spark.sql.types.StructField(Changelog.SeqCol,
+          org.apache.spark.sql.types.LongType)))
     // deltas are already on disk: the touched-set probe re-reads cheap
     // parquet, not the upstream pipeline — skip the write-ahead
     cowApply(p, deltas, info, writeAhead = false)
@@ -120,6 +129,19 @@ final class ParquetUpsertSink(spark: SparkSession, baseDir: String,
   private def deltaDirs(p: String): Seq[java.io.File] =
     Option(deltaRoot(p).listFiles()).toSeq.flatten
       .filter(_.getName.startsWith("delta-")).sortBy(_.getName)
+
+  /** Read pending deltas union-widened: deltas written before a schema
+    * change carry the old shape, so each delta dir coerces onto the
+    * least-common schema (old rows null-fill added columns) instead of a
+    * single multi-dir read that would silently take one file's schema.
+    * One cheap footer read per delta dir, driver-side; the data-plane
+    * coercions are pure projections.
+    */
+  private def readDeltasWidened(dirs: Seq[java.io.File]): DataFrame = {
+    val frames = dirs.map(d => spark.read.parquet(d.getAbsolutePath))
+    val target = SchemaMerging.leastCommonSchema(frames.map(_.schema))
+    frames.map(SchemaMerging.coerce(_, target)).reduce(_ unionByName _)
+  }
 
   /** Bucket-granular copy-on-write merge of one changelog batch. */
   private def cowApply(p: String, rawBatch: DataFrame, info: TableInfo,
@@ -243,13 +265,19 @@ final class ParquetUpsertSink(spark: SparkSession, baseDir: String,
       val pks = readMeta(p).flatMap(_.get("pks"))
         .map(_.split(",").filter(_.nonEmpty).toSeq)
         .getOrElse(throw new IllegalStateException(s"no pk marker for $tableId"))
-      val deltas = spark.read.parquet(dirs.map(_.getAbsolutePath): _*)
+      val deltas = readDeltasWidened(dirs)
       val all =
         if (!baseExists) deltas
-        else spark.read.parquet(p).drop(BucketCol)
-          .withColumn(Changelog.OpCol, lit("+I"))
-          .withColumn(Changelog.SeqCol, lit(-1L))
-          .unionByName(deltas)
+        else {
+          val base = spark.read.parquet(p).drop(BucketCol)
+            .withColumn(Changelog.OpCol, lit("+I"))
+            .withColumn(Changelog.SeqCol, lit(-1L))
+          // base written before a schema change lacks added columns (and
+          // vice versa after compaction) — widen both sides
+          val target = SchemaMerging.leastCommonSchema(Seq(base.schema, deltas.schema))
+          SchemaMerging.coerce(base, target)
+            .unionByName(SchemaMerging.coerce(deltas, target))
+        }
       Changelog.materialize(all, pks)
     }
   }

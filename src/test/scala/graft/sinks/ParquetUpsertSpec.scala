@@ -122,6 +122,48 @@ class ParquetUpsertSpec extends SparkSpec {
     assert(state() === Seq((1L, "a2"), (4L, "d")))
   }
 
+  test("merge-on-read survives schema evolution between delta writes") {
+    val dir = java.nio.file.Files.createTempDirectory("pqsink_mor_evo").toFile
+    val sink = new ParquetUpsertSink(spark, dir.getAbsolutePath, mergeOnRead = true)
+    val tid = TableId.parse("db.t")
+    val info1 = TableInfo(
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))),
+      primaryKeys = Seq("id"))
+    sink.write(tid, Seq((1L, "a", "+I", 1L), (2L, "b", "+I", 2L))
+      .toDF("id", "v", Changelog.OpCol, Changelog.SeqCol), info1)
+
+    // a column lands mid-stream: later deltas carry it, earlier ones don't
+    val info2 = TableInfo(
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType),
+        StructField("age", IntegerType))),
+      primaryKeys = Seq("id"))
+    sink.write(tid, Seq((1L, "a2", 11, "+U", 3L), (3L, "c", 33, "+I", 4L))
+      .toDF("id", "v", "age", Changelog.OpCol, Changelog.SeqCol), info2)
+
+    // read-time merge must union-widen the heterogeneous deltas: old rows
+    // null-fill the new column, updated rows carry it
+    val merged = sink.read(tid).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)))).toSeq
+    assert(merged === Seq(
+      (1L, "a2", Some(11)), (2L, "b", None), (3L, "c", Some(33))))
+
+    // compaction folds the widened deltas into the base with the same shape
+    sink.compact(tid, info2)
+    val compacted = sink.read(tid).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)))).toSeq
+    assert(compacted === merged)
+    // post-compact writes keep working on the evolved shape
+    sink.write(tid, Seq((2L, "b2", 22, "+U", 5L))
+      .toDF("id", "v", "age", Changelog.OpCol, Changelog.SeqCol), info2)
+    val after = sink.read(tid).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)))).toSeq
+    assert(after === Seq(
+      (1L, "a2", Some(11)), (2L, "b2", Some(22)), (3L, "c", Some(33))))
+  }
+
   test("truncate clears data but keeps the table writable; drop removes it") {
     import graft.model.{CreateTableEvent, DropTableEvent, TruncateTableEvent}
     val dir = java.nio.file.Files.createTempDirectory("pqsink_trunc").toFile
