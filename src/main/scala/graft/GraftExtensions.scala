@@ -61,7 +61,18 @@ object GraftExtensions {
           case Literal(v: Boolean, _) => v
           case other => throw new IllegalArgumentException(
             s"distinct must be a boolean literal, got $other")
-        }))))
+        }))),
+    (new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
+      (args: Seq[Expression]) => CosineSimExpr(args.head, args(1))),
+    (new FunctionIdentifier("lsh_bucket"),
+      new ExpressionInfo(classOf[LshBucketExpr].getName, "lsh_bucket"),
+      (args: Seq[Expression]) =>
+        LshBucketExpr(args.head, intArg(args(1), "numPlanes"))),
+    (new FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBandsExpr].getName, "minhash_bands"),
+      (args: Seq[Expression]) => MinHashBandsExpr(args.head,
+        intArg(args(1), "bands"), intArg(args(2), "rowsPerBand"))))
 
   /** Register the same functions on an already-built session (the
     * extension path only applies at session construction).

@@ -39,4 +39,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(textRow.getSeq[String](1).head === "the quick")
     assert(textRow.getSeq[String](2) === Seq("a b", "b a"))
   }
+
+  test("vector kernels callable from SQL") {
+    GraftExtensions.install(spark)
+    val r = spark.sql(
+      """SELECT cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS same,
+        |  cosine_sim(array(1.0F, 0.0F), array(0.0F, 1.0F)) AS orth,
+        |  lsh_bucket(array(0.5F, -0.25F, 1.0F), 8) AS bucket,
+        |  size(minhash_bands(shingles('a b c d e', 2), 2, 2)) AS n_bands""".stripMargin)
+      .collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
+    assert(math.abs(r.getDouble(1)) < 1e-9)
+    assert(r.getLong(2) >= 0 && r.getLong(2) < 256)
+    assert(r.getInt(3) === 2)
+    // SQL form matches the Column-API kernel bit for bit
+    import graft.functions.expressions.NativeVectorFunctions
+    val viaCol = Seq(Tuple1(Array(0.5f, -0.25f, 1.0f))).toDF("v")
+      .select(NativeVectorFunctions.lshBucket(col("v"), 8)).head().getLong(0)
+    assert(viaCol === r.getLong(2))
+  }
 }
