@@ -950,6 +950,27 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-wide line dedup (Curation.dedupLinesCorpus) — the C4-style
+    * boilerplate-removal pass: the globally FIRST occurrence of every
+    * distinct line survives, later repeats drop. Lines are synthesized by
+    * chunking the single-line fixture text into 6-word windows (the
+    * operator is line-structure-agnostic; the derivation is the fixture's
+    * job, as in q50). First-occurrence resolution is a partial-combining
+    * min aggregate + equi-join, never a window over the line partition —
+    * a 10⁹-repeat boilerplate line must not serialize through one task.
+    */
+  private def q56LineDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val words = split(col("text"), " ")
+    val nLines = ((size(words) + 5) / 6).cast(IntegerType)
+    val lines = transform(sequence(lit(0), nLines - 1),
+      i => array_join(slice(words, i * 6 + 1, lit(6)), " "))
+    graft.ops.Curation.dedupLinesCorpus(
+      docs.select(col("doc_id"), lines.as("lines")), "doc_id", "lines")
+      .select(col("doc_id"), col("kept_text"), col("n_lines"), col("n_removed"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1007,7 +1028,8 @@ object SparkEntry {
     "q52_pivot" -> (q52Pivot _),
     "q53_percentile" -> (q53Percentile _),
     "q54_temporal" -> (q54Temporal _),
-    "q55_tokens" -> (q55Tokens _)
+    "q55_tokens" -> (q55Tokens _),
+    "q56_line_dedup" -> (q56LineDedup _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1592,6 +1614,25 @@ object SparkEntry {
         |  (len(regexp_extract_all(text, '\w+|[^\w\s]'))
         |    + len(regexp_extract_all(text, '\w{7,12}'))
         |    + 2 * len(regexp_extract_all(text, '\w{13,}')))::BIGINT AS n_bpe
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q56_line_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |p AS (
+        |  SELECT doc_id, ws,
+        |    unnest(range(((len(ws) + 5) // 6)::BIGINT)) AS pos FROM w),
+        |ex AS (
+        |  SELECT doc_id, pos,
+        |    array_to_string(list_slice(ws, pos*6 + 1, pos*6 + 6), ' ') AS line,
+        |    doc_id*1000000 + pos AS key
+        |  FROM p),
+        |f AS (SELECT line, min(key) AS first FROM ex GROUP BY line)
+        |SELECT ex.doc_id,
+        |  coalesce(string_agg(CASE WHEN key = first THEN line END,
+        |    chr(10) ORDER BY pos), '') AS kept_text,
+        |  count(*)::BIGINT AS n_lines,
+        |  count(CASE WHEN key <> first THEN 1 END)::BIGINT AS n_removed
+        |FROM ex JOIN f USING (line)
+        |GROUP BY ex.doc_id ORDER BY ex.doc_id""".stripMargin
   )
 }

@@ -174,6 +174,42 @@ object Curation {
         (col("start_offset") % ctxLen).as("pos_in_pack"))
   }
 
+  /** Corpus-wide exact line dedup — the C4/RefinedWeb boilerplate-removal
+    * step: across the WHOLE corpus, keep the globally first occurrence
+    * (smallest (doc, position)) of every distinct line and drop later
+    * repeats (navigation chrome, cookie banners, license footers).
+    *
+    * First-occurrence resolution is a partial-combining `min` aggregate
+    * over `id * posLimit + pos` plus an equi-join back on the line — NOT
+    * a `row_number` window partitioned by line: a boilerplate line
+    * repeated 10⁹ times would serialize through one sorted partition,
+    * while the aggregate combines map-side and AQE splits the remaining
+    * skewed join. Input: one row per document with an array-of-lines
+    * column. Output: (id, kept_lines in original order, n_lines,
+    * n_removed).
+    */
+  def dedupLinesCorpus(
+      docs: DataFrame, idCol: String, linesCol: String,
+      posLimit: Long = 1000000L): DataFrame = {
+    val ex = docs.select(col(idCol).cast("long").as("__id"),
+        posexplode(col(linesCol)).as(Seq("__pos", "__line")))
+      .withColumn("__key", col("__id") * posLimit + col("__pos"))
+    val firsts = ex.groupBy(col("__line")).agg(min(col("__key")).as("__first"))
+    ex.join(firsts, "__line")
+      .groupBy(col("__id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__key") === col("__first"),
+                struct(col("__pos"), col("__line"))))),
+            x => x.getField("__line")),
+          "\n").as("kept_text"),
+        count(lit(1)).as("n_lines"),
+        count(when(col("__key") =!= col("__first"), 1)).as("n_removed"))
+      .withColumnRenamed("__id", idCol)
+  }
+
   /** Weighted domain mixing: keep ~`rates(domain)` of each domain's rows
     * (`defaultRate` for unlisted domains), decided by the same portable
     * md5 draw as [[hashSample]] — the resampling step that rebalances

@@ -203,6 +203,23 @@ class OpsSpec extends SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
+  test("corpus line dedup: first occurrence survives, order kept, uniques untouched") {
+    val docs = Seq(
+      (1L, Seq("intro one", "COOKIE BANNER", "body a")),
+      (2L, Seq("COOKIE BANNER", "body b", "intro one")),
+      (3L, Seq("body c", "COOKIE BANNER"))
+    ).toDF("doc_id", "lines")
+    val out = Curation.dedupLinesCorpus(docs, "doc_id", "lines")
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out === Seq(
+      // doc 1 is first for all three of its lines
+      (1L, "intro one\nCOOKIE BANNER\nbody a", 3L, 0L),
+      // doc 2 loses both repeats but keeps its own line, order preserved
+      (2L, "body b", 3L, 2L),
+      (3L, "body c", 2L, 1L)))
+  }
+
   test("curation: deterministic sampling is stable, proportional, and split is consistent") {
     val df = (0L until 2000L).toDF("id")
     val sampled = Curation.hashSample(df, col("id"), 0.2)
