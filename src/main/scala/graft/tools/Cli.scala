@@ -54,13 +54,13 @@ object Cli {
     val pd = YamlPipelineParser.parse(yaml)
     val (sink, report) = buildSink(spark, pd)
     pd.source.kind match {
-      case "debezium-file" =>
+      case kind @ ("debezium-file" | "canal-file") =>
         val path = pd.source.options.getOrElse("path",
-          throw new IllegalArgumentException("source.path is required for debezium-file"))
+          throw new IllegalArgumentException(s"source.path is required for $kind"))
         def schemaOf(tid: TableId, key: String) = {
           val ddl = pd.source.options.getOrElse(key,
             throw new IllegalArgumentException(
-              s"source.$key (CREATE TABLE ...) is required for debezium-file"))
+              s"source.$key (CREATE TABLE ...) is required for $kind"))
           DdlParser.parse(ddl, tid) match {
             case Seq(CreateTableEvent(_, i)) => i
             case other => throw new IllegalArgumentException(
@@ -72,6 +72,7 @@ object Cli {
         val checkpoint = pd.source.options.get("checkpoint")
         // `tables: db.a, db.b` (one topic, many tables — per-table
         // schemas under schema.ddl.<table>) or single `table:` + schema.ddl
+        val canal = kind == "canal-file"
         val q = pd.source.options.get("tables") match {
           case Some(list) =>
             val pairs = list.split(',').map(_.trim).filter(_.nonEmpty).toSeq.map { t =>
@@ -83,12 +84,15 @@ object Cli {
                         else s"schema.ddl.${tid.table}"
               tid -> schemaOf(tid, key)
             }
-            sp.startMultiFromDebeziumJson(stream, pairs, checkpointLocation = checkpoint)
+            if (canal) sp.startMultiFromCanalJson(stream, pairs, checkpointLocation = checkpoint)
+            else sp.startMultiFromDebeziumJson(stream, pairs, checkpointLocation = checkpoint)
           case None =>
             val tid = TableId.parse(pd.source.options.getOrElse("table",
               throw new IllegalArgumentException(
-                "source.table (or source.tables) is required for debezium-file")))
-            sp.startFromDebeziumJson(stream, tid, schemaOf(tid, "schema.ddl"),
+                s"source.table (or source.tables) is required for $kind")))
+            if (canal) sp.startFromCanalJson(stream, tid, schemaOf(tid, "schema.ddl"),
+              checkpointLocation = checkpoint)
+            else sp.startFromDebeziumJson(stream, tid, schemaOf(tid, "schema.ddl"),
               checkpointLocation = checkpoint)
         }
         q.awaitTermination()

@@ -150,6 +150,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), s"global window in reduction:\n$p")
   }
 
+  test("q56 line dedup: min-agg + join, never a window over the line partition") {
+    val p = plan("q56_line_dedup")
+    // a row_number-over-line formulation would plan a Window node and
+    // serialize hot boilerplate lines through single sorted partitions
+    assert(!p.linesIterator.exists(_.contains("Window [")),
+      s"window over line partition in dedup plan:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), s"single-partition stage:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial"),
+      s"first-occurrence min not partially aggregated:\n$p")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     import graft.functions.expressions.NativeHashFunctions

@@ -302,6 +302,28 @@ class PipelineSpec extends SparkSpec {
     assert(out.tail.toSet === Set("db.all:1;a2", "db.all:2;b"))
   }
 
+  test("CLI canal-file source: multi-row messages drive the same pipeline path") {
+    val dir = java.nio.file.Files.createTempDirectory("cli_canal").toFile
+    val feed = new java.io.File(dir, "feed"); feed.mkdirs()
+    java.nio.file.Files.write(new java.io.File(feed, "f1.json").toPath, Seq(
+      """{"old":null,"data":[{"id":1,"v":10},{"id":2,"v":20}],"type":"INSERT","database":"db","table":"t","pkNames":["id"]}""",
+      """{"old":[{"id":1,"v":10}],"data":[{"id":1,"v":11}],"type":"UPDATE","database":"db","table":"t","pkNames":["id"]}"""
+    ).mkString("\n").getBytes("UTF-8"))
+    val yaml =
+      s"""source:
+         |  type: canal-file
+         |  path: ${feed.getAbsolutePath}
+         |  table: db.t
+         |  schema.ddl: "CREATE TABLE t (id BIGINT PRIMARY KEY, v INT)"
+         |sink: { type: values }
+         |pipeline:
+         |  name: cli_canal
+         |""".stripMargin
+    val out = graft.tools.Cli.run(spark, yaml)
+    assert(out.head.startsWith("pipeline 'cli_canal'"))
+    assert(out.tail.toSet === Set("db.t:1;11", "db.t:2;20"))
+  }
+
   test("YAML model block parses and drives a transform projection") {
     val pd = YamlPipelineParser.parse(
       """source: { type: values }
