@@ -220,6 +220,38 @@ class OpsSpec extends SparkSpec {
       (3L, "body c", 2L, 1L)))
   }
 
+  test("corpus line dedup equals brute force on a random corpus") {
+    // small vocabulary forces heavy cross-document line collisions
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("aa", "bb", "cc")
+    val docs = (0L until 30L).map { id =>
+      id -> Seq.fill(1 + rnd.nextInt(6))(
+        Seq.fill(2)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // brute force: first (id, pos) per line wins, order preserved
+    val seen = scala.collection.mutable.Set[String]()
+    val expected = docs.map { case (id, lines) =>
+      val kept = lines.filter(l => seen.add(l))
+      (id, kept.mkString("\n"), lines.size.toLong,
+        (lines.size - kept.size).toLong)
+    }
+    val out = Curation.dedupLinesCorpus(
+      docs.toDF("doc_id", "lines"), "doc_id", "lines")
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out === expected)
+  }
+
+  test("bpe token estimate: pieces + long-word penalty") {
+    val out = Seq(
+      "Hello, world",          // hello + , + world = 3
+      "internationalization",  // 1 piece + {7,12} greedy 12+8 = 2 + {13,} x2 = 5
+      "",                      // 0
+      "a b").toDF("text")
+      .select(TextAnalysis.bpeTokenEstimate(col("text"))).collect().map(_.getInt(0)).toSeq
+    assert(out === Seq(3, 5, 0, 2))
+  }
+
   test("curation: deterministic sampling is stable, proportional, and split is consistent") {
     val df = (0L until 2000L).toDF("id")
     val sampled = Curation.hashSample(df, col("id"), 0.2)
