@@ -223,6 +223,45 @@ class StreamingSpec extends SparkSpec {
     assert(sink.results(tid).toSet === Set("db.users:1;a", "db.users:2;b"))
   }
 
+  test("newly-added-table capture + restart: captured table resumes without a fresh CREATE") {
+    val dir = java.nio.file.Files.createTempDirectory("dbz_newtbl_cp").toFile
+    val feed = new java.io.File(dir, "feed"); feed.mkdirs()
+    val cp = new java.io.File(dir, "checkpoint").getAbsolutePath
+    def writeFeed(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(new java.io.File(feed, name).toPath,
+        lines.mkString("\n").getBytes("UTF-8"))
+    val pdCapture = PipelineDef(
+      SourceDef("values", Map("scan.newly-added-table.enabled" -> "true")),
+      SinkDef("values", Map.empty))
+    val pid = TableId.parse("db.products")
+
+    // run 1: products appears via wire CREATE and materializes
+    writeFeed("f1.json", Seq(
+      """{"before":null,"after":{"id":1,"v":"a"},"op":"c","ts_ms":1,"source":{"db":"db","table":"users"}}""",
+      """{"source":{"db":"db","table":"products"},"ddl":"CREATE TABLE products (id BIGINT PRIMARY KEY, name VARCHAR(20))"}""",
+      """{"before":null,"after":{"id":100,"name":"widget"},"op":"c","ts_ms":2,"source":{"db":"db","table":"products"}}"""))
+    val sink1 = new ValuesDatabase
+    val q1 = new StreamingPipeline(spark, pdCapture, sink1).startMultiFromDebeziumJson(
+      StreamingPipeline.fileJsonStream(spark, feed.getAbsolutePath),
+      Seq(tid -> tableInfo), checkpointLocation = Some(cp))
+    q1.awaitTermination(60000)
+    assert(sink1.results(pid) === Seq("db.products:100;widget"))
+
+    // run 2 (fresh pipeline, same checkpoint): a products row with NO new
+    // CREATE on the wire must still decode — the captured table came back
+    // from the restored upstream plane
+    writeFeed("f2.json", Seq(
+      """{"before":{"id":100,"name":"widget"},"after":{"id":100,"name":"gadget"},"op":"u","ts_ms":3,"source":{"db":"db","table":"products"}}"""))
+    val sink2 = new ValuesDatabase
+    val sp2 = new StreamingPipeline(spark, pdCapture, sink2)
+    val q2 = sp2.startMultiFromDebeziumJson(
+      StreamingPipeline.fileJsonStream(spark, feed.getAbsolutePath),
+      Seq(tid -> tableInfo), checkpointLocation = Some(cp))
+    q2.awaitTermination(60000)
+    assert(sp2.dynamicTables.keySet === Set(pid))
+    assert(sink2.results(pid) === Seq("db.products:100;gadget"))
+  }
+
   test("newly-added-table capture OFF (default): undeclared tables stay dropped") {
     val dir = java.nio.file.Files.createTempDirectory("dbz_newtbl_off").toFile
     val tidB = TableId.parse("db.orders")
