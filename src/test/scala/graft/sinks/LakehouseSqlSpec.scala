@@ -84,6 +84,21 @@ class LakehouseSqlSpec extends SparkSpec {
     assert(latest === Seq((1L, "a2", "+U"), (2L, "b", "-D"), (3L, "c", "+I")))
   }
 
+  test("sink without primary keys emits the append-only INSERT") {
+    val recorded = scala.collection.mutable.ArrayBuffer[String]()
+    val sink = new LakehouseMergeSink(spark, IcebergDialect, recorded += _)
+    val keyless = TableInfo(
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))),
+      primaryKeys = Nil)
+    val exploded = Seq((1L, "a", "+I", 1L), (1L, "a", "-D", 2L))
+      .toDF("id", "v", Changelog.OpCol, Changelog.SeqCol)
+    sink.write(tid, exploded, keyless)
+    assert(recorded.size === 1)
+    assert(recorded.head.startsWith("INSERT INTO `lake`.`users`"))
+    assert(recorded.head.contains("WHERE `__op` IN ('+I', '+U', '+R')"))
+    assert(!recorded.head.contains("MERGE"))
+  }
+
   test("sink writes exactly one MERGE per batch over the reduced view") {
     val recorded = scala.collection.mutable.ArrayBuffer[String]()
     val sink = new LakehouseMergeSink(spark, DeltaDialect, recorded += _)
