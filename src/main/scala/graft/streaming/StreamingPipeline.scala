@@ -169,9 +169,10 @@ final class StreamingPipeline(
     * the same work the reference's schema-aware JSON source does per
     * table, batched.
     *
-    * `primaryKeysOf` maps bare table names to primary keys (CDC JSON
-    * carries none); unlisted tables materialize keyless (append-only
-    * semantics in keyed sinks).
+    * `primaryKeysOf` maps table ids to primary keys (CDC JSON carries
+    * none) — full identifiers ("db1.users") take precedence, bare table
+    * names serve as a single-db fallback; unlisted tables materialize
+    * keyless (append-only semantics in keyed sinks).
     */
   def startMultiFromDebeziumJsonInferred(
       jsonStream: DataFrame,
@@ -185,21 +186,27 @@ final class StreamingPipeline(
         import org.apache.spark.sql.functions._
         val sequenced = StreamingPipeline.withRoutingKey(batch.toDF())
           .withColumn(Changelog.SeqCol, StreamingPipeline.seqColumn(epochId))
-          .withColumn("__db", coalesce(
-            get_json_object(col("value"), "$.source.db"),
-            get_json_object(col("value"), "$.database")))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // O(#tables observed this batch) driver rows, never O(rows)
         val tbls = sequenced
           .where(col(StreamingPipeline.RoutingCol).isNotNull)
-          .select(col(StreamingPipeline.RoutingCol), col("__db"))
+          .select(col(StreamingPipeline.RoutingCol), col(StreamingPipeline.RoutingDbCol))
           .distinct().collect()
           .map(r => (r.getString(0), Option(r.getString(1)))).sortBy(_._1)
         tbls.foreach { case (name, db) =>
           val tid = db.map(d => TableId.schemaTable(d, name))
             .getOrElse(TableId.tableOnly(name))
-          inferAndApply(tid, primaryKeysOf.getOrElse(name, Nil),
-            StreamingPipeline.routeByTable(sequenced, name))
+          // slice EXACTLY this (table, db) pair — db1.users and db2.users
+          // are distinct tables and must not see each other's rows
+          val slice = sequenced.where(
+            col(StreamingPipeline.RoutingCol) === name &&
+              db.map(col(StreamingPipeline.RoutingDbCol) === _)
+                .getOrElse(col(StreamingPipeline.RoutingDbCol).isNull))
+          // primary keys resolve by full id first ("db1.users"), bare
+          // table name as the single-db fallback
+          val pks = primaryKeysOf.getOrElse(tid.identifier,
+            primaryKeysOf.getOrElse(name, Nil))
+          inferAndApply(tid, pks, slice)
         }
         sequenced.unpersist(false)
         persistSchemaPlanes(checkpointLocation)
@@ -306,7 +313,6 @@ final class StreamingPipeline(
     // table with newly-added capture on still needs routing (undeclared
     // tables' rows must not decode as the declared table's)
     val multi = tables.size > 1 || newlyAddedCapture
-    val declaredNames = tables.map(_._1.table).toSet
     if (multi && newlyAddedCapture)
       // restart: tables captured in a previous run live in the restored
       // upstream plane — resume capturing them without a fresh CREATE
@@ -363,9 +369,11 @@ final class StreamingPipeline(
         // CREATE itself applies at its log position through the per-table
         // DDL loop below (it is THE creation event — no synthesis).
         if (multi && newlyAddedCapture) {
-          val knownNames = declaredNames ++ dynamicTables.keys.map(_.table)
+          val knownIds = tables.map(_._1) ++ dynamicTables.keys
           allDdl.iterator
-            .filter(r => !r.isNullAt(2) && !knownNames(r.getString(2)))
+            .filter(r => !r.isNullAt(2) && !knownIds.exists(k =>
+              StreamingPipeline.idMatches(k, r.getString(2),
+                Option(r.getString(3)))))
             .foreach { r =>
               val tid = Option(r.getString(3))
                 .map(db => TableId.schemaTable(db, r.getString(2)))
@@ -391,11 +399,13 @@ final class StreamingPipeline(
           // DDL naming no table at all is accepted only in single-table
           // mode (ambiguous on a shared topic).
           val tblData =
-            if (multi) StreamingPipeline.routeByTable(data, tableId.table)
+            if (multi) StreamingPipeline.routeByTableId(data, tableId)
             else data
-          val ddlRows = allDdl.filter(r =>
-            if (multi) !r.isNullAt(2) && r.getString(2) == tableId.table
-            else r.isNullAt(2) || r.getString(2) == tableId.table)
+          val ddlRows = allDdl.filter { r =>
+            val matches = !r.isNullAt(2) && StreamingPipeline.idMatches(
+              tableId, r.getString(2), Option(r.getString(3)))
+            if (multi) matches else r.isNullAt(2) || matches
+          }
 
           if (!created.contains(tableId)) {
             created += tableId
@@ -458,12 +468,24 @@ object StreamingPipeline {
   /** Column holding the envelope's table name on multi-table topics. */
   val RoutingCol = "__tbl"
 
-  /** Materialize the routing key once into the batch frame — one JSON
-    * probe per record, stored with the persisted batch.
+  /** Column holding the envelope's database name on multi-table topics —
+    * TableIds are db-qualified, so routing on the bare table name alone
+    * would deliver `db1.users` AND `db2.users` rows to both tables.
     */
-  def withRoutingKey(batch: DataFrame): DataFrame =
-    batch.withColumn(RoutingCol,
-      DebeziumJson.dataTableOf(org.apache.spark.sql.functions.col("value")))
+  val RoutingDbCol = "__rdb"
+
+  /** Materialize the routing key (table + database) once into the batch
+    * frame — one JSON probe pass per record, stored with the persisted
+    * batch.
+    */
+  def withRoutingKey(batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    batch
+      .withColumn(RoutingCol, DebeziumJson.dataTableOf(col("value")))
+      .withColumn(RoutingDbCol, coalesce(
+        get_json_object(col("value"), "$.source.db"),
+        get_json_object(col("value"), "$.database")))
+  }
 
   /** Route a persisted batch to one table's rows: a plain string
     * equality on the cached routing column — NO per-table JSON probe
@@ -471,6 +493,32 @@ object StreamingPipeline {
     */
   def routeByTable(data: DataFrame, table: String): DataFrame =
     data.where(org.apache.spark.sql.functions.col(RoutingCol) === table)
+
+  /** Route by the FULL table id: table-name equality plus, when the id
+    * is db-qualified, a database match on the cached db column. Records
+    * carrying no database are accepted (a feed without `source.db`
+    * cannot be db-disambiguated — same leniency as the reference's
+    * Kafka source when the envelope omits the db). An unqualified id
+    * accepts any database, preserving single-db-feed behavior.
+    */
+  def routeByTableId(data: DataFrame, tableId: TableId): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val qual = tableId.parts.dropRight(1).mkString(".")
+    val byName = col(RoutingCol) === tableId.table
+    if (qual.isEmpty) data.where(byName)
+    else data.where(byName &&
+      (col(RoutingDbCol).isNull || col(RoutingDbCol) === qual))
+  }
+
+  /** Driver-side analogue of [[routeByTableId]] for collected control
+    * rows: does a wire record carrying `(table, db)` belong to
+    * `declared`?
+    */
+  def idMatches(declared: TableId, table: String, db: Option[String]): Boolean =
+    declared.table == table && {
+      val qual = declared.parts.dropRight(1).mkString(".")
+      qual.isEmpty || db.forall(_ == qual)
+    }
 
   /** Cross-batch total order per key, pure projection:
     *   seq = epoch(20 bits) | partition(20 bits) | row-in-partition(23 bits)

@@ -193,6 +193,58 @@ class StreamingSpec extends SparkSpec {
     assert(sink.results(tidB).toSet === Set("db.orders:10;150"))
   }
 
+  test("same table name in two databases routes by full id, not bare name") {
+    // db1.users and db2.users are DIFFERENT tables: each must receive only
+    // its own database's rows, and db1's ALTER must not evolve db2
+    val dir = java.nio.file.Files.createTempDirectory("dbz_twodb").toFile
+    val tid1 = TableId.parse("db1.users")
+    val tid2 = TableId.parse("db2.users")
+    val lines = Seq(
+      """{"before":null,"after":{"id":1,"v":"a"},"op":"c","ts_ms":1,"source":{"db":"db1","table":"users"}}""",
+      """{"before":null,"after":{"id":1,"v":"x"},"op":"c","ts_ms":2,"source":{"db":"db2","table":"users"}}""",
+      """{"source":{"db":"db1","table":"users"},"ddl":"ALTER TABLE users ADD COLUMN age INT"}""",
+      """{"before":null,"after":{"id":2,"v":"b","age":22},"op":"c","ts_ms":3,"source":{"db":"db1","table":"users"}}""",
+      """{"before":null,"after":{"id":2,"v":"y"},"op":"c","ts_ms":4,"source":{"db":"db2","table":"users"}}""")
+    java.nio.file.Files.write(new java.io.File(dir, "feed.json").toPath,
+      lines.mkString("\n").getBytes("UTF-8"))
+
+    val sink = new ValuesDatabase
+    val sp = new StreamingPipeline(spark, pd, sink)
+    val q = sp.startMultiFromDebeziumJson(
+      StreamingPipeline.fileJsonStream(spark, dir.getAbsolutePath),
+      Seq(tid1 -> tableInfo, tid2 -> tableInfo))
+    q.awaitTermination(60000)
+    assert(sp.runner.registry.evolvedInfo(tid1).get.fieldNames === Seq("id", "v", "age"))
+    assert(sp.runner.registry.evolvedInfo(tid2).get.fieldNames === Seq("id", "v"))
+    assert(sink.results(tid1).toSet === Set("db1.users:1;a;null", "db1.users:2;b;22"))
+    assert(sink.results(tid2).toSet === Set("db2.users:1;x", "db2.users:2;y"))
+  }
+
+  test("inferred multi-table: same table name in two databases keeps separate schemas and keys") {
+    val dir = java.nio.file.Files.createTempDirectory("dbz_twodb_inf").toFile
+    val tid1 = TableId.parse("db1.users")
+    val tid2 = TableId.parse("db2.users")
+    // db1.users carries (id, v); db2.users carries (id, score) — merged
+    // inference across dbs would wrongly widen both
+    val lines = Seq(
+      """{"before":null,"after":{"id":1,"v":"a"},"op":"c","ts_ms":1,"source":{"db":"db1","table":"users"}}""",
+      """{"before":null,"after":{"id":1,"score":9},"op":"c","ts_ms":2,"source":{"db":"db2","table":"users"}}""",
+      """{"before":{"id":1,"v":"a"},"after":{"id":1,"v":"a2"},"op":"u","ts_ms":3,"source":{"db":"db1","table":"users"}}""")
+    java.nio.file.Files.write(new java.io.File(dir, "feed.json").toPath,
+      lines.mkString("\n").getBytes("UTF-8"))
+
+    val sink = new ValuesDatabase
+    val sp = new StreamingPipeline(spark, pd, sink)
+    val q = sp.startMultiFromDebeziumJsonInferred(
+      StreamingPipeline.fileJsonStream(spark, dir.getAbsolutePath),
+      primaryKeysOf = Map("db1.users" -> Seq("id"), "db2.users" -> Seq("id")))
+    q.awaitTermination(60000)
+    assert(sp.runner.registry.evolvedInfo(tid1).get.fieldNames === Seq("id", "v"))
+    assert(sp.runner.registry.evolvedInfo(tid2).get.fieldNames === Seq("id", "score"))
+    assert(sink.results(tid1) === Seq("db1.users:1;a2"))
+    assert(sink.results(tid2) === Seq("db2.users:1;9"))
+  }
+
   test("newly-added-table capture: a wire CREATE TABLE materializes an undeclared table") {
     val dir = java.nio.file.Files.createTempDirectory("dbz_newtbl").toFile
     // users is declared; products appears mid-stream via wire CREATE and
