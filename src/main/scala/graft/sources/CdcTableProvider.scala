@@ -105,13 +105,43 @@ object CdcTableProvider {
               override def sqlContext: SQLContext = context
               override def schema: StructType = fullSchema
               override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
-                val json = context.sparkSession.read.text(path).toDF("value")
-                // file order is the feed order: one deterministic seq per
-                // line, shared by an update's -U/+U pair (they explode
-                // from one envelope)
+                // Feed order is (file name ascending, line offset within
+                // file) — NOT the DataFrame text scan's partition order,
+                // which bin-packs files by SIZE (largest first), so a
+                // monotonically_increasing_id over it would misorder
+                // events across files and latest-wins materialization
+                // would pick wrong winners. textFile keeps Hadoop split
+                // order (paths in the order given, offsets ascending
+                // within each file), so zipWithIndex yields the true feed
+                // position. zipWithIndex costs one extra partition-count
+                // job — the price of a total order over a multi-file
+                // batch feed.
+                val session = context.sparkSession
+                val sc = session.sparkContext
+                val hp = new org.apache.hadoop.fs.Path(path)
+                val fs = hp.getFileSystem(sc.hadoopConfiguration)
+                val files =
+                  if (fs.getFileStatus(hp).isDirectory)
+                    fs.listStatus(hp).filter(_.isFile)
+                      .map(_.getPath)
+                      .filterNot(_.getName.startsWith("_"))
+                      .filterNot(_.getName.startsWith("."))
+                      .map(_.toString).sorted
+                  else Array(path)
+                val lines = sc.textFile(files.mkString(","))
+                  .zipWithIndex()
+                  .map { case (line, idx) =>
+                    org.apache.spark.sql.Row(line, idx)
+                  }
+                val json = session.createDataFrame(lines, StructType(Seq(
+                  StructField("value", StringType),
+                  StructField(Changelog.SeqCol, LongType, nullable = false))))
+                // one deterministic seq per line, shared by an update's
+                // -U/+U pair (they explode from one envelope)
                 val paired = DebeziumJson.decode(
                   json, "value", payload,
-                  seqCol = None).drop("__table").drop(Changelog.MetaCol)
+                  seqCol = Some(Changelog.SeqCol))
+                  .drop("__table").drop(Changelog.MetaCol)
                 Changelog.explode(paired).rdd
               }
             }.asInstanceOf[T]

@@ -61,6 +61,42 @@ class CdcTableProviderSpec extends SparkSpec {
     assert(live === Seq((1L, "a2")))
   }
 
+  test("multi-file feed: __seq follows file-name order, not file-size order") {
+    // the text scan bin-packs files largest-first, so an id over the scan
+    // would misorder events across files — make the LATER files bigger so
+    // size order and feed order disagree, and check latest-wins still
+    // picks the last file's value
+    val dir = java.nio.file.Files.createTempDirectory("cdc_dsv2_multi").toFile
+    def write(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath,
+        lines.mkString("\n").getBytes("UTF-8"))
+    write("part-000.json", Seq(
+      """{"before":null,"after":{"id":1,"v":"first"},"op":"c","ts_ms":1,"source":{"db":"db","table":"users"}}"""))
+    write("part-001.json", Seq(
+      """{"before":{"id":1,"v":"first"},"after":{"id":1,"v":"second"},"op":"u","ts_ms":2,"source":{"db":"db","table":"users"}}""",
+      """{"before":null,"after":{"id":2,"v":"pad-so-this-file-is-biggest-aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"},"op":"c","ts_ms":3,"source":{"db":"db","table":"users"}}"""))
+    write("part-002.json", Seq(
+      """{"before":{"id":1,"v":"second"},"after":{"id":1,"v":"final"},"op":"u","ts_ms":4,"source":{"db":"db","table":"users"}}"""))
+
+    val df = spark.read.format("graft-cdc")
+      .option("path", dir.getAbsolutePath)
+      .option("schema.ddl", "CREATE TABLE users (id BIGINT PRIMARY KEY, v VARCHAR(80))")
+      .load()
+    df.createOrReplaceTempView("multi_changelog")
+    val live = spark.sql(
+      """SELECT id, v FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY id ORDER BY __seq DESC,
+        |    CASE WHEN __op LIKE '+%' THEN 0 ELSE 1 END) rn
+        |  FROM multi_changelog) WHERE rn = 1 AND __op LIKE '+%'""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(live.find(_._1 == 1L).map(_._2) === Some("final"))
+    // and the raw seq order reconstructs the full cross-file history
+    val history = df.where(col("id") === 1 && col("__op").startsWith("+"))
+      .orderBy("__seq").select("v").collect().map(_.getString(0)).toSeq
+    assert(history === Seq("first", "second", "final"))
+  }
+
   test("missing schema.ddl fails with a clear message") {
     val e = intercept[Exception] {
       spark.read.format("graft-cdc").option("path", writeFeed(feed)).load()
