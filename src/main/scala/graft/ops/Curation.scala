@@ -94,13 +94,16 @@ object Curation {
     * a membership test against a broadcast sketch has no builtin; it is
     * a single hash per gram, not an interpreted expression tree.
     *
-    * Broadcast lifetime: the Bloom broadcast backs the (lazy) returned
-    * DataFrame, so it cannot be destroyed here — callers own it. A loop
-    * over many probe sets in one session should drain each result with an
-    * action and then `spark.sparkContext.broadcast`-cleanup via
-    * `ContextCleaner` (drop all references) before the next call;
-    * otherwise each call pins ~`-expectedGrams·ln(fpp)/ln²2` bits on the
-    * driver and every executor until the session ends.
+    * Broadcast lifetime: the result — one row per CONTAMINATED document,
+    * a sliver of the corpus — is materialized eagerly (localCheckpoint
+    * severs the lineage), and the Bloom broadcast is destroyed in a
+    * `finally` before returning. Repeated calls over many probe sets
+    * therefore never accumulate sketches on the driver or executors
+    * (each would otherwise pin ~`-expectedGrams·ln(fpp)/ln²2` bits until
+    * session end). The trade: the returned frame's partitions live in
+    * executor block storage, not lineage — an executor loss after return
+    * fails the consuming job instead of recomputing, so drain the result
+    * promptly (it is small).
     */
   def ngramContaminationBloom(
       docs: DataFrame, idCol: String, textCol: String,
@@ -112,14 +115,17 @@ object Curation {
       .distinct()
     val bloom = probeGrams.stat.bloomFilter("gram", expectedGrams, fpp)
     val bc = docs.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((g: String) => g != null && bc.value.mightContainString(g))
-    val grams = docs.select(col(idCol).as("doc_id"),
-      explode(graft.functions.expressions.NativeTextFunctions
-        .wordNgrams(col(textCol), n, distinct = true)).as("gram"))
-    grams.where(mightContain(col("gram")))
-      .join(probeGrams, "gram") // exact verify: kills Bloom false positives
-      .groupBy(col("doc_id"))
-      .agg(count_distinct(col("gram")).as("n_matched"))
+    try {
+      val mightContain = udf((g: String) => g != null && bc.value.mightContainString(g))
+      val grams = docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.expressions.NativeTextFunctions
+          .wordNgrams(col(textCol), n, distinct = true)).as("gram"))
+      grams.where(mightContain(col("gram")))
+        .join(probeGrams, "gram") // exact verify: kills Bloom false positives
+        .groupBy(col("doc_id"))
+        .agg(count_distinct(col("gram")).as("n_matched"))
+        .localCheckpoint(true)
+    } finally bc.destroy()
   }
 
   /** Sequence packing for training: concatenate documents in `idCol`
@@ -146,12 +152,17 @@ object Curation {
     val id = col(idCol).cast("long")
     val bucket = expr(s"`$idCol` div $bucketWidth") -
       when(id % bucketWidth < 0, 1L).otherwise(0L)
+    // Persisted: the bucket totals collect below AND the returned plan
+    // both read this frame — without the cache the source would scan
+    // twice (a real cost at 100 TB), and a nondeterministic input
+    // (rand()-derived ids) would disagree between the two passes. The
+    // cache holds only (id, n_tok, bucket) — a sliver of the corpus —
+    // and is released by the ContextCleaner once the returned frame is
+    // unreferenced.
     val withBucket = df.select(col(idCol), col(tokCol), bucket.as("__bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // tiny: one row per bucket. coalesce: an all-null bucket sums to
-    // null, which must count as 0 tokens, not NPE. NOTE: `df` is
-    // evaluated twice (this collect + the final plan) — it must be
-    // deterministic across evaluations (a parquet read is; a
-    // rand()-derived frame is not — persist such inputs first).
+    // null, which must count as 0 tokens, not NPE.
     val totals = withBucket.groupBy(col("__bucket"))
       .agg(coalesce(sum(col(tokCol)), lit(0L)).as("__total"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
@@ -180,20 +191,21 @@ object Curation {
     * repeats (navigation chrome, cookie banners, license footers).
     *
     * First-occurrence resolution is a partial-combining `min` aggregate
-    * over `id * posLimit + pos` plus an equi-join back on the line — NOT
-    * a `row_number` window partitioned by line: a boilerplate line
-    * repeated 10⁹ times would serialize through one sorted partition,
-    * while the aggregate combines map-side and AQE splits the remaining
-    * skewed join. Input: one row per document with an array-of-lines
-    * column. Output: (id, kept_lines in original order, n_lines,
-    * n_removed).
+    * over the struct `(id, pos)` (struct ordering is lexicographic, so
+    * min = earliest document, then earliest position — no arithmetic
+    * encoding to overflow or collide) plus an equi-join back on the
+    * line — NOT a `row_number` window partitioned by line: a boilerplate
+    * line repeated 10⁹ times would serialize through one sorted
+    * partition, while the aggregate combines map-side and AQE splits the
+    * remaining skewed join. Input: one row per document with an
+    * array-of-lines column. Output: (id, kept_lines in original order,
+    * n_lines, n_removed).
     */
   def dedupLinesCorpus(
-      docs: DataFrame, idCol: String, linesCol: String,
-      posLimit: Long = 1000000L): DataFrame = {
+      docs: DataFrame, idCol: String, linesCol: String): DataFrame = {
     val ex = docs.select(col(idCol).cast("long").as("__id"),
         posexplode(col(linesCol)).as(Seq("__pos", "__line")))
-      .withColumn("__key", col("__id") * posLimit + col("__pos"))
+      .withColumn("__key", struct(col("__id"), col("__pos")))
     val firsts = ex.groupBy(col("__line")).agg(min(col("__key")).as("__first"))
     ex.join(firsts, "__line")
       .groupBy(col("__id"))

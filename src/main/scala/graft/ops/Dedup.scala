@@ -123,16 +123,37 @@ object Dedup {
     * a small fraction of any corpus, so the per-round shuffle is
     * O(edges), never O(corpus) — untouched ids join back as their own
     * representative in one final left join.
+    *
+    * Durability: `localCheckpoint` stores label snapshots in
+    * NON-replicated executor storage — fast, but on a large cluster an
+    * executor loss mid-iteration fails the job instead of recomputing
+    * (lineage is severed). Set `reliableCheckpointEvery = k` to write
+    * every k-th round's labels to the RELIABLE checkpoint directory
+    * (`sparkContext.setCheckpointDir` must be configured) and keep the
+    * cheap local snapshots between — an executor loss then replays at
+    * most k-1 rounds of O(edges) work from the last durable snapshot.
+    * 0 (the default) keeps the all-local behavior for single-node /
+    * short-job use.
     */
   def nearDupClusters(ids: DataFrame, idCol: String, pairs: DataFrame,
-      idA: String = "id_a", idB: String = "id_b", maxIters: Int = 50): DataFrame = {
+      idA: String = "id_a", idB: String = "id_b", maxIters: Int = 50,
+      reliableCheckpointEvery: Int = 0): DataFrame = {
+    if (reliableCheckpointEvery > 0)
+      require(ids.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "reliableCheckpointEvery needs sparkContext.setCheckpointDir(...)")
+    // round 0 (the seed labels) always snapshots durably when reliable
+    // checkpointing is on, so there is always a durable base to replay from
+    def snapshot(df: DataFrame, round: Int): DataFrame =
+      if (reliableCheckpointEvery > 0 && round % reliableCheckpointEvery == 0)
+        df.checkpoint()
+      else df.localCheckpoint()
     val edges = pairs.select(col(idA).as("u"), col(idB).as("v"))
       .union(pairs.select(col(idB).as("u"), col(idA).as("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      var labels = edges.select(col("u").as("id")).distinct()
-        .select(col("id"), col("id").cast("long").as("rep"))
-        .localCheckpoint()
+      var labels = snapshot(
+        edges.select(col("u").as("id")).distinct()
+          .select(col("id"), col("id").cast("long").as("rep")), 0)
       // sum over an EMPTY label set (no pairs at all) is null -> 0
       def labelSum(df: DataFrame): Long = {
         val v = df.agg(sum(col("rep"))).head()
@@ -146,11 +167,11 @@ object Dedup {
           .join(labels.select(col("id").as("__v"), col("rep").as("__vrep")),
             col("v") === col("__v"))
           .groupBy(col("u")).agg(min(col("__vrep")).as("__nrep"))
-        val next = labels
+        val next = snapshot(labels
           .join(nmin, labels("id") === nmin("u"), "left")
           .select(labels("id"),
-            least(labels("rep"), coalesce(col("__nrep"), labels("rep"))).as("rep"))
-          .localCheckpoint()
+            least(labels("rep"), coalesce(col("__nrep"), labels("rep"))).as("rep")),
+          iter + 1)
         val s = labelSum(next)
         converged = s == prevSum
         prevSum = s

@@ -97,13 +97,17 @@ sealed trait LakehouseDialect extends Serializable {
     val collist = cols.map(quote).mkString(", ")
     val values = cols.map(c => s"s.${quote(c)}").mkString(", ")
     val retract = s"s.${quote(Changelog.OpCol)} IN ('-D', '-U')"
+    // all-primary-key tables have nothing to update — a bare
+    // "UPDATE SET " is a syntax error, and a matched non-retraction is
+    // already the target row, so the branch is omitted entirely
+    val updateBranch =
+      if (sets.isEmpty) "" else s"\nWHEN MATCHED THEN UPDATE SET $sets"
     // a key whose final event is a retraction and that never existed in
     // the target simply matches nothing — correct no-op
     s"""MERGE INTO ${table(t)} t
        |USING $srcView s
        |ON $on
-       |WHEN MATCHED AND $retract THEN DELETE
-       |WHEN MATCHED THEN UPDATE SET $sets
+       |WHEN MATCHED AND $retract THEN DELETE$updateBranch
        |WHEN NOT MATCHED AND NOT ($retract) THEN INSERT ($collist) VALUES ($values)""".stripMargin
   }
 

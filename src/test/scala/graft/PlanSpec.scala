@@ -128,6 +128,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"),
       s"global single-partition window in packing plan:\n$p")
     assert(p.contains("Window"), s"expected bucket-partitioned window:\n$p")
+    // the bucketed frame is persisted across the totals collect and the
+    // returned plan: the final plan must read the cache, not re-scan the
+    // source (a second full corpus scan at 100 TB)
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"packing plan re-scans the source instead of the persisted bucket frame:\n$p")
   }
 
   test("q54 temporal: one keyed shuffle (materialize), the rest projections") {

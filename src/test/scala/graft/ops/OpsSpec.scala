@@ -195,6 +195,28 @@ class OpsSpec extends SparkSpec {
       5L -> 5L, 7L -> 7L, 8L -> 8L, 9L -> 7L))
   }
 
+  test("cluster resolution: reliable checkpoints change durability, not results") {
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 7L, 8L, 9L).toDF("id")
+    val pairs = Seq((2L, 3L), (3L, 4L), (1L, 2L), (7L, 9L)).toDF("id_a", "id_b")
+    // without a checkpoint dir the option must fail fast, not at round k
+    val noDir = intercept[IllegalArgumentException] {
+      Dedup.nearDupClusters(ids, "id", pairs, reliableCheckpointEvery = 2)
+    }
+    assert(noDir.getMessage.contains("setCheckpointDir"))
+
+    val dir = java.nio.file.Files.createTempDirectory("dedup_ckpt").toFile
+    spark.sparkContext.setCheckpointDir(dir.getAbsolutePath)
+    val out = Dedup.nearDupClusters(ids, "id", pairs, reliableCheckpointEvery = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 7L -> 7L, 8L -> 8L, 9L -> 7L))
+    // durable snapshots actually landed in the checkpoint dir
+    def anyFiles(f: java.io.File): Boolean =
+      f.isFile || Option(f.listFiles).exists(_.exists(anyFiles))
+    assert(anyFiles(dir), "no reliable checkpoint written")
+  }
+
   test("cluster resolution with zero pairs: every id is its own rep") {
     val ids = Seq(1L, 2L, 3L).toDF("id")
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")

@@ -41,6 +41,16 @@ class LakehouseSqlSpec extends SparkSpec {
     assert(sql.contains("UPDATE SET t.`x` = s.`x`"))
   }
 
+  test("all columns are primary keys: no bare UPDATE SET branch") {
+    // a join/link table whose whole row IS the key: "UPDATE SET " with an
+    // empty list is a syntax error, and a matched non-retraction already
+    // equals the target row — the branch must be absent
+    val sql = DeltaDialect.mergeInto(tid, "s3", Seq("a", "b"), Seq("a", "b"))
+    assert(!sql.contains("UPDATE SET"))
+    assert(sql.contains("WHEN MATCHED AND s.`__op` IN ('-D', '-U') THEN DELETE"))
+    assert(sql.contains("WHEN NOT MATCHED AND NOT (s.`__op` IN ('-D', '-U'))"))
+  }
+
   test("no primary keys: append-only insert of insertions") {
     val sql = DeltaDialect.appendOnlyInsert(tid, "s2", Seq("id", "v"))
     assert(sql ===
