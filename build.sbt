@@ -29,5 +29,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // the container env has no LANG set, so the JVM defaults to US-ASCII —
+  // which silently garbles non-ASCII text in any path that touches the
+  // platform charset (e.g. VariantVal JSON rendering)
+  "-Dfile.encoding=UTF-8",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -63,9 +63,11 @@ object CdcFunctions {
             throw new IllegalArgumentException(
               s"SimpleDateFormat '$c' has no Spark datetime equivalent")
           case 'S' =>
-            // SDF S-runs are milliseconds; Spark S-runs are fractional
-            // digits. 3-digit runs coincide; normalize others to SSS.
-            out.append("SSS")
+            // Fraction-of-second digits: the reference's formatter treats
+            // an S-run as that many fractional digits (SSSSSS renders
+            // microseconds) — Spark's S-run semantics — but caps at the
+            // 6 significant digits a microsecond timestamp carries.
+            out.append("S".toString * (run min 6))
           case _ => out.append(c.toString * run)
         }
         i += run

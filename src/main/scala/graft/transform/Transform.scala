@@ -80,6 +80,13 @@ final class TransformEngine(
     * top-level.
     */
   private def remap(e: Expression, image: String): Expression = e.transformUp {
+    // __data_event_type__ is IMAGE-dependent: the before image of an
+    // UPDATE reads -U while its after image reads +U (the reference
+    // stamps the changelog kind per RecordData side)
+    case UnresolvedAttribute(Seq(MetadataColumns.DataEventType)) =>
+      SparkInternals.expression(concat(
+        lit(if (image == graft.cdc.Changelog.BeforeCol) "-" else "+"),
+        col(graft.cdc.Changelog.OpCol)))
     case UnresolvedAttribute(parts)
         if !MetadataColumns.all(parts.head) && !metadataKeys.contains(parts.head) =>
       UnresolvedAttribute(image +: parts)
@@ -98,8 +105,43 @@ final class TransformEngine(
         else lit(null).cast(org.apache.spark.sql.types.StringType))
     }
 
-  private def imageColumn(sql: String, image: String): Column =
-    SparkInternals.column(remap(SparkInternals.parseExpression(spark, sql), image))
+  /** Parse one reference-dialect expression against `schema` (the payload
+    * schema, for 1-based subscript typing) — textual dialect rewrite,
+    * Spark parse, tree dialect rewrite.
+    */
+  private def parseDialect(sql: String, schema: org.apache.spark.sql.types.StructType): Expression =
+    ReferenceDialect.rewriteExpr(
+      SparkInternals.parseExpression(spark, ReferenceDialect.rewriteSql(sql)), schema)
+
+  private def imageColumn(sql: String, image: String,
+      schema: org.apache.spark.sql.types.StructType): Column =
+    SparkInternals.column(remap(parseDialect(sql, schema), image))
+
+  /** Projection aliases usable from the filter (the reference allows
+    * `filter: strlen_ > 17` against `CHAR_LENGTH(string_) AS strlen_`):
+    * alias -> defining expression, for names that don't shadow a source
+    * column.
+    */
+  private def projectionAliases(rule: TransformRule,
+      schema: org.apache.spark.sql.types.StructType): Map[String, Expression] =
+    rule.projection.map { p =>
+      splitProjection(p).flatMap {
+        case "*" => Nil
+        case item => parseDialect(item, schema) match {
+          case org.apache.spark.sql.catalyst.expressions.Alias(child, name)
+              if !schema.fieldNames.exists(_.equalsIgnoreCase(name)) =>
+            Seq(name.toLowerCase -> child)
+          case _ => Nil
+        }
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  private def substituteAliases(e: Expression, aliases: Map[String, Expression]): Expression =
+    if (aliases.isEmpty) e
+    else e.transformUp {
+      case UnresolvedAttribute(Seq(n)) if aliases.contains(n.toLowerCase) =>
+        aliases(n.toLowerCase)
+    }
 
   /** Split a select-list on top-level commas (quotes / parens respected). */
   private[transform] def splitProjection(p: String): Seq[String] =
@@ -122,7 +164,11 @@ final class TransformEngine(
         val withMeta = withSourceMeta(metaColumns(tableId, lit("+I")).foldLeft(df) {
           case (d, (n, c)) => d.withColumn(n, c)
         })
-        val filtered = rule.filter.fold(withMeta)(f => withMeta.where(expr(f)))
+        def parsed(sql: String): Column =
+          SparkInternals.column(parseDialect(sql, df.schema))
+        val filtered = rule.filter.fold(withMeta)(f => withMeta.where(
+          SparkInternals.column(substituteAliases(
+            parseDialect(f, df.schema), projectionAliases(rule, df.schema)))))
         val projected = rule.projection match {
           case None => filtered.select(df.columns.map(col).toIndexedSeq: _*)
           case Some(p) =>
@@ -131,7 +177,7 @@ final class TransformEngine(
             // (TransformParser.expandWildcard semantics)
             val cols = splitProjection(p).flatMap {
               case "*" => df.columns.toSeq.map(col)
-              case item => Seq(expr(item))
+              case item => Seq(parsed(item))
             }
             filtered.select(cols: _*)
         }
@@ -146,12 +192,18 @@ final class TransformEngine(
       case None => paired
       case Some(rule) =>
         val op = col(OpCol)
+        val payloadSchema = paired.schema(BeforeCol).dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
         // Filter verdict per image; a null image never passes.
         val (passB, passA) = rule.filter match {
           case None => (lit(true), lit(true))
           case Some(f) =>
-            (coalesce(imageColumn(f, BeforeCol), lit(false)) && col(BeforeCol).isNotNull,
-              coalesce(imageColumn(f, AfterCol), lit(false)) && col(AfterCol).isNotNull)
+            val fe = substituteAliases(parseDialect(f, payloadSchema),
+              projectionAliases(rule, payloadSchema))
+            def pass(image: String) =
+              coalesce(SparkInternals.column(remap(fe, image)), lit(false)) &&
+                col(image).isNotNull
+            (pass(BeforeCol), pass(AfterCol))
         }
         val newOp =
           when(op === "I" && passA, "I")
@@ -165,7 +217,8 @@ final class TransformEngine(
         def projected(image: String): Column = {
           val cols = rule.projection match {
             case None => Seq(col(image))
-            case Some(p) => splitProjection(p).map(item => imageColumn(item, image))
+            case Some(p) =>
+              splitProjection(p).map(item => imageColumn(item, image, payloadSchema))
           }
           if (rule.projection.isEmpty) cols.head else struct(cols: _*)
         }
