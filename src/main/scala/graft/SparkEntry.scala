@@ -971,6 +971,75 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** LSH top-k run EXHAUSTIVELY (numPlanes = 0 puts the whole corpus in
+    * one bucket): exercises the LSH bucket-join / per-query top-k
+    * machinery end to end while staying oracle-checkable against the
+    * exact brute-force cosine ranking — any bucketing, join, or ranking
+    * bug breaks the hash match. The approximate setting stays q25
+    * (rows-only + OpsSpec recall laws).
+    */
+  private def q57LshExhaustive(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Similarity
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopK(
+      emb, "vec_id", "embedding",
+      emb.where(col("vec_id") >= 10 && col("vec_id") < 20), "vec_id", "embedding",
+      k = 7, numPlanes = 0)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF top-k probing EVERY list (nprobe = nlist): the full pipeline —
+    * centroid training, projection-only assignment, per-list search,
+    * cross-list merge — must reproduce the exact ranking. The
+    * approximate setting stays q33 (rows-only + OpsSpec parity laws).
+    */
+  private def q58IvfExhaustive(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Similarity
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(
+      emb, "vec_id", "embedding",
+      emb.where(col("vec_id") >= 20 && col("vec_id") < 30), "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 8)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** SimHash pigeonhole blocking run end to end with an ORACLE-
+    * REPRODUCIBLE fingerprint: a 60-bit simhash whose per-token hash is
+    * the first 15 hex digits of md5 (computable identically in DuckDB),
+    * fed through the production `simhashCandidates` machinery (chunk
+    * split, C(6,3) block keys, band join, Hamming verify). The oracle
+    * recomputes the same simhash in SQL and brute-forces ALL pairs at
+    * Hamming <= 3, so a chunk-arithmetic, block-key, join, or verify
+    * regression that loses or invents a single pair breaks the hash
+    * match. (The native kernel's own hash stays pinned by OpsSpec laws
+    * and the q23 rows-only setting — only the token hash is swapped
+    * here, to make the ground truth computable outside Spark.)
+    */
+  private def q59SimhashBlocking(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Dedup
+    val docs = t(s, dir, "documents")
+    // tokens exactly as the oracle: lower, non-alnum runs -> single space,
+    // trim, split (an all-separator doc yields one empty token)
+    val toks = docs.select(col("doc_id"), explode(split(
+      trim(regexp_replace(lower(col("text")), "[^\\p{L}\\p{N}]+", " ")),
+      " ")).as("tok"))
+    val hashed = toks.withColumn("h",
+      conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    val votes = (0 until 60).map(b =>
+      sum(shiftrightunsigned(col("h"), b).bitwiseAND(lit(1L))).as(s"s$b"))
+    val agg = hashed.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), votes: _*)
+    // majority vote per bit, ties -> 0 (same rule as the native kernel)
+    val sim = agg.select(col("doc_id").as("id"),
+      (0 until 60).map(b =>
+        when(col(s"s$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("sim"))
+    Dedup.simhashPairsOf(sim, maxHamming = 3, numChunks = 6)
+      .select(col("id_a"), col("id_b"),
+        col("hamming").cast("bigint").as("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1029,7 +1098,10 @@ object SparkEntry {
     "q53_percentile" -> (q53Percentile _),
     "q54_temporal" -> (q54Temporal _),
     "q55_tokens" -> (q55Tokens _),
-    "q56_line_dedup" -> (q56LineDedup _)
+    "q56_line_dedup" -> (q56LineDedup _),
+    "q57_lsh_exhaustive" -> (q57LshExhaustive _),
+    "q58_ivf_exhaustive" -> (q58IvfExhaustive _),
+    "q59_simhash_blocking" -> (q59SimhashBlocking _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1633,6 +1705,58 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_lines,
         |  count(CASE WHEN key <> first THEN 1 END)::BIGINT AS n_removed
         |FROM ex JOIN f USING (line)
-        |GROUP BY ex.doc_id ORDER BY ex.doc_id""".stripMargin
+        |GROUP BY ex.doc_id ORDER BY ex.doc_id""".stripMargin,
+    "q57_lsh_exhaustive" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id >= 10 AND vec_id < 20),
+        |scored AS (
+        |  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+        |    list_dot_product(q.qv, e.v)
+        |      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS c
+        |  FROM e, q WHERE e.vec_id <> q.qid),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY c DESC, neighbor_id ASC) AS rank FROM scored)
+        |SELECT query_id, neighbor_id, rank, round(c, 9) AS cos
+        |FROM ranked WHERE rank <= 7 ORDER BY query_id, rank""".stripMargin,
+    "q58_ivf_exhaustive" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id >= 20 AND vec_id < 30),
+        |scored AS (
+        |  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+        |    list_dot_product(q.qv, e.v)
+        |      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS c
+        |  FROM e, q WHERE e.vec_id <> q.qid),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY c DESC, neighbor_id ASC) AS rank FROM scored)
+        |SELECT query_id, neighbor_id, rank, round(c, 9) AS cos
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q59_simhash_blocking" ->
+      // same md5-derived 60-bit simhash as the Spark side, then
+      // brute-force ALL pairs at Hamming <= 3 — ground truth for the
+      // pigeonhole blocking's exact-recall claim
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    string_split(
+        |      trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')),
+        |      ' ') AS toks
+        |  FROM documents),
+        |hx AS (
+        |  SELECT doc_id, len(toks) AS n,
+        |    [[strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1
+        |      for i in range(1, 16)] for t in toks] AS hs
+        |  FROM d),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_sum([(1::BIGINT << b) * (CASE WHEN
+        |        2 * list_sum([(h[15 - b // 4] >> (b % 4)) & 1 for h in hs]) > n
+        |      THEN 1 ELSE 0 END) for b in range(0, 60)])::BIGINT AS sim
+        |  FROM hx)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.sim, b.sim))::BIGINT AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -259,9 +259,20 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, numChunks: Int = 6): DataFrame = {
     val sh = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
+    simhashPairsOf(sh, maxHamming, numChunks)
+  }
+
+  /** [[simhashPairs]]'s blocking + verify machinery over a PRECOMPUTED
+    * `(id, sim)` frame. Exists so a correctness gate can drive the exact
+    * pigeonhole pipeline with an oracle-reproducible hash (the fingerprint
+    * need not use all 64 bits — unused high bits are constant in every
+    * chunk key and cost nothing); production use goes through
+    * [[simhashPairs]]'s native kernel.
+    */
+  def simhashPairsOf(sh: DataFrame,
+      maxHamming: Int = 3, numChunks: Int = 6): DataFrame =
     simhashCandidates(sh, maxHamming, numChunks)
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .where(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
-  }
 }
