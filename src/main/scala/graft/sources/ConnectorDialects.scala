@@ -117,6 +117,40 @@ final case class ConnectorDialect(
       .map(pred => s"SELECT $cols FROM ${quoteTable(id)} WHERE $pred")
   }
 
+  /** Parse `scan.startup.specific-offset.*` options into this connector's
+    * STRUCTURED, comparable offset (the [[Offsets]] algebra) — the typed
+    * replacement for treating a resume position as one opaque long. What
+    * "past offset X" means is then the connector's own ordering:
+    * GTID-containment / file+pos for binlog, segment-wise LSN, numeric
+    * SCN, cluster-timestamp for change streams.
+    */
+  def parseSpecificOffset(opts: Map[String, String]): Offsets.SourceOffset = {
+    def key(field: String) = s"scan.startup.specific-offset.$field"
+    def req(field: String): String = opts.getOrElse(key(field),
+      throw new IllegalArgumentException(
+        s"$name specific-offset startup needs ${key(field)}"))
+    offset.kind match {
+      case "binlog" =>
+        if (!opts.contains(key("file")) && !opts.contains(key("gtid-set")) &&
+          !opts.contains(key("pos")))
+          throw new IllegalArgumentException(s"$name specific-offset startup " +
+            s"needs ${key("file")}+${key("pos")} or ${key("gtid-set")}")
+        Offsets.BinlogOffset.fromOptions(opts)
+      case "lsn" if name == "postgres" => Offsets.Lsn.parsePostgres(req("lsn"))
+      case "lsn" => Offsets.Lsn.parseSqlServer(req(offset.fields.head))
+      case "scn" => Offsets.Scn.parse(req("scn"))
+      case "change-stream" => Offsets.ChangeStreamOffset(
+        opts.get(key("timestamp")).map(_.toLong)
+          .getOrElse(req("timestamp").toLong),
+        opts.get(key("resumeToken")))
+      case "tikv-ts" => Offsets.ResolvedTs(req("resolved-ts").toLong)
+      case "vgtid" => Offsets.VGtid(
+        req("keyspace"), req("shard"), Offsets.GtidSet.parse(req("gtid")))
+      case other => throw new IllegalArgumentException(
+        s"$name: no specific-offset parser for offset kind '$other'")
+    }
+  }
+
   /** Fail-fast validation of a raw option map against the shared surface
     * plus this connector's extras; rejects startup modes the connector
     * does not support (each reference table factory validates the same

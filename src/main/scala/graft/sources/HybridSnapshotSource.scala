@@ -104,6 +104,12 @@ object StartupMode {
   case object Earliest extends StartupMode
   case object Latest extends StartupMode
   final case class SpecificOffset(offset: Long) extends StartupMode
+  /** Resume from a STRUCTURED binlog coordinate (file+pos and/or GTID
+    * set) — ordered by [[Offsets.BinlogOffset.compare]], not by a single
+    * scalar. Requires the change feed to carry its binlog coordinates
+    * (see [[HybridSnapshotSource.withStartup]]'s `binlogCols`).
+    */
+  final case class AtBinlogOffset(offset: Offsets.BinlogOffset) extends StartupMode
   final case class AtTimestamp(tsMs: Long) extends StartupMode
 
   /** Interpret `scan.startup.*` source options (the YAML frontend passes
@@ -116,9 +122,15 @@ object StartupMode {
       case "earliest-offset" => Earliest
       case "latest-offset" => Latest
       case "specific-offset" =>
-        SpecificOffset(options.getOrElse("scan.startup.specific-offset.pos",
+        // structured coordinates when given (file / gtid-set); the bare
+        // `pos` long keeps the scalar fast path
+        if (options.contains("scan.startup.specific-offset.file") ||
+          options.contains("scan.startup.specific-offset.gtid-set"))
+          AtBinlogOffset(Offsets.BinlogOffset.fromOptions(options))
+        else SpecificOffset(options.getOrElse("scan.startup.specific-offset.pos",
           throw new IllegalArgumentException(
-            "specific-offset mode needs scan.startup.specific-offset.pos")).toLong)
+            "specific-offset mode needs scan.startup.specific-offset.pos " +
+              "(or .file/.gtid-set for structured coordinates)")).toLong)
       case "timestamp" =>
         AtTimestamp(options.get("scan.startup.timestamp-millis")
           .orElse(options.get("scan.startup.timestamp-ms"))
@@ -138,7 +150,12 @@ object HybridSnapshotSource {
     *  - `earliest-offset`: no snapshot, the whole change feed;
     *  - `latest-offset`: no snapshot, changes past `latestOffset` (the
     *    current end of the log at startup);
-    *  - `specific-offset`: no snapshot, changes from the given offset on;
+    *  - `specific-offset`: no snapshot, changes from the given offset on —
+    *    scalar `__seq` for [[StartupMode.SpecificOffset]]; structured
+    *    binlog coordinates for [[StartupMode.AtBinlogOffset]], which
+    *    filters the feed by [[Offsets.binlogAtOrAfter]] over the feed's
+    *    own (file, pos) columns (`binlogCols`) — the file-length → name →
+    *    pos order of BinlogOffset.compareTo, as a pushdown-able predicate;
     *  - `timestamp`: no snapshot, changes from
     *    `offsetForTimestamp(tsMs)` on (the Kafka offsetsForTimes
     *    analogue; identity when `__seq` IS an epoch-millis timestamp).
@@ -151,17 +168,21 @@ object HybridSnapshotSource {
       lowWatermark: Long,
       changeFeed: Seq[DataFrame],
       latestOffset: Long = Long.MaxValue,
-      offsetForTimestamp: Long => Long = identity): CdcDataSource = {
+      offsetForTimestamp: Long => Long = identity,
+      binlogCols: Option[(String, String)] = None): CdcDataSource = {
 
-    def streamOnly(fromInclusive: Long): CdcDataSource = new CdcDataSource {
-      override def batches(spark: SparkSession): Iterator[SourceBatch] = {
-        val ddl = SourceBatch(Seq(CreateTableEvent(tableId, info)), Nil)
-        Iterator(ddl) ++ changeFeed.iterator.map { paired =>
-          SourceBatch(Nil,
-            Seq(tableId -> paired.where(col(Changelog.SeqCol) >= fromInclusive)))
+    def streamOnlyWhere(pred: org.apache.spark.sql.Column): CdcDataSource =
+      new CdcDataSource {
+        override def batches(spark: SparkSession): Iterator[SourceBatch] = {
+          val ddl = SourceBatch(Seq(CreateTableEvent(tableId, info)), Nil)
+          Iterator(ddl) ++ changeFeed.iterator.map { paired =>
+            SourceBatch(Nil, Seq(tableId -> paired.where(pred)))
+          }
         }
       }
-    }
+
+    def streamOnly(fromInclusive: Long): CdcDataSource =
+      streamOnlyWhere(col(Changelog.SeqCol) >= fromInclusive)
 
     mode match {
       case StartupMode.Initial =>
@@ -176,6 +197,11 @@ object HybridSnapshotSource {
       case StartupMode.Latest => streamOnly(
         if (latestOffset == Long.MaxValue) Long.MaxValue else latestOffset + 1)
       case StartupMode.SpecificOffset(o) => streamOnly(o)
+      case StartupMode.AtBinlogOffset(target) =>
+        val (fileCol, posCol) = binlogCols.getOrElse(
+          throw new IllegalArgumentException("structured specific-offset " +
+            "startup needs binlogCols — the feed's (file, pos) column names"))
+        streamOnlyWhere(Offsets.binlogAtOrAfter(col(fileCol), col(posCol), target))
       case StartupMode.AtTimestamp(ts) => streamOnly(offsetForTimestamp(ts))
     }
   }

@@ -112,4 +112,117 @@ class ConnectorDialectsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       ConnectorCatalog.mysqlTypes("NO_SUCH_TYPE", 0, 0))
   }
+
+  // ---- offset algebra (Offsets.scala; reference BinlogOffset.java:172-266,
+  // debezium GtidSet, LsnOffset, RedoLogOffset, ChangeStreamOffset) ----
+
+  import Offsets._
+
+  test("gtid sets: parse normalizes, containment is per-uuid interval subset") {
+    val g = GtidSet.parse("A:1-5:6-10:15,a:11-12,B:1-3")
+    // adjacent/overlapping intervals merge, duplicate uuids fold (case-folded)
+    assert(g.ranges("a") === Vector((1L, 12L), (15L, 15L)))
+    assert(g.render === "a:1-12:15,b:1-3")
+    assert(GtidSet.parse("A:1-10,B:1-3").isContainedWithin(
+      GtidSet.parse("a:1-12:15,b:1-3")))
+    // missing uuid, interval overrun, and gaps all break containment
+    assert(!GtidSet.parse("c:1-2").isContainedWithin(g))
+    assert(!GtidSet.parse("a:1-13").isContainedWithin(g))
+    assert(!GtidSet.parse("a:13-14").isContainedWithin(g))
+    // equality is structural after normalization
+    assert(GtidSet.parse("a:1-3:4-5") === GtidSet.parse("A:1-5"))
+  }
+
+  test("binlog offsets: GTID sets dominate the order when both sides have them") {
+    def bo(gtids: String, skipEvents: Long = 0, skipRows: Long = 0) =
+      BinlogOffset(file = "mysql-bin.000001", pos = 4L,
+        gtidSet = Some(GtidSet.parse(gtids)),
+        skipEvents = skipEvents, skipRows = skipRows)
+    // equal sets -> equal, regardless of file/pos on either side
+    assert(bo("a:1-10").compare(
+      bo("a:1-10").copy(file = "mysql-bin.000099", pos = 999L)) === 0)
+    // containment decides
+    assert(bo("a:1-5") < bo("a:1-10"))
+    assert(bo("a:1-10") > bo("a:1-5"))
+    // disjoint/diverged sets: incomparable — both sides report "after"
+    assert(bo("a:1-5").compare(bo("b:1-5")) === 1)
+    assert(bo("b:1-5").compare(bo("a:1-5")) === 1)
+    // equal sets fall through to transaction progress
+    assert(bo("a:1-10", skipEvents = 1) < bo("a:1-10", skipEvents = 2))
+    assert(bo("a:1-10", skipEvents = 2, skipRows = 3) >
+      bo("a:1-10", skipEvents = 2, skipRows = 1))
+    // a GTID-less offset is assumed older than a GTID-ful one
+    assert(BinlogOffset("mysql-bin.000099", 999L) < bo("a:1"))
+    assert(bo("a:1") > BinlogOffset("mysql-bin.000099", 999L))
+  }
+
+  test("binlog offsets: file order is length-first, then name, then pos") {
+    def bo(f: String, p: Long) = BinlogOffset(f, p)
+    // length first: bin.9 < bin.10 despite lexicographic order
+    assert(bo("mysql-bin.9", 900L) < bo("mysql-bin.10", 4L))
+    assert(bo("mysql-bin.000099", 900L) < bo("mysql-bin.000100", 4L))
+    assert(bo("mysql-bin.000100", 4L) > bo("mysql-bin.000099", 900L))
+    assert(bo("mysql-bin.000100", 4L) < bo("mysql-bin.000100", 120L))
+    assert(bo("MYSQL-BIN.000100", 4L).compare(bo("mysql-bin.000100", 4L)) === 0)
+    // same file+pos -> transaction progress tiebreak
+    assert(bo("f.1", 4L).copy(skipEvents = 1) < bo("f.1", 4L).copy(skipEvents = 3))
+    // non-stopping is the maximum
+    assert(BinlogOffset.NonStopping > bo("mysql-bin.999999", Long.MaxValue))
+    assert(BinlogOffset.NonStopping.compare(BinlogOffset.NonStopping) === 0)
+    // unrelated servers (no GTIDs): timestamps are the only comparable thing
+    assert(BinlogOffset("b.2", 999L, serverId = 1L, tsSec = 100L) <
+      BinlogOffset("a.1", 4L, serverId = 2L, tsSec = 200L))
+  }
+
+  test("lsn / scn / change-stream / resolved-ts orderings") {
+    assert(Lsn.parsePostgres("16/B374D848") === Lsn(Vector(0x16L, 0xB374D848L)))
+    assert(Lsn.parsePostgres("16/B374D848") < Lsn.parsePostgres("17/0"))
+    assert(Lsn.parsePostgres("16/B374D848") < Lsn.parsePostgres("16/B374D8FF"))
+    // unsigned segment compare: high-bit segments are not negative
+    assert(Lsn.parsePostgres("FFFFFFFFFFFFFFFF/0") > Lsn.parsePostgres("1/0"))
+    assert(Lsn.parseSqlServer("00000025:00000448:0001") <
+      Lsn.parseSqlServer("00000025:00000448:0002"))
+    assert(Lsn.parseSqlServer("00000026:00000001:0001") >
+      Lsn.parseSqlServer("00000025:0000FFFF:FFFF"))
+    assert(Scn.parse("281474976710656") < Scn.parse("281474976710657"))
+    assert(Scn.parse("99999999999999999999999999") >
+      Scn.parse("281474976710657")) // beyond Long
+    assert(ChangeStreamOffset(7168398046290247681L) <
+      ChangeStreamOffset(7168398046290247682L))
+    assert(ResolvedTs(434000001L) < ResolvedTs(434000002L))
+    val v1 = VGtid("commerce", "-80", GtidSet.parse("a:1-10"))
+    val v2 = VGtid("commerce", "-80", GtidSet.parse("a:1-12"))
+    assert(v2.isAtOrAfter(v1) && !v1.isAtOrAfter(v2))
+    assert(!VGtid("commerce", "80-", GtidSet.parse("a:1-12")).isAtOrAfter(v1))
+  }
+
+  test("parseSpecificOffset dispatches per dialect coordinate kind") {
+    val k = "scan.startup.specific-offset"
+    assert(ConnectorCatalog.mysql.parseSpecificOffset(Map(
+      s"$k.file" -> "mysql-bin.000003", s"$k.pos" -> "4",
+      s"$k.gtid-set" -> "a:1-100", s"$k.skip-events" -> "2")) ===
+      BinlogOffset("mysql-bin.000003", 4L,
+        Some(GtidSet.parse("a:1-100")), skipEvents = 2L))
+    assertThrows[IllegalArgumentException](
+      ConnectorCatalog.mysql.parseSpecificOffset(Map.empty))
+    assert(ConnectorCatalog.postgres.parseSpecificOffset(
+      Map(s"$k.lsn" -> "16/B374D848")) === Lsn(Vector(0x16L, 0xB374D848L)))
+    assert(ConnectorCatalog.sqlserver.parseSpecificOffset(
+      Map(s"$k.change_lsn" -> "00000025:00000448:0001")) ===
+      Lsn(Vector(0x25L, 0x448L, 1L)))
+    assert(ConnectorCatalog.oracle.parseSpecificOffset(
+      Map(s"$k.scn" -> "281474976710656")) === Scn(BigInt(281474976710656L)))
+    assert(ConnectorCatalog.mongodb.parseSpecificOffset(Map(
+      s"$k.timestamp" -> "7168398046290247681",
+      s"$k.resumeToken" -> """{"_data": "8263..."}""")) ===
+      ChangeStreamOffset(7168398046290247681L, Some("""{"_data": "8263..."}""")))
+    assert(ConnectorCatalog.tidb.parseSpecificOffset(
+      Map(s"$k.resolved-ts" -> "434000001")) === ResolvedTs(434000001L))
+    assert(ConnectorCatalog.vitess.parseSpecificOffset(Map(
+      s"$k.keyspace" -> "commerce", s"$k.shard" -> "-80",
+      s"$k.gtid" -> "a:1-100")) ===
+      VGtid("commerce", "-80", GtidSet.parse("a:1-100")))
+    assertThrows[IllegalArgumentException](
+      ConnectorCatalog.oracle.parseSpecificOffset(Map.empty))
+  }
 }

@@ -104,4 +104,49 @@ class HybridSnapshotSpec extends SparkSpec {
   }
 
   private def concat_str(c: org.apache.spark.sql.Column) = c.cast("string")
+
+  test("specific-offset resume by STRUCTURED binlog coordinates, across a file roll") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // feed of 4 inserts spanning a binlog file roll; the scalar __seq is
+    // deliberately NOT aligned with binlog order — only the (file, pos)
+    // coordinates order the resume correctly
+    val feed = ValuesSource.pairedFrame(spark, schema, Seq(
+      DataChangeEvent.insert(tid, Row(1L, "bin99-pos500")),
+      DataChangeEvent.insert(tid, Row(2L, "bin99-pos900")),
+      DataChangeEvent.insert(tid, Row(3L, "bin100-pos100")),
+      DataChangeEvent.insert(tid, Row(4L, "bin9short-pos999"))), seqStart = 0L)
+      .withColumn("__binlog_file",
+        when(col("after.id") === 4L, "mysql-bin.99") // shorter = OLDER file
+          .when(col("after.id") === 3L, "mysql-bin.000100")
+          .otherwise("mysql-bin.000099"))
+      .withColumn("__binlog_pos",
+        when(col("after.id") === 1L, 500L).when(col("after.id") === 2L, 900L)
+          .when(col("after.id") === 3L, 100L).otherwise(lit(999L)))
+
+    val mode = StartupMode.fromOptions(Map(
+      "scan.startup.mode" -> "specific-offset",
+      "scan.startup.specific-offset.file" -> "mysql-bin.000099",
+      "scan.startup.specific-offset.pos" -> "900"))
+    assert(mode === StartupMode.AtBinlogOffset(
+      Offsets.BinlogOffset("mysql-bin.000099", 900L)))
+
+    val src = HybridSnapshotSource.withStartup(mode, tid, tinfo, snapshotDf,
+      lowWatermark = 0L, changeFeed = Seq(feed),
+      binlogCols = Some(("__binlog_file", "__binlog_pos")))
+    val sink = new ValuesDatabase
+    new PipelineRunner(spark,
+      PipelineDef(SourceDef("hybrid", Map.empty), SinkDef("values", Map.empty)),
+      src, sink).run()
+    val rows = sink.results(tid).map(_.stripPrefix(s"${tid.identifier}:")).sorted
+    // at-or-after (000099, 900): keeps pos-900 and the rolled file;
+    // drops pos-500 and the length-shorter (older) "mysql-bin.99" despite
+    // its higher pos — the length-first file order
+    assert(rows === Seq("2;bin99-pos900", "3;bin100-pos100"))
+  }
+
+  test("structured startup without feed coordinates fails fast") {
+    assertThrows[IllegalArgumentException](HybridSnapshotSource.withStartup(
+      StartupMode.AtBinlogOffset(Offsets.BinlogOffset("b.1", 4L)),
+      tid, tinfo, snapshotDf, 0L, Seq(changeFeed)))
+  }
 }
