@@ -1040,6 +1040,42 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** MongoDB change-stream envelope decode (§2.1's document-DB shape —
+    * the one envelope family debezium/canal don't cover): events become
+    * change-stream envelopes (signup→insert, error→delete,
+    * purchase→replace, view→update with post-image, click→update whose
+    * post-image lookup LOST the race with a delete — null fullDocument,
+    * dropped by the decoder exactly as the reference drops it, so clicks
+    * must not affect state), decoded to a +R/-D changelog with no before
+    * images and materialized latest-wins by user.
+    */
+  private def q60MongoRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val payloadSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("last_value", DoubleType)))
+    val doc = struct(col("user_id"), round(col("value"), 2).as("last_value"))
+    val json = ev.select(to_json(struct(
+      struct(concat(lit("82"), conv(col("event_id").cast(StringType), 10, 16))
+        .as("_data")).as("_id"),
+      when(col("event_type") === "signup", "insert")
+        .when(col("event_type") === "error", "delete")
+        .when(col("event_type") === "purchase", "replace")
+        .otherwise("update").as("operationType"),
+      col("event_id").as("clusterTime"),
+      when(col("event_type").isin("signup", "purchase", "view"), doc)
+        .as("fullDocument"),
+      when(col("event_type") === "error", struct(col("user_id")))
+        .as("documentKey"),
+      struct(lit("graft").as("db"), lit("events").as("coll")).as("ns")
+    )).as("value"))
+    val decoded = graft.cdc.MongoChangeStreamJson.decode(json, "value", payloadSchema)
+    Changelog.materialize(
+      Changelog.explode(decoded.drop("__db", "__table", "__resume_token")),
+      Seq("user_id"))
+      .orderBy(col("user_id"))
+  }
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1101,7 +1137,8 @@ object SparkEntry {
     "q56_line_dedup" -> (q56LineDedup _),
     "q57_lsh_exhaustive" -> (q57LshExhaustive _),
     "q58_ivf_exhaustive" -> (q58IvfExhaustive _),
-    "q59_simhash_blocking" -> (q59SimhashBlocking _)
+    "q59_simhash_blocking" -> (q59SimhashBlocking _),
+    "q60_mongo_roundtrip" -> (q60MongoRoundtrip _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1757,6 +1794,19 @@ object SparkEntry {
         |  bit_count(xor(a.sim, b.sim))::BIGINT AS hamming
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sim, b.sim)) <= 3
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q60_mongo_roundtrip" ->
+      // clicks are update events whose post-image lookup lost to a
+      // delete — the decoder drops them, so they must not affect state
+      """WITH cl AS (
+        |  SELECT user_id, round(value, 2) AS last_value,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'R' END AS op,
+        |    event_id AS seq
+        |  FROM events WHERE event_type <> 'click'),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY seq DESC) AS rn FROM cl)
+        |SELECT user_id, last_value FROM ranked
+        |WHERE rn = 1 AND op = 'R' ORDER BY user_id""".stripMargin
   )
 }
