@@ -48,18 +48,32 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val eps = streamThroughput(spark, sfDir)
+    val st = streamThroughput(spark, sfDir)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""stream_events_per_s":$eps,"warmup":"full suite + stream at sf0.001, measured pass is warm steady-state","sf":"$sfDir"}""")
+      s""""stream_events_per_s":${st.eps},"stream_steady_eps":${st.steadyEps},""" +
+      s""""stream_batches":${st.batches},""" +
+      s""""stream_batch_eps_spread_pct":${st.spreadPct},""" +
+      s""""stream_note":"events_per_s = whole run wall clock over ${st.batches} micro-batches incl. final compaction (r3-r5 measured ONE giant batch - not comparable); steady_eps = median per-batch rate past the first (startup) batch, spread = their (max-min)/median",""" +
+      s""""warmup":"full suite + stream at sf0.001, measured pass is warm steady-state","sf":"$sfDir"}""")
     spark.stop()
   }
+
+  private final case class StreamResult(
+      eps: Long, steadyEps: Long, batches: Int, spreadPct: Long)
 
   /** Stream-phase throughput (BASELINE.md protocol): the events table
     * rendered as debezium-JSON lines, consumed by the streaming pipeline
     * (decode -> transform path -> PK-upsert parquet sink), measured as
     * sustained events/s. JSON generation is excluded from the timing.
+    *
+    * Since r6 the feed is consumed as a SEQUENCE of micro-batches
+    * (maxFilesPerTrigger bounds each one) rather than one giant batch:
+    * single-batch numbers swung 30-68k ev/s run to run; the multi-batch
+    * rate amortizes per-batch noise and matches the steady-state shape a
+    * deployment has. Per-batch rates come from the query's progress log;
+    * the spread ((max-min)/median) is reported alongside.
     */
-  private def streamThroughput(spark: SparkSession, sfDir: String): Long = {
+  private def streamThroughput(spark: SparkSession, sfDir: String): StreamResult = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     try {
@@ -75,33 +89,61 @@ object Bench {
           .when(col("event_type") === "error", "d").otherwise("u").as("op"),
         col("event_id").as("ts_ms"),
         struct(lit("graft").as("db"), lit("events").as("table")).as("source"))).as("value"))
+        // fixed 16-file layout: with maxFilesPerTrigger = 4 the run is
+        // always exactly 4 micro-batches, independent of the SF's scan
+        // partitioning
+        .repartition(16)
         .write.mode("overwrite").text(feedDir.getAbsolutePath)
 
       val tid = graft.model.TableId.parse("graft.user_state")
       val info = graft.model.TableInfo(
         StructType(Seq(StructField("user_id", LongType), StructField("last_value", DoubleType))),
         primaryKeys = Seq("user_id"))
-      // COW profile: one fused decode->merge->write job per batch. (The
-      // merge-on-read profile pays off when many appends amortize one
-      // compaction; this protocol runs a single batch, where MOR's
-      // separate append + compact jobs measure strictly slower.)
+      // MERGE-ON-READ profile: each micro-batch appends its delta, one
+      // compaction folds them at the end — the matching profile for the
+      // multi-batch protocol. (COW pays its full bucketed rewrite per
+      // batch: measured 4x slower across 4 batches. Single-batch runs
+      // measured the opposite, which is why this flipped with the
+      // protocol in r6.)
       val sink = new graft.sinks.ParquetUpsertSink(
-        spark, new java.io.File(tmp, "out").getAbsolutePath)
+        spark, new java.io.File(tmp, "out").getAbsolutePath, mergeOnRead = true)
       val pd = graft.pipeline.PipelineDef(
         graft.pipeline.SourceDef("debezium-json", Map.empty),
         graft.pipeline.SinkDef("parquet-upsert", Map.empty))
+      // bound micro-batches so the run spans >= 4 of them
+      val feedFiles = feedDir.listFiles().count(_.getName.startsWith("part-"))
+      val perTrigger = math.max(1, feedFiles / 4)
       val t0 = System.nanoTime()
       val q = new graft.streaming.StreamingPipeline(spark, pd, sink)
         .startFromDebeziumJson(
-          graft.streaming.StreamingPipeline.fileJsonStream(spark, feedDir.getAbsolutePath),
+          graft.streaming.StreamingPipeline.fileJsonStream(
+            spark, feedDir.getAbsolutePath, Some(perTrigger)),
           tid, info)
       val finished = q.awaitTermination(600000)
-      if (!finished) { q.stop(); return -1L }
+      if (!finished) { q.stop(); return StreamResult(-1L, -1L, 0, -1L) }
       sink.compact(tid, info) // no-op for COW; folds deltas if MOR
       val secs = (System.nanoTime() - t0) / 1e9
-      (n / secs).toLong
+      val batchRates = q.recentProgress.toSeq
+        .filter(p => p.numInputRows > 0 && p.batchDuration > 0)
+        .map(p => p.numInputRows.toDouble * 1000 / p.batchDuration)
+      System.err.println(s"[bench] stream per-batch ev/s: " +
+        batchRates.map(r => f"$r%.0f").mkString(", "))
+      // batch 1 pays the one-time stream start + codegen: steady state is
+      // the median of the REMAINING batches, spread their (max-min)/median
+      val steady = if (batchRates.size > 1) batchRates.tail else batchRates
+      val (steadyEps, spread) =
+        if (steady.isEmpty) (-1L, -1L)
+        else {
+          val sorted = steady.sorted
+          val median = sorted(sorted.size / 2)
+          (math.round(median),
+            if (sorted.size < 2) 0L
+            else math.round((sorted.last - sorted.head) / median * 100))
+        }
+      StreamResult((n / secs).toLong, steadyEps, batchRates.size, spread)
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] stream throughput failed: ${e.getMessage}"); -1L
+      System.err.println(s"[bench] stream throughput failed: ${e.getMessage}")
+      StreamResult(-1L, -1L, 0, -1L)
     }
   }
 }

@@ -545,6 +545,14 @@ object StreamingPipeline {
     * swap `.format("text")` for `.format("kafka")` + `selectExpr("CAST
     * (value AS STRING) AS value")` on a real deployment.
     */
-  def fileJsonStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.format("text").load(dir).withColumnRenamed("value", "value")
+  def fileJsonStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.format("text")
+    // bounds each micro-batch: with AvailableNow the run becomes a
+    // SEQUENCE of batches over the backlog instead of one giant batch —
+    // the steady-state shape a real deployment has (and what the stream
+    // bench measures since r6)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.load(dir).withColumnRenamed("value", "value")
+  }
 }
