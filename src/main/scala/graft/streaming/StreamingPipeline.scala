@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.cdc.{CanalJson, Changelog, DdlParser, DebeziumJson}
+import graft.cdc.{CanalJson, Changelog, DdlParser, DebeziumJson, MongoChangeStreamJson}
 import graft.model.{CreateTableEvent, TableId, TableInfo}
 import graft.pipeline.{PipelineDef, PipelineRunner}
 import graft.sinks.DataSink
@@ -128,6 +128,43 @@ final class StreamingPipeline(
       (segment, schema) =>
         CanalJson.decode(segment, "value", schema, seqCol = Some(Changelog.SeqCol))
           .drop("__table")
+    }
+
+  /** Front end over MongoDB change-stream envelope JSON
+    * ([[MongoChangeStreamJson]]): no before images (update/replace decode
+    * to +R), no DDL channel — collection-level signals (drop/invalidate/
+    * rename) and delete-raced update lookups drop inside the decoder.
+    * The declared schema plays the role the reference's MongoDB connector
+    * gives its deserialization row type.
+    */
+  def startFromMongoJson(
+      jsonStream: DataFrame,
+      tableId: TableId,
+      info: TableInfo,
+      checkpointLocation: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    startFromJsonLines(jsonStream, Seq(tableId -> info), checkpointLocation, trigger) {
+      (segment, schema) =>
+        MongoChangeStreamJson.decode(segment, "value", schema,
+          seqCol = Some(Changelog.SeqCol))
+          .drop("__db", "__table", "__resume_token")
+    }
+
+  /** Multi-collection change stream (MongoDB `watch()` over a whole
+    * database multiplexes every collection onto one feed): records route
+    * by the envelope's `ns.coll`/`ns.db` through the same materialized
+    * routing key as the debezium/canal multi-table fronts.
+    */
+  def startMultiFromMongoJson(
+      jsonStream: DataFrame,
+      tables: Seq[(TableId, TableInfo)],
+      checkpointLocation: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    startFromJsonLines(jsonStream, tables, checkpointLocation, trigger) {
+      (segment, schema) =>
+        MongoChangeStreamJson.decode(segment, "value", schema,
+          seqCol = Some(Changelog.SeqCol))
+          .drop("__db", "__table", "__resume_token")
     }
 
   /** Schema-less topic: no declared schema and no DDL channel (the
@@ -481,10 +518,14 @@ object StreamingPipeline {
   def withRoutingKey(batch: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     batch
-      .withColumn(RoutingCol, DebeziumJson.dataTableOf(col("value")))
+      .withColumn(RoutingCol, coalesce(
+        DebeziumJson.dataTableOf(col("value")),
+        // mongo change-stream namespace (MongoChangeStreamJson envelopes)
+        get_json_object(col("value"), "$.ns.coll")))
       .withColumn(RoutingDbCol, coalesce(
         get_json_object(col("value"), "$.source.db"),
-        get_json_object(col("value"), "$.database")))
+        get_json_object(col("value"), "$.database"),
+        get_json_object(col("value"), "$.ns.db")))
   }
 
   /** Route a persisted batch to one table's rows: a plain string

@@ -54,7 +54,7 @@ object Cli {
     val pd = YamlPipelineParser.parse(yaml)
     val (sink, report) = buildSink(spark, pd)
     pd.source.kind match {
-      case kind @ ("debezium-file" | "canal-file") =>
+      case kind @ ("debezium-file" | "canal-file" | "mongo-file") =>
         val path = pd.source.options.getOrElse("path",
           throw new IllegalArgumentException(s"source.path is required for $kind"))
         def schemaOf(tid: TableId, key: String) = {
@@ -72,7 +72,6 @@ object Cli {
         val checkpoint = pd.source.options.get("checkpoint")
         // `tables: db.a, db.b` (one topic, many tables — per-table
         // schemas under schema.ddl.<table>) or single `table:` + schema.ddl
-        val canal = kind == "canal-file"
         val q = pd.source.options.get("tables") match {
           case Some(list) =>
             val pairs = list.split(',').map(_.trim).filter(_.nonEmpty).toSeq.map { t =>
@@ -84,16 +83,27 @@ object Cli {
                         else s"schema.ddl.${tid.table}"
               tid -> schemaOf(tid, key)
             }
-            if (canal) sp.startMultiFromCanalJson(stream, pairs, checkpointLocation = checkpoint)
-            else sp.startMultiFromDebeziumJson(stream, pairs, checkpointLocation = checkpoint)
+            kind match {
+              case "canal-file" =>
+                sp.startMultiFromCanalJson(stream, pairs, checkpointLocation = checkpoint)
+              case "mongo-file" =>
+                sp.startMultiFromMongoJson(stream, pairs, checkpointLocation = checkpoint)
+              case _ =>
+                sp.startMultiFromDebeziumJson(stream, pairs, checkpointLocation = checkpoint)
+            }
           case None =>
             val tid = TableId.parse(pd.source.options.getOrElse("table",
               throw new IllegalArgumentException(
                 s"source.table (or source.tables) is required for $kind")))
-            if (canal) sp.startFromCanalJson(stream, tid, schemaOf(tid, "schema.ddl"),
-              checkpointLocation = checkpoint)
-            else sp.startFromDebeziumJson(stream, tid, schemaOf(tid, "schema.ddl"),
-              checkpointLocation = checkpoint)
+            val tinfo = schemaOf(tid, "schema.ddl")
+            kind match {
+              case "canal-file" =>
+                sp.startFromCanalJson(stream, tid, tinfo, checkpointLocation = checkpoint)
+              case "mongo-file" =>
+                sp.startFromMongoJson(stream, tid, tinfo, checkpointLocation = checkpoint)
+              case _ =>
+                sp.startFromDebeziumJson(stream, tid, tinfo, checkpointLocation = checkpoint)
+            }
         }
         q.awaitTermination()
         s"pipeline '${pd.name}': processed $path into ${pd.sink.kind} sink" +: report()

@@ -324,6 +324,38 @@ class PipelineSpec extends SparkSpec {
     assert(out.tail.toSet === Set("db.t:1;11", "db.t:2;20"))
   }
 
+  test("CLI mongo-file source: change-stream envelopes route per collection") {
+    val dir = java.nio.file.Files.createTempDirectory("cli_mongo").toFile
+    val feed = new java.io.File(dir, "feed"); feed.mkdirs()
+    java.nio.file.Files.write(new java.io.File(feed, "f1.json").toPath, Seq(
+      // users: insert, then an update post-image
+      """{"_id":{"_data":"82A1"},"operationType":"insert","clusterTime":1,"fullDocument":{"id":1,"v":10},"documentKey":{"id":1},"ns":{"db":"app","coll":"users"}}""",
+      """{"_id":{"_data":"82A2"},"operationType":"update","clusterTime":2,"fullDocument":{"id":1,"v":11},"documentKey":{"id":1},"ns":{"db":"app","coll":"users"}}""",
+      // orders: replace upsert + delete-raced update (must be dropped)
+      """{"_id":{"_data":"82A3"},"operationType":"replace","clusterTime":3,"fullDocument":{"id":7,"v":70},"documentKey":{"id":7},"ns":{"db":"app","coll":"orders"}}""",
+      """{"_id":{"_data":"82A4"},"operationType":"update","clusterTime":4,"fullDocument":null,"documentKey":{"id":7},"ns":{"db":"app","coll":"orders"}}""",
+      // users: delete by documentKey; orders collection drop -> ignored
+      """{"_id":{"_data":"82A5"},"operationType":"delete","clusterTime":5,"documentKey":{"id":1},"ns":{"db":"app","coll":"users"}}""",
+      """{"_id":{"_data":"82A6"},"operationType":"drop","clusterTime":6,"ns":{"db":"app","coll":"orders"}}"""
+    ).mkString("\n").getBytes("UTF-8"))
+    val yaml =
+      s"""source:
+         |  type: mongo-file
+         |  path: ${feed.getAbsolutePath}
+         |  tables: app.users, app.orders
+         |  schema.ddl.app.users: "CREATE TABLE users (id BIGINT PRIMARY KEY, v INT)"
+         |  schema.ddl.app.orders: "CREATE TABLE orders (id BIGINT PRIMARY KEY, v INT)"
+         |sink: { type: values }
+         |pipeline:
+         |  name: cli_mongo
+         |""".stripMargin
+    val out = graft.tools.Cli.run(spark, yaml)
+    assert(out.head.startsWith("pipeline 'cli_mongo'"))
+    // users id=1 was deleted (tombstone wins); orders kept the replace,
+    // the raced update and the collection drop changed nothing
+    assert(out.tail.toSet === Set("app.orders:7;70"))
+  }
+
   test("YAML model block parses and drives a transform projection") {
     val pd = YamlPipelineParser.parse(
       """source: { type: values }
