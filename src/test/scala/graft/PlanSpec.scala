@@ -166,6 +166,22 @@ class PlanSpec extends SparkSpec {
       s"first-occurrence min not partially aggregated:\n$p")
   }
 
+  test("q59 simhash blocking: equi-join on block keys, partial vote aggregation") {
+    val p = plan("q59_simhash_blocking")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"blocking must stay an equi-join:\n$p")
+    // the 60 per-bit vote sums combine map-side before the doc_id shuffle
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"vote aggregation not partial:\n$p")
+  }
+
+  test("q60 mongo roundtrip: one keyed shuffle (materialize), no cartesian") {
+    val p = plan("q60_mongo_roundtrip")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"envelope round-trip should shuffle once on the key:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     import graft.functions.expressions.NativeHashFunctions
