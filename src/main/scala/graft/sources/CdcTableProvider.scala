@@ -39,7 +39,20 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * Options: `path` (directory of JSON-lines files), `schema.ddl`
   * (CREATE TABLE statement — CDC JSON carries no types), optional
-  * `dialect` for the DDL's type spellings.
+  * `dialect` for the DDL's type spellings, and `scan.startup.*`:
+  *
+  *  - `scan.startup.mode=specific-offset` with `.file`+`.pos` filters by
+  *    the envelope's OWN binlog coordinates (`source.file`/`source.pos`,
+  *    which debezium stamps on every record) under the reference's
+  *    file-length → name → pos order ([[Offsets.binlogAtOrAfter]]) — a
+  *    plain predicate over the raw JSON, applied BEFORE decode;
+  *  - `.pos` alone filters by the feed position `__seq` (the scalar fast
+  *    path); `.gtid-set` alone is rejected — testing per-event GTID
+  *    containment needs server state this batch relation does not have;
+  *  - `scan.startup.mode=timestamp` filters by the envelope
+  *    `source.ts_ms`/`ts_ms`;
+  *  - `initial`/`earliest-offset` read everything; `snapshot`/
+  *    `latest-offset` are stream concepts and rejected here.
   */
 final class CdcTableProvider extends TableProvider with DataSourceRegister {
 
@@ -80,6 +93,39 @@ object CdcTableProvider {
     StructType(payload.fields.toSeq :+
       StructField(Changelog.OpCol, StringType) :+
       StructField(Changelog.SeqCol, LongType, nullable = false))
+
+  /** Apply `scan.startup.*` as a predicate over the raw (value, __seq)
+    * frame, before any decode — codegen'd `get_json_object` probes, no
+    * extra pass. See the provider scaladoc for the mode x coordinate
+    * matrix.
+    */
+  private[sources] def startupFiltered(
+      json: org.apache.spark.sql.DataFrame,
+      options: CaseInsensitiveStringMap): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val opts = options.asCaseSensitiveMap().asScala.toMap
+    StartupMode.fromOptions(opts) match {
+      case StartupMode.Initial | StartupMode.Earliest => json
+      case StartupMode.SpecificOffset(pos) =>
+        json.where(col(Changelog.SeqCol) >= pos)
+      case StartupMode.AtBinlogOffset(o) =>
+        if (o.file.isEmpty)
+          throw new IllegalArgumentException("graft-cdc specific-offset " +
+            "needs scan.startup.specific-offset.file + .pos (gtid-set-only " +
+            "resume needs per-event GTID state a batch relation does not have)")
+        json.where(Offsets.binlogAtOrAfter(
+          get_json_object(col("value"), "$.source.file"),
+          get_json_object(col("value"), "$.source.pos").cast(LongType), o))
+      case StartupMode.AtTimestamp(ts) =>
+        json.where(coalesce(
+          get_json_object(col("value"), "$.source.ts_ms"),
+          get_json_object(col("value"), "$.ts_ms")).cast(LongType) >= ts)
+      case other => throw new IllegalArgumentException(
+        s"graft-cdc batch relation does not support scan.startup.mode for $other " +
+          "(snapshot/latest-offset are stream concepts)")
+    }
+  }
 
   private final class CdcTable(
       tableSchema: StructType,
@@ -139,7 +185,7 @@ object CdcTableProvider {
                 // one deterministic seq per line, shared by an update's
                 // -U/+U pair (they explode from one envelope)
                 val paired = DebeziumJson.decode(
-                  json, "value", payload,
+                  startupFiltered(json, options), "value", payload,
                   seqCol = Some(Changelog.SeqCol))
                   .drop("__table").drop(Changelog.MetaCol)
                 Changelog.explode(paired).rdd

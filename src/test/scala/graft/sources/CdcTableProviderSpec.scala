@@ -103,4 +103,54 @@ class CdcTableProviderSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("schema.ddl"))
   }
+
+  // envelopes carrying their binlog coordinates, spanning a file roll;
+  // the short-named file is the OLDEST (length-first order)
+  private val binlogFeed = Seq(
+    """{"before":null,"after":{"id":1,"v":"old-short-file"},"op":"c","ts_ms":10,"source":{"db":"db","table":"users","file":"bin.9","pos":900}}""",
+    """{"before":null,"after":{"id":2,"v":"p500"},"op":"c","ts_ms":20,"source":{"db":"db","table":"users","file":"bin.000010","pos":500}}""",
+    """{"before":null,"after":{"id":3,"v":"p900"},"op":"c","ts_ms":30,"source":{"db":"db","table":"users","file":"bin.000010","pos":900}}""",
+    """{"before":null,"after":{"id":4,"v":"rolled"},"op":"c","ts_ms":40,"source":{"db":"db","table":"users","file":"bin.000011","pos":4}}""")
+
+  private def readBinlogFeed(startup: (String, String)*): org.apache.spark.sql.DataFrame = {
+    val r = spark.read.format("graft-cdc")
+      .option("path", writeFeed(binlogFeed))
+      .option("schema.ddl", "CREATE TABLE users (id BIGINT PRIMARY KEY, v VARCHAR(32))")
+    startup.foreach { case (k, v) => r.option(k, v) }
+    r.load()
+  }
+
+  test("scan.startup specific-offset by STRUCTURED file+pos (length-first file order)") {
+    val ids = readBinlogFeed(
+      "scan.startup.mode" -> "specific-offset",
+      "scan.startup.specific-offset.file" -> "bin.000010",
+      "scan.startup.specific-offset.pos" -> "900")
+      .select("id").collect().map(_.getLong(0)).toSet
+    // at-or-after (bin.000010, 900): keeps p900 + the rolled file; drops
+    // p500 and the length-shorter (older) bin.9 despite its higher pos
+    assert(ids === Set(3L, 4L))
+  }
+
+  test("scan.startup scalar pos filters by feed position; timestamp by ts_ms") {
+    val byPos = readBinlogFeed(
+      "scan.startup.mode" -> "specific-offset",
+      "scan.startup.specific-offset.pos" -> "2")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(byPos === Set(3L, 4L)) // __seq is the 0-based feed line
+    val byTs = readBinlogFeed(
+      "scan.startup.mode" -> "timestamp",
+      "scan.startup.timestamp-millis" -> "30")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(byTs === Set(3L, 4L))
+  }
+
+  test("gtid-set-only startup is rejected; stream-only modes are rejected") {
+    val e = intercept[Exception](readBinlogFeed(
+      "scan.startup.mode" -> "specific-offset",
+      "scan.startup.specific-offset.gtid-set" -> "a:1-100").collect())
+    assert(e.getMessage.contains("gtid-set"))
+    val e2 = intercept[Exception](readBinlogFeed(
+      "scan.startup.mode" -> "latest-offset").collect())
+    assert(e2.getMessage.contains("stream concepts"))
+  }
 }
