@@ -139,10 +139,16 @@ final case class ConnectorDialect(
       case "lsn" if name == "postgres" => Offsets.Lsn.parsePostgres(req("lsn"))
       case "lsn" => Offsets.Lsn.parseSqlServer(req(offset.fields.head))
       case "scn" => Offsets.Scn.parse(req("scn"))
-      case "change-stream" => Offsets.ChangeStreamOffset(
-        opts.get(key("timestamp")).map(_.toLong)
-          .getOrElse(req("timestamp").toLong),
-        opts.get(key("resumeToken")))
+      case "change-stream" =>
+        // explicit timestamp wins; else the cluster time decodes OUT of
+        // the resume token (the reference's ChangeStreamOffset(BsonDocument)
+        // constructor does exactly this)
+        opts.get(key("timestamp")) match {
+          case Some(ts) =>
+            Offsets.ChangeStreamOffset(ts.toLong, opts.get(key("resumeToken")))
+          case None =>
+            Offsets.ChangeStreamOffset.fromResumeToken(req("resumeToken"))
+        }
       case "tikv-ts" => Offsets.ResolvedTs(req("resolved-ts").toLong)
       case "vgtid" => Offsets.VGtid(
         req("keyspace"), req("shard"), Offsets.GtidSet.parse(req("gtid")))

@@ -218,6 +218,35 @@ object Offsets {
       java.lang.Long.compare(timestamp, that.timestamp)
   }
 
+  object ChangeStreamOffset {
+    private val KTimestamp = 0x82
+
+    /** Decode the cluster timestamp OUT of a resume token's `_data`
+      * payload (hex v0/v1 string, or base64 BinData): first byte must be
+      * the kTimestamp tag 0x82, then big-endian (seconds, increment) —
+      * ResumeTokenUtils.java:37-60. The offset's `timestamp` is the BSON
+      * timestamp VALUE, `seconds << 32 | increment`, which is what the
+      * change-stream order compares.
+      */
+    def fromResumeToken(data: String, base64: Boolean = false): ChangeStreamOffset = {
+      val bytes =
+        if (base64) java.util.Base64.getDecoder.decode(data)
+        else {
+          require(data.length % 2 == 0, s"odd-length resume token hex: $data")
+          Array.tabulate(data.length / 2)(i =>
+            Integer.parseInt(data.substring(2 * i, 2 * i + 2), 16).toByte)
+        }
+      require(bytes.length >= 9, s"resume token too short: ${bytes.length} bytes")
+      val kType = bytes(0) & 0xff
+      require(kType == KTimestamp, s"unknown keyType of timestamp: $kType")
+      val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.BIG_ENDIAN)
+      buf.get()
+      val t = buf.getInt()
+      val i = buf.getInt()
+      ChangeStreamOffset((t.toLong << 32) | (i.toLong & 0xffffffffL), Some(data))
+    }
+  }
+
   /** TiKV resolved-ts. */
   final case class ResolvedTs(ts: Long) extends SourceOffset with Ordered[ResolvedTs] {
     override def compare(that: ResolvedTs): Int = java.lang.Long.compare(ts, that.ts)

@@ -218,6 +218,20 @@ class ConnectorDialectsSpec extends AnyFunSuite {
       ChangeStreamOffset(7168398046290247681L, Some("""{"_data": "8263..."}""")))
     assert(ConnectorCatalog.tidb.parseSpecificOffset(
       Map(s"$k.resolved-ts" -> "434000001")) === ResolvedTs(434000001L))
+    // resume-token-only: the cluster time decodes out of the token —
+    // golden vectors from the reference's ResumeTokenUtilsTest.java
+    val hexV0 = "826357B0840000000129295A1004461ECCED47A6420D9713A5135650360746645F696400646357B05F35C6AE07E1E6C7390004"
+    assert(ConnectorCatalog.mongodb.parseSpecificOffset(
+      Map(s"$k.resumeToken" -> hexV0)) ===
+      ChangeStreamOffset((1666691204L << 32) | 1L, Some(hexV0)))
+    assert(ChangeStreamOffset.fromResumeToken(
+      "82612E8513000000012B022C0100296E5A1004A5093ABB38FE4B9EA67F01BB1A96D812463C5F6964003C5F5F5F78000004")
+      .timestamp === ((1630438675L << 32) | 1L))
+    assert(ChangeStreamOffset.fromResumeToken(
+      "gmNXqzwAAAABRmRfaWQAZGNXqj41xq4H4ebHNwBaEATmzwG2DzpOl4tpOyYEG9zABA==",
+      base64 = true).timestamp === ((1666689852L << 32) | 1L))
+    assertThrows[IllegalArgumentException](
+      ChangeStreamOffset.fromResumeToken("7f00000000000000ff"))
     assert(ConnectorCatalog.vitess.parseSpecificOffset(Map(
       s"$k.keyspace" -> "commerce", s"$k.shard" -> "-80",
       s"$k.gtid" -> "a:1-100")) ===
