@@ -1076,6 +1076,66 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  /** Embedding-cosine near-dup pairs in the EXHAUSTIVE configuration
+    * (numPlanes = 0 — one bucket): the candidate join + exact-cosine
+    * verify + threshold + pair canonicalization must reproduce the
+    * brute-force pair set bit-for-bit. The bucketed approximate setting
+    * is pinned by OpsSpec's subset law (bucketed pairs are a subset of
+    * these, with identical cosines on the intersection).
+    */
+  private def q61CosinePairs(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Similarity
+    Similarity.cosineNearDupPairs(
+      t(s, dir, "embeddings"), "vec_id", "embedding",
+      threshold = 0.4, numPlanes = 0)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Oracle-reproducible HLL (ops.Sketches): md5-derived registers with
+    * an integer-exact register sum, per l_returnflag plus a merged ALL
+    * row (merge = element-wise max — the mergeable-state law). DuckDB
+    * recomputes registers, sum, and estimate from the same md5 hashes;
+    * s_total is a BIGINT so there is no float accumulation to diverge.
+    * Supplements q34, whose built-in sketch payloads no external oracle
+    * can pin.
+    */
+  private def q62Hll(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sketches
+    val li = t(s, dir, "lineitem")
+    val regs = Sketches.hllRegisters(li, "l_orderkey", Seq("l_returnflag"))
+    val all = Sketches.hllMerge(
+      regs.withColumn("l_returnflag", lit("ALL")), Seq("l_returnflag"))
+    val est = Sketches.hllEstimate(regs.unionByName(all), Seq("l_returnflag"))
+    val nd = li.groupBy(col("l_returnflag"))
+      .agg(count_distinct(col("l_orderkey")).as("true_nd"))
+      .unionByName(li.select(lit("ALL").as("l_returnflag"),
+        col("l_orderkey")).groupBy(col("l_returnflag"))
+        .agg(count_distinct(col("l_orderkey")).as("true_nd")))
+    est.join(nd, "l_returnflag")
+      .select(col("l_returnflag"), col("regs_used").cast("long").as("regs_used"),
+        col("s_total"), col("hll_estimate"), col("true_nd"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Oracle-reproducible count-min sketch (ops.Sketches): d=4 × w=64
+    * counters from md5 row-hashes over l_suppkey, probed with the ten
+    * most frequent keys. Counters are integers, estimates are
+    * min-over-rows — DuckDB rebuilds the identical matrix, so any
+    * hashing, fan-out, or probe-join defect breaks the hash match.
+    */
+  private def q63Cms(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sketches
+    val li = t(s, dir, "lineitem")
+    val sketch = Sketches.cmsBuild(li, "l_suppkey")
+    val top = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("l_suppkey").asc)
+      .limit(10)
+    Sketches.cmsProbe(sketch, top, "l_suppkey")
+      .join(top, "l_suppkey")
+      .select(col("l_suppkey"), col("true_cnt"), col("cms_estimate"))
+      .orderBy(col("true_cnt").desc, col("l_suppkey").asc)
+  }
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1138,7 +1198,10 @@ object SparkEntry {
     "q57_lsh_exhaustive" -> (q57LshExhaustive _),
     "q58_ivf_exhaustive" -> (q58IvfExhaustive _),
     "q59_simhash_blocking" -> (q59SimhashBlocking _),
-    "q60_mongo_roundtrip" -> (q60MongoRoundtrip _)
+    "q60_mongo_roundtrip" -> (q60MongoRoundtrip _),
+    "q61_cosine_pairs" -> (q61CosinePairs _),
+    "q62_hll" -> (q62Hll _),
+    "q63_cms" -> (q63Cms _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1807,6 +1870,75 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY user_id
         |    ORDER BY seq DESC) AS rn FROM cl)
         |SELECT user_id, last_value FROM ranked
-        |WHERE rn = 1 AND op = 'R' ORDER BY user_id""".stripMargin
+        |WHERE rn = 1 AND op = 'R' ORDER BY user_id""".stripMargin,
+    "q61_cosine_pairs" ->
+      // exact brute-force cosine pair set at the same threshold; the
+      // filter applies BEFORE rounding, as in the Spark operator
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(c, 9) AS cos
+        |FROM p WHERE c >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    "q62_hll" ->
+      // same md5-derived registers; s_total is integer-exact, so the
+      // single IEEE division reproduces Spark's estimate bit-for-bit
+      """WITH h AS (
+        |  SELECT l_returnflag AS g,
+        |    ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 15))::BIGINT AS hv
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT g, hv >> 56 AS register,
+        |    max(least(CASE WHEN (hv & ((1::BIGINT << 56) - 1)) = 0 THEN 40
+        |      ELSE 57 - length(bin(hv & ((1::BIGINT << 56) - 1))) END, 40)) AS rho
+        |  FROM h GROUP BY 1, 2),
+        |regs AS (
+        |  SELECT * FROM r
+        |  UNION ALL
+        |  SELECT 'ALL' AS g, register, max(rho) AS rho FROM r GROUP BY 2, 1),
+        |est AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS regs_used,
+        |    CAST(sum(1::BIGINT << (46 - rho)) +
+        |      (16 - count(*)) * (1::BIGINT << 46) AS BIGINT) AS s_total
+        |  FROM regs GROUP BY 1),
+        |nd AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS true_nd
+        |  FROM lineitem GROUP BY 1
+        |  UNION ALL
+        |  SELECT 'ALL', CAST(count(DISTINCT l_orderkey) AS BIGINT)
+        |  FROM lineitem)
+        |SELECT e.g AS l_returnflag, e.regs_used, e.s_total,
+        |  round(0.673::DOUBLE * 256::DOUBLE * 70368744177664::DOUBLE
+        |    / e.s_total, 4) AS hll_estimate,
+        |  nd.true_nd
+        |FROM est e JOIN nd ON e.g = nd.g
+        |ORDER BY l_returnflag""".stripMargin,
+    "q63_cms" ->
+      // identical d=4 x w=64 counter matrix from md5 row-hashes; probe
+      // with the ten most frequent suppkeys, integer min-over-rows
+      """WITH kc AS (
+        |  SELECT l_suppkey, count(*) AS c FROM lineitem GROUP BY 1),
+        |probe AS (
+        |  SELECT l_suppkey, c FROM kc
+        |  ORDER BY c DESC, l_suppkey ASC LIMIT 10),
+        |sketch AS (
+        |  SELECT r.r AS rr,
+        |    ('0x' || substr(md5(r.r::VARCHAR || ':' || kc.l_suppkey::VARCHAR),
+        |      1, 8))::BIGINT % 64 AS bucket,
+        |    CAST(sum(kc.c) AS BIGINT) AS cnt
+        |  FROM kc, range(4) r(r) GROUP BY 1, 2),
+        |est AS (
+        |  SELECT p.l_suppkey, p.c, min(s.cnt) AS cms_estimate
+        |  FROM probe p, range(4) r(r)
+        |  JOIN sketch s ON s.rr = r.r AND s.bucket =
+        |    ('0x' || substr(md5(r.r::VARCHAR || ':' || p.l_suppkey::VARCHAR),
+        |      1, 8))::BIGINT % 64
+        |  GROUP BY 1, 2)
+        |SELECT l_suppkey, CAST(c AS BIGINT) AS true_cnt,
+        |  CAST(cms_estimate AS BIGINT) AS cms_estimate
+        |FROM est ORDER BY true_cnt DESC, l_suppkey ASC""".stripMargin
   )
 }

@@ -182,6 +182,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q62 hll: register build aggregates partially before the shuffle") {
+    val p = plan("q62_hll")
+    // the only data-sized shuffle is keyed by (group, register) with a
+    // map-side partial max — at most m rows per group survive the map side
+    assert(p.contains("partial_max"), s"register max not partial:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"sketch plan must not nest-loop:\n$p")
+  }
+
+  test("q63 cms: probe joins the broadcast counter matrix, input counted once") {
+    val p = plan("q63_cms")
+    // the d×w counter matrix broadcasts to the probes
+    assert(p.contains("BroadcastHashJoin"), s"counter matrix not broadcast:\n$p")
+    // exact per-key counts aggregate with map-side combine BEFORE the
+    // depth fan-out — the raw input is never replicated d times
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"key counts not partial:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in cms plan:\n$p")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     import graft.functions.expressions.NativeHashFunctions

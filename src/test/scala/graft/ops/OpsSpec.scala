@@ -600,4 +600,50 @@ class OpsSpec extends SparkSpec {
     val plan = joined.queryExecution.executedPlan.toString()
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ fallback:\n$plan")
   }
+
+  test("hll sketch: merge of shard registers equals registers of unioned data") {
+    val a = (1L to 400L).map(i => (s"k$i", "a")).toDF("k", "shard")
+    val b = (300L to 700L).map(i => (s"k$i", "b")).toDF("k", "shard")
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hllRegisters(df, "k", Seq.empty)
+    // mergeable-state law: element-wise max over per-shard register tables
+    // IS the register table of the union (so shard sketches built near the
+    // data and merged later lose nothing)
+    val merged = Sketches.hllMerge(regs(a).unionByName(regs(b)), Seq.empty)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val direct = regs(a.unionByName(b))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(merged === direct)
+    // estimate sanity: p=4 (m=16) has ~26% standard error; 700 distinct
+    // keys must land within a loose 3-sigma band
+    val est = Sketches.hllEstimate(regs(a.unionByName(b)), Seq.empty)
+      .select("hll_estimate").head().getDouble(0)
+    assert(est > 700 * 0.3 && est < 700 * 2.5, s"estimate off: $est vs 700")
+  }
+
+  test("cms sketch: never underestimates, exact when wide, merge law holds") {
+    val rows = (1L to 100L).flatMap(i => Seq.fill((i % 7 + 1).toInt)(s"k${i % 20}"))
+    val data = rows.toDF("k")
+    val sk = Sketches.cmsBuild(data, "k", depth = 4, width = 64)
+    val truth = data.groupBy("k").count()
+    val probed = Sketches.cmsProbe(sk, truth.select("k"), "k", depth = 4, width = 64)
+      .join(truth, "k").collect()
+    probed.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2),
+        s"CMS underestimated ${r.getString(0)}: ${r.getLong(1)} < ${r.getLong(2)}")
+    }
+    // 20 keys into 64 buckets x 4 rows: min-over-rows is exact here
+    probed.foreach(r => assert(r.getLong(1) === r.getLong(2)))
+    // merge law: counters add — per-shard sketches merged == sketch of the
+    // union; the interleaved split puts the SAME keys in both shards, so
+    // shard counters genuinely sum in shared (row, bucket) cells
+    val s1 = rows.zipWithIndex.collect { case (k, i) if i % 2 == 0 => k }.toDF("k")
+    val s2 = rows.zipWithIndex.collect { case (k, i) if i % 2 == 1 => k }.toDF("k")
+    val merged = Sketches.cmsMerge(
+      Sketches.cmsBuild(s1, "k").unionByName(Sketches.cmsBuild(s2, "k")))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val direct = Sketches.cmsBuild(data, "k")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged === direct)
+  }
 }
