@@ -33,5 +33,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // which silently garbles non-ASCII text in any path that touches the
   // platform charset (e.g. VariantVal JSON rendering)
   "-Dfile.encoding=UTF-8",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] at sf0.1 runs 32 concurrent tasks in ONE JVM: 8g forced
+  // near-constant GC once the suite passed ~60 queries (r6 bench: broad
+  // ~1.4x slowdowns + one 59s outlier, all gone at 28g). The host has
+  // 128 GiB; Xmx is reservation-only.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
+  // 63 queries x (warmup + measured) of whole-stage-codegen classes
+  // overflow the default 240m code cache -> JIT stops compiling and the
+  // JSON-heavy queries run interpreted
+  "-XX:ReservedCodeCacheSize=512m",
 )

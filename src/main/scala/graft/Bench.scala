@@ -45,16 +45,19 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal timings: the driver stores only the output TAIL — full
+    // nanosecond floats pushed the one-line JSON past its window in r6
+    // and the round lost its machine-readable bench ("parsed": null)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val st = streamThroughput(spark, sfDir)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
       s""""stream_events_per_s":${st.eps},"stream_steady_eps":${st.steadyEps},""" +
       s""""stream_batches":${st.batches},""" +
       s""""stream_batch_eps_spread_pct":${st.spreadPct},""" +
-      s""""stream_note":"events_per_s = whole run wall clock over ${st.batches} micro-batches incl. final compaction (r3-r5 measured ONE giant batch - not comparable); steady_eps = median per-batch rate past the first (startup) batch, spread = their (max-min)/median",""" +
-      s""""warmup":"full suite + stream at sf0.001, measured pass is warm steady-state","sf":"$sfDir"}""")
+      s""""stream_note":"eps=wall clock over ${st.batches} batches incl compaction; steady=median batch rate after first; warm pass (suite+stream warmed at sf0.001)",""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 

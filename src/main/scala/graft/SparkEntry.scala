@@ -482,23 +482,69 @@ object SparkEntry {
       .orderBy(col("k_mod"))
   }
 
-  /** Sketches (§2.9 top-k/HLL row): HyperLogLog distinct counts, t-digest
-    * percentiles, count-min frequency — engine-specific encodings, so
-    * rows-only check; error bounds pinned by OpsSpec. Output is scalars
-    * only (JSON/hash of the sketch payloads): the driver's row-sort chokes
-    * on array/binary cells.
+  /** Built-in sketches (§2.9 top-k/HLL row): HyperLogLog++ distinct
+    * counts, approx_percentile, count-min frequency. Their binary payloads
+    * are engine-specific (no external oracle can rebuild them — the
+    * oracle-exact sketch gates are q62/q63 over graft's own mergeable
+    * sketches), so this query gates the LAWS instead: each verdict column
+    * is 1 iff the deterministic estimate satisfies its published bound
+    * (approx NDV within 3×rsd; percentile's exact rank within a generous
+    * 50× of the accuracy bound; CMS probe in [true, true + 2·eps·N]),
+    * and the oracle emits literal 1s plus the exact NDV — a sketch
+    * regression flips a verdict and breaks the hash match. The CMS probe
+    * deserializes the few per-group sketches on the driver — the
+    * mergeable-sketch contract is precisely that they are tiny.
     */
-  private def q34Sketches(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
-        expr("approx_percentile(l_extendedprice, array(0.5, 0.95))").as("price_pcts"),
-        count_min_sketch(col("l_suppkey"), lit(0.01), lit(0.95), lit(42)).as("supp_cms"))
-      .select(col("l_returnflag"), col("approx_parts"),
-        to_json(col("price_pcts")).as("price_pcts_json"),
-        xxhash64(col("supp_cms")).as("supp_cms_hash"))
+  private def q34Sketches(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = t(s, dir, "lineitem")
+    val agg = li.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n_rows"),
+      count_distinct(col("l_partkey")).as("exact_parts"),
+      approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+      expr("approx_percentile(l_extendedprice, array(0.5, 0.95))").as("pcts"),
+      count_min_sketch(col("l_suppkey"), lit(0.01), lit(0.95), lit(42)).as("cms"))
+    val topSupp = li.groupBy(col("l_returnflag"), col("l_suppkey"))
+      .agg(count(lit(1)).as("true_cnt"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("true_cnt").desc, col("l_suppkey").asc)))
+      .where(col("__rk") === 1).drop("__rk")
+    val probed = agg.select(col("l_returnflag"), col("cms"), col("n_rows"))
+      .join(topSupp, "l_returnflag").collect().toSeq.map { r =>
+        val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("cms")))
+        val est = sk.estimateCount(java.lang.Long.valueOf(
+          r.getAs[Number]("l_suppkey").longValue()))
+        val truth = r.getAs[Long]("true_cnt")
+        val slack = math.ceil(0.02 * r.getAs[Long]("n_rows")).toLong
+        (r.getAs[String]("l_returnflag"),
+          if (est >= truth && est <= truth + slack) 1L else 0L)
+      }
+    import s.implicits._
+    val cmsOk = probed.toDF("l_returnflag", "cms_ok")
+    val pct = agg.select(col("l_returnflag"),
+      element_at(col("pcts"), 1).as("p50"), element_at(col("pcts"), 2).as("p95"))
+    val ranks = li.select(col("l_returnflag"), col("l_extendedprice"))
+      .join(broadcast(pct), "l_returnflag")
+      .groupBy(col("l_returnflag")).agg(
+        sum(when(col("l_extendedprice") < col("p50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("l_extendedprice") <= col("p50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("l_extendedprice") < col("p95"), 1L).otherwise(0L)).as("lt95"),
+        sum(when(col("l_extendedprice") <= col("p95"), 1L).otherwise(0L)).as("le95"))
+    agg.join(ranks, "l_returnflag").join(broadcast(cmsOk), "l_returnflag")
+      .select(
+        col("l_returnflag"),
+        col("exact_parts"),
+        when(abs(col("approx_parts") - col("exact_parts"))
+          <= lit(3 * 0.02) * col("exact_parts"), 1L).otherwise(0L).as("approx_ok"),
+        when(col("lt50") <= ceil(lit(0.505) * col("n_rows")) &&
+          col("le50") >= floor(lit(0.495) * col("n_rows")), 1L).otherwise(0L).as("p50_ok"),
+        when(col("lt95") <= ceil(lit(0.955) * col("n_rows")) &&
+          col("le95") >= floor(lit(0.945) * col("n_rows")), 1L).otherwise(0L).as("p95_ok"),
+        col("cms_ok"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** GROUPING SETS with grouping() indicators — the explicit form behind
     * rollup/cube (§2.9 aggregation family).
@@ -1504,6 +1550,12 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(sum(json_extract(props, '$.k')::INT) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q34_sketches" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey)::BIGINT AS exact_parts,
+        |  1::BIGINT AS approx_ok, 1::BIGINT AS p50_ok,
+        |  1::BIGINT AS p95_ok, 1::BIGINT AS cms_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q35_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  grouping(o_orderstatus) AS g_status,

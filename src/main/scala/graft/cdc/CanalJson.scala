@@ -57,20 +57,28 @@ object CanalJson {
     val env = json.withColumn("__env", from_json(col(jsonCol), envelopeSchema(payload)))
     val seq = seqCol.map(col).getOrElse(monotonically_increasing_id())
     env
-      .withColumn("__seq0", seq.cast(LongType))
-      .select(col("__env"), col("__seq0"),
+      // extract the envelope's scalar fields BEFORE the generator: the
+      // Generate node copies every passthrough column into each exploded
+      // row, so carrying the whole parsed envelope (with its data/old
+      // arrays) through it re-serialized the full message per row — the
+      // single-char op code and the old-row lookup are all the tail needs
+      .select(
+        col("__env.type").as("__type"),
+        col("__env.old").as("__old"),
+        col("__env.table").as("__table"),
+        seq.cast(LongType).as("__seq0"),
         posexplode(col("__env.data")).as(Seq("__i", "__row")))
       .select(
-        when(col("__env.type") === "INSERT", "I")
-          .when(col("__env.type") === "UPDATE", "U")
-          .when(col("__env.type") === "DELETE", "D")
+        when(col("__type") === "INSERT", "I")
+          .when(col("__type") === "UPDATE", "U")
+          .when(col("__type") === "DELETE", "D")
           .otherwise("R").as(Changelog.OpCol),
-        when(col("__env.type") === "DELETE", col("__row"))
-          .when(col("__env.type") === "UPDATE",
-            element_at(col("__env.old"), col("__i") + 1))
+        when(col("__type") === "DELETE", col("__row"))
+          .when(col("__type") === "UPDATE",
+            element_at(col("__old"), col("__i") + 1))
           .as(Changelog.BeforeCol),
-        when(col("__env.type") =!= "DELETE", col("__row")).as(Changelog.AfterCol),
+        when(col("__type") =!= "DELETE", col("__row")).as(Changelog.AfterCol),
         col("__seq0").as(Changelog.SeqCol),
-        col("__env.table").as("__table"))
+        col("__table"))
   }
 }
