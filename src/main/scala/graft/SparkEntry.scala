@@ -1182,6 +1182,37 @@ object SparkEntry {
       .orderBy(col("true_cnt").desc, col("l_suppkey").asc)
   }
 
+  /** tf-idf distinctive terms (ops.TextAnalysis.termFrequencies): top-5
+    * terms per document under the float-free (tf desc, df asc, term asc)
+    * ranking — the integer skeleton of tf-idf (maximize term frequency,
+    * minimize document frequency). The DuckDB oracle recomputes tf/df
+    * from the same tokenization; the log-scored ordering itself is
+    * pinned by OpsSpec (ln rounds differently across engines, so it
+    * never enters the hash gate). Docs shorter than 5 distinct terms
+    * emit what they have.
+    */
+  private def q64TfIdf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = graft.ops.TextAnalysis.termFrequencies(
+      t(s, dir, "documents").where(col("doc_id") < 200), "doc_id", "text")
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  /** Cross-document duplicate spans (ops.Dedup.crossDocSpanStats): per
+    * document, how many 8-token windows recur in other documents — the
+    * Lee et al. 2022 substring-dedup signal. String-keyed here so DuckDB
+    * can rebuild the identical window multiset; the hashed scale path is
+    * pinned equal by OpsSpec.
+    */
+  private def q65DupSpans(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.crossDocSpanStats(
+      t(s, dir, "documents"), "doc_id", "text", k = 8, hashWindows = false)
+      .orderBy(col("doc_id"))
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1247,7 +1278,9 @@ object SparkEntry {
     "q60_mongo_roundtrip" -> (q60MongoRoundtrip _),
     "q61_cosine_pairs" -> (q61CosinePairs _),
     "q62_hll" -> (q62Hll _),
-    "q63_cms" -> (q63Cms _)
+    "q63_cms" -> (q63Cms _),
+    "q64_tfidf" -> (q64TfIdf _),
+    "q65_dup_spans" -> (q65DupSpans _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1991,6 +2024,41 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT l_suppkey, CAST(c AS BIGINT) AS true_cnt,
         |  CAST(cms_estimate AS BIGINT) AS cms_estimate
-        |FROM est ORDER BY true_cnt DESC, l_suppkey ASC""".stripMargin
+        |FROM est ORDER BY true_cnt DESC, l_suppkey ASC""".stripMargin,
+    "q64_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(
+        |    trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')),
+        |    ' ')) AS term
+        |  FROM documents WHERE doc_id < 200),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+        |  FROM tok WHERE term <> '' GROUP BY 1, 2),
+        |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |r AS (SELECT doc_id, term, tf, df,
+        |  row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tf DESC, df ASC, term ASC) AS rank
+        |  FROM tf JOIN df USING (term))
+        |SELECT doc_id, term, tf, df, rank FROM r WHERE rank <= 5
+        |ORDER BY doc_id, rank""".stripMargin,
+    "q65_dup_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(
+        |    trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')),
+        |    ' ') AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, unnest(
+        |    [array_to_string(t[i:i+7], ' ') for i in range(1, len(t) - 6)]) AS win
+        |  FROM d WHERE len(t) >= 8),
+        |dw AS (SELECT win, count(DISTINCT doc_id) AS ndocs FROM w GROUP BY 1),
+        |st AS (SELECT w.doc_id, count(*)::BIGINT AS n_windows,
+        |  sum(CASE WHEN dw.ndocs >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_windows
+        |  FROM w JOIN dw USING (win) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(st.n_windows, 0)::BIGINT AS n_windows,
+        |  coalesce(st.dup_windows, 0)::BIGINT AS dup_windows,
+        |  CASE WHEN st.n_windows > 0
+        |    THEN st.dup_windows / CAST(st.n_windows AS DOUBLE) ELSE 0.0
+        |  END AS dup_frac
+        |FROM d LEFT JOIN st USING (doc_id) ORDER BY d.doc_id""".stripMargin
   )
 }

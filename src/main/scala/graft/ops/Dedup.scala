@@ -147,8 +147,13 @@ object Dedup {
       if (reliableCheckpointEvery > 0 && round % reliableCheckpointEvery == 0)
         df.checkpoint()
       else df.localCheckpoint()
+    // persist PARTITIONED BY the per-round join key: InMemoryRelation
+    // reports the cached partitioning, so every propagation round streams
+    // edges straight out of cache instead of re-exchanging O(edges) —
+    // one shuffle up front, none per round
     val edges = pairs.select(col(idA).as("u"), col(idB).as("v"))
       .union(pairs.select(col(idB).as("u"), col(idA).as("v")))
+      .repartition(col("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var labels = snapshot(
@@ -275,4 +280,45 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .where(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+
+  /** Cross-document duplicate-SPAN statistics (the substring-dedup signal
+    * of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better": long token spans repeated across documents are
+    * memorization bait). For every document: the number of `k`-token
+    * windows, how many of those windows also occur in at least one OTHER
+    * document, and the duplicated fraction.
+    *
+    * Shape at 100 TB: windows explode to ~tokens-per-doc rows but
+    * immediately hash-aggregate by window key with map-side partials
+    * (count-distinct-docs is the standard two-level expand aggregate);
+    * the per-position verdict is one equi-join of the window frame
+    * against the aggregate. Nothing is ever all-pairs. `hashWindows`
+    * shuffles 8-byte xxhash64 keys instead of the window strings — the
+    * scale path; the string path exists so an external oracle can
+    * reproduce counts exactly (OpsSpec pins both paths to identical
+    * output on fixtures).
+    */
+  def crossDocSpanStats(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, hashWindows: Boolean = true): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      split(graft.ops.TextAnalysis.normalize(col(textCol)), " ").as("t"))
+    val wins = base.select(col("doc_id"), explode(expr(
+      s"CASE WHEN size(t) >= $k THEN transform(sequence(1, size(t) - $k + 1), " +
+        s"i -> array_join(slice(t, i, $k), ' ')) ELSE array() END")).as("win"))
+    val keyed = wins.select(col("doc_id"),
+      (if (hashWindows) xxhash64(col("win")) else col("win")).as("wkey"))
+    val docCounts = keyed.groupBy(col("wkey"))
+      .agg(count_distinct(col("doc_id")).as("ndocs"))
+    val stats = keyed.join(docCounts, "wkey")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("dup_windows"))
+    docs.select(col(idCol).as("doc_id")).join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        when(coalesce(col("n_windows"), lit(0L)) > 0,
+          col("dup_windows").cast("double") / col("n_windows"))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
 }

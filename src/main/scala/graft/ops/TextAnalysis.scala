@@ -232,4 +232,44 @@ object TextAnalysis {
       i => n.substr(lit(1) + i, lit(k)))
     array_min(transform(shingles, s => xxhash64(s)))
   }
+
+  // ---- corpus-level term statistics (tf-idf) ----
+
+  /** Per-(doc, term) frequencies with per-term document frequencies:
+    * (doc_id, term, tf, df) over [[normalize]]d alnum tokens. Two
+    * map-side-combined hash aggregations and one term-keyed equi-join of
+    * aggregate-sized frames — at 100 TB the tf aggregation carries the
+    * corpus once, the df frame is vocabulary-sized, and nothing else
+    * touches raw text.
+    */
+  def termFrequencies(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(normalize(col(textCol)), " ")).as("term"))
+      .where(col("term") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // tf rows are distinct (doc, term): counting them per term IS the
+    // document frequency — no second pass over raw tokens
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(df, "term").select(col("doc_id"), col("term"), col("tf"), col("df"))
+  }
+
+  /** Top-k distinctive terms per document, ranked by smoothed tf-idf
+    * (`tf * ln((nDocs+1)/(df+1))`), ties broken by (df asc, term asc).
+    * The gated query ranks by the float-free (tf desc, df asc, term asc)
+    * ordering instead — ln is not identically rounded across engines, so
+    * the tf-idf ordering itself is pinned by OpsSpec laws, not the hash
+    * gate.
+    */
+  def tfIdfTopTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int, nDocs: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = termFrequencies(docs, idCol, textCol)
+      .withColumn("tfidf",
+        col("tf") * log((lit(nDocs + 1.0)) / (col("df") + lit(1.0))))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("df").asc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
 }

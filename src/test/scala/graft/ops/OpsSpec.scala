@@ -646,4 +646,43 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(merged === direct)
   }
+
+  test("tf-idf: frequencies match brute force, log ranking prefers rare terms") {
+    val docs = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "banana cherry banana banana"),
+      (3L, "apple cherry zebra")).toDF("doc_id", "text")
+    val tf = TextAnalysis.termFrequencies(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(tf((1L, "apple")) === (2L, 2L)) // tf 2 in doc 1; apple in docs {1,3}
+    assert(tf((2L, "banana")) === (3L, 2L))
+    assert(tf((3L, "zebra")) === (1L, 1L)) // df 1: unique to doc 3
+    // log-scored ranking: zebra (df=1) outranks cherry (df=3) in doc 3
+    // even at equal tf — idf dominates equal-frequency ties
+    val top = TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", k = 2, nDocs = 3)
+      .where(col("doc_id") === 3L).orderBy(col("rank")).collect()
+    assert(top.head.getAs[String]("term") === "zebra")
+    // score is monotone: doc-3 rank-1 tfidf strictly above rank-2
+    assert(top(0).getAs[Double]("tfidf") > top(1).getAs[Double]("tfidf"))
+  }
+
+  test("dup spans: cross-doc windows counted, hashed path identical, short docs zero") {
+    val shared = "one two three four five six seven eight"       // exactly 8 tokens
+    val docs = Seq(
+      (1L, s"intro words here then $shared"),
+      (2L, s"$shared and a different tail of words"),
+      (3L, "completely unrelated text with nothing repeated anywhere at all"),
+      (4L, "short doc")).toDF("doc_id", "text")                  // < 8 tokens
+    val out = Dedup.crossDocSpanStats(docs, "doc_id", "text", k = 8, hashWindows = false)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // the shared 8-token window occurs in docs 1 and 2: each counts >= 1 dup position
+    assert(out(1L)._2 >= 1L && out(2L)._2 >= 1L)
+    assert(out(3L)._2 === 0L)
+    assert(out(4L) === ((0L, 0L, 0.0)))                          // no windows at all
+    assert(out(1L)._3 === out(1L)._2.toDouble / out(1L)._1)
+    // the xxhash64-keyed scale path returns the identical frame
+    val hashed = Dedup.crossDocSpanStats(docs, "doc_id", "text", k = 8, hashWindows = true)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(hashed === out)
+  }
 }
