@@ -75,6 +75,96 @@ class PipelineSpec extends SparkSpec {
     assert(sink.results(merged).toSet === Set("db.all:1;a;null", "db.all:2;b;2.5"))
   }
 
+  test("route merge: progressive numeric promotion chain (reference decimal ITCase)") {
+    // FlinkPipelineComposerITCase.testMergingDecimalWithVariousPrecisions:
+    // shards whose fav_num widens TINYINT -> SMALLINT -> INT -> BIGINT ->
+    // DECIMAL(19,0) -> DECIMAL(24,5) -> (16,2 absorbs) -> DECIMAL(38,19),
+    // each arriving CreateTable altering the routed sink's merged type and
+    // re-encoding previously landed rows.
+    val merged = TableId.parse("db.merged")
+    def shard(n: String) = TableId.parse(s"db.num_$n")
+    def mk(n: String, t: DataType) = CreateTableEvent(shard(n), TableInfo(
+      StructType(Seq(StructField("id", IntegerType), StructField("name", StringType),
+        StructField("fav_num", t))), primaryKeys = Seq("id")))
+    def jbd(s: String) = new java.math.BigDecimal(s)
+    val steps: Seq[(Seq[Event], DataType)] = Seq(
+      (Seq(mk("tiny", ByteType),
+        DataChangeEvent.insert(shard("tiny"), Row(1, "Alice", 1.toByte))), ByteType),
+      (Seq(mk("small", ShortType),
+        DataChangeEvent.insert(shard("small"), Row(2, "Alice", 22.toShort))), ShortType),
+      (Seq(mk("vanilla", IntegerType),
+        DataChangeEvent.insert(shard("vanilla"), Row(3, "Alice", 3333))), IntegerType),
+      (Seq(mk("big", LongType),
+        DataChangeEvent.insert(shard("big"), Row(4, "Alice", 44444444L))), LongType),
+      (Seq(mk("dec15", DecimalType(15, 0)),
+        DataChangeEvent.insert(shard("dec15"), Row(5, "Alice", jbd("555555555555555")))),
+        DecimalType(19, 0)),
+      (Seq(mk("dec105", DecimalType(10, 5)),
+        DataChangeEvent.insert(shard("dec105"), Row(6, "Alice", jbd("66666.66666")))),
+        DecimalType(24, 5)),
+      (Seq(mk("dec162", DecimalType(16, 2)),
+        DataChangeEvent.insert(shard("dec162"), Row(7, "Alice", jbd("77777777.17")))),
+        DecimalType(24, 5)), // 16,2 fits inside 24,5: no ALTER
+      (Seq(mk("dec2919", DecimalType(29, 19)),
+        DataChangeEvent.insert(shard("dec2919"), Row(8, "Alice", jbd("888888888.8888888888888888888")))),
+        DecimalType(38, 19)))
+    val route = "route:\n  - source-table: db.num_\\.*\n    sink-table: db.merged\n"
+    // each prefix replay must land on the reference's promoted type for
+    // that stage — the chain, not just the endpoint
+    steps.indices.foreach { i =>
+      val sink = new ValuesDatabase
+      new PipelineRunner(spark, yamlDef(route = route),
+        new ValuesSource(steps.take(i + 1).flatMap(_._1)), sink).run()
+      assert(sink.info(merged).get.schema("fav_num").dataType === steps(i)._2,
+        s"stage $i promoted type")
+    }
+    val sink = new ValuesDatabase
+    // the reference's "Zen" tail: rows landing in a NARROW shard after
+    // full promotion must re-encode at the promoted DECIMAL(38,19)
+    new PipelineRunner(spark, yamlDef(route = route),
+      new ValuesSource(steps.flatMap(_._1) :+
+        DataChangeEvent.insert(shard("tiny"), Row(101, "Zen", 2.toByte))), sink).run()
+    val rows = sink.results(merged)
+    assert(rows.size === 9)
+    // arrival-time rows keep their arrival encoding (the reference's
+    // event log renders row 1 as "1" too); post-promotion arrivals carry
+    // the merged 19-digit scale, and the widest row survives losslessly
+    assert(rows.exists(_.contains("101;Zen;2.0000000000000000000")))
+    assert(rows.exists(_.contains("888888888.8888888888888888888")))
+  }
+
+  test("route merge: temporal promotion to timestamp (reference temporal ITCase)") {
+    // testMergingTemporalTypesWithPromotedPrecisions, collapsed onto
+    // Spark's temporal lattice: DATE and TIMESTAMP_NTZ promote to
+    // session-zone TIMESTAMP when any shard carries one. (Spark has a
+    // single microsecond timestamp precision, so the reference's
+    // TIMESTAMP(0..9) precision ladder is N/A by design — SURVEY §1.)
+    val merged = TableId.parse("db.tmerged")
+    def shard(n: String) = TableId.parse(s"db.ts_$n")
+    def mk(n: String, t: DataType) = CreateTableEvent(shard(n), TableInfo(
+      StructType(Seq(StructField("id", IntegerType), StructField("born", t))),
+      primaryKeys = Seq("id")))
+    val script = Seq(
+      mk("date", DateType),
+      DataChangeEvent.insert(shard("date"), Row(1, java.sql.Date.valueOf("2020-03-01"))),
+      mk("ntz", TimestampNTZType),
+      DataChangeEvent.insert(shard("ntz"),
+        Row(2, java.time.LocalDateTime.parse("2021-06-15T12:30:00"))),
+      mk("ltz", TimestampType),
+      DataChangeEvent.insert(shard("ltz"),
+        Row(3, java.sql.Timestamp.valueOf("2022-09-30 08:00:01"))),
+      // date arriving AFTER promotion re-encodes as midnight UTC timestamp
+      DataChangeEvent.insert(shard("date"), Row(4, java.sql.Date.valueOf("2023-01-02"))))
+    val sink = new ValuesDatabase
+    new PipelineRunner(spark, yamlDef(route =
+      "route:\n  - source-table: db.ts_\\.*\n    sink-table: db.tmerged\n"),
+      new ValuesSource(script), sink).run()
+    assert(sink.info(merged).get.schema("born").dataType === TimestampType)
+    val rows = sink.results(merged)
+    assert(rows.size === 4)
+    assert(rows.exists(_.contains("2023-01-02 00:00:00")))
+  }
+
   test("transform: projection + filter with op conversion end-to-end") {
     val script = Seq(
       CreateTableEvent(t1, info("col1" -> StringType, "v" -> IntegerType)),
