@@ -241,14 +241,28 @@ object TextAnalysis {
     * aggregate-sized frames — at 100 TB the tf aggregation carries the
     * corpus once, the df frame is vocabulary-sized, and nothing else
     * touches raw text.
+    *
+    * The tf intermediate is persisted by default: both output branches
+    * (tf itself and the df aggregate) consume it, and without the
+    * materialization Catalyst prunes the df branch into a distinct-agg
+    * whose exchange cannot be reused — the corpus would be scanned and
+    * tokenized TWICE. The cache is eviction-safe (lineage retained, LRU
+    * under memory pressure, dropped with the session) — a df-per-term
+    * window instead would serialize every document holding a stopword
+    * through one task, the known skew anti-pattern. Pass `persistTf =
+    * false` for a pure plan (e.g. under a caller-managed checkpoint).
     */
   def termFrequencies(docs: org.apache.spark.sql.DataFrame,
-      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+      idCol: String, textCol: String,
+      persistTf: Boolean = true): org.apache.spark.sql.DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(split(normalize(col(textCol)), " ")).as("term"))
       .where(col("term") =!= "")
-    val tf = toks.groupBy(col("doc_id"), col("term"))
+    val tf0 = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+    val tf = if (persistTf)
+      tf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else tf0
     // tf rows are distinct (doc, term): counting them per term IS the
     // document frequency — no second pass over raw tokens
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))

@@ -202,6 +202,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in cms plan:\n$p")
   }
 
+  test("q64 tfidf: tf and df aggregate partially, df joins tf without cartesian") {
+    val p = plan("q64_tfidf")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"term counts not map-side combined:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in tfidf plan:\n$p")
+    // raw text is tokenized exactly once: the persisted tf intermediate
+    // feeds both its own output branch and the df aggregate — without it
+    // Catalyst prunes the df branch into a distinct-agg whose exchange
+    // cannot be reused and the corpus is scanned twice
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"tf intermediate not shared between tf and df branches:\n$p")
+  }
+
+  test("q65 dup spans: window aggregate + equi-join, never all-pairs or windowed") {
+    val p = plan("q65_dup_spans")
+    assert(!p.contains("CartesianProduct"), s"cartesian in dup-spans plan:\n$p")
+    // a rank-over-window formulation would serialize hot windows through
+    // single sorted partitions
+    assert(!p.linesIterator.exists(_.contains("Window [")),
+      s"window function in dup-spans plan:\n$p")
+    assert(p.contains("partial"), s"window counts not map-side combined:\n$p")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     import graft.functions.expressions.NativeHashFunctions
