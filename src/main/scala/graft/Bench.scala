@@ -131,6 +131,10 @@ object Bench {
         .map(p => p.numInputRows.toDouble * 1000 / p.batchDuration)
       System.err.println(s"[bench] stream per-batch ev/s: " +
         batchRates.map(r => f"$r%.0f").mkString(", "))
+      q.recentProgress.toSeq.filter(_.numInputRows > 0).foreach { p =>
+        System.err.println(s"[bench] batch ${p.batchId}: rows=${p.numInputRows} " +
+          s"durMs=${p.durationMs}")
+      }
       // batch 1 pays the one-time stream start + codegen: steady state is
       // the median of the REMAINING batches, spread their (max-min)/median
       val steady = if (batchRates.size > 1) batchRates.tail else batchRates
