@@ -52,6 +52,10 @@ final class PipelineRunner(
     metadataKeys = pipeline.source.options.get("metadata.list")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
   private val router = new TableIdRouter(pipeline.routes, RouteMode.AllMatch)
+  // UPSTREAM schema per source table (what the database sends), distinct
+  // from the registry's SINK plane: projected-table DDL derivation diffs
+  // the projection's output under the old vs new upstream schema
+  private val upstreamPlane = scala.collection.mutable.Map[TableId, TableInfo]()
 
   /** Source-table schema after the transform rule's projection, obtained by
     * planning the projection against an empty frame — Catalyst is the type
@@ -81,6 +85,7 @@ final class PipelineRunner(
     val routed = router.route(e.tableId)
     e match {
       case CreateTableEvent(_, info) =>
+        upstreamPlane(e.tableId) = info
         val transformed = transformedInfo(e.tableId, info)
         routed.foreach { sinkId =>
           val merged = registry.evolvedInfo(sinkId) match {
@@ -91,15 +96,85 @@ final class PipelineRunner(
             .foreach(sink.applySchemaChange)
         }
       case other =>
-        // Rewrite the DDL against each routed sink table. For projected
-        // tables only column-level events that survive projection apply.
+        val prevUp = upstreamPlane.get(e.tableId)
+        other match {
+          case DropTableEvent(_) => upstreamPlane.remove(e.tableId)
+          case _ =>
+            prevUp.foreach(i => upstreamPlane(e.tableId) = i.applySchemaChange(other))
+        }
+        // A rule WITH a projection decouples the sink schema from the
+        // upstream one: re-derive the projected schema under the updated
+        // upstream plane and emit the DIFF (the reference's
+        // SchemaDerivator) — an unreferenced add is a no-op downstream,
+        // a wildcard add lands inside the star zone (before computed
+        // columns), and retyping a referenced column retypes the computed
+        // outputs that read it. Rules without a projection pass
+        // column events through directly.
+        val projecting = engine.ruleFor(e.tableId).exists(_.projection.isDefined)
+        val derived: TableId => Seq[SchemaChangeEvent] =
+          if (projecting && prevUp.isDefined) {
+            try {
+              val oldT = transformedInfo(e.tableId, prevUp.get)
+              val newT = upstreamPlane.get(e.tableId)
+                .map(transformedInfo(e.tableId, _)).getOrElse(oldT)
+              sinkId => deriveProjected(sinkId, oldT.schema, newT.schema, other)
+            } catch {
+              case ex: Exception =>
+                // a projection that no longer plans (e.g. its referenced
+                // column was renamed away) must not kill the pipeline
+                // here — data-time resolution reports it with context
+                System.err.println(s"[graft] derived-DDL planning failed for " +
+                  s"${e.tableId}: ${ex.getMessage}")
+                sinkId => rewriteFor(sinkId, other)
+            }
+          } else sinkId => rewriteFor(sinkId, other)
         routed.foreach { sinkId =>
-          val rewritten = rewriteFor(sinkId, other)
-          rewritten.foreach { ev =>
+          derived(sinkId).foreach { ev =>
             registry.apply(ev).foreach(sink.applySchemaChange)
           }
         }
     }
+  }
+
+  /** Derived sink DDL for a projected table: the diff between the
+    * projected schema before and after the upstream event, with renames
+    * of surviving columns preserved as renames.
+    */
+  private def deriveProjected(sinkId: TableId, oldS: StructType,
+      newS: StructType, e: SchemaChangeEvent): Seq[SchemaChangeEvent] = e match {
+    case RenameColumnEvent(_, m) =>
+      val oldNames = oldS.fieldNames.toSet
+      val newNames = newS.fieldNames.toSet
+      val surviving = m.filter { case (from, to) => oldNames(from) && newNames(to) }
+      val renamedOld = StructType(oldS.fields.map(f =>
+        f.copy(name = surviving.getOrElse(f.name, f.name))))
+      (if (surviving.nonEmpty) Seq(RenameColumnEvent(sinkId, surviving)) else Nil) ++
+        schemaDiff(sinkId, renamedOld, newS)
+    case _: AddColumnEvent | _: DropColumnEvent | _: AlterColumnTypeEvent =>
+      schemaDiff(sinkId, oldS, newS)
+    case structural => rewriteFor(sinkId, structural)
+  }
+
+  private def schemaDiff(sinkId: TableId, oldS: StructType,
+      newS: StructType): Seq[SchemaChangeEvent] = {
+    val oldNames = oldS.fieldNames.toSet
+    val newNames = newS.fieldNames.toSet
+    val drops = oldS.fieldNames.toSeq.filterNot(newNames)
+    // adds anchor After their predecessor in the NEW schema — earlier adds
+    // in the same event apply in order, so a new-column predecessor exists
+    val adds = newS.fields.toSeq.zipWithIndex.collect {
+      case (f, i) if !oldNames(f.name) =>
+        (f, if (i == 0) ColumnPosition.First
+            else ColumnPosition.After(newS.fields(i - 1).name): ColumnPosition)
+    }
+    val retyped = newS.fields.toSeq
+      .filter(f => oldNames(f.name) && oldS(f.name).dataType != f.dataType)
+      .map(f => f.name -> f.dataType)
+    Seq(
+      if (drops.nonEmpty) Some(DropColumnEvent(sinkId, drops)) else None,
+      if (adds.nonEmpty) Some(AddColumnEvent(sinkId, adds)) else None,
+      if (retyped.nonEmpty) Some(AlterColumnTypeEvent(sinkId, retyped.toMap)) else None
+    ).flatten
   }
 
   private def rewriteFor(sinkId: TableId, e: SchemaChangeEvent): Seq[SchemaChangeEvent] = {

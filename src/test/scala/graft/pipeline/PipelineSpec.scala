@@ -186,6 +186,65 @@ class PipelineSpec extends SparkSpec {
       "default_namespace.default_schema.table1:3;300"))
   }
 
+  test("wildcard transform + schema evolution: adds surface before computed columns") {
+    // FlinkPipelineTransformITCase.testPreAsteriskWithSchemaEvolution:
+    // under `*, computed` the star zone tracks upstream DDL — a
+    // Last-positioned add lands at the END OF THE STAR ZONE (before the
+    // computed tail), positioned adds keep their anchors, and renames of
+    // surviving columns propagate.
+    val script = Seq(
+      CreateTableEvent(t1, info("col1" -> StringType, "v" -> IntegerType)),
+      DataChangeEvent.insert(t1, Row("1", 10)),
+      AddColumnEvent(t1, Seq((StructField("extra", StringType), ColumnPosition.Last))),
+      DataChangeEvent.insert(t1, Row("2", 20, "x")),
+      RenameColumnEvent(t1, Map("v" -> "w")),
+      DataChangeEvent.insert(t1, Row("3", 30, "y")))
+    val sink = new ValuesDatabase
+    val pd = yamlDef(transform =
+      """transform:
+        |  - source-table: default_namespace.default_schema.table1
+        |    projection: "*, col1 || '!' AS bang"
+        |    primary-keys: col1
+        |""".stripMargin, behavior = "evolve")
+    new PipelineRunner(spark, pd, new ValuesSource(script), sink).run()
+    assert(sink.info(t1).get.fieldNames === Seq("col1", "w", "extra", "bang"))
+    assert(sink.results(t1).toSet === Set(
+      "default_namespace.default_schema.table1:1;10;null;1!",
+      "default_namespace.default_schema.table1:2;20;x;2!",
+      "default_namespace.default_schema.table1:3;30;y;3!"))
+  }
+
+  test("explicit transform + schema evolution: unreferenced adds ignored, type changes flow through computed columns") {
+    // testExplicitTransformWithSchemaEvolution: an explicit column list
+    // pins the sink schema — adding an unreferenced upstream column is a
+    // no-op downstream — while an upstream ALTER of a REFERENCED column
+    // retypes the computed output (the derived AlterColumnTypeEvent the
+    // reference's SchemaDerivator emits).
+    val script = Seq(
+      CreateTableEvent(t1, info("col1" -> StringType, "v" -> IntegerType)),
+      DataChangeEvent.insert(t1, Row("1", 10)),
+      AddColumnEvent(t1, Seq((StructField("junk", StringType), ColumnPosition.Last))),
+      DataChangeEvent.insert(t1, Row("2", 20, "zzz")),
+      AlterColumnTypeEvent(t1, Map("v" -> DoubleType)),
+      DataChangeEvent.insert(t1, Row("3", 30.5, "zzz")))
+    val sink = new ValuesDatabase
+    val pd = yamlDef(transform =
+      """transform:
+        |  - source-table: default_namespace.default_schema.table1
+        |    projection: "col1, v + 1 AS v1"
+        |    primary-keys: col1
+        |""".stripMargin, behavior = "evolve")
+    new PipelineRunner(spark, pd, new ValuesSource(script), sink).run()
+    assert(sink.info(t1).get.fieldNames === Seq("col1", "v1"))
+    assert(sink.info(t1).get.schema("v1").dataType === DoubleType)
+    // rows 1–2 keep their arrival-time INT encoding (event-log semantics,
+    // same as the decimal-promotion ITCase); row 3 lands post-ALTER
+    assert(sink.results(t1).toSet === Set(
+      "default_namespace.default_schema.table1:1;11",
+      "default_namespace.default_schema.table1:2;21",
+      "default_namespace.default_schema.table1:3;31.5"))
+  }
+
   test("schema change behaviors: EVOLVE, IGNORE, EXCEPTION, TRY_EVOLVE") {
     def run(behavior: String): (ValuesDatabase, () => Unit) = {
       val script = Seq(
