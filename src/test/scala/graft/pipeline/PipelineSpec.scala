@@ -214,6 +214,28 @@ class PipelineSpec extends SparkSpec {
       "default_namespace.default_schema.table1:3;30;y;3!"))
   }
 
+  test("post-asterisk transform + schema evolution: star zone trails the computed head") {
+    // testPostAsteriskWithSchemaEvolution: under `computed, *` the star
+    // zone sits AFTER the computed head, and upstream adds land inside it
+    val script = Seq(
+      CreateTableEvent(t1, info("col1" -> StringType, "v" -> IntegerType)),
+      DataChangeEvent.insert(t1, Row("1", 10)),
+      AddColumnEvent(t1, Seq((StructField("extra", StringType), ColumnPosition.Last))),
+      DataChangeEvent.insert(t1, Row("2", 20, "x")))
+    val sink = new ValuesDatabase
+    val pd = yamlDef(transform =
+      """transform:
+        |  - source-table: default_namespace.default_schema.table1
+        |    projection: "col1 || '!' AS bang, *"
+        |    primary-keys: bang
+        |""".stripMargin, behavior = "evolve")
+    new PipelineRunner(spark, pd, new ValuesSource(script), sink).run()
+    assert(sink.info(t1).get.fieldNames === Seq("bang", "col1", "v", "extra"))
+    assert(sink.results(t1).toSet === Set(
+      "default_namespace.default_schema.table1:1!;1;10;null",
+      "default_namespace.default_schema.table1:2!;2;20;x"))
+  }
+
   test("explicit transform + schema evolution: unreferenced adds ignored, type changes flow through computed columns") {
     // testExplicitTransformWithSchemaEvolution: an explicit column list
     // pins the sink schema — adding an unreferenced upstream column is a
