@@ -236,6 +236,37 @@ class PipelineSpec extends SparkSpec {
       "default_namespace.default_schema.table1:2!;2;20;x"))
   }
 
+  test("hyphenated and reserved column names flow through transform and DDL") {
+    // testTransformWithColumnNameMap: `class` (reserved), `foo-bar`
+    // (hyphenated) survive backtick quoting in projection + filter, and
+    // positioned add / rename / drop of hyphenated names evolve through
+    val script = Seq(
+      CreateTableEvent(t1, TableInfo(
+        StructType(Seq(StructField("class", StringType),
+          StructField("foo-bar", IntegerType), StructField("bar-foo", IntegerType))),
+        primaryKeys = Seq("class"))),
+      DataChangeEvent.insert(t1, Row("class1", 1, 10)),
+      DataChangeEvent.insert(t1, Row("neg", -1, 10)), // filtered out
+      AddColumnEvent(t1, Seq((StructField("import-package", StringType),
+        ColumnPosition.After("bar-foo")))),
+      RenameColumnEvent(t1, Map("bar-foo" -> "bar-baz")),
+      DropColumnEvent(t1, Seq("bar-baz")),
+      DataChangeEvent.insert(t1, Row("class2", 2, "pkg2")))
+    val sink = new ValuesDatabase
+    val pd = yamlDef(transform =
+      """transform:
+        |  - source-table: default_namespace.default_schema.table1
+        |    projection: "*"
+        |    filter: "`foo-bar` > 0"
+        |    primary-keys: class
+        |""".stripMargin, behavior = "evolve")
+    new PipelineRunner(spark, pd, new ValuesSource(script), sink).run()
+    assert(sink.info(t1).get.fieldNames === Seq("class", "foo-bar", "import-package"))
+    assert(sink.results(t1).toSet === Set(
+      "default_namespace.default_schema.table1:class1;1;null",
+      "default_namespace.default_schema.table1:class2;2;pkg2"))
+  }
+
   test("explicit transform + schema evolution: unreferenced adds ignored, type changes flow through computed columns") {
     // testExplicitTransformWithSchemaEvolution: an explicit column list
     // pins the sink schema — adding an unreferenced upstream column is a
