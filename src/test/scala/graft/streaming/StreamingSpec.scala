@@ -109,6 +109,38 @@ class StreamingSpec extends SparkSpec {
       "db.users:1;a2;11", "db.users:2;b;null", "db.users:3;c;30"))
   }
 
+  test("wire ALTER through an explicit transform projection: sink schema stays pinned") {
+    // streaming integration of the runner's derived-DDL layering: an
+    // upstream ADD COLUMN arriving on the wire is a no-op downstream when
+    // the transform's explicit projection doesn't reference it, while
+    // post-DDL rows (now carrying the column) still decode and project
+    val dir = java.nio.file.Files.createTempDirectory("dbz_tddl").toFile
+    val lines = Seq(
+      """{"before":null,"after":{"id":1,"v":"a"},"op":"c","ts_ms":1,"source":{"db":"db","table":"users"}}""",
+      """{"source":{"db":"db","table":"users"},"ddl":"ALTER TABLE `db`.`users` ADD COLUMN `age` INT","tableChanges":[]}""",
+      """{"before":null,"after":{"id":2,"v":"b","age":30},"op":"c","ts_ms":2,"source":{"db":"db","table":"users"}}""")
+    java.nio.file.Files.write(new java.io.File(dir, "feed.json").toPath,
+      lines.mkString("\n").getBytes("UTF-8"))
+    val tpd = graft.pipeline.YamlPipelineParser.parse(
+      """source: { type: values }
+        |sink: { type: values }
+        |transform:
+        |  - source-table: db.users
+        |    projection: "id, upper(v) AS vu"
+        |    primary-keys: id
+        |pipeline: { schema.change.behavior: evolve }
+        |""".stripMargin)
+    val sink = new ValuesDatabase
+    val sp = new StreamingPipeline(spark, tpd, sink)
+    val q = sp.startFromDebeziumJson(
+      StreamingPipeline.fileJsonStream(spark, dir.getAbsolutePath), tid, tableInfo)
+    q.awaitTermination(60000)
+    // upstream plane evolved; the projected sink schema did not
+    assert(sp.upstream.evolvedInfo(tid).get.fieldNames === Seq("id", "v", "age"))
+    assert(sink.info(tid).get.fieldNames === Seq("id", "vu"))
+    assert(sink.results(tid).toSet === Set("db.users:1;A", "db.users:2;B"))
+  }
+
   test("wire DDL + checkpoint restart: evolved schema survives, only new data processes") {
     val dir = java.nio.file.Files.createTempDirectory("dbz_ddl_cp").toFile
     val feed = new java.io.File(dir, "feed"); feed.mkdirs()
