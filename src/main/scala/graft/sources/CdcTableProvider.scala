@@ -5,7 +5,8 @@ import graft.model.{CreateTableEvent, TableId}
 import org.apache.spark.sql.SQLContext
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, TableScan}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -135,7 +136,8 @@ object CdcTableProvider {
       s"graft-cdc(${Option(options.get("path")).getOrElse("?")})"
     override def schema(): StructType = tableSchema
     override def capabilities(): java.util.Set[TableCapability] =
-      java.util.EnumSet.of(TableCapability.BATCH_READ)
+      java.util.EnumSet.of(
+        TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
     override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder = {
       val path = Option(options.get("path")).getOrElse(
@@ -145,6 +147,8 @@ object CdcTableProvider {
       new ScanBuilder {
         override def build(): Scan = new V1Scan {
           override def readSchema(): StructType = fullSchema
+          override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+            new CdcMicroBatchStream(path, payload, options)
           override def toV1TableScan[T <: BaseRelation with TableScan](
               context: SQLContext): T =
             new BaseRelation with TableScan {
@@ -192,6 +196,160 @@ object CdcTableProvider {
               }
             }.asInstanceOf[T]
         }
+      }
+    }
+  }
+
+  /** List a feed directory's data files in name order — the feed's event
+    * order contract (files append with later-sorting names, rows ordered
+    * within a file). Shared by the batch scan's ordering and the stream's
+    * file-granular offsets.
+    */
+  private def listFeedFiles(path: String): Seq[String] = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (fs.getFileStatus(hp).isDirectory)
+      fs.listStatus(hp).filter(_.isFile)
+        .map(_.getPath)
+        .filterNot(_.getName.startsWith("_"))
+        .filterNot(_.getName.startsWith("."))
+        .map(_.toString).sorted.toSeq
+    else Seq(path)
+  }
+
+  private final case class FilesOffset(n: Int) extends Offset {
+    override def json(): String = s"""{"files":$n}"""
+  }
+
+  /** `readStream.format("graft-cdc")` — the streaming face of the same
+    * relation (the reference's table source IS a streaming scan,
+    * ChangelogMode.all()). Offsets are file-granular over the name-sorted
+    * feed directory (Spark's own FileStreamSource model): an offset is
+    * the count of files consumed, so checkpoint resume replays from the
+    * first unconsumed file. `__seq` is `(fileIdx << 33) | lineNo` —
+    * totally ordered like the batch relation's zipWithIndex, stable
+    * across retries and restarts.
+    *
+    * Startup modes: `initial`/`earliest-offset` read the whole feed;
+    * `latest-offset` starts past the files present at query start;
+    * `specific-offset.pos` skips rows below the given `__seq`;
+    * `timestamp` skips rows whose envelope `ts_ms` predates the cutoff.
+    * Structured binlog coordinates need the batch relation's raw-JSON
+    * predicates or [[graft.streaming.StreamingPipeline]].
+    */
+  private final class CdcMicroBatchStream(
+      path: String,
+      payload: StructType,
+      options: CaseInsensitiveStringMap) extends MicroBatchStream {
+    import scala.jdk.CollectionConverters._
+
+    private val (startLatest, minSeq, minTs) =
+      StartupMode.fromOptions(options.asCaseSensitiveMap().asScala.toMap) match {
+        case StartupMode.Initial | StartupMode.Earliest =>
+          (false, Long.MinValue, Long.MinValue)
+        case StartupMode.Latest => (true, Long.MinValue, Long.MinValue)
+        case StartupMode.SpecificOffset(pos) => (false, pos, Long.MinValue)
+        case StartupMode.AtTimestamp(ts) => (false, Long.MinValue, ts)
+        case other => throw new IllegalArgumentException(
+          s"graft-cdc stream does not support $other — structured binlog " +
+            "resume needs the batch relation's raw-JSON predicates or " +
+            "graft.streaming.StreamingPipeline")
+      }
+
+    override def initialOffset(): Offset =
+      FilesOffset(if (startLatest) listFeedFiles(path).size else 0)
+    override def latestOffset(): Offset = FilesOffset(listFeedFiles(path).size)
+    override def deserializeOffset(json: String): Offset =
+      FilesOffset("""\d+""".r.findFirstIn(json).getOrElse(
+        throw new IllegalArgumentException(s"bad graft-cdc offset: $json")).toInt)
+
+    override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+      val s = start.asInstanceOf[FilesOffset].n
+      val e = end.asInstanceOf[FilesOffset].n
+      val fs = listFeedFiles(path)
+      (s until math.min(e, fs.size))
+        .map(i => CdcFilePartition(fs(i), i, minSeq, minTs): InputPartition).toArray
+    }
+
+    override def createReaderFactory(): PartitionReaderFactory =
+      new CdcReaderFactory(payload)
+    override def commit(end: Offset): Unit = ()
+    override def stop(): Unit = ()
+  }
+
+  private final case class CdcFilePartition(
+      file: String, fileIdx: Int, minSeq: Long, minTs: Long) extends InputPartition
+
+  /** One reader per feed file: parse each JSON line with the same
+    * catalyst Jackson machinery `from_json` uses, then explode the
+    * envelope to changelog rows exactly like `Changelog.explode` —
+    * an image row is emitted only when that image exists, unknown/null
+    * ops decode as REPLACE (so schema-change envelopes, which carry no
+    * images, vanish), and an update yields its -U/+U pair sharing one
+    * `__seq`.
+    */
+  private final class CdcReaderFactory(payload: StructType)
+      extends PartitionReaderFactory {
+    override def createReader(p: InputPartition)
+        : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+      import org.apache.spark.unsafe.types.UTF8String
+      val fp = p.asInstanceOf[CdcFilePartition]
+      new PartitionReader[InternalRow] {
+        private val parser = new org.apache.spark.sql.graft.JsonLineParser(
+          DebeziumJson.envelopeSchema(payload))
+        private val reader = {
+          val hp = new org.apache.hadoop.fs.Path(fp.file)
+          val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          new java.io.BufferedReader(
+            new java.io.InputStreamReader(fs.open(hp), "UTF-8"))
+        }
+        private var lineNo = -1L
+        private val pending = scala.collection.mutable.Queue.empty[InternalRow]
+
+        private def emit(env: InternalRow, seq: Long): Unit = {
+          // envelope field order: before(0), after(1), op(2), ts_ms(3), source(4)
+          if (fp.minTs != Long.MinValue &&
+            (env.isNullAt(3) || env.getLong(3) < fp.minTs)) return
+          val op = if (env.isNullAt(2)) null else env.getUTF8String(2).toString
+          def img(i: Int): InternalRow =
+            if (env.isNullAt(i)) null else env.getStruct(i, payload.length)
+          def out(tag: String, image: InternalRow): Unit = {
+            val row = new GenericInternalRow(payload.length + 2)
+            var i = 0
+            while (i < payload.length) {
+              row.update(i,
+                if (image.isNullAt(i)) null else image.get(i, payload(i).dataType))
+              i += 1
+            }
+            row.update(payload.length, UTF8String.fromString(tag))
+            row.update(payload.length + 1, seq)
+            pending += row
+          }
+          op match {
+            case "c" | "r" => if (img(1) != null) out("+I", img(1))
+            case "u" =>
+              if (img(0) != null) out("-U", img(0))
+              if (img(1) != null) out("+U", img(1))
+            case "d" => if (img(0) != null) out("-D", img(0))
+            case _ => if (img(1) != null) out("+R", img(1))
+          }
+        }
+
+        override def next(): Boolean = {
+          while (pending.isEmpty) {
+            val line = reader.readLine()
+            if (line == null) return false
+            lineNo += 1
+            val seq = (fp.fileIdx.toLong << 33) | lineNo
+            if (seq >= fp.minSeq)
+              parser.parse(line).foreach(emit(_, seq))
+          }
+          true
+        }
+        override def get(): InternalRow = pending.dequeue()
+        override def close(): Unit = reader.close()
       }
     }
   }

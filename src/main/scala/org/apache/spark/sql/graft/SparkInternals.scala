@@ -19,3 +19,28 @@ object SparkInternals {
   def parseExpression(spark: SparkSession, sql: String): Expression =
     spark.sessionState.sqlParser.parseExpression(sql)
 }
+
+/** Executor-side JSON-line → InternalRow parser over the SAME machinery
+  * `from_json` uses (catalyst's JacksonParser — `private[sql]`, hence
+  * this bridge). Serializable; the parser itself builds lazily per
+  * executor. Used by the `graft-cdc` micro-batch stream, whose
+  * PartitionReader cannot express decoding as a DataFrame projection.
+  */
+final class JsonLineParser(schema: org.apache.spark.sql.types.StructType)
+    extends Serializable {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.json.{CreateJacksonParser, JSONOptions, JacksonParser}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  @transient private lazy val parser =
+    new JacksonParser(schema, new JSONOptions(Map.empty[String, String], "UTC"),
+      allowArrayAsStructs = false)
+
+  /** Rows parsed from one JSON line; empty on malformed input (a CDC
+    * reader skips garbage rather than dying — the PERMISSIVE contract).
+    */
+  def parse(line: String): Seq[InternalRow] =
+    try parser.parse(line, CreateJacksonParser.string _,
+      (s: String) => UTF8String.fromString(s)).toSeq
+    catch { case _: Exception => Nil }
+}

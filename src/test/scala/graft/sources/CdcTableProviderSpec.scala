@@ -153,4 +153,55 @@ class CdcTableProviderSpec extends SparkSpec {
       "scan.startup.mode" -> "latest-offset").collect())
     assert(e2.getMessage.contains("stream concepts"))
   }
+
+  test("readStream(graft-cdc): micro-batch stream matches the batch relation") {
+    val dir = java.nio.file.Files.createTempDirectory("cdc_dsv2_stream").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "f0.json").toPath,
+      feed.take(2).mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(new java.io.File(dir, "f1.json").toPath,
+      feed.drop(2).mkString("\n").getBytes("UTF-8"))
+    val ddl = "CREATE TABLE users (id BIGINT PRIMARY KEY, v VARCHAR(32))"
+    val stream = spark.readStream.format("graft-cdc")
+      .option("path", dir.getAbsolutePath).option("schema.ddl", ddl).load()
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("cdc_stream_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("cdc_stream_out")
+      .select(col("id"), col("v"), col("__op"), col("__seq"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val batch = spark.read.format("graft-cdc")
+      .option("path", dir.getAbsolutePath).option("schema.ddl", ddl).load()
+      .select(col("id"), col("v"), col("__op"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    // same exploded multiset as the batch relation
+    assert(got.sorted === batch.sorted)
+    // __seq orders rows as (file, line): the f1 rows sort past the f0 rows
+    val seqs = spark.table("cdc_stream_out").orderBy(col("__seq"))
+      .select(col("__op")).collect().map(_.getString(0)).toSeq
+    assert(seqs === Seq("+I", "-U", "+U", "+I", "-D"))
+  }
+
+  test("readStream(graft-cdc): latest-offset starts past existing files") {
+    val dir = java.nio.file.Files.createTempDirectory("cdc_dsv2_latest").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "f0.json").toPath,
+      feed.take(2).mkString("\n").getBytes("UTF-8"))
+    val ddl = "CREATE TABLE users (id BIGINT PRIMARY KEY, v VARCHAR(32))"
+    val stream = spark.readStream.format("graft-cdc")
+      .option("path", dir.getAbsolutePath).option("schema.ddl", ddl)
+      .option("scan.startup.mode", "latest-offset").load()
+    val q = stream.writeStream.format("memory").queryName("cdc_latest_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50)).start()
+    // first pass pins the initial offset PAST the file present at start
+    q.processAllAvailable()
+    assert(spark.table("cdc_latest_out").isEmpty)
+    // a file arriving after start is new data
+    java.nio.file.Files.write(new java.io.File(dir, "f1.json").toPath,
+      feed.drop(2).mkString("\n").getBytes("UTF-8"))
+    q.processAllAvailable()
+    q.stop()
+    val ops = spark.table("cdc_latest_out").orderBy(col("__seq"))
+      .select(col("__op")).collect().map(_.getString(0)).toSeq
+    assert(ops === Seq("+I", "-D")) // only f1's insert+delete
+  }
 }
