@@ -29,12 +29,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * spark.sql("SELECT count(*) FROM users_changelog WHERE __op = '-D'")
   * }}}
   *
-  * The scan goes through the `V1Scan` bridge so decoding stays the same
-  * declarative `DebeziumJson.decode` → `Changelog.explode` projection
-  * every other front end uses (one codegen'd JSON parse per record — no
-  * hand-rolled row reader to drift out of sync), and Catalyst still
-  * prunes/pushes over the resulting plan. Batch reads only: streams with
-  * wire DDL, schema planes, and checkpoint resume belong to
+  * The batch scan goes through the `V1Scan` bridge so decoding stays the
+  * same declarative `DebeziumJson.decode` → `Changelog.explode`
+  * projection every other front end uses (one codegen'd JSON parse per
+  * record — no hand-rolled row reader to drift out of sync), and
+  * Catalyst still prunes/pushes over the resulting plan.
+  * `spark.readStream` works too ([[CdcTableProvider.CdcMicroBatchStream]]:
+  * file-granular offsets, checkpoint resume, latest-offset startup);
+  * pipelines needing wire DDL and schema planes belong to
   * [[graft.streaming.StreamingPipeline]], which this provider does not
   * duplicate.
   *
