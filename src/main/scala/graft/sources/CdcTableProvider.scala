@@ -6,7 +6,7 @@ import org.apache.spark.sql.SQLContext
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, V1Scan}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, TableScan}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -97,6 +97,16 @@ object CdcTableProvider {
       StructField(Changelog.OpCol, StringType) :+
       StructField(Changelog.SeqCol, LongType, nullable = false))
 
+  /** Wire format of the feed (`format` option): the three envelope
+    * families the codecs cover. Defaults to debezium-json.
+    */
+  private[sources] def wireFormat(options: CaseInsensitiveStringMap): String =
+    Option(options.get("format")).getOrElse("debezium-json") match {
+      case f @ ("debezium-json" | "canal-json" | "mongo-json") => f
+      case other => throw new IllegalArgumentException(
+        s"graft-cdc format must be debezium-json | canal-json | mongo-json, got: $other")
+    }
+
   /** Apply `scan.startup.*` as a predicate over the raw (value, __seq)
     * frame, before any decode — codegen'd `get_json_object` probes, no
     * extra pass. See the provider scaladoc for the mode x coordinate
@@ -108,11 +118,16 @@ object CdcTableProvider {
     import org.apache.spark.sql.functions._
     import scala.jdk.CollectionConverters._
     val opts = options.asCaseSensitiveMap().asScala.toMap
+    val format = wireFormat(options)
     StartupMode.fromOptions(opts) match {
       case StartupMode.Initial | StartupMode.Earliest => json
       case StartupMode.SpecificOffset(pos) =>
         json.where(col(Changelog.SeqCol) >= pos)
       case StartupMode.AtBinlogOffset(o) =>
+        if (format != "debezium-json")
+          throw new IllegalArgumentException(
+            s"binlog coordinates are a debezium concept; $format feeds resume " +
+              "by scalar pos (or a mongo resume token via StreamingPipeline)")
         if (o.file.isEmpty)
           throw new IllegalArgumentException("graft-cdc specific-offset " +
             "needs scan.startup.specific-offset.file + .pos (gtid-set-only " +
@@ -120,10 +135,18 @@ object CdcTableProvider {
         json.where(Offsets.binlogAtOrAfter(
           get_json_object(col("value"), "$.source.file"),
           get_json_object(col("value"), "$.source.pos").cast(LongType), o))
-      case StartupMode.AtTimestamp(ts) =>
-        json.where(coalesce(
-          get_json_object(col("value"), "$.source.ts_ms"),
-          get_json_object(col("value"), "$.ts_ms")).cast(LongType) >= ts)
+      case StartupMode.AtTimestamp(ts) => format match {
+        case "debezium-json" =>
+          json.where(coalesce(
+            get_json_object(col("value"), "$.source.ts_ms"),
+            get_json_object(col("value"), "$.ts_ms")).cast(LongType) >= ts)
+        case "mongo-json" =>
+          json.where(
+            get_json_object(col("value"), "$.clusterTime").cast(LongType) >= ts)
+        case _ => throw new IllegalArgumentException(
+          "canal-json envelopes carry no event timestamp this codec decodes; " +
+            "use scalar pos startup")
+      }
       case other => throw new IllegalArgumentException(
         s"graft-cdc batch relation does not support scan.startup.mode for $other " +
           "(snapshot/latest-offset are stream concepts)")
@@ -190,10 +213,20 @@ object CdcTableProvider {
                   StructField(Changelog.SeqCol, LongType, nullable = false))))
                 // one deterministic seq per line, shared by an update's
                 // -U/+U pair (they explode from one envelope)
-                val paired = DebeziumJson.decode(
-                  startupFiltered(json, options), "value", payload,
-                  seqCol = Some(Changelog.SeqCol))
-                  .drop("__table").drop(Changelog.MetaCol)
+                val filtered = startupFiltered(json, options)
+                val paired = wireFormat(options) match {
+                  case "debezium-json" =>
+                    DebeziumJson.decode(filtered, "value", payload,
+                      seqCol = Some(Changelog.SeqCol))
+                      .drop("__table").drop(Changelog.MetaCol)
+                  case "canal-json" =>
+                    graft.cdc.CanalJson.decode(filtered, "value", payload,
+                      seqCol = Some(Changelog.SeqCol)).drop("__table")
+                  case "mongo-json" =>
+                    graft.cdc.MongoChangeStreamJson.decode(filtered, "value",
+                      payload, seqCol = Some(Changelog.SeqCol))
+                      .drop("__db", "__table", "__resume_token")
+                }
                 Changelog.explode(paired).rdd
               }
             }.asInstanceOf[T]
@@ -242,16 +275,41 @@ object CdcTableProvider {
   private final class CdcMicroBatchStream(
       path: String,
       payload: StructType,
-      options: CaseInsensitiveStringMap) extends MicroBatchStream {
+      options: CaseInsensitiveStringMap)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
     import scala.jdk.CollectionConverters._
 
+    // Trigger.AvailableNow pins the end of the feed at query start;
+    // maxFilesPerTrigger paces batches below it (FileStreamSource's knobs)
+    @volatile private var availableNowTarget: Option[Int] = None
+    override def prepareForTriggerAvailableNow(): Unit =
+      availableNowTarget = Some(listFeedFiles(path).size)
+    override def getDefaultReadLimit: ReadLimit =
+      Option(options.get("maxFilesPerTrigger"))
+        .map(n => ReadLimit.maxFiles(n.toInt)).getOrElse(ReadLimit.allAvailable())
+    override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+      val ceiling = availableNowTarget.fold(listFeedFiles(path).size)(
+        math.min(listFeedFiles(path).size, _))
+      limit match {
+        case mf: ReadMaxFiles =>
+          FilesOffset(math.min(ceiling, start.asInstanceOf[FilesOffset].n + mf.maxFiles()))
+        case _ => FilesOffset(ceiling)
+      }
+    }
+    override def reportLatestOffset(): Offset = FilesOffset(listFeedFiles(path).size)
+
+    private val format = wireFormat(options)
     private val (startLatest, minSeq, minTs) =
       StartupMode.fromOptions(options.asCaseSensitiveMap().asScala.toMap) match {
         case StartupMode.Initial | StartupMode.Earliest =>
           (false, Long.MinValue, Long.MinValue)
         case StartupMode.Latest => (true, Long.MinValue, Long.MinValue)
         case StartupMode.SpecificOffset(pos) => (false, pos, Long.MinValue)
-        case StartupMode.AtTimestamp(ts) => (false, Long.MinValue, ts)
+        case StartupMode.AtTimestamp(ts) =>
+          if (format == "canal-json") throw new IllegalArgumentException(
+            "canal-json envelopes carry no event timestamp this codec decodes; " +
+              "use scalar pos startup")
+          (false, Long.MinValue, ts)
         case other => throw new IllegalArgumentException(
           s"graft-cdc stream does not support $other — structured binlog " +
             "resume needs the batch relation's raw-JSON predicates or " +
@@ -274,7 +332,7 @@ object CdcTableProvider {
     }
 
     override def createReaderFactory(): PartitionReaderFactory =
-      new CdcReaderFactory(payload)
+      new CdcReaderFactory(payload, format)
     override def commit(end: Offset): Unit = ()
     override def stop(): Unit = ()
   }
@@ -284,13 +342,16 @@ object CdcTableProvider {
 
   /** One reader per feed file: parse each JSON line with the same
     * catalyst Jackson machinery `from_json` uses, then explode the
-    * envelope to changelog rows exactly like `Changelog.explode` —
+    * envelope to changelog rows exactly like the batch relation's
+    * `decode` → `Changelog.explode` pipeline for the feed's wire format —
     * an image row is emitted only when that image exists, unknown/null
     * ops decode as REPLACE (so schema-change envelopes, which carry no
-    * images, vanish), and an update yields its -U/+U pair sharing one
-    * `__seq`.
+    * images, vanish), updates yield their -U/+U pair sharing one `__seq`,
+    * canal multi-row messages explode positionally against `old`, and
+    * mongo delete-raced updates (null post-image) drop. Stream == batch
+    * parity is pinned by CdcTableProviderSpec for every format.
     */
-  private final class CdcReaderFactory(payload: StructType)
+  private final class CdcReaderFactory(payload: StructType, format: String)
       extends PartitionReaderFactory {
     override def createReader(p: InputPartition)
         : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
@@ -299,8 +360,11 @@ object CdcTableProvider {
       import org.apache.spark.unsafe.types.UTF8String
       val fp = p.asInstanceOf[CdcFilePartition]
       new PartitionReader[InternalRow] {
-        private val parser = new org.apache.spark.sql.graft.JsonLineParser(
-          DebeziumJson.envelopeSchema(payload))
+        private val parser = new org.apache.spark.sql.graft.JsonLineParser(format match {
+          case "debezium-json" => DebeziumJson.envelopeSchema(payload)
+          case "canal-json" => graft.cdc.CanalJson.envelopeSchema(payload)
+          case "mongo-json" => graft.cdc.MongoChangeStreamJson.envelopeSchema(payload)
+        })
         private val reader = {
           val hp = new org.apache.hadoop.fs.Path(fp.file)
           val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
@@ -310,32 +374,75 @@ object CdcTableProvider {
         private var lineNo = -1L
         private val pending = scala.collection.mutable.Queue.empty[InternalRow]
 
-        private def emit(env: InternalRow, seq: Long): Unit = {
-          // envelope field order: before(0), after(1), op(2), ts_ms(3), source(4)
+        private def out(tag: String, image: InternalRow, seq: Long): Unit = {
+          val row = new GenericInternalRow(payload.length + 2)
+          var i = 0
+          while (i < payload.length) {
+            row.update(i,
+              if (image.isNullAt(i)) null else image.get(i, payload(i).dataType))
+            i += 1
+          }
+          row.update(payload.length, UTF8String.fromString(tag))
+          row.update(payload.length + 1, seq)
+          pending += row
+        }
+
+        // debezium: before(0), after(1), op(2), ts_ms(3), source(4)
+        private def emitDebezium(env: InternalRow, seq: Long): Unit = {
           if (fp.minTs != Long.MinValue &&
             (env.isNullAt(3) || env.getLong(3) < fp.minTs)) return
           val op = if (env.isNullAt(2)) null else env.getUTF8String(2).toString
           def img(i: Int): InternalRow =
             if (env.isNullAt(i)) null else env.getStruct(i, payload.length)
-          def out(tag: String, image: InternalRow): Unit = {
-            val row = new GenericInternalRow(payload.length + 2)
-            var i = 0
-            while (i < payload.length) {
-              row.update(i,
-                if (image.isNullAt(i)) null else image.get(i, payload(i).dataType))
-              i += 1
-            }
-            row.update(payload.length, UTF8String.fromString(tag))
-            row.update(payload.length + 1, seq)
-            pending += row
-          }
           op match {
-            case "c" | "r" => if (img(1) != null) out("+I", img(1))
+            case "c" | "r" => if (img(1) != null) out("+I", img(1), seq)
             case "u" =>
-              if (img(0) != null) out("-U", img(0))
-              if (img(1) != null) out("+U", img(1))
-            case "d" => if (img(0) != null) out("-D", img(0))
-            case _ => if (img(1) != null) out("+R", img(1))
+              if (img(0) != null) out("-U", img(0), seq)
+              if (img(1) != null) out("+U", img(1), seq)
+            case "d" => if (img(0) != null) out("-D", img(0), seq)
+            case _ => if (img(1) != null) out("+R", img(1), seq)
+          }
+        }
+
+        // canal: old(0), data(1), type(2), database(3), table(4), pkNames(5)
+        private def emitCanal(env: InternalRow, seq: Long): Unit = {
+          if (env.isNullAt(1)) return
+          val data = env.getArray(1)
+          val old = if (env.isNullAt(0)) null else env.getArray(0)
+          val tpe = if (env.isNullAt(2)) null else env.getUTF8String(2).toString
+          var i = 0
+          while (i < data.numElements()) {
+            if (!data.isNullAt(i)) {
+              val row = data.getStruct(i, payload.length)
+              tpe match {
+                case "INSERT" => out("+I", row, seq)
+                case "DELETE" => out("-D", row, seq) // canal DELETEs carry before in data
+                case "UPDATE" =>
+                  if (old != null && i < old.numElements() && !old.isNullAt(i))
+                    out("-U", old.getStruct(i, payload.length), seq)
+                  out("+U", row, seq)
+                case _ => out("+R", row, seq)
+              }
+            }
+            i += 1
+          }
+        }
+
+        // mongo: _id(0), operationType(1), clusterTime(2), fullDocument(3),
+        // documentKey(4), ns(5)
+        private def emitMongo(env: InternalRow, seq: Long): Unit = {
+          if (fp.minTs != Long.MinValue &&
+            (env.isNullAt(2) || env.getLong(2) < fp.minTs)) return
+          val op = if (env.isNullAt(1)) null else env.getUTF8String(1).toString
+          def img(i: Int): InternalRow =
+            if (env.isNullAt(i)) null else env.getStruct(i, payload.length)
+          op match {
+            case "insert" => if (img(3) != null) out("+I", img(3), seq)
+            case "update" | "replace" =>
+              // delete-raced lookup: no post-image to apply — drop
+              if (img(3) != null) out("+R", img(3), seq)
+            case "delete" => if (img(4) != null) out("-D", img(4), seq)
+            case _ => () // invalidate/drop/rename collection signals
           }
         }
 
@@ -346,7 +453,13 @@ object CdcTableProvider {
             lineNo += 1
             val seq = (fp.fileIdx.toLong << 33) | lineNo
             if (seq >= fp.minSeq)
-              parser.parse(line).foreach(emit(_, seq))
+              parser.parse(line).foreach { env =>
+                format match {
+                  case "debezium-json" => emitDebezium(env, seq)
+                  case "canal-json" => emitCanal(env, seq)
+                  case "mongo-json" => emitMongo(env, seq)
+                }
+              }
           }
           true
         }

@@ -162,11 +162,14 @@ class CdcTableProviderSpec extends SparkSpec {
       feed.drop(2).mkString("\n").getBytes("UTF-8"))
     val ddl = "CREATE TABLE users (id BIGINT PRIMARY KEY, v VARCHAR(32))"
     val stream = spark.readStream.format("graft-cdc")
-      .option("path", dir.getAbsolutePath).option("schema.ddl", ddl).load()
+      .option("path", dir.getAbsolutePath).option("schema.ddl", ddl)
+      .option("maxFilesPerTrigger", "1").load()
     assert(stream.isStreaming)
     val q = stream.writeStream.format("memory").queryName("cdc_stream_out")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination(60000)
+    // admission control paced the run: one file per micro-batch
+    assert(q.recentProgress.count(_.numInputRows > 0) === 2)
     val got = spark.table("cdc_stream_out")
       .select(col("id"), col("v"), col("__op"), col("__seq"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
@@ -180,6 +183,50 @@ class CdcTableProviderSpec extends SparkSpec {
     val seqs = spark.table("cdc_stream_out").orderBy(col("__seq"))
       .select(col("__op")).collect().map(_.getString(0)).toSeq
     assert(seqs === Seq("+I", "-U", "+U", "+I", "-D"))
+  }
+
+  test("format option: canal-json and mongo-json serve the same relation, stream == batch") {
+    val canalFeed = Seq(
+      """{"old":null,"data":[{"id":1,"v":"a"},{"id":2,"v":"b"}],"type":"INSERT","database":"db","table":"users","pkNames":["id"]}""",
+      """{"old":[{"id":1,"v":"a"}],"data":[{"id":1,"v":"a2"}],"type":"UPDATE","database":"db","table":"users","pkNames":["id"]}""",
+      """{"old":null,"data":[{"id":2,"v":"b"}],"type":"DELETE","database":"db","table":"users","pkNames":["id"]}""")
+    val mongoFeed = Seq(
+      """{"_id":{"_data":"t1"},"operationType":"insert","clusterTime":1,"fullDocument":{"id":1,"v":"a"},"documentKey":{"id":1},"ns":{"db":"db","coll":"users"}}""",
+      """{"_id":{"_data":"t2"},"operationType":"update","clusterTime":2,"fullDocument":{"id":1,"v":"a2"},"documentKey":{"id":1},"ns":{"db":"db","coll":"users"}}""",
+      """{"_id":{"_data":"t3"},"operationType":"update","clusterTime":3,"fullDocument":null,"documentKey":{"id":9},"ns":{"db":"db","coll":"users"}}""",
+      """{"_id":{"_data":"t4"},"operationType":"delete","clusterTime":4,"fullDocument":null,"documentKey":{"id":1},"ns":{"db":"db","coll":"users"}}""",
+      """{"_id":{"_data":"t5"},"operationType":"drop","clusterTime":5,"fullDocument":null,"documentKey":null,"ns":{"db":"db","coll":"users"}}""")
+    val ddl = "CREATE TABLE users (id BIGINT PRIMARY KEY, v VARCHAR(32))"
+    def batchOps(fmt: String, path: String) = spark.read.format("graft-cdc")
+      .option("path", path).option("schema.ddl", ddl).option("format", fmt).load()
+      .select(col("id"), col("v"), col("__op"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("<null>"),
+        r.getString(2))).toSeq
+    def streamOps(fmt: String, path: String, name: String) = {
+      val q = spark.readStream.format("graft-cdc")
+        .option("path", path).option("schema.ddl", ddl).option("format", fmt).load()
+        .writeStream.format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      spark.table(name).select(col("id"), col("v"), col("__op"))
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("<null>"),
+          r.getString(2))).toSeq
+    }
+    val canalPath = writeFeed(canalFeed)
+    val canalBatch = batchOps("canal-json", canalPath)
+    // multi-row INSERT explodes both rows; UPDATE pairs old positionally
+    assert(canalBatch.sorted === Seq(
+      (1L, "a", "+I"), (2L, "b", "+I"),
+      (1L, "a", "-U"), (1L, "a2", "+U"),
+      (2L, "b", "-D")).sorted)
+    assert(streamOps("canal-json", canalPath, "canal_stream_out").sorted === canalBatch.sorted)
+    val mongoPath = writeFeed(mongoFeed)
+    val mongoBatch = batchOps("mongo-json", mongoPath)
+    // raced update (null post-image) and the collection drop signal vanish;
+    // the delete carries only its key fields
+    assert(mongoBatch.sorted === Seq(
+      (1L, "a", "+I"), (1L, "a2", "+R"), (1L, "<null>", "-D")).sorted)
+    assert(streamOps("mongo-json", mongoPath, "mongo_stream_out").sorted === mongoBatch.sorted)
   }
 
   test("readStream(graft-cdc): latest-offset starts past existing files") {
