@@ -521,13 +521,25 @@ object ReferenceDialect {
     case d @ Divide(a, b, _) =>
       numericOperand(Seq(a, b), schema) match {
         case Some(t) if Seq(ByteType, ShortType, IntegerType, LongType).contains(t) =>
-          legacy(IntegralDivide(a, b), t)
+          // sub-int operands compute and return INT (Java binary numeric
+          // promotion — the reference's Janino codegen; its own ITCase
+          // schemas type `tinyint / 2` as INT)
+          legacy(IntegralDivide(a, b),
+            if (t == ByteType || t == ShortType) IntegerType else t)
         case Some(FloatType) => legacy(d, FloatType)
         case _ => d
       }
     case e @ (_: Add | _: Subtract | _: Multiply | _: Remainder)
         if numericOperand(e.children, schema).contains(FloatType) =>
       legacy(e, FloatType)
+    // TINYINT/SMALLINT arithmetic runs at Java int precision in the
+    // reference (binary numeric promotion): `age * age` on TINYINT 15 is
+    // 225, not an overflow — promote the operands so Spark's ANSI
+    // small-int arithmetic can't throw where the reference succeeds
+    case e @ (_: Add | _: Subtract | _: Multiply | _: Remainder)
+        if numericOperand(e.children, schema)
+          .exists(t => t == ByteType || t == ShortType) =>
+      e.withNewChildren(e.children.map(c => legacy(c, IntegerType)))
 
     // ---- lenient CAST + encoded-type casts ----
     case Cast(child, dt, _, _) =>

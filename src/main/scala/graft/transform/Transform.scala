@@ -82,11 +82,16 @@ final class TransformEngine(
   private def remap(e: Expression, image: String): Expression = e.transformUp {
     // __data_event_type__ is IMAGE-dependent: the before image of an
     // UPDATE reads -U while its after image reads +U (the reference
-    // stamps the changelog kind per RecordData side)
+    // stamps the changelog kind per RecordData side). The Alias keeps
+    // the metadata name when the column is projected bare — without it
+    // the struct field gets a synthetic name and the sink's by-name
+    // coercion null-fills it.
     case UnresolvedAttribute(Seq(MetadataColumns.DataEventType)) =>
-      SparkInternals.expression(concat(
-        lit(if (image == graft.cdc.Changelog.BeforeCol) "-" else "+"),
-        col(graft.cdc.Changelog.OpCol)))
+      org.apache.spark.sql.catalyst.expressions.Alias(
+        SparkInternals.expression(concat(
+          lit(if (image == graft.cdc.Changelog.BeforeCol) "-" else "+"),
+          col(graft.cdc.Changelog.OpCol))),
+        MetadataColumns.DataEventType)()
     case UnresolvedAttribute(parts)
         if !MetadataColumns.all(parts.head) && !metadataKeys.contains(parts.head) =>
       UnresolvedAttribute(image +: parts)
