@@ -165,6 +165,8 @@ final class ValuesDatabase extends DataSink {
   private def render(v: Any): String = v match {
     case null => "null"
     case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
+    // plain form: BigDecimal.toString turns 0 at scale 10 into "0E-10"
+    case d: java.math.BigDecimal => d.toPlainString
     case other => other.toString
   }
 

@@ -564,6 +564,12 @@ object ReferenceDialect {
         case (Some(StringType), t) if integral.contains(t) =>
           // Java parse-then-narrow: '2.22'->2, '333'->TINYINT 77
           legacy(legacy(legacy(child, DoubleType), LongType), t)
+        case (Some(FloatType), d: DecimalType) =>
+          // BigDecimal.valueOf(float) semantics: the reference converts a
+          // FLOAT through its shortest decimal rendering, so 6.7f becomes
+          // DECIMAL 6.7000000000 — not 6.6999998093 (the exact binary
+          // value Spark's float->decimal double-path would keep)
+          legacy(legacy(child, StringType), d)
         case (Some(StringType), BooleanType) =>
           // Boolean.parseBoolean: anything but 'true' is false
           EqualTo(fn("lower", child), sLit("true"))
@@ -620,12 +626,21 @@ object ReferenceDialect {
         fn("parse_json", Cast(f.arguments.head, StringType))
       case "try_parse_json" =>
         fn("try_parse_json", Cast(f.arguments.head, StringType))
-      case "ceil" | "floor" if f.arguments.length == 1 =>
+      case "ceil" | "ceiling" | "floor" if f.arguments.length == 1 =>
         // Calcite keeps the operand type; Spark returns BIGINT
+        val renamed = if (f.nameParts.last.equalsIgnoreCase("ceiling"))
+          f.copy(nameParts = Seq("ceil")) else f
         numericOperand(f.arguments, schema) match {
-          case Some(t) => legacy(f, t)
-          case None => f
+          case Some(t) => legacy(renamed, t)
+          case None => renamed
         }
+      case "round" if f.arguments.length == 2 &&
+          inferType(f.arguments.head, schema).contains(FloatType) =>
+        // the reference rounds a FLOAT's shortest decimal rendering
+        // (BigDecimal.valueOf(float)): ROUND(5.555f, 2) = 5.56, though the
+        // binary value is 5.5549998... — go through the string form
+        legacy(f.copy(arguments = f.arguments.updated(0,
+          legacy(legacy(f.arguments.head, StringType), DoubleType))), FloatType)
       case "to_date"
           if f.arguments.length == 1 &&
             f.arguments.forall(a => inferType(a, schema).exists(isTzStruct)) =>
