@@ -88,15 +88,28 @@ final class PipelineRunner(
         upstreamPlane(e.tableId) = info
         val transformed = transformedInfo(e.tableId, info)
         routed.foreach { sinkId =>
-          val merged = registry.evolvedInfo(sinkId) match {
-            case Some(existing) => SchemaMerging.leastCommonTableInfo(Seq(existing, transformed))
-            case None => transformed
+          registry.evolvedInfo(sinkId) match {
+            case Some(existing) =>
+              // an already-created routed sink EVOLVES by diff — the
+              // reference's SchemaCoordinator emits AddColumn/AlterType
+              // against the least-common schema, never a second
+              // CreateTable (SchemaCoordinator.deduceEvolvedSchemaChanges)
+              val merged = SchemaMerging.leastCommonTableInfo(Seq(existing, transformed))
+              schemaDiff(sinkId, existing.schema, merged.schema)
+                .foreach(ev => registry.apply(ev).foreach(sink.applySchemaChange))
+            case None =>
+              registry.apply(CreateTableEvent(sinkId, transformed))
+                .foreach(sink.applySchemaChange)
           }
-          registry.apply(CreateTableEvent(sinkId, merged))
-            .foreach(sink.applySchemaChange)
         }
       case other =>
         val prevUp = upstreamPlane.get(e.tableId)
+        // dependency count per sink BEFORE applying the event, so a
+        // DropTable of the last depending upstream still forwards
+        val depCount: TableId => Int = {
+          val keys = upstreamPlane.keys.toSeq
+          sinkId => keys.count(u => router.route(u).contains(sinkId))
+        }
         other match {
           case DropTableEvent(_) => upstreamPlane.remove(e.tableId)
           case _ =>
@@ -129,12 +142,38 @@ final class PipelineRunner(
             }
           } else sinkId => rewriteFor(sinkId, other)
         routed.foreach { sinkId =>
-          derived(sinkId).foreach { ev =>
+          // many-to-one routing: the sink serves SEVERAL upstream tables,
+          // so per-table DDL cannot forward — a rename in one shard must
+          // not rename a column other shards still write. The reference
+          // folds least-common over every depending upstream schema and
+          // emits the DIFF (rename => add, drop => no-op)
+          val events =
+            if (depCount(sinkId) > 1) mergedDiff(sinkId)
+            else derived(sinkId)
+          events.foreach { ev =>
             registry.apply(ev).foreach(sink.applySchemaChange)
           }
         }
     }
   }
+
+  /** Merged-sink DDL: diff the current evolved schema against the fold of
+    * least-common over all depending (transformed) upstream schemas —
+    * `SchemaCoordinator.deduceEvolvedSchemaChanges` steps 3.3-3.5. The
+    * fold STARTS from the current evolved schema, so columns other
+    * upstreams rely on can never disappear.
+    */
+  private def mergedDiff(sinkId: TableId): Seq[SchemaChangeEvent] =
+    registry.evolvedInfo(sinkId) match {
+      case Some(cur) =>
+        val deps = upstreamPlane.toSeq
+          .filter { case (u, _) => router.route(u).contains(sinkId) }
+          .map { case (u, i) => transformedInfo(u, i) }
+        val merged = deps.foldLeft(cur)((acc, d) =>
+          SchemaMerging.leastCommonTableInfo(Seq(acc, d)))
+        schemaDiff(sinkId, cur.schema, merged.schema)
+      case None => Nil
+    }
 
   /** Derived sink DDL for a projected table: the diff between the
     * projected schema before and after the upstream event, with renames

@@ -36,7 +36,11 @@ final class ValuesSource(events: Seq[Event]) extends CdcDataSource {
           case DropTableEvent(t) => schemas.remove(t)
           case e => schemas.get(e.tableId).foreach(i => schemas(e.tableId) = i.applySchemaChange(e))
         }
-        val data = pendingData.toSeq.groupBy(_.tableId).toSeq.map { case (t, evs) =>
+        // group per table in FIRST-APPEARANCE order (groupBy alone hashes
+        // the order away and the sink's event log must follow the script)
+        val grouped = pendingData.toSeq.groupBy(_.tableId)
+        val data = pendingData.map(_.tableId).distinct.toSeq.map { t =>
+          val evs = grouped(t)
           t -> ValuesSource.pairedFrame(spark, schemas(t).schema, evs, { seq += evs.size; seq - evs.size })
         }
         batchList += SourceBatch(ddl, data)
