@@ -1213,6 +1213,28 @@ object SparkEntry {
       t(s, dir, "documents"), "doc_id", "text", k = 8, hashWindows = false)
       .orderBy(col("doc_id"))
 
+  /** EXACT n-gram Jaccard join via document-frequency prefix filtering
+    * (AllPairs/PPJoin) — same answer set as q22's oracle, but guaranteed
+    * (no probabilistic recall): a hash mismatch here means the prefix
+    * filter dropped a qualifying pair.
+    */
+  private def q66JaccardJoin(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.jaccardJoinExact(t(s, dir, "documents"), "doc_id", "text",
+      threshold = 0.6)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** SemDeDup over embeddings in its exhaustive configuration (nlist=1 ⇒
+    * within-cluster comparison IS all-pairs), so DuckDB reproduces the
+    * result exactly: cosine pairs + recursive min-label closure. The
+    * clustered scale path is pinned to this by OpsSpec's subset law.
+    */
+  private def q67SemDedup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+      threshold = 0.4, nlist = 1)
+      .select(col("id").as("vec_id"), col("rep"), col("keep"))
+      .orderBy(col("vec_id"))
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1280,7 +1302,9 @@ object SparkEntry {
     "q62_hll" -> (q62Hll _),
     "q63_cms" -> (q63Cms _),
     "q64_tfidf" -> (q64TfIdf _),
-    "q65_dup_spans" -> (q65DupSpans _)
+    "q65_dup_spans" -> (q65DupSpans _),
+    "q66_jaccard_join" -> (q66JaccardJoin _),
+    "q67_semdedup" -> (q67SemDedup _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2059,6 +2083,51 @@ object SparkEntry {
         |  CASE WHEN st.n_windows > 0
         |    THEN st.dup_windows / CAST(st.n_windows AS DOUBLE) ELSE 0.0
         |  END AS dup_frac
-        |FROM d LEFT JOIN st USING (doc_id) ORDER BY d.doc_id""".stripMargin
+        |FROM d LEFT JOIN st USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // brute-force exact Jaccard over all pairs (the size-ratio join
+    // predicate is exact-safe: J >= t implies min/max >= t)
+    "q66_jaccard_join" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(
+        |      trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')),
+        |      '\s+') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |          for i in range(1, len(toks) - 1)] END) AS sh
+        |  FROM d),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.sh, b.sh))::DOUBLE
+        |      / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+        |  FROM sh a JOIN sh b
+        |    ON a.doc_id < b.doc_id
+        |   AND least(len(a.sh), len(b.sh))::DOUBLE / greatest(len(a.sh), len(b.sh)) >= 0.6)
+        |SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs
+        |WHERE j >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+    // exhaustive SemDeDup: all-pairs cosine at the threshold, duplicate
+    // groups via recursive min-label closure, keep = smallest id
+    "q67_semdedup" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+        |pairs AS (SELECT id_a, id_b FROM p WHERE c >= 0.4),
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT vec_id, vec_id FROM e
+        |  UNION
+        |  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u)
+        |SELECT u AS vec_id, min(v)::BIGINT AS rep,
+        |  (u = min(v))::INT AS keep
+        |FROM reach GROUP BY u ORDER BY u""".stripMargin
   )
 }

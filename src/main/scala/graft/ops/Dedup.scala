@@ -87,13 +87,19 @@ object Dedup {
       .where(col("est") >= threshold * 0.6)
       .select("id_a", "id_b")
 
-    // Exact verification for survivors. Pairs melt to (pair, id) rows and
-    // join the shingle table ONCE (one full shingle pass — joining it
-    // twice, per side, would run the pass twice); the per-pair regroup
-    // shuffles candidate shingle sets only, a vanishing fraction of the
-    // corpus.
+    verifyJaccardPairs(df, idCol, textCol, estimated, threshold, shingleSize)
+  }
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs. Pairs
+    * melt to (pair, id) rows and join the shingle table ONCE (one full
+    * shingle pass — joining it twice, per side, would run the pass
+    * twice); the per-pair regroup shuffles candidate shingle sets only, a
+    * vanishing fraction of the corpus.
+    */
+  private def verifyJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      candidates: DataFrame, threshold: Double, shingleSize: Int): DataFrame = {
     val shTable = df.select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
-    val melted = estimated
+    val melted = candidates
       .select(struct(col("id_a"), col("id_b")).as("pair"))
       .select(col("pair"), explode(array(col("pair.id_a"), col("pair.id_b"))).as("id"))
     melted.join(shTable, "id")
@@ -106,6 +112,54 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))))
       .where(col("jaccard") >= threshold)
       .select(col("pair.id_a").as("id_a"), col("pair.id_b").as("id_b"), col("jaccard"))
+  }
+
+  /** EXACT n-gram Jaccard similarity join via document-frequency prefix
+    * filtering (the AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao
+    * et al. WWW'08): returns every pair with Jaccard >= threshold, with
+    * no probabilistic recall loss (the alternative to [[minhashLshPairs]]
+    * when missing even 0.3% of pairs is unacceptable).
+    *
+    * Prefix filter: order every document's gram set by GLOBAL document
+    * frequency (rarest first, gram text as tie-break — any total order
+    * works, rare-first minimizes candidates). If J(A,B) >= t then
+    * |A∩B| >= ceil(t·max(|A|,|B|)) =: α, and two sets overlapping by α
+    * must share a gram within their (|s|-α+1)-prefixes — so an equi-join
+    * on prefix grams finds every qualifying pair. Each side uses its own
+    * α_s = ceil(t·|s|) >= ... <= α bound, giving a slightly longer, still
+    * sound prefix.
+    *
+    * Scale shape: one gram-keyed shuffle for document frequencies, one
+    * id-keyed shuffle to assemble sorted prefixes, one equi-join on
+    * PREFIX grams only. Prefix grams are the globally RAREST grams of
+    * each document, so join buckets stay small by construction — the
+    * stop-gram hot keys that would blow up a naive gram join never enter
+    * the prefix. A size-ratio filter (min >= t·max) prunes candidates
+    * before the exact verify.
+    */
+  def jaccardJoinExact(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.6, shingleSize: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+    val exploded = sh.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("g"))
+    val dfreq = exploded.groupBy("g").agg(count(lit(1)).as("df"))
+    // ceil(t·sz) with an epsilon: 0.6*5 is 3.0000000000000004 in binary —
+    // a bare ceil would shorten the prefix below the sound length
+    val alpha = ceil(col("sz") * threshold - lit(1e-9))
+    val prefix = exploded.join(dfreq, "g")
+      .groupBy(col("id"), col("sz"))
+      .agg(array_sort(collect_list(struct(col("df"), col("g")))).as("ordered"))
+      .select(col("id"), col("sz"),
+        explode(slice(col("ordered").getField("g"), lit(1),
+          (col("sz") - alpha + 1).cast("int"))).as("g"))
+    val left = prefix.select(col("g"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val right = prefix.select(col("g"), col("id").as("id_b"), col("sz").as("sz_b"))
+    val candidates = left.join(right, Seq("g"))
+      .where(col("id_a") < col("id_b"))
+      .where(least(col("sz_a"), col("sz_b")).cast("double") >=
+        greatest(col("sz_a"), col("sz_b")) * threshold - 1e-9)
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    verifyJaccardPairs(df, idCol, textCol, candidates, threshold, shingleSize)
   }
 
   /** Resolve near-dup pairs into clusters: every id labels with the

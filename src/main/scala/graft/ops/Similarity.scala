@@ -212,6 +212,51 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 9).as("cos"))
   }
 
+  /** Semantic-duplicate candidate pairs, SemDeDup style (Abbas et al.,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): k-means-cluster the embeddings,
+    * then compare pairs WITHIN each cluster only — the pair space shrinks
+    * from n² to Σ|cluster|², the paper's core scaling trick. `nlist <= 1`
+    * degenerates to the exhaustive all-pairs comparison (the oracle
+    * configuration; recall gates compare against it).
+    */
+  def semDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 64, iters: Int = 3): DataFrame = {
+    val assigned =
+      if (nlist <= 1)
+        df.select(lit(0).as("__list"), col(idCol).as("id"), col(vecCol).as("v"))
+      else {
+        val centroids = trainIvfCentroids(df, idCol, vecCol, nlist, iters)
+        df.select(col(idCol).as("id"), col(vecCol).as("v"))
+          .withColumn("__list", nearestCentroid(col("v").cast("array<double>"), centroids))
+      }
+    val l = assigned.select(col("__list"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = assigned.select(col("__list"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("__list"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** SemDeDup resolution: cluster-scoped cosine pairs resolved into
+    * duplicate groups (min-label connected components, the same
+    * O(edges)-per-round propagation the text path uses); each group keeps
+    * its smallest id. Returns (id, rep, keep) — `keep = 1` iff the row is
+    * its group's canonical representative.
+    *
+    * 100 TB shape: the within-cluster self-join is bounded by the largest
+    * cluster (raise `nlist` until Σ|c|² fits); everything else is
+    * projection + the O(edges) resolution.
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 64, iters: Int = 3): DataFrame = {
+    val pairs = semDupPairs(df, idCol, vecCol, threshold, nlist, iters)
+    Dedup.nearDupClusters(df.select(col(idCol)), idCol, pairs)
+      .select(col("id"), col("rep"),
+        (col("id") === col("rep")).cast("int").as("keep"))
+  }
+
   /** Embedding near-duplicate pairs: LSH-bucketed candidate generation +
     * exact cosine verification (id_a < id_b).
     */

@@ -62,6 +62,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in dedup plan:\n$p")
   }
 
+  test("q66 jaccard join: prefix equi-join only — no cartesian/nested-loop") {
+    val p = plan("q66_jaccard_join")
+    assert(!p.contains("CartesianProduct"), s"cartesian in jaccard-join plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in jaccard-join plan:\n$p")
+    // the prefix build must not run a per-document window (a rank() over
+    // partitionBy(id) formulation serializes each document's grams twice)
+    assert(!p.contains("Window"), s"window in jaccard-join plan:\n$p")
+  }
+
   test("q24 brute-force ANN: corpus streams against a broadcast query set") {
     val p = plan("q24_embed_topk")
     // the cross join IS the algorithm; the small side must be broadcast

@@ -54,6 +54,62 @@ class OpsSpec extends SparkSpec {
     assert(pairs === Seq((1L, 2L), (1L, 4L), (2L, 4L)))
   }
 
+  test("prefix-filtered Jaccard join equals brute force (exactness law)") {
+    // randomized-ish corpus with planted near-dups, short docs, and
+    // shared stop-grams that would blow up a naive gram join
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "the quick brown fox jumps over the lazy cat again and again",
+      3L -> "the quick brown fox jumps over the lazy dog again and again",
+      4L -> "completely unrelated text with other words entirely present",
+      5L -> "short one",
+      6L -> "short one",
+      7L -> "the quick brown fox jumps over the lazy dog again and often",
+      8L -> "the the the the the the the the the the the the")
+    val df = docs.toDF("doc_id", "text")
+    def norm(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP))).toSeq
+    for (t <- Seq(0.3, 0.5, 0.6, 0.8)) {
+      val fast = norm(Dedup.jaccardJoinExact(df, "doc_id", "text", threshold = t)
+        .orderBy("id_a", "id_b").collect())
+      // brute force over ALL pairs via the same shingle/jaccard kernels
+      val a = df.select(col("doc_id").as("id_a"), col("text").as("ta"))
+      val b = df.select(col("doc_id").as("id_b"), col("text").as("tb"))
+      val brute = norm(a.crossJoin(b).where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          Dedup.ngramJaccard(col("ta"), col("tb")).as("j"))
+        .where(col("j") >= t).orderBy("id_a", "id_b").collect())
+      assert(fast === brute, s"threshold $t")
+    }
+  }
+
+  test("semdedup: exhaustive config resolves duplicate groups; clustered drops are a subset") {
+    // three planted duplicate groups in distinct directions + singletons
+    def v(xs: Double*) = xs.toArray.map(_.toFloat)
+    val rows = Seq(
+      1L -> v(1, 0, 0, 0), 2L -> v(0.99, 0.05, 0, 0), 3L -> v(0.98, -0.05, 0, 0),
+      4L -> v(0, 1, 0, 0), 5L -> v(0.02, 0.99, 0, 0),
+      6L -> v(0, 0, 1, 0),
+      7L -> v(0, 0, 0, 1), 8L -> v(0.01, 0, 0.01, 0.99))
+    val df = rows.toDF("vec_id", "embedding")
+    val full = Similarity.semDedup(df, "vec_id", "embedding", threshold = 0.9, nlist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sortBy(_._1)
+    assert(full === Seq(
+      (1L, 1L, 1), (2L, 1L, 0), (3L, 1L, 0),
+      (4L, 4L, 1), (5L, 4L, 0),
+      (6L, 6L, 1),
+      (7L, 7L, 1), (8L, 7L, 0)))
+    // clustered run can only MISS pairs (cluster boundary splits), never
+    // invent them: its dropped set is a subset of the exhaustive drops
+    val clustered = Similarity.semDedup(df, "vec_id", "embedding", threshold = 0.9,
+      nlist = 3, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    val fullDropped = full.filter(_._3 == 0).map(_._1).toSet
+    val clusteredDropped = clustered.filter(_._2 == 0).keySet
+    assert(clusteredDropped.subsetOf(fullDropped))
+  }
+
   test("simhash hamming distance: identical=0, near-dup small, unrelated large") {
     // strong token votes (each word repeated 6x) so a one-word addition
     // flips few bits — the regime simhash is designed for
