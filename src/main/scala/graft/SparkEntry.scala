@@ -1230,8 +1230,12 @@ object SparkEntry {
     * clustered scale path is pinned to this by OpsSpec's subset law.
     */
   private def q67SemDedup(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
-      threshold = 0.4, nlist = 1)
+    // bounded slice: the exhaustive config is O(slice²) by design — 2000
+    // vectors keeps the all-pairs gate meaningful at every SF without the
+    // bench measuring an unbounded quadratic (covers ALL of sf0.01)
+    graft.ops.Similarity.semDedup(
+      t(s, dir, "embeddings").where(col("vec_id") < 2000),
+      "vec_id", "embedding", threshold = 0.4, nlist = 1)
       .select(col("id").as("vec_id"), col("rep"), col("keep"))
       .orderBy(col("vec_id"))
 
@@ -2112,7 +2116,8 @@ object SparkEntry {
     // groups via recursive min-label closure, keep = smallest id
     "q67_semdedup" ->
       """WITH RECURSIVE e AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE vec_id < 2000),
         |p AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |    list_dot_product(a.v, b.v) /

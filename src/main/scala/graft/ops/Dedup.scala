@@ -87,7 +87,9 @@ object Dedup {
       .where(col("est") >= threshold * 0.6)
       .select("id_a", "id_b")
 
-    verifyJaccardPairs(df, idCol, textCol, estimated, threshold, shingleSize)
+    verifyJaccardPairs(
+      df.select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh")),
+      estimated, threshold)
   }
 
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs. Pairs
@@ -96,9 +98,8 @@ object Dedup {
     * twice); the per-pair regroup shuffles candidate shingle sets only, a
     * vanishing fraction of the corpus.
     */
-  private def verifyJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      candidates: DataFrame, threshold: Double, shingleSize: Int): DataFrame = {
-    val shTable = df.select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+  private def verifyJaccardPairs(shTable: DataFrame,
+      candidates: DataFrame, threshold: Double): DataFrame = {
     val melted = candidates
       .select(struct(col("id_a"), col("id_b")).as("pair"))
       .select(col("pair"), explode(array(col("pair.id_a"), col("pair.id_b"))).as("id"))
@@ -139,27 +140,49 @@ object Dedup {
     */
   def jaccardJoinExact(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.6, shingleSize: Int = 3): DataFrame = {
+    // three consumers read the shingle sets (document frequencies, the
+    // prefix build, exact verification): persist the per-document arrays
+    // so the corpus is normalized + shingled ONCE (same eviction-safe
+    // session-owned cache as TextAnalysis.termFrequencies)
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exploded = sh.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("g"))
     val dfreq = exploded.groupBy("g").agg(count(lit(1)).as("df"))
     // ceil(t·sz) with an epsilon: 0.6*5 is 3.0000000000000004 in binary —
     // a bare ceil would shorten the prefix below the sound length
     val alpha = ceil(col("sz") * threshold - lit(1e-9))
+    // prefix grams with their 0-based position in the document's full
+    // frequency-sorted gram list (prefix = the first elements, so the
+    // in-prefix position IS the global position)
     val prefix = exploded.join(dfreq, "g")
       .groupBy(col("id"), col("sz"))
       .agg(array_sort(collect_list(struct(col("df"), col("g")))).as("ordered"))
       .select(col("id"), col("sz"),
-        explode(slice(col("ordered").getField("g"), lit(1),
-          (col("sz") - alpha + 1).cast("int"))).as("g"))
-    val left = prefix.select(col("g"), col("id").as("id_a"), col("sz").as("sz_a"))
-    val right = prefix.select(col("g"), col("id").as("id_b"), col("sz").as("sz_b"))
+        posexplode(slice(col("ordered").getField("g"), lit(1),
+          (col("sz") - alpha + 1).cast("int"))))
+      .toDF("id", "sz", "p", "g")
+    val left = prefix.select(col("g"), col("id").as("id_a"),
+      col("sz").as("sz_a"), col("p").as("p_a"))
+    val right = prefix.select(col("g"), col("id").as("id_b"),
+      col("sz").as("sz_b"), col("p").as("p_b"))
+    // PPJoin positional filter (Xiao et al.): at the FIRST shared gram
+    // (both sides see shared grams in the same global order, so the
+    // min-position match is the first on both) no shared gram precedes
+    // it, hence overlap <= 1 + min(remaining_a, remaining_b). J >= t
+    // needs overlap >= ceil(t/(1+t)·(sz_a+sz_b)) — prune pairs whose
+    // bound can't reach it before the expensive exact verify
     val candidates = left.join(right, Seq("g"))
       .where(col("id_a") < col("id_b"))
       .where(least(col("sz_a"), col("sz_b")).cast("double") >=
         greatest(col("sz_a"), col("sz_b")) * threshold - 1e-9)
+      .withColumn("ub",
+        lit(1) + least(col("sz_a") - col("p_a") - 1, col("sz_b") - col("p_b") - 1))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(min_by(col("ub"), col("p_a")).as("ub1"))
+      .where(col("ub1") >=
+        ceil((col("sz_a") + col("sz_b")) * (threshold / (1 + threshold)) - lit(1e-9)))
       .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
-    verifyJaccardPairs(df, idCol, textCol, candidates, threshold, shingleSize)
+    verifyJaccardPairs(sh, candidates, threshold)
   }
 
   /** Resolve near-dup pairs into clusters: every id labels with the
