@@ -77,24 +77,31 @@ object UdfRegistry {
     val evals = cls.getMethods.filter(m =>
       m.getName == "eval" && !m.isBridge && !m.isSynthetic)
     require(evals.nonEmpty, s"$classpath has no public eval method")
-    // one SQL function registers one signature: overloaded evals would be
-    // silently narrowed to whichever this picked — reject loudly instead
-    // (the reference resolves overloads per call site via codegen; a
-    // registered Spark UDF cannot)
-    require(evals.length == 1,
-      s"$classpath has ${evals.length} eval overloads; a registered SQL " +
-        "function binds ONE signature — split them across classes/names")
+    // Overloaded evals resolve per CALL at runtime (the reference resolves
+    // them per call site in codegen — FlinkPipelineUdfITCase
+    // .testOverloadedUdf): a registered SQL function binds one name, one
+    // arity and one return type, so overloads must agree on both; the
+    // dispatcher then picks the overload matching the runtime argument
+    // classes (with BigDecimal->Double style literal widening).
+    require(evals.map(_.getParameterCount).distinct.length == 1,
+      s"$classpath eval overloads span arities " +
+        s"${evals.map(_.getParameterCount).distinct.sorted.mkString(",")} — " +
+        "a registered SQL function binds ONE arity; split across names")
     val eval = evals.head
     val rt: org.apache.spark.sql.types.DataType = instance match {
       case u: UserDefinedFunction if u.returnType.isDefined => u.returnType.get
-      case _ => sparkTypeOf(eval.getReturnType, classpath)
+      case _ =>
+        require(evals.map(_.getReturnType).distinct.length == 1,
+          s"$classpath eval overloads disagree on the return type — " +
+            "override returnType to pick the SQL type")
+        sparkTypeOf(eval.getReturnType, classpath)
     }
     val opened = instance match {
       case u: UserDefinedFunction => Some(new ThreadSafeOnce(u, options))
       case _ => None
     }
     val fn = new ReflectiveCall(instance, cls.getName, eval.getName,
-      eval.getParameterTypes.map(_.getName), opened)
+      evals.map(_.getParameterTypes.map(_.getName)), opened)
     import org.apache.spark.sql.api.java._
     eval.getParameterCount match {
       case 0 => spark.udf.register(name, new UDF0[Any] {
@@ -111,22 +118,79 @@ object UdfRegistry {
     ()
   }
 
-  /** Serializable eval dispatcher: re-resolves the Method on each executor
-    * (java.lang.reflect.Method is not serializable) and caches it.
+  /** Serializable eval dispatcher: re-resolves Methods on each executor
+    * (java.lang.reflect.Method is not serializable), caches them, and —
+    * when the UDF overloads eval — selects the overload matching the
+    * runtime argument classes: exact match first, then assignability,
+    * then numeric literal widening (a DECIMAL literal argument reaches an
+    * eval(Double), an INT one an eval(Long), mirroring the reference's
+    * call-site resolution).
     */
   private final class ReflectiveCall(
       instance: AnyRef, className: String, methodName: String,
-      paramTypeNames: Array[String],
+      signatures: Array[Array[String]],
       opened: Option[ThreadSafeOnce]) extends Serializable {
-    @transient private lazy val method: java.lang.reflect.Method = {
+    @transient private lazy val methods: Array[java.lang.reflect.Method] = {
       val cls = Class.forName(className)
-      cls.getMethods.find(m => m.getName == methodName &&
-        m.getParameterTypes.map(_.getName).sameElements(paramTypeNames))
-        .getOrElse(throw new IllegalStateException(s"$className.$methodName lost"))
+      signatures.map(sig =>
+        cls.getMethods.find(m => m.getName == methodName &&
+          m.getParameterTypes.map(_.getName).sameElements(sig))
+          .getOrElse(throw new IllegalStateException(s"$className.$methodName lost")))
+    }
+    private def boxed(c: Class[_]): Class[_] = c.getName match {
+      case "int" => classOf[java.lang.Integer]
+      case "long" => classOf[java.lang.Long]
+      case "double" => classOf[java.lang.Double]
+      case "float" => classOf[java.lang.Float]
+      case "boolean" => classOf[java.lang.Boolean]
+      case "short" => classOf[java.lang.Short]
+      case "byte" => classOf[java.lang.Byte]
+      case "char" => classOf[java.lang.Character]
+      case _ => c
+    }
+    /** Widen `v` into parameter class `p` if a standard numeric widening
+      * applies; None when it doesn't fit.
+      */
+    private def widen(v: AnyRef, p: Class[_]): Option[AnyRef] = (v, p.getName) match {
+      case (d: java.math.BigDecimal, "java.lang.Double") => Some(Double.box(d.doubleValue))
+      case (d: java.math.BigDecimal, "java.lang.Float") => Some(Float.box(d.floatValue))
+      case (i: java.lang.Integer, "java.lang.Long") => Some(Long.box(i.longValue))
+      case (i: java.lang.Integer, "java.lang.Double") => Some(Double.box(i.doubleValue))
+      case (l: java.lang.Long, "java.lang.Double") => Some(Double.box(l.doubleValue))
+      case (f: java.lang.Float, "java.lang.Double") => Some(Double.box(f.doubleValue))
+      case _ => None
     }
     def apply(args: Array[AnyRef]): Any = {
       opened.foreach(_.ensureOpen())
-      method.invoke(instance, args: _*)
+      if (methods.length == 1) return methods(0).invoke(instance, args: _*)
+      def params(m: java.lang.reflect.Method) = m.getParameterTypes.map(boxed)
+      val exact = methods.find(m => params(m).zip(args).forall {
+        case (p, null) => true
+        case (p, a) => p == a.getClass
+      })
+      val chosen = exact.orElse(
+        methods.find(m => params(m).zip(args).forall {
+          case (p, null) => true
+          case (p, a) => p.isAssignableFrom(a.getClass)
+        })).map(m => (m, args))
+        .orElse {
+          // widening pass: every arg must fit exactly or widen
+          methods.iterator.map { m =>
+            val ps = params(m)
+            val converted = ps.zip(args).map {
+              case (_, null) => Some(null: AnyRef)
+              case (p, a) if p == a.getClass || p.isAssignableFrom(a.getClass) => Some(a)
+              case (p, a) => widen(a, p)
+            }
+            if (converted.forall(_.isDefined)) Some((m, converted.map(_.get)))
+            else None
+          }.collectFirst { case Some(x) => x }
+        }
+        .getOrElse(throw new IllegalArgumentException(
+          s"$className.$methodName: no overload accepts (" +
+            args.map(a => if (a == null) "null" else a.getClass.getSimpleName)
+              .mkString(", ") + ")"))
+      chosen._1.invoke(instance, chosen._2: _*)
     }
   }
 

@@ -17,3 +17,36 @@ class AddNUdf extends UserDefinedFunction {
 class BangUdf extends Serializable {
   def eval(s: String): String = if (s == null) null else s + "!"
 }
+
+/** 3-arg printf-style formatter — the reference's FormatFunctionClass
+  * (flink-cdc-pipeline-udf-examples/.../FormatFunctionClass.java).
+  */
+class FormatUdf extends Serializable {
+  def eval(a: String, b: String, c: String): String = s"from $a to $b is $c"
+}
+
+/** String-increment — the reference's AddOneFunctionClass shape. */
+class AddOneUdf extends Serializable {
+  def eval(s: String): String =
+    if (s == null) null else String.valueOf(s.toInt + 1)
+}
+
+/** Overloaded eval resolved per call at runtime — the reference's
+  * TypeOfFunctionClass (testOverloadedUdf).
+  */
+class TypeOfUdf extends Serializable {
+  def eval(b: java.lang.Boolean): String = "Boolean: " + b
+  def eval(i: java.lang.Integer): String = "Integer: " + i
+  def eval(f: java.lang.Float): String = "Float: " + f
+  def eval(d: java.lang.Double): String = "Double: " + d
+  def eval(s: String): String = "String: " + s
+}
+
+/** Opaque eval return type with an explicit type hint — the reference's
+  * TypeHintFunctionClass (getReturnType STRING, testTypeHintedUdf).
+  */
+class TypeHintUdf extends UserDefinedFunction {
+  override def returnType: Option[org.apache.spark.sql.types.DataType] =
+    Some(org.apache.spark.sql.types.StringType)
+  def eval(s: String): Object = ("typehint: " + s): Object
+}
