@@ -53,13 +53,13 @@ class RouteITCaseSpec extends SparkSpec {
     DataChangeEvent.insert(t2, Row(6L, "Frank", 30.toByte, "student", "male")))
 
   private def run(events: Seq[Event], routeYaml: String,
-      transformYaml: String = ""): ValuesDatabase = {
+      transformYaml: String = "", behavior: String = "evolve"): ValuesDatabase = {
     val pd = YamlPipelineParser.parse(
       s"""source: { type: values }
          |sink: { type: values }
          |$transformYaml
          |$routeYaml
-         |pipeline: { schema.change.behavior: evolve }
+         |pipeline: { schema.change.behavior: $behavior }
          |""".stripMargin)
     val sink = new ValuesDatabase
     new PipelineRunner(spark, pd, new ValuesSource(events), sink).run()
@@ -119,6 +119,24 @@ class RouteITCaseSpec extends SparkSpec {
       s"AddColumnEvent{tableId=$merged, addedColumns=[gender STRING After(description)]}",
       s"DataChangeEvent{tableId=$merged, before=[], after=[5, Eliza, 24, last_name, null, null], op=INSERT}",
       s"DataChangeEvent{tableId=$merged, before=[], after=[6, Frank, 30, last_name, student, male], op=INSERT}"))
+  }
+
+  test("route merging under LENIENT: derived adds append LAST (LenientITCase.testMergingWithRoute)") {
+    val sink = run(mergingEvents(withRename = true),
+      s"""route:
+         |  - source-table: $ns.mytable[0-9]
+         |    sink-table: $merged
+         |""".stripMargin, behavior = "lenient")
+    // identical to the EVOLVE variant except lenient strips add anchors
+    assert(sink.eventLog.filter(e => e.startsWith("AddColumnEvent") ||
+        e.startsWith("AlterColumnTypeEvent")) === Seq(
+      s"AddColumnEvent{tableId=$merged, addedColumns=[description STRING Last]}",
+      s"AlterColumnTypeEvent{tableId=$merged, types=[id BIGINT]}",
+      s"AddColumnEvent{tableId=$merged, addedColumns=[last_name STRING Last]}",
+      s"AddColumnEvent{tableId=$merged, addedColumns=[gender STRING Last]}"))
+    assert(sink.eventLog.last ===
+      s"DataChangeEvent{tableId=$merged, before=[], after=[6, Frank, 30, student, null, male], op=INSERT}")
+    assert(sink.eventLog.size === 13)
   }
 
   test("replace-symbol routing forwards per-table DDL one-to-one (testRouteWithReplaceSymbol)") {
