@@ -139,6 +139,39 @@ class RouteITCaseSpec extends SparkSpec {
     assert(sink.eventLog.size === 13)
   }
 
+  test("complex types merge to STRING across routed shards (BatchComposerITCase.testMergingComplexTypesWithRoute)") {
+    // ARRAY/MAP/ROW in shard 1 vs STRING in shard 2 at the same columns:
+    // the merge lattice falls back to STRING and shard 1's values coerce
+    // through Spark's cast rendering (the reference prints Java
+    // Arrays.toString-style — a documented rendering divergence)
+    val a = TableId.parse(s"$ns.mytable1")
+    val b = TableId.parse(s"$ns.mytable2")
+    val rowT = StructType(Seq(StructField("f0", IntegerType), StructField("f1", StringType)))
+    val infoA = TableInfo(StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("arr", ArrayType(IntegerType)),
+      StructField("mp", MapType(StringType, IntegerType)),
+      StructField("rw", rowT))), primaryKeys = Seq("id"))
+    val infoB = TableInfo(StructType(Seq(
+      StructField("id", IntegerType), StructField("arr", StringType),
+      StructField("mp", StringType), StructField("rw", StringType))),
+      primaryKeys = Seq("id"))
+    val events = Seq(
+      CreateTableEvent(a, infoA), CreateTableEvent(b, infoB),
+      DataChangeEvent.insert(a, Row(1, Seq(10, 20, 30), Map("key" -> 42), Row(7, "hello"))),
+      DataChangeEvent.insert(b, Row(2, "plain_arr", "plain_mp", "plain_rw")))
+    val sink = run(events,
+      s"""route:
+         |  - source-table: $ns.mytable[0-9]
+         |    sink-table: $merged
+         |""".stripMargin)
+    assert(sink.eventLog === Seq(
+      s"CreateTableEvent{tableId=$merged, schema=columns={id INT, arr ARRAY<INT>, mp MAP<STRING, INT>, rw STRUCT<f0: INT, f1: STRING>}, primaryKeys=id}",
+      s"AlterColumnTypeEvent{tableId=$merged, types=[arr STRING, mp STRING, rw STRING]}",
+      s"DataChangeEvent{tableId=$merged, before=[], after=[1, [10, 20, 30], {key -> 42}, {7, hello}], op=INSERT}",
+      s"DataChangeEvent{tableId=$merged, before=[], after=[2, plain_arr, plain_mp, plain_rw], op=INSERT}"))
+  }
+
   test("replace-symbol routing forwards per-table DDL one-to-one (testRouteWithReplaceSymbol)") {
     // the reference's SINGLE_SPLIT_MULTI_TABLES script
     // (ValuesDataSourceHelper.java:291-413)
