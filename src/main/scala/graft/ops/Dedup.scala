@@ -227,9 +227,14 @@ object Dedup {
     // persist PARTITIONED BY the per-round join key: InMemoryRelation
     // reports the cached partitioning, so every propagation round streams
     // edges straight out of cache instead of re-exchanging O(edges) —
-    // one shuffle up front, none per round
-    val edges = pairs.select(col(idA).as("u"), col(idB).as("v"))
-      .union(pairs.select(col(idB).as("u"), col(idA).as("v")))
+    // one shuffle up front, none per round. Both edge directions come out
+    // of ONE generator pass: a union of two selects over `pairs` would
+    // evaluate the (often expensive) pair-generation plan twice.
+    val edges = pairs
+      .select(explode(array(
+        struct(col(idA).as("u"), col(idB).as("v")),
+        struct(col(idB).as("u"), col(idA).as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .repartition(col("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

@@ -232,7 +232,13 @@ object Similarity {
       }
     val l = assigned.select(col("__list"), col("id").as("id_a"), col("v").as("v_a"))
     val r = assigned.select(col("__list"), col("id").as("id_b"), col("v").as("v_b"))
-    l.join(r, Seq("__list"))
+    // the exhaustive config's join key is a constant — an equi-join would
+    // hash every row into ONE partition (a single-task quadratic);
+    // broadcast one side and keep the other partition-parallel instead
+    val joined =
+      if (nlist <= 1) l.crossJoin(broadcast(r.drop("__list")))
+      else l.join(r, Seq("__list"))
+    joined
       .where(col("id_a") < col("id_b"))
       .withColumn("cos", cosine(col("v_a"), col("v_b")))
       .where(col("cos") >= threshold)
