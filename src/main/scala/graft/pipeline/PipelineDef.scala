@@ -62,7 +62,11 @@ final case class PipelineDef(
     schemaChangeBehavior: SchemaChangeBehavior = SchemaChangeBehavior.Lenient,
     partitionStrategy: PartitionStrategy = PartitionStrategy.PrimaryKey,
     models: Seq[ModelDef] = Nil,
-    udfs: Seq[UdfDef] = Nil)
+    udfs: Seq[UdfDef] = Nil,
+    // `pipeline.execution.runtime-mode: BATCH` (PipelineOptions.java:48-53):
+    // bounded snapshot-only execution — CreateTables buffer and merge
+    // up-front, mid-flight schema changes are illegal
+    batchMode: Boolean = false)
 
 /** YAML frontend for [[PipelineDef]], accepting the reference's pipeline
   * file shape (docs/core-concept/data-pipeline.md):
@@ -194,6 +198,8 @@ object YamlPipelineParser {
       partitionStrategy = pipelineOpts.get("sink.partitioning.strategy")
         .map(PartitionStrategy.parse).getOrElse(PartitionStrategy.PrimaryKey),
       models = models,
-      udfs = udfs)
+      udfs = udfs,
+      batchMode = pipelineOpts.get("execution.runtime-mode")
+        .exists(_.equalsIgnoreCase("batch")))
   }
 }

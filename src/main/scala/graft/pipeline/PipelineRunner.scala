@@ -55,7 +55,12 @@ final class PipelineRunner(
   // UPSTREAM schema per source table (what the database sends), distinct
   // from the registry's SINK plane: projected-table DDL derivation diffs
   // the projection's output under the old vs new upstream schema
-  private val upstreamPlane = scala.collection.mutable.Map[TableId, TableInfo]()
+  // LinkedHashMap: batch mode emits the merged CreateTables in
+  // first-create order, so the plane must remember script order
+  private val upstreamPlane = scala.collection.mutable.LinkedHashMap[TableId, TableInfo]()
+  // batch mode (BatchSchemaOperator.java:108-139): creates buffer until
+  // the first data event, then every sink's schema derives in one shot
+  private var batchCreatesEmitted = false
 
   /** Source-table schema after the transform rule's projection, obtained by
     * planning the projection against an empty frame — Catalyst is the type
@@ -82,6 +87,17 @@ final class PipelineRunner(
     * hand derived DDL to the registry + sink.
     */
   private def handleSchemaChange(e: SchemaChangeEvent): Unit = {
+    if (pipeline.batchMode) {
+      // BatchSchemaOperator.processElement: only CreateTable and data
+      // events are legal in a bounded run — creates buffer (no emission
+      // until the first data event), anything else is a hard error
+      e match {
+        case CreateTableEvent(t, info) => upstreamPlane(t) = info
+        case other =>
+          throw new RuntimeException(s"Unknown event type in Batch record: $other")
+      }
+      return
+    }
     val routed = router.route(e.tableId)
     e match {
       case CreateTableEvent(_, info) =>
@@ -175,6 +191,37 @@ final class PipelineRunner(
       case None => Nil
     }
 
+  /** Batch-mode up-front schema derivation
+    * (SchemaDerivator.deduceMergedCreateTableEvent, SchemaDerivator.java:348-389):
+    * group the buffered (transformed) upstream schemas per route rule,
+    * fold least-common inside each group, assign the merged schema to
+    * every routed sink id; un-routed tables pass through unchanged.
+    * Emission order is first-create order of the resolved sink ids.
+    */
+  private def emitMergedBatchCreates(): Unit = {
+    val tables = upstreamPlane.keys.toSeq
+    val tinfos = tables.map(t => t -> transformedInfo(t, upstreamPlane(t))).toMap
+    val groups = router.groupByRule(tables.toSet)
+    val sinkSchemas = scala.collection.mutable.LinkedHashMap[TableId, TableInfo]()
+    val routedTables = scala.collection.mutable.Set[TableId]()
+    groups.foreach { g =>
+      val members = tables.filter(g)
+      if (members.nonEmpty) {
+        val merged = SchemaMerging.leastCommonTableInfo(members.map(tinfos))
+        members.foreach { t =>
+          routedTables += t
+          router.route(t).foreach(sinkId => sinkSchemas(sinkId) = merged)
+        }
+      }
+    }
+    tables.foreach { t =>
+      if (!routedTables(t) && !sinkSchemas.contains(t)) sinkSchemas(t) = tinfos(t)
+    }
+    sinkSchemas.foreach { case (sinkId, info) =>
+      registry.apply(CreateTableEvent(sinkId, info)).foreach(sink.applySchemaChange)
+    }
+  }
+
   /** Derived sink DDL for a projected table: the diff between the
     * projected schema before and after the upstream event, with renames
     * of surviving columns preserved as renames.
@@ -259,6 +306,10 @@ final class PipelineRunner(
 
   def processBatch(batch: SourceBatch): Unit = {
     batch.schemaChanges.foreach(handleSchemaChange)
+    if (pipeline.batchMode && !batchCreatesEmitted && batch.data.nonEmpty) {
+      emitMergedBatchCreates()
+      batchCreatesEmitted = true
+    }
     batch.data.foreach { case (tableId, paired) =>
       val transformed = engine.transformChangelog(tableId, paired)
       router.route(tableId).foreach { sinkId =>
