@@ -1229,6 +1229,33 @@ object SparkEntry {
     * result exactly: cosine pairs + recursive min-label closure. The
     * clustered scale path is pinned to this by OpsSpec's subset law.
     */
+  /** Corpus-trained unigram LM quality scoring (ops.LanguageModel):
+    * model trained on the full documents table (minCount fold into
+    * `<unk>`), every doc scored. Gated columns are integer evidence +
+    * one IEEE division; the ln-space score itself is pinned by OpsSpec
+    * (engine-defined ln rounding stays out of the oracle, as with
+    * tf-idf's ranking).
+    */
+  private def q68LmScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val model = graft.ops.LanguageModel.unigramCounts(docs, "text", minCount = 5)
+    graft.ops.LanguageModel.scoreDocs(docs, "doc_id", "text", model)
+      .select(col("doc_id"), col("n_tok"), col("n_oov"), col("sum_cnt"),
+        round(col("avg_cnt"), 6).as("avg_cnt"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DSIR importance-weight evidence (ops.LanguageModel
+    * .importanceWeights): target model = English slice, base model =
+    * whole corpus; the gated integer sums pin both models and the
+    * per-token lookups, the log-ratio weight is OpsSpec-pinned.
+    */
+  private def q69Dsir(s: SparkSession, dir: String): DataFrame =
+    graft.ops.LanguageModel.importanceWeights(
+      t(s, dir, "documents"), "doc_id", "text", col("lang") === "en", minCount = 5)
+      .select(col("doc_id"), col("n_tok"), col("sum_t_cnt"), col("sum_b_cnt"))
+      .orderBy(col("doc_id"))
+
   private def q67SemDedup(s: SparkSession, dir: String): DataFrame =
     // bounded slice: the exhaustive config is O(slice²) by design — 2000
     // vectors keeps the all-pairs gate meaningful at every SF without the
@@ -1308,7 +1335,9 @@ object SparkEntry {
     "q64_tfidf" -> (q64TfIdf _),
     "q65_dup_spans" -> (q65DupSpans _),
     "q66_jaccard_join" -> (q66JaccardJoin _),
-    "q67_semdedup" -> (q67SemDedup _)
+    "q67_semdedup" -> (q67SemDedup _),
+    "q68_lm_score" -> (q68LmScore _),
+    "q69_dsir" -> (q69Dsir _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2133,6 +2162,58 @@ object SparkEntry {
         |  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u)
         |SELECT u AS vec_id, min(v)::BIGINT AS rep,
         |  (u = min(v))::INT AS keep
-        |FROM reach GROUP BY u ORDER BY u""".stripMargin
+        |FROM reach GROUP BY u ORDER BY u""".stripMargin,
+    // same tokenizer + minCount fold + <unk> backoff as the operator;
+    // integer evidence columns and one IEEE division only (no ln)
+    "q68_lm_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(
+        |    trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')),
+        |    ' ')) AS term
+        |  FROM documents),
+        |t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |c AS (SELECT term, count(*)::BIGINT AS raw FROM t GROUP BY 1),
+        |m AS (SELECT CASE WHEN raw < 5 THEN '<unk>' ELSE term END AS term,
+        |  sum(raw)::BIGINT AS cnt FROM c GROUP BY 1),
+        |u AS (SELECT greatest(
+        |  coalesce(max(CASE WHEN term = '<unk>' THEN cnt END), 0), 1) AS unk FROM m),
+        |s AS (SELECT doc_id, m.cnt IS NULL AS oov,
+        |  coalesce(m.cnt, (SELECT unk FROM u)) AS cnt
+        |  FROM t LEFT JOIN m ON t.term = m.term)
+        |SELECT doc_id, n_tok, n_oov, sum_cnt,
+        |  round(sum_cnt / n_tok, 6) AS avg_cnt
+        |FROM (
+        |  SELECT doc_id, count(*)::BIGINT AS n_tok,
+        |    sum(CASE WHEN oov THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+        |    sum(cnt)::BIGINT AS sum_cnt
+        |  FROM s GROUP BY 1)
+        |ORDER BY doc_id""".stripMargin,
+    "q69_dsir" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(
+        |    trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')),
+        |    ' ')) AS term
+        |  FROM documents),
+        |t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |tt AS (SELECT t.doc_id, term FROM t
+        |  JOIN documents d ON t.doc_id = d.doc_id WHERE d.lang = 'en'),
+        |mt AS (SELECT CASE WHEN raw < 5 THEN '<unk>' ELSE term END AS term,
+        |  sum(raw)::BIGINT AS cnt
+        |  FROM (SELECT term, count(*)::BIGINT AS raw FROM tt GROUP BY 1) GROUP BY 1),
+        |mb AS (SELECT CASE WHEN raw < 5 THEN '<unk>' ELSE term END AS term,
+        |  sum(raw)::BIGINT AS cnt
+        |  FROM (SELECT term, count(*)::BIGINT AS raw FROM t GROUP BY 1) GROUP BY 1),
+        |ut AS (SELECT greatest(
+        |  coalesce(max(CASE WHEN term = '<unk>' THEN cnt END), 0), 1) AS unk FROM mt),
+        |ub AS (SELECT greatest(
+        |  coalesce(max(CASE WHEN term = '<unk>' THEN cnt END), 0), 1) AS unk FROM mb),
+        |s AS (SELECT doc_id,
+        |  coalesce(mt.cnt, (SELECT unk FROM ut)) AS tc,
+        |  coalesce(mb.cnt, (SELECT unk FROM ub)) AS bc
+        |  FROM t LEFT JOIN mt ON t.term = mt.term
+        |         LEFT JOIN mb ON t.term = mb.term)
+        |SELECT doc_id, count(*)::BIGINT AS n_tok,
+        |  sum(tc)::BIGINT AS sum_t_cnt, sum(bc)::BIGINT AS sum_b_cnt
+        |FROM s GROUP BY 1 ORDER BY doc_id""".stripMargin
   )
 }

@@ -741,4 +741,52 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
     assert(hashed === out)
   }
+
+  test("unigram LM: rare terms fold to unk, OOV backs off, ln law pins neg_logp") {
+    val docs = Seq(
+      (1L, "apple banana apple banana"),
+      (2L, "apple banana qux"),
+      (3L, "apple apple apple banana banana banana"),
+      (4L, "zzz yyy")).toDF("doc_id", "text")
+    val model = LanguageModel.unigramCounts(docs, "text", minCount = 3)
+    val m = model.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // apple 6, banana 6; qux/zzz/yyy are singletons -> 3 mass in <unk>
+    assert(m === Map("apple" -> 6L, "banana" -> 6L, LanguageModel.UnkToken -> 3L))
+    val scored = LanguageModel.scoreDocs(docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 4 is all-OOV: each token backs off to the unk mass
+    assert(scored(4L).getAs[Long]("n_tok") === 2L)
+    assert(scored(4L).getAs[Long]("n_oov") === 2L)
+    assert(scored(4L).getAs[Long]("sum_cnt") === 6L)
+    // neg_logp = ln(total) - mean(ln cnt) = ln 15 - ln 3 = ln 5
+    assert(math.abs(scored(4L).getAs[Double]("neg_logp") - math.log(5.0)) < 1e-9)
+    // in-vocabulary text is less surprising than all-OOV text
+    assert(scored(3L).getAs[Double]("neg_logp") < scored(4L).getAs[Double]("neg_logp"))
+    assert(scored(2L).getAs[Long]("n_oov") === 1L)
+  }
+
+  test("dsir: in-target docs outweigh out-of-target, weight matches brute force") {
+    // target (en) tokens all clear minCount, so the target model folds
+    // nothing and OOV backs off to the 1-floor — out-of-target tokens
+    // are then strongly penalized
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "le chat est sur le tapis le chat est sur le tapis", "fr"),
+      (3L, "the cat sat on the mat", "en"),
+      (4L, "le chat est la encore", "fr"),
+      (5L, "the cat sat on the mat", "en")).toDF("doc_id", "text", "lang")
+    val w = LanguageModel.importanceWeights(
+      docs, "doc_id", "text", col("lang") === "en", minCount = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1's tokens have identical counts in both models (the=6, others
+    // =3 each), so its weight is exactly n*(ln bTot - ln tTot)
+    // = 6 * (ln 35 - ln 18)
+    assert(math.abs(w(1L).getAs[Double]("log_weight") -
+      6.0 * (math.log(35.0) - math.log(18.0))) < 1e-9)
+    // every English doc ranks above every French one
+    val en = Seq(1L, 3L, 5L).map(w(_).getAs[Double]("log_weight")).min
+    val fr = Seq(2L, 4L).map(w(_).getAs[Double]("log_weight")).max
+    assert(en > 0 && fr < 0)
+    assert(w(1L).getAs[Long]("n_tok") === 6L)
+  }
 }
