@@ -234,6 +234,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial"), s"window counts not map-side combined:\n$p")
   }
 
+  test("q68 lm score: model broadcasts into the scoring pass, token agg is partial") {
+    val p = plan("q68_lm_score")
+    // the vocabulary-sized model must reach the corpus as a broadcast,
+    // never by shuffling the exploded token stream on the term key
+    assert(p.contains("BroadcastHashJoin"), s"model not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in lm plan:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"token counts not map-side combined:\n$p")
+  }
+
+  test("q69 dsir: both models broadcast, no cartesian") {
+    val p = plan("q69_dsir")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"target and base models should both broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in dsir plan:\n$p")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     import graft.functions.expressions.NativeHashFunctions
