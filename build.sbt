@@ -38,8 +38,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // ~1.4x slowdowns + one 59s outlier, all gone at 28g). The host has
   // 128 GiB; Xmx is reservation-only.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
-  // 63 queries x (warmup + measured) of whole-stage-codegen classes
+  // 69 queries x (warmup + measured) of whole-stage-codegen classes
   // overflow the default 240m code cache -> JIT stops compiling and the
-  // JSON-heavy queries run interpreted
-  "-XX:ReservedCodeCacheSize=512m",
+  // JSON-heavy queries run interpreted. 512m (r6) stopped sufficing when
+  // the suite grew past ~65 queries: the late-alphabet queries and the
+  // stream phase (which runs LAST) measured 3-8x their isolated warm
+  // cost while early queries stayed normal — the code-cache-full
+  // signature again.
+  "-XX:ReservedCodeCacheSize=1g",
+  // gc log: cheap, overwritten per fork — the bench reads it to rule
+  // GC in or out when a query's wall time spikes run-to-run
+  "-Xlog:gc:file=/tmp/graft_gc.log",
 )

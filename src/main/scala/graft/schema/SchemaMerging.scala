@@ -61,8 +61,13 @@ object SchemaMerging {
   }
 
   private def boundedDecimal(precision: Int, scale: Int): DecimalType = {
-    val p = math.min(precision, MaxPrecision)
-    DecimalType(p, math.min(scale, p))
+    // past MAX_PRECISION the reference sheds SCALE digits, preserving the
+    // integer digits (SchemaMergingUtils.createDecimalBounded:931-938):
+    // DECIMAL(25,16)+DECIMAL(32,32) -> DECIMAL(38,29),
+    // DECIMAL(38,38)+DECIMAL(38,0) -> DECIMAL(38,0) — a clamp that kept
+    // the scale instead would overflow every wide-integer value to null
+    if (precision <= MaxPrecision) DecimalType(precision, scale)
+    else DecimalType(MaxPrecision, math.max(0, scale - (precision - MaxPrecision)))
   }
 
   private def isExactNumeric(t: DataType): Boolean = t match {

@@ -215,4 +215,53 @@ class RouteITCaseSpec extends SparkSpec {
       s"DataChangeEvent{tableId=$r.table1, before=[1, 1], after=[], op=DELETE}",
       s"DataChangeEvent{tableId=$r.table1, before=[2, 2], after=[2, x], op=UPDATE}"))
   }
+
+  /** Out-of-bound decimal merges shed SCALE, never integer digits
+    * (FlinkPipelineComposerITCase.decimalOOB:1422-1463 +
+    * SchemaMergingUtils.createDecimalBounded:931-938), and the shard
+    * values re-encode at the merged scale.
+    */
+  private def decimalOobCase(p1: Int, s1: Int, v1: String, p2: Int, s2: Int, v2: String,
+      mergedType: String, r1: String, r2: String): Unit = {
+    val a = TableId.parse("test_database.na.test_table_1")
+    val b = TableId.parse("test_database.na.test_table_2")
+    def info(p: Int, s: Int) = TableInfo(
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("dec", DecimalType(p, s)))), primaryKeys = Seq("id"))
+    val events = Seq(
+      CreateTableEvent(a, info(p1, s1)),
+      CreateTableEvent(b, info(p2, s2)),
+      DataChangeEvent.insert(a, Row(1L, new java.math.BigDecimal(v1))),
+      DataChangeEvent.insert(b, Row(2L, new java.math.BigDecimal(v2))))
+    val m = "test_database.na.merged"
+    val sink = run(events,
+      s"""route:
+         |  - source-table: test_database.na.test_table_\\.*
+         |    sink-table: $m
+         |""".stripMargin)
+    assert(sink.eventLog === Seq(
+      s"CreateTableEvent{tableId=$m, schema=columns={id BIGINT, dec DECIMAL($p1, $s1)}, primaryKeys=id}",
+      s"AlterColumnTypeEvent{tableId=$m, types=[dec $mergedType]}",
+      s"DataChangeEvent{tableId=$m, before=[], after=[1, $r1], op=INSERT}",
+      s"DataChangeEvent{tableId=$m, before=[], after=[2, $r2], op=INSERT}"))
+  }
+
+  test("decimal OOB merge: DECIMAL(10,5)+DECIMAL(19,3) -> DECIMAL(21,5)") {
+    decimalOobCase(10, 5, "12345.54321", 19, 3, "1234567890123456.789",
+      "DECIMAL(21, 5)", "12345.54321", "1234567890123456.78900")
+  }
+
+  test("decimal OOB merge: DECIMAL(25,16)+DECIMAL(32,32) -> DECIMAL(38,29)") {
+    decimalOobCase(25, 16, "123456789.1234567890123456",
+      32, 32, "0.12345678901234567890123456789012",
+      "DECIMAL(38, 29)",
+      "123456789.12345678901234560000000000000",
+      "0.12345678901234567890123456789")
+  }
+
+  test("decimal OOB merge: DECIMAL(38,38)+DECIMAL(38,0) -> DECIMAL(38,0)") {
+    decimalOobCase(38, 38, "0.12345678901234567890123456789012345678",
+      38, 0, "12345678901234567890123456789012345678",
+      "DECIMAL(38, 0)", "0", "12345678901234567890123456789012345678")
+  }
 }

@@ -22,7 +22,15 @@ class SchemaMergingSpec extends AnyFunSuite {
   test("decimal merges keep int-digits and scale") {
     assert(leastCommonType(DecimalType(10, 2), DecimalType(5, 4)) === DecimalType(12, 4))
     assert(leastCommonType(DecimalType(10, 2), LongType) === DecimalType(21, 2))
-    assert(leastCommonType(DecimalType(38, 10), DecimalType(38, 0)) === DecimalType(38, 10))
+  }
+
+  test("decimal overflow sheds scale, never integer digits (createDecimalBounded)") {
+    // the reference's out-of-bound rule (SchemaMergingUtils:931-938 and
+    // the decimalOOB ITCase expectations)
+    assert(leastCommonType(DecimalType(10, 5), DecimalType(19, 3)) === DecimalType(21, 5))
+    assert(leastCommonType(DecimalType(25, 16), DecimalType(32, 32)) === DecimalType(38, 29))
+    assert(leastCommonType(DecimalType(38, 38), DecimalType(38, 0)) === DecimalType(38, 0))
+    assert(leastCommonType(DecimalType(38, 10), DecimalType(38, 0)) === DecimalType(38, 0))
   }
 
   test("incompatible types fall back to STRING") {
