@@ -66,7 +66,10 @@ final case class PipelineDef(
     // `pipeline.execution.runtime-mode: BATCH` (PipelineOptions.java:48-53):
     // bounded snapshot-only execution — CreateTables buffer and merge
     // up-front, mid-flight schema changes are illegal
-    batchMode: Boolean = false)
+    batchMode: Boolean = false,
+    // `pipeline.route-mode` (PipelineOptions.java:75-90): ALL_MATCH routes
+    // through every matching rule, FIRST_MATCH stops at the first
+    routeMode: graft.route.RouteMode = graft.route.RouteMode.AllMatch)
 
 /** YAML frontend for [[PipelineDef]], accepting the reference's pipeline
   * file shape (docs/core-concept/data-pipeline.md):
@@ -200,6 +203,13 @@ object YamlPipelineParser {
       models = models,
       udfs = udfs,
       batchMode = pipelineOpts.get("execution.runtime-mode")
-        .exists(_.equalsIgnoreCase("batch")))
+        .exists(_.equalsIgnoreCase("batch")),
+      routeMode = pipelineOpts.get("route-mode")
+        .map(_.trim.toLowerCase.replace('_', '-'))
+        .map {
+          case "all-match" => graft.route.RouteMode.AllMatch
+          case "first-match" => graft.route.RouteMode.FirstMatch
+          case other => throw new IllegalArgumentException(s"unknown route-mode: $other")
+        }.getOrElse(graft.route.RouteMode.AllMatch))
   }
 }

@@ -51,7 +51,7 @@ final class PipelineRunner(
   private val engine = new TransformEngine(spark, pipeline.transforms,
     metadataKeys = pipeline.source.options.get("metadata.list")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
-  private val router = new TableIdRouter(pipeline.routes, RouteMode.AllMatch)
+  private val router = new TableIdRouter(pipeline.routes, pipeline.routeMode)
   // UPSTREAM schema per source table (what the database sends), distinct
   // from the registry's SINK plane: projected-table DDL derivation diffs
   // the projection's output under the old vs new upstream schema

@@ -264,4 +264,64 @@ class RouteITCaseSpec extends SparkSpec {
       38, 0, "12345678901234567890123456789012345678",
       "DECIMAL(38, 0)", "0", "12345678901234567890123456789012345678")
   }
+
+  /** The reference's route-mode suite: three rules where the third
+    * (`table\.*` → routed_all) also matches everything the first two
+    * match (FlinkPipelineComposerITCase.testRouteModeFirstMatch:1730 /
+    * testRouteModeAllMatch:1799).
+    */
+  private def routeModeRun(mode: String): ValuesDatabase = {
+    val a = TableId.parse(s"$ns.table1")
+    val b = TableId.parse(s"$ns.table2")
+    val info = TableInfo(
+      StructType(Seq(StructField("col1", StringType), StructField("col2", StringType))),
+      primaryKeys = Seq("col1"))
+    val events = Seq(
+      CreateTableEvent(a, info),
+      DataChangeEvent.insert(a, Row("1", "1")),
+      DataChangeEvent.insert(a, Row("2", "2")),
+      DataChangeEvent.insert(a, Row("3", "3")),
+      CreateTableEvent(b, info),
+      DataChangeEvent.insert(b, Row("1", "1")),
+      DataChangeEvent.insert(b, Row("2", "2")),
+      DataChangeEvent.insert(b, Row("3", "3")),
+      AddColumnEvent(a, Seq((StructField("col3", StringType), ColumnPosition.Last))),
+      RenameColumnEvent(a, Map("col2" -> "newCol2", "col3" -> "newCol3")),
+      DropColumnEvent(a, Seq("newCol2")),
+      DataChangeEvent.delete(a, Row("1", "1")),
+      DataChangeEvent.update(a, Row("2", "2"), Row("2", "x")))
+    val pd = YamlPipelineParser.parse(
+      s"""source: { type: values }
+         |sink: { type: values }
+         |route:
+         |  - source-table: $ns.table1
+         |    sink-table: $ns.routed1
+         |  - source-table: $ns.table2
+         |    sink-table: $ns.routed2
+         |  - source-table: $ns.table\\.*
+         |    sink-table: $ns.routed_all
+         |pipeline: { schema.change.behavior: evolve, route-mode: $mode }
+         |""".stripMargin)
+    val sink = new ValuesDatabase
+    new PipelineRunner(spark, pd, new ValuesSource(events), sink).run()
+    sink
+  }
+
+  test("route-mode first-match: the catch-all rule never fires (testRouteModeFirstMatch)") {
+    val sink = routeModeRun("first-match")
+    assert(sink.results(TableId.parse(s"$ns.routed1")).sorted ===
+      Seq(s"$ns.routed1:2;x", s"$ns.routed1:3;null"))
+    assert(sink.results(TableId.parse(s"$ns.routed2")).sorted ===
+      Seq(s"$ns.routed2:1;1", s"$ns.routed2:2;2", s"$ns.routed2:3;3"))
+    assert(sink.info(TableId.parse(s"$ns.routed_all")).isEmpty)
+  }
+
+  test("route-mode all-match: the catch-all rule receives every table (testRouteModeAllMatch)") {
+    val sink = routeModeRun("all-match")
+    assert(sink.results(TableId.parse(s"$ns.routed1")).sorted ===
+      Seq(s"$ns.routed1:2;x", s"$ns.routed1:3;null"))
+    assert(sink.results(TableId.parse(s"$ns.routed2")).sorted ===
+      Seq(s"$ns.routed2:1;1", s"$ns.routed2:2;2", s"$ns.routed2:3;3"))
+    assert(sink.results(TableId.parse(s"$ns.routed_all")).nonEmpty)
+  }
 }
