@@ -2,7 +2,7 @@ package graft.schema
 
 import graft.model.TableInfo
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, struct}
 import org.apache.spark.sql.types._
 
 /** Type-widening lattice used when merging sharded tables into one sink
@@ -91,10 +91,27 @@ object SchemaMerging {
     case _ => false
   }
 
+  /** The CdcTemporal zoned-timestamp encoding (instant, tz): graft's
+    * TIMESTAMP_TZ. Sits at the top of the reference's timestamp chain
+    * TIMESTAMP -> TIMESTAMP_LTZ -> TIMESTAMP_TZ
+    * (SchemaMergingUtils.mergeTimestampType:384-430).
+    */
+  val ZonedTsType: StructType = StructType(Seq(
+    StructField("instant", TimestampType), StructField("tz", StringType)))
+
+  private def isZonedTs(t: DataType): Boolean = t match {
+    case s: StructType =>
+      s.fields.map(f => (f.name, f.dataType)).toSeq ==
+        Seq(("instant", TimestampType), ("tz", StringType))
+    case _ => false
+  }
+
   /** Least common type of two Spark types (nullable if either side is). */
   def leastCommonType(a: DataType, b: DataType): DataType = {
     if (a == b) a
     else if (isTimestampish(a) && isTimestampish(b)) TimestampType // NTZ+LTZ -> LTZ
+    else if ((isZonedTs(a) && (isTimestampish(b) || isZonedTs(b))) ||
+             (isZonedTs(b) && isTimestampish(a))) ZonedTsType // TZ dominates
     else if (a.isInstanceOf[DecimalType] || b.isInstanceOf[DecimalType]) mergeDecimal(a, b)
     else wideningChain(a).find(t => wideningChain(b).contains(t)).getOrElse(StringType)
   }
@@ -160,7 +177,14 @@ object SchemaMerging {
     val have = from.fieldNames.toSet
     target.fields.toSeq.map { f =>
       if (have(f.name)) {
-        if (from(f.name).dataType == f.dataType) col(f.name)
+        val src = from(f.name).dataType
+        if (src == f.dataType) col(f.name)
+        else if (isZonedTs(f.dataType) && isTimestampish(src))
+          // TIMESTAMP -> TIMESTAMP_TZ widening: sessions run UTC, so the
+          // promoted value pins the Z offset (the reference attaches the
+          // pipeline local zone the same way when widening to zoned)
+          struct(col(f.name).cast(TimestampType).as("instant"),
+            lit("Z").as("tz")).as(f.name)
         else col(f.name).cast(f.dataType).as(f.name)
       } else lit(null).cast(f.dataType).as(f.name)
     }

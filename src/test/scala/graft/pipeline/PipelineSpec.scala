@@ -165,6 +165,37 @@ class PipelineSpec extends SparkSpec {
     assert(rows.exists(_.contains("2023-01-02 00:00:00")))
   }
 
+  test("route merge: zoned shard promotes the chain to TIMESTAMP_TZ (reference temporal ITCase tail)") {
+    // the reference chain tops out at TIMESTAMP_TZ
+    // (SchemaMergingUtils.mergeTimestampType): once a zoned shard joins,
+    // LTZ arrivals re-encode as (instant, tz) with the session's Z offset
+    val merged = TableId.parse("db.zmerged")
+    def shard(n: String) = TableId.parse(s"db.zs_$n")
+    def mk(n: String, t: DataType) = CreateTableEvent(shard(n), TableInfo(
+      StructType(Seq(StructField("id", IntegerType), StructField("born", t))),
+      primaryKeys = Seq("id")))
+    val zt = graft.schema.SchemaMerging.ZonedTsType
+    val script = Seq(
+      mk("ltz", TimestampType),
+      DataChangeEvent.insert(shard("ltz"),
+        Row(1, java.sql.Timestamp.valueOf("2022-09-30 08:00:01"))),
+      mk("tz", zt),
+      DataChangeEvent.insert(shard("tz"),
+        Row(2, Row(java.sql.Timestamp.valueOf("2024-03-01 04:45:30"), "+05:30"))),
+      // an LTZ arrival AFTER promotion carries the pinned Z offset
+      DataChangeEvent.insert(shard("ltz"),
+        Row(3, java.sql.Timestamp.valueOf("2023-01-02 00:00:00"))))
+    val sink = new ValuesDatabase
+    new PipelineRunner(spark, yamlDef(route =
+      "route:\n  - source-table: db.zs_\\.*\n    sink-table: db.zmerged\n"),
+      new ValuesSource(script), sink).run()
+    assert(sink.info(merged).get.schema("born").dataType === zt)
+    val rows = sink.results(merged)
+    assert(rows.size === 3)
+    assert(rows.exists(r => r.contains("+05:30")))
+    assert(rows.exists(r => r.contains("2023-01-02 00:00:00") && r.contains("Z")))
+  }
+
   test("transform: projection + filter with op conversion end-to-end") {
     val script = Seq(
       CreateTableEvent(t1, info("col1" -> StringType, "v" -> IntegerType)),

@@ -80,4 +80,71 @@ class SchemaMergingSpec extends AnyFunSuite {
       assert(isCompatible(Some(m), b) || m == b, s"absorb right ($a, $b) -> $m")
     }
   }
+
+  /** Golden port of the reference's full type-merge matrix
+    * (SchemaMergingUtilsTest.testGetLeastCommonType:1007-1205), over the
+    * Spark encodings: CHAR/VARCHAR collapse into STRING, VARBINARY into
+    * BINARY, TIMESTAMP_TZ is the CdcTemporal (instant, tz) struct, TIME
+    * rides as millis-of-day INT (so its row is subsumed by INT — a
+    * documented encoding divergence).
+    */
+  test("reference type-merge matrix (testGetLeastCommonType)") {
+    val zt = SchemaMerging.ZonedTsType
+    val rowT = StructType(Seq(StructField("f0", IntegerType), StructField("f1", StringType)))
+    val arrT = ArrayType(StringType)
+    val mapT = MapType(StringType, IntegerType)
+    val dec = DecimalType(10, 2)
+    val all: Seq[DataType] = Seq(StringType, BinaryType, ByteType, ShortType,
+      IntegerType, LongType, dec, FloatType, DoubleType, TimestampNTZType,
+      TimestampType, zt, rowT, arrT, mapT, VariantType)
+    def m(a: DataType, b: DataType) = leastCommonType(a, b)
+
+    // identity on the diagonal, commutative everywhere
+    all.foreach(t => assert(m(t, t) === t, s"self $t"))
+    for (a <- all; b <- all) assert(m(a, b) === m(b, a), s"comm ($a, $b)")
+
+    // STRING is absorbing for every non-identical pair with it
+    all.filter(_ != StringType).foreach(t =>
+      assert(m(StringType, t) === StringType, s"string x $t"))
+    // BINARY merges with nothing but itself
+    all.filter(t => t != BinaryType && t != StringType).foreach(t =>
+      assert(m(BinaryType, t) === StringType, s"binary x $t"))
+
+    // integer tower rows (TINYINT/SMALLINT/INT/BIGINT columns of the matrix)
+    assert(m(ByteType, ShortType) === ShortType)
+    assert(m(ByteType, IntegerType) === IntegerType)
+    assert(m(ByteType, LongType) === LongType)
+    assert(m(ShortType, IntegerType) === IntegerType)
+    assert(m(ShortType, LongType) === LongType)
+    assert(m(IntegerType, LongType) === LongType)
+    // 8/16-bit fit FLOAT's 24 significand bits; INT/BIGINT need DOUBLE
+    assert(m(ByteType, FloatType) === FloatType)
+    assert(m(ShortType, FloatType) === FloatType)
+    assert(m(IntegerType, FloatType) === DoubleType)
+    assert(m(LongType, FloatType) === DoubleType)
+    assert(m(ByteType, DoubleType) === DoubleType)
+    assert(m(LongType, DoubleType) === DoubleType)
+    // exact numerics absorb into DECIMAL at widened precision
+    assert(m(ByteType, dec) === DecimalType(10, 2))   // max(10, 2+3)
+    assert(m(ShortType, dec) === DecimalType(10, 2))  // max(10, 2+5)
+    assert(m(IntegerType, dec) === DecimalType(12, 2)) // max(10, 2+10)
+    assert(m(LongType, dec) === DecimalType(21, 2))   // max(10, 2+19)
+    // DECIMAL never merges with approximate floats (reference: STRING)
+    assert(m(dec, FloatType) === StringType)
+    assert(m(dec, DoubleType) === StringType)
+
+    // timestamp chain: NTZ -> LTZ -> TZ dominance
+    assert(m(TimestampNTZType, TimestampType) === TimestampType)
+    assert(m(TimestampNTZType, zt) === zt)
+    assert(m(TimestampType, zt) === zt)
+    // timestamps never merge with numerics or complex types
+    Seq(IntegerType, LongType, dec, DoubleType, rowT, arrT, mapT).foreach(t =>
+      assert(m(TimestampType, t) === StringType, s"ts x $t"))
+
+    // complex types merge only with themselves; VARIANT likewise
+    Seq(rowT, arrT, mapT, VariantType).combinations(2).foreach { case Seq(x, y) =>
+      assert(m(x, y) === StringType, s"complex $x x $y")
+    }
+    assert(m(rowT, StructType(Seq(StructField("g", LongType)))) === StringType)
+  }
 }
