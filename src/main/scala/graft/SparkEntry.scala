@@ -1256,6 +1256,19 @@ object SparkEntry {
       .select(col("doc_id"), col("n_tok"), col("sum_t_cnt"), col("sum_b_cnt"))
       .orderBy(col("doc_id"))
 
+  /** Exact stratified top-k sampling (ops.Curation.stratifiedTopK):
+    * fixed per-language quotas via the threshold-refinement scale path;
+    * the oracle recomputes the brute-force per-stratum window with the
+    * same md5 draw — a mismatch means the threshold path dropped a
+    * quota row.
+    */
+  private def q70Stratified(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Curation.stratifiedTopK(
+      t(s, dir, "documents").select(col("doc_id"), col("lang")),
+      Seq("lang"), col("doc_id"), k = 50)
+      .select(col("doc_id"), col("lang"), col("rank"))
+      .orderBy(col("lang"), col("rank"))
+
   private def q67SemDedup(s: SparkSession, dir: String): DataFrame =
     // bounded slice: the exhaustive config is O(slice²) by design — 2000
     // vectors keeps the all-pairs gate meaningful at every SF without the
@@ -1337,7 +1350,8 @@ object SparkEntry {
     "q66_jaccard_join" -> (q66JaccardJoin _),
     "q67_semdedup" -> (q67SemDedup _),
     "q68_lm_score" -> (q68LmScore _),
-    "q69_dsir" -> (q69Dsir _)
+    "q69_dsir" -> (q69Dsir _),
+    "q70_stratified" -> (q70Stratified _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2214,6 +2228,15 @@ object SparkEntry {
         |         LEFT JOIN mb ON t.term = mb.term)
         |SELECT doc_id, count(*)::BIGINT AS n_tok,
         |  sum(tc)::BIGINT AS sum_t_cnt, sum(bc)::BIGINT AS sum_b_cnt
-        |FROM s GROUP BY 1 ORDER BY doc_id""".stripMargin
+        |FROM s GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // brute-force per-stratum window with the same md5 draw: the
+    // threshold-refinement path must select the IDENTICAL quota rows
+    "q70_stratified" ->
+      """SELECT doc_id, lang, rank FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
+        |      doc_id) AS rank
+        |  FROM documents)
+        |WHERE rank <= 50 ORDER BY lang, rank""".stripMargin
   )
 }

@@ -256,4 +256,84 @@ object Curation {
         .drop("__domain", "__thr")
     }
   }
+
+  /** EXACT deterministic stratified top-k: keep the `min(k, |stratum|)`
+    * rows with the smallest md5-derived draw per stratum — fixed quotas
+    * per (language, source, ...) cell, reproducible across engines and
+    * reruns (the hash is the randomness).
+    *
+    * Scale path (threshold refinement): (1) per-stratum counts — an
+    * aggregate, map-side combined; (2) a hash THRESHOLD per stratum
+    * sized to admit ~k·oversample rows, broadcast-joined and filtered —
+    * the corpus pass keeps O(k) rows per stratum; (3) the exact
+    * row_number window runs over candidates only (bounded partitions);
+    * (4) a verification count — any stratum whose candidates fell short
+    * of its quota (hash-draw bad luck, P < 1e-4 per stratum at the
+    * default margin) widens its threshold and re-filters. The selected
+    * set equals the brute-force per-stratum window EXACTLY: whenever >=
+    * min(k, n) rows sit below a threshold, the global top-k all do.
+    *
+    * Spark 4's rank-limit pushdown (WindowGroupLimit) already bounds
+    * what the stratum exchange carries to k rows per map partition; the
+    * threshold cut composes with it by discarding n - k·oversample rows
+    * per stratum BEFORE the per-partition sort that pushdown performs —
+    * at 100 TB that sort over the full corpus is the cost that matters.
+    *
+    * Returns the input columns plus `rank` (1-based within stratum).
+    */
+  def stratifiedTopK(df: DataFrame, strataCols: Seq[String], key: Column,
+      k: Int, oversample: Double = 1.5): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(oversample > 1.0, s"oversample must exceed 1: $oversample")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val MaxDraw = math.pow(2.0, 60) // 15 hex digits
+    // uniform draw on [0, 2^60): 15-hex md5 prefix, portable (DuckDB:
+    // ('0x' || substr(md5(x), 1, 15))::BIGINT)
+    val draw = conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+    val withDraw = df.withColumn("__draw", draw)
+    val strata = strataCols.map(col)
+    // O(#strata) driver state — control-plane, like domainMix's rate table
+    val counts = withDraw.groupBy(strata: _*).agg(count(lit(1)).as("__n")).collect()
+      .map(r => strataCols.map(r.getAs[Any]).toList -> r.getAs[Long]("__n")).toMap
+    // admit ~quota + margin rows: the +16 floor keeps the miss
+    // probability negligible even at k=1
+    val target = k * oversample + 16
+    def thresholdRows(mult: Map[List[Any], Double]) = counts.toSeq.map { case (s, n) =>
+      val m = mult.getOrElse(s, 1.0)
+      val thr =
+        if (n <= target * m) Long.MaxValue
+        else (MaxDraw * target * m / n).toLong
+      org.apache.spark.sql.Row.fromSeq(s :+ thr)
+    }
+    val thrSchema = org.apache.spark.sql.types.StructType(
+      strataCols.map(c => df.schema(c)) :+
+        org.apache.spark.sql.types.StructField("__thr", org.apache.spark.sql.types.LongType))
+    def select(mult: Map[List[Any], Double]): DataFrame = {
+      val thrDf = broadcast(spark.createDataFrame(
+        java.util.Arrays.asList(thresholdRows(mult): _*), thrSchema))
+      val cands = withDraw.join(thrDf, strataCols).where(col("__draw") < col("__thr"))
+      val w = Window.partitionBy(strata: _*).orderBy(col("__draw"), key)
+      cands.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k).drop("__draw", "__thr")
+    }
+    // verification loop: exactness is guaranteed, the loop only ever
+    // widens unlucky strata (expected zero iterations)
+    var mult = Map.empty[List[Any], Double]
+    var out = select(mult)
+    var rounds = 0
+    while (rounds < 8) {
+      val got = out.groupBy(strata: _*).agg(count(lit(1)).as("__got")).collect()
+        .map(r => strataCols.map(r.getAs[Any]).toList -> r.getAs[Long]("__got")).toMap
+      val short = counts.filter { case (s, n) =>
+        got.getOrElse(s, 0L) < math.min(k.toLong, n) }
+      if (short.isEmpty) rounds = 8
+      else {
+        mult = mult ++ short.keys.map(s => s -> mult.getOrElse(s, 1.0) * 4)
+        out = select(mult)
+        rounds += 1
+      }
+    }
+    out
+  }
 }

@@ -251,6 +251,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in dsir plan:\n$p")
   }
 
+  test("q70 stratified: threshold cut precedes a group-limited window") {
+    val p = plan("q70_stratified")
+    // the threshold refinement cut: the corpus is reduced to O(k) rows
+    // per stratum BEFORE any sort (Catalyst folds `__draw < __thr` into
+    // the broadcast join's condition)
+    assert(p.contains("BroadcastHashJoin"), s"threshold table not broadcast:\n$p")
+    assert(p.contains("__thr"), s"threshold cut missing below the window:\n$p")
+    // Spark's rank-limit pushdown must also engage: partial top-k per
+    // partition bounds what the stratum exchange carries
+    assert(p.contains("WindowGroupLimit"), s"rank limit not pushed down:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in stratified plan:\n$p")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     import graft.functions.expressions.NativeHashFunctions

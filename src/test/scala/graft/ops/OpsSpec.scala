@@ -765,6 +765,26 @@ class OpsSpec extends SparkSpec {
     assert(scored(2L).getAs[Long]("n_oov") === 1L)
   }
 
+  test("stratified top-k equals the brute-force per-stratum window") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 500).map(i => (i.toLong, s"s${i % 7}")).toDF("id", "stratum")
+    val out = Curation.stratifiedTopK(df, Seq("stratum"), col("id"), k = 10)
+    val draw = conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10).cast("long")
+    val w = Window.partitionBy(col("stratum")).orderBy(draw, col("id"))
+    val brute = df.withColumn("rank", row_number().over(w)).where(col("rank") <= 10)
+    assert(out.select("id", "stratum", "rank").collect().toSet ===
+      brute.select("id", "stratum", "rank").collect().toSet)
+    // strata below the quota keep every row, ranked
+    val mixed = ((1 to 3).map(i => (i.toLong, "tiny")) ++
+      (10 to 200).map(i => (i.toLong, "big"))).toDF("id", "stratum")
+    val o2 = Curation.stratifiedTopK(mixed, Seq("stratum"), col("id"), k = 5)
+      .select("stratum", "rank")
+      .collect().map(r => r.getString(0) -> r.getAs[Int]("rank"))
+    assert(o2.count(_._1 == "tiny") === 3)
+    assert(o2.count(_._1 == "big") === 5)
+    assert(o2.filter(_._1 == "tiny").map(_._2).sorted.toSeq === Seq(1, 2, 3))
+  }
+
   test("dsir: in-target docs outweigh out-of-target, weight matches brute force") {
     // target (en) tokens all clear minCount, so the target model folds
     // nothing and OOV backs off to the 1-floor — out-of-target tokens
