@@ -112,10 +112,10 @@ final class PipelineRunner(
               // CreateTable (SchemaCoordinator.deduceEvolvedSchemaChanges)
               val merged = SchemaMerging.leastCommonTableInfo(Seq(existing, transformed))
               schemaDiff(sinkId, existing.schema, merged.schema)
-                .foreach(ev => registry.apply(ev).foreach(sink.applySchemaChange))
+                .foreach(ev => registry.applyTo(ev)(sink.applySchemaChange))
             case None =>
-              registry.apply(CreateTableEvent(sinkId, transformed))
-                .foreach(sink.applySchemaChange)
+              registry.applyTo(CreateTableEvent(sinkId, transformed))(
+                sink.applySchemaChange)
           }
         }
       case other =>
@@ -166,9 +166,7 @@ final class PipelineRunner(
           val events =
             if (depCount(sinkId) > 1) mergedDiff(sinkId)
             else derived(sinkId)
-          events.foreach { ev =>
-            registry.apply(ev).foreach(sink.applySchemaChange)
-          }
+          events.foreach(ev => registry.applyTo(ev)(sink.applySchemaChange))
         }
     }
   }
@@ -218,7 +216,7 @@ final class PipelineRunner(
       if (!routedTables(t) && !sinkSchemas.contains(t)) sinkSchemas(t) = tinfos(t)
     }
     sinkSchemas.foreach { case (sinkId, info) =>
-      registry.apply(CreateTableEvent(sinkId, info)).foreach(sink.applySchemaChange)
+      registry.applyTo(CreateTableEvent(sinkId, info))(sink.applySchemaChange)
     }
   }
 

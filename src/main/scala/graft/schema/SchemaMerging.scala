@@ -185,7 +185,22 @@ object SchemaMerging {
           // pipeline local zone the same way when widening to zoned)
           struct(col(f.name).cast(TimestampType).as("instant"),
             lit("Z").as("tz")).as(f.name)
-        else col(f.name).cast(f.dataType).as(f.name)
+        else if (f.dataType.isInstanceOf[DecimalType] && isExactNumeric(src))
+          // DECIMAL destinations accept EVERY exact numeric by value
+          // (SchemaMergingUtils.coerceToDecimal:682-704 rescales even
+          // precision-losing decimals — the OOB merge rounds 0.123... at
+          // scale 38 into 0 at scale 0)
+          col(f.name).cast(f.dataType).as(f.name)
+        else if (isCompatible(Some(f.dataType), src))
+          col(f.name).cast(f.dataType).as(f.name)
+        else
+          // TYPE-level narrowing (arises when the sink schema trails the
+          // upstream one — TRY_EVOLVE after a rejected DDL, IGNORE): the
+          // reference nulls the whole column rather than value-casting
+          // (SchemaMergingUtils.coerceRow:309-322 tolerance mode — a
+          // FLOAT age nulls into a SMALLINT column even when the value
+          // would fit)
+          lit(null).cast(f.dataType).as(f.name)
       } else lit(null).cast(f.dataType).as(f.name)
     }
   }

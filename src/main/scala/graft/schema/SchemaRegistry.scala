@@ -110,6 +110,37 @@ final class SchemaRegistry(
     }
   }
 
+  /** Apply an upstream change and push the derived sink DDL through
+    * `applier`, with the reference's failure contract
+    * (SchemaRegistry.applySchemaChange + SchemaEvolveTest
+    * .testTryEvolveSchemaWithFailure): under TRY_EVOLVE a rejected DDL is
+    * swallowed and the EVOLVED plane rolls back to what the sink actually
+    * holds — subsequent data coerces onto it (type-level narrowing nulls,
+    * SchemaMerging.coercionColumns). Every other behavior propagates the
+    * failure. The original plane keeps tracking upstream reality either
+    * way.
+    */
+  def applyTo(e: SchemaChangeEvent)(applier: SchemaChangeEvent => Unit): Unit = {
+    val t = e.tableId
+    val savedEvolved = evolved.get(t)
+    val savedHistory = evolvedHistory.get(t)
+    val events = apply(e)
+    try events.foreach(applier)
+    catch {
+      case ex: Exception if behavior == SchemaChangeBehavior.TryEvolve =>
+        savedEvolved match {
+          case Some(i) => evolved(t) = i
+          case None => evolved.remove(t)
+        }
+        savedHistory match {
+          case Some(h) => evolvedHistory(t) = h
+          case None => evolvedHistory.remove(t)
+        }
+        System.err.println(s"[graft] sink rejected $e under TRY_EVOLVE " +
+          s"(${ex.getMessage}); keeping the previous sink schema")
+    }
+  }
+
   /** Serialize both schema planes for checkpoint persistence — the
     * reference checkpoints SchemaManager's originalSchemas/evolvedSchemas
     * (SchemaManager.java:56, restored in initializeState); here the state
