@@ -237,7 +237,19 @@ final class SchemaRegistry(
           (f.copy(nullable = true), ColumnPosition.Last: ColumnPosition)
       }
       if (fresh.isEmpty) Nil else evolveWith(AddColumnEvent(t, fresh))
-    case DropColumnEvent(_, _) => Nil
+    case DropColumnEvent(t, cols) =>
+      // the column stays sink-side but RELAXES to nullable — upstream
+      // stops sending values for it, so rows null-fill from here on
+      // (SchemaEvolveTest.testLenientEvolveTweaks: dropping the NOT NULL
+      // `name` leaves `name STRING` nullable in the evolved schema)
+      evolved.get(t).foreach { i =>
+        val dropped = cols.toSet
+        val relaxed = i.schema.fields.map(f =>
+          if (dropped(f.name) && !f.nullable) f.copy(nullable = true) else f)
+        evolved(t) = i.copy(schema =
+          org.apache.spark.sql.types.StructType(relaxed))
+      }
+      Nil
     case RenameColumnEvent(t, mapping) =>
       val info = evolved.get(t)
       val existing = info.map(_.fieldNames.toSet).getOrElse(Set.empty)

@@ -85,4 +85,32 @@ class LenientITCaseSpec extends SparkSpec {
       s"DataChangeEvent{tableId=$ns.table1, before=[1, null, 10, -D, null, null, 1], after=[], op=DELETE}",
       s"DataChangeEvent{tableId=$ns.table1, before=[2, null, 20, -U, null, null, ], after=[2, null, 20, +U, null, null, x], op=UPDATE}"))
   }
+
+  test("lenient drop of a NOT NULL column relaxes it to nullable (testLenientEvolveTweaks)") {
+    val tinfo = TableInfo(
+      StructType(Seq(
+        StructField("id", IntegerType, nullable = false),
+        StructField("name", StringType, nullable = false),
+        StructField("age", IntegerType))),
+      primaryKeys = Seq("id"))
+    val events = Seq(
+      CreateTableEvent(t1, tinfo),
+      DataChangeEvent.insert(t1, Row(1, "Alice", 17)),
+      DropColumnEvent(t1, Seq("name")),
+      DataChangeEvent.insert(t1, Row(2, 18)))
+    val pd = YamlPipelineParser.parse(
+      s"""source: { type: values }
+         |sink: { type: values }
+         |pipeline: { schema.change.behavior: lenient }
+         |""".stripMargin)
+    val sink = new ValuesDatabase
+    val runner = new PipelineRunner(spark, pd, new ValuesSource(events), sink)
+    runner.run()
+    // no DDL reached the sink; the evolved plane keeps the column,
+    // nullable now — rows after the drop null-fill it
+    val f = runner.registry.evolvedInfo(t1).get.schema("name")
+    assert(f.nullable, "dropped NOT NULL column must relax to nullable")
+    assert(sink.results(t1).sorted === Seq(
+      s"$ns.table1:1;Alice;17", s"$ns.table1:2;null;18"))
+  }
 }
