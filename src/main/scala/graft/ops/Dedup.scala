@@ -186,15 +186,19 @@ object Dedup {
   }
 
   /** Resolve near-dup pairs into clusters: every id labels with the
-    * smallest id reachable through the pair graph (connected components
-    * by iterative min-label propagation). Each round is one join + one
-    * min-aggregate; rounds needed = component diameter, and near-dup
-    * clusters are shallow, so a handful of rounds suffices at any corpus
-    * size (the same Pregel shape GraphFrames uses). Convergence is
-    * detected by the strictly-decreasing label sum — one cheap aggregate,
-    * no extra join — and each round localCheckpoints so plan lineage
-    * stays flat. Returns (id, rep); a document is the cluster's canonical
-    * keeper iff id == rep.
+    * smallest id reachable through the pair graph (connected components).
+    * Returns (id, rep); a document is the cluster's canonical keeper iff
+    * id == rep.
+    *
+    * Two paths behind one contract: when the materialized edge list is
+    * driver-sized (<= `driverResolveMaxEdges`, default 4M ≈ 64 MB — the
+    * common case, since verified near-dup edges are a sliver of any
+    * corpus) a single collect + union-find resolves components in one
+    * pass. Past the bound, iterative min-label propagation: each round
+    * one join + one min-aggregate over edge-touched vertices; rounds =
+    * component diameter (the Pregel shape GraphFrames uses); convergence
+    * via the strictly-decreasing label sum; each round localCheckpoints
+    * so plan lineage stays flat.
     *
     * The iteration runs over edge-TOUCHED vertices only: duplicates are
     * a small fraction of any corpus, so the per-round shuffle is
@@ -214,7 +218,8 @@ object Dedup {
     */
   def nearDupClusters(ids: DataFrame, idCol: String, pairs: DataFrame,
       idA: String = "id_a", idB: String = "id_b", maxIters: Int = 50,
-      reliableCheckpointEvery: Int = 0): DataFrame = {
+      reliableCheckpointEvery: Int = 0,
+      driverResolveMaxEdges: Long = 4000000L): DataFrame = {
     if (reliableCheckpointEvery > 0)
       require(ids.sparkSession.sparkContext.getCheckpointDir.isDefined,
         "reliableCheckpointEvery needs sparkContext.setCheckpointDir(...)")
@@ -238,33 +243,75 @@ object Dedup {
       .repartition(col("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      var labels = snapshot(
-        edges.select(col("u").as("id")).distinct()
-          .select(col("id"), col("id").cast("long").as("rep")), 0)
-      // sum over an EMPTY label set (no pairs at all) is null -> 0
-      def labelSum(df: DataFrame): Long = {
-        val v = df.agg(sum(col("rep"))).head()
-        if (v.isNullAt(0)) 0L else v.getLong(0)
-      }
-      var prevSum = labelSum(labels)
-      var iter = 0
-      var converged = false
-      while (!converged && iter < maxIters) {
-        val nmin = edges
-          .join(labels.select(col("id").as("__v"), col("rep").as("__vrep")),
-            col("v") === col("__v"))
-          .groupBy(col("u")).agg(min(col("__vrep")).as("__nrep"))
-        val next = snapshot(labels
-          .join(nmin, labels("id") === nmin("u"), "left")
-          .select(labels("id"),
-            least(labels("rep"), coalesce(col("__nrep"), labels("rep"))).as("rep")),
-          iter + 1)
-        val s = labelSum(next)
-        converged = s == prevSum
-        prevSum = s
-        labels = next
-        iter += 1
-      }
+      // verified near-dup edges are a tiny fraction of any real corpus:
+      // when the (already materialized) edge list is driver-sized,
+      // union-find resolves components in ONE pass instead of
+      // O(diameter) join rounds — q45/q67 measure the rounds as pure
+      // job-launch overhead. Components span the collected edges only,
+      // so the 4M-edge default bound (~64 MB) caps driver memory; past
+      // it, the O(edges)-per-round propagation below takes over
+      // unchanged (the scale path; OpsSpec pins both paths identical).
+      val edgeCount = edges.count() / 2
+      val labels: DataFrame =
+        if (edgeCount <= driverResolveMaxEdges) {
+          val spark = ids.sparkSession
+          val parent = new java.util.HashMap[Long, Long]()
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.get(r) != r) r = parent.get(r)
+            var c = x
+            while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+            r
+          }
+          edges.where(col("u") < col("v"))
+            .select(col("u").cast("long"), col("v").cast("long"))
+            .collect().foreach { row =>
+              val (a, b) = (row.getLong(0), row.getLong(1))
+              parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+              val (ra, rb) = (find(a), find(b))
+              // smaller root wins, so every root IS its component minimum
+              if (ra < rb) parent.put(rb, ra)
+              else if (rb < ra) parent.put(ra, rb)
+            }
+          val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+          parent.keySet().forEach { v =>
+            rows.add(org.apache.spark.sql.Row(v, find(v))); ()
+          }
+          spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("rep",
+              org.apache.spark.sql.types.LongType))))
+        } else {
+          var labs = snapshot(
+            edges.select(col("u").as("id")).distinct()
+              .select(col("id"), col("id").cast("long").as("rep")), 0)
+          // sum over an EMPTY label set (no pairs at all) is null -> 0
+          def labelSum(df: DataFrame): Long = {
+            val v = df.agg(sum(col("rep"))).head()
+            if (v.isNullAt(0)) 0L else v.getLong(0)
+          }
+          var prevSum = labelSum(labs)
+          var iter = 0
+          var converged = false
+          while (!converged && iter < maxIters) {
+            val nmin = edges
+              .join(labs.select(col("id").as("__v"), col("rep").as("__vrep")),
+                col("v") === col("__v"))
+              .groupBy(col("u")).agg(min(col("__vrep")).as("__nrep"))
+            val next = snapshot(labs
+              .join(nmin, labs("id") === nmin("u"), "left")
+              .select(labs("id"),
+                least(labs("rep"), coalesce(col("__nrep"), labs("rep"))).as("rep")),
+              iter + 1)
+            val s = labelSum(next)
+            converged = s == prevSum
+            prevSum = s
+            labs = next
+            iter += 1
+          }
+          labs
+        }
       // untouched ids (no near-dup pair) are their own representative
       ids.select(col(idCol).as("id"))
         .join(labels.withColumnRenamed("id", "__lid"),

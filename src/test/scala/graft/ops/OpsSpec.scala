@@ -249,6 +249,23 @@ class OpsSpec extends SparkSpec {
     assert(out === Map(
       1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       5L -> 5L, 7L -> 7L, 8L -> 8L, 9L -> 7L))
+    // the distributed propagation path (forced by a zero driver bound)
+    // resolves the identical components
+    val iterative = Dedup.nearDupClusters(ids, "id", pairs, driverResolveMaxEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(iterative === out)
+  }
+
+  test("cluster resolution: driver and propagation paths agree on random graphs") {
+    val rnd = new scala.util.Random(42)
+    val ids = (1L to 200L).toDF("id")
+    val pairs = Seq.fill(120)((rnd.nextInt(200) + 1L, rnd.nextInt(200) + 1L))
+      .filter(p => p._1 != p._2).toDF("id_a", "id_b")
+    val fast = Dedup.nearDupClusters(ids, "id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val slow = Dedup.nearDupClusters(ids, "id", pairs, driverResolveMaxEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === slow)
   }
 
   test("cluster resolution: reliable checkpoints change durability, not results") {
@@ -262,7 +279,10 @@ class OpsSpec extends SparkSpec {
 
     val dir = java.nio.file.Files.createTempDirectory("dedup_ckpt").toFile
     spark.sparkContext.setCheckpointDir(dir.getAbsolutePath)
-    val out = Dedup.nearDupClusters(ids, "id", pairs, reliableCheckpointEvery = 2)
+    // driverResolveMaxEdges = 0 forces the iterative path the
+    // checkpoint option protects
+    val out = Dedup.nearDupClusters(ids, "id", pairs, reliableCheckpointEvery = 2,
+        driverResolveMaxEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out === Map(
       1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
