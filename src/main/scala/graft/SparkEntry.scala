@@ -1269,6 +1269,15 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("rank"))
       .orderBy(col("lang"), col("rank"))
 
+  /** Corpus collocation statistics (ops.TextAnalysis.collocationStats):
+    * top bigrams with the integer PMI evidence; the ln-space PMI itself
+    * stays caller-side per the float policy.
+    */
+  private def q71Collocations(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.collocationStats(
+      t(s, dir, "documents"), "doc_id", "text", topN = 100)
+      .orderBy(col("cnt").desc, col("bigram").asc)
+
   private def q67SemDedup(s: SparkSession, dir: String): DataFrame =
     // bounded slice: the exhaustive config is O(slice²) by design — 2000
     // vectors keeps the all-pairs gate meaningful at every SF without the
@@ -1351,7 +1360,8 @@ object SparkEntry {
     "q67_semdedup" -> (q67SemDedup _),
     "q68_lm_score" -> (q68LmScore _),
     "q69_dsir" -> (q69Dsir _),
-    "q70_stratified" -> (q70Stratified _)
+    "q70_stratified" -> (q70Stratified _),
+    "q71_collocations" -> (q71Collocations _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2237,6 +2247,28 @@ object SparkEntry {
         |    ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
         |      doc_id) AS rank
         |  FROM documents)
-        |WHERE rank <= 50 ORDER BY lang, rank""".stripMargin
+        |WHERE rank <= 50 ORDER BY lang, rank""".stripMargin,
+    "q71_collocations" ->
+      """WITH d AS (
+        |  SELECT string_split(
+        |    trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')),
+        |    ' ') AS t
+        |  FROM documents),
+        |w AS (SELECT t FROM d WHERE len(t) > 0 AND t[1] <> ''),
+        |bg AS (SELECT unnest(
+        |  [t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bigram FROM w),
+        |bc AS (SELECT bigram, count(*)::BIGINT AS cnt FROM bg GROUP BY 1),
+        |uni AS (SELECT unnest(t) AS term FROM w),
+        |uc AS (SELECT term, count(*)::BIGINT AS ucnt FROM uni GROUP BY 1),
+        |top AS (SELECT bigram, cnt,
+        |  string_split(bigram, ' ')[1] AS l_term,
+        |  string_split(bigram, ' ')[2] AS r_term
+        |  FROM bc ORDER BY cnt DESC, bigram ASC LIMIT 100)
+        |SELECT bigram, cnt, l_term, r_term,
+        |  lu.ucnt AS l_cnt, ru.ucnt AS r_cnt
+        |FROM top
+        |JOIN uc lu ON l_term = lu.term
+        |JOIN uc ru ON r_term = ru.term
+        |ORDER BY cnt DESC, bigram ASC""".stripMargin
   )
 }

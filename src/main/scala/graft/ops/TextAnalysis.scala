@@ -286,4 +286,39 @@ object TextAnalysis {
       .orderBy(col("tfidf").desc, col("df").asc, col("term").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  /** Corpus collocation statistics: the `topN` most frequent word
+    * bigrams with the integer evidence PMI needs — bigram count and both
+    * constituent unigram counts (PMI = ln(c_ab·N / (c_a·c_b)), computed
+    * by the caller in log space; the gate carries the integers, per the
+    * tf-idf float policy). Ties at the cut break by bigram text.
+    *
+    * Scale shape: two corpus-pass hash aggregations (map-side combined),
+    * a global top-N that plans as TakeOrderedAndProject (never a full
+    * sort), and two joins of the TINY top-N frame against the
+    * vocabulary-sized unigram counts.
+    */
+  def collocationStats(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, topN: Int = 100): org.apache.spark.sql.DataFrame = {
+    val words = docs.select(
+      split(normalize(col(textCol)), " ").as("__w"))
+      .where(size(col("__w")) > 0 && col("__w")(0) =!= "")
+    val bigrams = words
+      .select(explode(Curation.wordNgrams(col("__w"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+    val unigrams = words
+      .select(explode(col("__w")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("ucnt"))
+    val top = bigrams
+      .orderBy(col("cnt").desc, col("bigram").asc).limit(topN)
+      .withColumn("l_term", split(col("bigram"), " ")(0))
+      .withColumn("r_term", split(col("bigram"), " ")(1))
+    val l = unigrams.select(col("term").as("__lt"), col("ucnt").as("l_cnt"))
+    val r = unigrams.select(col("term").as("__rt"), col("ucnt").as("r_cnt"))
+    broadcast(top)
+      .join(l, col("l_term") === col("__lt"))
+      .join(r, col("r_term") === col("__rt"))
+      .select(col("bigram"), col("cnt"), col("l_term"), col("r_term"),
+        col("l_cnt"), col("r_cnt"))
+  }
 }

@@ -264,6 +264,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in stratified plan:\n$p")
   }
 
+  test("q71 collocations: global top-N plans as TakeOrdered, counts partial-agg") {
+    val p = plan("q71_collocations")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bigram top-N should never full-sort the vocabulary:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"bigram counts not map-side combined:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in collocations plan:\n$p")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     import graft.functions.expressions.NativeHashFunctions
