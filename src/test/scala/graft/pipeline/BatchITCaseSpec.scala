@@ -234,6 +234,59 @@ class BatchITCaseSpec extends SparkSpec {
     assert(ex.getMessage.contains("Unknown event type in Batch record"))
   }
 
+  test("batch: 1-1, re-route, merge and broadcast route shapes (SchemaDerivatorTest.testDeduceMergedCreateTableEvent)") {
+    def info(cols: (String, DataType)*) = TableInfo(
+      StructType(cols.map { case (n, t) => StructField(n, t) }), primaryKeys = Nil)
+    val wide = info("id" -> IntegerType, "name" -> StringType,
+      "age" -> FloatType, "notes" -> StringType)
+    val events = Seq(
+      CreateTableEvent(TableId.parse("db_1.na.table_1"),
+        info("id1" -> IntegerType, "name1" -> StringType, "age1" -> FloatType,
+          "notes1" -> StringType)),
+      CreateTableEvent(TableId.parse("db_2.na.table_1"),
+        info("id2" -> IntegerType, "name2" -> StringType, "age2" -> FloatType,
+          "notes2" -> StringType)),
+      CreateTableEvent(TableId.parse("db_3.na.table_1"), wide),
+      CreateTableEvent(TableId.parse("db_3.na.table_2"),
+        info("id" -> IntegerType, "name" -> StringType, "age" -> FloatType)),
+      CreateTableEvent(TableId.parse("db_3.na.table_3"),
+        info("id" -> LongType, "name" -> StringType, "age" -> FloatType,
+          "notes" -> StringType)),
+      CreateTableEvent(TableId.parse("db_4.na.table_1"),
+        info("id4" -> IntegerType, "name4" -> StringType, "age4" -> FloatType,
+          "notes4" -> StringType)),
+      DataChangeEvent.insert(TableId.parse("db_3.na.table_2"), Row(7, "Zoe", 1.5f)),
+      DataChangeEvent.insert(TableId.parse("db_4.na.table_1"),
+        Row(4, "Quad", 2.5f, "note")))
+    val sink = run(events,
+      s"""route:
+         |  - source-table: db_1.na.table_1
+         |    sink-table: db_1.na.table_1
+         |  - source-table: db_2.na.table_1
+         |    sink-table: db_2.na.table_2
+         |  - source-table: db_3.na.table_\\.*
+         |    sink-table: db_3.na.table_merged
+         |  - source-table: db_4.na.table_1
+         |    sink-table: db_4.na.table_a
+         |  - source-table: db_4.na.table_1
+         |    sink-table: db_4.na.table_b
+         |""".stripMargin)
+    // creates emit once, in route-rule order; the merge group folds
+    // least-common; the broadcast source creates BOTH sinks
+    assert(sink.eventLog.takeWhile(_.startsWith("CreateTableEvent")) === Seq(
+      "CreateTableEvent{tableId=db_1.na.table_1, schema=columns={id1 INT, name1 STRING, age1 FLOAT, notes1 STRING}, primaryKeys=}",
+      "CreateTableEvent{tableId=db_2.na.table_2, schema=columns={id2 INT, name2 STRING, age2 FLOAT, notes2 STRING}, primaryKeys=}",
+      "CreateTableEvent{tableId=db_3.na.table_merged, schema=columns={id BIGINT, name STRING, age FLOAT, notes STRING}, primaryKeys=}",
+      "CreateTableEvent{tableId=db_4.na.table_a, schema=columns={id4 INT, name4 STRING, age4 FLOAT, notes4 STRING}, primaryKeys=}",
+      "CreateTableEvent{tableId=db_4.na.table_b, schema=columns={id4 INT, name4 STRING, age4 FLOAT, notes4 STRING}, primaryKeys=}"))
+    // data follows the same shapes: merged coerces (INT id -> BIGINT,
+    // missing notes nulls), broadcast lands twice
+    assert(sink.eventLog.drop(5) === Seq(
+      "DataChangeEvent{tableId=db_3.na.table_merged, before=[], after=[7, Zoe, 1.5, null], op=INSERT}",
+      "DataChangeEvent{tableId=db_4.na.table_a, before=[], after=[4, Quad, 2.5, note], op=INSERT}",
+      "DataChangeEvent{tableId=db_4.na.table_b, before=[], after=[4, Quad, 2.5, note], op=INSERT}"))
+  }
+
   test("batch: unrouted tables pass through while routed groups merge (deduceMergedCreateTableEvent)") {
     val my1 = TableId.parse(s"$ns.mytable1")
     val my2 = TableId.parse(s"$ns.mytable2")
