@@ -89,6 +89,20 @@ class SchemaEvolveITCaseSpec extends SparkSpec {
     assert(ex.getMessage.contains("sink refuses alter.column.type"))
   }
 
+  test("IGNORE: no DDL reaches the sink, data projects onto the create-time schema (testIgnoreEvolveSchema)") {
+    val sink = run("ignore", Set.empty[String])
+    val info = sink.info(t1).get
+    // the sink never saw the add/rename/alter: V1 shape throughout
+    assert(info.schema.fieldNames.toSeq === Seq("id", "name", "age"))
+    assert(info.schema("age").dataType === ShortType)
+    // post-rename rows lose `name` (upstream calls it namae now -> the
+    // sink's name column null-fills); post-alter rows null the narrowed
+    // age; surviving columns keep flowing
+    val helen = sink.results(t1).find(_.contains("8;")).get
+    assert(helen === s"$ns.customers:8;null;null")
+    assert(sink.results(t1).exists(_ == s"$ns.customers:1;Alice;17"))
+  }
+
   test("TRY_EVOLVE: accepted DDL still applies normally") {
     val sink = run("try_evolve", Set.empty[String])
     val info = sink.info(t1).get
