@@ -152,6 +152,39 @@ final class TransformEngine(
   private[transform] def splitProjection(p: String): Seq[String] =
     TransformEngine.splitTopLevel(p)
 
+  /** Projection items with the wildcard expanded and SHADING resolved: a
+    * computed item aliased to a physical column's name REPLACES that
+    * column at its wildcard position, retyping it in place — the
+    * reference's `*, 0.5 + CAST(col1 AS DOUBLE) AS col1` keeps col1
+    * first at DOUBLE (TransformParser shading;
+    * FlinkPipelineTransformITCase.testShadeOriginalColumnsWithDifferentType).
+    * Field names expand backquoted so hyphenated/reserved names re-parse.
+    */
+  private def expandedItems(p: String,
+      schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    val items = splitProjection(p)
+    if (!items.contains("*")) items
+    else {
+      val fields = schema.fieldNames.toSeq
+      val shade = items.filterNot(_ == "*").flatMap { item =>
+        parseDialect(item, schema) match {
+          case org.apache.spark.sql.catalyst.expressions.Alias(_, name)
+              if fields.exists(_.equalsIgnoreCase(name)) =>
+            Seq(name.toLowerCase -> item)
+          case _ => Nil
+        }
+      }.toMap
+      items.flatMap {
+        case "*" => fields.map(f => shade.getOrElse(f.toLowerCase, s"`$f`"))
+        case item => parseDialect(item, schema) match {
+          case org.apache.spark.sql.catalyst.expressions.Alias(_, name)
+              if shade.contains(name.toLowerCase) => Nil
+          case _ => Seq(item)
+        }
+      }
+    }
+  }
+
   /** Metadata columns for one image of a change on `tableId`. */
   private def metaColumns(tableId: TableId, eventType: Column): Seq[(String, Column)] = Seq(
     MetadataColumns.NamespaceName -> lit(tableId.namespace.getOrElse("")),
@@ -177,13 +210,11 @@ final class TransformEngine(
         val projected = rule.projection match {
           case None => filtered.select(df.columns.map(col).toIndexedSeq: _*)
           case Some(p) =>
-            // `*` expands to the physical columns only — the injected
-            // metadata columns stay implicit unless referenced by name
+            // `*` expands to the physical columns only (injected metadata
+            // columns stay implicit unless referenced by name), with
+            // same-named computed items shading in place
             // (TransformParser.expandWildcard semantics)
-            val cols = splitProjection(p).flatMap {
-              case "*" => df.columns.toSeq.map(col)
-              case item => Seq(parsed(item))
-            }
+            val cols = expandedItems(p, df.schema).map(parsed)
             filtered.select(cols: _*)
         }
         projected
@@ -223,7 +254,8 @@ final class TransformEngine(
           val cols = rule.projection match {
             case None => Seq(col(image))
             case Some(p) =>
-              splitProjection(p).map(item => imageColumn(item, image, payloadSchema))
+              expandedItems(p, payloadSchema)
+                .map(item => imageColumn(item, image, payloadSchema))
           }
           if (rule.projection.isEmpty) cols.head else struct(cols: _*)
         }

@@ -847,4 +847,39 @@ class TransformITCaseSpec extends SparkSpec {
       s"DataChangeEvent{tableId=$ns.mytable2, before=[], after=[4, Derrida, 25, default_namespace, default_schema, mytable2, +I], op=INSERT}",
       s"DataChangeEvent{tableId=$ns.mytable2, before=[], after=[4, Derrida, 25, default_namespace, default_schema, mytable2, -D], op=INSERT}"))
   }
+
+  test("computed column SHADES the original at a different type (testShadeOriginalColumnsWithDifferentType)") {
+    // `*, 0.5 + CAST(col1 AS DOUBLE) AS col1`: the computed col1 replaces
+    // the wildcard's col1 in place, retyped DOUBLE; the filter evaluates
+    // on the SHADED value (row '1' -> 1.5 fails `> 1.5`, so its insert
+    // AND its later delete both drop)
+    val tid = TableId.parse(s"$ns.table1")
+    val tinfo = TableInfo(
+      StructType(Seq(StructField("col1", StringType), StructField("col2", StringType))),
+      primaryKeys = Seq("col1"))
+    val events = Seq(
+      CreateTableEvent(tid, tinfo),
+      DataChangeEvent.insert(tid, Row("1", "1")),
+      DataChangeEvent.insert(tid, Row("2", "2")),
+      DataChangeEvent.insert(tid, Row("3", "3")),
+      AddColumnEvent(tid, Seq((StructField("col3", StringType), ColumnPosition.After("col2")))),
+      RenameColumnEvent(tid, Map("col2" -> "newCol2", "col3" -> "newCol3")),
+      DropColumnEvent(tid, Seq("newCol2")),
+      DataChangeEvent.delete(tid, Row("1", "1")),
+      DataChangeEvent.update(tid, Row("2", ""), Row("2", "x")))
+    val sink = runGeneric(
+      s"""transform:
+         |  - source-table: $ns.table1
+         |    projection: "*, 0.5 + CAST(col1 AS DOUBLE) AS col1"
+         |    filter: "col1 > 1.5"
+         |""".stripMargin, events = events, behavior = "evolve")
+    assert(sink.eventLog === Seq(
+      s"CreateTableEvent{tableId=$ns.table1, schema=columns={col1 DOUBLE, col2 STRING}, primaryKeys=col1}",
+      s"DataChangeEvent{tableId=$ns.table1, before=[], after=[2.5, 2], op=INSERT}",
+      s"DataChangeEvent{tableId=$ns.table1, before=[], after=[3.5, 3], op=INSERT}",
+      s"AddColumnEvent{tableId=$ns.table1, addedColumns=[col3 STRING After(col2)]}",
+      s"RenameColumnEvent{tableId=$ns.table1, renames=[col2->newCol2, col3->newCol3]}",
+      s"DropColumnEvent{tableId=$ns.table1, droppedColumns=[newCol2]}",
+      s"DataChangeEvent{tableId=$ns.table1, before=[2.5, ], after=[2.5, x], op=UPDATE}"))
+  }
 }
