@@ -31,8 +31,17 @@ final class ValuesDatabase extends DataSink {
   def eventLog: Seq[String] = log.toSeq
 
   private def renderSchema(info: TableInfo): String = {
+    // column comments and default expressions ride StructField.metadata
+    // (the reference's Column(comment, defaultExpr); rendered like its
+    // `id` INT 'id column' 'AUTO_INCREMENT()' schema strings)
     val cols = info.schema.fields
-      .map(f => s"${f.name} ${ValuesDatabase.typeName(f.dataType)}").mkString(", ")
+      .map { f =>
+        val comment = if (f.metadata.contains("comment"))
+          s" '${f.metadata.getString("comment")}'" else ""
+        val dflt = if (f.metadata.contains("default"))
+          s" '${f.metadata.getString("default")}'" else ""
+        s"${f.name} ${ValuesDatabase.typeName(f.dataType)}$comment$dflt"
+      }.mkString(", ")
     val pks = s", primaryKeys=${info.primaryKeys.mkString(";")}"
     val parts = if (info.partitionKeys.isEmpty) ""
       else s", partitionKeys=${info.partitionKeys.mkString(";")}"

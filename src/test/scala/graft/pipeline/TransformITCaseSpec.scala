@@ -848,6 +848,34 @@ class TransformITCaseSpec extends SparkSpec {
       s"DataChangeEvent{tableId=$ns.mytable2, before=[], after=[4, Derrida, 25, default_namespace, default_schema, mytable2, -D], op=INSERT}"))
   }
 
+  test("column comments and defaults survive wildcard AND identity references (testTransformWithCommentsAndDefaultExpr)") {
+    def meta(comment: String, dflt: String) =
+      new MetadataBuilder().putString("comment", comment).putString("default", dflt).build()
+    val info1 = TableInfo(
+      StructType(Seq(
+        StructField("id", IntegerType, metadata = meta("id column", "AUTO_INCREMENT()")),
+        StructField("name", StringType, metadata = meta("name column", "Jane Doe")),
+        StructField("age", IntegerType, metadata = meta("age column", "17")))),
+      primaryKeys = Seq("id"), partitionKeys = Seq("id", "age"))
+    val events = Seq(
+      CreateTableEvent(t1, info1),
+      DataChangeEvent.insert(t1, Row(1, "Alice", 18)),
+      DataChangeEvent.insert(t1, Row(2, "Bob", 20)))
+    val sink = runGeneric(
+      s"""transform:
+         |  - source-table: $ns.\\.*
+         |    projection: "*, name AS new_name, age + 1 AS new_age, 'extras' AS extras"
+         |""".stripMargin, events = events, behavior = "evolve")
+    assert(sink.eventLog === Seq(
+      // passthrough columns keep comment+default; `name AS new_name`
+      // INHERITS name's metadata (Alias propagates attribute metadata —
+      // the same inheritance the reference implements by hand);
+      // computed new_age/extras carry none
+      s"CreateTableEvent{tableId=$ns.mytable1, schema=columns={id INT 'id column' 'AUTO_INCREMENT()', name STRING 'name column' 'Jane Doe', age INT 'age column' '17', new_name STRING 'name column' 'Jane Doe', new_age INT, extras STRING}, primaryKeys=id, partitionKeys=id;age}",
+      s"DataChangeEvent{tableId=$ns.mytable1, before=[], after=[1, Alice, 18, Alice, 19, extras], op=INSERT}",
+      s"DataChangeEvent{tableId=$ns.mytable1, before=[], after=[2, Bob, 20, Bob, 21, extras], op=INSERT}"))
+  }
+
   test("computed column SHADES the original at a different type (testShadeOriginalColumnsWithDifferentType)") {
     // `*, 0.5 + CAST(col1 AS DOUBLE) AS col1`: the computed col1 replaces
     // the wildcard's col1 in place, retyped DOUBLE; the filter evaluates
