@@ -762,6 +762,23 @@ class OpsSpec extends SparkSpec {
     assert(hashed === out)
   }
 
+  test("collocations: counts exact, identical bigrams merge, ties break by text") {
+    val docs = Seq(
+      (1L, "new york new york city"),
+      (2L, "new york is a city"),
+      (3L, "a city")).toDF("doc_id", "text")
+    val out = TextAnalysis.collocationStats(docs, "doc_id", "text", topN = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(4), r.getLong(5))).toMap
+    // "new york" occurs 3x (twice in doc 1); unigram counts ride along
+    assert(out("new york") === ((3L, 3L, 3L)))          // new=3, york=3
+    assert(out("a city") === ((2L, 2L, 3L)))            // a=2, city=3
+    // the third slot goes to the lexicographically first count-1 bigram:
+    // "is a" < "york city" < "york is" < "york new"
+    assert(out.size === 3)
+    assert(out("is a") === ((1L, 1L, 2L)))              // is=1, a=2
+  }
+
   test("unigram LM: rare terms fold to unk, OOV backs off, ln law pins neg_logp") {
     val docs = Seq(
       (1L, "apple banana apple banana"),
