@@ -103,6 +103,35 @@ class SchemaEvolveITCaseSpec extends SparkSpec {
     assert(sink.results(t1).exists(_ == s"$ns.customers:1;Alice;17"))
   }
 
+  test("fine-grained: excluded DDL kinds absorb, data null-fills (testFineGrainedSchemaEvolves)") {
+    // the reference's fine-grained contract: the sink declares which
+    // event-type families it supports; unsupported kinds are absorbed
+    // (the pipeline keeps running, data coerces to the schema the sink
+    // has) while supported kinds evolve. graft expresses the declaration
+    // as the sink's exclude.schema.changes option.
+    val pd = YamlPipelineParser.parse(
+      s"""source: { type: values }
+         |sink: { type: values, exclude.schema.changes: "alter.column.type, rename" }
+         |pipeline: { schema.change.behavior: evolve }
+         |""".stripMargin)
+    val inner = new ValuesDatabase
+    new PipelineRunner(spark, pd, new ValuesSource(events), inner).run()
+    val info = inner.info(t1).get
+    // AddColumn applied (supported kind)...
+    assert(info.schema.fieldNames.toSeq ===
+      Seq("id", "name", "age", "score", "height"))
+    // ...rename and alter absorbed: original names and types survive
+    assert(info.schema("age").dataType === ShortType)
+    assert(info.schema("score").dataType === IntegerType)
+    // post-alter rows: renamed upstream columns (namae/sukoa) no longer
+    // feed name/score, altered age nulls by type — height keeps flowing
+    val helen = inner.results(t1).find(_.contains("Helen")).getOrElse(
+      inner.results(t1).find(_.startsWith(s"$ns.customers:8")).get)
+    assert(helen === s"$ns.customers:8;null;null;null;173.25")
+    // pre-DDL rows untouched
+    assert(inner.results(t1).exists(_ == s"$ns.customers:1;Alice;17;null;null"))
+  }
+
   test("TRY_EVOLVE: accepted DDL still applies normally") {
     val sink = run("try_evolve", Set.empty[String])
     val info = sink.info(t1).get
