@@ -37,26 +37,37 @@ object Bench {
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
     }
     streamThroughput(spark, warmDir)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try consume(fn, sfDir)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    // 2-run protocol: single runs swing 2-5x on individual queries (JSON
+    // codec + GC luck); the committed artifact IS the authoritative
+    // record, so it carries BOTH measured totals and the per-query min —
+    // a regression is only real if it shows in both runs
+    def measuredPass(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try consume(fn, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    // 3-decimal timings: the driver stores only the output TAIL — full
+    val run1 = measuredPass()
+    val run2 = measuredPass().toMap
+    val mins = run1.map { case (k, v) => k -> math.min(v, run2(k)) }
+    // 2-decimal timings: the driver stores only the output TAIL — full
     // nanosecond floats pushed the one-line JSON past its window in r6
     // and the round lost its machine-readable bench ("parsed": null)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = mins.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = mins.map(_._2).sum
+    val t1 = run1.map(_._2).sum
+    val t2 = run2.valuesIterator.sum
     val st = streamThroughput(spark, sfDir)
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
+    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec",""" +
+      s""""run_totals":[${f"$t1%.2f"},${f"$t2%.2f"}],"queries":$qs,""" +
       s""""stream_events_per_s":${st.eps},"stream_steady_eps":${st.steadyEps},""" +
       s""""stream_batches":${st.batches},""" +
       s""""stream_batch_eps_spread_pct":${st.spreadPct},""" +
-      s""""stream_note":"eps=wall clock over ${st.batches} batches incl compaction; steady=median batch rate after first; warm pass (suite+stream warmed at sf0.001)",""" +
+      s""""stream_note":"queries=per-query min of 2 measured passes (totals of each in run_totals); eps=wall clock over ${st.batches} batches incl compaction; steady=median batch rate after first; warm pass (suite+stream warmed at sf0.001)",""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }

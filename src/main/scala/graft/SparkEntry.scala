@@ -1236,14 +1236,12 @@ object SparkEntry {
     * (engine-defined ln rounding stays out of the oracle, as with
     * tf-idf's ranking).
     */
-  private def q68LmScore(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val model = graft.ops.LanguageModel.unigramCounts(docs, "text", minCount = 5)
-    graft.ops.LanguageModel.scoreDocs(docs, "doc_id", "text", model)
+  private def q68LmScore(s: SparkSession, dir: String): DataFrame =
+    graft.ops.LanguageModel.scoreCorpus(t(s, dir, "documents"), "doc_id", "text",
+      minCount = 5)
       .select(col("doc_id"), col("n_tok"), col("n_oov"), col("sum_cnt"),
         round(col("avg_cnt"), 6).as("avg_cnt"))
       .orderBy(col("doc_id"))
-  }
 
   /** DSIR importance-weight evidence (ops.LanguageModel
     * .importanceWeights): target model = English slice, base model =

@@ -169,15 +169,21 @@ object Curation {
     // bucket -> sum of all PRIOR buckets' tokens (exclusive prefix)
     val exclusive = {
       var acc = 0L
-      totals.map { case (b, tot) => val start = acc; acc += tot; b -> start }.toMap
+      totals.map { case (b, tot) => val start = acc; acc += tot; b -> start }
     }
-    val offsetOf = udf((b: Long) => exclusive(b))
+    // the bucket-offset lookup is a broadcast join of the tiny
+    // (bucket, start) frame — a per-row UDF map lookup would break
+    // whole-stage codegen around the hot projection
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsets = broadcast(exclusive.toSeq.toDF("__obucket", "__bstart"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__bucket")).orderBy(col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     withBucket
       .withColumn("__local", coalesce(sum(col(tokCol)).over(w), lit(0L)))
-      .withColumn("start_offset", offsetOf(col("__bucket")) + col("__local"))
+      .join(offsets, col("__bucket") === col("__obucket"))
+      .withColumn("start_offset", col("__bstart") + col("__local"))
       .select(col(idCol),
         col("start_offset"),
         // integral div: double division loses exactness past 2^53 tokens
@@ -282,7 +288,7 @@ object Curation {
     * Returns the input columns plus `rank` (1-based within stratum).
     */
   def stratifiedTopK(df: DataFrame, strataCols: Seq[String], key: Column,
-      k: Int, oversample: Double = 1.5): DataFrame = {
+      k: Int, oversample: Double = 1.5, maxStrata: Int = 1000000): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(oversample > 1.0, s"oversample must exceed 1: $oversample")
     import org.apache.spark.sql.expressions.Window
@@ -293,8 +299,18 @@ object Curation {
     val draw = conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
     val withDraw = df.withColumn("__draw", draw)
     val strata = strataCols.map(col)
-    // O(#strata) driver state — control-plane, like domainMix's rate table
-    val counts = withDraw.groupBy(strata: _*).agg(count(lit(1)).as("__n")).collect()
+    // O(#strata) driver state — control-plane, like domainMix's rate
+    // table. Guarded: a near-unique stratum column would turn this into
+    // an O(rows) driver collect, so take() caps the pull at maxStrata+1
+    // and fails loudly instead of OOMing the driver.
+    val countRows = withDraw.groupBy(strata: _*).agg(count(lit(1)).as("__n"))
+      .take(maxStrata + 1)
+    require(countRows.length <= maxStrata,
+      s"stratifiedTopK: over $maxStrata distinct strata for columns " +
+        s"${strataCols.mkString("(", ",", ")")} — the per-stratum quota state is " +
+        "driver-side control-plane; a near-unique stratum key is almost certainly a " +
+        "bug (raise maxStrata only if the driver is sized for it)")
+    val counts = countRows
       .map(r => strataCols.map(r.getAs[Any]).toList -> r.getAs[Long]("__n")).toMap
     // admit ~quota + margin rows: the +16 floor keeps the miss
     // probability negligible even at k=1

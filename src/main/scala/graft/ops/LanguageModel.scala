@@ -10,19 +10,26 @@ import org.apache.spark.sql.functions._
   * DSIR-style importance weights (Xie et al. 2023): log-ratio of a
   * target-slice model to the base-corpus model.
   *
-  * Scale shape (100 TB): ONE corpus pass builds token counts with
-  * map-side partial aggregation; the folded vocabulary (rare terms
-  * collapse into `<unk>`, keeping the model `minCount`-bounded) is
-  * model-sized and broadcasts to the scoring pass, which is a second
-  * single corpus pass — explode, broadcast-lookup, one doc-keyed
-  * partial aggregation. No windows, no self-joins, nothing driver-side
-  * but two scalars (total mass, unk mass).
+  * Scale shape (100 TB): ONE corpus pass tokenizes — the per-document
+  * term-frequency frame `(doc_id, term, tf)` aggregates with map-side
+  * combine and is persisted (the `termFrequencies` pattern from
+  * TextAnalysis); the model(s), their scalars, and the scoring pass all
+  * derive from that cached intermediate, which is doc×vocab-sized —
+  * orders of magnitude under the raw token stream. The folded
+  * vocabulary (rare terms collapse into `<unk>`, keeping the model
+  * `minCount`-bounded) broadcasts to the scoring join; the only
+  * shuffles are the tf aggregation and the doc-keyed score aggregation.
+  * Nothing driver-side but model scalars (total mass, unk mass).
   *
   * Float discipline: every cross-engine-gated column is integer
   * arithmetic or a single IEEE division (correctly rounded everywhere);
   * `ln` is implementation-defined across engines, so log-space scores
   * (`neg_logp`, `log_weight`) are operator outputs pinned by OpsSpec
   * laws, not by the DuckDB oracle — same policy as tf-idf's ranking.
+  * Scoring weights each distinct term by its `tf` (sum(tf·ln c) /
+  * sum(tf) instead of a per-token mean) — identical sums in exact
+  * arithmetic, so the integer evidence columns are bit-equal to the
+  * per-token formulation.
   */
 object LanguageModel {
 
@@ -34,20 +41,70 @@ object LanguageModel {
       explode(split(TextAnalysis.normalize(col(textCol)), " ")).as("term"))
       .where(col("term") =!= "")
 
-  /** Unigram count model over the corpus: `(term, cnt)` where terms seen
-    * fewer than `minCount` times fold their combined mass into the
-    * `<unk>` row. The fold keeps the model bounded: raw web vocab grows
-    * ~n^0.5 (Heaps), the folded vocab stops at mass-above-cutoff.
-    * Two aggregations: corpus-wide (map-side partials carry the weight),
-    * then a vocabulary-sized re-bucket.
+  /** Per-document term frequencies `(doc_id[, __tgt], term, tf)` — the
+    * single corpus tokenize every entry point shares. `flag` threads a
+    * document-level predicate through as `__tgt` (for slice-trained
+    * models) without a second pass over the text.
+    */
+  private def docTermFreqs(docs: DataFrame, idCol: String, textCol: String,
+      flag: Option[Column]): DataFrame = {
+    val cols = Seq(col(idCol).as("doc_id")) ++ flag.map(_.as("__tgt")).toSeq :+
+      explode(split(TextAnalysis.normalize(col(textCol)), " ")).as("term")
+    val keys = Seq(col("doc_id")) ++ flag.map(_ => col("__tgt")).toSeq :+ col("term")
+    docs.select(cols: _*)
+      .where(col("term") =!= "")
+      .groupBy(keys: _*).agg(count(lit(1)).as("tf"))
+  }
+
+  /** minCount fold over raw `(term, raw)` counts: terms below the cutoff
+    * pool their combined mass into the `<unk>` row. The fold keeps the
+    * model bounded: raw web vocab grows ~n^0.5 (Heaps), the folded vocab
+    * stops at mass-above-cutoff.
+    */
+  private def foldModel(raw: DataFrame, minCount: Long): DataFrame =
+    raw.select(when(col("raw") < minCount, lit(UnkToken)).otherwise(col("term")).as("term"),
+      col("raw"))
+      .groupBy(col("term")).agg(sum(col("raw")).as("cnt"))
+
+  /** Unigram count model over the corpus: `(term, cnt)` with the
+    * minCount fold. Two aggregations: corpus-wide (map-side partials
+    * carry the weight), then a vocabulary-sized re-bucket.
     */
   def unigramCounts(docs: DataFrame, textCol: String, minCount: Long = 5,
       idCol: String = "doc_id"): DataFrame =
-    tokens(docs, idCol, textCol)
-      .groupBy(col("term")).agg(count(lit(1)).as("raw"))
-      .select(when(col("raw") < minCount, lit(UnkToken)).otherwise(col("term")).as("term"),
-        col("raw"))
-      .groupBy(col("term")).agg(sum(col("raw")).as("cnt"))
+    foldModel(
+      tokens(docs, idCol, textCol).groupBy(col("term")).agg(count(lit(1)).as("raw")),
+      minCount)
+
+  /** (total model mass, unk mass floored at 1) — model-sized driver scalars. */
+  private def modelScalars(m: DataFrame, termCol: String, cntCol: String): (Long, Long) = {
+    val r = m.agg(sum(col(cntCol)).as("total"),
+      coalesce(max(when(col(termCol) === UnkToken, col(cntCol))), lit(0L)).as("unk")).head()
+    (r.getLong(0), math.max(1L, r.getLong(1)))
+  }
+
+  /** Score a tf frame against a model: broadcast-lookup each distinct
+    * (doc, term), weight by tf, aggregate per document.
+    */
+  private def scoreTf(tf: DataFrame, model: DataFrame): DataFrame = {
+    val m = model.select(col("term").as("__t"), col("cnt"))
+    val (total, unkCnt) = modelScalars(m, "__t", "cnt")
+    tf.join(broadcast(m), tf("term") === m("__t"), "left")
+      .select(col("doc_id"),
+        col("__t").isNull.as("oov"),
+        coalesce(col("cnt"), lit(unkCnt)).as("cnt"),
+        col("tf"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_tok"),
+        sum(when(col("oov"), col("tf")).otherwise(0L)).as("n_oov"),
+        sum(col("cnt") * col("tf")).as("sum_cnt"),
+        // ln(total) - tf-weighted mean(ln cnt): per-token surprise
+        // averaged; kept out of the oracle gate (engine-defined ln)
+        (lit(math.log(total.toDouble)) -
+          sum(col("tf") * log(col("cnt"))) / sum(col("tf"))).as("neg_logp"))
+      .withColumn("avg_cnt", col("sum_cnt").cast("double") / col("n_tok"))
+  }
 
   /** Per-document LM statistics against a trained `model`
     * ([[unigramCounts]] output): token count, out-of-vocabulary count,
@@ -56,32 +113,25 @@ object LanguageModel {
     * backs off OOV terms, an empty unk row floors at 1).
     *
     * The model broadcasts — after the minCount fold it is vocabulary-
-    * sized, orders of magnitude under the corpus. Per-doc aggregation is
-    * the only shuffle.
+    * sized, orders of magnitude under the corpus.
     */
   def scoreDocs(docs: DataFrame, idCol: String, textCol: String,
-      model: DataFrame): DataFrame = {
-    val m = model.select(col("term").as("__t"), col("cnt"))
-    val scalars = m.agg(
-      sum(col("cnt")).as("total"),
-      coalesce(max(when(col("__t") === UnkToken, col("cnt"))), lit(0L)).as("unk"))
-      .head()
-    val total = scalars.getLong(0)
-    val unkCnt = math.max(1L, scalars.getLong(1))
-    val toks = tokens(docs, idCol, textCol)
-    toks.join(broadcast(m), toks("term") === m("__t"), "left")
-      .select(col("doc_id"),
-        col("__t").isNull.as("oov"),
-        coalesce(col("cnt"), lit(unkCnt)).as("cnt"))
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_tok"),
-        sum(when(col("oov"), 1L).otherwise(0L)).as("n_oov"),
-        sum(col("cnt")).as("sum_cnt"),
-        // ln(total) - mean(ln cnt): per-token surprise averaged; kept
-        // out of the oracle gate (engine-defined rounding of ln)
-        (lit(math.log(total.toDouble)) - avg(log(col("cnt")))).as("neg_logp"))
-      .withColumn("avg_cnt", col("sum_cnt").cast("double") / col("n_tok"))
+      model: DataFrame): DataFrame =
+    scoreTf(docTermFreqs(docs, idCol, textCol, None), model)
+
+  /** Train-and-score in ONE corpus tokenize: the persisted tf frame
+    * feeds the model aggregation and the scoring pass, so the raw text
+    * is normalized/split/exploded exactly once (two full corpus scans
+    * saved at 100 TB vs training and scoring separately). Output is
+    * identical to `scoreDocs(docs, …, unigramCounts(docs, …))`.
+    */
+  def scoreCorpus(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 5): DataFrame = {
+    val tf = docTermFreqs(docs, idCol, textCol, None)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = foldModel(
+      tf.groupBy(col("term")).agg(sum(col("tf")).as("raw")), minCount)
+    scoreTf(tf, model)
   }
 
   /** DSIR importance weights: per document, the log-ratio of a target
@@ -91,37 +141,40 @@ object LanguageModel {
     * models train with the same fold rule. `log_weight > 0` ⇒ the
     * document looks more like the target than the base — sampling
     * proportional to the softmaxed weight is the DSIR recipe.
+    *
+    * One corpus tokenize: the target flag rides the tf frame as a
+    * column, so the target model (flagged slice), the base model (all
+    * rows), and the scoring join all read the same persisted cache.
     */
   def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
       targetFilter: Column, minCount: Long = 5): DataFrame = {
-    val tgt = unigramCounts(docs.where(targetFilter), textCol, minCount, idCol)
+    val tf = docTermFreqs(docs, idCol, textCol, Some(targetFilter))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tgt = foldModel(
+      tf.where(col("__tgt")).groupBy(col("term")).agg(sum(col("tf")).as("raw")), minCount)
       .withColumnRenamed("cnt", "t_cnt")
-    val base = unigramCounts(docs, textCol, minCount, idCol)
+    val base = foldModel(
+      tf.groupBy(col("term")).agg(sum(col("tf")).as("raw")), minCount)
       .withColumnRenamed("cnt", "b_cnt")
-    def scalars(m: DataFrame, cntCol: String): (Long, Long) = {
-      val r = m.agg(sum(col(cntCol)).as("total"),
-        coalesce(max(when(col("term") === UnkToken, col(cntCol))), lit(0L)).as("unk")).head()
-      (r.getLong(0), math.max(1L, r.getLong(1)))
-    }
-    val (tTotal, tUnk) = scalars(tgt, "t_cnt")
-    val (bTotal, bUnk) = scalars(base, "b_cnt")
-    val toks = tokens(docs, idCol, textCol)
+    val (tTotal, tUnk) = modelScalars(tgt, "term", "t_cnt")
+    val (bTotal, bUnk) = modelScalars(base, "term", "b_cnt")
     val t = tgt.withColumnRenamed("term", "__tt")
     val b = base.withColumnRenamed("term", "__tb")
-    toks
-      .join(broadcast(t), toks("term") === t("__tt"), "left")
-      .join(broadcast(b), toks("term") === b("__tb"), "left")
+    tf
+      .join(broadcast(t), tf("term") === t("__tt"), "left")
+      .join(broadcast(b), tf("term") === b("__tb"), "left")
       .select(col("doc_id"),
+        col("tf"),
         coalesce(col("t_cnt"), lit(tUnk)).as("tc"),
         coalesce(col("b_cnt"), lit(bUnk)).as("bc"))
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).as("n_tok"),
-        sum(col("tc")).as("sum_t_cnt"),
-        sum(col("bc")).as("sum_b_cnt"),
-        // sum(ln p_t - ln p_b) = sum(ln tc - ln bc) + n*(ln bTotal - ln tTotal)
-        (sum(log(col("tc")) - log(col("bc"))) +
-          count(lit(1)) * lit(math.log(bTotal.toDouble) - math.log(tTotal.toDouble)))
+        sum(col("tf")).as("n_tok"),
+        sum(col("tc") * col("tf")).as("sum_t_cnt"),
+        sum(col("bc") * col("tf")).as("sum_b_cnt"),
+        // sum(ln p_t - ln p_b) = Σ tf·(ln tc - ln bc) + n·(ln bTotal - ln tTotal)
+        (sum(col("tf") * (log(col("tc")) - log(col("bc")))) +
+          sum(col("tf")) * lit(math.log(bTotal.toDouble) - math.log(tTotal.toDouble)))
           .as("log_weight"))
   }
 }

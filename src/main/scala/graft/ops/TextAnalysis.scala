@@ -293,28 +293,35 @@ object TextAnalysis {
     * by the caller in log space; the gate carries the integers, per the
     * tf-idf float policy). Ties at the cut break by bigram text.
     *
-    * Scale shape: two corpus-pass hash aggregations (map-side combined),
-    * a global top-N that plans as TakeOrderedAndProject (never a full
-    * sort), and two joins of the TINY top-N frame against the
-    * vocabulary-sized unigram counts.
+    * Scale shape: ONE corpus-pass hash aggregation (map-side combined) —
+    * unigrams and bigrams stream through a single generator into one
+    * combined `(kind, gram)` count, so the text is normalized/tokenized
+    * exactly once; the persisted intermediate is vocabulary-sized, never
+    * the corpus. Then a global top-N that plans as TakeOrderedAndProject
+    * (never a full sort), and two joins of the TINY top-N frame against
+    * the vocabulary-sized unigram slice of the cache.
     */
   def collocationStats(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, topN: Int = 100): org.apache.spark.sql.DataFrame = {
-    val words = docs.select(
-      split(normalize(col(textCol)), " ").as("__w"))
+    val counts = docs
+      .select(split(normalize(col(textCol)), " ").as("__w"))
       .where(size(col("__w")) > 0 && col("__w")(0) =!= "")
-    val bigrams = words
-      .select(explode(Curation.wordNgrams(col("__w"), 2)).as("bigram"))
-      .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
-    val unigrams = words
-      .select(explode(col("__w")).as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("ucnt"))
-    val top = bigrams
+      .select(explode(concat(
+        transform(col("__w"),
+          w => struct(lit("u").as("kind"), w.as("gram"))),
+        transform(Curation.wordNgrams(col("__w"), 2),
+          g => struct(lit("b").as("kind"), g.as("gram"))))).as("kg"))
+      .select(col("kg.kind").as("kind"), col("kg.gram").as("gram"))
+      .groupBy(col("kind"), col("gram")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val top = counts.where(col("kind") === "b")
+      .select(col("gram").as("bigram"), col("cnt"))
       .orderBy(col("cnt").desc, col("bigram").asc).limit(topN)
       .withColumn("l_term", split(col("bigram"), " ")(0))
       .withColumn("r_term", split(col("bigram"), " ")(1))
-    val l = unigrams.select(col("term").as("__lt"), col("ucnt").as("l_cnt"))
-    val r = unigrams.select(col("term").as("__rt"), col("ucnt").as("r_cnt"))
+    val unigrams = counts.where(col("kind") === "u")
+    val l = unigrams.select(col("gram").as("__lt"), col("cnt").as("l_cnt"))
+    val r = unigrams.select(col("gram").as("__rt"), col("cnt").as("r_cnt"))
     broadcast(top)
       .join(l, col("l_term") === col("__lt"))
       .join(r, col("r_term") === col("__rt"))

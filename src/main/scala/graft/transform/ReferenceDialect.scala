@@ -34,6 +34,12 @@ object ReferenceDialect {
   /** Spark-parseable form of a reference-dialect expression string. */
   def rewriteSql(sql: String): String = {
     var s = sql
+    // Calcite string literals treat backslash as an ordinary character
+    // (standard SQL; quotes escape by doubling ''), while Spark's parser
+    // applies backslash escapes — '\d' would silently become 'd'.
+    // Doubling every backslash inside single-quoted literals reproduces
+    // the reference's literal semantics (regexp patterns especially).
+    s = escapeLiteralBackslashes(s)
     // Calcite allows length-less character types in CAST
     s = s.replaceAll("(?i)\\bAS\\s+VARCHAR\\s*\\)", "AS STRING)")
     s = s.replaceAll("(?i)\\bAS\\s+CHAR\\s*\\)", "AS STRING)")
@@ -53,6 +59,25 @@ object ReferenceDialect {
       "(?i)\\bPOSITION\\s*\\(\\s*([^(),]+?)\\s+IN\\s+([^(),]+?)\\s+FROM\\s+([^(),]+?)\\s*\\)",
       "locate($1, $2, $3)")
     s
+  }
+
+  /** Double backslashes inside single-quoted literals (Calcite literal
+    * semantics under Spark's escaping parser). The quote scan mirrors
+    * [[scanQuoteStates]]: a doubled '' stays inside the literal.
+    */
+  private def escapeLiteralBackslashes(s: String): String = {
+    if (!s.contains('\\')) return s
+    val out = new StringBuilder(s.length + 8)
+    var inQuote = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') inQuote = !inQuote
+      out.append(c)
+      if (inQuote && c == '\\') out.append('\\')
+      i += 1
+    }
+    out.toString
   }
 
   /** Keyword occurrences outside quoted strings. */
@@ -626,6 +651,22 @@ object ReferenceDialect {
         fn("parse_json", Cast(f.arguments.head, StringType))
       case "try_parse_json" =>
         fn("try_parse_json", Cast(f.arguments.head, StringType))
+      case name @ ("regexp_count" | "regexp_instr" | "regexp_substr")
+          if f.arguments.length == 2 =>
+        // Spark's same-named built-ins match the reference exactly on
+        // valid patterns and nulls (count of non-overlapping matches /
+        // 1-based first-match start, 0 when unmatched / first match or
+        // NULL — StringFunctions.java:111-137), but an INVALID pattern
+        // throws in Spark where the reference yields NULL
+        // (getRegexpMatcher swallows PatternSyntaxException,
+        // StringFunctions.java:563-572). Transform patterns are literals,
+        // so validate here; a non-literal invalid pattern still throws at
+        // runtime (documented residue — the reference would null it).
+        val invalid = strLit(f.arguments(1)).exists(p =>
+          scala.util.Try(java.util.regex.Pattern.compile(p)).isFailure)
+        if (invalid)
+          Literal(null, if (name == "regexp_substr") StringType else IntegerType)
+        else f
       case "ceil" | "ceiling" | "floor" if f.arguments.length == 1 =>
         // Calcite keeps the operand type; Spark returns BIGINT
         val renamed = if (f.nameParts.last.equalsIgnoreCase("ceiling"))

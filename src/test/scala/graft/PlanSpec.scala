@@ -142,6 +142,11 @@ class PlanSpec extends SparkSpec {
     // source (a second full corpus scan at 100 TB)
     assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
       s"packing plan re-scans the source instead of the persisted bucket frame:\n$p")
+    // the bucket-offset lookup is a broadcast join of the tiny
+    // (bucket, start) frame — a per-row Scala UDF here would break
+    // whole-stage codegen around the offset projection
+    assert(p.contains("BroadcastHashJoin"), s"bucket offsets not broadcast-joined:\n$p")
+    assert(!p.contains("UDF"), s"per-row UDF in packing plan breaks codegen:\n$p")
   }
 
   test("q54 temporal: one keyed shuffle (materialize), the rest projections") {
@@ -242,13 +247,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in lm plan:\n$p")
     assert(p.contains("partial_count") || p.contains("partial"),
       s"token counts not map-side combined:\n$p")
+    // ONE corpus tokenize: model training and scoring both read the
+    // persisted (doc_id, term, tf) frame — without the shared cache the
+    // corpus would be normalized/split/exploded twice
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"lm score re-tokenizes the corpus instead of sharing the tf cache:\n$p")
   }
 
-  test("q69 dsir: both models broadcast, no cartesian") {
+  test("q69 dsir: both models broadcast, no cartesian, one shared tokenize") {
     val p = plan("q69_dsir")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
       s"target and base models should both broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in dsir plan:\n$p")
+    // target model, base model, and the scoring join must all consume the
+    // ONE persisted tf frame (r7 tokenized the corpus three times here)
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"dsir re-tokenizes the corpus instead of sharing the tf cache:\n$p")
   }
 
   test("q70 stratified: threshold cut precedes a group-limited window") {
@@ -271,6 +285,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial"),
       s"bigram counts not map-side combined:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in collocations plan:\n$p")
+    // unigrams and bigrams come from ONE combined (kind, gram) count:
+    // top-N and both unigram joins read the persisted vocabulary-sized
+    // cache — r7 tokenized the corpus twice here
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"collocations re-tokenizes the corpus instead of sharing the count cache:\n$p")
   }
 
   test("native expressions stay inside whole-stage codegen") {

@@ -822,6 +822,20 @@ class OpsSpec extends SparkSpec {
     assert(o2.filter(_._1 == "tiny").map(_._2).sorted.toSeq === Seq(1, 2, 3))
   }
 
+  test("stratified top-k refuses a near-unique stratum key (driver guard)") {
+    // per-stratum quota state is driver-side control-plane: past
+    // maxStrata the collect would scale O(rows), so it must fail loudly
+    val df = (1 to 100).map(i => (i.toLong, s"s$i")).toDF("id", "stratum")
+    val e = intercept[IllegalArgumentException] {
+      Curation.stratifiedTopK(df, Seq("stratum"), col("id"), k = 1, maxStrata = 50)
+    }
+    assert(e.getMessage.contains("distinct strata"))
+    // at exactly the bound it still runs
+    val small = (1 to 10).map(i => (i.toLong, s"s${i % 5}")).toDF("id", "stratum")
+    assert(Curation.stratifiedTopK(small, Seq("stratum"), col("id"), k = 2,
+      maxStrata = 5).count() === 10)
+  }
+
   test("dsir: in-target docs outweigh out-of-target, weight matches brute force") {
     // target (en) tokens all clear minCount, so the target model folds
     // nothing and OOV backs off to the 1-floor — out-of-target tokens

@@ -251,4 +251,53 @@ class CdcTableProviderSpec extends SparkSpec {
       .select(col("__op")).collect().map(_.getString(0)).toSeq
     assert(ops === Seq("+I", "-D")) // only f1's insert+delete
   }
+
+  test("mid-stream DDL: ALTER envelope vanishes, widened rows decode on the pinned schema") {
+    // the DSv2 stream pins its schema at query start (schema.ddl); an
+    // upstream ALTER lands mid-feed as (a) a schema-change envelope with
+    // no row images and (b) subsequent events carrying the NEW column.
+    // Contract: the DDL envelope emits no changelog row, widened events
+    // decode against the pinned schema (unknown field ignored), offsets
+    // stay file-granular, and a concurrent batch reader over the same
+    // directory sees a consistent exploded relation. Pipelines wanting
+    // the ALTER applied belong to StreamingPipeline's schema plane.
+    val dir = java.nio.file.Files.createTempDirectory("cdc_dsv2_ddl").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "f0.json").toPath,
+      feed.take(2).mkString("\n").getBytes("UTF-8"))
+    val ddl = "CREATE TABLE users (id BIGINT PRIMARY KEY, v VARCHAR(32))"
+    val q = spark.readStream.format("graft-cdc")
+      .option("path", dir.getAbsolutePath).option("schema.ddl", ddl).load()
+      .writeStream.format("memory").queryName("cdc_ddl_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50)).start()
+    q.processAllAvailable()
+    assert(spark.table("cdc_ddl_out").count() === 3) // +I, -U/+U from f0
+    // the ALTER lands: a DDL envelope (no images), then events carrying
+    // the post-ALTER extra column `w`
+    java.nio.file.Files.write(new java.io.File(dir, "f1.json").toPath, Seq(
+      """{"schemaChange":{"ddl":"ALTER TABLE users ADD COLUMN w INT"},"source":{"db":"db","table":"users"}}""",
+      """{"before":null,"after":{"id":3,"v":"c","w":7},"op":"c","ts_ms":5,"source":{"db":"db","table":"users"}}""",
+      """{"before":{"id":3,"v":"c","w":7},"after":null,"op":"d","ts_ms":6,"source":{"db":"db","table":"users"}}""")
+      .mkString("\n").getBytes("UTF-8"))
+    q.processAllAvailable()
+    // a concurrent batch reader over the live directory agrees with the
+    // stream's accumulated relation (same exploded multiset)
+    val batch = spark.read.format("graft-cdc")
+      .option("path", dir.getAbsolutePath).option("schema.ddl", ddl).load()
+      .select(col("id"), col("v"), col("__op"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    q.stop()
+    val got = spark.table("cdc_ddl_out")
+      .select(col("id"), col("v"), col("__op"), col("__seq")).collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq.sorted
+      === batch.sorted)
+    // the DDL envelope vanished; the widened events decoded on the pinned
+    // 2-column schema
+    val f1 = got.filter(_.getLong(3) >= (1L << 33)).sortBy(_.getLong(3))
+    assert(f1.map(_.getString(2)).toSeq === Seq("+I", "-D"))
+    assert(f1.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((3L, "c"), (3L, "c")))
+    // file-granular offsets: f1's rows carry fileIdx 1 seqs, line 1 and 2
+    // (line 0 was the DDL envelope — its seq is consumed, not emitted)
+    assert(f1.map(_.getLong(3)).toSeq === Seq((1L << 33) | 1L, (1L << 33) | 2L))
+  }
 }

@@ -13,8 +13,9 @@ class RefSpecCorpusSpec extends SparkSpec {
 
   private val files = Seq(
     "arithmetic.yaml", "basic.yaml", "casting.yaml", "comparison.yaml",
-    "condition.yaml", "decimal.yaml", "logical.yaml", "meta.yaml",
-    "nested.yaml", "regression.yaml", "string.yaml", "temporal.yaml")
+    "condition.yaml", "decimal.yaml", "functions_ext.yaml", "logical.yaml",
+    "meta.yaml", "nested.yaml", "regression.yaml", "string.yaml",
+    "temporal.yaml")
 
   private def str(m: collection.Map[String, Object], k: String): Option[String] =
     m.get(k).map(_.toString)
