@@ -1286,6 +1286,24 @@ object SparkEntry {
       .select(col("id").as("vec_id"), col("rep"), col("keep"))
       .orderBy(col("vec_id"))
 
+  /** Token-budgeted top-quality selection per source domain
+    * (ops.Curation.budgetedTopQuality): fill each source's 3k-char
+    * budget greedily with its best documents (quality = a deterministic
+    * integer signal, ties by doc_id). The oracle recomputes the
+    * brute-force per-domain cumulative window — a mismatch means the
+    * percentile-cut scale path admitted or dropped a budget row.
+    */
+  private def q72BudgetedQuality(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        (col("n_chars") % 997).as("quality"))
+    graft.ops.Curation.budgetedTopQuality(docs, Seq("source"),
+      "n_chars", "quality", col("doc_id"), budget = 3000L)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("quality"), col("cum_before"))
+      .orderBy(col("source"), col("cum_before"), col("doc_id"))
+  }
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1359,7 +1377,8 @@ object SparkEntry {
     "q68_lm_score" -> (q68LmScore _),
     "q69_dsir" -> (q69Dsir _),
     "q70_stratified" -> (q70Stratified _),
-    "q71_collocations" -> (q71Collocations _)
+    "q71_collocations" -> (q71Collocations _),
+    "q72_budgeted_quality" -> (q72BudgetedQuality _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2267,6 +2286,16 @@ object SparkEntry {
         |FROM top
         |JOIN uc lu ON l_term = lu.term
         |JOIN uc ru ON r_term = ru.term
-        |ORDER BY cnt DESC, bigram ASC""".stripMargin
+        |ORDER BY cnt DESC, bigram ASC""".stripMargin,
+    "q72_budgeted_quality" ->
+      """SELECT doc_id, source, n_chars, quality, cum_before FROM (
+        |  SELECT doc_id, source, n_chars, n_chars % 997 AS quality,
+        |    COALESCE(SUM(n_chars) OVER (PARTITION BY source
+        |      ORDER BY (n_chars % 997) DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |      AS cum_before
+        |  FROM documents)
+        |WHERE cum_before < 3000
+        |ORDER BY source, cum_before, doc_id""".stripMargin
   )
 }

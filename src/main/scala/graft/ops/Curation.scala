@@ -352,4 +352,126 @@ object Curation {
     }
     out
   }
+
+  /** EXACT token-budgeted top-quality selection per domain — the data-
+    * mixing primitive: fill each domain's token `budget` greedily with
+    * its best documents. Per domain, rows are taken in (`qualityCol`
+    * DESC, `key` ASC) order while the EXCLUSIVE running sum of `tokCol`
+    * stays under `budget` (so the crossing document is kept — the
+    * standard greedy fill). Domains whose total mass fits keep
+    * everything. Returns the input columns plus `cum_before` (the
+    * exclusive prefix, for packing/accounting downstream).
+    *
+    * Scale path (threshold refinement, the [[stratifiedTopK]] shape):
+    * the selected set lives entirely in each domain's high-quality
+    * prefix, so a per-domain quality CUT bounds what the exact window
+    * ever sees. (1) per-domain token totals — one aggregate, driver
+    * state O(#domains); (2) an `approx_percentile` probe picks a cut
+    * admitting ~`oversample`× the budget's token mass; (3) an exact
+    * aggregate VERIFIES the mass strictly above the cut covers the
+    * budget — any short domain lowers its cut and re-verifies (token
+    * mass and row quantiles decorrelate only so far; expected zero
+    * rounds); (4) the exact cumulative window runs over candidates only
+    * — never the corpus, never a global sort, and a domain's candidates
+    * are budget-bounded, not corpus-bounded. A plain window over the
+    * raw table would serialize each domain's every row through one
+    * sorted partition — the cut is what survives 100 TB.
+    */
+  def budgetedTopQuality(df: DataFrame, domainCols: Seq[String],
+      tokCol: String, qualityCol: String, key: Column, budget: Long,
+      oversample: Double = 1.5, maxDomains: Int = 1000000): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(oversample > 1.0, s"oversample must exceed 1: $oversample")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val domains = domainCols.map(col)
+    // O(#domains) driver state, guarded like stratifiedTopK's strata
+    val totalRows = df.groupBy(domains: _*)
+      .agg(sum(col(tokCol)).as("__total"), count(lit(1)).as("__n"))
+      .take(maxDomains + 1)
+    require(totalRows.length <= maxDomains,
+      s"budgetedTopQuality: over $maxDomains distinct domains for " +
+        s"${domainCols.mkString("(", ",", ")")} — per-domain budget state is " +
+        "driver-side control-plane; a near-unique domain key is almost certainly a bug")
+    val totals = totalRows
+      .map(r => domainCols.map(r.getAs[Any]).toList ->
+        (r.getAs[Long]("__total"), r.getAs[Long]("__n"))).toMap
+    val cutSchema = org.apache.spark.sql.types.StructType(
+      domainCols.map(c => df.schema(c)) :+
+        org.apache.spark.sql.types.StructField("__cut",
+          org.apache.spark.sql.types.DoubleType))
+    // a fixed percentile LADDER (approx_percentile needs a foldable
+    // fraction): rung i admits ~(1 - ladder(i)) of a domain's rows. One
+    // aggregate computes every rung for every over-budget domain; the
+    // driver picks the highest rung admitting the needed token fraction,
+    // and the verify loop steps a short domain down the ladder (rows and
+    // token mass decorrelate only so far; expected zero steps).
+    val ladder = Seq(0.999, 0.995, 0.98, 0.95, 0.9, 0.8, 0.6, 0.3)
+    val rungValues: Map[List[Any], Seq[Double]] = {
+      val over = totals.filter { case (_, (total, _)) => total > budget }
+      if (over.isEmpty) Map.empty
+      else df.groupBy(domains: _*)
+        .agg(expr(s"approx_percentile(CAST(`$qualityCol` AS DOUBLE), " +
+          s"array(${ladder.mkString(",")}), 10000)").as("__qs"))
+        .collect()
+        .map(r => domainCols.map(r.getAs[Any]).toList ->
+          r.getSeq[Double](r.length - 1).toSeq)
+        .toMap.filter(kv => over.contains(kv._1))
+    }
+    def rungFor(d: List[Any], startIdx: Int): Option[(Int, Double)] = {
+      val (total, _) = totals(d)
+      val f = budget * oversample / total.toDouble
+      val i0 = ladder.indexWhere(p => (1.0 - p) >= f)
+      val i = math.max(startIdx, if (i0 < 0) ladder.length else i0)
+      if (i >= ladder.length) None else Some(i -> rungValues(d)(i))
+    }
+    def verify(cut: Map[List[Any], Option[(Int, Double)]]): Map[List[Any], Long] = {
+      val withCut = cut.collect { case (d, Some((_, c))) => d -> c }
+      if (withCut.isEmpty) return Map.empty
+      val cutDf = broadcast(spark.createDataFrame(
+        java.util.Arrays.asList(withCut.toSeq.map { case (d, c) =>
+          org.apache.spark.sql.Row.fromSeq(d :+ c) }: _*), cutSchema))
+      df.join(cutDf, domainCols)
+        .where(col(qualityCol) > col("__cut"))
+        .groupBy(domains: _*).agg(sum(col(tokCol)).as("__above"))
+        .collect()
+        .map(r => domainCols.map(r.getAs[Any]).toList -> r.getAs[Long]("__above")).toMap
+    }
+    // refinement: a domain whose strictly-above-cut mass misses the
+    // budget steps down the ladder; cut=None (admit all) is always valid
+    var cut: Map[List[Any], Option[(Int, Double)]] =
+      rungValues.keys.map(d => d -> rungFor(d, 0)).toMap
+    var rounds = 0
+    while (rounds < 8) {
+      val above = verify(cut)
+      val short = cut.collect {
+        case (d, Some(_)) if above.getOrElse(d, 0L) < math.min(budget, totals(d)._1) => d
+      }
+      if (short.isEmpty) rounds = 8
+      else {
+        cut = cut ++ short.map(d => d -> rungFor(d, cut(d).get._1 + 1))
+        rounds += 1
+      }
+    }
+    // candidates: everything at-or-above the verified cut (ties at the
+    // cut value stay in — only strictly-below rows are provably past
+    // budget); exact greedy window over candidates only
+    val finite = cut.collect { case (d, Some((_, c))) => d -> c }
+    val cands =
+      if (finite.isEmpty) df
+      else {
+        val cutDf = broadcast(spark.createDataFrame(
+          java.util.Arrays.asList(finite.toSeq.map { case (d, c) =>
+            org.apache.spark.sql.Row.fromSeq(d :+ c) }: _*), cutSchema))
+        df.join(cutDf, domainCols, "left")
+          .where(col("__cut").isNull || col(qualityCol) >= col("__cut"))
+          .drop("__cut")
+      }
+    val w = Window.partitionBy(domains: _*)
+      .orderBy(col(qualityCol).desc, key)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cands
+      .withColumn("cum_before", coalesce(sum(col(tokCol)).over(w), lit(0L)))
+      .where(col("cum_before") < budget)
+  }
 }

@@ -292,6 +292,20 @@ class PlanSpec extends SparkSpec {
       s"collocations re-tokenizes the corpus instead of sharing the count cache:\n$p")
   }
 
+  test("q72 budgeted quality: percentile cut bounds the window, cut table broadcasts") {
+    // at sf0.01 every source exceeds the 20k budget, so the scale path
+    // must engage: the exact greedy window runs over CUT candidates
+    // (broadcast cut join), never the whole corpus, and no domain's rows
+    // serialize through a single global partition
+    val df = SparkEntry.queries("q72_budgeted_quality")(spark, sf("sf0.01"))
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("__cut"), s"quality cut missing below the window:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"cut table not broadcast:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global single-partition window in budgeted-quality plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in budgeted-quality plan:\n$p")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     import graft.functions.expressions.NativeHashFunctions

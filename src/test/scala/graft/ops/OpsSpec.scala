@@ -822,6 +822,37 @@ class OpsSpec extends SparkSpec {
     assert(o2.filter(_._1 == "tiny").map(_._2).sorted.toSeq === Seq(1, 2, 3))
   }
 
+  test("budgeted top-quality equals the brute-force greedy window") {
+    import org.apache.spark.sql.expressions.Window
+    // 3 domains: one far over budget (cut engages), one exactly at the
+    // boundary, one under budget (admit-all path); quality ties included
+    val rows = (1 to 400).map { i =>
+      (i.toLong, s"d${i % 3}", 10L + (i % 7), (i % 13).toLong)
+    }
+    val df = rows.toDF("id", "dom", "tok", "q")
+    val out = Curation.budgetedTopQuality(
+      df, Seq("dom"), "tok", "q", col("id"), budget = 300L)
+      .select("id", "dom", "cum_before")
+    val w = Window.partitionBy(col("dom")).orderBy(col("q").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val brute = df
+      .withColumn("cum_before", coalesce(sum(col("tok")).over(w), lit(0L)))
+      .where(col("cum_before") < 300L)
+      .select("id", "dom", "cum_before")
+    assert(out.collect().toSet === brute.collect().toSet)
+    // under-budget domain keeps every row
+    val tiny = Seq((1L, "a", 5L, 1L), (2L, "a", 5L, 2L)).toDF("id", "dom", "tok", "q")
+    assert(Curation.budgetedTopQuality(tiny, Seq("dom"), "tok", "q",
+      col("id"), budget = 100L).count() === 2)
+    // near-unique domain key fails the driver guard
+    val e = intercept[IllegalArgumentException] {
+      Curation.budgetedTopQuality(
+        (1 to 50).map(i => (i.toLong, s"d$i", 1L, 1L)).toDF("id", "dom", "tok", "q"),
+        Seq("dom"), "tok", "q", col("id"), budget = 10L, maxDomains = 10)
+    }
+    assert(e.getMessage.contains("distinct domains"))
+  }
+
   test("stratified top-k refuses a near-unique stratum key (driver guard)") {
     // per-stratum quota state is driver-side control-plane: past
     // maxStrata the collect would scale O(rows), so it must fail loudly
