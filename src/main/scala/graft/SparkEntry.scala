@@ -1304,6 +1304,23 @@ object SparkEntry {
       .orderBy(col("source"), col("cum_before"), col("doc_id"))
   }
 
+  /** Two-stage retrieval (ops.Similarity.rerankTopK): int8 coarse scan
+    * keeps 50 candidates per query, exact float cosine reranks to
+    * top-5. The coarse score is integer-exact (cosine of the code
+    * vectors), so even this APPROXIMATE configuration hash-matches the
+    * DuckDB oracle — quantization, candidate cut, and rerank all
+    * reproduce exactly.
+    */
+  private def q73RerankTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Similarity
+    val emb = t(s, dir, "embeddings")
+    Similarity.rerankTopK(
+      emb, "vec_id", "embedding",
+      emb.where(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, coarseK = 50)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1378,7 +1395,8 @@ object SparkEntry {
     "q69_dsir" -> (q69Dsir _),
     "q70_stratified" -> (q70Stratified _),
     "q71_collocations" -> (q71Collocations _),
-    "q72_budgeted_quality" -> (q72BudgetedQuality _)
+    "q72_budgeted_quality" -> (q72BudgetedQuality _),
+    "q73_rerank_topk" -> (q73RerankTopK _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2296,6 +2314,37 @@ object SparkEntry {
         |      AS cum_before
         |  FROM documents)
         |WHERE cum_before < 3000
-        |ORDER BY source, cum_before, doc_id""".stripMargin
+        |ORDER BY source, cum_before, doc_id""".stripMargin,
+    "q73_rerank_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS s
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id, v,
+        |    list_transform(v, x ->
+        |      CASE WHEN s = 0 THEN 0.0 ELSE floor(x / s + 0.5) END) AS cq
+        |  FROM e),
+        |q AS (SELECT vec_id AS qid, v AS qv, cq AS qq FROM c WHERE vec_id < 10),
+        |coarse AS (
+        |  SELECT q.qid AS query_id, c.vec_id AS neighbor_id, q.qv, c.v,
+        |    list_dot_product(q.qq, c.cq)
+        |      / (sqrt(list_dot_product(q.qq, q.qq)) * sqrt(list_dot_product(c.cq, c.cq)))
+        |      AS coarse
+        |  FROM c, q WHERE c.vec_id <> q.qid),
+        |cr AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY coarse DESC, neighbor_id ASC) AS crank FROM coarse),
+        |rer AS (
+        |  SELECT query_id, neighbor_id, coarse,
+        |    list_dot_product(qv, v)
+        |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS c2
+        |  FROM cr WHERE crank <= 50),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY c2 DESC, neighbor_id ASC) AS rank FROM rer)
+        |SELECT query_id, neighbor_id, rank, round(c2, 9) AS cos,
+        |  round(coarse, 9) AS coarse
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   )
 }

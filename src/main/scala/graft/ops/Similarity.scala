@@ -212,6 +212,55 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 9).as("cos"))
   }
 
+  /** Two-stage retrieval: an int8 coarse scan reranked by exact float
+    * cosine — the SQ8 "scan small codes, rerank few floats" pattern
+    * (FAISS's SQ index family): stage 1 streams the QUANTIZED corpus
+    * (4× less memory traffic, which at 100 TB-scale vector stores IS
+    * the scan bottleneck) and keeps `coarseK` candidates per query by
+    * code-space cosine; stage 2 re-scores only those candidates against
+    * the full-precision vectors. `coarseK >=` corpus size degenerates to
+    * [[bruteForceTopK]]'s exact ranking.
+    *
+    * Determinism: the coarse score is the cosine of the int8 CODE
+    * vectors — every sum is an exact small integer, so the score is
+    * bit-identical across engines and partitions (no accumulation-order
+    * dependence), making even the APPROXIMATE configuration
+    * oracle-checkable. Plan shape mirrors [[bruteForceTopK]]: queries
+    * broadcast, the corpus never shuffles until the per-query top-k
+    * windows (coarse first — the rerank window sees `coarseK` rows per
+    * query, not the corpus).
+    */
+  def rerankTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, coarseK: Int, excludeSelf: Boolean = true): DataFrame = {
+    require(coarseK >= k, s"coarseK ($coarseK) must cover k ($k)")
+    def coded(df: DataFrame, id: String, vec: String, p: String): DataFrame =
+      df.select(col(id).as(s"${p}id"), col(vec).as(s"${p}vec"))
+        .withColumn(s"${p}s", int8Scale(col(s"${p}vec")))
+        .withColumn(s"${p}q",
+          quantizeInt8(col(s"${p}vec"), col(s"${p}s")).cast("array<double>"))
+        .drop(s"${p}s")
+    val c = coded(corpus, corpusId, corpusVec, "__c")
+    val q = broadcast(coded(queries, queryId, queryVec, "__q"))
+    val coarse = c.crossJoin(q)
+      .where(if (excludeSelf) col("__cid") =!= col("__qid") else lit(true))
+      .select(col("__qid").as("query_id"), col("__cid").as("neighbor_id"),
+        col("__qvec"), col("__cvec"),
+        cosine(col("__qq"), col("__cq")).as("coarse"))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("coarse").desc, col("neighbor_id").asc)
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    coarse.withColumn("__crank", row_number().over(w1))
+      .where(col("__crank") <= coarseK)
+      .withColumn("cos", cosine(col("__qvec"), col("__cvec")))
+      .withColumn("rank", row_number().over(w2))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 9).as("cos"), round(col("coarse"), 9).as("coarse"))
+  }
+
   /** Semantic-duplicate candidate pairs, SemDeDup style (Abbas et al.,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication", arXiv:2303.09540): k-means-cluster the embeddings,

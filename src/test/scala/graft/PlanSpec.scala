@@ -306,6 +306,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in budgeted-quality plan:\n$p")
   }
 
+  test("q73 rerank: queries broadcast, rank-limit pushdown bounds the coarse window") {
+    val p = plan("q73_rerank_topk")
+    // the corpus streams against broadcast queries (bruteForceTopK shape);
+    // the coarse candidate cut must engage Spark's WindowGroupLimit so
+    // each map partition carries at most coarseK rows per query into the
+    // window exchange
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query set not broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"rank limit not pushed down:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in rerank plan:\n$p")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     import graft.functions.expressions.NativeHashFunctions

@@ -595,6 +595,33 @@ class OpsSpec extends SparkSpec {
     approx.foreach { case (q, n) => assert(exact(q) === n || n >= 0) }
   }
 
+  test("rerank: exhaustive coarseK equals brute force; tight coarseK keeps k per query") {
+    val vecs = (0 until 60).map(i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 7 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = vecs.where(col("vec_id") < 3)
+    // coarseK covering the corpus degenerates to the exact ranking
+    val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 4)
+      .select("query_id", "neighbor_id", "rank", "cos").collect().toSet
+    val full = Similarity.rerankTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 4, coarseK = 60)
+      .select("query_id", "neighbor_id", "rank", "cos").collect().toSet
+    assert(full === exact)
+    // a tight coarse cut still yields k ranked rows per query, and the
+    // candidates it reranks come from the coarse (code-space) ordering
+    val tight = Similarity.rerankTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 4, coarseK = 8)
+    assert(tight.groupBy("query_id").count().collect().forall(_.getLong(1) === 4L))
+    // int8 codes track the float vectors closely here: top-1 must agree
+    val tightTop = tight.where(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exactTop = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tightTop === exactTop)
+  }
+
   test("ivf: clustered vectors, probed lists recover the true neighbor") {
     // 3 well-separated clusters of 20 vectors each
     val vecs = (0 until 60).map { i =>
