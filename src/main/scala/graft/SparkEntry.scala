@@ -1321,6 +1321,21 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Incremental dedup (ops.Dedup.minhashLshPairsAgainst): the delta
+    * slice (doc_id % 4 = 0) checked against the kept base (the rest) —
+    * every verified cross near-dup pair, exact against the brute-force
+    * cross-Jaccard oracle.
+    */
+  private def q74IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.ops.Dedup.minhashLshPairsAgainst(
+      docs.where(col("doc_id") % 4 === 0), "doc_id",
+      docs.where(col("doc_id") % 4 =!= 0), "doc_id", "text",
+      threshold = 0.6)
+      .select(col("delta_id"), col("base_id"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("delta_id"), col("base_id"))
+  }
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1396,7 +1411,8 @@ object SparkEntry {
     "q70_stratified" -> (q70Stratified _),
     "q71_collocations" -> (q71Collocations _),
     "q72_budgeted_quality" -> (q72BudgetedQuality _),
-    "q73_rerank_topk" -> (q73RerankTopK _)
+    "q73_rerank_topk" -> (q73RerankTopK _),
+    "q74_incremental_dedup" -> (q74IncrementalDedup _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2345,6 +2361,28 @@ object SparkEntry {
         |    ORDER BY c2 DESC, neighbor_id ASC) AS rank FROM rer)
         |SELECT query_id, neighbor_id, rank, round(c2, 9) AS cos,
         |  round(coarse, 9) AS coarse
-        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q74_incremental_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(
+        |      trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')),
+        |      '\s+') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |          for i in range(1, len(toks) - 1)] END) AS sh
+        |  FROM d),
+        |pairs AS (
+        |  SELECT a.doc_id AS delta_id, b.doc_id AS base_id,
+        |    len(list_intersect(a.sh, b.sh))::DOUBLE
+        |      / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+        |  FROM sh a JOIN sh b
+        |    ON a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0
+        |   AND least(len(a.sh), len(b.sh))::DOUBLE / greatest(len(a.sh), len(b.sh)) >= 0.6)
+        |SELECT delta_id, base_id, round(j, 6) AS jaccard FROM pairs
+        |WHERE j >= 0.6 ORDER BY delta_id, base_id""".stripMargin
   )
 }

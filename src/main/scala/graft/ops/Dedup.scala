@@ -92,6 +92,52 @@ object Dedup {
       estimated, threshold)
   }
 
+  /** Incremental near-dedup: MinHash+LSH pairs of a DELTA batch against
+    * an already-kept BASE corpus — the production shape for continuously
+    * ingested corpora, where re-deduplicating the full corpus per batch
+    * is impossible: each new batch is checked against the kept set (and
+    * against itself via [[minhashLshPairs]]). Returns `(delta_id,
+    * base_id, jaccard)` for every cross pair with verified Jaccard >=
+    * `threshold`; a delta document with no row is novel w.r.t. the base.
+    * Ids must be unique ACROSS both tables (corpus-global ids — the
+    * verification join keys on them).
+    *
+    * Scale shape: identical to [[minhashLshPairs]] — both sides band
+    * once (fixed-size signatures, never raw text, through the join); at
+    * steady state the base's banded signature table is a materialized
+    * artifact refreshed per batch, so the per-batch cost is
+    * O(delta × bands) plus bucket collisions, never O(base).
+    */
+  def minhashLshPairsAgainst(
+      delta: DataFrame, deltaIdCol: String,
+      base: DataFrame, baseIdCol: String, textCol: String,
+      threshold: Double = 0.6, bands: Int = 24, rowsPerBand: Int = 3,
+      shingleSize: Int = 3): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    def banded(df: DataFrame, idCol: String, side: String): DataFrame = df
+      .select(col(idCol).as(s"id_$side"),
+        explode(array(graft.functions.expressions.NativeHashFunctions
+          .minhash(col(textCol), bands, rowsPerBand, shingleSize))).as("m"))
+      .select(col(s"id_$side"), col("m.sig").as(s"sig_$side"),
+        posexplode(col("m.bands")))
+      .toDF(s"id_$side", s"sig_$side", "band", "bucket")
+    val candidates = banded(delta, deltaIdCol, "a")
+      .join(banded(base, baseIdCol, "b"), Seq("band", "bucket"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("est",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          b => b)).cast("double") / numHashes)
+      .where(col("est") >= threshold * 0.6)
+      .select("id_a", "id_b")
+    val shTable = delta.select(col(deltaIdCol).as("id"),
+        shingles(col(textCol), shingleSize).as("sh"))
+      .unionByName(base.select(col(baseIdCol).as("id"),
+        shingles(col(textCol), shingleSize).as("sh")))
+    verifyJaccardPairs(shTable, candidates, threshold)
+      .withColumnRenamed("id_a", "delta_id")
+      .withColumnRenamed("id_b", "base_id")
+  }
+
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs. Pairs
     * melt to (pair, id) rows and join the shingle table ONCE (one full
     * shingle pass — joining it twice, per side, would run the pass

@@ -306,6 +306,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in budgeted-quality plan:\n$p")
   }
 
+  test("q74 incremental dedup: banded equi-join only — no cartesian/nested-loop") {
+    val p = plan("q74_incremental_dedup")
+    assert(!p.contains("CartesianProduct"), s"cartesian in incremental-dedup plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in incremental-dedup plan:\n$p")
+  }
+
   test("q73 rerank: queries broadcast, rank-limit pushdown bounds the coarse window") {
     val p = plan("q73_rerank_topk")
     // the corpus streams against broadcast queries (bruteForceTopK shape);

@@ -54,6 +54,29 @@ class OpsSpec extends SparkSpec {
     assert(pairs === Seq((1L, 2L), (1L, 4L), (2L, 4L)))
   }
 
+  test("incremental dedup: delta pairs against base only, never within a side") {
+    val base0 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val nearDup = base0.replace("kappa", "kappa2") // 1-token edit
+    val other = "one two three four five six seven eight nine ten eleven twelve"
+    val base = Seq((1L, base0), (3L, other)).toDF("doc_id", "text")
+    // delta carries: a near-dup of base doc 1, an exact dup of base doc 1,
+    // a novel doc, and an intra-delta duplicate pair (10/11) that must NOT
+    // be reported — cross pairs only
+    val delta = Seq((10L, nearDup), (11L, nearDup), (12L, base0),
+      (13L, "totally novel words nothing shared here at all right now"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairsAgainst(
+      delta, "doc_id", base, "doc_id", "text", threshold = 0.5)
+      .orderBy("delta_id", "base_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs === Seq((10L, 1L), (11L, 1L), (12L, 1L)))
+    // the exact-dup cross pair verifies at jaccard 1.0
+    val exactJ = Dedup.minhashLshPairsAgainst(
+      delta, "doc_id", base, "doc_id", "text", threshold = 0.5)
+      .where(col("delta_id") === 12L).head().getDouble(2)
+    assert(exactJ === 1.0)
+  }
+
   test("prefix-filtered Jaccard join equals brute force (exactness law)") {
     // randomized-ish corpus with planted near-dups, short docs, and
     // shared stop-grams that would blow up a naive gram join
