@@ -138,6 +138,39 @@ object Dedup {
       .withColumnRenamed("id_b", "base_id")
   }
 
+  /** One ingest step of the incremental dedup pipeline: of a new batch,
+    * keep the documents that are (a) their intra-batch near-dup
+    * component's representative (smallest id — [[nearDupClusters]] over
+    * [[minhashLshPairs]]) AND (b) not a near-duplicate of any BASE
+    * document ([[minhashLshPairsAgainst]]). The returned frame is the
+    * batch's kept rows — exactly what appends to the base for the next
+    * step, so `base ∪ keep` stays near-dup-free under the greedy
+    * smallest-id-wins policy. Deterministic: reruns of a batch keep the
+    * same rows.
+    *
+    * Note the conservative edge: a batch doc whose only near-dups are
+    * batch docs that themselves died against the base is still dropped
+    * (its component had a representative; near-duplicate content entered
+    * the corpus earlier) — the same verdict sequential greedy ingestion
+    * would reach processing ids in order.
+    */
+  def incrementalKeep(
+      batch: DataFrame, idCol: String,
+      base: DataFrame, baseIdCol: String, textCol: String,
+      threshold: Double = 0.6, bands: Int = 24, rowsPerBand: Int = 3,
+      shingleSize: Int = 3): DataFrame = {
+    val vsBase = minhashLshPairsAgainst(batch, idCol, base, baseIdCol, textCol,
+      threshold, bands, rowsPerBand, shingleSize)
+      .select(col("delta_id").as("__drop"))
+    val intra = nearDupClusters(batch.select(col(idCol)), idCol,
+      minhashLshPairs(batch, idCol, textCol, threshold, bands, rowsPerBand,
+        shingleSize))
+      .where(col("id") =!= col("rep"))
+      .select(col("id").as("__drop"))
+    batch.join(vsBase.unionByName(intra).distinct(),
+      batch(idCol) === col("__drop"), "left_anti")
+  }
+
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs. Pairs
     * melt to (pair, id) rows and join the shingle table ONCE (one full
     * shingle pass — joining it twice, per side, would run the pass

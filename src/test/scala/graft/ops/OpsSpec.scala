@@ -77,6 +77,29 @@ class OpsSpec extends SparkSpec {
     assert(exactJ === 1.0)
   }
 
+  test("incrementalKeep: batch reps survive unless the base already has the content") {
+    val base0 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val nearDup = base0.replace("kappa", "kappa2")
+    val novel = "one two three four five six seven eight nine ten eleven twelve"
+    val novelDup = novel.replace("twelve", "thirteen")
+    val base = Seq((1L, base0)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, nearDup), // near-dups base doc 1 -> dropped
+      (11L, novel), // novel component rep -> kept
+      (12L, novelDup), // intra-batch near-dup of 11 -> dropped
+      (13L, "completely different content entirely unshared with anything else"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.incrementalKeep(batch, "doc_id", base, "doc_id", "text",
+      threshold = 0.5).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(11L, 13L))
+    // idempotent step: the kept rows re-checked against base ∪ kept keep nothing new out
+    val base2 = base.unionByName(batch.where(col("doc_id").isin(11L, 13L)))
+    val again = Dedup.incrementalKeep(
+      batch.where(col("doc_id").isin(11L, 13L)), "doc_id",
+      base2.where(col("doc_id") === 1L), "doc_id", "text", threshold = 0.5)
+    assert(again.count() === 2)
+  }
+
   test("prefix-filtered Jaccard join equals brute force (exactness law)") {
     // randomized-ish corpus with planted near-dups, short docs, and
     // shared stop-grams that would blow up a naive gram join

@@ -35,6 +35,51 @@ class StreamingSpec extends SparkSpec {
     assert(sink.results(tid) === Seq("db.users:1;a2"))
   }
 
+  test("incremental dedup over micro-batches keeps the growing corpus near-dup-free") {
+    // the production ingestion loop: each micro-batch dedups against the
+    // accumulated kept corpus (ops.Dedup.incrementalKeep) and appends its
+    // survivors — per-batch cost scales with the batch, never the corpus
+    val root = java.nio.file.Files.createTempDirectory("inc_dedup").toFile
+    val feed = new java.io.File(root, "feed"); feed.mkdirs()
+    val baseDir = new java.io.File(root, "base")
+    val docsA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val novel = "one two three four five six seven eight nine ten eleven twelve"
+    def write(name: String, rows: Seq[(Long, String)]): Unit =
+      java.nio.file.Files.write(new java.io.File(feed, name).toPath,
+        rows.map { case (i, t) => s"$i|$t" }.mkString("\n").getBytes("UTF-8"))
+    val q = spark.readStream.format("text").load(feed.getAbsolutePath)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val docs = df.select(
+          split(col("value"), "\\|")(0).cast("long").as("doc_id"),
+          split(col("value"), "\\|")(1).as("text"))
+        val base =
+          if (baseDir.exists())
+            spark.read.parquet(baseDir.getAbsolutePath)
+          else {
+            import spark.implicits._
+            Seq.empty[(Long, String)].toDF("doc_id", "text")
+          }
+        graft.ops.Dedup.incrementalKeep(docs, "doc_id", base, "doc_id", "text",
+            threshold = 0.5)
+          .write.mode("append").parquet(baseDir.getAbsolutePath)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50)).start()
+    // batch 1: a doc and an intra-batch near-dup of it
+    write("b0.txt", Seq(1L -> docsA, 2L -> docsA.replace("kappa", "kappa9")))
+    q.processAllAvailable()
+    // batch 2: a near-dup of the KEPT doc 1 (dropped against the base), a
+    // novel doc, and a near-dup of that novel doc (intra-batch drop)
+    write("b1.txt", Seq(10L -> docsA.replace("mu", "mu9"), 11L -> novel,
+      12L -> novel.replace("twelve", "twenty")))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.read.parquet(baseDir.getAbsolutePath)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(1L, 11L))
+  }
+
   test("checkpoint resume: restarted stream processes only new data") {
     val dir = java.nio.file.Files.createTempDirectory("dbz_cp").toFile
     val feed = new java.io.File(dir, "feed"); feed.mkdirs()
