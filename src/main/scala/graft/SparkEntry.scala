@@ -498,12 +498,16 @@ object SparkEntry {
   private def q34Sketches(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val li = t(s, dir, "lineitem")
+    // persisted: the sketch agg is consumed by the CMS probe collect AND
+    // the final join — unpersisted, each consumer re-runs the full
+    // lineitem sketch pass; the cache is one row per returnflag
     val agg = li.groupBy(col("l_returnflag")).agg(
       count(lit(1)).as("n_rows"),
       count_distinct(col("l_partkey")).as("exact_parts"),
       approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
       expr("approx_percentile(l_extendedprice, array(0.5, 0.95))").as("pcts"),
       count_min_sketch(col("l_suppkey"), lit(0.01), lit(0.95), lit(42)).as("cms"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val topSupp = li.groupBy(col("l_returnflag"), col("l_suppkey"))
       .agg(count(lit(1)).as("true_cnt"))
       .withColumn("__rk", row_number().over(
