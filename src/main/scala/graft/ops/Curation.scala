@@ -209,9 +209,13 @@ object Curation {
     */
   def dedupLinesCorpus(
       docs: DataFrame, idCol: String, linesCol: String): DataFrame = {
+    // persisted: the first-occurrence aggregate AND the join-back both
+    // consume the exploded line frame — unpersisted, the corpus would be
+    // line-exploded twice (the termFrequencies shared-pass pattern)
     val ex = docs.select(col(idCol).cast("long").as("__id"),
         posexplode(col(linesCol)).as(Seq("__pos", "__line")))
       .withColumn("__key", struct(col("__id"), col("__pos")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val firsts = ex.groupBy(col("__line")).agg(min(col("__key")).as("__first"))
     ex.join(firsts, "__line")
       .groupBy(col("__id"))

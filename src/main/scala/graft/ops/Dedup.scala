@@ -513,8 +513,13 @@ object Dedup {
     val wins = base.select(col("doc_id"), explode(expr(
       s"CASE WHEN size(t) >= $k THEN transform(sequence(1, size(t) - $k + 1), " +
         s"i -> array_join(slice(t, i, $k), ' ')) ELSE array() END")).as("win"))
+    // persisted: the per-window-key doc counts AND the per-doc stats join
+    // both consume this frame — unpersisted, the corpus would be
+    // normalized/split/window-exploded twice (the shared-pass pattern from
+    // TextAnalysis.termFrequencies; hashed keys keep the cache ~16 B/row)
     val keyed = wins.select(col("doc_id"),
       (if (hashWindows) xxhash64(col("win")) else col("win")).as("wkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docCounts = keyed.groupBy(col("wkey"))
       .agg(count_distinct(col("doc_id")).as("ndocs"))
     val stats = keyed.join(docCounts, "wkey")

@@ -169,6 +169,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), s"global window in reduction:\n$p")
   }
 
+  test("q56 line dedup: shared exploded-line cache feeds min-agg and join-back") {
+    val p = plan("q56_line_dedup")
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"line dedup re-explodes the corpus instead of sharing the line cache:\n$p")
+  }
+
   test("q56 line dedup: min-agg + join, never a window over the line partition") {
     val p = plan("q56_line_dedup")
     // a row_number-over-line formulation would plan a Window node and
@@ -237,6 +243,10 @@ class PlanSpec extends SparkSpec {
     assert(!p.linesIterator.exists(_.contains("Window [")),
       s"window function in dup-spans plan:\n$p")
     assert(p.contains("partial"), s"window counts not map-side combined:\n$p")
+    // the hashed window-key frame is persisted: doc counts and the stats
+    // join share ONE normalize/split/explode pass
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"dup-spans re-explodes the corpus instead of sharing the keyed cache:\n$p")
   }
 
   test("q68 lm score: model broadcasts into the scoring pass, token agg is partial") {
