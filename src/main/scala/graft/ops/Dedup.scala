@@ -64,10 +64,17 @@ object Dedup {
     // Only (id, sig) ride through the bucket join — signatures are
     // fixed-size (numHashes longs), so shuffle bytes stay bounded no
     // matter how long the documents are.
-    val banded = df
+    // Persisted per-doc (Spark does NOT reuse the self-join's exchanges —
+    // the two sides' alias projections defeat canonicalization — so an
+    // unpersisted plan runs the minhash kernel over the corpus TWICE);
+    // the cache is one fixed-size row per document, the cheap band
+    // posexplode re-runs per side from it.
+    val sigs = df
       .select(col(idCol).as("id"),
         explode(array(graft.functions.expressions.NativeHashFunctions
           .minhash(col(textCol), bands, rowsPerBand, shingleSize))).as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs
       .select(col("id"), col("m.sig").as("sig"), posexplode(col("m.bands")))
       .toDF("id", "sig", "band", "bucket")
 
@@ -456,7 +463,11 @@ object Dedup {
     */
   private[ops] def simhashCandidates(sh: DataFrame,
       maxHamming: Int, numChunks: Int): DataFrame = {
-    val keyed = sh.select(col("id"), col("sim"),
+    // persisted: both sides of the block-key self-join consume this frame
+    // and Spark does not reuse the self-join's exchanges — unpersisted,
+    // the simhash text pass would run twice. 16 bytes per document.
+    val cached = sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyed = cached.select(col("id"), col("sim"),
       simhashBlockKeys(col("sim"), maxHamming, numChunks).as(Seq("tbl", "key")))
     val l = keyed.select(col("tbl"), col("key"), col("id").as("id_a"), col("sim").as("sim_a"))
     val r = keyed.select(col("tbl"), col("key"), col("id").as("id_b"), col("sim").as("sim_b"))

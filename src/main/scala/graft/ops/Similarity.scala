@@ -271,14 +271,18 @@ object Similarity {
     */
   def semDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nlist: Int = 64, iters: Int = 3): DataFrame = {
-    val assigned =
+    // persisted: both sides of the within-cluster self-join consume the
+    // assignment frame, and Spark does not reuse the self-join's
+    // exchanges — unpersisted, the centroid-assignment pass (nlist×dim
+    // distances per vector) would run twice
+    val assigned = (
       if (nlist <= 1)
         df.select(lit(0).as("__list"), col(idCol).as("id"), col(vecCol).as("v"))
       else {
         val centroids = trainIvfCentroids(df, idCol, vecCol, nlist, iters)
         df.select(col(idCol).as("id"), col(vecCol).as("v"))
           .withColumn("__list", nearestCentroid(col("v").cast("array<double>"), centroids))
-      }
+      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = assigned.select(col("__list"), col("id").as("id_a"), col("v").as("v_a"))
     val r = assigned.select(col("__list"), col("id").as("id_b"), col("v").as("v_b"))
     // the exhaustive config's join key is a constant — an equi-join would
@@ -317,8 +321,11 @@ object Similarity {
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numPlanes: Int = 6): DataFrame = {
+    // persisted: the bucket self-join's two sides share this frame (no
+    // exchange reuse on self-joins) — the LSH projection runs once
     val b = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("__bucket", lshBucket(col("v"), numPlanes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = b.select(col("__bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val r = b.select(col("__bucket"), col("id").as("id_b"), col("v").as("v_b"))
     l.join(r, "__bucket")
