@@ -93,7 +93,7 @@ def compare_tolerant(a: pd.DataFrame, b: pd.DataFrame):
     return None
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for tbl in ["region", "nation", "customer", "supplier", "part", "orders",
                 "lineitem", "events", "documents", "embeddings"]:
@@ -101,6 +101,9 @@ def main(sf_dir, out_dir):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:  # --only=q72,q73 substring match: skip the heavy sf0.1 full pass
+        oracle = {k: v for k, v in oracle.items()
+                  if any(o in k for o in only.split(","))}
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         res_dir = f"{out_dir}/{name}"
@@ -127,6 +130,8 @@ def main(sf_dir, out_dir):
 
 if __name__ == "__main__":
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    only = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                 if a.startswith("--only=")), None)
     sf = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
     out = argv[1] if len(argv) > 1 else "/tmp/verify_out"
-    sys.exit(main(sf, out))
+    sys.exit(main(sf, out, only))
