@@ -390,8 +390,9 @@ object Curation {
     val spark = df.sparkSession
     val domains = domainCols.map(col)
     // O(#domains) driver state, guarded like stratifiedTopK's strata
+    // (coalesce: an all-null token column must read as 0 mass, not NPE)
     val totalRows = df.groupBy(domains: _*)
-      .agg(sum(col(tokCol)).as("__total"), count(lit(1)).as("__n"))
+      .agg(coalesce(sum(col(tokCol)), lit(0L)).as("__total"), count(lit(1)).as("__n"))
       .take(maxDomains + 1)
     require(totalRows.length <= maxDomains,
       s"budgetedTopQuality: over $maxDomains distinct domains for " +
@@ -437,7 +438,7 @@ object Curation {
           org.apache.spark.sql.Row.fromSeq(d :+ c) }: _*), cutSchema))
       df.join(cutDf, domainCols)
         .where(col(qualityCol) > col("__cut"))
-        .groupBy(domains: _*).agg(sum(col(tokCol)).as("__above"))
+        .groupBy(domains: _*).agg(coalesce(sum(col(tokCol)), lit(0L)).as("__above"))
         .collect()
         .map(r => domainCols.map(r.getAs[Any]).toList -> r.getAs[Long]("__above")).toMap
     }
