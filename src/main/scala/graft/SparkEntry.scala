@@ -1340,6 +1340,27 @@ object SparkEntry {
       .orderBy(col("delta_id"), col("base_id"))
   }
 
+  /** Unicode NFC normalization (expressions.UnicodeNormalizeExpr): the
+    * corpus text is ASCII, so decomposed accents (e + U+0301), the
+    * angstrom-sign singleton (U+212B → U+00C5), a combining ring
+    * (A + U+030A) and an fi ligature (U+FB01, which NFC must keep) are
+    * PLANTED onto every row — the gate exercises real canonical
+    * composition against DuckDB's utf8proc normalizer, byte for byte.
+    * NFKC (no DuckDB analog) is pinned by OpsSpec laws.
+    */
+  private def q75UnicodeNorm(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.expressions.NativeTextFunctions
+    val planted = concat(col("text"),
+      lit(" cafe\u0301 \u212B A\u030A \uFB01nal"))
+    val nfc = NativeTextFunctions.unicodeNormalize(planted, "NFC")
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      nfc.as("nfc"),
+      (planted =!= nfc).as("changed"),
+      length(nfc).as("nfc_len"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1416,7 +1437,8 @@ object SparkEntry {
     "q71_collocations" -> (q71Collocations _),
     "q72_budgeted_quality" -> (q72BudgetedQuality _),
     "q73_rerank_topk" -> (q73RerankTopK _),
-    "q74_incremental_dedup" -> (q74IncrementalDedup _)
+    "q74_incremental_dedup" -> (q74IncrementalDedup _),
+    "q75_unicode_norm" -> (q75UnicodeNorm _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2387,6 +2409,17 @@ object SparkEntry {
         |    ON a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0
         |   AND least(len(a.sh), len(b.sh))::DOUBLE / greatest(len(a.sh), len(b.sh)) >= 0.6)
         |SELECT delta_id, base_id, round(j, 6) AS jaccard FROM pairs
-        |WHERE j >= 0.6 ORDER BY delta_id, base_id""".stripMargin
+        |WHERE j >= 0.6 ORDER BY delta_id, base_id""".stripMargin,
+    "q75_unicode_norm" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' cafe' || chr(769) || ' ' || chr(8491) || ' A' ||
+        |      chr(778) || ' ' || chr(64257) || 'nal' AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  nfc_normalize(raw) AS nfc,
+        |  raw <> nfc_normalize(raw) AS changed,
+        |  length(nfc_normalize(raw))::INT AS nfc_len
+        |FROM p ORDER BY doc_id""".stripMargin
   )
 }

@@ -122,6 +122,38 @@ case class WordNgramsExpr(child: Expression, n: Int, distinct: Boolean)
     copy(child = newChild)
 }
 
+/** Unicode normalization (java.text.Normalizer) — the first step of any
+  * real text-curation pipeline: web text arrives with mixed
+  * composed/decomposed accents and compatibility forms (ligatures,
+  * full-width Latin, superscripts), and every downstream hash/shingle/
+  * dedup key diverges on byte-unequal canonically-equal strings. Spark
+  * has no built-in; NFC/NFKC here are the Unicode-specified canonical /
+  * compatibility compositions, so an external engine's normalizer
+  * (DuckDB nfc_normalize = utf8proc) produces identical bytes — the q75
+  * gate pins that. Fast path: Normalizer.isNormalized is O(n) with no
+  * allocation, so already-NFC ASCII/Latin text (most of a web corpus)
+  * pays a scan, not a rewrite.
+  */
+case class UnicodeNormalizeExpr(child: Expression, form: String)
+    extends UnaryExpression with SinglePassCodegen {
+  require(Seq("NFC", "NFD", "NFKC", "NFKD").contains(form), s"bad form: $form")
+
+  @transient private lazy val jform = java.text.Normalizer.Form.valueOf(form)
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, jform)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, jform))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnicodeNormalizeExpr =
+    copy(child = newChild)
+}
+
 object NativeTextFunctions {
   /** Column API for [[RepetitionStatsExpr]] (input: raw text). Callers
     * should materialize the struct through a generator (explode of a
@@ -135,4 +167,9 @@ object NativeTextFunctions {
   def wordNgrams(text: Column, n: Int, distinct: Boolean = false): Column =
     SparkInternals.column(
       WordNgramsExpr(SparkInternals.expression(text), n, distinct))
+
+  /** Column API for [[UnicodeNormalizeExpr]]: form in NFC/NFD/NFKC/NFKD. */
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column =
+    SparkInternals.column(
+      UnicodeNormalizeExpr(SparkInternals.expression(text), form))
 }

@@ -54,6 +54,29 @@ class OpsSpec extends SparkSpec {
     assert(pairs === Seq((1L, 2L), (1L, 4L), (2L, 4L)))
   }
 
+  test("unicode normalize: NFC composes, NFKC folds compat chars, idempotent, null-safe") {
+    import graft.functions.expressions.NativeTextFunctions.unicodeNormalize
+    val df = Seq(
+      (1L, "cafe\u0301"), // decomposed acute -> composed
+      (2L, "\u212B"), // angstrom sign -> U+00C5 (NFC singleton)
+      (3L, "\uFB01nal"), // fi ligature: NFC keeps, NFKC folds to "fi"
+      (4L, "plain ascii"),
+      (5L, null.asInstanceOf[String])).toDF("id", "t")
+    val out = df.select(col("id"),
+      unicodeNormalize(col("t"), "NFC").as("nfc"),
+      unicodeNormalize(col("t"), "NFKC").as("nfkc"),
+      unicodeNormalize(unicodeNormalize(col("t"), "NFC"), "NFC").as("nfc2"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) === "caf\u00E9")
+    assert(out(2L).getString(1) === "\u00C5")
+    assert(out(3L).getString(1) === "\uFB01nal") // NFC preserves compat chars
+    assert(out(3L).getString(2) === "final") // NFKC folds them
+    assert(out(4L).getString(1) === "plain ascii")
+    assert(out(5L).isNullAt(1))
+    // idempotence: NFC(NFC(x)) == NFC(x)
+    (1L to 4L).foreach(i => assert(out(i).getString(3) === out(i).getString(1)))
+  }
+
   test("incremental dedup: delta pairs against base only, never within a side") {
     val base0 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
     val nearDup = base0.replace("kappa", "kappa2") // 1-token edit
