@@ -11,6 +11,10 @@ import org.apache.spark.sql.functions._
   * the same rows); decontamination streams the corpus against a
   * broadcast probe-gram set (benchmark suites are tiny next to a 100 TB
   * corpus) with one aggregation keyed by document.
+  *
+  * Cache contract: see [[graft.ops.Dedup]] — persisted shared
+  * intermediates ([[Curation.packOffsets]], [[Curation.dedupLinesCorpus]])
+  * live until the caller unpersists.
   */
 object Curation {
 
@@ -156,9 +160,10 @@ object Curation {
     // both read this frame — without the cache the source would scan
     // twice (a real cost at 100 TB), and a nondeterministic input
     // (rand()-derived ids) would disagree between the two passes. The
-    // cache holds only (id, n_tok, bucket) — a sliver of the corpus —
-    // and is released by the ContextCleaner once the returned frame is
-    // unreferenced.
+    // cache holds only (id, n_tok, bucket) — a sliver of the corpus.
+    // NOTE: CacheManager entries are NOT reclaimed by the ContextCleaner;
+    // the cache lives until the caller unpersists (one action over the
+    // returned frame, then spark.catalog.clearCache()).
     val withBucket = df.select(col(idCol), col(tokCol), bucket.as("__bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // tiny: one row per bucket. coalesce: an all-null bucket sums to

@@ -11,6 +11,14 @@ import org.apache.spark.sql.functions._
   * pipeline — per-row narrow work, one explode (×bands), one shuffle on
   * band key, and a candidate-verification join that touches only bucket
   * collisions, never the O(n²) pair space.
+  *
+  * Cache contract: ops that persist a shared intermediate (the plans read
+  * it more than once) keep it cached until the CALLER unpersists —
+  * CacheManager entries are not reclaimed by the ContextCleaner. One-shot
+  * queries: run one action, then `spark.catalog.clearCache()` (or hold
+  * and `unpersist()` the returned frame's caches). Per-micro-batch loops
+  * must use [[Dedup.incrementalKeep]], which materializes eagerly and
+  * releases its own caches every batch.
   */
 object Dedup {
 
@@ -50,11 +58,26 @@ object Dedup {
     *                 The exact-verify step removes false positives, so b
     *                 only trades candidate volume against recall.
     * @return (id_a, id_b, jaccard) with id_a < id_b
+    *
+    * Cache contract: the returned plan reads a persisted per-doc
+    * signature frame that lives until the caller unpersists (one
+    * action, then `spark.catalog.clearCache()` — or use
+    * [[incrementalKeep]], which releases its own caches per batch).
     */
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.6, bands: Int = 24, rowsPerBand: Int = 3,
-      shingleSize: Int = 3): DataFrame = {
+      shingleSize: Int = 3): DataFrame =
+    minhashLshPairsTracked(df, idCol, textCol, threshold, bands, rowsPerBand,
+      shingleSize)._1
+
+  /** [[minhashLshPairs]] plus the handle of the persisted signature frame,
+    * so per-batch callers can unpersist after materializing.
+    */
+  private[graft] def minhashLshPairsTracked(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, bands: Int, rowsPerBand: Int,
+      shingleSize: Int): (DataFrame, DataFrame) = {
     val numHashes = bands * rowsPerBand
 
     // The whole MinHash front end (shingle -> signature -> band hashes) is
@@ -94,9 +117,9 @@ object Dedup {
       .where(col("est") >= threshold * 0.6)
       .select("id_a", "id_b")
 
-    verifyJaccardPairs(
+    (verifyJaccardPairs(
       df.select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh")),
-      estimated, threshold)
+      estimated, threshold), sigs)
   }
 
   /** Incremental near-dedup: MinHash+LSH pairs of a DELTA batch against
@@ -158,8 +181,20 @@ object Dedup {
     * Note the conservative edge: a batch doc whose only near-dups are
     * batch docs that themselves died against the base is still dropped
     * (its component had a representative; near-duplicate content entered
-    * the corpus earlier) — the same verdict sequential greedy ingestion
-    * would reach processing ids in order.
+    * the corpus earlier). This is strictly MORE aggressive than
+    * sequential one-doc-at-a-time greedy ingestion: sequential greedy
+    * would keep doc B when its only intra-batch near-dup A (smaller id)
+    * died against the base and B itself matches no base doc — here B's
+    * component representative existed, so B drops. The policy trades
+    * that edge for batch-parallel determinism; OpsSpec pins it.
+    *
+    * Cache discipline (the per-batch contract): the kept frame is
+    * EAGERLY materialized (localCheckpoint) and every cache this call
+    * registered is unpersisted before returning — a Structured Streaming
+    * loop calling this per micro-batch holds ONE batch's blocks, not an
+    * unbounded cache trail (local checkpoint blocks are reclaimed by the
+    * ContextCleaner once the returned frame is dereferenced; CacheManager
+    * entries are not, hence the explicit unpersist).
     */
   def incrementalKeep(
       batch: DataFrame, idCol: String,
@@ -169,13 +204,16 @@ object Dedup {
     val vsBase = minhashLshPairsAgainst(batch, idCol, base, baseIdCol, textCol,
       threshold, bands, rowsPerBand, shingleSize)
       .select(col("delta_id").as("__drop"))
-    val intra = nearDupClusters(batch.select(col(idCol)), idCol,
-      minhashLshPairs(batch, idCol, textCol, threshold, bands, rowsPerBand,
-        shingleSize))
-      .where(col("id") =!= col("rep"))
-      .select(col("id").as("__drop"))
-    batch.join(vsBase.unionByName(intra).distinct(),
-      batch(idCol) === col("__drop"), "left_anti")
+    val (intraPairs, sigs) = minhashLshPairsTracked(batch, idCol, textCol,
+      threshold, bands, rowsPerBand, shingleSize)
+    try {
+      val intra = nearDupClusters(batch.select(col(idCol)), idCol, intraPairs)
+        .where(col("id") =!= col("rep"))
+        .select(col("id").as("__drop"))
+      batch.join(vsBase.unionByName(intra).distinct(),
+          batch(idCol) === col("__drop"), "left_anti")
+        .localCheckpoint(true)
+    } finally { sigs.unpersist(false); () }
   }
 
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs. Pairs

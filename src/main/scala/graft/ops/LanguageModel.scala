@@ -30,6 +30,9 @@ import org.apache.spark.sql.functions._
   * sum(tf) instead of a per-token mean) — identical sums in exact
   * arithmetic, so the integer evidence columns are bit-equal to the
   * per-token formulation.
+  *
+  * Cache contract: see [[Dedup]] — the shared tf frame stays persisted
+  * until the caller unpersists.
   */
 object LanguageModel {
 

@@ -12,6 +12,9 @@ import org.apache.spark.sql.functions._
   * LSH variant buckets the corpus once (narrow projection + one shuffle on
   * bucket id) and probes only matching buckets, trading recall for a
   * candidate set ~bucketCount× smaller than the corpus.
+  *
+  * Cache contract: see [[Dedup]] — persisted shared intermediates
+  * (cluster assignments, pair frames) live until the caller unpersists.
   */
 object Similarity {
 

@@ -10,6 +10,10 @@ import org.apache.spark.sql.functions._
   * Everything here is composed from `org.apache.spark.sql.functions`
   * (codegen'd, no UDFs): at 100 TB these run inside whole-stage codegen
   * over the parquet scan with full column pruning and no shuffle.
+  *
+  * Cache contract: see [[graft.ops.Dedup]] — ops that persist a shared
+  * intermediate (term/collocation counts) keep it until the caller
+  * unpersists.
   */
 object TextAnalysis {
 

@@ -148,6 +148,24 @@ object Cli {
           case _ => MySqlDialect
         }
         (new JdbcUpsertSink(url, props, dialect), () => Seq(s"jdbc tables at $url"))
+      case dialectSink if SinkMetadataDialects.all.contains(dialectSink) =>
+        // OLAP/lakehouse sinks whose live transports (stream-load HTTP,
+        // tunnel uploads, catalog clients) this environment lacks: the
+        // MetadataApplier dialect generates and records real DDL; data
+        // batches materialize through the values inner sink
+        val dialect = dialectSink match {
+          case "starrocks" => SinkMetadataDialects.StarRocksDialect(
+            pd.sink.options.get("unicode-char.max-bytes").map(_.toInt).getOrElse(3))
+          case "maxcompute" => SinkMetadataDialects.MaxComputeDialect(
+            pd.sink.options.getOrElse("project", "default_project"))
+          case "hudi" => SinkMetadataDialects.HudiDialect(
+            pd.sink.options.getOrElse("table.type", "MERGE_ON_READ"),
+            pd.sink.options.get("ordering.fields"))
+          case other => SinkMetadataDialects.all(other)
+        }
+        val v = new ValuesDatabase
+        val s = new DialectMetadataSink(dialect, inner = v)
+        (s, () => s.statements ++ v.tableIds.flatMap(v.results))
       case other => throw new IllegalArgumentException(s"unsupported sink.type: $other")
     }
 }

@@ -18,6 +18,14 @@ object SparkInternals {
   /** Parse a SQL (named) expression string into an unresolved Expression. */
   def parseExpression(spark: SparkSession, sql: String): Expression =
     spark.sessionState.sqlParser.parseExpression(sql)
+
+  /** True when the session's CacheManager holds no cached plans — the
+    * assertion surface for per-batch ops' unpersist discipline
+    * (CacheManager entries outlive the ContextCleaner; a leak here grows
+    * unboundedly under a streaming micro-batch loop).
+    */
+  def cacheIsEmpty(spark: SparkSession): Boolean =
+    spark.sharedState.cacheManager.isEmpty
 }
 
 /** Executor-side JSON-line → InternalRow parser over the SAME machinery

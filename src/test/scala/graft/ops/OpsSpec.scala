@@ -123,6 +123,42 @@ class OpsSpec extends SparkSpec {
     assert(again.count() === 2)
   }
 
+  test("incrementalKeep releases every cache it registered (per-batch discipline)") {
+    // the streaming ingest loop calls this per micro-batch: a leaked
+    // CacheManager entry per call would grow without bound over the
+    // stream's lifetime (ADVICE r8; ContextCleaner does NOT reclaim them)
+    spark.catalog.clearCache()
+    assume(org.apache.spark.sql.graft.SparkInternals.cacheIsEmpty(spark))
+    val base = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.incrementalKeep(batch, "doc_id", base, "doc_id", "text",
+      threshold = 0.5)
+    // result stays usable after the internal unpersist (eager checkpoint)
+    assert(kept.count() === 1)
+    assert(org.apache.spark.sql.graft.SparkInternals.cacheIsEmpty(spark),
+      "incrementalKeep left a CacheManager entry behind")
+  }
+
+  test("budgetedTopQuality: mega-ties exhaust the percentile ladder and fall back to admit-all") {
+    // one domain, 300 rows, 298 share ONE quality value: every ladder
+    // rung's strictly-above-cut mass is 2 rows' tokens << budget, so
+    // rungFor steps off the ladder -> None (admit all candidates); the
+    // exact cumulative window must still produce the exact greedy fill
+    val rows = (1L to 300L).map { i =>
+      val q = if (i <= 2) 9.0 else 5.0 // 298-way tie below two good rows
+      ("web", i, 10L, q)
+    }
+    val df = rows.toDF("domain", "doc_id", "n_tok", "quality")
+    val budget = 100L // 10 docs' worth; total mass 3000 >> budget
+    val out = graft.ops.Curation.budgetedTopQuality(
+      df, Seq("domain"), "n_tok", "quality", col("doc_id"), budget)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // greedy by (quality desc, doc_id): 9.0-rows 1,2 then tie rows 3..10
+    assert(out === (1L to 10L))
+  }
+
   test("prefix-filtered Jaccard join equals brute force (exactness law)") {
     // randomized-ish corpus with planted near-dups, short docs, and
     // shared stop-grams that would blow up a naive gram join

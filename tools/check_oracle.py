@@ -101,9 +101,14 @@ def main(sf_dir, out_dir, only=None):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    if only:  # --only=q72,q73 substring match: skip the heavy sf0.1 full pass
+    if only:
+        # --only=q7,q72 exact-prefix match on the qNN id (the part before
+        # the first underscore) or the full name — a substring match would
+        # silently sweep q70..q75 into --only=q7
+        wanted = [o.strip() for o in only.split(",") if o.strip()]
         oracle = {k: v for k, v in oracle.items()
-                  if any(o in k for o in only.split(","))}
+                  if any(k == o or k.split("_")[0] == o for o in wanted)}
+        print(f"[only] selected {len(oracle)}: {', '.join(sorted(oracle))}")
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         res_dir = f"{out_dir}/{name}"
