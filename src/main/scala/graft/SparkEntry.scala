@@ -2,7 +2,7 @@ package graft
 
 import graft.cdc.Changelog
 import graft.schema.SchemaMerging
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1361,6 +1361,66 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Real media decode ([[graft.ops.MediaCodec]]): per document a 24-bit
+    * BMP (closed-form pixels, bottom-up rows, 4-byte row padding) and a
+    * 16-bit PCM WAV are ENCODED by graft's own writers, then decoded
+    * through the independent read paths — BMP via `javax.imageio`, WAV
+    * via the RIFF chunk walk — and gated on integer-exact evidence
+    * (dimensions, per-channel pixel sums, PCM duration) that DuckDB
+    * recomputes from the pixel formula. An encoder/decoder disagreement
+    * on padding, BGR order, or row direction breaks the hash.
+    */
+  private def q76MediaDecode(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{MediaCodec, Multimodal}
+    val ids = t(s, dir, "documents").where(col("doc_id") < 200)
+      .select(col("doc_id"))
+    val fixSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("bytes", BinaryType),
+      StructField("wav", BinaryType)))
+    val fixEnc = org.apache.spark.sql.Encoders.row(fixSchema)
+    val media = ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = (id % 7 + 2).toInt
+        val h = (id % 5 + 2).toInt
+        val px = new Array[Byte](w * h * 3)
+        var p = 0
+        while (p < w * h) {
+          px(p * 3) = ((id + 3 * p) % 256).toByte
+          px(p * 3 + 1) = ((id + 3 * p + 7) % 256).toByte
+          px(p * 3 + 2) = ((id + 3 * p + 13) % 256).toByte
+          p += 1
+        }
+        val bmp = MediaCodec.encodeBmp(MediaCodec.Image(w, h, 3, px))
+        val n = (id % 50 + 10).toInt
+        val wav = MediaCodec.encodeWav(1, 8000, 16,
+          Array.tabulate(n)(i => ((id * 7 + i * 11) % 30000).toShort))
+        Row(id, bmp, wav)
+      }
+    }(fixEnc)
+    // operator-level decode (format/dimensions) ...
+    val meta = Multimodal.decodeMeta(media, "bytes")
+      .select(col("doc_id"), col("format"), col("width"), col("height"))
+    // ... plus pixel/PCM evidence from the codecs directly
+    val sumSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("sum_r", LongType), StructField("sum_g", LongType),
+      StructField("sum_b", LongType),
+      StructField("wav_channels", IntegerType),
+      StructField("wav_ms", LongType)))
+    val sumEnc = org.apache.spark.sql.Encoders.row(sumSchema)
+    val sums = media.mapPartitions { rows =>
+      rows.map { r =>
+        val img = MediaCodec.decodeImage(r.getAs[Array[Byte]](1)).get
+        val cs = img.channelSums
+        val a = MediaCodec.decodeWav(r.getAs[Array[Byte]](2)).get
+        Row(r.getLong(0), cs(0), cs(1), cs(2), a.channels, a.durationMs)
+      }
+    }(sumEnc)
+    meta.join(sums, "doc_id").orderBy(col("doc_id"))
+  }
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1438,7 +1498,8 @@ object SparkEntry {
     "q72_budgeted_quality" -> (q72BudgetedQuality _),
     "q73_rerank_topk" -> (q73RerankTopK _),
     "q74_incremental_dedup" -> (q74IncrementalDedup _),
-    "q75_unicode_norm" -> (q75UnicodeNorm _)
+    "q75_unicode_norm" -> (q75UnicodeNorm _),
+    "q76_media_decode" -> (q76MediaDecode _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2420,6 +2481,25 @@ object SparkEntry {
         |  nfc_normalize(raw) AS nfc,
         |  raw <> nfc_normalize(raw) AS changed,
         |  length(nfc_normalize(raw))::INT AS nfc_len
-        |FROM p ORDER BY doc_id""".stripMargin
+        |FROM p ORDER BY doc_id""".stripMargin,
+    // the oracle recomputes the decoded evidence from the pixel/PCM
+    // closed forms — the parquet never sees the binary payloads
+    "q76_media_decode" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, t.p
+        |  FROM documents d CROSS JOIN generate_series(0, 47) t(p)
+        |  WHERE d.doc_id < 200
+        |    AND t.p < (d.doc_id % 7 + 2) * (d.doc_id % 5 + 2)
+        |)
+        |SELECT doc_id,
+        |  'bmp' AS format,
+        |  CAST(doc_id % 7 + 2 AS INT) AS width,
+        |  CAST(doc_id % 5 + 2 AS INT) AS height,
+        |  CAST(SUM((doc_id + 3*p) % 256) AS BIGINT) AS sum_r,
+        |  CAST(SUM((doc_id + 3*p + 7) % 256) AS BIGINT) AS sum_g,
+        |  CAST(SUM((doc_id + 3*p + 13) % 256) AS BIGINT) AS sum_b,
+        |  CAST(1 AS INT) AS wav_channels,
+        |  CAST(((doc_id % 50 + 10) * 1000) // 8000 AS BIGINT) AS wav_ms
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -757,13 +757,15 @@ class OpsSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
-  test("multimodal: stub feature extraction and frame sampling shapes") {
+  test("multimodal: feature extraction and frame sampling shapes") {
     val df = Seq(
       (1L, "image", "abcdefgh".getBytes("UTF-8")),
       (2L, "image", Array.empty[Byte])).toDF("media_id", "kind", "bytes")
     val feats = Multimodal.extractFeatures(df, featureDim = 4)
     assert(feats.schema.fieldNames.toSeq ===
-      Seq("media_id", "kind", "bytes", "features", "byte_len"))
+      Seq("media_id", "kind", "bytes", "features", "byte_len", "decoded"))
+    // text bytes are not an image: fallback features, decoded = false
+    assert(!feats.where(col("media_id") === 1).head().getAs[Boolean]("decoded"))
     val r1 = feats.where(col("media_id") === 1).head()
     assert(r1.getAs[collection.Seq[Float]]("features").size === 4)
     assert(r1.getAs[Int]("byte_len") === 8)
