@@ -232,6 +232,12 @@ object Similarity {
     * broadcast, the corpus never shuffles until the per-query top-k
     * windows (coarse first — the rerank window sees `coarseK` rows per
     * query, not the corpus).
+    *
+    * This overload derives codes from the float vectors per call — the
+    * convenience path, whose stage-1 scan still reads full-precision
+    * data. The production shape is [[materializeInt8Codes]] once +
+    * [[rerankTopKPrecoded]] per query batch: only THAT delivers the 4×
+    * scan-traffic saving.
     */
   def rerankTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
@@ -257,6 +263,59 @@ object Similarity {
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     coarse.withColumn("__crank", row_number().over(w1))
       .where(col("__crank") <= coarseK)
+      .withColumn("cos", cosine(col("__qvec"), col("__cvec")))
+      .withColumn("rank", row_number().over(w2))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 9).as("cos"), round(col("coarse"), 9).as("coarse"))
+  }
+
+  /** Build the materialized SQ8 index for [[rerankTopKPrecoded]]: one
+    * `(id, codes array<tinyint>)` row per vector — 4× smaller than the
+    * float column, which is the entire point: persist THIS table and the
+    * coarse scan never touches full-precision data again. Pure
+    * projection, no shuffle; write it bucketed by id if the rerank join
+    * should also be shuffle-free.
+    */
+  def materializeInt8Codes(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), col(vecCol))
+      .withColumn("__s", int8Scale(col(vecCol)))
+      .select(col(idCol), quantizeInt8(col(vecCol), col("__s")).as("codes"))
+
+  /** [[rerankTopK]] over a PRE-MATERIALIZED code table: stage 1 scans
+    * `corpusCodes` (id + int8 codes — no float column anywhere in the
+    * coarse subtree, so the scan traffic really is 4× lower; PlanSpec
+    * audits it), stage 2 joins the `coarseK` survivors per query back to
+    * the full-precision vectors by id and re-scores exactly. Identical
+    * results to the derive-on-the-fly [[rerankTopK]] by the shared
+    * quantizer (OpsSpec law) — the split buys the scan saving at the
+    * price of one id-join on the tiny candidate set.
+    */
+  def rerankTopKPrecoded(
+      corpusCodes: DataFrame, codesId: String, codesCol: String,
+      corpusVecs: DataFrame, vecsId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, coarseK: Int, excludeSelf: Boolean = true): DataFrame = {
+    require(coarseK >= k, s"coarseK ($coarseK) must cover k ($k)")
+    val q = broadcast(queries
+      .select(col(queryId).as("__qid"), col(queryVec).as("__qvec"))
+      .withColumn("__qs", int8Scale(col("__qvec")))
+      .withColumn("__qq", quantizeInt8(col("__qvec"), col("__qs")).cast("array<double>"))
+      .drop("__qs"))
+    val coarse = corpusCodes
+      .select(col(codesId).as("__cid"), col(codesCol).cast("array<double>").as("__cq"))
+      .crossJoin(q)
+      .where(if (excludeSelf) col("__cid") =!= col("__qid") else lit(true))
+      .select(col("__qid").as("query_id"), col("__cid").as("neighbor_id"),
+        col("__qvec"), cosine(col("__qq"), col("__cq")).as("coarse"))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("coarse").desc, col("neighbor_id").asc)
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    coarse.withColumn("__crank", row_number().over(w1))
+      .where(col("__crank") <= coarseK)
+      .join(corpusVecs.select(col(vecsId).as("__vid"), col(corpusVec).as("__cvec")),
+        col("neighbor_id") === col("__vid"))
       .withColumn("cos", cosine(col("__qvec"), col("__cvec")))
       .withColumn("rank", row_number().over(w2))
       .where(col("rank") <= k)

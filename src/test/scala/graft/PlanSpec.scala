@@ -334,6 +334,44 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in rerank plan:\n$p")
   }
 
+  test("q73 precoded rerank: the coarse stage reads the code table only, never floats") {
+    import org.apache.spark.sql.functions.col
+    // materialized index on disk: codes in one parquet, floats in another —
+    // the production split. The coarse window's subtree must scan ONLY the
+    // codes file; the float file may appear solely above the coarseK cut.
+    val dir = java.nio.file.Files.createTempDirectory("precoded").toString
+    val vecs = Tables.load(spark, sf(), "embeddings").limit(200)
+    vecs.write.mode("overwrite").parquet(s"$dir/vecs")
+    graft.ops.Similarity.materializeInt8Codes(vecs, "vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    // queries live in their own file: the (tiny, broadcast) query side may
+    // read floats — the claim under audit is about the CORPUS scan
+    vecs.limit(3).write.mode("overwrite").parquet(s"$dir/queries")
+    val codesDf = spark.read.parquet(s"$dir/codes")
+    val vecsDf = spark.read.parquet(s"$dir/vecs")
+    val queriesDf = spark.read.parquet(s"$dir/queries")
+    val out = graft.ops.Similarity.rerankTopKPrecoded(
+      codesDf, "vec_id", "codes", vecsDf, "vec_id", "embedding",
+      queriesDf, "vec_id", "embedding", k = 5, coarseK = 20)
+    // sparkPlan, not executedPlan: AQE's wrapper node hides the tree from
+    // collect() before execution
+    val plan = out.queryExecution.sparkPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, s"no window in plan:\n$plan")
+    // the innermost window computes the coarse rank (collect is pre-order,
+    // so the deepest WindowExec comes last)
+    val coarseSubtree = windows.last.toString()
+    assert(coarseSubtree.contains(s"$dir/codes"),
+      s"coarse stage does not scan the code table:\n$coarseSubtree")
+    assert(!coarseSubtree.contains(s"$dir/vecs"),
+      s"coarse stage reads the FLOAT table — the 4x scan saving is lost:\n$coarseSubtree")
+    // the float scan exists above the cut, pruned to (id, vec)
+    assert(plan.toString().contains(s"$dir/vecs"), "rerank never reads floats?")
+    assert(out.count() === 15) // 3 queries x k
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     import graft.functions.expressions.NativeHashFunctions

@@ -727,6 +727,27 @@ class OpsSpec extends SparkSpec {
     assert(tightTop === exactTop)
   }
 
+  test("rerank: precomputed-codes path is row-identical to derive-on-the-fly") {
+    val vecs = (0 until 60).map(i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 7 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = vecs.where(col("vec_id") < 3)
+    val codes = Similarity.materializeInt8Codes(vecs, "vec_id", "embedding")
+    // the materialized index really is int8
+    assert(codes.schema("codes").dataType ===
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType))
+    for (coarseK <- Seq(8, 60)) {
+      val derive = Similarity.rerankTopK(vecs, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 4, coarseK = coarseK)
+        .collect().map(_.toSeq).toSet
+      val precoded = Similarity.rerankTopKPrecoded(
+        codes, "vec_id", "codes", vecs, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 4, coarseK = coarseK)
+        .collect().map(_.toSeq).toSet
+      assert(precoded === derive, s"paths diverge at coarseK=$coarseK")
+    }
+  }
+
   test("ivf: clustered vectors, probed lists recover the true neighbor") {
     // 3 well-separated clusters of 20 vectors each
     val vecs = (0 until 60).map { i =>
