@@ -37,6 +37,7 @@ object Bench {
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
     }
     streamThroughput(spark, warmDir)
+    ingestThroughput(spark, warmDir)
     // 2-run protocol: single runs swing 2-5x on individual queries (JSON
     // codec + GC luck); the committed artifact IS the authoritative
     // record, so it carries BOTH measured totals and the per-query min —
@@ -53,10 +54,12 @@ object Bench {
     val run1 = measuredPass()
     val run2 = measuredPass().toMap
     val mins = run1.map { case (k, v) => k -> math.min(v, run2(k)) }
-    // 2-decimal timings: the driver stores only the output TAIL — full
-    // nanosecond floats pushed the one-line JSON past its window in r6
-    // and the round lost its machine-readable bench ("parsed": null)
-    val qs = mins.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+    // SHORT query keys (qNN — the prefix before the first underscore, all
+    // unique) at 2 decimals: the driver stores only the output TAIL, and
+    // full names at 75+ queries pushed the one-line JSON past its window
+    // in r8 ("parsed": null, first queries sliced). Key->name mapping is
+    // SparkEntry.queries; protocol prose lives in NOTES.md, not here.
+    val qs = mins.map { case (k, v) => "\"" + k.split("_")(0) + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val total = mins.map(_._2).sum
     val t1 = run1.map(_._2).sum
@@ -68,15 +71,55 @@ object Bench {
     val stA = streamThroughput(spark, sfDir)
     val stB = streamThroughput(spark, sfDir)
     val st = if (stB.steadyEps >= stA.steadyEps) stB else stA
+    // continuous-ingest composition (incremental near-dedup per batch):
+    // best of 2, same JIT argument as the stream phase
+    val ingA = ingestThroughput(spark, sfDir)
+    val ingB = ingestThroughput(spark, sfDir)
+    val ing = math.max(ingA, ingB)
     println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec",""" +
-      s""""run_totals":[${f"$t1%.2f"},${f"$t2%.2f"}],"queries":$qs,""" +
+      s""""run_totals":[${f"$t1%.2f"},${f"$t2%.2f"}],""" +
+      s""""total_min_run":${f"${math.min(t1, t2)}%.2f"},"queries":$qs,""" +
       s""""stream_events_per_s":${st.eps},"stream_steady_eps":${st.steadyEps},""" +
       s""""stream_runs_eps":[${stA.eps},${stB.eps}],""" +
       s""""stream_batches":${st.batches},""" +
       s""""stream_batch_eps_spread_pct":${st.spreadPct},""" +
-      s""""stream_note":"queries=per-query min of 2 measured passes (totals of each in run_totals); stream=better of 2 runs (overall rates of both in stream_runs_eps); eps=wall clock over ${st.batches} batches incl compaction; steady=median batch rate after first",""" +
+      s""""ingest_docs_per_s":$ing,"ingest_runs":[$ingA,$ingB],""" +
+      s""""note":"q keys=qNN ids (names in SparkEntry.queries); value=sum of per-query min of 2 passes; total_min_run=best single pass; stream/ingest=best of 2; protocol in NOTES.md",""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Continuous-ingest throughput: the documents corpus arrives in 4
+    * batches, each deduped against itself and the accumulated kept base
+    * via [[graft.ops.Dedup.incrementalKeep]] (the StreamingSpec
+    * micro-batch loop without the stream plumbing, so the number is the
+    * OPERATOR's rate). Returns docs/s over the whole run.
+    */
+  private def ingestThroughput(spark: SparkSession, sfDir: String): Long = {
+    import org.apache.spark.sql.functions.col
+    try {
+      val docs = Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      val n = docs.count()
+      val batches = 4
+      var base = docs.where(org.apache.spark.sql.functions.lit(false))
+        .localCheckpoint(true)
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < batches) {
+        val kept = graft.ops.Dedup.incrementalKeep(
+          docs.where(col("doc_id") % batches === i), "doc_id",
+          base, "doc_id", "text", threshold = 0.6)
+        base = base.unionByName(kept).localCheckpoint(true)
+        i += 1
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] ingest: $n docs in $secs%.2f s, kept ${base.count()}")
+      (n / secs).toLong
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] ingest throughput failed: ${e.getMessage}")
+      -1L
+    }
   }
 
   private final case class StreamResult(

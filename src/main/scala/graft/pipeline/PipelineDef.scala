@@ -91,10 +91,65 @@ final case class PipelineDef(
   */
 object YamlPipelineParser {
 
+  /** Strict-key surfaces, after the reference's parser rejection behavior
+    * (YamlPipelineDefinitionParser + the e2e red-path corpus
+    * flink-cdc-e2e-tests/flink-cdc-pipeline-e2e-tests/src/test/resources/
+    * rules/{invalid,malformed,incomplete,unexpected}.yaml): unknown keys
+    * fail loudly instead of being silently ignored, blocks that must be
+    * arrays reject objects with a missed-dash hint, and missing required
+    * fields name the block they are missing from.
+    */
+  private val TopLevelKeys = Seq("source", "sink", "route", "transform", "pipeline")
+  private val TransformKeys = Seq("source-table", "projection", "filter",
+    "primary-keys", "partition-keys", "table-options", "table-options.delimiter",
+    "description", "converter-after-transform")
+  private val RouteKeys = Seq("source-table", "sink-table", "replace-symbol",
+    "description")
+  private val UdfKeys = Seq("name", "classpath", "options")
+
+  private def render(v: Object): String = v match {
+    case null => "null"
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, vv) =>
+        s""""$k":${render(vv.asInstanceOf[Object])}""" }.mkString("{", ",", "}")
+    case l: java.util.List[_] =>
+      l.asScala.map(x => render(x.asInstanceOf[Object])).mkString("[", ",", "]")
+    case n: java.lang.Number => n.toString
+    case b: java.lang.Boolean => b.toString
+    case s => s""""$s""""
+  }
+
+  private def rejectUnexpected(block: String, allowed: Seq[String],
+      m: scala.collection.Map[String, Object]): Unit =
+    m.keys.find(k => !allowed.contains(k)).foreach { k =>
+      val note =
+        if (block == "top-level")
+          "Note: runtime configurations should be passed as Spark session " +
+            "configuration instead of YAML scripts."
+        else s"Note: option $k: ${render(m(k))} is unexpected. It was " +
+          "silently ignored in previous versions, and probably should be removed."
+      throw new IllegalArgumentException(
+        s"Unexpected key `$k` in YAML $block block.\n" +
+          s"Allowed keys in this context are: [${allowed.mkString(", ")}]\n" + note)
+    }
+
+  private def requireArray(block: String, v: Object): java.util.List[_] = v match {
+    case l: java.util.List[_] => l
+    case other => throw new IllegalArgumentException(
+      s"YAML $block block is expecting an array children, but got " +
+        s"an OBJECT (${render(other)}).\nPerhaps you missed a dash prefix `-`?")
+  }
+
+  private def missing(field: String, block: String): Nothing =
+    throw new IllegalArgumentException(
+      s"""Missing required field "$field" in $block configuration""")
+
   def parse(yaml: String): PipelineDef = {
     val root = new org.yaml.snakeyaml.Yaml()
       .load[java.util.Map[String, Object]](yaml)
       .asScala
+
+    rejectUnexpected("top-level", TopLevelKeys, root)
 
     def scalarOrList(v: Object): String = v match {
       // YAML lists (e.g. `exclude.schema.changes: [drop, truncate.table]`)
@@ -111,15 +166,20 @@ object YamlPipelineParser {
         case _ => Map.empty
       }
 
-    def seqOfMaps(name: String): Seq[Map[String, String]] =
+    def seqOfMaps(name: String, allowedKeys: Seq[String] = Nil): Seq[Map[String, String]] =
       root.get(name) match {
-        case Some(l: java.util.List[_]) => l.asScala.toSeq.collect {
+        case Some(v) => requireArray(name, v).asScala.toSeq.collect {
           case m: java.util.Map[_, _] =>
-            m.asScala.map { case (k, v) => k.toString -> Option(v).map(_.toString).orNull }.toMap
+            val sm = m.asScala.map { case (k, vv) =>
+              k.toString -> vv.asInstanceOf[Object] }
+            if (allowedKeys.nonEmpty) rejectUnexpected(name, allowedKeys, sm)
+            sm.map { case (k, vv) => k -> Option(vv).map(_.toString).orNull }.toMap
         }
-        case _ => Nil
+        case None => Nil
       }
 
+    if (!root.contains("source")) missing("source", "top-level")
+    if (!root.contains("sink")) missing("sink", "top-level")
     val sourceOpts = section("source")
     val sinkOpts = section("sink")
     require(sourceOpts.contains("type"), "source.type is required")
@@ -128,10 +188,10 @@ object YamlPipelineParser {
     def splitList(s: String): Seq[String] =
       s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
-    val transforms = seqOfMaps("transform").map { m =>
+    val transforms = seqOfMaps("transform", TransformKeys).map { m =>
       TransformRule(
         sourceTable = m.getOrElse("source-table",
-          throw new IllegalArgumentException("transform.source-table required")),
+          missing("source-table", "transform")),
         projection = m.get("projection").filter(_ != null),
         filter = m.get("filter").filter(_ != null),
         primaryKeys = m.get("primary-keys").map(splitList).getOrElse(Nil),
@@ -147,45 +207,68 @@ object YamlPipelineParser {
           .map(graft.transform.PostTransformConverters.validate))
     }
 
-    val routes = seqOfMaps("route").map { m =>
+    val routes = seqOfMaps("route", RouteKeys).map { m =>
       RouteRule(
         sourceTable = m.getOrElse("source-table",
-          throw new IllegalArgumentException("route.source-table required")),
+          missing("source-table", "route")),
         sinkTable = m.getOrElse("sink-table",
-          throw new IllegalArgumentException("route.sink-table required")),
+          missing("sink-table", "route")),
         replaceSymbol = m.get("replace-symbol").filter(_ != null))
     }
 
     // pipeline.model / pipeline.user-defined-function are nested lists
     // (the only non-scalar pipeline keys)
-    def pipelineList(key: String): Seq[Map[String, String]] =
+    def pipelineList(key: String, blockName: String,
+        allowedKeys: Seq[String] = Nil): Seq[Map[String, String]] =
       root.get("pipeline") match {
         case Some(m: java.util.Map[_, _]) =>
-          m.asScala.collectFirst { case (k, l: java.util.List[_]) if k.toString == key =>
-            l.asScala.toSeq.collect {
+          m.asScala.collectFirst { case (k, v) if k.toString == key =>
+            requireArray(blockName, v.asInstanceOf[Object]).asScala.toSeq.collect {
               case mm: java.util.Map[_, _] =>
-                mm.asScala.map { case (k2, v) => k2.toString -> v.toString }.toMap
+                val sm = mm.asScala.map { case (k2, vv) =>
+                  k2.toString -> vv.asInstanceOf[Object] }
+                if (allowedKeys.nonEmpty) rejectUnexpected(blockName, allowedKeys, sm)
+                sm.map { case (k2, vv) => k2 -> vv.toString }.toMap
             }
           }.getOrElse(Nil)
         case _ => Nil
       }
 
-    val models = pipelineList("model").map { opts =>
+    // model blocks carry arbitrary provider options (openai.*), so only
+    // the array shape is enforced; UDF blocks are strict-keyed
+    val models = pipelineList("model", "model").map { opts =>
       ModelDef(
         opts.getOrElse("model-name",
-          throw new IllegalArgumentException("model.model-name required")),
+          missing("model-name", "model")),
         opts.getOrElse("class-name",
-          throw new IllegalArgumentException("model.class-name required")),
+          missing("class-name", "model")),
         opts -- Seq("model-name", "class-name"))
     }
 
-    val udfs = pipelineList("user-defined-function").map { opts =>
-      UdfDef(
-        opts.getOrElse("name",
-          throw new IllegalArgumentException("user-defined-function.name required")),
-        opts.getOrElse("classpath",
-          throw new IllegalArgumentException("user-defined-function.classpath required")),
-        opts -- Seq("name", "classpath"))
+    // UDF blocks are strict-keyed [name, classpath, options]; per-UDF
+    // options live under the nested `options:` map, as in the reference
+    val udfs = root.get("pipeline") match {
+      case Some(m: java.util.Map[_, _]) =>
+        m.asScala.collectFirst {
+          case (k, v) if k.toString == "user-defined-function" =>
+            requireArray("UDF", v.asInstanceOf[Object]).asScala.toSeq.collect {
+              case mm: java.util.Map[_, _] =>
+                val sm = mm.asScala.map { case (k2, vv) =>
+                  k2.toString -> vv.asInstanceOf[Object] }
+                rejectUnexpected("UDF", UdfKeys, sm)
+                val opts = sm.get("options") match {
+                  case Some(om: java.util.Map[_, _]) =>
+                    om.asScala.map { case (k3, v3) =>
+                      k3.toString -> v3.toString }.toMap
+                  case _ => Map.empty[String, String]
+                }
+                UdfDef(
+                  sm.getOrElse("name", missing("name", "UDF")).toString,
+                  sm.getOrElse("classpath", missing("classpath", "UDF")).toString,
+                  opts)
+            }
+        }.getOrElse(Nil)
+      case _ => Nil
     }
 
     val pipelineOpts = section("pipeline")

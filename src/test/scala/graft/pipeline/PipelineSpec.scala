@@ -454,7 +454,8 @@ class PipelineSpec extends SparkSpec {
         |  user-defined-function:
         |    - name: addn
         |      classpath: graft.functions.AddNUdf
-        |      n: 5
+        |      options:
+        |        n: 5
         |    - name: bang
         |      classpath: graft.functions.BangUdf
         |""".stripMargin)
@@ -499,7 +500,8 @@ class PipelineSpec extends SparkSpec {
          |  user-defined-function:
          |    - name: addn
          |      classpath: graft.functions.AddNUdf
-         |      n: 100
+         |      options:
+         |        n: 100
          |""".stripMargin
     val out = graft.tools.Cli.run(spark, yaml)
     assert(out.head.startsWith("pipeline 'cli_demo'"))
@@ -627,5 +629,181 @@ class PipelineSpec extends SparkSpec {
     val row = sink.rows(tid).head
     assert(row.head === 1L)
     assert(row(1).asInstanceOf[collection.Seq[Float]].length === 8)
+  }
+
+  // ---- YAML red paths, ported from the reference e2e corpus
+  // flink-cdc-e2e-tests/flink-cdc-pipeline-e2e-tests/src/test/resources/
+  // rules/{invalid,malformed,incomplete,unexpected}.yaml ----
+
+  private def parseError(yaml: String): String =
+    intercept[IllegalArgumentException](YamlPipelineParser.parse(yaml)).getMessage
+
+  test("YAML red path: unexpected keys fail loudly (invalid/unexpected.yaml)") {
+    // unexpected top-level block (`execution`, `mapping`)
+    val topErr = parseError(
+      """source:
+        |  type: values
+        |sink:
+        |  type: values
+        |mapping:
+        |  - source: userUuid
+        |    sink: uuid
+        |""".stripMargin)
+    assert(topErr.contains("Unexpected key `mapping` in YAML top-level block"))
+    assert(topErr.contains(
+      "Allowed keys in this context are: [source, sink, route, transform, pipeline]"))
+    // unexpected transform block key, with the ignored-before note
+    val trErr = parseError(
+      """source:
+        |  type: values
+        |sink:
+        |  type: values
+        |transform:
+        |  - source-table: foo.bar
+        |    mapping:
+        |      - source: userUuid
+        |        sink: uuid
+        |""".stripMargin)
+    assert(trErr.contains("Unexpected key `mapping` in YAML transform block"))
+    assert(trErr.contains("converter-after-transform"))
+    assert(trErr.contains("silently ignored in previous versions"))
+    // unexpected route block key (`regex-style`, `transformers`)
+    val rtErr = parseError(
+      """source:
+        |  type: values
+        |sink:
+        |  type: values
+        |route:
+        |  - source-table: foo.bar
+        |    sink-table: fun.baz
+        |    regex-style: java
+        |""".stripMargin)
+    assert(rtErr.contains("Unexpected key `regex-style` in YAML route block"))
+    assert(rtErr.contains(
+      "Allowed keys in this context are: [source-table, sink-table, replace-symbol, description]"))
+    // unexpected UDF block key
+    val udfErr = parseError(
+      """source:
+        |  type: values
+        |sink:
+        |  type: values
+        |pipeline:
+        |  user-defined-function:
+        |    - name: addone
+        |      classpath: com.example.AddOne
+        |      language: clojure
+        |""".stripMargin)
+    assert(udfErr.contains("Unexpected key `language` in YAML UDF block"))
+    assert(udfErr.contains("""option language: "clojure" is unexpected"""))
+  }
+
+  test("YAML red path: blocks that must be arrays reject objects (malformed.yaml)") {
+    for ((block, yaml) <- Seq(
+      "transform" ->
+        """source:
+          |  type: values
+          |sink:
+          |  type: values
+          |transform:
+          |  source-table: foo.bar
+          |""".stripMargin,
+      "route" ->
+        """source:
+          |  type: values
+          |sink:
+          |  type: values
+          |route:
+          |  source-table: foo.bar
+          |""".stripMargin,
+      "UDF" ->
+        """source:
+          |  type: values
+          |sink:
+          |  type: values
+          |pipeline:
+          |  user-defined-function:
+          |    name: addone
+          |    classpath: com.example.AddOne
+          |""".stripMargin,
+      "model" ->
+        """source:
+          |  type: values
+          |sink:
+          |  type: values
+          |pipeline:
+          |  model:
+          |    model-name: GET_EMBEDDING
+          |    class-name: OpenAIEmbeddingModel
+          |""".stripMargin)) {
+      val err = parseError(yaml)
+      assert(err.contains(
+        s"YAML $block block is expecting an array children, but got an OBJECT"),
+        s"$block: $err")
+      assert(err.contains("Perhaps you missed a dash prefix `-`?"), s"$block: $err")
+      assert(err.contains("""{"source-table":"foo.bar"}""") ||
+        err.contains(""""name":"addone"""") ||
+        err.contains(""""model-name":"GET_EMBEDDING""""), s"$block: $err")
+    }
+  }
+
+  test("YAML red path: missing required fields name their block (incomplete.yaml)") {
+    assert(parseError(
+      """source:
+        |  type: values
+        |""".stripMargin)
+      .contains("""Missing required field "sink" in top-level configuration"""))
+    assert(parseError(
+      """sink:
+        |  type: values
+        |""".stripMargin)
+      .contains("""Missing required field "source" in top-level configuration"""))
+    assert(parseError(
+      """source:
+        |  type: values
+        |sink:
+        |  type: values
+        |transform:
+        |  - projection: "*"
+        |""".stripMargin)
+      .contains("""Missing required field "source-table" in transform configuration"""))
+    assert(parseError(
+      """source:
+        |  type: values
+        |sink:
+        |  type: values
+        |route:
+        |  - sink-table: foo.bar.baz
+        |""".stripMargin)
+      .contains("""Missing required field "source-table" in route configuration"""))
+    assert(parseError(
+      """source:
+        |  type: values
+        |sink:
+        |  type: values
+        |route:
+        |  - source-table: foo.bar.baz
+        |""".stripMargin)
+      .contains("""Missing required field "sink-table" in route configuration"""))
+  }
+
+  test("YAML red path: a well-formed file still parses after the strict checks") {
+    val pd = YamlPipelineParser.parse(
+      """source:
+        |  type: values
+        |sink:
+        |  type: values
+        |transform:
+        |  - source-table: db.t
+        |    projection: "id, name"
+        |    description: keep the narrow columns
+        |route:
+        |  - source-table: db.shard_\.*
+        |    sink-table: db.merged
+        |    description: fan shards in
+        |pipeline:
+        |  name: strict-ok
+        |""".stripMargin)
+    assert(pd.name === "strict-ok")
+    assert(pd.transforms.size === 1 && pd.routes.size === 1)
   }
 }
