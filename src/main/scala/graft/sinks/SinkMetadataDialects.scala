@@ -893,8 +893,89 @@ object SinkMetadataDialects {
     }
   }
 
+  // =====================================================================
+  // Fluss
+  // =====================================================================
+
+  /** Fluss dialect, after FlussMetaDataApplier.java.
+    *
+    * Semantics ported:
+    *  - the ADVERTISED set is the TABLE family (create/drop/truncate/
+    *    comment, FlussMetaDataApplier.java:90-92 +
+    *    SchemaChangeEventTypeFamily.java:48-50), but apply actually
+    *    handles CreateTable, DropTable and AddColumn and rejects the rest
+    *    — the mismatch is upstream's, preserved as-is;
+    *  - bucket keys default to primaryKeys MINUS partitionKeys
+    *    (FlussConversions.java:67-78);
+    *  - AddColumn supports only LAST, and the rejection message suggests
+    *    LENIENT mode (FlussMetaDataApplier.java:154-159).
+    */
+  final case class FlussDialect(
+      bucketKeys: Seq[String] = Nil,
+      bucketNum: Option[Int] = None) extends SinkMetadataDialect {
+    val name = "fluss"
+    val supportedChangeKinds: Set[String] = Set(
+      "create.table", "drop.table", "truncate.table", "alter.table.comment")
+
+    def typeName(dt: DataType, isPrimaryKey: Boolean = false): String =
+      PaimonDialect.typeName(dt, isPrimaryKey) // Flink SQL spelling, identity map
+
+    def applyChange(e: SchemaChangeEvent, info: TableInfo): SinkAction = e match {
+      case CreateTableEvent(t, ti) =>
+        val buckets =
+          if (bucketKeys.nonEmpty) bucketKeys
+          else ti.primaryKeys.filterNot(ti.partitionKeys.contains)
+        val pkSql =
+          if (ti.primaryKeys.isEmpty) ""
+          else s", PRIMARY KEY (${ti.primaryKeys.map(quote).mkString(", ")}) NOT ENFORCED"
+        val partSql =
+          if (ti.partitionKeys.isEmpty) ""
+          else s" PARTITIONED BY (${ti.partitionKeys.map(quote).mkString(", ")})"
+        val distSql =
+          if (buckets.isEmpty) ""
+          else s" DISTRIBUTED BY HASH(${buckets.map(quote).mkString(", ")})" +
+            bucketNum.map(n => s" INTO $n BUCKETS").getOrElse("")
+        SinkAction.Statements(Seq(
+          s"CREATE TABLE IF NOT EXISTS ${qualified(t)} (" +
+            ti.schema.fields.map(f =>
+              s"${quote(f.name)} ${typeName(f.dataType)}" +
+                comment(f).map(c => s" COMMENT '${escapeSq(c)}'").getOrElse(""))
+              .mkString(", ") + pkSql + ")" + partSql + distSql))
+      case DropTableEvent(t) =>
+        SinkAction.Statements(Seq(s"DROP TABLE IF EXISTS ${qualified(t)}"))
+      case AddColumnEvent(t, cols) =>
+        if (cols.exists(_._2 != ColumnPosition.Last))
+          SinkAction.Reject(
+            "Fluss metadata applier only supports LAST position for adding " +
+              "columns now. Consider using 'schema.change.behavior' " +
+              "configuration with 'LENIENT' mode to handle schema changes more flexibly.")
+        else SinkAction.Statements(cols.map { case (f, _) =>
+          s"ALTER TABLE ${qualified(t)} ADD COLUMN ${quote(f.name)} ${typeName(f.dataType)}"
+        })
+      case other =>
+        SinkAction.Reject(
+          "fluss metadata applier only supports CreateTableEvent and " +
+            s"AddColumnEvent now but receives ${other.kind}")
+    }
+  }
+
+  /** Elasticsearch: the reference sink's metadata applier is a no-op
+    * (`schemaChangeEvent -> {}`, ElasticsearchDataSink.java:151-153) —
+    * documents are schema-free, evolution is absorbed by the mapping.
+    */
+  case object ElasticsearchDialect extends SinkMetadataDialect {
+    val name = "elasticsearch"
+    val supportedChangeKinds: Set[String] = Set(
+      "create.table", "add.column", "alter.column.type", "drop.column",
+      "rename.column", "drop.table", "truncate.table", "alter.table.comment")
+    def typeName(dt: DataType, isPrimaryKey: Boolean = false): String = "dynamic"
+    def applyChange(e: SchemaChangeEvent, info: TableInfo): SinkAction =
+      SinkAction.Statements(Nil)
+  }
+
   /** Catalog by sink-type name, the sink-side analog of
-    * [[graft.sources.ConnectorDialects]].
+    * [[graft.sources.ConnectorDialects]]: every reference pipeline sink
+    * with metadata-applier semantics.
     */
   val all: Map[String, SinkMetadataDialect] = Map(
     "doris" -> DorisDialect,
@@ -903,7 +984,9 @@ object SinkMetadataDialects {
     "iceberg" -> IcebergMetadataDialect,
     "hudi" -> HudiDialect(),
     "oceanbase" -> OceanBaseDialect,
-    "maxcompute" -> MaxComputeDialect())
+    "maxcompute" -> MaxComputeDialect(),
+    "fluss" -> FlussDialect(),
+    "elasticsearch" -> ElasticsearchDialect)
 }
 
 /** [[DataSink]] adapter over a [[SinkMetadataDialect]]: schema changes

@@ -333,11 +333,55 @@ class SinkDialectsSpec extends AnyFunSpec with Matchers {
     }
   }
 
+  describe("fluss") {
+    val d = FlussDialect()
+    it("advertises the TABLE family but applies create/drop/add-column (upstream mismatch preserved)") {
+      d.supportedChangeKinds shouldBe Set(
+        "create.table", "drop.table", "truncate.table", "alter.table.comment")
+      d.applyChange(TruncateTableEvent(t), info()) shouldBe a[SinkAction.Reject]
+      d.applyChange(RenameColumnEvent(t, Map("a" -> "b")), info()) shouldBe
+        a[SinkAction.Reject]
+    }
+    it("defaults bucket keys to primary keys minus partition keys (FlussConversions.java:67-78)") {
+      val ti = TableInfo(
+        StructType(Seq(
+          StructField("k", IntegerType, nullable = false),
+          StructField("p", DateType, nullable = false),
+          StructField("v", StringType))),
+        primaryKeys = Seq("k", "p"), partitionKeys = Seq("p"))
+      val ddl = stmts(d.applyChange(CreateTableEvent(t, ti), ti)).head
+      ddl should include("DISTRIBUTED BY HASH(`k`)")
+      ddl should include("PARTITIONED BY (`p`)")
+      val bucketed = FlussDialect(bucketNum = Some(16))
+      stmts(bucketed.applyChange(CreateTableEvent(t, ti), ti)).head should
+        include("INTO 16 BUCKETS")
+    }
+    it("only appends columns LAST, suggesting LENIENT mode otherwise") {
+      val bad = AddColumnEvent(t,
+        Seq((StructField("x", IntegerType), ColumnPosition.First)))
+      val SinkAction.Reject(msg) = d.applyChange(bad, info())
+      msg should include("LENIENT")
+      val ok = AddColumnEvent(t,
+        Seq((StructField("x", IntegerType), ColumnPosition.Last)))
+      stmts(d.applyChange(ok, info())).head shouldBe
+        "ALTER TABLE `test`.`tbl1` ADD COLUMN `x` INT"
+    }
+  }
+
+  describe("elasticsearch") {
+    it("is a declared no-op applier (ElasticsearchDataSink.java:151-153)") {
+      ElasticsearchDialect.applyChange(CreateTableEvent(t, info()), info()) shouldBe
+        SinkAction.Statements(Nil)
+      ElasticsearchDialect.applyChange(DropTableEvent(t), info()) shouldBe
+        SinkAction.Statements(Nil)
+    }
+  }
+
   describe("catalog") {
-    it("exposes all 7 sink dialects by name") {
+    it("exposes all 9 sink dialects by name") {
       SinkMetadataDialects.all.keySet shouldBe Set(
         "doris", "starrocks", "paimon", "iceberg", "hudi",
-        "oceanbase", "maxcompute")
+        "oceanbase", "maxcompute", "fluss", "elasticsearch")
     }
   }
 }
