@@ -1,0 +1,97 @@
+package graft.sinks
+
+import graft.SparkSpec
+import graft.model._
+import graft.pipeline._
+import graft.sources.ValuesSource
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** End-to-end: schema-change event sequences flow through the pipeline
+  * (registry → evolution → MetadataApplier dialect) and come out as the
+  * sink's native DDL — the shape of the reference's
+  * DorisMetadataApplierITCase.java / StarRocksMetadataApplierITCase.java
+  * with the live cluster replaced by recorded statements.
+  */
+class SinkDialectPipelineSpec extends SparkSpec {
+
+  private val tid = TableId.parse("db.t1")
+  private val baseInfo = TableInfo(
+    StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType),
+      StructField("v", IntegerType))),
+    primaryKeys = Seq("id"))
+
+  /** The ITCase event script: create, rows, then one of each column DDL. */
+  private def script: Seq[Event] = Seq(
+    CreateTableEvent(tid, baseInfo),
+    DataChangeEvent.insert(tid, Row(1L, "a", 10)),
+    AddColumnEvent(tid, Seq(
+      (StructField("extra", DoubleType), ColumnPosition.Last))),
+    DataChangeEvent.insert(tid, Row(2L, "b", 20, 2.5)),
+    RenameColumnEvent(tid, Map("extra" -> "bonus")),
+    AlterColumnTypeEvent(tid, Map("v" -> LongType)),
+    DropColumnEvent(tid, Seq("bonus")))
+
+  private def runThrough(dialect: SinkMetadataDialect): DialectMetadataSink = {
+    val pd = PipelineDef(
+      SourceDef("values", Map.empty), SinkDef(dialect.name, Map.empty),
+      schemaChangeBehavior = graft.schema.SchemaChangeBehavior.Evolve)
+    val sink = new DialectMetadataSink(dialect)
+    new PipelineRunner(spark, pd, new ValuesSource(script), sink).run()
+    sink
+  }
+
+  test("doris: the ITCase DDL sequence in Doris spelling") {
+    val ddl = runThrough(SinkMetadataDialects.DorisDialect).statements
+    assert(ddl.head.startsWith("CREATE TABLE IF NOT EXISTS `db`.`t1`"))
+    assert(ddl.head.contains("UNIQUE KEY(`id`)"))
+    assert(ddl.exists(_ == "ALTER TABLE `db`.`t1` ADD COLUMN `extra` DOUBLE"))
+    assert(ddl.exists(_ == "ALTER TABLE `db`.`t1` RENAME COLUMN `extra` `bonus`"))
+    assert(ddl.exists(_ == "ALTER TABLE `db`.`t1` MODIFY COLUMN `v` BIGINT"))
+    assert(ddl.last == "ALTER TABLE `db`.`t1` DROP COLUMN `bonus`")
+  }
+
+  test("starrocks: PK columns lead the create, adds append last") {
+    val ddl = runThrough(SinkMetadataDialects.StarRocksDialect()).statements
+    assert(ddl.head.contains("PRIMARY KEY(`id`)"))
+    assert(ddl.head.contains("DISTRIBUTED BY HASH(`id`)"))
+    assert(ddl.exists(_ == "ALTER TABLE `db`.`t1` ADD COLUMN (`extra` DOUBLE)"))
+    assert(ddl.exists(_ == "ALTER TABLE `db`.`t1` RENAME COLUMN `extra` TO `bonus`"))
+  }
+
+  test("paimon: rename resolves against the evolved schema, drop of live column emits") {
+    val ddl = runThrough(SinkMetadataDialects.PaimonDialect).statements
+    assert(ddl.exists(_ == "ALTER TABLE `db`.`t1` ADD COLUMN `extra` DOUBLE"))
+    // the drop targets `bonus`, which only exists because the rename was
+    // applied to the tracked schema first — a stale snapshot would Skip
+    assert(ddl.last == "ALTER TABLE `db`.`t1` DROP COLUMN `bonus`")
+  }
+
+  test("maxcompute: the verbatim reference SQL shapes, in sequence") {
+    val ddl = runThrough(SinkMetadataDialects.MaxComputeDialect("proj")).statements
+    assert(ddl.head.startsWith("create table if not exists `proj`.`db`.`t1`"))
+    assert(ddl.head.contains("primary key(id)"))
+    assert(ddl.exists(_ == "alter table `proj`.`db`.`t1` add columns (extra DOUBLE);"))
+    assert(ddl.exists(_ == "alter table `proj`.`db`.`t1` change column extra rename to bonus;"))
+    assert(ddl.exists(_ == "alter table `proj`.`db`.`t1` change column v v BIGINT;"))
+    assert(ddl.last == "alter table `proj`.`db`.`t1` drop columns bonus;")
+  }
+
+  test("iceberg: unsupported table-level events surface as exceptions mid-pipeline") {
+    val pd = PipelineDef(
+      SourceDef("values", Map.empty), SinkDef("iceberg", Map.empty),
+      schemaChangeBehavior = graft.schema.SchemaChangeBehavior.Evolve)
+    val sink = new DialectMetadataSink(SinkMetadataDialects.IcebergMetadataDialect)
+    val s = Seq(
+      CreateTableEvent(tid, baseInfo),
+      DataChangeEvent.insert(tid, Row(1L, "a", 10)),
+      DropTableEvent(tid))
+    val e = intercept[Exception] {
+      new PipelineRunner(spark, pd, new ValuesSource(s), sink).run()
+    }
+    assert(e.getMessage.contains("DropTableEvent") ||
+      Option(e.getCause).exists(_.getMessage.contains("DropTableEvent")))
+  }
+}
