@@ -1421,6 +1421,33 @@ object SparkEntry {
     meta.join(sums, "doc_id").orderBy(col("doc_id"))
   }
 
+  /** Sign random projection (Similarity.signProjection): JL squeeze of
+    * the 64-dim embeddings to 16 via a ±1 PRF sign matrix that is never
+    * materialized. The gate injects an arithmetic sign (bit 15 of a
+    * mixed linear form — carries make it non-separable in (i,j)) that
+    * DuckDB recomputes inside a `list_transform` lambda; four projected
+    * components pin the full algebra (sign indexing, 1-based lambda
+    * alignment, ×1/√16 scaling) to 9 decimals. The production-default
+    * xxhash64 signs are law-gated in OpsSpec (JL distortion bound).
+    */
+  private def q77RandomProjection(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Similarity
+    // DuckDB's list_transform lambda index is 1-based: (j + 1) aligns
+    val sign = (i: Int, j: org.apache.spark.sql.Column) =>
+      lit(1.0) - lit(2.0) * floor(
+        pmod(lit(i.toLong * 1103515245L) + (j + 1) * lit(12345L) + lit(42L),
+          lit(65536L)) / 32768.0)
+    val proj = Similarity.signProjection(col("embedding"), 16, sign = sign)
+    t(s, dir, "embeddings")
+      .select(col("vec_id").as("emb_id"), proj.as("p"))
+      .select(col("emb_id"),
+        round(element_at(col("p"), 1), 9).as("p0"),
+        round(element_at(col("p"), 2), 9).as("p1"),
+        round(element_at(col("p"), 3), 9).as("p2"),
+        round(element_at(col("p"), 4), 9).as("p3"))
+      .orderBy(col("emb_id"))
+  }
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1499,7 +1526,8 @@ object SparkEntry {
     "q73_rerank_topk" -> (q73RerankTopK _),
     "q74_incremental_dedup" -> (q74IncrementalDedup _),
     "q75_unicode_norm" -> (q75UnicodeNorm _),
-    "q76_media_decode" -> (q76MediaDecode _)
+    "q76_media_decode" -> (q76MediaDecode _),
+    "q77_random_projection" -> (q77RandomProjection _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2500,6 +2528,22 @@ object SparkEntry {
         |  CAST(SUM((doc_id + 3*p + 13) % 256) AS BIGINT) AS sum_b,
         |  CAST(1 AS INT) AS wav_channels,
         |  CAST(((doc_id % 50 + 10) * 1000) // 8000 AS BIGINT) AS wav_ms
-        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // arithmetic sign PRF (bit 15 of i*1103515245 + j*12345 + 42 mod 2^16)
+    // recomputed inside the lambda; j is 1-based in DuckDB's (x, j) form
+    "q77_random_projection" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |comp AS (
+        |  SELECT e.vec_id, t.i,
+        |    list_sum(list_transform(e.v, (x, j) ->
+        |      x * (1 - 2*(((t.i*1103515245 + j*12345 + 42) % 65536) // 32768))))
+        |      / 4.0 AS p
+        |  FROM e CROSS JOIN generate_series(0, 3) t(i))
+        |SELECT vec_id AS emb_id,
+        |  round(max(CASE WHEN i=0 THEN p END), 9) AS p0,
+        |  round(max(CASE WHEN i=1 THEN p END), 9) AS p1,
+        |  round(max(CASE WHEN i=2 THEN p END), 9) AS p2,
+        |  round(max(CASE WHEN i=3 THEN p END), 9) AS p3
+        |FROM comp GROUP BY vec_id ORDER BY emb_id""".stripMargin
   )
 }

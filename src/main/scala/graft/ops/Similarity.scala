@@ -63,6 +63,33 @@ object Similarity {
   def dequantizeInt8(q: Column, scale: Column): Column =
     transform(q, x => x.cast("double") * scale)
 
+  /** Sign random projection (Achlioptas' ±1 variant of
+    * Johnson–Lindenstrauss): `out[i] = Σ_j v[j]·sign(i,j) / √outDim`.
+    * The standard dimensionality squeeze before ANN over billion-vector
+    * stores — a pure projection (no shuffle, no state), with the sign
+    * matrix derived from a PRF instead of materialized: at 100 TB the
+    * matrix never exists, only its formula ships with the plan. The
+    * default sign is xxhash64-based; pass `sign` to pin an explicit
+    * formula (the correctness gate injects an arithmetic PRF that DuckDB
+    * replicates bit-for-bit). JL distortion law is spec-gated on the
+    * default.
+    */
+  def signProjection(vec: Column, outDim: Int, seed: Long = 42L,
+      sign: (Int, Column) => Column = null): Column = {
+    require(outDim > 0, s"outDim must be positive: $outDim")
+    val signFn: (Int, Column) => Column =
+      if (sign != null) sign
+      else (i, j) => lit(1.0) - lit(2.0) *
+        pmod(xxhash64(lit(seed), lit(i), j), lit(2)).cast("double")
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    array((0 until outDim).map { i =>
+      aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, j) => x.cast("double") * signFn(i, j)),
+        lit(0.0), (a, v) => a + v) * scale
+    }: _*)
+  }
+
   /** Exact brute-force top-k cosine neighbors for each query vector.
     * `queries` must be small enough to broadcast (the standard ANN-recall
     * baseline); corpus side stays partition-parallel with no shuffle until

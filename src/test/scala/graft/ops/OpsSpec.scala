@@ -748,6 +748,41 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("sign projection: JL distortion bounded, deterministic, linear") {
+    // 20 deterministic pseudo-random 128-dim vectors squeezed to 32:
+    // pairwise squared L2 distances must be preserved within the JL
+    // distortion band (loose bound — the seed is fixed, so no flake)
+    val dim = 128
+    val vecs = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(dim)(j => math.sin(i * 131 + j * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val projected = vecs
+      .select(col("vec_id"),
+        Similarity.signProjection(col("embedding"), 32, seed = 7L).as("p"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](1).toArray).toMap
+    val originals = vecs.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    for (i <- 0L until 20L; j <- (i + 1) until 20L) {
+      val ratio = d2(projected(i), projected(j)) / d2(originals(i), originals(j))
+      assert(ratio > 0.35 && ratio < 1.9,
+        s"JL distortion out of band for ($i,$j): $ratio")
+    }
+    // determinism: same seed twice -> identical doubles
+    val again = vecs.select(Similarity.signProjection(
+        col("embedding"), 32, seed = 7L).as("p"))
+      .collect().map(_.getSeq[Double](0).toSeq)
+    assert(again.head === projected(0L).toSeq)
+    // linearity: proj(2v) = 2 proj(v) exactly (signs are data-independent)
+    val doubled = vecs.select(Similarity.signProjection(
+        transform(col("embedding"), x => x * 2), 32, seed = 7L).as("p"))
+      .head().getSeq[Double](0)
+    assert(doubled.zip(projected(0L)).forall { case (a, b) =>
+      math.abs(a - 2 * b) < 1e-12 })
+  }
+
   test("ivf: clustered vectors, probed lists recover the true neighbor") {
     // 3 well-separated clusters of 20 vectors each
     val vecs = (0 until 60).map { i =>
