@@ -2570,6 +2570,6 @@ object SparkEntry {
     // 0.0 after 6-decimal rounding, per vector
     "q78_pca" ->
       """SELECT vec_id AS emb_id, 0.0 AS recon_err, 0.0 AS norm_err
-        |FROM embeddings ORDER BY emb_id""".stripMargin
+        |FROM embeddings WHERE embedding IS NOT NULL ORDER BY emb_id""".stripMargin
   )
 }

@@ -73,10 +73,12 @@ object MediaCodec {
       val maxval = nextToken().map(_.toInt).getOrElse(return None)
       if (w <= 0 || h <= 0 || maxval != 255) return None
       pos += 1 // single whitespace after maxval, then raster
-      val need = w * h * 3
-      if (bytes.length - pos < need) return None
-      val px = new Array[Byte](need)
-      System.arraycopy(bytes, pos, px, 0, need)
+      // long arithmetic: a crafted header whose w*h*3 wraps Int would
+      // otherwise pass the length guard with an undersized pixel array
+      val need = w.toLong * h * 3
+      if (need > bytes.length - pos) return None
+      val px = new Array[Byte](need.toInt)
+      System.arraycopy(bytes, pos, px, 0, need.toInt)
       Some(Image(w, h, 3, px))
     } catch { case _: NumberFormatException => None }
   }
@@ -124,7 +126,9 @@ object MediaCodec {
 
   def decodeImage(bytes: Array[Byte]): Option[Image] = {
     if (bytes == null || bytes.length < 4) return None
-    decodePpm(bytes).orElse {
+    // the PPM parse is also exception-guarded: an undecodable blob must
+    // flow through as None, never crash the task (module contract)
+    (try decodePpm(bytes) catch { case _: Exception => None }).orElse {
       try {
         val buf = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
         if (buf == null) None
@@ -200,7 +204,7 @@ object MediaCodec {
     b.array()
   }
 
-  def decodeWav(bytes: Array[Byte]): Option[Audio] = {
+  def decodeWav(bytes: Array[Byte]): Option[Audio] = try {
     if (bytes == null || bytes.length < 44) return None
     val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val riff = new Array[Byte](4); b.get(riff)
@@ -209,8 +213,11 @@ object MediaCodec {
     val wave = new Array[Byte](4); b.get(wave)
     if (new String(wave, "US-ASCII") != "WAVE") return None
     var channels = 0; var sampleRate = 0; var bits = 0; var dataLen = -1L
-    // chunk walk: fmt and data may be in any order, with strangers between
-    while (b.remaining() >= 8 && dataLen < 0) {
+    // chunk walk: fmt and data may be in any order, with strangers
+    // between — keep walking until BOTH are seen (a data-before-fmt file
+    // is valid RIFF); the whole parse is exception-guarded so truncated
+    // or lying chunk sizes surface as None, never a task crash
+    while (b.remaining() >= 8 && (dataLen < 0 || bits == 0)) {
       val id = new Array[Byte](4); b.get(id)
       val size = b.getInt
       new String(id, "US-ASCII") match {
@@ -225,15 +232,18 @@ object MediaCodec {
           b.position(fmtStart + size + (size & 1))
         case "data" =>
           dataLen = size.toLong & 0xFFFFFFFFL
+          // skip the payload to keep walking for a trailing fmt
+          val skip = math.min(dataLen + (dataLen & 1), b.remaining().toLong)
+          b.position(b.position() + skip.toInt)
         case _ =>
           if (size < 0 || b.remaining() < size) return None
           b.position(b.position() + size + (size & 1))
       }
     }
-    if (channels <= 0 || bits <= 0 || dataLen < 0) None
-    else Some(Audio(channels, sampleRate, bits,
-      dataLen / (channels * bits / 8)))
-  }
+    val frameBytes = channels * bits / 8
+    if (channels <= 0 || bits <= 0 || frameBytes == 0 || dataLen < 0) None
+    else Some(Audio(channels, sampleRate, bits, dataLen / frameBytes))
+  } catch { case _: Exception => None }
 
   /** Re-encode a raster as PNG through ImageIO — the real "transcode"
     * payload for resize outputs.

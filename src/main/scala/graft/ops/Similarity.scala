@@ -251,7 +251,10 @@ object Similarity {
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val means = model.means
     val comps = model.components
+    // null vectors are excluded exactly as pcaFit excludes them — a null
+    // row must not NPE the kernel after a successful fit
     df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .where(col(vecCol).isNotNull)
       .mapPartitions { rows =>
         val d = means.length
         rows.map { r =>

@@ -135,6 +135,10 @@ object YamlPipelineParser {
 
   private def requireArray(block: String, v: Object): java.util.List[_] = v match {
     case l: java.util.List[_] => l
+    // a present-but-empty block ('transform:' with only comments under
+    // it) parses to null — semantically an empty list, not a malformed
+    // object
+    case null => java.util.Collections.emptyList()
     case other => throw new IllegalArgumentException(
       s"YAML $block block is expecting an array children, but got " +
         s"an OBJECT (${render(other)}).\nPerhaps you missed a dash prefix `-`?")

@@ -413,26 +413,47 @@ object SinkMetadataDialects {
             ti.schema.fields.map(colDef).mkString(", ") + pkSql + ")" +
             partSql + withSql))
       case AddColumnEvent(t, cols) =>
-        val existing = info.fieldNames
         val dup = cols.collect {
-          case (f, _) if existing.contains(f.name) => f.name
+          case (f, _) if info.fieldNames.contains(f.name) => f.name
         }
         if (dup.nonEmpty)
           SinkAction.Skip(s"Column ${dup.mkString(", ")} already exists, skip it")
-        else SinkAction.Statements(cols.map { case (f, pos) =>
-          val move = pos match {
-            case ColumnPosition.First => " FIRST"
-            case ColumnPosition.Last => ""
-            case ColumnPosition.After(ex) => s" AFTER ${quote(ex)}"
-            case ColumnPosition.Before(ex) =>
-              // resolved against the current columns, as the reference
-              // reads table.rowType() (PaimonMetadataApplier.java:242-257)
-              val i = existing.indexOf(ex)
-              require(i >= 0, s"Column $ex not found")
-              if (i == 0) " FIRST" else s" AFTER ${quote(existing(i - 1))}"
+        else {
+          // BEFORE resolves against the EVOLVING column list (the
+          // reference re-reads table.rowType() per column,
+          // PaimonMetadataApplier.java:242-257), so a later column may
+          // anchor on one added earlier in the same event; an unknown
+          // anchor is a Reject (Catalog.ColumnNotExistException analog),
+          // never a raw throw out of the SinkAction protocol
+          var evolving = info.fieldNames.toVector
+          val stmts = scala.collection.mutable.ArrayBuffer[String]()
+          for ((f, pos) <- cols) {
+            val move = pos match {
+              case ColumnPosition.First => " FIRST"
+              case ColumnPosition.Last => ""
+              case ColumnPosition.After(ex) =>
+                if (!evolving.contains(ex))
+                  return SinkAction.Reject(s"Column $ex not found")
+                s" AFTER ${quote(ex)}"
+              case ColumnPosition.Before(ex) =>
+                val i = evolving.indexOf(ex)
+                if (i < 0) return SinkAction.Reject(s"Column $ex not found")
+                if (i == 0) " FIRST" else s" AFTER ${quote(evolving(i - 1))}"
+            }
+            stmts += s"ALTER TABLE ${qualified(t)} ADD COLUMN ${colDef(f)}$move"
+            evolving = pos match {
+              case ColumnPosition.First => f.name +: evolving
+              case ColumnPosition.Last => evolving :+ f.name
+              case ColumnPosition.Before(ex) =>
+                val i = evolving.indexOf(ex)
+                evolving.patch(i, Seq(f.name), 0)
+              case ColumnPosition.After(ex) =>
+                val i = evolving.indexOf(ex)
+                evolving.patch(i + 1, Seq(f.name), 0)
+            }
           }
-          s"ALTER TABLE ${qualified(t)} ADD COLUMN ${colDef(f)}$move"
-        })
+          SinkAction.Statements(stmts.toSeq)
+        }
       case DropColumnEvent(t, cols) =>
         val missing = cols.filterNot(info.fieldNames.contains)
         if (missing.nonEmpty)

@@ -152,7 +152,11 @@ object Cli {
         // OLAP/lakehouse sinks whose live transports (stream-load HTTP,
         // tunnel uploads, catalog clients) this environment lacks: the
         // MetadataApplier dialect generates and records real DDL; data
-        // batches materialize through the values inner sink
+        // batches materialize through the values inner sink.
+        // NOTE: `iceberg` never reaches here — the earlier case routes it
+        // to LakehouseMergeSink (the MERGE data path, which subsumes the
+        // metadata dialect when a real catalog is configured); this branch
+        // serves the other eight dialect sinks.
         val dialect = dialectSink match {
           case "starrocks" => SinkMetadataDialects.StarRocksDialect(
             pd.sink.options.get("unicode-char.max-bytes").map(_.toInt).getOrElse(3))

@@ -52,11 +52,16 @@ object ScaleCurve {
       val docsPath = new java.io.File(s"$dir/documents.parquet")
       if (!docsPath.isDirectory) {
         val base = graft.Tables.load(spark, sfDir, "documents")
+        // EVERY replica gets a letter-terminated suffix (zra, zrb, ...):
+        // two renames can only collide if their final letters match, i.e.
+        // within one replica — where the rename is bijective. A bare
+        // digit suffix on replicas 1.. is NOT collision-free against the
+        // unsuffixed base (base token "top1" == replica-1's "top"+"1"),
+        // which would quietly re-introduce cross-replica shingle overlap.
         val replicated = (0 until f).map { i =>
-          val text =
-            if (i == 0) col("text")
-            else concat_ws(" ",
-              transform(split(col("text"), " "), w => concat(w, lit(s"$i"))))
+          val suffix = s"zr${('a' + i).toChar}"
+          val text = concat_ws(" ",
+            transform(split(col("text"), " "), w => concat(w, lit(suffix))))
           base.select(
             (col("doc_id") + lit(i.toLong * 1000000000L)).as("doc_id"),
             text.as("text"), col("lang"), col("source"), col("n_chars"))

@@ -56,6 +56,47 @@ class MediaCodecSpec extends SparkSpec {
     assert(img.channelSums.toSeq === Seq(50L, 70L, 90L))
   }
 
+  test("hostile payloads decode to None, never throw (task-crash regression)") {
+    // PPM header whose w*h*3 wraps Int: must be None, not a wrong-sized
+    // Image that later crashes channelSums
+    val overflowPpm = "P6\n40000 40000\n255\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](64)(1)
+    assert(decodePpm(overflowPpm).isEmpty)
+    assert(decodeImage(overflowPpm).isEmpty)
+    // RIFF/WAVE with a lying fmt size over a truncated buffer
+    val lyingFmt = "RIFF".getBytes ++ Array[Byte](40, 0, 0, 0) ++
+      "WAVE".getBytes ++ "fmt ".getBytes ++ Array[Byte](16, 0, 0, 0) ++
+      Array.fill[Byte](6)(1) // fmt body cut short
+    assert(decodeWav(lyingFmt).isEmpty)
+    // unknown chunk with odd size equal to the remaining bytes
+    val oddTail = "RIFF".getBytes ++ Array[Byte](40, 0, 0, 0) ++
+      "WAVE".getBytes ++ "junk".getBytes ++ Array[Byte](29, 0, 0, 0) ++
+      Array.fill[Byte](29)(0)
+    assert(decodeWav(oddTail).isEmpty)
+    // 1-bit mono PCM: frame size rounds to zero bytes — None, not /0
+    val zeroFrame = {
+      val b = java.nio.ByteBuffer.allocate(44)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(36).put("WAVE".getBytes)
+      b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+        .putInt(8000).putInt(1000).putShort(0).putShort(1) // 1 bit/sample
+      b.put("data".getBytes).putInt(0)
+      b.array()
+    }
+    assert(decodeWav(zeroFrame).isEmpty)
+  }
+
+  test("wav: data chunk before fmt still decodes (chunk order freedom)") {
+    val samples = Array.tabulate(16)(i => (i * 100).toShort)
+    val std = encodeWav(1, 8000, 16, samples)
+    // reorder: header, data chunk, then fmt chunk
+    val fmtChunk = std.slice(12, 12 + 8 + 16)
+    val dataChunk = std.slice(36, std.length)
+    val reordered = std.slice(0, 12) ++ dataChunk ++ fmtChunk
+    val a = decodeWav(reordered).get
+    assert(a.channels === 1 && a.sampleRate === 8000 && a.numFrames === 16)
+  }
+
   test("wav roundtrip: header fields and frame count") {
     val samples = Array.tabulate(800)(i => (i * 37 % 30000).toShort)
     val a = decodeWav(encodeWav(2, 16000, 16, samples)).get

@@ -831,6 +831,15 @@ class OpsSpec extends SparkSpec {
     val m2 = Similarity.pcaFit(rows, "embedding", k = 2)
     assert(m2.components.length === 2)
     assert(m2.eigenvalues.sum / model.eigenvalues.sum > 0.95)
+    // a null vector is excluded by fit AND by the round-trip kernel
+    // (was: NPE in mapPartitions after a successful fit)
+    val withNull = (0 until 20).map { i =>
+      (i.toLong, if (i == 7) null
+        else Array.tabulate(d)(j => math.sin(i * 131 + j * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val mN = Similarity.pcaFit(withNull, "embedding", k = 4)
+    val errs = Similarity.pcaRoundTripErrors(withNull, "vec_id", "embedding", mN)
+    assert(errs.count() === 19)
   }
 
   test("ivf: clustered vectors, probed lists recover the true neighbor") {

@@ -786,6 +786,21 @@ class PipelineSpec extends SparkSpec {
       .contains("""Missing required field "sink-table" in route configuration"""))
   }
 
+  test("YAML red path: a present-but-empty block parses as empty, not malformed") {
+    // 'transform:' with only comments under it reaches snakeyaml as a
+    // null value — semantically an empty list, not a missed-dash object
+    val pd = YamlPipelineParser.parse(
+      """source:
+        |  type: values
+        |sink:
+        |  type: values
+        |transform:
+        |  # all rules commented out
+        |route:
+        |""".stripMargin)
+    assert(pd.transforms.isEmpty && pd.routes.isEmpty)
+  }
+
   test("YAML red path: a well-formed file still parses after the strict checks") {
     val pd = YamlPipelineParser.parse(
       """source:

@@ -163,6 +163,18 @@ class SinkDialectsSpec extends AnyFunSpec with Matchers {
       PaimonDialect.applyChange(DropColumnEvent(t, Seq("nope")), info()) shouldBe
         a[SinkAction.Skip]
     }
+    it("resolves positions against the EVOLVING list; unknown anchors Reject, not throw") {
+      // second column anchors BEFORE the one added first in the SAME event
+      val chained = AddColumnEvent(t, Seq(
+        (StructField("x", IntegerType), ColumnPosition.Last),
+        (StructField("y", IntegerType), ColumnPosition.Before("x"))))
+      val ddl = stmts(PaimonDialect.applyChange(chained, info()))
+      ddl(1) should endWith("AFTER `col3`") // y lands just before x
+      // unknown anchor: protocol-level Reject (ColumnNotExist analog)
+      val bad = AddColumnEvent(t,
+        Seq((StructField("z", IntegerType), ColumnPosition.Before("ghost"))))
+      PaimonDialect.applyChange(bad, info()) shouldBe a[SinkAction.Reject]
+    }
     it("spells types in Flink SQL (identity mapping, TypeUtils.java:37-45)") {
       PaimonDialect.typeName(TimestampNTZType) shouldBe "TIMESTAMP(6)"
       PaimonDialect.typeName(TimestampType) shouldBe "TIMESTAMP_LTZ(6)"
