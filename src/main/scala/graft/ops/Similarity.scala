@@ -285,6 +285,42 @@ object Similarity {
       }(enc)
   }
 
+  /** PCA whitening from a fitted model: `w = diag(1/√(λ+eps)) · Uᵀ(x−μ)`
+    * — the standard embedding pre-conditioner (decorrelate + equalize
+    * variance) ahead of cosine-similarity dedup à la SemDeDup, where raw
+    * embedding dimensions with outsized variance otherwise dominate every
+    * distance. Same partition-local kernel shape as
+    * [[pcaRoundTripErrors]]; `eps` keeps near-null directions from
+    * exploding. Law (OpsSpec): whitened sample covariance ≈ identity.
+    */
+  def pcaWhiten(df: DataFrame, idCol: String, vecCol: String,
+      model: PcaModel, eps: Double = 1e-9): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("whitened", ArrayType(DoubleType))))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val means = model.means
+    val comps = model.components
+    val invStd = model.eigenvalues.map(l => 1.0 / math.sqrt(math.max(l, 0) + eps))
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .where(col(vecCol).isNotNull)
+      .mapPartitions { rows =>
+        val d = means.length
+        rows.map { r =>
+          val v = r.getSeq[Double](1).toArray
+          val centered = Array.tabulate(d)(j => v(j) - means(j))
+          val w = Array.tabulate(comps.length) { c =>
+            var s = 0.0; var j = 0
+            while (j < d) { s += centered(j) * comps(c)(j); j += 1 }
+            s * invStd(c)
+          }
+          Row(r.getLong(0), w.toSeq)
+        }
+      }(enc)
+  }
+
   /** Exact brute-force top-k cosine neighbors for each query vector.
     * `queries` must be small enough to broadcast (the standard ANN-recall
     * baseline); corpus side stays partition-parallel with no shuffle until

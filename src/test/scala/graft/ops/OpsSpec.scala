@@ -842,6 +842,39 @@ class OpsSpec extends SparkSpec {
     assert(errs.count() === 19)
   }
 
+  test("pca whitening: unit variance on live directions, null directions stay bounded") {
+    val d = 8
+    // anisotropic data: stretched directions + a full-rank noise term
+    // (the i*j phase makes it non-separable, so no dimension is null —
+    // a separable noise like sin(a*i + b*j) is secretly rank 2)
+    val rows = (0 until 300).map { i =>
+      (i.toLong, Array.tabulate(d)(j =>
+        (math.sin(i * 2.39) * 5 * math.cos(j) +
+          math.sin(i * 1.7 + 1) * 2 * math.sin(j * 1.3) +
+          0.1 * math.sin(i * 1.1 * (j + 1) + 0.37 * i * j)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val model = Similarity.pcaFit(rows, "embedding", k = d)
+    val w = Similarity.pcaWhiten(rows, "vec_id", "embedding", model)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val n = w.length
+    for (a <- 0 until d; b <- a until d) {
+      val mA = w.map(_(a)).sum / n
+      val mB = w.map(_(b)).sum / n
+      val cov = w.map(x => (x(a) - mA) * (x(b) - mB)).sum / n
+      // identity ONLY where the direction carries real variance —
+      // whitening must not resurrect (or explode) a null direction,
+      // whose whitened variance is λ/(λ+eps) < 1
+      val live = model.eigenvalues(a) > 1e-8 && model.eigenvalues(b) > 1e-8
+      val expect = if (a == b && live) 1.0 else 0.0
+      if (live)
+        assert(math.abs(cov - expect) < 1e-5,
+          s"whitened cov($a,$b)=$cov, expected $expect")
+      else
+        assert(math.abs(cov) <= 1.0 + 1e-9,
+          s"null direction exploded: cov($a,$b)=$cov")
+    }
+  }
+
   test("ivf: clustered vectors, probed lists recover the true neighbor") {
     // 3 well-separated clusters of 20 vectors each
     val vecs = (0 until 60).map { i =>
