@@ -59,6 +59,10 @@ object Bench {
     // full names at 75+ queries pushed the one-line JSON past its window
     // in r8 ("parsed": null, first queries sliced). Key->name mapping is
     // SparkEntry.queries; protocol prose lives in NOTES.md, not here.
+    val prefixes = mins.map(_._1.split("_")(0))
+    require(prefixes.distinct.size == mins.size,
+      s"duplicate qNN bench-key prefix would silently collapse JSON entries: " +
+        prefixes.groupBy(identity).collect { case (p, g) if g.size > 1 => p }.mkString(","))
     val qs = mins.map { case (k, v) => "\"" + k.split("_")(0) + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val total = mins.map(_._2).sum

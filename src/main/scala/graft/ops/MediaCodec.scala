@@ -232,6 +232,10 @@ object MediaCodec {
           b.position(fmtStart + size + (size & 1))
         case "data" =>
           dataLen = size.toLong & 0xFFFFFFFFL
+          // a data size past the bytes actually present is truncated or
+          // lying — reject like the stranger-chunk branch (the trailing
+          // pad byte alone may be absent at EOF, so compare the payload)
+          if (dataLen > b.remaining()) return None
           // skip the payload to keep walking for a trailing fmt
           val skip = math.min(dataLen + (dataLen & 1), b.remaining().toLong)
           b.position(b.position() + skip.toInt)

@@ -82,11 +82,14 @@ object Similarity {
       else (i, j) => lit(1.0) - lit(2.0) *
         pmod(xxhash64(lit(seed), lit(i), j), lit(2)).cast("double")
     val scale = 1.0 / math.sqrt(outDim.toDouble)
+    // size=0 would make sequence(0, -1) DESCEND to [0,-1] and zip_with
+    // null-pad every component — an empty vector projects to zeros instead
     array((0 until outDim).map { i =>
-      aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, j) => x.cast("double") * signFn(i, j)),
-        lit(0.0), (a, v) => a + v) * scale
+      when(size(vec) === 0, lit(0.0)).otherwise(
+        aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, j) => x.cast("double") * signFn(i, j)),
+          lit(0.0), (a, v) => a + v) * scale)
     }: _*)
   }
 
@@ -115,6 +118,8 @@ object Similarity {
     val tri = d * (d + 1) / 2
     val zero = new Array[Double](1 + d + tri)
     def seqOp(acc: Array[Double], v: Seq[Double]): Array[Double] = {
+      require(v.size == d,
+        s"ragged embedding dimension: expected $d (from the first row), got ${v.size}")
       acc(0) += 1
       var i = 0
       var t = 1 + d

@@ -12,6 +12,14 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString()
   }
 
+  test("bench qNN key prefixes are unique (short-key JSON would silently collapse dups)") {
+    val prefixes = SparkEntry.queries.keys.toSeq.map(_.split("_")(0))
+    val dups = prefixes.groupBy(identity).collect { case (p, g) if g.size > 1 => p }
+    assert(dups.isEmpty, s"duplicate bench key prefixes: ${dups.mkString(",")}")
+    // every gated query needs oracle SQL keyed by the SAME full name
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
   test("q12: filter and column pruning reach the parquet scan") {
     val p = plan("q12_scalar")
     assert(p.contains("PushedFilters: [IsNotNull(o_orderkey), LessThan(o_orderkey,200)]"),

@@ -84,6 +84,19 @@ class MediaCodecSpec extends SparkSpec {
       b.array()
     }
     assert(decodeWav(zeroFrame).isEmpty)
+    // lying DATA size: claims 1000 sample bytes but only 8 are present —
+    // must be None, not Some(Audio) with an inflated numFrames
+    val lyingData = {
+      val b = java.nio.ByteBuffer.allocate(44 + 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(44).put("WAVE".getBytes)
+      b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+        .putInt(8000).putInt(16000).putShort(2).putShort(16)
+      b.put("data".getBytes).putInt(1000)
+      b.putShort(1).putShort(2).putShort(3).putShort(4)
+      b.array()
+    }
+    assert(decodeWav(lyingData).isEmpty)
   }
 
   test("wav: data chunk before fmt still decodes (chunk order freedom)") {

@@ -781,6 +781,12 @@ class OpsSpec extends SparkSpec {
       .head().getSeq[Double](0)
     assert(doubled.zip(projected(0L)).forall { case (a, b) =>
       math.abs(a - 2 * b) < 1e-12 })
+    // empty input vector projects to exact zeros, not nulls
+    // (sequence(0, size-1) at size=0 DESCENDS and zip_with null-pads)
+    val empty = Seq((0L, Array.empty[Float])).toDF("vec_id", "embedding")
+      .select(Similarity.signProjection(col("embedding"), 4, seed = 7L).as("p"))
+      .head().getSeq[Double](0)
+    assert(empty === Seq(0.0, 0.0, 0.0, 0.0))
   }
 
   test("pca: orthonormal components, descending variance, known direction recovered") {
@@ -840,6 +846,22 @@ class OpsSpec extends SparkSpec {
     val mN = Similarity.pcaFit(withNull, "embedding", k = 4)
     val errs = Similarity.pcaRoundTripErrors(withNull, "vec_id", "embedding", mN)
     assert(errs.count() === 19)
+    // ragged dimensions fail loudly with the expected/got message, not an
+    // opaque IndexOutOfBounds inside treeAggregate (short row) or a
+    // silently-truncated fit (long row)
+    for (raggedLen <- Seq(d - 3, d + 5)) {
+      val ragged = (0 until 10).map { i =>
+        val len = if (i == 4) raggedLen else d
+        (i.toLong, Array.tabulate(len)(j => math.sin(i + j).toFloat))
+      }.toDF("vec_id", "embedding")
+      val e = intercept[org.apache.spark.SparkException] {
+        Similarity.pcaFit(ragged, "embedding", k = 2)
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("ragged embedding dimension")),
+        s"expected ragged-dimension message, got: ${msgs(e).mkString(" | ")}")
+    }
   }
 
   test("pca whitening: unit variance on live directions, null directions stay bounded") {
