@@ -101,4 +101,31 @@ object DebeziumJson {
       struct(lit(db).as("db"), lit(table).as("table")).as("source")
     )).as("value") +: passthrough.map(col): _*)
   }
+
+  /** Encode with the Connect schema block inline:
+    * `{"schema":{...},"payload":{"before":...,"after":...,"op":...,
+    * "source":{...}}}` — the reference Kafka sink's
+    * `debezium-json.include-schema.enabled: true` output
+    * (DebeziumJsonSerializationSchema.java under isIncludedDebeziumSchema;
+    * goldens expectedEvents/mysqlToKafka/debezium-json-with-schema.txt).
+    * The payload mirrors the reference serializer exactly:
+    * before/after/op/source only (no ts_ms), nulls rendered explicitly,
+    * REPLACE rides as "u" (convertUpdateEventToRowData serves UPDATE and
+    * REPLACE alike). The schema block is a per-table driver-side constant
+    * concatenated as a literal — zero per-row schema work.
+    */
+  def encodeWithSchema(paired: DataFrame, db: String, table: String,
+      info: graft.model.TableInfo, passthrough: Seq[String] = Nil): DataFrame = {
+    val schemaJson = ConnectSchemaJson.debeziumEnvelopeSchema(info)
+    val op = col(Changelog.OpCol)
+    val payload = to_json(struct(
+      col(Changelog.BeforeCol).as("before"),
+      col(Changelog.AfterCol).as("after"),
+      when(op === "I", "c").when(op === "D", "d").otherwise("u").as("op"),
+      struct(lit(db).as("db"), lit(table).as("table")).as("source")),
+      Map("ignoreNullFields" -> "false"))
+    paired.select(
+      concat(lit("{\"schema\":" + schemaJson + ",\"payload\":"),
+        payload, lit("}")).as("value") +: passthrough.map(col): _*)
+  }
 }

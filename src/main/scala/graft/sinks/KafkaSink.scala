@@ -72,6 +72,14 @@ final class KafkaSink(
   private val valueFormat = options.getOrElse("value.format", "debezium-json")
   require(Seq("debezium-json", "canal-json").contains(valueFormat),
     s"unsupported value.format: $valueFormat")
+  /** KafkaDataSinkOptions.java:105 `debezium-json.include-schema.enabled`:
+    * wrap each record as {"schema":...,"payload":...} with the Connect
+    * schema block (debezium-json format only).
+    */
+  private val includeSchema =
+    options.get("debezium-json.include-schema.enabled").exists(_.toBoolean)
+  require(!includeSchema || valueFormat == "debezium-json",
+    "debezium-json.include-schema.enabled requires value.format=debezium-json")
   private val partitionStrategy = options.getOrElse("partition.strategy", "all-to-zero")
   require(Seq("all-to-zero", "hash-by-key").contains(partitionStrategy),
     s"unsupported partition.strategy: $partitionStrategy")
@@ -124,6 +132,9 @@ final class KafkaSink(
     val valued = valueFormat match {
       case "canal-json" =>
         CanalJson.encode(paired, db, tableId.table, info.primaryKeys,
+          passthrough = Seq(Changelog.SeqCol, "__key"))
+      case _ if includeSchema =>
+        DebeziumJson.encodeWithSchema(paired, db, tableId.table, info,
           passthrough = Seq(Changelog.SeqCol, "__key"))
       case _ =>
         DebeziumJson.encode(paired, db, tableId.table,
