@@ -28,10 +28,18 @@ object CanalJson {
     * per change, single-element arrays — the reference's per-event shape).
     * `passthrough` columns (e.g. `__seq` as the future Kafka offset) ride
     * alongside the JSON value.
+    *
+    * `referenceWire = true` renders nulls explicitly (`"old":null`, null
+    * row fields) — byte-exactly the reference sink's output (golden
+    * expectedEvents/mysqlToKafka/canal-json.txt). The default drops null
+    * fields (smaller messages; decode treats both identically).
     */
   def encode(paired: DataFrame, database: String, table: String,
-      pkNames: Seq[String], passthrough: Seq[String] = Nil): DataFrame = {
+      pkNames: Seq[String], passthrough: Seq[String] = Nil,
+      referenceWire: Boolean = false): DataFrame = {
     val op = col(Changelog.OpCol)
+    val jsonOpts =
+      if (referenceWire) Map("ignoreNullFields" -> "false") else Map.empty[String, String]
     paired.select((to_json(struct(
       when(op.isin("U", "R") && col(Changelog.BeforeCol).isNotNull,
         array(col(Changelog.BeforeCol))).as("old"),
@@ -43,7 +51,7 @@ object CanalJson {
       lit(database).as("database"),
       lit(table).as("table"),
       typedLit(pkNames).as("pkNames")
-    )).as("value") +: passthrough.map(col)): _*)
+    ), jsonOpts).as("value") +: passthrough.map(col)): _*)
   }
 
   /** Decode canal-JSON strings into the paired changelog frame. Handles

@@ -2,6 +2,8 @@ package graft.cdc
 
 import graft.model.TableInfo
 import graft.sources.CdcTemporal
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Kafka-Connect JSON schema rendering for the Debezium change envelope —
@@ -21,9 +23,12 @@ import org.apache.spark.sql.types._
   *    org.apache.kafka.connect.data.Decimal (bytes + scale/precision
   *    parameters), DATE→logical io.debezium.time.Date (int32),
   *    TIME→io.debezium.time.MicroTime (int64),
-  *    TIMESTAMP/TIMESTAMP_TZ→io.debezium.time.MicroTimestamp (int64;
-  *    Spark timestamps are microsecond precision, the reference's p>3
-  *    branch), TIMESTAMP_LTZ→io.debezium.time.ZonedTimestamp (string),
+  *    TIMESTAMP/TIMESTAMP_TZ→int64 io.debezium.time.Timestamp when the
+  *    declared precision is <=3 (column metadata `graft.cdc.precision`,
+  *    the reference's DebeziumJsonSerializationSchema.java:370-377
+  *    branch; MySQL DATETIME defaults to p=0) else
+  *    io.debezium.time.MicroTimestamp,
+  *    TIMESTAMP_LTZ→io.debezium.time.ZonedTimestamp (string),
   *    BINARY→io.debezium.data.Bits (bytes + length parameter),
   *    ARRAY/MAP/ROW recurse (element/key/value/field schemas are
   *    required, as the reference's DataType-only overload leaves them);
@@ -100,13 +105,26 @@ object ConnectSchemaJson {
     case DoubleType => ("double", Nil, None, Nil)
     case DateType => ("int32", Nil, Some("io.debezium.time.Date"), Nil)
     case TimestampNTZType =>
-      ("int64", Nil, Some("io.debezium.time.MicroTimestamp"), Nil)
+      // DebeziumJsonSerializationSchema.java:370-377: declared precision
+      // p<=3 (the MySQL DATETIME(0-3) common case) is the millisecond
+      // logical type; p>3 (or unknown — Spark values are micros) the
+      // microsecond one. Declared precision rides in column metadata
+      // (graft.cdc.precision, attached by DdlParser).
+      ("int64", Nil,
+        Some(if (isMillisPrecision(meta)) "io.debezium.time.Timestamp"
+        else "io.debezium.time.MicroTimestamp"), Nil)
     case TimestampType =>
       ("string", Nil, Some("io.debezium.time.ZonedTimestamp"), Nil)
     case s: StructType if s == CdcTemporal.ZonedTimestampType =>
       // TIMESTAMP_TZ rides our (instant, tz) struct; the reference maps
-      // TIMESTAMP_WITH_TIME_ZONE to the microsecond epoch logical type
-      ("int64", Nil, Some("io.debezium.time.MicroTimestamp"), Nil)
+      // TIMESTAMP_WITH_TIME_ZONE through the same precision branch
+      ("int64", Nil,
+        Some(if (isMillisPrecision(meta)) "io.debezium.time.Timestamp"
+        else "io.debezium.time.MicroTimestamp"), Nil)
+    case s: StructType if s == CdcTemporal.ZonedTimeType =>
+      // TIME WITH TIME ZONE has no case in the reference's switch —
+      // falls to its default string branch
+      ("string", Nil, None, Nil)
     case BinaryType =>
       val len = if (meta.contains("length")) meta.getString("length") else "0"
       ("bytes", Nil, Some("io.debezium.data.Bits"), Seq("length" -> len))
@@ -135,7 +153,10 @@ object ConnectSchemaJson {
     */
   private[cdc] def defaultJson(expr: String, dt: DataType, meta: Metadata): Option[String] =
     try dt match {
-      case BooleanType => Some(expr.toBoolean.toString)
+      // Boolean.parseBoolean semantics: never throws, anything but
+      // (case-insensitive) "true" renders false — so a MySQL default '1'
+      // yields "default":false exactly like the reference output
+      case BooleanType => Some(expr.trim.equalsIgnoreCase("true").toString)
       case ByteType | ShortType => Some(expr.trim.toShort.toString)
       case IntegerType if isTime(meta) => Some(expr.trim.toLong.toString)
       case IntegerType | DateType => Some(expr.trim.toInt.toString)
@@ -157,6 +178,95 @@ object ConnectSchemaJson {
 
   private def isTime(meta: Metadata): Boolean =
     meta.contains("graft.cdc.type") && meta.getString("graft.cdc.type") == "time"
+
+  /** Declared temporal precision <=3 → the millisecond logical type.
+    * Absent metadata means the precision is unknown; Spark values are
+    * microseconds, so micros is the faithful declaration then.
+    */
+  private def isMillisPrecision(meta: Metadata): Boolean =
+    meta.contains("graft.cdc.precision") && meta.getLong("graft.cdc.precision") <= 3
+
+  /** Does this column's stored Spark form differ from the Connect wire
+    * form its schema node declares? (Decides whether encodeWithSchema
+    * must project before to_json.)
+    */
+  private[cdc] def needsWireProjection(dt: DataType, meta: Metadata): Boolean = dt match {
+    case IntegerType if isTime(meta) => true // millis INT vs int64 micros
+    case TimestampNTZType => true            // to_json renders a string
+    case TimestampType => true               // session-zone string vs ISO-offset
+    case DateType => true                    // to_json renders "yyyy-MM-dd"
+    case s: StructType if s == CdcTemporal.ZonedTimestampType => true
+    case s: StructType if s == CdcTemporal.ZonedTimeType => true
+    case ArrayType(e, _) => needsWireProjection(e, Metadata.empty)
+    case MapType(_, v, _) => needsWireProjection(v, Metadata.empty)
+    case st: StructType =>
+      st.fields.exists(f => needsWireProjection(f.dataType, f.metadata))
+    case _ => false
+  }
+
+  /** Project a payload column to the Connect wire form the schema block
+    * declares, so a schema-aware consumer (Kafka's JsonConverter) can
+    * read the payload it is told to expect:
+    *
+    *  - TIME (millis-of-day INT) → int64 MICROseconds (MicroTime);
+    *  - TIMESTAMP / TIMESTAMP_TZ → int64 epoch micros, or epoch millis
+    *    when the declared precision is <=3 (io.debezium.time.Timestamp);
+    *  - TIMESTAMP_LTZ → ISO-8601 UTC string with 'Z' (ZonedTimestamp) —
+    *    to_json would render it in an unspecified session-zone format;
+    *  - DATE → int32 epoch days (io.debezium.time.Date) — to_json would
+    *    render "yyyy-MM-dd";
+    *  - DECIMAL stays a JSON number (Connect's decimal.format=NUMERIC
+    *    convention — also what the reference emits, its
+    *    encodeDecimalAsPlainNumber path); BINARY stays base64 (to_json
+    *    already matches Connect's bytes encoding);
+    *  - arrays/maps/structs recurse.
+    *
+    * Deliberate divergence, pinned in ConnectSchemaJsonSpec: the
+    * reference serializes payload temporals as TimestampFormat STRINGS
+    * (RowDataToJsonConverters via DebeziumJsonRowDataSerializationSchema
+    * .java:92-97) even while its schema block declares int64 — a
+    * schema-aware consumer cannot read that. We emit the declared wire
+    * form instead; the e2e goldens carry no temporal columns, so golden
+    * byte-compatibility is unaffected.
+    */
+  private[cdc] def wireForm(c: Column, dt: DataType, meta: Metadata): Column = dt match {
+    case IntegerType if isTime(meta) => c.cast(LongType) * 1000L
+    case TimestampNTZType =>
+      // sessions run UTC (graft.Sessions.tuned), so the NTZ wall clock
+      // IS the UTC instant the cast reads
+      val micros = unix_micros(c.cast(TimestampType))
+      if (isMillisPrecision(meta)) micros / 1000L else micros
+    case s: StructType if s == CdcTemporal.ZonedTimestampType =>
+      val micros = unix_micros(c.getField("instant"))
+      if (isMillisPrecision(meta)) micros / 1000L else micros
+    case s: StructType if s == CdcTemporal.ZonedTimeType =>
+      concat(CdcTemporal.timeToString(c.getField("millis")),
+        coalesce(c.getField("tz"), lit("")))
+    case TimestampType =>
+      val frac = regexp_replace(date_format(c, "SSSSSS"), "0+$", "")
+      concat(date_format(c, "yyyy-MM-dd'T'HH:mm:ss"),
+        when(length(frac) > 0, concat(lit("."), frac)).otherwise(lit("")),
+        lit("Z"))
+    case DateType => datediff(c, to_date(lit("1970-01-01")))
+    case ArrayType(e, _) if needsWireProjection(e, Metadata.empty) =>
+      transform(c, x => wireForm(x, e, Metadata.empty))
+    case MapType(_, v, _) if needsWireProjection(v, Metadata.empty) =>
+      transform_values(c, (_, x) => wireForm(x, v, Metadata.empty))
+    case st: StructType if needsWireProjection(st, Metadata.empty) =>
+      when(c.isNotNull, struct(st.fields.map(f =>
+        wireForm(c.getField(f.name), f.dataType, f.metadata).as(f.name)): _*))
+    case _ => c
+  }
+
+  /** A before/after side struct projected to wire form (null stays
+    * null — rebuilding a struct from a null parent must not fabricate a
+    * row of nulls). Identity when no column needs projection, so the
+    * common all-scalar case adds zero plan nodes.
+    */
+  private[cdc] def wireSide(side: Column, schema: StructType): Column =
+    if (!schema.fields.exists(f => needsWireProjection(f.dataType, f.metadata))) side
+    else when(side.isNotNull, struct(schema.fields.map(f =>
+      wireForm(side.getField(f.name), f.dataType, f.metadata).as(f.name)): _*))
 
   private def esc(s: String): String =
     s.flatMap {

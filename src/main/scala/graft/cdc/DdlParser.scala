@@ -37,7 +37,14 @@ object DdlParser {
     * type name alone.
     */
   private[cdc] def parseType(spec0: String,
-      types: (String, Int, Int) => DataType): DataType = {
+      types: (String, Int, Int) => DataType): DataType =
+    parseSpec(spec0, types)._1
+
+  /** [[parseType]] plus the canonical type name and declared length/
+    * precision — the inputs column metadata derives from.
+    */
+  private def parseSpec(spec0: String,
+      types: (String, Int, Int) => DataType): (DataType, String, Int) = {
     val spec = spec0.trim
       .replaceAll("(?i)\\s+CHARACTER\\s+SET\\s+\\S+", "")
       .replaceAll("(?i)\\s+CHARSET\\s+\\S+", "")
@@ -48,15 +55,71 @@ object DdlParser {
       case TypeRe(name, p, s, unsigned) =>
         val full = (name.trim + Option(unsigned).map(" " + _.trim.toUpperCase).getOrElse(""))
           .replaceAll("\\s+", " ")
-        types(full,
-          Option(p).map(_.toInt).getOrElse(-1),
-          Option(s).map(_.toInt).getOrElse(-1))
+        val prec = Option(p).map(_.toInt).getOrElse(-1)
+        (types(full, prec, Option(s).map(_.toInt).getOrElse(-1)), full.toUpperCase, prec)
       case other =>
         // ENUM('on','off'), SET('a','b'), ... — name-only resolution
         val name = other.takeWhile(_ != '(').replaceAll("\\s+", " ").trim
-        if (name.nonEmpty) types(name, -1, -1)
+        if (name.nonEmpty) (types(name, -1, -1), name.toUpperCase, -1)
         else throw new IllegalArgumentException(s"unparseable type: $other")
     }
+  }
+
+  /** Relational column facts Spark's `StructType` alone cannot carry,
+    * attached as field metadata (the reference `Column` keeps
+    * defaultValueExpression + comment, Schema.java:51-59, and its sink
+    * serializer renders them — DebeziumJsonSerializationSchema.java:
+    * 269-280):
+    *
+    *  - `graft.cdc.type = "time"` tags a millis-of-day TIME INT;
+    *  - `graft.cdc.precision` carries declared temporal fractional
+    *    precision — explicit `(p)`, with MySQL's DATETIME-without-length
+    *    defaulting to 0 (MySqlTypeUtils.java:194-197) — the input to the
+    *    Connect schema block's millis-vs-micros logical-type branch;
+    *  - `default` / `comment` from the column clause's modifier tail
+    *    (an explicit DEFAULT NULL carries no information — skipped).
+    */
+  private val DefaultRe = """(?is)DEFAULT\s+('[^']*'|\S+)""".r
+  private val CommentRe = """(?is)COMMENT\s+('[^']*'|\S+)""".r
+  private val ModifierToken =
+    ("""(?is)DEFAULT\s+'[^']*'|DEFAULT\s+\S+|COMMENT\s+'[^']*'|COMMENT\s+\S+""" +
+      """|NOT\s+NULL|NULL|AUTO_INCREMENT|UNIQUE|PRIMARY\s+KEY|FIRST|AFTER\s+\S+""").r
+  private def columnMetadata(dt: DataType, typeName: String, p: Int,
+      tail: String): Metadata = {
+    val b = new MetadataBuilder()
+    if (typeName == "TIME" && dt == graft.sources.CdcTemporal.TimeType)
+      b.putString("graft.cdc.type", "time")
+    val temporal = Set("DATETIME", "DATETIME2", "SMALLDATETIME", "TIMESTAMP",
+      "TIMESTAMPTZ", "TIME", "TIMETZ", "DATETIMEOFFSET",
+      "TIMESTAMP WITH TIME ZONE", "TIMESTAMP WITH LOCAL TIME ZONE")
+    if (temporal(typeName)) {
+      if (p >= 0) b.putLong("graft.cdc.precision", p.toLong)
+      else if (typeName == "DATETIME") b.putLong("graft.cdc.precision", 0L)
+    }
+    // tokenize the tail by whole modifiers (quoted literals consumed as
+    // part of their own DEFAULT/COMMENT token), so a DEFAULT spelled
+    // inside a COMMENT string — or vice versa — cannot be mistaken for
+    // the clause itself
+    val unq = (raw: String) =>
+      if (raw.startsWith("'")) raw.stripPrefix("'").stripSuffix("'") else raw
+    ModifierToken.findAllIn(tail).foreach {
+      case DefaultRe(raw) =>
+        val v = unq(raw)
+        if (!v.equalsIgnoreCase("NULL")) b.putString("default", v)
+      case CommentRe(raw) => b.putString("comment", unq(raw))
+      case _ => ()
+    }
+    b.build()
+  }
+
+  /** A full column clause (name-stripped) -> typed, metadata-carrying
+    * field. `tail` is the modifier run after the type spec.
+    */
+  private def parseField(name: String, spec: String, tail: String, nullable: Boolean,
+      types: (String, Int, Int) => DataType): StructField = {
+    val (dt, typeName, p) = parseSpec(spec, types)
+    StructField(unquote(name), dt, nullable = nullable,
+      metadata = columnMetadata(dt, typeName, p, tail))
   }
 
   /** Split on top-level commas (outside parentheses/quotes). */
@@ -151,8 +214,11 @@ object DdlParser {
               "(?s)\\s*(ADD|DROP)\\s+(INDEX|KEY|UNIQUE|CONSTRAINT|FOREIGN|FULLTEXT|SPATIAL|PARTITION|PRIMARY)\\b.*") =>
             None
           case AddCol(name, spec, tail) =>
+            val cleaned = tail.replaceAll("'[^']*'", "''")
+            val notNull = """(?is).*\bNOT\s+NULL\b.*""".r.matches(cleaned)
             Some(AddColumnEvent(tableId, Seq(
-              (StructField(unquote(name), parseType(spec, types)), positionOf(tail)))))
+              (parseField(name, spec, tail, nullable = !notNull, types),
+                positionOf(tail)))))
           case DropCol(name) =>
             Some(DropColumnEvent(tableId, Seq(unquote(name))))
           case RenameCol(from, to) =>
@@ -192,7 +258,7 @@ object DdlParser {
         val spec = rest.split("""(?i)\s+(NOT\s+NULL|NULL|PRIMARY\s+KEY|DEFAULT|COMMENT|AUTO_INCREMENT|UNIQUE)""")(0)
         val n = unquote(name)
         if (inlinePk) pks :+= n
-        Some(StructField(n, parseType(spec, types), nullable = !notNull))
+        Some(parseField(name, spec, rest.drop(spec.length), nullable = !notNull, types))
       case _ => None
     }
     CreateTableEvent(tableId, TableInfo(StructType(fields), primaryKeys = pks))

@@ -88,18 +88,33 @@ object DebeziumJson {
   /** Encode a paired changelog frame back into debezium-JSON strings.
     * `passthrough` columns (e.g. `__seq` as the future Kafka offset) ride
     * alongside the JSON value.
+    *
+    * `referenceWire = true` emits byte-exactly what the reference Kafka
+    * sink serializes (DebeziumJsonSerializationSchema payload, goldens
+    * expectedEvents/mysqlToKafka/debezium-json.txt): before/after/op/
+    * source only — no ts_ms — with nulls rendered explicitly, and
+    * REPLACE riding as "u" (convertUpdateEventToRowData serves UPDATE
+    * and REPLACE alike). The default keeps the graft extension: a ts_ms
+    * field that decode surfaces as op_ts source metadata.
     */
   def encode(paired: DataFrame, db: String, table: String,
-      passthrough: Seq[String] = Nil): DataFrame = {
+      passthrough: Seq[String] = Nil, referenceWire: Boolean = false): DataFrame = {
     val op = col(Changelog.OpCol)
-    paired.select(to_json(struct(
-      col(Changelog.BeforeCol).as("before"),
-      col(Changelog.AfterCol).as("after"),
-      when(op === "I", "c").when(op === "U", "u")
-        .when(op === "D", "d").otherwise("r").as("op"),
-      (unix_timestamp(current_timestamp()) * 1000).as("ts_ms"),
-      struct(lit(db).as("db"), lit(table).as("table")).as("source")
-    )).as("value") +: passthrough.map(col): _*)
+    val source = struct(lit(db).as("db"), lit(table).as("table")).as("source")
+    val body =
+      if (referenceWire) to_json(struct(
+        col(Changelog.BeforeCol).as("before"),
+        col(Changelog.AfterCol).as("after"),
+        when(op === "I", "c").when(op === "D", "d").otherwise("u").as("op"),
+        source), Map("ignoreNullFields" -> "false"))
+      else to_json(struct(
+        col(Changelog.BeforeCol).as("before"),
+        col(Changelog.AfterCol).as("after"),
+        when(op === "I", "c").when(op === "U", "u")
+          .when(op === "D", "d").otherwise("r").as("op"),
+        (unix_timestamp(current_timestamp()) * 1000).as("ts_ms"),
+        source))
+    paired.select(body.as("value") +: passthrough.map(col): _*)
   }
 
   /** Encode with the Connect schema block inline:
@@ -111,16 +126,21 @@ object DebeziumJson {
     * The payload mirrors the reference serializer exactly:
     * before/after/op/source only (no ts_ms), nulls rendered explicitly,
     * REPLACE rides as "u" (convertUpdateEventToRowData serves UPDATE and
-    * REPLACE alike). The schema block is a per-table driver-side constant
-    * concatenated as a literal — zero per-row schema work.
+    * REPLACE alike). Columns whose stored Spark form differs from the
+    * Connect wire form the schema block declares (TIME, TIMESTAMP,
+    * TIMESTAMP_TZ, TIMESTAMP_LTZ, DATE) project to the declared form
+    * first — [[ConnectSchemaJson.wireForm]] — so a schema-aware consumer
+    * reads the payload it is told to expect. The schema block is a
+    * per-table driver-side constant concatenated as a literal — zero
+    * per-row schema work.
     */
   def encodeWithSchema(paired: DataFrame, db: String, table: String,
       info: graft.model.TableInfo, passthrough: Seq[String] = Nil): DataFrame = {
     val schemaJson = ConnectSchemaJson.debeziumEnvelopeSchema(info)
     val op = col(Changelog.OpCol)
     val payload = to_json(struct(
-      col(Changelog.BeforeCol).as("before"),
-      col(Changelog.AfterCol).as("after"),
+      ConnectSchemaJson.wireSide(col(Changelog.BeforeCol), info.schema).as("before"),
+      ConnectSchemaJson.wireSide(col(Changelog.AfterCol), info.schema).as("after"),
       when(op === "I", "c").when(op === "D", "d").otherwise("u").as("op"),
       struct(lit(db).as("db"), lit(table).as("table")).as("source")),
       Map("ignoreNullFields" -> "false"))

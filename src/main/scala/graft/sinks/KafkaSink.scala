@@ -83,6 +83,16 @@ final class KafkaSink(
   private val partitionStrategy = options.getOrElse("partition.strategy", "all-to-zero")
   require(Seq("all-to-zero", "hash-by-key").contains(partitionStrategy),
     s"unsupported partition.strategy: $partitionStrategy")
+  /** KafkaDataSinkOptions.java:38 `sink.delivery-guarantee` — accepted and
+    * validated for option-surface parity (Kafka DeliveryGuarantee values).
+    * The file-backed shim appends segments without a transaction log, so
+    * its behavior is at-least-once regardless; exactly-once is honored by
+    * a real transactional Kafka writer behind [[KafkaRecordWriter]].
+    */
+  private val deliveryGuarantee =
+    options.getOrElse("sink.delivery-guarantee", "at-least-once")
+  require(Seq("at-least-once", "exactly-once", "none").contains(deliveryGuarantee),
+    s"unsupported sink.delivery-guarantee: $deliveryGuarantee")
   private val addTableIdHeader =
     options.get("sink.add-tableId-to-header-enabled").exists(_.toBoolean)
   private val customHeaders: Seq[(String, String)] =
@@ -132,13 +142,13 @@ final class KafkaSink(
     val valued = valueFormat match {
       case "canal-json" =>
         CanalJson.encode(paired, db, tableId.table, info.primaryKeys,
-          passthrough = Seq(Changelog.SeqCol, "__key"))
+          passthrough = Seq(Changelog.SeqCol, "__key"), referenceWire = true)
       case _ if includeSchema =>
         DebeziumJson.encodeWithSchema(paired, db, tableId.table, info,
           passthrough = Seq(Changelog.SeqCol, "__key"))
       case _ =>
         DebeziumJson.encode(paired, db, tableId.table,
-          passthrough = Seq(Changelog.SeqCol, "__key"))
+          passthrough = Seq(Changelog.SeqCol, "__key"), referenceWire = true)
     }
     val headers = customHeaders ++
       (if (addTableIdHeader) Seq("tableId" -> tableId.identifier) else Nil)

@@ -212,9 +212,15 @@ object ConnectorCatalog {
       case "DATETIME" => TimestampNTZType
       case "TIMESTAMP" => TimestampType
       case "CHAR" | "VARCHAR" | "TINYTEXT" | "TEXT" | "MEDIUMTEXT" |
-          "LONGTEXT" | "JSON" | "ENUM" | "SET" => StringType
+          "LONGTEXT" | "JSON" | "ENUM" => StringType
+      // geometry family surfaces as GeoJSON strings and SET as a string
+      // array (MySqlTypeUtils.java:212-252, both source + pipeline maps)
+      case "GEOMETRY" | "POINT" | "LINESTRING" | "POLYGON" |
+          "GEOMETRYCOLLECTION" | "GEOMCOLLECTION" | "MULTIPOINT" |
+          "MULTIPOLYGON" | "MULTILINESTRING" => StringType
+      case "SET" => ArrayType(StringType)
       case "BINARY" | "VARBINARY" | "TINYBLOB" | "BLOB" | "MEDIUMBLOB" |
-          "LONGBLOB" | "GEOMETRY" => BinaryType
+          "LONGBLOB" => BinaryType
       case other => throw new IllegalArgumentException(s"mysql type: $other")
     }
 

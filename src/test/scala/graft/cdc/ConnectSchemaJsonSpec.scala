@@ -1,0 +1,247 @@
+package graft.cdc
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.SparkSpec
+import graft.model.{TableId, TableInfo}
+import graft.sources.CdcTemporal
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Gates the Connect-schema envelope (`debezium-json.include-schema
+  * .enabled`) against the reference:
+  *
+  *  - the customers schema block byte-matches the ported e2e golden
+  *    (expectedEvents/mysqlToKafka/debezium-json-with-schema.txt),
+  *    derived end-to-end from the reference's own CREATE TABLE DDL
+  *    (ddl/mysql_inventory.sql) through DdlParser;
+  *  - an all-types schema block is valid JSON (Jackson round-trip) with
+  *    the logical-type facts of
+  *    DebeziumJsonSerializationSchema.java:334-424, including the
+  *    precision branch at :370-377 (p<=3 → io.debezium.time.Timestamp,
+  *    p>3 → MicroTimestamp);
+  *  - encodeWithSchema projects payload columns to the declared Connect
+  *    wire form (TIME micros int64, TIMESTAMP millis/micros int64, DATE
+  *    epoch days, TIMESTAMP_TZ instant micros, TIMESTAMP_LTZ ISO-8601
+  *    'Z' string) — a deliberate, pinned divergence from the reference,
+  *    which emits TimestampFormat STRINGS (RowDataToJsonConverters) its
+  *    own schema block does not declare;
+  *  - defaultJson/esc property-hold: rendered defaults parse back
+  *    through a real JSON parser, malformed numerics drop (the
+  *    reference's warn-and-skip, convertDefaultValue catch), and
+  *    BOOLEAN follows Boolean.parseBoolean (never throws, non-"true" →
+  *    false).
+  */
+class ConnectSchemaJsonSpec extends SparkSpec {
+
+  private val mapper = new ObjectMapper
+
+  private def goldenLines(name: String): Seq[String] = {
+    val in = getClass.getResourceAsStream(s"/goldens/mysqlToKafka/$name")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.startsWith("{")).toVector
+    finally in.close()
+  }
+
+  // ddl/mysql_inventory.sql:44-49 (ported verbatim; the table the golden
+  // serializes)
+  private val customersDdl =
+    """CREATE TABLE customers (
+      |  id INTEGER NOT NULL PRIMARY KEY,
+      |  name VARCHAR(255) NOT NULL DEFAULT 'flink',
+      |  address VARCHAR(1024),
+      |  phone_number VARCHAR(512)
+      |)""".stripMargin
+
+  private def customersInfo: TableInfo = {
+    val Seq(ev: graft.model.CreateTableEvent) =
+      DdlParser.parse(customersDdl, TableId.parse("db.customers"))
+    ev.info
+  }
+
+  test("customers schema block byte-matches the reference e2e golden, from the reference's own DDL") {
+    val rendered = ConnectSchemaJson.debeziumEnvelopeSchema(customersInfo)
+    val golden = goldenLines("debezium-json-with-schema.txt")
+      .find(l => l.contains("\"field\":\"phone_number\"")).get
+    val expected = {
+      val start = golden.indexOf("{\"schema\":") + "{\"schema\":".length
+      val end = golden.indexOf(",\"payload\":")
+      golden.substring(start, end)
+    }
+    assert(rendered === expected)
+  }
+
+  private val allTypes = TableInfo(
+    StructType(Seq(
+      StructField("pk", IntegerType, nullable = false),
+      StructField("i16", ShortType),
+      StructField("i64", LongType,
+        metadata = new MetadataBuilder().putString("comment", "a \"count\"").build()),
+      StructField("dec", DecimalType(10, 2),
+        metadata = new MetadataBuilder().putString("default", "1.5").build()),
+      StructField("f32", FloatType),
+      StructField("f64", DoubleType),
+      StructField("flag", BooleanType,
+        metadata = new MetadataBuilder().putString("default", "1").build()),
+      StructField("d", DateType),
+      StructField("t", CdcTemporal.TimeType,
+        metadata = new MetadataBuilder().putString("graft.cdc.type", "time").build()),
+      StructField("ts3", TimestampNTZType,
+        metadata = new MetadataBuilder().putLong("graft.cdc.precision", 3L).build()),
+      StructField("ts6", TimestampNTZType,
+        metadata = new MetadataBuilder().putLong("graft.cdc.precision", 6L).build()),
+      StructField("ztz", CdcTemporal.ZonedTimestampType),
+      StructField("ltz", TimestampType),
+      StructField("bin", BinaryType,
+        metadata = new MetadataBuilder().putString("length", "16").build()),
+      StructField("arr", ArrayType(IntegerType)),
+      StructField("m", MapType(StringType, LongType)),
+      StructField("row", StructType(Seq(
+        StructField("a", IntegerType), StructField("b", StringType)))),
+      StructField("s", StringType,
+        metadata = new MetadataBuilder().putString("default", "x").build()))),
+    primaryKeys = Seq("pk"))
+
+  test("all-types schema block is valid JSON with the reference's logical types") {
+    val json = ConnectSchemaJson.debeziumEnvelopeSchema(allTypes)
+    val root = mapper.readTree(json) // throws on malformed JSON
+    assert(root.get("type").asText === "struct")
+    assert(!root.get("optional").asBoolean)
+    val before = root.get("fields").get(0)
+    assert(before.get("field").asText === "before")
+    assert(before.get("optional").asBoolean)
+    val byName = (0 until before.get("fields").size())
+      .map(before.get("fields").get).map(n => n.get("field").asText -> n).toMap
+
+    assert(!byName("pk").get("optional").asBoolean)
+    assert(byName("i16").get("type").asText === "int16")
+    assert(byName("i64").get("doc").asText === "a \"count\"")
+    val dec = byName("dec")
+    assert(dec.get("type").asText === "bytes")
+    assert(dec.get("name").asText === "org.apache.kafka.connect.data.Decimal")
+    assert(dec.get("parameters").get("scale").asText === "2")
+    assert(dec.get("parameters").get("connect.decimal.precision").asText === "10")
+    // decimal default: base64 unscaled bytes at scale 2 (1.50 -> 150)
+    assert(java.util.Base64.getDecoder.decode(dec.get("default").asText).toSeq
+      === java.math.BigInteger.valueOf(150).toByteArray.toSeq)
+    // Boolean.parseBoolean semantics: '1' renders false, never throws
+    assert(byName("flag").get("default").asBoolean === false)
+    assert(byName("d").get("name").asText === "io.debezium.time.Date")
+    assert(byName("t").get("name").asText === "io.debezium.time.MicroTime")
+    assert(byName("t").get("type").asText === "int64")
+    // DebeziumJsonSerializationSchema.java:370-377 precision branch
+    assert(byName("ts3").get("name").asText === "io.debezium.time.Timestamp")
+    assert(byName("ts6").get("name").asText === "io.debezium.time.MicroTimestamp")
+    assert(byName("ztz").get("name").asText === "io.debezium.time.MicroTimestamp")
+    assert(byName("ltz").get("name").asText === "io.debezium.time.ZonedTimestamp")
+    assert(byName("ltz").get("type").asText === "string")
+    val bin = byName("bin")
+    assert(bin.get("name").asText === "io.debezium.data.Bits")
+    assert(bin.get("parameters").get("length").asText === "16")
+    assert(byName("arr").get("items").get("type").asText === "int32")
+    assert(byName("m").get("keys").get("type").asText === "string")
+    assert(byName("m").get("values").get("type").asText === "int64")
+    val row = byName("row")
+    assert(row.get("type").asText === "struct")
+    assert(row.get("fields").get(1).get("field").asText === "b")
+    assert(byName("s").get("default").asText === "x")
+  }
+
+  test("encodeWithSchema projects the payload to the declared Connect wire form") {
+    val info = TableInfo(
+      StructType(Seq(
+        StructField("id", IntegerType, nullable = false),
+        StructField("t", CdcTemporal.TimeType,
+          metadata = new MetadataBuilder().putString("graft.cdc.type", "time").build()),
+        StructField("ts3", TimestampNTZType,
+          metadata = new MetadataBuilder().putLong("graft.cdc.precision", 3L).build()),
+        StructField("ts6", TimestampNTZType),
+        StructField("d", DateType),
+        StructField("ztz", CdcTemporal.ZonedTimestampType),
+        StructField("ltz", TimestampType),
+        StructField("dec", DecimalType(10, 2)),
+        StructField("bin", BinaryType))),
+      primaryKeys = Seq("id"))
+
+    val wall = java.time.LocalDateTime.parse("2024-03-01T10:15:30.123456")
+    val instant = wall.toInstant(java.time.ZoneOffset.UTC)
+    val micros = instant.getEpochSecond * 1000000L + instant.getNano / 1000L
+    val date = java.sql.Date.valueOf("2024-03-01")
+
+    val schema = StructType(info.schema.fields ++ Seq(
+      StructField(Changelog.OpCol, StringType), StructField(Changelog.SeqCol, LongType)))
+    val row = Row(7, 45296789, wall, wall, date,
+      Row(java.sql.Timestamp.from(instant), "+05:30"),
+      java.sql.Timestamp.from(instant),
+      new java.math.BigDecimal("12.34"), Array[Byte](1, 2, 255.toByte),
+      "+I", 1L)
+    val exploded = spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.List.of(row)), schema)
+    val paired = Changelog.pair(exploded, info.fieldNames)
+    val value = DebeziumJson.encodeWithSchema(paired, "db", "w", info)
+      .select("value").collect().head.getString(0)
+
+    val root = mapper.readTree(value)
+    val after = root.get("payload").get("after")
+    assert(root.get("payload").get("before").isNull)
+    assert(after.get("id").asInt === 7)
+    // millis-of-day INT -> MicroTime int64 micros
+    assert(after.get("t").asLong === 45296789L * 1000L)
+    // declared p<=3 -> epoch millis; p unknown/6 -> epoch micros
+    assert(after.get("ts3").asLong === micros / 1000L)
+    assert(after.get("ts6").asLong === micros)
+    assert(after.get("d").asInt === date.toLocalDate.toEpochDay.toInt)
+    assert(after.get("ztz").asLong === micros)
+    assert(after.get("ltz").asText === "2024-03-01T10:15:30.123456Z")
+    // decimal stays a JSON number (Connect decimal.format=NUMERIC, the
+    // reference's encodeDecimalAsPlainNumber); binary is base64
+    assert(after.get("dec").isNumber)
+    assert(after.get("dec").decimalValue() ===
+      new java.math.BigDecimal("12.34"))
+    assert(java.util.Base64.getDecoder.decode(after.get("bin").asText).toSeq
+      === Seq[Byte](1, 2, 255.toByte))
+    // the schema block riding the record still parses and declares what
+    // the payload now carries
+    assert(root.get("schema").get("fields").get(1).get("fields").get(1)
+      .get("name").asText === "io.debezium.time.MicroTime")
+  }
+
+  test("defaultJson properties: parser round-trip, warn-and-skip, parseBoolean") {
+    // numerics: a parseable default renders as a JSON number equal to it
+    val numProp = Prop.forAll(Gen.choose(-1000000L, 1000000L)) { n =>
+      val r = ConnectSchemaJson.defaultJson(n.toString, LongType, Metadata.empty)
+      r.contains(n.toString) && mapper.readTree(r.get).asLong == n
+    }
+    // malformed numerics drop the default — never throw
+    val junkGen = Gen.oneOf(Gen.alphaStr.suchThat(s =>
+      scala.util.Try(s.trim.toLong).isFailure), Gen.const("12,5"), Gen.const(""))
+    val dropProp = Prop.forAll(junkGen) { s =>
+      ConnectSchemaJson.defaultJson(s, IntegerType, Metadata.empty).isEmpty &&
+        ConnectSchemaJson.defaultJson(s, DoubleType, Metadata.empty).isEmpty ||
+        scala.util.Try(s.trim.toDouble).isSuccess
+    }
+    // strings (incl. control chars / quotes / backslashes): the rendered
+    // JSON literal parses back to the original through Jackson
+    val strGen = Gen.listOf(Gen.oneOf(
+      Gen.choose(' ', '~'), Gen.oneOf('"', '\\', '\n', '\r', '\t', ''),
+      Gen.oneOf('é', '中', ' '))).map(_.mkString)
+    val escProp = Prop.forAll(strGen) { s =>
+      val r = ConnectSchemaJson.defaultJson(s, StringType, Metadata.empty)
+      r.isDefined && mapper.readTree(r.get).asText == s
+    }
+    for ((name, p) <- Seq("num" -> numProp, "drop" -> dropProp, "esc" -> escProp)) {
+      val res = SCTest.check(
+        SCTest.Parameters.default.withMinSuccessfulTests(200).withWorkers(1), p)
+      assert(res.passed, s"$name property failed: ${res.status}")
+    }
+    // Boolean.parseBoolean table (reference convertDefaultValue:292)
+    assert(ConnectSchemaJson.defaultJson("true", BooleanType, Metadata.empty)
+      === Some("true"))
+    assert(ConnectSchemaJson.defaultJson("TRUE", BooleanType, Metadata.empty)
+      === Some("true"))
+    assert(ConnectSchemaJson.defaultJson("1", BooleanType, Metadata.empty)
+      === Some("false"))
+    assert(ConnectSchemaJson.defaultJson("yes", BooleanType, Metadata.empty)
+      === Some("false"))
+  }
+}

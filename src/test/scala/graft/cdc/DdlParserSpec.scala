@@ -12,8 +12,11 @@ class DdlParserSpec extends AnyFunSuite {
   test("ALTER TABLE ADD/DROP/RENAME/MODIFY parse to the right events") {
     assert(DdlParser.parse("ALTER TABLE `db`.`users` ADD COLUMN `age` INT", tid) ===
       Seq(AddColumnEvent(tid, Seq((StructField("age", IntegerType), ColumnPosition.Last)))))
+    // NOT NULL and DEFAULT ride into the field (the reference Column
+    // carries defaultValueExpression; its sink serializer renders it)
     assert(DdlParser.parse("ALTER TABLE users ADD nick VARCHAR(32) NOT NULL DEFAULT 'x'", tid) ===
-      Seq(AddColumnEvent(tid, Seq((StructField("nick", StringType), ColumnPosition.Last)))))
+      Seq(AddColumnEvent(tid, Seq((StructField("nick", StringType, nullable = false,
+        new MetadataBuilder().putString("default", "x").build()), ColumnPosition.Last)))))
     assert(DdlParser.parse("alter table users drop column age", tid) ===
       Seq(DropColumnEvent(tid, Seq("age"))))
     // MySQL column placement
@@ -75,9 +78,12 @@ class DdlParserSpec extends AnyFunSuite {
       "ALTER TABLE users ADD nick VARCHAR(32) CHARACTER SET utf8mb4 COLLATE utf8mb4_bin", tid) ===
       Seq(AddColumnEvent(tid, Seq((StructField("nick", StringType), ColumnPosition.Last)))))
     // a COMMENT mentioning "after x" must not fake a column placement
+    // (and the comment itself rides into field metadata)
     assert(DdlParser.parse(
       "ALTER TABLE users ADD COLUMN c INT COMMENT 'added after id'", tid) ===
-      Seq(AddColumnEvent(tid, Seq((StructField("c", IntegerType), ColumnPosition.Last)))))
+      Seq(AddColumnEvent(tid, Seq((StructField("c", IntegerType, nullable = true,
+        new MetadataBuilder().putString("comment", "added after id").build()),
+        ColumnPosition.Last)))))
     // table options with parens after the column list
     val Seq(ev: CreateTableEvent) = DdlParser.parse(
       "CREATE TABLE t (id INT PRIMARY KEY, v TEXT) PARTITION BY HASH(id) PARTITIONS 4", tid)
@@ -87,6 +93,32 @@ class DdlParserSpec extends AnyFunSuite {
     assert(DdlParser.parse("ALTER TABLE users ALTER COLUMN created TYPE TIMESTAMPTZ", tid,
       graft.sources.ConnectorCatalog.postgresTypes) ===
       Seq(AlterColumnTypeEvent(tid, Map("created" -> TimestampType))))
+  }
+
+  test("temporal precision / TIME tag / default / comment ride as field metadata") {
+    val Seq(ev: CreateTableEvent) = DdlParser.parse(
+      """CREATE TABLE t (
+        |  ts0 DATETIME,
+        |  ts3 DATETIME(3),
+        |  ts6 DATETIME(6),
+        |  t TIME(3),
+        |  d INT DEFAULT 5 COMMENT 'it counts',
+        |  s VARCHAR(10) DEFAULT NULL
+        |)""".stripMargin, tid)
+    val f = ev.info.schema.fields.map(x => x.name -> x).toMap
+    // MySQL DATETIME without length is TIMESTAMP(0)
+    // (MySqlTypeUtils.java:194-197) — the schema-block millis branch input
+    assert(f("ts0").metadata.getLong("graft.cdc.precision") === 0L)
+    assert(f("ts3").metadata.getLong("graft.cdc.precision") === 3L)
+    assert(f("ts6").metadata.getLong("graft.cdc.precision") === 6L)
+    assert(f("ts0").dataType === TimestampNTZType)
+    // a TIME column keeps its millis-of-day tag through DDL parsing
+    assert(f("t").metadata.getString("graft.cdc.type") === "time")
+    assert(f("t").metadata.getLong("graft.cdc.precision") === 3L)
+    assert(f("d").metadata.getString("default") === "5")
+    assert(f("d").metadata.getString("comment") === "it counts")
+    // an explicit DEFAULT NULL carries no information
+    assert(!f("s").metadata.contains("default"))
   }
 
   test("DROP/TRUNCATE TABLE and schema-neutral statements") {

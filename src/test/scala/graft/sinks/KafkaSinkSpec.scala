@@ -3,6 +3,7 @@ package graft.sinks
 import graft.SparkSpec
 import graft.cdc.{Changelog, DebeziumJson}
 import graft.model.{TableId, TableInfo}
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -111,5 +112,141 @@ class KafkaSinkSpec extends SparkSpec {
       new KafkaSink(writer, Map("value.format" -> "avro")))
     assertThrows[IllegalArgumentException](
       new KafkaSink(writer, Map("partition.strategy" -> "round-robin")))
+    // KafkaDataSinkOptions.java:38 sink.delivery-guarantee: accepted and
+    // validated (the file shim behaves at-least-once; a real Kafka writer
+    // honors it)
+    assertThrows[IllegalArgumentException](
+      new KafkaSink(writer, Map("sink.delivery-guarantee" -> "maybe-once")))
+    new KafkaSink(writer, Map("sink.delivery-guarantee" -> "exactly-once"))
+    new KafkaSink(writer, Map("sink.delivery-guarantee" -> "none"))
+    new KafkaSink(writer, Map("sink.delivery-guarantee" -> "at-least-once"))
+  }
+
+  // ---- mysqlToKafka e2e golden byte-compare ----------------------------
+  //
+  // The reference's MysqlToKafkaE2eITCase drives ddl/mysql_inventory.sql
+  // through its Kafka sink and asserts the topic contents equal
+  // expectedEvents/mysqlToKafka/{debezium-json,canal-json,
+  // debezium-json-with-schema}.txt. Same protocol here: the ported DDL
+  // builds the TableInfos through DdlParser, the ported change history
+  // replays through KafkaSink, and every produced value must byte-match a
+  // golden line (compared as sorted multisets — the goldens are written
+  // in nondeterministic topic-poll order).
+
+  private def goldenLines(name: String): Seq[String] = {
+    val in = getClass.getResourceAsStream(s"/goldens/mysqlToKafka/$name")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.startsWith("{")).toVector
+    finally in.close()
+  }
+
+  // ddl/mysql_inventory.sql:21-29,44-49 (ported verbatim)
+  private val productsDdl =
+    """CREATE TABLE products (
+      |  id INTEGER NOT NULL AUTO_INCREMENT PRIMARY KEY,
+      |  name VARCHAR(255) NOT NULL DEFAULT 'flink',
+      |  description VARCHAR(512),
+      |  weight FLOAT,
+      |  enum_c enum('red', 'white') default 'red',
+      |  json_c JSON,
+      |  point_c POINT
+      |)""".stripMargin
+  private val customersDdl =
+    """CREATE TABLE customers (
+      |  id INTEGER NOT NULL PRIMARY KEY,
+      |  name VARCHAR(255) NOT NULL DEFAULT 'flink',
+      |  address VARCHAR(1024),
+      |  phone_number VARCHAR(512)
+      |)""".stripMargin
+
+  private def infoOf(ddl: String, table: String): TableInfo = {
+    val Seq(ev: graft.model.CreateTableEvent) =
+      graft.cdc.DdlParser.parse(ddl, TableId.parse(s"$$databaseName.$table"))
+    ev.info
+  }
+
+  /** The e2e scenario's change history (MysqlToKafkaE2eITCase:
+    * snapshot inserts, two binlog updates, an ADD COLUMN, two more
+    * inserts, two updates, a delete), as exploded changelog batches.
+    */
+  private def goldenBatches(): Seq[(TableId, org.apache.spark.sql.DataFrame, TableInfo)] = {
+    val customersT = TableId.parse("$databaseName.customers")
+    val productsT = TableId.parse("$databaseName.products")
+    val customers = infoOf(customersDdl, "customers")
+    val productsV1 = infoOf(productsDdl, "products")
+    val Seq(add: graft.model.AddColumnEvent) = graft.cdc.DdlParser.parse(
+      "ALTER TABLE products ADD COLUMN new_col INT", productsT)
+    val productsV2 = productsV1.applySchemaChange(add)
+
+    val customersRows = Seq(
+      (101, "user_1"), (102, "user_2"), (103, "user_3"), (104, "user_4"))
+      .zipWithIndex.map { case ((id, n), i) =>
+        Row(id, n, "Shanghai", "123567891234", "+I", i.toLong)
+      }
+    val p = Seq(
+      Row(101, "scooter", "Small 2-wheel scooter", 3.14f, "red",
+        """{"key1": "value1"}""", """{"coordinates":[1,1],"type":"Point","srid":0}"""),
+      Row(102, "car battery", "12V car battery", 8.1f, "white",
+        """{"key2": "value2"}""", """{"coordinates":[2,2],"type":"Point","srid":0}"""),
+      Row(103, "12-pack drill bits",
+        "12-pack of drill bits with sizes ranging from #40 to #3", 0.8f, "red",
+        """{"key3": "value3"}""", """{"coordinates":[3,3],"type":"Point","srid":0}"""),
+      Row(104, "hammer", "12oz carpenter's hammer", 0.75f, "white",
+        """{"key4": "value4"}""", """{"coordinates":[4,4],"type":"Point","srid":0}"""),
+      Row(105, "hammer", "14oz carpenter's hammer", 0.875f, "red",
+        """{"k1": "v1", "k2": "v2"}""", """{"coordinates":[5,5],"type":"Point","srid":0}"""),
+      Row(106, "hammer", "16oz carpenter's hammer", 1.0f, null, null, null),
+      Row(107, "rocks", "box of assorted rocks", 5.3f, null, null, null),
+      Row(108, "jacket", "water resistent black wind breaker", 0.1f, null, null, null),
+      Row(109, "spare tire", "24 inch spare tire", 22.2f, null, null, null))
+    val v1Rows =
+      p.zipWithIndex.map { case (r, i) => Row(r.toSeq :+ "+I" :+ i.toLong: _*) } ++ Seq(
+        Row(106, "hammer", "16oz carpenter's hammer", 1.0f, null, null, null, "-U", 9L),
+        Row(106, "hammer", "18oz carpenter hammer", 1.0f, null, null, null, "+U", 9L),
+        Row(107, "rocks", "box of assorted rocks", 5.3f, null, null, null, "-U", 10L),
+        Row(107, "rocks", "box of assorted rocks", 5.1f, null, null, null, "+U", 10L))
+    val v2Rows = Seq(
+      Row(110, "jacket", "water resistent white wind breaker", 0.2f, null, null, null, 1, "+I", 11L),
+      Row(111, "scooter", "Big 2-wheel scooter ", 5.18f, null, null, null, 1, "+I", 12L),
+      Row(110, "jacket", "water resistent white wind breaker", 0.2f, null, null, null, 1, "-U", 13L),
+      Row(110, "jacket", "new water resistent white wind breaker", 0.5f, null, null, null, 1, "+U", 13L),
+      Row(111, "scooter", "Big 2-wheel scooter ", 5.18f, null, null, null, 1, "-U", 14L),
+      Row(111, "scooter", "Big 2-wheel scooter ", 5.17f, null, null, null, 1, "+U", 14L),
+      Row(111, "scooter", "Big 2-wheel scooter ", 5.17f, null, null, null, 1, "-D", 15L))
+
+    def frame(rows: Seq[Row], info: TableInfo) = {
+      val schema = StructType(info.schema.fields.map(_.copy(nullable = true)) ++ Seq(
+        StructField(Changelog.OpCol, StringType), StructField(Changelog.SeqCol, LongType)))
+      spark.createDataFrame(
+        new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    }
+    Seq(
+      (customersT, frame(customersRows, customers), customers),
+      (productsT, frame(v1Rows, productsV1), productsV1),
+      (productsT, frame(v2Rows, productsV2), productsV2))
+  }
+
+  private def runGolden(golden: String, options: Map[String, String]): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("kafka_golden").toFile
+    val writer = new FileTopicWriter(spark, dir.getAbsolutePath)
+    val sink = new KafkaSink(writer, options + ("topic" -> "all"))
+    goldenBatches().foreach { case (tid, batch, info) => sink.write(tid, batch, info) }
+    val produced = writer.read("all").select("value")
+      .collect().map(_.getString(0)).toSeq
+    assert(produced.sorted === goldenLines(golden).sorted)
+  }
+
+  test("debezium-json values byte-match the mysqlToKafka e2e golden") {
+    runGolden("debezium-json.txt", Map.empty)
+  }
+
+  test("debezium-json include-schema values byte-match the with-schema e2e golden") {
+    runGolden("debezium-json-with-schema.txt",
+      Map("debezium-json.include-schema.enabled" -> "true"))
+  }
+
+  test("canal-json values byte-match the mysqlToKafka e2e golden") {
+    runGolden("canal-json.txt", Map("value.format" -> "canal-json"))
   }
 }
