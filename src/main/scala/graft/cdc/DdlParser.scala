@@ -50,7 +50,7 @@ object DdlParser {
       .replaceAll("(?i)\\s+CHARSET\\s+\\S+", "")
       .replaceAll("(?i)\\s+COLLATE\\s+\\S+", "")
       .trim
-    val TypeRe = """(?i)\s*([A-Za-z][A-Za-z0-9 ]*?)\s*(?:\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\))?\s*(UNSIGNED)?\s*""".r
+    val TypeRe = """(?i)\s*([A-Za-z][A-Za-z0-9 ]*?)\s*(?:\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\))?\s*(UNSIGNED(?:\s+ZEROFILL)?|ZEROFILL)?\s*""".r
     spec match {
       case TypeRe(name, p, s, unsigned) =>
         val full = (name.trim + Option(unsigned).map(" " + _.trim.toUpperCase).getOrElse(""))

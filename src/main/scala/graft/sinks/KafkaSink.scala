@@ -49,11 +49,13 @@ final class FileTopicWriter(spark: org.apache.spark.sql.SparkSession, dir: Strin
   *
   *  - `value.format`: debezium-json (default) or canal-json — the two
   *    formats of ChangeLogJsonFormatFactory;
-  *  - `key.format` json: the primary-key struct as JSON (so Kafka's
-  *    key-hash partitioner keeps a key's changes in one partition —
-  *    PartitionStrategy.HASH_BY_KEY); `partition.strategy=all-to-zero`
-  *    sends everything to partition 0 instead (global order, no
-  *    parallelism);
+  *  - `key.format` json/csv: the table identifier + primary-key image
+  *    (KeySerializationFactory's two serializers — JSON
+  *    `{"TableId":...,pk...}`, CSV a Jackson-quoted line). Under
+  *    PartitionStrategy.HASH_BY_KEY the key also partitions records so
+  *    a key's changes stay in one partition;
+  *    `partition.strategy=all-to-zero` sends everything to partition 0
+  *    instead (global order, no parallelism);
   *  - topic routing: `sink.tableId-to-topic.mapping` is a
   *    `selector:topic;selector:topic` list resolved left to right
   *    (KafkaSinkUtils.parseSelectorsToTopicMap), falling back to the
@@ -93,6 +95,16 @@ final class KafkaSink(
     options.getOrElse("sink.delivery-guarantee", "at-least-once")
   require(Seq("at-least-once", "exactly-once", "none").contains(deliveryGuarantee),
     s"unsupported sink.delivery-guarantee: $deliveryGuarantee")
+  /** KafkaDataSinkOptions.java:52 `key.format`: json (default) or csv —
+    * KeySerializationFactory's two serializers. Both render the table
+    * identifier first, then the primary-key image (after; before for
+    * deletes): JSON as `{"TableId":"db.t","pk":...}`
+    * (JsonSerializationSchema.java:128-133), CSV as a Jackson-CSV line
+    * (CsvSerializationSchema.java:105-116).
+    */
+  private val keyFormat = options.getOrElse("key.format", "json")
+  require(Seq("json", "csv").contains(keyFormat),
+    s"unsupported key.format: $keyFormat")
   private val addTableIdHeader =
     options.get("sink.add-tableId-to-header-enabled").exists(_.toBoolean)
   private val customHeaders: Seq[(String, String)] =
@@ -123,20 +135,42 @@ final class KafkaSink(
 
   override def applySchemaChange(e: SchemaChangeEvent): Unit = ()
 
+  /** One CSV cell under Jackson-CSV's default quoting (what the
+    * reference's CsvRowDataSerializationSchema emits, pinned by its
+    * CsvSerializationSchemaTest): quote when the value contains the
+    * separator / quote char / CR / LF — or is longer than Jackson's
+    * 24-char quote-check window, which is why a table identifier rides
+    * quoted while a short pk value does not; quotes escape by doubling.
+    */
+  private def csvCell(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val s = c.cast(org.apache.spark.sql.types.StringType)
+    when(s.isNull, "").otherwise(
+      when(length(s) > 24 || s.contains(",") || s.contains("\"") ||
+          s.contains("\n") || s.contains("\r"),
+        concat(lit("\""), regexp_replace(s, "\"", "\"\""), lit("\"")))
+        .otherwise(s))
+  }
+
   override def write(tableId: TableId, exploded: DataFrame, info: TableInfo): Unit = {
     val payload = info.schema.fieldNames.toSeq
-    // key first (KeyFormat.JSON: the PK image as JSON, so Kafka's key-hash
-    // partitioner keeps a key's changes in one partition); with all-to-zero
-    // the key is constant and every record lands on partition 0
-    val keyExpr =
-      if (partitionStrategy == "all-to-zero") lit("")
-      else {
-        val pks = info.primaryKeys
-        require(pks.nonEmpty, s"hash-by-key needs primary keys on $tableId")
-        to_json(struct(pks.map(k =>
-          coalesce(col(s"${Changelog.AfterCol}.$k"),
-            col(s"${Changelog.BeforeCol}.$k")).as(k)): _*))
-      }
+    // the record key serializes for BOTH partition strategies (the
+    // reference's key serializer is independent of the partitioner);
+    // hash-by-key additionally partitions by it so a key's changes stay
+    // in one partition. The pk image is after's (before's for deletes —
+    // the coalesce, since a delete's after is entirely null).
+    val pks = info.primaryKeys
+    require(pks.nonEmpty || partitionStrategy != "hash-by-key",
+      s"hash-by-key needs primary keys on $tableId")
+    val pkCols = pks.map(k =>
+      coalesce(col(s"${Changelog.AfterCol}.$k"), col(s"${Changelog.BeforeCol}.$k")).as(k))
+    val keyExpr = keyFormat match {
+      case "csv" =>
+        concat_ws(",", (csvCell(lit(tableId.identifier)) +: pks.map(k =>
+          csvCell(coalesce(col(s"${Changelog.AfterCol}.$k"),
+            col(s"${Changelog.BeforeCol}.$k"))))): _*)
+      case _ =>
+        to_json(struct(lit(tableId.identifier).as("TableId") +: pkCols: _*))
+    }
     val paired = Changelog.pair(exploded, payload).withColumn("__key", keyExpr)
     val db = tableId.namespace.orElse(tableId.schemaName).getOrElse("")
     val valued = valueFormat match {

@@ -192,21 +192,33 @@ object ConnectorCatalog {
   private def decimalOr(p: Int, s: Int, fallback: DataType): DataType =
     if (p > 0 && p <= 38) DecimalType(p, math.max(s, 0)) else fallback
 
-  /** MySqlTypeUtils.java:126-230; TINYINT(1)→BOOLEAN matches the
-    * `treat-tinyint1-as-boolean.enabled` default.
+  /** MySqlTypeUtils.java:126-230 (identical in the source + pipeline
+    * connectors' maps); TINYINT(1)→BOOLEAN matches the
+    * `treat-tinyint1-as-boolean.enabled` default. ZEROFILL is
+    * display-only padding — every ZEROFILL spelling maps like its
+    * base/UNSIGNED variant (MySqlTypeUtils.java:147-199).
     */
   val mysqlTypes: (String, Int, Int) => DataType = (nameRaw, p, s) =>
-    nameRaw.toUpperCase match {
-      case "BIT" | "BOOL" | "BOOLEAN" => BooleanType
+    nameRaw.toUpperCase.replaceAll("\\s+", " ").stripSuffix(" ZEROFILL").trim match {
+      // bare BIT / BIT(1) is boolean; BIT(n>1) is byte-packed binary
+      case "BIT" => if (p <= 1) BooleanType else BinaryType
+      case "BOOL" | "BOOLEAN" => BooleanType
       case "TINYINT" => if (p == 1) BooleanType else ByteType
       case "TINYINT UNSIGNED" | "SMALLINT" => ShortType
       case "SMALLINT UNSIGNED" | "INT" | "INTEGER" | "MEDIUMINT" |
           "MEDIUMINT UNSIGNED" | "YEAR" => IntegerType
-      case "INT UNSIGNED" | "BIGINT" | "SERIAL" => LongType
+      case "INT UNSIGNED" | "INTEGER UNSIGNED" | "BIGINT" | "SERIAL" => LongType
       case "BIGINT UNSIGNED" => DecimalType(20, 0)
-      case "FLOAT" => FloatType
-      case "DOUBLE" | "REAL" => DoubleType
-      case "DECIMAL" | "NUMERIC" | "FIXED" => decimalOr(p, s, DecimalType(10, 0))
+      // FLOAT with an explicit length is treated like DOUBLE
+      // (MySqlTypeUtils.java:171-178)
+      case "FLOAT" | "FLOAT UNSIGNED" => if (p >= 0) DoubleType else FloatType
+      case "DOUBLE" | "DOUBLE UNSIGNED" | "DOUBLE PRECISION" |
+          "DOUBLE PRECISION UNSIGNED" | "REAL" | "REAL UNSIGNED" => DoubleType
+      // beyond DECIMAL(38) the reference surfaces a STRING
+      // (MySqlTypeUtils.java:196-199)
+      case "DECIMAL" | "DECIMAL UNSIGNED" | "NUMERIC" | "NUMERIC UNSIGNED" |
+          "FIXED" | "FIXED UNSIGNED" =>
+        if (p > 38) StringType else decimalOr(p, s, DecimalType(10, 0))
       case "DATE" => DateType
       case "TIME" => CdcTemporal.TimeType // millis-of-day (TimeData.java)
       case "DATETIME" => TimestampNTZType

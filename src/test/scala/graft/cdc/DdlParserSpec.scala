@@ -121,6 +121,123 @@ class DdlParserSpec extends AnyFunSuite {
     assert(!f("s").metadata.contains("default"))
   }
 
+  test("the reference's full MySQL data-types matrix resolves (ddl/data_types_test.sql port)") {
+    // every column of the reference e2e DATA_TYPES_TABLE, expected type
+    // per MySqlTypeUtils.java:129-252 (pipeline connector map)
+    val ddl =
+      """CREATE TABLE DATA_TYPES_TABLE (
+        |  id INT,
+        |  tiny_c TINYINT,
+        |  tiny_un_c TINYINT UNSIGNED,
+        |  tiny_un_z_c TINYINT UNSIGNED ZEROFILL,
+        |  small_c SMALLINT,
+        |  small_un_c SMALLINT UNSIGNED,
+        |  small_un_z_c SMALLINT UNSIGNED ZEROFILL,
+        |  medium_c MEDIUMINT,
+        |  medium_un_c MEDIUMINT UNSIGNED,
+        |  medium_un_z_c MEDIUMINT UNSIGNED ZEROFILL,
+        |  int_c INTEGER,
+        |  int_un_c INTEGER UNSIGNED,
+        |  int_un_z_c INTEGER UNSIGNED ZEROFILL,
+        |  int11_c INT(11),
+        |  big_c BIGINT,
+        |  varchar_c VARCHAR(255),
+        |  char_c CHAR(3),
+        |  real_c REAL,
+        |  float_c FLOAT,
+        |  float_un_c FLOAT UNSIGNED,
+        |  float_un_z_c FLOAT UNSIGNED ZEROFILL,
+        |  double_c DOUBLE,
+        |  double_un_c DOUBLE UNSIGNED,
+        |  double_un_z_c DOUBLE UNSIGNED ZEROFILL,
+        |  decimal_c DECIMAL(8, 4),
+        |  decimal_un_c DECIMAL(8, 4) UNSIGNED,
+        |  decimal_un_z_c DECIMAL(8, 4) UNSIGNED ZEROFILL,
+        |  numeric_c NUMERIC(6, 0),
+        |  big_decimal_c DECIMAL(65, 1),
+        |  bit1_c BIT,
+        |  tiny1_c TINYINT(1),
+        |  boolean_c BOOLEAN,
+        |  date_c DATE,
+        |  datetime3_c DATETIME(3),
+        |  datetime6_c DATETIME(6),
+        |  timestamp_c TIMESTAMP,
+        |  time_c TIME(0),
+        |  time3_c TIME(3),
+        |  text_c TEXT,
+        |  tiny_blob_c TINYBLOB,
+        |  blob_c BLOB,
+        |  medium_blob_c MEDIUMBLOB,
+        |  long_blob_c LONGBLOB,
+        |  year_c YEAR,
+        |  enum_c enum('red', 'white') default 'red',
+        |  point_c POINT,
+        |  geometry_c GEOMETRY,
+        |  linestring_c LINESTRING,
+        |  polygon_c POLYGON,
+        |  multipoint_c MULTIPOINT,
+        |  multiline_c MULTILINESTRING,
+        |  multipolygon_c MULTIPOLYGON,
+        |  geometrycollection_c GEOMCOLLECTION,
+        |  PRIMARY KEY (id)
+        |) DEFAULT CHARSET=utf8""".stripMargin
+    val Seq(ev: CreateTableEvent) = DdlParser.parse(ddl, tid)
+    val t = ev.info.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(ev.info.primaryKeys === Seq("id"))
+    assert(t("id") === IntegerType)
+    assert(t("tiny_c") === ByteType)
+    assert(t("tiny_un_c") === ShortType)
+    assert(t("tiny_un_z_c") === ShortType) // ZEROFILL maps like UNSIGNED
+    assert(t("small_un_c") === IntegerType)
+    assert(t("small_un_z_c") === IntegerType)
+    assert(t("medium_c") === IntegerType)
+    assert(t("medium_un_z_c") === IntegerType)
+    assert(t("int_un_c") === LongType)   // INTEGER UNSIGNED promotes
+    assert(t("int_un_z_c") === LongType)
+    assert(t("int11_c") === IntegerType)
+    assert(t("big_c") === LongType)
+    assert(t("varchar_c") === StringType)
+    assert(t("char_c") === StringType)
+    assert(t("real_c") === DoubleType)
+    assert(t("float_c") === FloatType)   // no explicit length stays FLOAT
+    assert(t("float_un_z_c") === FloatType)
+    assert(t("double_un_z_c") === DoubleType)
+    assert(t("decimal_c") === DecimalType(8, 4))
+    assert(t("decimal_un_c") === DecimalType(8, 4))
+    assert(t("decimal_un_z_c") === DecimalType(8, 4))
+    assert(t("numeric_c") === DecimalType(6, 0))
+    // beyond DECIMAL(38) the reference surfaces a STRING
+    assert(t("big_decimal_c") === StringType)
+    assert(t("bit1_c") === BooleanType)  // bare BIT = BIT(1)
+    assert(t("tiny1_c") === BooleanType) // tinyInt1isBit default
+    assert(t("boolean_c") === BooleanType)
+    assert(t("date_c") === DateType)
+    assert(t("datetime3_c") === TimestampNTZType)
+    assert(t("datetime6_c") === TimestampNTZType)
+    assert(t("timestamp_c") === TimestampType)
+    assert(t("time_c") === graft.sources.CdcTemporal.TimeType)
+    assert(t("text_c") === StringType)
+    assert(t("tiny_blob_c") === BinaryType)
+    assert(t("long_blob_c") === BinaryType)
+    assert(t("year_c") === IntegerType)
+    assert(t("enum_c") === StringType)
+    Seq("point_c", "geometry_c", "linestring_c", "polygon_c", "multipoint_c",
+      "multiline_c", "multipolygon_c", "geometrycollection_c").foreach(c =>
+      assert(t(c) === StringType, c))
+    // precision + default metadata survive
+    val byName = ev.info.schema.fields.map(f => f.name -> f).toMap
+    assert(byName("datetime3_c").metadata.getLong("graft.cdc.precision") === 3L)
+    assert(byName("time3_c").metadata.getString("graft.cdc.type") === "time")
+    assert(byName("enum_c").metadata.getString("default") === "red")
+    // BIT(9) packs to binary; FLOAT(10) is treated like DOUBLE
+    assert(DdlParser.parse("ALTER TABLE t ADD b BIT(9)", tid).head
+      .asInstanceOf[AddColumnEvent].columns.head._1.dataType === BinaryType)
+    assert(DdlParser.parse("ALTER TABLE t ADD f FLOAT(10)", tid).head
+      .asInstanceOf[AddColumnEvent].columns.head._1.dataType === DoubleType)
+    assert(DdlParser.parse("ALTER TABLE t ADD s SMALLINT ZEROFILL", tid).head
+      .asInstanceOf[AddColumnEvent].columns.head._1.dataType === ShortType)
+  }
+
   test("DROP/TRUNCATE TABLE and schema-neutral statements") {
     assert(DdlParser.parse("DROP TABLE IF EXISTS users", tid) === Seq(DropTableEvent(tid)))
     assert(DdlParser.parse("TRUNCATE TABLE users;", tid) === Seq(TruncateTableEvent(tid)))

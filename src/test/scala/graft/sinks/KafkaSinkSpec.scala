@@ -37,7 +37,10 @@ class KafkaSinkSpec extends SparkSpec {
       .collect()
     assert(recs.length === 4) // I, I, U(paired), D
     val keys = recs.map(_.getAs[String]("key")).toSet
-    assert(keys === Set("""{"id":1}""", """{"id":2}"""))
+    // JsonSerializationSchema.java:128-133: TableId rides first, then pks
+    assert(keys === Set(
+      """{"TableId":"graft.users","id":1}""",
+      """{"TableId":"graft.users","id":2}"""))
     val headers = recs.head.getAs[Map[String, String]]("headers")
     assert(headers === Map("env" -> "test", "tableId" -> "graft.users"))
     // values decode back to the same final state, ordered by the carried
@@ -120,6 +123,59 @@ class KafkaSinkSpec extends SparkSpec {
     new KafkaSink(writer, Map("sink.delivery-guarantee" -> "exactly-once"))
     new KafkaSink(writer, Map("sink.delivery-guarantee" -> "none"))
     new KafkaSink(writer, Map("sink.delivery-guarantee" -> "at-least-once"))
+  }
+
+  test("key serializers match the reference's serializer unit tests") {
+    // port of JsonSerializationSchemaTest + CsvSerializationSchemaTest
+    // (kafka connector src/test): string pk col1, table
+    // default_namespace.default_schema.table1; insert 1, insert 2,
+    // delete 2 (key from the BEFORE image), update 1 (key from after)
+    val tid = TableId.parse("default_namespace.default_schema.table1")
+    val info = TableInfo(
+      StructType(Seq(StructField("col1", StringType), StructField("col2", StringType))),
+      primaryKeys = Seq("col1"))
+    val batch = Seq(
+      ("1", "1", "+I", 1L),
+      ("2", "2", "+I", 2L),
+      ("2", "2", "-D", 3L),
+      ("1", "1", "-U", 4L), ("1", "x", "+U", 4L)
+    ).toDF("col1", "col2", Changelog.OpCol, Changelog.SeqCol)
+
+    def keysWith(opts: Map[String, String]): Seq[String] = {
+      var produced: org.apache.spark.sql.DataFrame = null
+      val capture = new KafkaRecordWriter {
+        def produce(records: org.apache.spark.sql.DataFrame): Unit = { produced = records }
+      }
+      new KafkaSink(capture, opts).write(tid, batch, info)
+      produced.orderBy("offset").select("key").collect().map(_.getString(0)).toSeq
+    }
+
+    // JSON (the default): {"TableId":...,"col1":...}
+    assert(keysWith(Map.empty) === Seq(
+      """{"TableId":"default_namespace.default_schema.table1","col1":"1"}""",
+      """{"TableId":"default_namespace.default_schema.table1","col1":"2"}""",
+      """{"TableId":"default_namespace.default_schema.table1","col1":"2"}""",
+      """{"TableId":"default_namespace.default_schema.table1","col1":"1"}"""))
+    // CSV: the 40-char identifier exceeds Jackson's 24-char quote-check
+    // window and rides quoted; the short pk value does not
+    assert(keysWith(Map("key.format" -> "csv")) === Seq(
+      "\"default_namespace.default_schema.table1\",1",
+      "\"default_namespace.default_schema.table1\",2",
+      "\"default_namespace.default_schema.table1\",2",
+      "\"default_namespace.default_schema.table1\",1"))
+    // csv quoting edge: a pk value containing the separator or quote
+    val tricky = Seq(("a,b", "v", "+I", 1L), ("say \"hi\"", "v", "+I", 2L))
+      .toDF("col1", "col2", Changelog.OpCol, Changelog.SeqCol)
+    var produced: org.apache.spark.sql.DataFrame = null
+    val capture = new KafkaRecordWriter {
+      def produce(records: org.apache.spark.sql.DataFrame): Unit = { produced = records }
+    }
+    new KafkaSink(capture, Map("key.format" -> "csv")).write(tid, tricky, info)
+    assert(produced.orderBy("offset").select("key").collect().map(_.getString(0)).toSeq === Seq(
+      "\"default_namespace.default_schema.table1\",\"a,b\"",
+      "\"default_namespace.default_schema.table1\",\"say \"\"hi\"\"\""))
+    assertThrows[IllegalArgumentException](
+      new KafkaSink(capture, Map("key.format" -> "avro")))
   }
 
   // ---- mysqlToKafka e2e golden byte-compare ----------------------------
