@@ -50,6 +50,13 @@ object DdlParser {
       .replaceAll("(?i)\\s+CHARSET\\s+\\S+", "")
       .replaceAll("(?i)\\s+COLLATE\\s+\\S+", "")
       .trim
+    // postgres DDL array spelling: `TEXT[]` / `INT[][]` wraps the base
+    // type elementwise (the DDL-side face of the dialect map's `_type`
+    // internal-name convention, PostgresTypeUtils.java:30-63)
+    if (spec.endsWith("[]")) {
+      val (dt, name, p) = parseSpec(spec.dropRight(2).trim, types)
+      return (ArrayType(dt), name, p)
+    }
     val TypeRe = """(?i)\s*([A-Za-z][A-Za-z0-9 ]*?)\s*(?:\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\))?\s*(UNSIGNED(?:\s+ZEROFILL)?|ZEROFILL)?\s*""".r
     spec match {
       case TypeRe(name, p, s, unsigned) =>
@@ -93,8 +100,20 @@ object DdlParser {
       "TIMESTAMPTZ", "TIME", "TIMETZ", "DATETIMEOFFSET",
       "TIMESTAMP WITH TIME ZONE", "TIMESTAMP WITH LOCAL TIME ZONE")
     if (temporal(typeName)) {
+      // defaults when the DDL declares no (p): MySQL DATETIME is
+      // TIMESTAMP(0) (MySqlTypeUtils.java:194-197); SQL Server DATETIME2/
+      // DATETIMEOFFSET default scale 7 and SMALLDATETIME 0 (pipeline
+      // SqlServerTypeUtils). Bare DATETIME takes the MySQL reading — the
+      // dominant CDC-log dialect; SQL Server's DATETIME-is-millis(3) is
+      // only reachable with an explicit (3).
+      val default: Option[Long] = typeName match {
+        case "DATETIME" => Some(0L)
+        case "DATETIME2" | "DATETIMEOFFSET" => Some(7L)
+        case "SMALLDATETIME" => Some(0L)
+        case _ => None
+      }
       if (p >= 0) b.putLong("graft.cdc.precision", p.toLong)
-      else if (typeName == "DATETIME") b.putLong("graft.cdc.precision", 0L)
+      else default.foreach(b.putLong("graft.cdc.precision", _))
     }
     // tokenize the tail by whole modifiers (quoted literals consumed as
     // part of their own DEFAULT/COMMENT token), so a DEFAULT spelled

@@ -236,16 +236,30 @@ object ConnectorCatalog {
       case other => throw new IllegalArgumentException(s"mysql type: $other")
     }
 
-  /** PostgresTypeUtils.java shape. */
+  /** PostgresTypeUtils.java shape (source connector's name-based map,
+    * :26-200; the scalar set agrees with the pipeline connector's
+    * OID-based one). `_type` is postgres's internal array spelling —
+    * arrays map elementwise; a trailing `[]` is normalized to it by
+    * DdlParser. NUMERIC-without-precision falls back to DECIMAL(38,18)
+    * (the source connector's SPARK-26538 choice).
+    */
   val postgresTypes: (String, Int, Int) => DataType = (nameRaw, p, s) =>
     nameRaw.toUpperCase match {
+      case a if a.startsWith("_") => ArrayType(postgresTypes(a.drop(1), p, s))
       case "BOOL" | "BOOLEAN" => BooleanType
-      case "SMALLINT" | "INT2" | "SMALLSERIAL" => ShortType
-      case "INT" | "INTEGER" | "INT4" | "SERIAL" => IntegerType
-      case "BIGINT" | "INT8" | "BIGSERIAL" => LongType
+      case "SMALLINT" | "INT2" | "SMALLSERIAL" | "SERIAL2" => ShortType
+      case "INT" | "INTEGER" | "INT4" | "SERIAL" | "SERIAL4" => IntegerType
+      case "BIGINT" | "INT8" | "BIGSERIAL" | "SERIAL8" | "OID" => LongType
       case "REAL" | "FLOAT4" => FloatType
       case "DOUBLE PRECISION" | "FLOAT8" => DoubleType
       case "NUMERIC" | "DECIMAL" => decimalOr(p, s, DecimalType(38, 18))
+      // money carries the locale's fraction digits; debezium's default
+      // money.fraction.digits is 2 (pipeline PostgresTypeUtils
+      // handleMoneyWithDecimalMode)
+      case "MONEY" => DecimalType(38, 2)
+      // debezium's default interval.handling.mode=numeric rides an
+      // interval as epoch MICROseconds (handleIntervalWithIntervalHandlingMode)
+      case "INTERVAL" => LongType
       case "DATE" => DateType
       case "TIME" => CdcTemporal.TimeType // millis-of-day (TimeData.java)
       case "TIMETZ" => CdcTemporal.ZonedTimeType // offset preserved
@@ -253,21 +267,32 @@ object ConnectorCatalog {
       // postgres normalizes TIMESTAMPTZ to UTC on storage — no zone to
       // preserve, plain instant is faithful
       case "TIMESTAMPTZ" => TimestampType
-      case "CHAR" | "CHARACTER" | "VARCHAR" | "CHARACTER VARYING" | "TEXT" |
-          "JSON" | "JSONB" | "UUID" | "XML" => StringType
+      case "CHAR" | "BPCHAR" | "CHARACTER" | "VARCHAR" | "CHARACTER VARYING" |
+          "TEXT" | "JSON" | "JSONB" | "UUID" | "XML" | "POINT" | "INET" |
+          "CIDR" | "MACADDR" | "MACADDR8" | "INT4RANGE" | "NUMRANGE" |
+          "INT8RANGE" | "TSRANGE" | "TSTZRANGE" | "DATERANGE" | "ENUM" =>
+        StringType
       case "BYTEA" => BinaryType
       case other => throw new IllegalArgumentException(s"postgres type: $other")
     }
 
-  /** OracleTypeUtils.java shape: NUMBER(p,s) splits by scale. */
+  /** OracleTypeUtils.java shape (source connector; NUMBER edge branches
+    * from the pipeline connector's fromDbzColumn): NUMBER(p,s) splits by
+    * scale, NUMBER-without-args is DECIMAL(38,19), scale beyond 36
+    * surfaces as STRING, FLOAT/REAL ride as FLOAT (both reference maps'
+    * Types.FLOAT branch), SDO_GEOMETRY as STRING.
+    */
   val oracleTypes: (String, Int, Int) => DataType = (nameRaw, p, s) =>
     nameRaw.toUpperCase match {
-      case "NUMBER" =>
-        if (s == 0 && p > 0 && p < 10) IntegerType
-        else if (s == 0 && p > 0 && p < 19) LongType
+      case g if g.contains("SDO_GEOMETRY") => StringType
+      case "NUMBER" | "NUMERIC" | "DECIMAL" =>
+        if (p <= 0 && s < 0) DecimalType(38, 19)
+        else if (s > 36) StringType
+        else if (s <= 0 && p > 0 && p < 10) IntegerType
+        else if (s <= 0 && p > 0 && p < 19) LongType
         else decimalOr(if (p <= 0) 38 else p, s, DecimalType(38, 18))
-      case "BINARY_FLOAT" => FloatType
-      case "BINARY_DOUBLE" | "FLOAT" => DoubleType
+      case "BINARY_FLOAT" | "FLOAT" | "REAL" => FloatType
+      case "BINARY_DOUBLE" | "DOUBLE PRECISION" => DoubleType
       case "DATE" | "TIMESTAMP" => TimestampNTZType
       // oracle TIMESTAMP WITH TIME ZONE stores the original zone — keep it
       // (ZonedTimestampData.java); LOCAL TIME ZONE normalizes, instant is
@@ -275,8 +300,8 @@ object ConnectorCatalog {
       case "TIMESTAMP WITH TIME ZONE" => CdcTemporal.ZonedTimestampType
       case "TIMESTAMP WITH LOCAL TIME ZONE" => TimestampType
       case "CHAR" | "NCHAR" | "VARCHAR" | "VARCHAR2" | "NVARCHAR2" |
-          "CLOB" | "NCLOB" | "XMLTYPE" => StringType
-      case "BLOB" | "RAW" | "LONG RAW" => BinaryType
+          "CLOB" | "NCLOB" | "XMLTYPE" | "LONG" => StringType
+      case "BLOB" | "RAW" | "LONG RAW" | "BFILE" => BinaryType
       case other => throw new IllegalArgumentException(s"oracle type: $other")
     }
 
@@ -290,15 +315,23 @@ object ConnectorCatalog {
       case "BIGINT" => LongType
       case "REAL" => FloatType
       case "FLOAT" => DoubleType
-      case "DECIMAL" | "NUMERIC" | "MONEY" | "SMALLMONEY" =>
-        decimalOr(p, s, DecimalType(19, 4))
+      // money is DECIMAL(19,4), smallmoney DECIMAL(10,4)
+      // (pipeline SqlServerTypeUtils MONEY/SMALL_MONEY branches)
+      case "MONEY" => DecimalType(19, 4)
+      case "SMALLMONEY" => DecimalType(10, 4)
+      case "DECIMAL" | "NUMERIC" => decimalOr(p, s, DecimalType(19, 4))
       case "DATE" => DateType
       case "TIME" => CdcTemporal.TimeType // millis-of-day (TimeData.java)
       case "DATETIME" | "DATETIME2" | "SMALLDATETIME" => TimestampNTZType
       case "DATETIMEOFFSET" => CdcTemporal.ZonedTimestampType // offset preserved
       case "CHAR" | "NCHAR" | "VARCHAR" | "NVARCHAR" | "TEXT" | "NTEXT" |
-          "XML" | "UNIQUEIDENTIFIER" => StringType
-      case "BINARY" | "VARBINARY" | "IMAGE" => BinaryType
+          "XML" | "UNIQUEIDENTIFIER" | "GEOMETRY" | "GEOGRAPHY" |
+          "SQL_VARIANT" | "HIERARCHYID" => StringType
+      // sqlserver TIMESTAMP/ROWVERSION is an opaque row-version stamp,
+      // not a temporal (pipeline SqlServerTypeUtils TIMESTAMP/ROW_VERSION
+      // → BYTES)
+      case "BINARY" | "VARBINARY" | "IMAGE" | "TIMESTAMP" | "ROWVERSION" =>
+        BinaryType
       case other => throw new IllegalArgumentException(s"sqlserver type: $other")
     }
 

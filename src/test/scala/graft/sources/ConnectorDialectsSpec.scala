@@ -102,11 +102,49 @@ class ConnectorDialectsSpec extends AnyFunSuite {
     assert(ConnectorCatalog.mysqlTypes("TIMESTAMP", 0, 0) === TimestampType)
     assert(ConnectorCatalog.postgresTypes("NUMERIC", 12, 3) === DecimalType(12, 3))
     assert(ConnectorCatalog.postgresTypes("TIMESTAMPTZ", 0, 0) === TimestampType)
+    // postgres internal array spelling `_type` maps elementwise
+    // (PostgresTypeUtils.java:30-63)
+    assert(ConnectorCatalog.postgresTypes("_int4", -1, -1) === ArrayType(IntegerType))
+    assert(ConnectorCatalog.postgresTypes("_uuid", -1, -1) === ArrayType(StringType))
+    assert(ConnectorCatalog.postgresTypes("_numeric", 12, 3) === ArrayType(DecimalType(12, 3)))
+    assert(ConnectorCatalog.postgresTypes("OID", -1, -1) === LongType)
+    assert(ConnectorCatalog.postgresTypes("BPCHAR", 3, -1) === StringType)
+    // money: debezium's default money.fraction.digits=2; interval:
+    // default interval.handling.mode=numeric rides micros
+    assert(ConnectorCatalog.postgresTypes("MONEY", -1, -1) === DecimalType(38, 2))
+    assert(ConnectorCatalog.postgresTypes("INTERVAL", -1, -1) === LongType)
+    assert(ConnectorCatalog.postgresTypes("INET", -1, -1) === StringType)
+    assert(ConnectorCatalog.postgresTypes("TSRANGE", -1, -1) === StringType)
+    // DDL-level `[]` arrays resolve through DdlParser
+    assert(graft.cdc.DdlParser.parse(
+      "ALTER TABLE t ADD tags TEXT[]", graft.model.TableId.parse("db.t"),
+      ConnectorCatalog.postgresTypes).head
+      .asInstanceOf[graft.model.AddColumnEvent].columns.head._1.dataType
+      === ArrayType(StringType))
+    assert(graft.cdc.DdlParser.parse(
+      "ALTER TABLE t ADD grid INT[][]", graft.model.TableId.parse("db.t"),
+      ConnectorCatalog.postgresTypes).head
+      .asInstanceOf[graft.model.AddColumnEvent].columns.head._1.dataType
+      === ArrayType(ArrayType(IntegerType)))
     assert(ConnectorCatalog.oracleTypes("NUMBER", 5, 0) === IntegerType)
     assert(ConnectorCatalog.oracleTypes("NUMBER", 15, 0) === LongType)
     assert(ConnectorCatalog.oracleTypes("NUMBER", 20, 2) === DecimalType(20, 2))
+    // NUMBER(5) in DDL implies scale 0 (s arrives -1) — still integral
+    assert(ConnectorCatalog.oracleTypes("NUMBER", 5, -1) === IntegerType)
+    // pipeline OracleTypeUtils NUMBER edges: no-args is DECIMAL(38,19),
+    // scale beyond 36 surfaces as STRING; FLOAT/REAL ride as FLOAT
+    assert(ConnectorCatalog.oracleTypes("NUMBER", -1, -1) === DecimalType(38, 19))
+    assert(ConnectorCatalog.oracleTypes("NUMBER", 38, 37) === StringType)
+    assert(ConnectorCatalog.oracleTypes("FLOAT", -1, -1) === FloatType)
+    assert(ConnectorCatalog.oracleTypes("SDO_GEOMETRY", -1, -1) === StringType)
     assert(ConnectorCatalog.sqlserverTypes("DATETIME2", 0, 0) === TimestampNTZType)
     assert(ConnectorCatalog.sqlserverTypes("MONEY", 0, 0) === DecimalType(19, 4))
+    // smallmoney is DECIMAL(10,4); TIMESTAMP/ROWVERSION are opaque
+    // row-version stamps, not temporals (pipeline SqlServerTypeUtils)
+    assert(ConnectorCatalog.sqlserverTypes("SMALLMONEY", -1, -1) === DecimalType(10, 4))
+    assert(ConnectorCatalog.sqlserverTypes("TIMESTAMP", -1, -1) === BinaryType)
+    assert(ConnectorCatalog.sqlserverTypes("ROWVERSION", -1, -1) === BinaryType)
+    assert(ConnectorCatalog.sqlserverTypes("GEOGRAPHY", -1, -1) === StringType)
     assert(ConnectorCatalog.mongoTypes("DECIMAL128", 0, 0) === DecimalType(38, 18))
     assert(ConnectorCatalog.db2Types("DECFLOAT", 0, 0) === DecimalType(31, 6))
     assertThrows[IllegalArgumentException](
