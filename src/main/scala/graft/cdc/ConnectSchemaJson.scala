@@ -233,12 +233,14 @@ object ConnectSchemaJson {
     case IntegerType if isTime(meta) => c.cast(LongType) * 1000L
     case TimestampNTZType =>
       // sessions run UTC (graft.Sessions.tuned), so the NTZ wall clock
-      // IS the UTC instant the cast reads
+      // IS the UTC instant the cast reads. Spark's `/` is double
+      // division — cast back so the wire value is the declared int64,
+      // not a JSON double
       val micros = unix_micros(c.cast(TimestampType))
-      if (isMillisPrecision(meta)) micros / 1000L else micros
+      if (isMillisPrecision(meta)) (micros / 1000L).cast(LongType) else micros
     case s: StructType if s == CdcTemporal.ZonedTimestampType =>
       val micros = unix_micros(c.getField("instant"))
-      if (isMillisPrecision(meta)) micros / 1000L else micros
+      if (isMillisPrecision(meta)) (micros / 1000L).cast(LongType) else micros
     case s: StructType if s == CdcTemporal.ZonedTimeType =>
       concat(CdcTemporal.timeToString(c.getField("millis")),
         coalesce(c.getField("tz"), lit("")))
@@ -267,6 +269,62 @@ object ConnectSchemaJson {
     if (!schema.fields.exists(f => needsWireProjection(f.dataType, f.metadata))) side
     else when(side.isNotNull, struct(schema.fields.map(f =>
       wireForm(side.getField(f.name), f.dataType, f.metadata).as(f.name)): _*))
+
+  /** The Spark type a column's Connect WIRE value parses as — what
+    * `from_json` must be told when decoding a real Debezium feed (epoch
+    * ints for temporals, the same forms [[wireForm]] writes).
+    */
+  private[cdc] def wireType(dt: DataType, meta: Metadata): DataType = dt match {
+    case IntegerType if isTime(meta) => LongType // MicroTime int64
+    case TimestampNTZType => LongType            // (Micro)Timestamp int64
+    case s: StructType if s == CdcTemporal.ZonedTimestampType => LongType
+    case s: StructType if s == CdcTemporal.ZonedTimeType => StringType
+    case TimestampType => StringType             // ZonedTimestamp ISO string
+    case DateType => IntegerType                 // epoch days int32
+    case ArrayType(e, n) => ArrayType(wireType(e, Metadata.empty), n)
+    case MapType(k, v, n) => MapType(k, wireType(v, Metadata.empty), n)
+    case st: StructType =>
+      StructType(st.fields.map(f => f.copy(dataType = wireType(f.dataType, f.metadata))))
+    case _ => dt
+  }
+
+  /** Inverse of [[wireForm]]: a parsed wire value back to the graft
+    * storage form. The int64 timestamp wire forms carry no zone, so a
+    * TIMESTAMP_TZ reconstructs at UTC ('Z') — the information the
+    * reference's MicroTimestamp declaration itself drops.
+    */
+  private[cdc] def fromWire(c: Column, dt: DataType, meta: Metadata): Column = dt match {
+    case IntegerType if isTime(meta) => (c / 1000L).cast(IntegerType)
+    case TimestampNTZType =>
+      val micros = if (isMillisPrecision(meta)) c * 1000L else c
+      // sessions run UTC, so the epoch instant IS the NTZ wall clock
+      timestamp_micros(micros.cast(LongType)).cast(TimestampNTZType)
+    case s: StructType if s == CdcTemporal.ZonedTimestampType =>
+      val micros = if (isMillisPrecision(meta)) c * 1000L else c
+      when(c.isNotNull, struct(
+        timestamp_micros(micros.cast(LongType)).as("instant"), lit("Z").as("tz")))
+    case s: StructType if s == CdcTemporal.ZonedTimeType =>
+      when(c.isNotNull, struct(
+        CdcTemporal.timeFromString(
+          regexp_extract(c, "^(-?\\d{2}:\\d{2}:\\d{2}(?:\\.\\d+)?)", 1)).as("millis"),
+        regexp_extract(c, "([+-]\\d{2}:\\d{2}|Z)$", 1).as("tz")))
+    case TimestampType => c.cast(TimestampType) // ISO-8601 'Z' string
+    case DateType => date_add(to_date(lit("1970-01-01")), c)
+    case ArrayType(e, _) if needsWireProjection(e, Metadata.empty) =>
+      transform(c, x => fromWire(x, e, Metadata.empty))
+    case MapType(_, v, _) if needsWireProjection(v, Metadata.empty) =>
+      transform_values(c, (_, x) => fromWire(x, v, Metadata.empty))
+    case st: StructType if needsWireProjection(st, Metadata.empty) =>
+      when(c.isNotNull, struct(st.fields.map(f =>
+        fromWire(c.getField(f.name), f.dataType, f.metadata).as(f.name)): _*))
+    case _ => c
+  }
+
+  /** Inverse of [[wireSide]]. */
+  private[cdc] def unwireSide(side: Column, schema: StructType): Column =
+    if (!schema.fields.exists(f => needsWireProjection(f.dataType, f.metadata))) side
+    else when(side.isNotNull, struct(schema.fields.map(f =>
+      fromWire(side.getField(f.name), f.dataType, f.metadata).as(f.name)): _*))
 
   private def esc(s: String): String =
     s.flatMap {

@@ -26,24 +26,55 @@ object DebeziumJson {
 
   /** Decode a DataFrame with a JSON string column into the paired
     * changelog frame. `seq` orders events (offset within the feed).
+    *
+    *  - `schemaEnvelope = true` additionally accepts Connect
+    *    schema-wrapped records (`{"schema":...,"payload":{...}}` — a
+    *    topic produced with `schemas.enable=true`, or this library's own
+    *    `debezium-json.include-schema.enabled` output); flat records on
+    *    the same topic still decode — the schema block is skipped, never
+    *    interpreted. ONE `from_json` either way: the parse schema simply
+    *    carries both the flat fields and a `payload` wrapper, and each
+    *    field coalesces across the two positions.
+    *  - `connectWire = true` reads temporal payloads in Debezium's
+    *    Connect wire forms — epoch int64 (Micro)Timestamp/MicroTime,
+    *    epoch-day int32 Date, ISO-8601 ZonedTimestamp strings — and
+    *    projects them back to the graft encodings
+    *    ([[ConnectSchemaJson.fromWire]]). This is what a REAL Debezium
+    *    feed carries (its converters emit epoch ints with or without
+    *    the schema block); the default `false` keeps the stringified
+    *    convention [[encode]] produces.
     */
   def decode(json: DataFrame, jsonCol: String, payload: StructType,
-      seqCol: Option[String] = None): DataFrame = {
-    val env = json.withColumn("__env", from_json(col(jsonCol), envelopeSchema(payload)))
+      seqCol: Option[String] = None, connectWire: Boolean = false,
+      schemaEnvelope: Boolean = false): DataFrame = {
+    val parsePayload =
+      if (connectWire)
+        ConnectSchemaJson.wireType(payload, Metadata.empty).asInstanceOf[StructType]
+      else payload
+    val base = envelopeSchema(parsePayload)
+    val parseSchema =
+      if (schemaEnvelope) StructType(base.fields :+ StructField("payload", base))
+      else base
+    val env = json.withColumn("__env", from_json(col(jsonCol), parseSchema))
+    def top(n: String): org.apache.spark.sql.Column =
+      if (schemaEnvelope) coalesce(col(s"__env.payload.$n"), col(s"__env.$n"))
+      else col(s"__env.$n")
+    def side(n: String): org.apache.spark.sql.Column =
+      if (connectWire) ConnectSchemaJson.unwireSide(top(n), payload) else top(n)
     val seq = seqCol.map(col).getOrElse(monotonically_increasing_id())
     env.select(
-      when(col("__env.op").isin("c", "r"), "I")
-        .when(col("__env.op") === "u", "U")
-        .when(col("__env.op") === "d", "D")
+      when(top("op").isin("c", "r"), "I")
+        .when(top("op") === "u", "U")
+        .when(top("op") === "d", "D")
         .otherwise("R").as(Changelog.OpCol),
-      col("__env.before").as(Changelog.BeforeCol),
-      col("__env.after").as(Changelog.AfterCol),
+      side("before").as(Changelog.BeforeCol),
+      side("after").as(Changelog.AfterCol),
       seq.cast(LongType).as(Changelog.SeqCol),
-      col("__env.source.table").as("__table"),
+      top("source").getField("table").as("__table"),
       // source metadata: the envelope's ts_ms surfaces as op_ts (the
       // reference's `metadata.list: op_ts` mechanism)
-      when(col("__env.ts_ms").isNotNull,
-        map(lit("op_ts"), col("__env.ts_ms").cast(StringType)))
+      when(top("ts_ms").isNotNull,
+        map(lit("op_ts"), top("ts_ms").cast(StringType)))
         .as(Changelog.MetaCol))
   }
 

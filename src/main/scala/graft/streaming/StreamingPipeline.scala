@@ -74,10 +74,13 @@ final class StreamingPipeline(
       tableId: TableId,
       info: TableInfo,
       checkpointLocation: Option[String] = None,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      schemaInclude: Boolean = false, // Connect {"schema":..,"payload":..} wrapping
+      connectWire: Boolean = false): StreamingQuery = // epoch-int temporals
     startFromJsonLines(jsonStream, Seq(tableId -> info), checkpointLocation, trigger) {
       (segment, schema) =>
-        DebeziumJson.decode(segment, "value", schema, seqCol = Some(Changelog.SeqCol))
+        DebeziumJson.decode(segment, "value", schema, seqCol = Some(Changelog.SeqCol),
+          connectWire = connectWire, schemaEnvelope = schemaInclude)
           .drop("__table")
     }
 
@@ -107,10 +110,13 @@ final class StreamingPipeline(
       jsonStream: DataFrame,
       tables: Seq[(TableId, TableInfo)],
       checkpointLocation: Option[String] = None,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      schemaInclude: Boolean = false,
+      connectWire: Boolean = false): StreamingQuery =
     startFromJsonLines(jsonStream, tables, checkpointLocation, trigger) {
       (segment, schema) =>
-        DebeziumJson.decode(segment, "value", schema, seqCol = Some(Changelog.SeqCol))
+        DebeziumJson.decode(segment, "value", schema, seqCol = Some(Changelog.SeqCol),
+          connectWire = connectWire, schemaEnvelope = schemaInclude)
           .drop("__table")
     }
 

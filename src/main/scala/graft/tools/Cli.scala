@@ -89,7 +89,8 @@ object Cli {
               case "mongo-file" =>
                 sp.startMultiFromMongoJson(stream, pairs, checkpointLocation = checkpoint)
               case _ =>
-                sp.startMultiFromDebeziumJson(stream, pairs, checkpointLocation = checkpoint)
+                sp.startMultiFromDebeziumJson(stream, pairs, checkpointLocation = checkpoint,
+                  schemaInclude = schemaInclude(pd), connectWire = connectWire(pd))
             }
           case None =>
             val tid = TableId.parse(pd.source.options.getOrElse("table",
@@ -102,7 +103,8 @@ object Cli {
               case "mongo-file" =>
                 sp.startFromMongoJson(stream, tid, tinfo, checkpointLocation = checkpoint)
               case _ =>
-                sp.startFromDebeziumJson(stream, tid, tinfo, checkpointLocation = checkpoint)
+                sp.startFromDebeziumJson(stream, tid, tinfo, checkpointLocation = checkpoint,
+                  schemaInclude = schemaInclude(pd), connectWire = connectWire(pd))
             }
         }
         q.awaitTermination()
@@ -112,6 +114,21 @@ object Cli {
           "(values is programmatic; DB connectors need live transports)")
     }
   }
+
+  /** Flink's debezium-json consuming option `debezium-json.schema-include`:
+    * the topic's records ride Connect schema-wrapped
+    * (`{"schema":..,"payload":..}`, schemas.enable=true producers).
+    */
+  private def schemaInclude(pd: PipelineDef): Boolean =
+    pd.source.options.get("debezium-json.schema-include").exists(_.toBoolean)
+
+  /** graft extension `debezium-json.connect-wire.enabled`: temporal
+    * payloads arrive in Debezium's Connect wire forms (epoch int64
+    * micros/millis, epoch-day int32) rather than stringified — what a
+    * real Debezium producer emits.
+    */
+  private def connectWire(pd: PipelineDef): Boolean =
+    pd.source.options.get("debezium-json.connect-wire.enabled").exists(_.toBoolean)
 
   private def buildSink(spark: SparkSession, pd: PipelineDef): (DataSink, () => Seq[String]) =
     pd.sink.kind match {

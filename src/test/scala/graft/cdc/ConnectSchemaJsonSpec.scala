@@ -5,6 +5,7 @@ import graft.SparkSpec
 import graft.model.{TableId, TableInfo}
 import graft.sources.CdcTemporal
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 
@@ -147,28 +148,29 @@ class ConnectSchemaJsonSpec extends SparkSpec {
     assert(byName("s").get("default").asText === "x")
   }
 
-  test("encodeWithSchema projects the payload to the declared Connect wire form") {
-    val info = TableInfo(
-      StructType(Seq(
-        StructField("id", IntegerType, nullable = false),
-        StructField("t", CdcTemporal.TimeType,
-          metadata = new MetadataBuilder().putString("graft.cdc.type", "time").build()),
-        StructField("ts3", TimestampNTZType,
-          metadata = new MetadataBuilder().putLong("graft.cdc.precision", 3L).build()),
-        StructField("ts6", TimestampNTZType),
-        StructField("d", DateType),
-        StructField("ztz", CdcTemporal.ZonedTimestampType),
-        StructField("ltz", TimestampType),
-        StructField("dec", DecimalType(10, 2)),
-        StructField("bin", BinaryType))),
-      primaryKeys = Seq("id"))
+  // shared wire-form fixture: every graft temporal encoding plus
+  // decimal/binary, one +I row
+  private val wireInfo = TableInfo(
+    StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("t", CdcTemporal.TimeType,
+        metadata = new MetadataBuilder().putString("graft.cdc.type", "time").build()),
+      StructField("ts3", TimestampNTZType,
+        metadata = new MetadataBuilder().putLong("graft.cdc.precision", 3L).build()),
+      StructField("ts6", TimestampNTZType),
+      StructField("d", DateType),
+      StructField("ztz", CdcTemporal.ZonedTimestampType),
+      StructField("ltz", TimestampType),
+      StructField("dec", DecimalType(10, 2)),
+      StructField("bin", BinaryType))),
+    primaryKeys = Seq("id"))
+  private val wall = java.time.LocalDateTime.parse("2024-03-01T10:15:30.123456")
+  private val instant = wall.toInstant(java.time.ZoneOffset.UTC)
+  private val micros = instant.getEpochSecond * 1000000L + instant.getNano / 1000L
+  private val date = java.sql.Date.valueOf("2024-03-01")
 
-    val wall = java.time.LocalDateTime.parse("2024-03-01T10:15:30.123456")
-    val instant = wall.toInstant(java.time.ZoneOffset.UTC)
-    val micros = instant.getEpochSecond * 1000000L + instant.getNano / 1000L
-    val date = java.sql.Date.valueOf("2024-03-01")
-
-    val schema = StructType(info.schema.fields ++ Seq(
+  private def wireValue(): String = {
+    val schema = StructType(wireInfo.schema.fields ++ Seq(
       StructField(Changelog.OpCol, StringType), StructField(Changelog.SeqCol, LongType)))
     val row = Row(7, 45296789, wall, wall, date,
       Row(java.sql.Timestamp.from(instant), "+05:30"),
@@ -177,9 +179,14 @@ class ConnectSchemaJsonSpec extends SparkSpec {
       "+I", 1L)
     val exploded = spark.createDataFrame(
       new java.util.ArrayList[Row](java.util.List.of(row)), schema)
-    val paired = Changelog.pair(exploded, info.fieldNames)
-    val value = DebeziumJson.encodeWithSchema(paired, "db", "w", info)
+    val paired = Changelog.pair(exploded, wireInfo.fieldNames)
+    DebeziumJson.encodeWithSchema(paired, "db", "w", wireInfo)
       .select("value").collect().head.getString(0)
+  }
+
+  test("encodeWithSchema projects the payload to the declared Connect wire form") {
+    val info = wireInfo
+    val value = wireValue()
 
     val root = mapper.readTree(value)
     val after = root.get("payload").get("after")
@@ -187,9 +194,14 @@ class ConnectSchemaJsonSpec extends SparkSpec {
     assert(after.get("id").asInt === 7)
     // millis-of-day INT -> MicroTime int64 micros
     assert(after.get("t").asLong === 45296789L * 1000L)
-    // declared p<=3 -> epoch millis; p unknown/6 -> epoch micros
+    // declared p<=3 -> epoch millis; p unknown/6 -> epoch micros — and
+    // the wire token must BE an int64, not a JSON double (asLong alone
+    // would mask a double-division slip)
+    assert(after.get("ts3").isIntegralNumber)
     assert(after.get("ts3").asLong === micros / 1000L)
+    assert(after.get("ts6").isIntegralNumber)
     assert(after.get("ts6").asLong === micros)
+    assert(after.get("ztz").isIntegralNumber)
     assert(after.get("d").asInt === date.toLocalDate.toEpochDay.toInt)
     assert(after.get("ztz").asLong === micros)
     assert(after.get("ltz").asText === "2024-03-01T10:15:30.123456Z")
@@ -204,6 +216,50 @@ class ConnectSchemaJsonSpec extends SparkSpec {
     // the payload now carries
     assert(root.get("schema").get("fields").get(1).get("fields").get(1)
       .get("name").asText === "io.debezium.time.MicroTime")
+  }
+
+  test("decode reads schema-wrapped envelopes and Connect wire temporals back (round trip)") {
+    import spark.implicits._
+    // our own include-schema output decodes through our own decoder:
+    // schemaEnvelope skips the schema block, connectWire inverse-projects
+    // the declared wire forms back to graft encodings
+    val decoded = DebeziumJson.decode(
+      Seq(wireValue()).toDF("value"), "value", wireInfo.schema,
+      connectWire = true, schemaEnvelope = true)
+    val r = decoded.select(Changelog.OpCol, Changelog.AfterCol).collect().head
+    assert(r.getString(0) === "I")
+    val a = r.getStruct(1)
+    assert(a.getInt(0) === 7)
+    assert(a.getInt(1) === 45296789) // millis-of-day back from micros
+    // declared p=3 rode as epoch millis — micros truncate by design
+    assert(a.getAs[java.time.LocalDateTime]("ts3") ===
+      wall.withNano(123000000))
+    assert(a.getAs[java.time.LocalDateTime]("ts6") === wall)
+    assert(a.getAs[java.sql.Date]("d") === date)
+    // the int64 wire form drops the zone: instant survives, tz is 'Z'
+    val ztz = a.getStruct(a.fieldIndex("ztz"))
+    assert(ztz.getAs[java.sql.Timestamp]("instant").toInstant === instant)
+    assert(ztz.getString(1) === "Z")
+    assert(a.getAs[java.sql.Timestamp]("ltz").toInstant === instant)
+    assert(a.getAs[java.math.BigDecimal]("dec").compareTo(
+      new java.math.BigDecimal("12.34")) === 0)
+    assert(a.getAs[Array[Byte]]("bin").toSeq === Seq[Byte](1, 2, 255.toByte))
+
+    // a hand-written REAL-Debezium-style record (epoch ints, no schema
+    // block) decodes under the same flags — flat and wrapped records
+    // coexist on one topic
+    val real =
+      s"""{"before":null,"after":{"id":9,"t":${45296789L * 1000L},"ts3":${micros / 1000L},"ts6":$micros,"d":${date.toLocalDate.toEpochDay},"ztz":$micros,"ltz":"2024-03-01T10:15:30.123456Z","dec":1.50,"bin":"AQL/"},"op":"c","source":{"db":"db","table":"w"}}"""
+    val both = DebeziumJson.decode(
+      Seq(wireValue(), real).toDF("value"), "value", wireInfo.schema,
+      connectWire = true, schemaEnvelope = true)
+    assert(both.count() === 2)
+    val ids = both.select(col(s"${Changelog.AfterCol}.id")).as[Int].collect().toSet
+    assert(ids === Set(7, 9))
+    val realRow = both.where(col(s"${Changelog.AfterCol}.id") === 9)
+      .select(Changelog.AfterCol).collect().head.getStruct(0)
+    assert(realRow.getInt(1) === 45296789)
+    assert(realRow.getAs[java.time.LocalDateTime]("ts6") === wall)
   }
 
   test("defaultJson properties: parser round-trip, warn-and-skip, parseBoolean") {

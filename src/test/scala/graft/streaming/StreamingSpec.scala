@@ -35,6 +35,28 @@ class StreamingSpec extends SparkSpec {
     assert(sink.results(tid) === Seq("db.users:1;a2"))
   }
 
+  test("schema-wrapped debezium stream (schemas.enable topics) drives the same pipeline") {
+    // a Connect schema-wrapped topic ({"schema":..,"payload":..}) with a
+    // flat record mixed in — both shapes decode under schema-include
+    val dir = java.nio.file.Files.createTempDirectory("dbz_wrapped").toFile
+    val sch = """{"type":"struct","fields":[],"optional":false}"""
+    val lines = Seq(
+      s"""{"schema":$sch,"payload":{"before":null,"after":{"id":1,"v":"a"},"op":"c","source":{"db":"db","table":"users"}}}""",
+      s"""{"schema":$sch,"payload":{"before":null,"after":{"id":2,"v":"b"},"op":"c","source":{"db":"db","table":"users"}}}""",
+      """{"before":{"id":1,"v":"a"},"after":{"id":1,"v":"a2"},"op":"u","ts_ms":3,"source":{"db":"db","table":"users"}}""",
+      s"""{"schema":$sch,"payload":{"before":{"id":2,"v":"b"},"after":null,"op":"d","source":{"db":"db","table":"users"}}}""")
+    java.nio.file.Files.write(
+      new java.io.File(dir, "feed.json").toPath,
+      lines.mkString("\n").getBytes("UTF-8"))
+
+    val sink = new ValuesDatabase
+    val q = new StreamingPipeline(spark, pd, sink).startFromDebeziumJson(
+      StreamingPipeline.fileJsonStream(spark, dir.getAbsolutePath), tid, tableInfo,
+      schemaInclude = true)
+    q.awaitTermination(60000)
+    assert(sink.results(tid) === Seq("db.users:1;a2"))
+  }
+
   test("incremental dedup over micro-batches keeps the growing corpus near-dup-free") {
     // the production ingestion loop: each micro-batch dedups against the
     // accumulated kept corpus (ops.Dedup.incrementalKeep) and appends its
