@@ -276,6 +276,59 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  /** Connect-schema envelope round trip through the Verify surface:
+    * events build a paired changelog with TEMPORAL payload columns
+    * (TIMESTAMP(3), DATE, millis-of-day TIME), encode as
+    * `{"schema":...,"payload":...}` records with the declared-wire-form
+    * payload ([[graft.cdc.DebeziumJson.encodeWithSchema]]), decode them
+    * back through the schema-aware consume path
+    * (`decode(connectWire = true, schemaEnvelope = true)`), and
+    * materialize — the oracle recomputes the same final state directly,
+    * including the declared p=3 millisecond truncation the wire imposes.
+    */
+  private def q79ConnectSchemaRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ev = t(s, dir, "events")
+    val info = graft.model.TableInfo(
+      StructType(Seq(
+        StructField("user_id", LongType, nullable = false),
+        StructField("ts3", TimestampNTZType,
+          metadata = new MetadataBuilder().putLong("graft.cdc.precision", 3L).build()),
+        StructField("d", DateType),
+        StructField("t_ms", IntegerType,
+          metadata = new MetadataBuilder().putString("graft.cdc.type", "time").build()),
+        StructField("last_value", DoubleType))),
+      primaryKeys = Seq("user_id"))
+    val payload = struct(
+      col("user_id"),
+      col("ts").cast(TimestampNTZType).as("ts3"),
+      to_date(col("ts")).as("d"),
+      (hour(col("ts")) * 3600000 + minute(col("ts")) * 60000 +
+        second(col("ts")) * 1000).cast(IntegerType).as("t_ms"),
+      round(col("value"), 2).as("last_value"))
+    val paired = ev.select(
+      when(col("event_type") === "error", payload).as(Changelog.BeforeCol),
+      when(col("event_type") =!= "error", payload).as(Changelog.AfterCol),
+      when(col("event_type") === "signup", "I")
+        .when(col("event_type") === "error", "D")
+        .otherwise("U").as(Changelog.OpCol),
+      col("event_id").as(Changelog.SeqCol))
+    val encoded = graft.cdc.DebeziumJson.encodeWithSchema(
+      paired, "graft", "events", info, passthrough = Seq(Changelog.SeqCol))
+    val decoded = graft.cdc.DebeziumJson.decode(
+      encoded, "value", info.schema, seqCol = Some(Changelog.SeqCol),
+      connectWire = true, schemaEnvelope = true)
+    Changelog.materialize(
+      Changelog.explode(decoded.drop("__table")), Seq("user_id"))
+      .select(
+        col("user_id"),
+        date_format(col("ts3"), "yyyy-MM-dd HH:mm:ss.SSS").as("ts3_repr"),
+        date_format(col("d"), "yyyy-MM-dd").as("d_repr"),
+        col("t_ms"),
+        col("last_value"))
+      .orderBy(col("user_id"))
+  }
+
   // ---- training-data pipeline operators (ops package) ----
 
   private def q19TextStats(s: SparkSession, dir: String): DataFrame = {
@@ -1548,7 +1601,8 @@ object SparkEntry {
     "q75_unicode_norm" -> (q75UnicodeNorm _),
     "q76_media_decode" -> (q76MediaDecode _),
     "q77_random_projection" -> (q77RandomProjection _),
-    "q78_pca" -> (q78Pca _)
+    "q78_pca" -> (q78Pca _),
+    "q79_connect_schema_roundtrip" -> (q79ConnectSchemaRoundtrip _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2570,6 +2624,25 @@ object SparkEntry {
     // 0.0 after 6-decimal rounding, per vector
     "q78_pca" ->
       """SELECT vec_id AS emb_id, 0.0 AS recon_err, 0.0 AS norm_err
-        |FROM embeddings WHERE embedding IS NOT NULL ORDER BY emb_id""".stripMargin
+        |FROM embeddings WHERE embedding IS NOT NULL ORDER BY emb_id""".stripMargin,
+    "q79_connect_schema_roundtrip" ->
+      """WITH cl AS (
+        |  SELECT user_id,
+        |    date_trunc('milliseconds', ts) AS ts3,
+        |    ts::DATE AS d,
+        |    (hour(ts) * 3600000 + minute(ts) * 60000 + second(ts) * 1000)::INT AS t_ms,
+        |    round(value, 2) AS last_value,
+        |    CASE event_type WHEN 'signup' THEN '+I'
+        |      WHEN 'error' THEN '-D' ELSE '+U' END AS op,
+        |    event_id AS seq
+        |  FROM events),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY seq DESC) AS rn FROM cl)
+        |SELECT user_id,
+        |  strftime(ts3, '%Y-%m-%d %H:%M:%S.%g') AS ts3_repr,
+        |  strftime(d, '%Y-%m-%d') AS d_repr,
+        |  t_ms, last_value
+        |FROM ranked WHERE rn = 1 AND op <> '-D' ORDER BY user_id""".stripMargin
   )
 }
