@@ -67,6 +67,11 @@ final case class PipelineDef(
     // bounded snapshot-only execution — CreateTables buffer and merge
     // up-front, mid-flight schema changes are illegal
     batchMode: Boolean = false,
+    // `pipeline.local-time-zone` (PipelineOptions.java:92-110): the zone
+    // LOCALTIMESTAMP/DATE_FORMAT-on-LTZ render in. None keeps the
+    // session zone untouched (sessions pin UTC); when set, the runner
+    // applies it as spark.sql.session.timeZone for the pipeline
+    localTimeZone: Option[String] = None,
     // `pipeline.route-mode` (PipelineOptions.java:75-90): ALL_MATCH routes
     // through every matching rule, FIRST_MATCH stops at the first
     routeMode: graft.route.RouteMode = graft.route.RouteMode.AllMatch)
@@ -291,6 +296,15 @@ object YamlPipelineParser {
       udfs = udfs,
       batchMode = pipelineOpts.get("execution.runtime-mode")
         .exists(_.equalsIgnoreCase("batch")),
+      localTimeZone = pipelineOpts.get("local-time-zone").map { z =>
+        // validate up front — the reference rejects invalid zone ids at
+        // composition time (PipelineOptions local-time-zone doc)
+        try { java.time.ZoneId.of(z); z }
+        catch { case e: java.time.DateTimeException =>
+          throw new IllegalArgumentException(
+            s"pipeline.local-time-zone '$z' is not a valid zone id", e)
+        }
+      },
       routeMode = pipelineOpts.get("route-mode")
         .map(_.trim.toLowerCase.replace('_', '-'))
         .map {

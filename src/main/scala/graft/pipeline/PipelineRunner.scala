@@ -43,6 +43,12 @@ final class PipelineRunner(
   // fail fast on source-option typos (unknown keys under scan./chunk-/
   // connect reserved prefixes), whatever backend ends up interpreting them
   graft.sources.SourceOptions.resolve(pipeline.source.options)
+  // `pipeline.local-time-zone` (PipelineOptions.java:92-110): applied as
+  // the session zone so LOCALTIMESTAMP / DATE_FORMAT-on-LTZ render in the
+  // pipeline's declared zone — the same mechanism the reference's
+  // PostTransformOperator threads its timezone through
+  pipeline.localTimeZone.foreach(z =>
+    spark.conf.set("spark.sql.session.timeZone", z))
   // declared models become SQL functions visible to transform expressions
   graft.functions.CdcFunctions.registerModels(spark, pipeline.models)
   // declared UDFs register by classpath (public no-arg ctor + eval)

@@ -435,12 +435,32 @@ class PipelineSpec extends SparkSpec {
         |  name: sync
         |  parallelism: 4
         |  schema.change.behavior: evolve
+        |  local-time-zone: Asia/Shanghai
         |""".stripMargin)
     assert(pd.source.options("tables") === "db.\\.*")
     assert(pd.transforms.head.tableOptions === Map("bucket" -> "4", "owner" -> "x"))
     assert(pd.routes.head.replaceSymbol === Some("<t>"))
     assert(pd.parallelism === 4)
     assert(pd.schemaChangeBehavior === graft.schema.SchemaChangeBehavior.Evolve)
+    // PipelineOptions.java:92-110 local-time-zone: carried, validated
+    assert(pd.localTimeZone === Some("Asia/Shanghai"))
+    val zoneErr = intercept[IllegalArgumentException](YamlPipelineParser.parse(
+      """source:
+        |  type: values
+        |sink:
+        |  type: values
+        |pipeline:
+        |  local-time-zone: Mars/Olympus
+        |""".stripMargin))
+    assert(zoneErr.getMessage.contains("not a valid zone id"))
+    // the runner applies the declared zone as the session zone (the
+    // mechanism LOCALTIMESTAMP / DATE_FORMAT-on-LTZ render through)
+    val prior = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      new PipelineRunner(spark, pd,
+        new graft.sources.ValuesSource(Nil), new graft.sinks.ValuesDatabase)
+      assert(spark.conf.get("spark.sql.session.timeZone") === "Asia/Shanghai")
+    } finally spark.conf.set("spark.sql.session.timeZone", prior)
   }
 
   test("YAML user-defined-function block registers by classpath and runs in a projection") {
