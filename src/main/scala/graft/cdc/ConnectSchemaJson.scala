@@ -126,7 +126,10 @@ object ConnectSchemaJson {
       // falls to its default string branch
       ("string", Nil, None, Nil)
     case BinaryType =>
-      val len = if (meta.contains("length")) meta.getString("length") else "0"
+      // unbounded BYTES carries Int.MaxValue, the reference's
+      // DataTypes.getLength(BYTES) (DebeziumJsonSerializationSchemaTest
+      // pins "2147483647")
+      val len = if (meta.contains("length")) meta.getString("length") else "2147483647"
       ("bytes", Nil, Some("io.debezium.data.Bits"), Seq("length" -> len))
     case ArrayType(e, _) =>
       ("array", Seq("items" -> render(e, Metadata.empty, optional = false, None, None, None)),

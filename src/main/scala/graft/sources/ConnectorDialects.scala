@@ -350,7 +350,8 @@ object ConnectorCatalog {
       case "DATE" => DateType
       case "TIME" => CdcTemporal.TimeType // millis-of-day (TimeData.java)
       case "TIMESTAMP" => TimestampNTZType
-      case "CHAR" | "VARCHAR" | "CLOB" | "GRAPHIC" | "VARGRAPHIC" | "DBCLOB" => StringType
+      case "CHAR" | "VARCHAR" | "CLOB" | "GRAPHIC" | "VARGRAPHIC" | "DBCLOB" |
+          "XML" => StringType
       case "BINARY" | "VARBINARY" | "BLOB" => BinaryType
       case other => throw new IllegalArgumentException(s"db2 type: $other")
     }

@@ -148,6 +148,51 @@ class ConnectSchemaJsonSpec extends SparkSpec {
     assert(byName("s").get("default").asText === "x")
   }
 
+  test("all-types schema block byte-matches the reference serializer's own unit test") {
+    // ported expected bytes from DebeziumJsonSerializationSchemaTest
+    // .testSerializeWithSchemaAllDataTypes (the schema half of its
+    // expected JSON; extracted verbatim to
+    // goldens/connect_schema_all_types.json). Covers the Bits length
+    // parameters (incl. unbounded BYTES = 2147483647), the decimal
+    // parameter pair, the TIME/MicroTime and precision-branched
+    // timestamp logical names, comments, and key order.
+    def timeMeta = new MetadataBuilder().putString("graft.cdc.type", "time").build()
+    val info = TableInfo(
+      StructType(Seq(
+        StructField("_boolean", BooleanType,
+          metadata = new MetadataBuilder().putString("comment", "_boolean comment").build()),
+        StructField("_binary", BinaryType,
+          metadata = new MetadataBuilder().putString("length", "3").build()),
+        StructField("_varbinary", BinaryType,
+          metadata = new MetadataBuilder().putString("length", "10").build()),
+        StructField("_bytes", BinaryType),
+        StructField("_tinyint", ByteType),
+        StructField("_smallint", ShortType),
+        StructField("_int", IntegerType),
+        StructField("_bigint", LongType),
+        StructField("_float", FloatType),
+        StructField("_double", DoubleType),
+        StructField("_decimal", DecimalType(6, 3)),
+        StructField("_char", StringType),
+        StructField("_varchar", StringType),
+        StructField("_string", StringType),
+        StructField("_date", DateType),
+        StructField("_time", CdcTemporal.TimeType, metadata = timeMeta),
+        StructField("_time_6", CdcTemporal.TimeType, metadata = timeMeta),
+        StructField("_timestamp", TimestampNTZType),
+        StructField("_timestamp_3", TimestampNTZType,
+          metadata = new MetadataBuilder().putLong("graft.cdc.precision", 3L).build()),
+        StructField("_timestamp_ltz", TimestampType),
+        StructField("_timestamp_ltz_3", TimestampType),
+        StructField("pt", StringType))),
+      primaryKeys = Seq("pt"))
+    val in = getClass.getResourceAsStream("/goldens/connect_schema_all_types.json")
+    val expected =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    assert(ConnectSchemaJson.debeziumEnvelopeSchema(info) === expected)
+  }
+
   // shared wire-form fixture: every graft temporal encoding plus
   // decimal/binary, one +I row
   private val wireInfo = TableInfo(
