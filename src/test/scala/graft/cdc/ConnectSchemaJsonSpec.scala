@@ -193,6 +193,51 @@ class ConnectSchemaJsonSpec extends SparkSpec {
     assert(ConnectSchemaJson.debeziumEnvelopeSchema(info) === expected)
   }
 
+  test("non-string default values byte-match the reference serializer's own unit test") {
+    // ported from DebeziumJsonSerializationSchemaTest
+    // .testSerializeWithNonStringDefaultValues (schema half composed
+    // verbatim from its fieldsSchema literal into
+    // goldens/connect_schema_defaults.json): every convertDefaultValue
+    // branch — typed numerics, the Connect-Decimal base64 unscaled-bytes
+    // default ("Jw8=" for 99.99 at scale 2), raw epoch defaults for
+    // date/time/timestamps at both precisions, the ZonedTimestamp string,
+    // and base64 UTF-8 bytes for binary ("Ymlu" for 'bin').
+    def withDefault(n: String, dt: DataType, d: String, extra: MetadataBuilder => Unit = _ => ())
+        : StructField = {
+      val b = new MetadataBuilder().putString("default", d)
+      extra(b)
+      StructField(n, dt, metadata = b.build())
+    }
+    val info = TableInfo(
+      StructType(Seq(
+        withDefault("_boolean", BooleanType, "true"),
+        withDefault("_tinyint", ByteType, "1"),
+        withDefault("_smallint", ShortType, "5"),
+        withDefault("_int", IntegerType, "10"),
+        withDefault("_bigint", LongType, "0"),
+        withDefault("_float", FloatType, "1.5"),
+        withDefault("_double", DoubleType, "3.14"),
+        withDefault("_decimal", DecimalType(10, 2), "99.99"),
+        withDefault("_char", StringType, "abc"),
+        withDefault("_varchar", StringType, "hello"),
+        withDefault("_string", StringType, "unknown"),
+        withDefault("_date", DateType, "100"),
+        withDefault("_time", CdcTemporal.TimeType, "200000",
+          b => b.putString("graft.cdc.type", "time")),
+        withDefault("_timestamp", TimestampNTZType, "1672531200000000"),
+        withDefault("_timestamp_3", TimestampNTZType, "1672531200000",
+          b => b.putLong("graft.cdc.precision", 3L)),
+        withDefault("_timestamp_ltz", TimestampType, "2023-01-01T00:00:00Z"),
+        withDefault("_binary", BinaryType, "bin",
+          b => b.putString("length", "3")))),
+      primaryKeys = Seq("_bigint"))
+    val in = getClass.getResourceAsStream("/goldens/connect_schema_defaults.json")
+    val expected =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    assert(ConnectSchemaJson.debeziumEnvelopeSchema(info) === expected)
+  }
+
   // shared wire-form fixture: every graft temporal encoding plus
   // decimal/binary, one +I row
   private val wireInfo = TableInfo(
