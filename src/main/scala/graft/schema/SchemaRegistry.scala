@@ -100,7 +100,10 @@ final class SchemaRegistry(
         e match {
           case c: CreateTableEvent => evolveWith(c)
           case other => throw new IllegalStateException(
-            s"schema change not allowed under EXCEPTION behavior: $other")
+            // the reference SchemaEvolveException's exceptionMessage, pinned
+            // by FlinkParallelizedPipelineITCase's EXCEPTION-behavior cases
+            "Unexpected schema change events occurred in EXCEPTION mode. " +
+              s"Job will fail now. (rejected: $other)")
         }
       case SchemaChangeBehavior.Evolve => evolveWith(e)
       case SchemaChangeBehavior.TryEvolve =>
