@@ -47,15 +47,8 @@ object DebeziumJson {
   def decode(json: DataFrame, jsonCol: String, payload: StructType,
       seqCol: Option[String] = None, connectWire: Boolean = false,
       schemaEnvelope: Boolean = false): DataFrame = {
-    val parsePayload =
-      if (connectWire)
-        ConnectSchemaJson.wireType(payload, Metadata.empty).asInstanceOf[StructType]
-      else payload
-    val base = envelopeSchema(parsePayload)
-    val parseSchema =
-      if (schemaEnvelope) StructType(base.fields :+ StructField("payload", base))
-      else base
-    val env = json.withColumn("__env", from_json(col(jsonCol), parseSchema))
+    val env = json.withColumn("__env",
+      from_json(col(jsonCol), parseSchema(payload, connectWire, schemaEnvelope)))
     def top(n: String): org.apache.spark.sql.Column =
       if (schemaEnvelope) coalesce(col(s"__env.payload.$n"), col(s"__env.$n"))
       else col(s"__env.$n")
@@ -76,6 +69,24 @@ object DebeziumJson {
       when(top("ts_ms").isNotNull,
         map(lit("op_ts"), top("ts_ms").cast(StringType)))
         .as(Changelog.MetaCol))
+  }
+
+  /** The `from_json` parse schema for a consume configuration — shared by
+    * [[decode]] and hand-rolled line readers (the DSv2 micro-batch
+    * stream): wire-typed payload sides under `connectWire`, and a
+    * `payload` envelope wrapper alongside the flat fields under
+    * `schemaEnvelope` (so flat and schema-wrapped records coexist on one
+    * topic; each position coalesces).
+    */
+  def parseSchema(payload: StructType, connectWire: Boolean,
+      schemaEnvelope: Boolean): StructType = {
+    val parsePayload =
+      if (connectWire)
+        ConnectSchemaJson.wireType(payload, Metadata.empty).asInstanceOf[StructType]
+      else payload
+    val base = envelopeSchema(parsePayload)
+    if (schemaEnvelope) StructType(base.fields :+ StructField("payload", base))
+    else base
   }
 
   /** DDL statement carried by a schema-change envelope, or null for data

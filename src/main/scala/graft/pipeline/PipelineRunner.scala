@@ -46,9 +46,21 @@ final class PipelineRunner(
   // `pipeline.local-time-zone` (PipelineOptions.java:92-110): applied as
   // the session zone so LOCALTIMESTAMP / DATE_FORMAT-on-LTZ render in the
   // pipeline's declared zone — the same mechanism the reference's
-  // PostTransformOperator threads its timezone through
-  pipeline.localTimeZone.foreach(z =>
-    spark.conf.set("spark.sql.session.timeZone", z))
+  // PostTransformOperator threads its timezone through. The prior zone is
+  // saved so the override cannot leak into later work on the shared
+  // session ([[run]] restores it; long-lived wrappers that feed
+  // [[processBatch]] directly call [[restoreSessionZone]] when they stop)
+  private val priorSessionZone: Option[String] = pipeline.localTimeZone.map { z =>
+    val prior = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", z)
+    prior
+  }
+
+  /** Undo the `pipeline.local-time-zone` session override (no-op when the
+    * pipeline declared none).
+    */
+  def restoreSessionZone(): Unit =
+    priorSessionZone.foreach(z => spark.conf.set("spark.sql.session.timeZone", z))
   // declared models become SQL functions visible to transform expressions
   graft.functions.CdcFunctions.registerModels(spark, pipeline.models)
   // declared UDFs register by classpath (public no-arg ctor + eval)
@@ -305,7 +317,8 @@ final class PipelineRunner(
     */
   def run(): Unit = {
     require(source != null, "run() needs a CdcDataSource; streaming wrappers call processBatch")
-    source.batches(spark).foreach(processBatch)
+    try source.batches(spark).foreach(processBatch)
+    finally restoreSessionZone()
   }
 
   def processBatch(batch: SourceBatch): Unit = {

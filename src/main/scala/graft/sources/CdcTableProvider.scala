@@ -107,6 +107,25 @@ object CdcTableProvider {
         s"graft-cdc format must be debezium-json | canal-json | mongo-json, got: $other")
     }
 
+  /** Debezium consume modes, mirrored from the CLI/YAML front end
+    * (graft.tools.Cli): `debezium-json.schema-include` accepts Connect
+    * schema-wrapped records ({"schema":..,"payload":..}), and
+    * `debezium-json.connect-wire.enabled` reads temporal payloads in
+    * Debezium's Connect wire forms (epoch int64 micros/millis, epoch-day
+    * int32, ISO ZonedTimestamp strings) — what a real Debezium producer
+    * emits. Both are debezium-json-only options.
+    */
+  private[sources] def debeziumConsumeOpts(
+      options: CaseInsensitiveStringMap): (Boolean, Boolean) = {
+    val si = Option(options.get("debezium-json.schema-include")).exists(_.toBoolean)
+    val cw = Option(options.get("debezium-json.connect-wire.enabled")).exists(_.toBoolean)
+    if ((si || cw) && wireFormat(options) != "debezium-json")
+      throw new IllegalArgumentException(
+        "debezium-json.schema-include / debezium-json.connect-wire.enabled " +
+          s"apply to format debezium-json only, not ${wireFormat(options)}")
+    (si, cw)
+  }
+
   /** Apply `scan.startup.*` as a predicate over the raw (value, __seq)
     * frame, before any decode — codegen'd `get_json_object` probes, no
     * extra pass. See the provider scaladoc for the mode x coordinate
@@ -214,10 +233,13 @@ object CdcTableProvider {
                 // one deterministic seq per line, shared by an update's
                 // -U/+U pair (they explode from one envelope)
                 val filtered = startupFiltered(json, options)
+                // validates the debezium-only consume options per format
+                val (si, cw) = debeziumConsumeOpts(options)
                 val paired = wireFormat(options) match {
                   case "debezium-json" =>
                     DebeziumJson.decode(filtered, "value", payload,
-                      seqCol = Some(Changelog.SeqCol))
+                      seqCol = Some(Changelog.SeqCol),
+                      connectWire = cw, schemaEnvelope = si)
                       .drop("__table").drop(Changelog.MetaCol)
                   case "canal-json" =>
                     graft.cdc.CanalJson.decode(filtered, "value", payload,
@@ -331,8 +353,10 @@ object CdcTableProvider {
         .map(i => CdcFilePartition(fs(i), i, minSeq, minTs): InputPartition).toArray
     }
 
-    override def createReaderFactory(): PartitionReaderFactory =
-      new CdcReaderFactory(payload, format)
+    override def createReaderFactory(): PartitionReaderFactory = {
+      val (si, cw) = debeziumConsumeOpts(options)
+      new CdcReaderFactory(payload, format, si, cw)
+    }
     override def commit(end: Offset): Unit = ()
     override def stop(): Unit = ()
   }
@@ -351,7 +375,8 @@ object CdcTableProvider {
     * mongo delete-raced updates (null post-image) drop. Stream == batch
     * parity is pinned by CdcTableProviderSpec for every format.
     */
-  private final class CdcReaderFactory(payload: StructType, format: String)
+  private final class CdcReaderFactory(payload: StructType, format: String,
+      schemaInclude: Boolean, connectWire: Boolean)
       extends PartitionReaderFactory {
     override def createReader(p: InputPartition)
         : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
@@ -361,10 +386,17 @@ object CdcTableProvider {
       val fp = p.asInstanceOf[CdcFilePartition]
       new PartitionReader[InternalRow] {
         private val parser = new org.apache.spark.sql.graft.JsonLineParser(format match {
-          case "debezium-json" => DebeziumJson.envelopeSchema(payload)
+          case "debezium-json" =>
+            DebeziumJson.parseSchema(payload, connectWire, schemaInclude)
           case "canal-json" => graft.cdc.CanalJson.envelopeSchema(payload)
           case "mongo-json" => graft.cdc.MongoChangeStreamJson.envelopeSchema(payload)
         })
+        // wire→storage image projection (epoch ints → graft temporal
+        // encodings), shared semantics with DebeziumJson.decode's
+        // unwireSide — None when nothing needs converting
+        private val unwire =
+          if (connectWire) graft.cdc.ConnectSchemaJson.wireRowConverter(payload)
+          else None
         private val reader = {
           val hp = new org.apache.hadoop.fs.Path(fp.file)
           val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
@@ -388,12 +420,20 @@ object CdcTableProvider {
         }
 
         // debezium: before(0), after(1), op(2), ts_ms(3), source(4)
-        private def emitDebezium(env: InternalRow, seq: Long): Unit = {
+        // [, payload(5) under schema-include — a Connect-wrapped record
+        // carries the real envelope there; flat records coexist]
+        private def emitDebezium(raw: InternalRow, seq: Long): Unit = {
+          val env =
+            if (schemaInclude && !raw.isNullAt(5)) raw.getStruct(5, 5) else raw
           if (fp.minTs != Long.MinValue &&
             (env.isNullAt(3) || env.getLong(3) < fp.minTs)) return
           val op = if (env.isNullAt(2)) null else env.getUTF8String(2).toString
           def img(i: Int): InternalRow =
-            if (env.isNullAt(i)) null else env.getStruct(i, payload.length)
+            if (env.isNullAt(i)) null
+            else {
+              val image = env.getStruct(i, payload.length)
+              unwire.map(_(image)).getOrElse(image)
+            }
           op match {
             case "c" | "r" => if (img(1) != null) out("+I", img(1), seq)
             case "u" =>

@@ -77,13 +77,16 @@ object CdcTemporal {
   /** (instant, tz) struct -> ISO-8601 string rendered in the preserved
     * offset, sub-second digits included when present (trailing zeros
     * trimmed, so whole-second values round-trip byte-identically).
-    * Sessions run UTC (graft.Sessions.tuned), so the stored instant is
-    * the UTC wall clock `from_utc_timestamp` expects.
+    * `date_format` renders in the SESSION zone, so the shifted instant is
+    * re-anchored with `to_utc_timestamp(_, current_timezone())` — identity
+    * under the default UTC session, and still correct when
+    * `pipeline.local-time-zone` changes the session zone.
     */
   def zonedTimestampToString(c: Column): Column = {
     val tz = c.getField("tz")
     val zone = when(tz === "Z", "UTC").otherwise(tz)
-    val local = from_utc_timestamp(c.getField("instant"), zone)
+    val local = to_utc_timestamp(
+      from_utc_timestamp(c.getField("instant"), zone), current_timezone())
     val frac = regexp_replace(date_format(local, "SSSSSS"), "0+$", "")
     concat(
       date_format(local, "yyyy-MM-dd'T'HH:mm:ss"),

@@ -300,4 +300,62 @@ class CdcTableProviderSpec extends SparkSpec {
     // (line 0 was the DDL envelope — its seq is consumed, not emitted)
     assert(f1.map(_.getLong(3)).toSeq === Seq((1L << 33) | 1L, (1L << 33) | 2L))
   }
+
+  test("debezium-json.schema-include + connect-wire: real Debezium feeds decode, stream == batch") {
+    // a stock Debezium topic with schemas.enable=true: Connect-wrapped
+    // records whose temporals ride the WIRE forms the schema block
+    // declares — epoch millis for DATETIME(3) (io.debezium.time.Timestamp),
+    // int64 micros for TIME (MicroTime), epoch-day int32 (Date), ISO
+    // offset strings for TIMESTAMP_LTZ (ZonedTimestamp). One flat record
+    // (schemas.enable=false producer on the same topic) coexists.
+    val wireFeed = Seq(
+      """{"schema":{"type":"struct"},"payload":{"before":null,"after":{"id":1,"d":86400123,"t":45296789000,"dt":19000,"z":"2024-03-01T10:15:30.5Z","s":"a"},"op":"c","ts_ms":1,"source":{"db":"db","table":"evts"}}}""",
+      """{"schema":{"type":"struct"},"payload":{"before":{"id":1,"d":86400123,"t":45296789000,"dt":19000,"z":"2024-03-01T10:15:30.5Z","s":"a"},"after":{"id":1,"d":86400124,"t":45296789000,"dt":19000,"z":"2024-03-01T10:15:30.5Z","s":"a2"},"op":"u","ts_ms":2,"source":{"db":"db","table":"evts"}}}""",
+      """{"before":null,"after":{"id":2,"d":172800001,"t":1000,"dt":0,"z":"1970-01-01T00:00:00Z","s":"b"},"op":"c","ts_ms":3,"source":{"db":"db","table":"evts"}}""")
+    val ddl = "CREATE TABLE evts (id BIGINT PRIMARY KEY, d DATETIME(3), " +
+      "t TIME(3), dt DATE, z TIMESTAMP, s VARCHAR(10))"
+    val path = writeFeed(wireFeed)
+    val consumeOpts = Map(
+      "path" -> path, "schema.ddl" -> ddl,
+      "debezium-json.schema-include" -> "true",
+      "debezium-json.connect-wire.enabled" -> "true")
+    val df = spark.read.format("graft-cdc").options(consumeOpts).load()
+    // storage schema is the graft encoding, not the wire one
+    assert(df.schema("d").dataType === TimestampNTZType)
+    assert(df.schema("t").dataType === IntegerType)
+    assert(df.schema("dt").dataType === DateType)
+    assert(df.schema("z").dataType === TimestampType)
+    def shape(rows: Seq[org.apache.spark.sql.Row]) = rows.map { r =>
+      (r.getLong(0),
+        r.getAs[java.time.LocalDateTime]("d").toString,
+        r.getInt(r.fieldIndex("t")),
+        r.getAs[java.sql.Date]("dt").toString,
+        r.getAs[java.sql.Timestamp]("z").toInstant.toString,
+        r.getString(r.fieldIndex("s")),
+        r.getString(r.fieldIndex("__op")))
+    }.sorted
+    val batch = shape(df.collect().toSeq)
+    assert(batch === Seq(
+      (1L, "1970-01-02T00:00:00.123", 45296789, "2022-01-08",
+        "2024-03-01T10:15:30.500Z", "a", "+I"),
+      (1L, "1970-01-02T00:00:00.123", 45296789, "2022-01-08",
+        "2024-03-01T10:15:30.500Z", "a", "-U"),
+      (1L, "1970-01-02T00:00:00.124", 45296789, "2022-01-08",
+        "2024-03-01T10:15:30.500Z", "a2", "+U"),
+      (2L, "1970-01-03T00:00:00.001", 1, "1970-01-01",
+        "1970-01-01T00:00:00Z", "b", "+I")).sorted)
+    // the hand-rolled micro-batch reader converts identically
+    val q = spark.readStream.format("graft-cdc").options(consumeOpts).load()
+      .writeStream.format("memory").queryName("cdc_wire_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(shape(spark.table("cdc_wire_out").collect().toSeq) === batch)
+    // debezium-only options are rejected on other formats
+    val ex = intercept[Exception] {
+      spark.read.format("graft-cdc").option("path", path)
+        .option("schema.ddl", ddl).option("format", "canal-json")
+        .option("debezium-json.connect-wire.enabled", "true").load().collect()
+    }
+    assert(ex.getMessage.contains("debezium-json only"))
+  }
 }
