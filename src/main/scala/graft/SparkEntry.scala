@@ -294,6 +294,11 @@ object SparkEntry {
         StructField("user_id", LongType, nullable = false),
         StructField("ts3", TimestampNTZType,
           metadata = new MetadataBuilder().putLong("graft.cdc.precision", 3L).build()),
+        // p>3: the MicroTimestamp (epoch micros) branch of the precision fork
+        StructField("ts6", TimestampNTZType,
+          metadata = new MetadataBuilder().putLong("graft.cdc.precision", 6L).build()),
+        // TIMESTAMP_LTZ rides the ZonedTimestamp ISO-'Z'-string wire form
+        StructField("ltz", TimestampType),
         StructField("d", DateType),
         StructField("t_ms", IntegerType,
           metadata = new MetadataBuilder().putString("graft.cdc.type", "time").build()),
@@ -302,6 +307,8 @@ object SparkEntry {
     val payload = struct(
       col("user_id"),
       col("ts").cast(TimestampNTZType).as("ts3"),
+      col("ts").cast(TimestampNTZType).as("ts6"),
+      col("ts").cast(TimestampType).as("ltz"),
       to_date(col("ts")).as("d"),
       (hour(col("ts")) * 3600000 + minute(col("ts")) * 60000 +
         second(col("ts")) * 1000).cast(IntegerType).as("t_ms"),
@@ -323,6 +330,8 @@ object SparkEntry {
       .select(
         col("user_id"),
         date_format(col("ts3"), "yyyy-MM-dd HH:mm:ss.SSS").as("ts3_repr"),
+        date_format(col("ts6"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts6_repr"),
+        date_format(col("ltz"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ltz_repr"),
         date_format(col("d"), "yyyy-MM-dd").as("d_repr"),
         col("t_ms"),
         col("last_value"))
@@ -2629,6 +2638,7 @@ object SparkEntry {
       """WITH cl AS (
         |  SELECT user_id,
         |    date_trunc('milliseconds', ts) AS ts3,
+        |    date_trunc('microseconds', ts) AS ts6,
         |    ts::DATE AS d,
         |    (hour(ts) * 3600000 + minute(ts) * 60000 + second(ts) * 1000)::INT AS t_ms,
         |    round(value, 2) AS last_value,
@@ -2641,6 +2651,8 @@ object SparkEntry {
         |    ORDER BY seq DESC) AS rn FROM cl)
         |SELECT user_id,
         |  strftime(ts3, '%Y-%m-%d %H:%M:%S.%g') AS ts3_repr,
+        |  strftime(ts6, '%Y-%m-%d %H:%M:%S.%f') AS ts6_repr,
+        |  strftime(ts6, '%Y-%m-%d %H:%M:%S.%f') AS ltz_repr,
         |  strftime(d, '%Y-%m-%d') AS d_repr,
         |  t_ms, last_value
         |FROM ranked WHERE rn = 1 AND op <> '-D' ORDER BY user_id""".stripMargin

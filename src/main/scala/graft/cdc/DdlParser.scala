@@ -271,8 +271,12 @@ object DdlParser {
       case clause if clause.toUpperCase.matches("(?s)\\s*(UNIQUE|KEY|INDEX|CONSTRAINT|FOREIGN)\\b.*") =>
         None
       case ColDef(name, rest) =>
-        val inlinePk = rest.toUpperCase.contains("PRIMARY KEY")
-        val notNull = rest.toUpperCase.contains("NOT NULL") || inlinePk
+        // blank quoted literals before the keyword probes (same guard as
+        // the ALTER/ADD COLUMN path): a DEFAULT/COMMENT string containing
+        // "not null" or "primary key" must not flip column facts
+        val bare = rest.replaceAll("'[^']*'", "''").toUpperCase
+        val inlinePk = bare.contains("PRIMARY KEY")
+        val notNull = bare.contains("NOT NULL") || inlinePk
         // the type spec is the prefix of `rest` before any modifier keyword
         val spec = rest.split("""(?i)\s+(NOT\s+NULL|NULL|PRIMARY\s+KEY|DEFAULT|COMMENT|AUTO_INCREMENT|UNIQUE)""")(0)
         val n = unquote(name)

@@ -352,6 +352,134 @@ class ConnectSchemaJsonSpec extends SparkSpec {
     assert(realRow.getAs[java.time.LocalDateTime]("ts6") === wall)
   }
 
+  test("wire round-trip properties: fromWire ∘ wireForm is identity modulo declared truncation") {
+    // ScalaCheck-generated case matrix (temporal kind × precision 0-9 ×
+    // nesting), batch-evaluated: all cases ride ONE row as sibling
+    // columns, so the property costs a few Spark jobs, not one per case.
+    // Identity is exact except the DOCUMENTED exception: declared p<=3
+    // rides epoch millis, so sub-millisecond micros truncate toward zero
+    // (Spark long division), and a zoned timestamp's zone collapses to
+    // 'Z' (the int64 wire form carries no zone — the same information
+    // the reference's MicroTimestamp declaration drops).
+    import java.time.{LocalDate, LocalDateTime, ZoneOffset}
+    def precMeta(p: Int) = new MetadataBuilder().putLong("graft.cdc.precision", p.toLong).build()
+    def ldtOf(micros: Long): LocalDateTime = LocalDateTime.ofEpochSecond(
+      Math.floorDiv(micros, 1000000L), (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+      ZoneOffset.UTC)
+    def truncP(micros: Long, p: Int): Long =
+      if (p <= 3) micros - micros % 1000L else micros
+
+    // (field, input value, expected value after the round trip)
+    case class RoundTrip(field: StructField, in: Any, exp: Any)
+    // micros in 1900..2200 — wide enough for pre-1970 negatives, inside
+    // date_format's 4-digit-year rendering
+    val microsGen = Gen.choose(-2208988800000000L, 7258118400000000L)
+    val precGen = Gen.choose(0, 9)
+    val zoneGen = Gen.oneOf("Z", "+05:30", "Asia/Shanghai", "America/New_York")
+    val kindGen: Gen[(String, Int, Long, String, Int, Boolean)] = for {
+      kind <- Gen.oneOf("time", "ntz", "ztz", "ltz", "date", "struct", "array", "map")
+      p <- precGen
+      micros <- microsGen
+      zone <- zoneGen
+      millisOfDay <- Gen.choose(-86399999, 86399999)
+      isNull <- Gen.frequency(9 -> false, 1 -> true)
+    } yield (kind, p, micros, zone, millisOfDay, isNull)
+    val casesGen = Gen.listOfN(120, kindGen)
+
+    def mk(i: Int, c: (String, Int, Long, String, Int, Boolean)): RoundTrip = {
+      val (kind, p, micros, zone, millisOfDay, isNull) = c
+      def nn(v: Any): Any = if (isNull) null else v
+      kind match {
+        case "time" =>
+          RoundTrip(StructField(s"f$i", IntegerType, nullable = true,
+            metadata = CdcTemporal.timeMetadata), nn(millisOfDay), nn(millisOfDay))
+        case "ntz" =>
+          RoundTrip(StructField(s"f$i", TimestampNTZType, nullable = true,
+            metadata = precMeta(p)), nn(ldtOf(micros)), nn(ldtOf(truncP(micros, p))))
+        case "ztz" =>
+          RoundTrip(StructField(s"f$i", CdcTemporal.ZonedTimestampType, nullable = true,
+            metadata = precMeta(p)),
+            nn(Row(java.sql.Timestamp.from(java.time.Instant.EPOCH.plusNanos(micros * 1000L)), zone)),
+            nn(Row(java.sql.Timestamp.from(
+              java.time.Instant.EPOCH.plusNanos(truncP(micros, p) * 1000L)), "Z")))
+        case "ltz" =>
+          val inst = java.time.Instant.EPOCH.plusNanos(micros * 1000L)
+          RoundTrip(StructField(s"f$i", TimestampType, nullable = true,
+            metadata = precMeta(p)),
+            nn(java.sql.Timestamp.from(inst)), nn(java.sql.Timestamp.from(inst)))
+        case "date" =>
+          val d = java.sql.Date.valueOf(LocalDate.ofEpochDay(micros % 60000L))
+          RoundTrip(StructField(s"f$i", DateType, nullable = true), nn(d), nn(d))
+        case "struct" =>
+          // nested struct: inner fields keep their own precision metadata
+          val st = StructType(Seq(
+            StructField("ts", TimestampNTZType, nullable = true, metadata = precMeta(p)),
+            StructField("t", IntegerType, nullable = true, metadata = CdcTemporal.timeMetadata)))
+          RoundTrip(StructField(s"f$i", st, nullable = true),
+            nn(Row(ldtOf(micros), millisOfDay)),
+            nn(Row(ldtOf(truncP(micros, p)), millisOfDay)))
+        case "array" =>
+          // element metadata cannot ride ArrayType — elements take the
+          // precision-unknown (micros) branch: exact identity
+          RoundTrip(StructField(s"f$i", ArrayType(TimestampNTZType), nullable = true),
+            nn(Seq(ldtOf(micros), ldtOf(micros / 2))),
+            nn(Seq(ldtOf(micros), ldtOf(micros / 2))))
+        case "map" =>
+          RoundTrip(StructField(s"f$i", MapType(StringType, DateType), nullable = true),
+            nn(Map("k" -> java.sql.Date.valueOf(LocalDate.ofEpochDay(micros % 60000L)))),
+            nn(Map("k" -> java.sql.Date.valueOf(LocalDate.ofEpochDay(micros % 60000L)))))
+      }
+    }
+
+    def norm(v: Any): Any = v match {
+      case null => null
+      case ts: java.sql.Timestamp => ts.toInstant.toString
+      case ldt: LocalDateTime => ldt.toString
+      case d: java.sql.Date => d.toLocalDate.toString
+      case r: Row => r.toSeq.map(norm).toList
+      // collect() hands back mutable.ArraySeq, which is not 2.13's
+      // (immutable) Seq — match the collection root
+      case s: scala.collection.Seq[_] => s.map(norm).toList
+      case m: scala.collection.Map[_, _] =>
+        m.toSeq.map { case (k, v2) => (k.toString, norm(v2)) }.sortBy(_._1)
+      case other => other
+    }
+
+    def checkRound(seed: Long): Unit = {
+      val cases = casesGen.pureApply(Gen.Parameters.default,
+        org.scalacheck.rng.Seed(seed)).zipWithIndex.map { case (c, i) => mk(i, c) }
+      val payload = StructType(cases.map(_.field))
+      val df = spark.createDataFrame(
+        java.util.Collections.singletonList(Row.fromSeq(cases.map(_.in))), payload)
+      val wired = df.select(payload.fields.toIndexedSeq.map(f =>
+        ConnectSchemaJson.wireForm(col(f.name), f.dataType, f.metadata).as(f.name)): _*)
+      // wireType always describes what wireForm emitted
+      payload.fields.foreach { f =>
+        val declared = ConnectSchemaJson.wireType(f.dataType, f.metadata)
+        // catalogString compare: nullability-insensitive type equality
+        assert(wired.schema(f.name).dataType.catalogString === declared.catalogString,
+          s"wireType mismatch for $f: emitted ${wired.schema(f.name).dataType}, declared $declared")
+      }
+      val back = wired.select(payload.fields.toIndexedSeq.map(f =>
+        ConnectSchemaJson.fromWire(col(f.name), f.dataType, f.metadata).as(f.name)): _*)
+      val row = back.collect().head
+      cases.zipWithIndex.foreach { case (c, i) =>
+        assert(norm(row.get(i)) === norm(c.exp), s"round trip broke for ${c.field}")
+      }
+    }
+
+    checkRound(seed = 11L)
+    checkRound(seed = 22L)
+    // the conversions are session-zone independent (ADVICE r11: a
+    // pipeline combining local-time-zone with connect-wire must not
+    // shift temporals) — same identities under a shifted session zone
+    val prior = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Shanghai")
+      checkRound(seed = 33L)
+    } finally spark.conf.set("spark.sql.session.timeZone", prior)
+  }
+
   test("defaultJson properties: parser round-trip, warn-and-skip, parseBoolean") {
     // numerics: a parseable default renders as a JSON number equal to it
     val numProp = Prop.forAll(Gen.choose(-1000000L, 1000000L)) { n =>

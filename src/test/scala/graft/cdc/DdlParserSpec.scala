@@ -238,6 +238,22 @@ class DdlParserSpec extends AnyFunSuite {
       .asInstanceOf[AddColumnEvent].columns.head._1.dataType === ShortType)
   }
 
+  test("CREATE TABLE: quoted literals cannot flip nullability or inline-PK facts") {
+    // keyword probes must run on quote-blanked text — a COMMENT/DEFAULT
+    // string spelling "not null" or "primary key" is data, not DDL
+    val ev = DdlParser.parse(
+      "CREATE TABLE t (id INT PRIMARY KEY, " +
+        "a VARCHAR(10) COMMENT 'not null means required', " +
+        "b VARCHAR(10) DEFAULT 'primary key', " +
+        "c VARCHAR(10) NOT NULL COMMENT 'freeform')", tid).head
+      .asInstanceOf[CreateTableEvent]
+    val s = ev.info.schema
+    assert(s("a").nullable === true)
+    assert(s("b").nullable === true)
+    assert(s("c").nullable === false)
+    assert(ev.info.primaryKeys === Seq("id"))
+  }
+
   test("DROP/TRUNCATE TABLE and schema-neutral statements") {
     assert(DdlParser.parse("DROP TABLE IF EXISTS users", tid) === Seq(DropTableEvent(tid)))
     assert(DdlParser.parse("TRUNCATE TABLE users;", tid) === Seq(TruncateTableEvent(tid)))
