@@ -96,6 +96,13 @@ object DdlParser {
     val b = new MetadataBuilder()
     if (typeName == "TIME" && dt == graft.sources.CdcTemporal.TimeType)
       b.putString("graft.cdc.type", "time")
+    // declared spelling Spark's type system cannot carry: CHAR(17) and
+    // STRING both land on StringType, BINARY(17)/VARBINARY(17) on
+    // BinaryType. The reference `Column` keeps the declared DataType and
+    // renders it (Column.asSummaryString); keeping the spelling lets
+    // EventRender replay reference event strings byte-exactly.
+    if (p >= 0 && Set("CHAR", "VARCHAR", "BINARY", "VARBINARY")(typeName))
+      b.putString("graft.cdc.declared", s"$typeName($p)")
     val temporal = Set("DATETIME", "DATETIME2", "SMALLDATETIME", "TIMESTAMP",
       "TIMESTAMPTZ", "TIME", "TIMETZ", "DATETIMEOFFSET",
       "TIMESTAMP WITH TIME ZONE", "TIMESTAMP WITH LOCAL TIME ZONE")
@@ -195,6 +202,10 @@ object DdlParser {
   private val Modifier =
     """NOT\s+NULL|NULL|DEFAULT\s+'[^']*'|DEFAULT\s+\S+|COMMENT\s+'[^']*'|COMMENT\s+\S+|AUTO_INCREMENT|UNIQUE|FIRST|AFTER\s+\S+"""
   private val AddCol = s"""(?is)ADD\\s+(?:COLUMN\\s+)?(\\S+)\\s+(.+?)((?:\\s+(?:$Modifier))*)""".r
+  // MySQL parenthesized multi-column ADD: the group body splits on
+  // top-level commas, each def matching the bare column-clause shape
+  private val AddColGroup = """(?is)ADD\s+(?:COLUMN\s+)?\((.*)\)\s*""".r
+  private val AddColBody = s"""(?is)(\\S+)\\s+(.+?)((?:\\s+(?:$Modifier))*)""".r
   private val DropCol = """(?is)DROP\s+(?:COLUMN\s+)?(\S+)\s*""".r
   private val RenameCol = """(?is)RENAME\s+(?:COLUMN\s+)?(\S+)\s+TO\s+(\S+)\s*""".r
   private val ModifyCol = s"""(?is)MODIFY\\s+(?:COLUMN\\s+)?(\\S+)\\s+(.+?)((?:\\s+(?:$Modifier))*)""".r
@@ -232,6 +243,17 @@ object DdlParser {
           case c if c.toUpperCase.matches(
               "(?s)\\s*(ADD|DROP)\\s+(INDEX|KEY|UNIQUE|CONSTRAINT|FOREIGN|FULLTEXT|SPATIAL|PARTITION|PRIMARY)\\b.*") =>
             None
+          // MySQL's parenthesized multi-column form: ADD COLUMN (a INT,
+          // b DOUBLE) — one statement, one AddColumnEvent with the list
+          case AddColGroup(defs) =>
+            val cols = splitClauses(defs).collect {
+              case AddColBody(name, spec, tail) =>
+                val cleaned = tail.replaceAll("'[^']*'", "''")
+                val notNull = """(?is).*\bNOT\s+NULL\b.*""".r.matches(cleaned)
+                (parseField(name, spec, tail, nullable = !notNull, types),
+                  positionOf(tail))
+            }
+            if (cols.isEmpty) None else Some(AddColumnEvent(tableId, cols))
           case AddCol(name, spec, tail) =>
             val cleaned = tail.replaceAll("'[^']*'", "''")
             val notNull = """(?is).*\bNOT\s+NULL\b.*""".r.matches(cleaned)

@@ -16,7 +16,14 @@ class DdlParserSpec extends AnyFunSuite {
     // carries defaultValueExpression; its sink serializer renders it)
     assert(DdlParser.parse("ALTER TABLE users ADD nick VARCHAR(32) NOT NULL DEFAULT 'x'", tid) ===
       Seq(AddColumnEvent(tid, Seq((StructField("nick", StringType, nullable = false,
-        new MetadataBuilder().putString("default", "x").build()), ColumnPosition.Last)))))
+        new MetadataBuilder().putString("graft.cdc.declared", "VARCHAR(32)")
+          .putString("default", "x").build()), ColumnPosition.Last)))))
+    // MySQL parenthesized multi-column ADD: one statement, one event
+    // (rules/vanilla.yaml's `ADD COLUMN (digits DOUBLE)` spelling)
+    assert(DdlParser.parse("ALTER TABLE users ADD COLUMN (a INT, b DOUBLE NOT NULL)", tid) ===
+      Seq(AddColumnEvent(tid, Seq(
+        (StructField("a", IntegerType), ColumnPosition.Last),
+        (StructField("b", DoubleType, nullable = false), ColumnPosition.Last)))))
     assert(DdlParser.parse("alter table users drop column age", tid) ===
       Seq(DropColumnEvent(tid, Seq("age"))))
     // MySQL column placement
@@ -60,7 +67,10 @@ class DdlParserSpec extends AnyFunSuite {
     assert(ev.tableId === tid)
     assert(ev.info.schema === StructType(Seq(
       StructField("id", LongType, nullable = false),
-      StructField("name", StringType),
+      // the declared VARCHAR(255) spelling survives as metadata — Spark's
+      // StringType alone cannot carry it (EventRender renders it back)
+      StructField("name", StringType, nullable = true,
+        new MetadataBuilder().putString("graft.cdc.declared", "VARCHAR(255)").build()),
       StructField("score", DoubleType))))
     assert(ev.info.primaryKeys === Seq("id"))
     // inline PK spelling
@@ -76,7 +86,9 @@ class DdlParserSpec extends AnyFunSuite {
       Seq(AddColumnEvent(tid, Seq((StructField("status", StringType), ColumnPosition.Last)))))
     assert(DdlParser.parse(
       "ALTER TABLE users ADD nick VARCHAR(32) CHARACTER SET utf8mb4 COLLATE utf8mb4_bin", tid) ===
-      Seq(AddColumnEvent(tid, Seq((StructField("nick", StringType), ColumnPosition.Last)))))
+      Seq(AddColumnEvent(tid, Seq((StructField("nick", StringType, nullable = true,
+        new MetadataBuilder().putString("graft.cdc.declared", "VARCHAR(32)").build()),
+        ColumnPosition.Last)))))
     // a COMMENT mentioning "after x" must not fake a column placement
     // (and the comment itself rides into field metadata)
     assert(DdlParser.parse(

@@ -4,10 +4,8 @@ import graft.SparkSpec
 import graft.model._
 import graft.route.RouteRule
 import graft.schema.SchemaChangeBehavior
-import graft.sinks.{DataSink, ValuesDatabase}
 import graft.sources.ValuesSource
-import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.types._
 import scala.collection.mutable
 
@@ -120,25 +118,6 @@ class ParallelizedPipelineSpec extends SparkSpec {
     buf.toSeq
   }
 
-  // ---- reference-format sink (the values sink's stdout capture)
-
-  private final class RefFormatSink(val db: ValuesDatabase) extends DataSink {
-    val lines = mutable.ArrayBuffer.empty[String]
-    override def applySchemaChange(e: SchemaChangeEvent): Unit = {
-      lines += EventRender.schemaChange(e)
-      db.applySchemaChange(e)
-    }
-    override def write(tableId: TableId, exploded: DataFrame, info: TableInfo): Unit = {
-      import graft.cdc.Changelog.{OpCol, SeqCol}
-      val ordered = exploded
-        .select((info.fieldNames.map(col) :+ col(OpCol) :+ col(SeqCol)): _*)
-        .orderBy(col(SeqCol), col(OpCol).substr(1, 1).desc)
-        .collect()
-      lines ++= EventRender.dataBatch(tableId, info, ordered)
-      db.write(tableId, exploded, info)
-    }
-  }
-
   /** The merge routes (FlinkParallelizedPipelineITCase.java:77-89): regex
     * routes collapsing every `default_namespace_subtask_<d>` namespace into
     * `default_namespace`, one rule per table.
@@ -153,7 +132,7 @@ class ParallelizedPipelineSpec extends SparkSpec {
     val pd = PipelineDef(
       SourceDef("values", Map.empty), SinkDef("values", Map.empty),
       routes = routes, schemaChangeBehavior = behavior)
-    val sink = new RefFormatSink(new ValuesDatabase)
+    val sink = new RefFormatSink
     new PipelineRunner(spark, pd, new ValuesSource(events), sink).run()
     sink
   }

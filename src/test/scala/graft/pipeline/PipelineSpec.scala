@@ -841,4 +841,74 @@ class PipelineSpec extends SparkSpec {
     assert(pd.name === "strict-ok")
     assert(pd.transforms.size === 1 && pd.routes.size === 1)
   }
+
+  // ---- YAML green path, ported from the reference e2e corpus
+  // flink-cdc-e2e-tests/flink-cdc-pipeline-e2e-tests/src/test/resources/
+  // rules/vanilla.yaml (driven there by a live MySQL; here the same
+  // `exec sql` steps replay through DdlParser + ValuesSource, and the
+  // check-block jm/tm expectation lines compare byte-for-byte) ----
+
+  test("YAML green path: rules/vanilla.yaml steps replay with exact jm/tm lines") {
+    import graft.cdc.DdlParser
+    val db = "db" // the $database$ placeholder
+    val tid = TableId.parse(s"$db.foo")
+
+    // step 1 exec: CREATE + 5 inserts
+    val create = DdlParser.parse(
+      "CREATE TABLE foo (idx BIGINT NOT NULL PRIMARY KEY, name VARCHAR(17));", tid).head
+    val firstRows = Seq(1L -> "Alice", 2L -> "Brett", 3L -> "Cicada",
+      4L -> "Derrida", 5L -> "Eve")
+    // step 3 exec: ALTER ADD + 3 wider inserts
+    val addCol = DdlParser.parse(
+      "ALTER TABLE foo ADD COLUMN (digits DOUBLE);", tid).head
+    val widerRows = Seq((6L, "Faye", 3.14), (7L, "Gem", 2.71828), (8L, "Helen", 1.414))
+    // step 5 exec: UPDATE ... WHERE idx < 4
+    val updates = Seq("Alice", "Brett", "Cicada").zipWithIndex.map { case (n, i) =>
+      DataChangeEvent.update(tid,
+        Row(i + 1L, n, null), Row(i + 1L, n, 42.0d))
+    }
+    val script: Seq[Event] =
+      (create +: firstRows.map { case (i, n) => DataChangeEvent.insert(tid, Row(i, n)) }) ++
+        (addCol +: widerRows.map { case (i, n, d) =>
+          DataChangeEvent.insert(tid, Row(i, n, d)) }) ++ updates
+
+    // step 2 submit: the vanilla pipeline block (parallelism: 1 only)
+    val pd = YamlPipelineParser.parse(
+      """source: { type: values }
+        |sink: { type: values }
+        |pipeline:
+        |  parallelism: 1
+        |""".stripMargin)
+    val sink = new RefFormatSink
+    new PipelineRunner(spark, pd, new ValuesSource(script), sink).run()
+
+    // check-block expectations, verbatim from rules/vanilla.yaml
+    val jm1 = "CreateTableEvent{tableId=db.foo, schema=columns={`idx` BIGINT " +
+      "NOT NULL,`name` VARCHAR(17)}, primaryKeys=idx, options=()}"
+    val jm2 = "AddColumnEvent{tableId=db.foo, addedColumns=[ColumnWithPosition{" +
+      "column=`digits` DOUBLE, position=LAST, existedColumnName=null}]}"
+    val tm1 = Seq("Alice", "Brett", "Cicada", "Derrida", "Eve").zipWithIndex.map {
+      case (n, i) => s"DataChangeEvent{tableId=db.foo, before=[], " +
+        s"after=[${i + 1}, $n], op=INSERT, meta=()}"
+    }
+    val tm2 = Seq(
+      "DataChangeEvent{tableId=db.foo, before=[], after=[6, Faye, 3.14], op=INSERT, meta=()}",
+      "DataChangeEvent{tableId=db.foo, before=[], after=[7, Gem, 2.71828], op=INSERT, meta=()}",
+      "DataChangeEvent{tableId=db.foo, before=[], after=[8, Helen, 1.414], op=INSERT, meta=()}")
+    val tm3 = Seq("Alice", "Brett", "Cicada").zipWithIndex.map { case (n, i) =>
+      s"DataChangeEvent{tableId=db.foo, before=[${i + 1}, $n, null], " +
+        s"after=[${i + 1}, $n, 42.0], op=UPDATE, meta=()}"
+    }
+    assert(sink.lines.toSeq === (jm1 +: tm1) ++ (jm2 +: tm2) ++ tm3)
+    // the jm log-line framing the reference greps for
+    assert(s"Successfully applied schema change event ${sink.lines.head} " +
+      "to external system." ===
+      "Successfully applied schema change event " + jm1 + " to external system.")
+    // materialized end state: 8 rows, updates applied, untouched rows null
+    assert(sink.db.rows(tid).size === 8)
+    val digitsById = sink.db.rows(tid).map(r => r.head -> r.last).toMap
+    assert(Seq(1L, 2L, 3L).map(digitsById) === Seq(42.0, 42.0, 42.0))
+    assert(digitsById(5L) === null)
+    assert(digitsById(6L) === 3.14)
+  }
 }
