@@ -31,15 +31,21 @@ final class PipelineRunner(
   // Per-sink DDL filtering (the reference's MetadataApplier contract,
   // MetadataApplier.java:36-51; option surface schema-evolution.md:71-109):
   // `include.schema.changes` / `exclude.schema.changes` accept kinds or
-  // families ("drop" = drop.column + drop.table), exclude wins over include.
-  private def sinkKinds(key: String): Option[Set[String]] =
-    pipeline.sink.options.get(key).map(s =>
-      SchemaChangeEvent.expand(s.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+  // families ("drop" = drop.column + drop.table). The lists resolve
+  // against the behavior via [[graft.schema.SchemaEvolutionTypes]] —
+  // LENIENT defaults to excluding drop.table + truncate.table unless an
+  // explicit (even empty) exclude overrides, and a user include list
+  // implicitly keeps create.table (FLINK-37837).
+  private def sinkKindList(key: String): Option[Seq[String]] =
+    pipeline.sink.options.get(key)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
 
   val registry = new SchemaRegistry(
     pipeline.schemaChangeBehavior,
-    includeKinds = sinkKinds("include.schema.changes"),
-    excludeKinds = sinkKinds("exclude.schema.changes").getOrElse(Set.empty))
+    includeKinds = Some(graft.schema.SchemaEvolutionTypes.resolveIncluded(
+      pipeline.schemaChangeBehavior,
+      sinkKindList("include.schema.changes"),
+      sinkKindList("exclude.schema.changes"))))
   // fail fast on source-option typos (unknown keys under scan./chunk-/
   // connect reserved prefixes), whatever backend ends up interpreting them
   graft.sources.SourceOptions.resolve(pipeline.source.options)

@@ -25,6 +25,38 @@ object SchemaChangeBehavior {
   }
 }
 
+/** Resolution of `include/exclude.schema.changes` against the declared
+  * behavior — the reference's `SinkDef.getIncludedSchemaEvolutionTypes`
+  * contract, pinned case-by-case by
+  * `YamlPipelineDefinitionParserTest.testSchemaEvolutionTypesConfiguration`
+  * and `testCreateTableAutoAddedToIncludedSchemaChanges` (FLINK-37837):
+  *
+  *  - include absent → every kind; present → the expanded list, with
+  *    `create.table` auto-added (the foundational event) UNLESS the
+  *    exclude side names it (directly or via the `create`/`table`
+  *    families);
+  *  - LENIENT with NO explicit exclude defaults to excluding
+  *    `drop.table` + `truncate.table` (lenient never destroys sink
+  *    tables); an explicit exclude list — even an empty one — replaces
+  *    that default;
+  *  - exclude always wins over include.
+  */
+object SchemaEvolutionTypes {
+  import graft.model.SchemaChangeEvent
+
+  def resolveIncluded(behavior: SchemaChangeBehavior,
+      include: Option[Seq[String]], exclude: Option[Seq[String]]): Set[String] = {
+    val all = SchemaChangeEvent.families("all")
+    val inc0 = include.map(SchemaChangeEvent.expand).getOrElse(all)
+    val exc = exclude.map(SchemaChangeEvent.expand).getOrElse(
+      if (behavior == SchemaChangeBehavior.Lenient)
+        Set("drop.table", "truncate.table") else Set.empty[String])
+    val inc =
+      if (include.isDefined && !exc("create.table")) inc0 + "create.table" else inc0
+    inc -- exc
+  }
+}
+
 /** Driver-side schema authority: tracks the original (upstream) and evolved
   * (sink-side) TableInfo per table and decides which DDL reaches the sink.
   *
@@ -62,7 +94,9 @@ final class SchemaRegistry(
     evolvedVersions(t).lift(version)
 
   private def allowed(e: SchemaChangeEvent): Boolean = e match {
-    case _: CreateTableEvent => true // create is never filtered
+    // create is foundational — filtered only when an EXPLICIT include set
+    // resolved without it (the user excluded create.table, FLINK-37837)
+    case _: CreateTableEvent => includeKinds.forall(_.contains("create.table"))
     case _ =>
       includeKinds.forall(_.contains(e.kind)) && !excludeKinds.contains(e.kind)
   }

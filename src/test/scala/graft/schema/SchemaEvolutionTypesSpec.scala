@@ -1,0 +1,71 @@
+package graft.schema
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Port of the reference's include/exclude resolution matrix —
+  * `YamlPipelineDefinitionParserTest.testSchemaEvolutionTypesConfiguration`
+  * + `testCreateTableAutoAddedToIncludedSchemaChanges` (FLINK-37837) —
+  * against [[SchemaEvolutionTypes.resolveIncluded]]. Kind names are the
+  * graft spellings of the reference's SchemaChangeEventType enum.
+  */
+class SchemaEvolutionTypesSpec extends AnyFunSuite {
+  import SchemaChangeBehavior._
+
+  private val all = Set("create.table", "add.column", "drop.column",
+    "rename.column", "alter.column.type", "alter.table.comment",
+    "drop.table", "truncate.table")
+
+  private def resolve(b: SchemaChangeBehavior,
+      inc: Option[Seq[String]], exc: Option[Seq[String]]): Set[String] =
+    SchemaEvolutionTypes.resolveIncluded(b, inc, exc)
+
+  test("evolve/try_evolve with no lists include every kind") {
+    assert(resolve(Evolve, None, None) === all)
+    assert(resolve(TryEvolve, None, None) === all)
+  }
+
+  test("families expand on both sides, exclude wins") {
+    // evolve, include [column, table], exclude [drop]
+    assert(resolve(Evolve, Some(Seq("column", "table")), Some(Seq("drop"))) ===
+      Set("alter.table.comment", "add.column", "alter.column.type",
+        "create.table", "rename.column", "truncate.table"))
+  }
+
+  test("LENIENT defaults to excluding drop.table + truncate.table") {
+    assert(resolve(Lenient, None, None) ===
+      all -- Set("drop.table", "truncate.table"))
+  }
+
+  test("an explicit EMPTY exclude disables the lenient default") {
+    assert(resolve(Lenient, None, Some(Nil)) === all)
+  }
+
+  test("create.table auto-adds to a user include list (FLINK-37837)") {
+    // case 1: only add.column declared
+    assert(resolve(Evolve, Some(Seq("add.column")), None) ===
+      Set("add.column", "create.table"))
+    // case 2: the column family
+    assert(resolve(Evolve, Some(Seq("column")), None) ===
+      Set("add.column", "alter.column.type", "drop.column",
+        "rename.column", "create.table"))
+    // case 6: already included — no duplicate, same set
+    assert(resolve(Evolve, Some(Seq("add.column", "create.table")), None) ===
+      Set("add.column", "create.table"))
+    // case 7: lenient with a user include — auto-add still applies
+    assert(resolve(Lenient, Some(Seq("add.column")), None) ===
+      Set("add.column", "create.table"))
+  }
+
+  test("an explicit create exclusion suppresses the auto-add") {
+    // case 3: excluded directly
+    assert(resolve(Evolve, Some(Seq("add.column")), Some(Seq("create.table"))) ===
+      Set("add.column"))
+    // case 4: excluded via the create family
+    assert(resolve(Evolve, Some(Seq("add.column")), Some(Seq("create"))) ===
+      Set("add.column"))
+    // case 5: excluded via the table family
+    assert(resolve(Evolve,
+      Some(Seq("add.column", "alter.column.type")), Some(Seq("table"))) ===
+      Set("add.column", "alter.column.type"))
+  }
+}

@@ -253,11 +253,31 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.write(new java.io.File(dir, "feed.json").toPath,
       lines.mkString("\n").getBytes("UTF-8"))
     val sink = new ValuesDatabase
-    val q = new StreamingPipeline(spark, pd, sink).startFromDebeziumJson(
+    // LENIENT defaults to excluding truncate.table (the reference's
+    // SinkDef resolution); an explicit empty exclude opts back in
+    val pdTrunc = pd.copy(sink =
+      SinkDef("values", Map("exclude.schema.changes" -> "")))
+    val q = new StreamingPipeline(spark, pdTrunc, sink).startFromDebeziumJson(
       StreamingPipeline.fileJsonStream(spark, dir.getAbsolutePath), tid, tableInfo)
     q.awaitTermination(60000)
     // rows 1-2 applied, wiped by the truncate, row 3 survives
     assert(sink.results(tid) === Seq("db.users:3;c"))
+  }
+
+  test("wire TRUNCATE under default LENIENT is absorbed (reference exclude default)") {
+    val dir = java.nio.file.Files.createTempDirectory("dbz_trunc_dflt").toFile
+    val lines = Seq(
+      """{"before":null,"after":{"id":1,"v":"a"},"op":"c","ts_ms":1,"source":{"db":"db","table":"users"}}""",
+      """{"source":{"db":"db","table":"users"},"ddl":"TRUNCATE TABLE users"}""",
+      """{"before":null,"after":{"id":3,"v":"c"},"op":"c","ts_ms":3,"source":{"db":"db","table":"users"}}""")
+    java.nio.file.Files.write(new java.io.File(dir, "feed.json").toPath,
+      lines.mkString("\n").getBytes("UTF-8"))
+    val sink = new ValuesDatabase
+    val q = new StreamingPipeline(spark, pd, sink).startFromDebeziumJson(
+      StreamingPipeline.fileJsonStream(spark, dir.getAbsolutePath), tid, tableInfo)
+    q.awaitTermination(60000)
+    // lenient never truncates sink tables by default — both rows survive
+    assert(sink.results(tid).toSet === Set("db.users:1;a", "db.users:3;c"))
   }
 
   test("multi-table topic: records route per table, DDL segments only its own table") {
