@@ -115,7 +115,9 @@ object SchemaChangeEvent {
     "add" -> Set("add.column"),
     "drop" -> Set("drop.column", "drop.table"),
     "rename" -> Set("rename.column"),
-    "alter" -> Set("alter.column.type", "alter.table.comment"),
+    // ALTER is alter.column.type ALONE — alter.table.comment belongs to
+    // the TABLE family only (SchemaChangeEventTypeFamily.java:40,49-51)
+    "alter" -> Set("alter.column.type"),
     "column" -> Set("add.column", "drop.column", "rename.column", "alter.column.type"),
     "table" -> Set("create.table", "drop.table", "truncate.table", "alter.table.comment")
   )

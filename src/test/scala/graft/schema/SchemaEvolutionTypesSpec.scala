@@ -19,6 +19,20 @@ class SchemaEvolutionTypesSpec extends AnyFunSuite {
       inc: Option[Seq[String]], exc: Option[Seq[String]]): Set[String] =
     SchemaEvolutionTypes.resolveIncluded(b, inc, exc)
 
+  test("family membership matches SchemaChangeEventTypeFamily exactly") {
+    import graft.model.SchemaChangeEvent.families
+    assert(families("add") === Set("add.column"))
+    assert(families("alter") === Set("alter.column.type")) // comment is TABLE-only
+    assert(families("create") === Set("create.table"))
+    assert(families("drop") === Set("drop.column", "drop.table"))
+    assert(families("rename") === Set("rename.column"))
+    assert(families("table") === Set(
+      "create.table", "drop.table", "truncate.table", "alter.table.comment"))
+    assert(families("column") === Set(
+      "add.column", "alter.column.type", "drop.column", "rename.column"))
+    assert(families("all") === all)
+  }
+
   test("evolve/try_evolve with no lists include every kind") {
     assert(resolve(Evolve, None, None) === all)
     assert(resolve(TryEvolve, None, None) === all)
