@@ -205,13 +205,19 @@ object YamlPipelineParser {
         filter = m.get("filter").filter(_ != null),
         primaryKeys = m.get("primary-keys").map(splitList).getOrElse(Nil),
         partitionKeys = m.get("partition-keys").map(splitList).getOrElse(Nil),
-        tableOptions = m.get("table-options").map(opts =>
-          splitList(opts).flatMap { kv =>
-            kv.split("=", 2) match {
-              case Array(k, v) => Some(k.trim -> v.trim)
-              case _ => None
-            }
-          }.toMap).getOrElse(Map.empty),
+        tableOptions = m.get("table-options").map { opts =>
+          // `table-options.delimiter` (YamlPipelineDefinitionParser.java:
+          // 386-389, default ","): lets option VALUES contain commas
+          val delim = m.get("table-options.delimiter").filter(_ != null).getOrElse(",")
+          opts.split(java.util.regex.Pattern.quote(delim))
+            .map(_.trim).filter(_.nonEmpty).toSeq
+            .flatMap { kv =>
+              kv.split("=", 2) match {
+                case Array(k, v) => Some(k.trim -> v.trim)
+                case _ => None
+              }
+            }.toMap
+        }.getOrElse(Map.empty),
         converter = m.get("converter-after-transform").filter(_ != null)
           .map(graft.transform.PostTransformConverters.validate))
     }

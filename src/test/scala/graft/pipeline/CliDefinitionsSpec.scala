@@ -109,6 +109,19 @@ class CliDefinitionsSpec extends AnyFunSuite {
     assert(pd.sink.options("password") === "")
   }
 
+  test("table-options.delimiter lets option values carry commas") {
+    val pd = YamlPipelineParser.parse(
+      """source: { type: values }
+        |sink: { type: values }
+        |transform:
+        |  - source-table: db.t
+        |    table-options: "comment=a, b and c;buckets=4"
+        |    table-options.delimiter: ";"
+        |""".stripMargin)
+    assert(pd.transforms.head.tableOptions ===
+      Map("comment" -> "a, b and c", "buckets" -> "4"))
+  }
+
   test("with-udf.yaml + with-udf-options.yaml (pipelineDefWithUdf[Options])") {
     val pd = parse("pipeline-definition-with-udf.yaml")
     assert(pd.udfs === Seq(
