@@ -33,6 +33,20 @@ class SchemaEvolutionTypesSpec extends AnyFunSuite {
     assert(families("all") === all)
   }
 
+  test("ChangeEventUtils.resolveSchemaEvolutionOptions parity (plain expand minus expand)") {
+    import graft.model.SchemaChangeEvent.expand
+    // the low-level utility has NO create auto-add — that is parser-level
+    // (ChangeEventUtilsTest.java:44-97)
+    def low(inc: Seq[String], exc: Seq[String]) = expand(inc) -- expand(exc)
+    val allTags = all.toSeq
+    assert(low(allTags, Nil) === all)
+    assert(low(allTags, Seq("drop")) === all -- Set("drop.column", "drop.table"))
+    assert(low(Seq("create", "add"), Nil) === Set("create.table", "add.column"))
+    assert(low(Seq("column"), Seq("drop.column")) ===
+      Set("add.column", "alter.column.type", "rename.column"))
+    assert(low(allTags, Seq("drop.column")) === all - "drop.column")
+  }
+
   test("evolve/try_evolve with no lists include every kind") {
     assert(resolve(Evolve, None, None) === all)
     assert(resolve(TryEvolve, None, None) === all)
