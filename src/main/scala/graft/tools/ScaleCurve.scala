@@ -24,6 +24,19 @@ import org.apache.spark.sql.functions._
   * consume as Bench; per (factor, query): one warm pass + `reps` timed,
   * min reported. A near-linear seconds-vs-factor slope is the check; a
   * superlinear cliff is a bug to chase.
+  *
+  * The `embeddings` table replicates alongside: replica i applies a
+  * deterministic per-dimension SIGN FLIP to every vector — an isometry,
+  * so within-replica geometry (norms, dot products, cluster structure)
+  * is preserved EXACTLY while replicas occupy distinct orthants. Three
+  * embedding scale-ops run on it (names beyond SparkEntry.queries):
+  *
+  *  - `x_brute_topk`  — brute-force cosine top-k, fixed 10-query set;
+  *  - `x_ivf_topk`    — IVF top-k, fixed nlist=32/nprobe=4 (the probed
+  *    fraction is what a fixed config buys — linear by design);
+  *  - `x_semdedup`    — SemDeDup at nlist=64: assignment is linear, the
+  *    within-cluster pair stage is the algorithm's intrinsic
+  *    O(avg-cluster²·nlist) — the nlist knob bounds it at scale.
   */
 object ScaleCurve {
   def main(args: Array[String]): Unit = {
@@ -39,9 +52,31 @@ object ScaleCurve {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // embedding scale-ops (fixed configs chosen linear-by-design; see
+    // the scaladoc) — keyed off SparkEntry so gated queries stay pinned
+    val embOps: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "x_brute_topk" -> ((s, dir) => {
+        val emb = graft.Tables.load(s, dir, "embeddings")
+        graft.ops.Similarity.bruteForceTopK(
+          emb, "vec_id", "embedding",
+          emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      }),
+      "x_ivf_topk" -> ((s, dir) => {
+        val emb = graft.Tables.load(s, dir, "embeddings")
+        graft.ops.Similarity.ivfTopK(
+          emb, "vec_id", "embedding",
+          emb.where(col("vec_id") >= 20 && col("vec_id") < 30), "vec_id", "embedding",
+          k = 5, nlist = 32, nprobe = 4)
+      }),
+      "x_semdedup" -> ((s, dir) =>
+        graft.ops.Similarity.semDedup(
+          graft.Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4, nlist = 64)
+          .select(col("id"), col("rep"), col("keep"))))
+
     def consume(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      val df = graft.SparkEntry.queries(name)(spark, dir)
+      val df = embOps.getOrElse(name, graft.SparkEntry.queries(name))(spark, dir)
       df.agg(bit_xor(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)))).collect()
       (System.nanoTime() - t0) / 1e9
     }
@@ -67,6 +102,28 @@ object ScaleCurve {
             text.as("text"), col("lang"), col("source"), col("n_chars"))
         }.reduce(_ unionByName _)
         replicated.write.mode("overwrite").parquet(docsPath.getAbsolutePath)
+      }
+      val embPath = new java.io.File(s"$dir/embeddings.parquet")
+      if (!embPath.isDirectory) {
+        val base = graft.Tables.load(spark, sfDir, "embeddings")
+        // replica i sign-flips dimension d when bit (d % 16) of (i * 2654435761)
+        // is set (replica 0 keeps the base exactly): an isometry per replica,
+        // distinct orthant per replica pair
+        val replicated = (0 until f).map { i =>
+          val pat = (i.toLong * 2654435761L) & 0xffffL
+          val vec =
+            if (i == 0) col("embedding")
+            else org.apache.spark.sql.functions.zip_with(
+              col("embedding"),
+              sequence(lit(0), size(col("embedding")) - 1),
+              (x, d) => when(
+                (lit(pat.toDouble) / pow(lit(2.0), (d % 16).cast("double")))
+                  .cast("long") % 2 === 1, -x).otherwise(x).cast("float"))
+          base.select(
+            (col("vec_id") + lit(i.toLong * 1000000000L)).as("vec_id"),
+            vec.as("embedding"), col("label"))
+        }.reduce(_ unionByName _)
+        replicated.write.mode("overwrite").parquet(embPath.getAbsolutePath)
       }
       val rows = spark.read.parquet(docsPath.getAbsolutePath).count()
       for (name <- names) {
