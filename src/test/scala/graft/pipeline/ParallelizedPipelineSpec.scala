@@ -196,6 +196,81 @@ class ParallelizedPipelineSpec extends SparkSpec {
       "Unexpected schema change events occurred in EXCEPTION mode. Job will fail now."))
   }
 
+  /** The DISTRIBUTED-traits multi-subtask script as the driver-serialized
+    * coordinator sees it: four subtasks write the SAME tables, each shared
+    * column lands ONCE (graft sequences DDL through the driver — the
+    * stronger consistency whose absence made the reference disable its
+    * MERGING-multi variant), each subtask's own column once, and every
+    * subtask contributes its 168 iota-tokened rows at the schema valid at
+    * their log position.
+    */
+  private def distributedInterleaved(): Seq[Event] = {
+    val tables = (0 until tableCount).map(i =>
+      TableId.parse(s"default_namespace.default_database.table_$i"))
+    val initial = TableInfo(
+      StructType(Seq(StructField("id", StringType))),
+      primaryKeys = Seq("id"), partitionKeys = Seq("id"))
+    val iota = Array.fill(4)(0)
+    def token(s: Int): String = {
+      val t = "__$" + s + "$" + iota(s) + "$__"; iota(s) += 1; t
+    }
+    val schemas = mutable.Map.empty[TableId, TableInfo]
+    def rowFor(t: TableId, s: Int): Row =
+      Row.fromSeq(schemas(t).schema.fields.toSeq.map { f =>
+        if (f.name == "id") token(s)
+        else valueBySuffix(f.name.substring(f.name.lastIndexOf("col_") + 4))
+      })
+    val buf = mutable.ArrayBuffer.empty[Event]
+    tables.foreach { t =>
+      schemas(t) = initial
+      buf += CreateTableEvent(t, initial)
+    }
+    for (s <- 0 until 4; t <- tables; _ <- 0 until 10)
+      buf += DataChangeEvent.insert(t, rowFor(t, s))
+    colSpecs.foreach { cs =>
+      tables.foreach { t =>
+        val e = AddColumnEvent(t, Seq((
+          StructField(s"col_${cs.suffix}", cs.dataType, nullable = true,
+            metadata = cs.meta), ColumnPosition.Last)))
+        schemas(t) = schemas(t).applySchemaChange(e)
+        buf += e
+        (0 until 4).foreach(s => buf += DataChangeEvent.insert(t, rowFor(t, s)))
+      }
+      (0 until 4).foreach { s =>
+        tables.foreach { t =>
+          val e = AddColumnEvent(t, Seq((
+            StructField(s"subtask_${s}_col_${cs.suffix}", cs.dataType,
+              nullable = true, metadata = cs.meta), ColumnPosition.Last)))
+          schemas(t) = schemas(t).applySchemaChange(e)
+          buf += e
+          buf += DataChangeEvent.insert(t, rowFor(t, s))
+        }
+      }
+    }
+    buf.toSeq
+  }
+
+  test("4 interleaved subtasks on DISTRIBUTED tables: shared columns once, all data lands") {
+    // the reference's testDistributedTablesSourceInMultipleParallelism
+    // invariants (ITCase lines 228-405): full 81-column downstream
+    // schemas and all 4 x 168 iota tokens present
+    val sink = run(distributedInterleaved())
+    val all = sink.lines.mkString("\n")
+    (0 until 4).foreach { s =>
+      (0 until 168).foreach { n =>
+        assert(all.contains("__$" + s + "$" + n + "$__"), s"missing __$$$s$$$n$$__")
+      }
+    }
+    (0 until tableCount).foreach { i =>
+      val t = TableId.parse(s"default_namespace.default_database.table_$i")
+      val names = sink.db.info(t).get.fieldNames
+      assert(names.size === 1 + colSpecs.size * 5)
+      assert(expectedColumns(0 until 4).toSet === names.toSet)
+      // 42 rows per table per subtask (10 initial + 32 per-add) = 168
+      assert(sink.db.rows(t).size === 168)
+    }
+  }
+
   test("4 interleaved subtasks merged through routes: data integrity at full width") {
     // interleave the four subtask scripts round-robin — the driver-side
     // analogue of the reference's 4-subtask shuffle (multi-parallelism
