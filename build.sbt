@@ -38,14 +38,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // ~1.4x slowdowns + one 59s outlier, all gone at 28g). The host has
   // 128 GiB; Xmx is reservation-only.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
-  // 69 queries x (warmup + measured) of whole-stage-codegen classes
-  // overflow the default 240m code cache -> JIT stops compiling and the
-  // JSON-heavy queries run interpreted. 512m (r6) stopped sufficing when
-  // the suite grew past ~65 queries: the late-alphabet queries and the
-  // stream phase (which runs LAST) measured 3-8x their isolated warm
-  // cost while early queries stayed normal — the code-cache-full
-  // signature again.
-  "-XX:ReservedCodeCacheSize=1g",
+  // Whole-stage-codegen classes from (warmup + 2 measured passes) of the
+  // full suite overflow the JIT code cache and everything after runs
+  // interpreted: 240m default died at ~40 queries, 512m (r6) at ~65
+  // (late-alphabet queries + the last-run stream phase at 3-8x isolated
+  // warm cost while early queries stay normal — the signature), and 1g
+  // (r7) at 79 queries (r12 artifact: q77 7.45s / q79 28.46s vs
+  // 0.86/2.6s isolated). Bench now logs CodeHeap occupancy per phase to
+  // stderr so the next ceiling is visible before it bites.
+  "-XX:ReservedCodeCacheSize=2g",
   // gc log: cheap, overwritten per fork — the bench reads it to rule
   // GC in or out when a query's wall time spikes run-to-run
   "-Xlog:gc:file=/tmp/graft_gc.log",

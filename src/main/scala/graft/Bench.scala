@@ -30,6 +30,11 @@ object Bench {
       val w = new java.io.File(d, "sf0.001")
       if (w.isDirectory) w.getAbsolutePath else sfDir
     }
+    // machine calibration BEFORE any Spark work: a fixed single-thread
+    // CPU spin whose wall time moves with host contention/frequency, not
+    // with anything in this repo — lets any BENCH_r{N} be read against
+    // machine state without hand-reconstructed drift trails
+    val mf = machineFactor()
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
     SparkEntry.queries.foreach { case (name, fn) =>
       try consume(fn, warmDir)
@@ -38,6 +43,7 @@ object Bench {
     }
     streamThroughput(spark, warmDir)
     ingestThroughput(spark, warmDir)
+    logCodeCache("after-warmup")
     // 2-run protocol: single runs swing 2-5x on individual queries (JSON
     // codec + GC luck); the committed artifact IS the authoritative
     // record, so it carries BOTH measured totals and the per-query min —
@@ -52,7 +58,9 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
     val run1 = measuredPass()
+    logCodeCache("after-pass1")
     val run2 = measuredPass().toMap
+    logCodeCache("after-pass2")
     val mins = run1.map { case (k, v) => k -> math.min(v, run2(k)) }
     // SHORT query keys (qNN — the prefix before the first underscore, all
     // unique) at 2 decimals: the driver stores only the output TAIL, and
@@ -80,6 +88,8 @@ object Bench {
     val ingA = ingestThroughput(spark, sfDir)
     val ingB = ingestThroughput(spark, sfDir)
     val ing = math.max(ingA, ingB)
+    logCodeCache("end")
+    val mfEnd = machineFactor()
     println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec",""" +
       s""""run_totals":[${f"$t1%.2f"},${f"$t2%.2f"}],""" +
       s""""total_min_run":${f"${math.min(t1, t2)}%.2f"},"queries":$qs,""" +
@@ -88,9 +98,50 @@ object Bench {
       s""""stream_batches":${st.batches},""" +
       s""""stream_batch_eps_spread_pct":${st.spreadPct},""" +
       s""""ingest_docs_per_s":$ing,"ingest_runs":[$ingA,$ingB],""" +
+      s""""machine_factor":[${f"$mf%.2f"},${f"$mfEnd%.2f"}],""" +
       s""""note":"q keys=qNN ids (names in SparkEntry.queries); value=sum of per-query min of 2 passes; total_min_run=best single pass; stream/ingest=best of 2; protocol in NOTES.md",""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Machine-state calibration: wall seconds for a fixed, deterministic,
+    * single-thread integer-mixing spin (500M xorshift-multiply rounds —
+    * the same mixing shape as xxhash64's avalanche, pure registers, no
+    * allocation). Nominal ~0.97 s on this host unloaded (r13 baseline);
+    * a value of 1.3 means the host is running ~35% slow and every wall
+    * time in this artifact carries that factor. Run before Spark starts
+    * and again at the very end (the pair brackets the whole bench).
+    */
+  private def machineFactor(): Double = {
+    def spin(iters: Long): Long = {
+      var h = 0x9E3779B97F4A7C15L
+      var i = 0L
+      while (i < iters) { h ^= i; h *= 0xC2B2AE3D27D4EB4FL; h ^= (h >>> 31); i += 1 }
+      h
+    }
+    val warm = spin(20000000L) // let C2 compile the loop first
+    val t0 = System.nanoTime()
+    val v = spin(500000000L)
+    val secs = (System.nanoTime() - t0) / 1e9
+    if ((warm ^ v) == 42L) System.err.println("[bench] spin collision") // defeat DCE
+    System.err.println(f"[bench] machine_factor: $secs%.2f s (nominal ~0.97)")
+    secs
+  }
+
+  /** JIT code-cache occupancy per CodeHeap segment (stderr). The bench's
+    * own canary: when 'non-profiled nmethods' used approaches its max,
+    * compilation stops and everything measured after runs interpreted —
+    * the r7/r12 tail pathology (NOTES "BENCH JIT LESSON").
+    */
+  private def logCodeCache(tag: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getName.startsWith("CodeHeap"))
+    val s = pools.map { p =>
+      val u = p.getUsage
+      s"${p.getName} ${u.getUsed / 1048576}M/${u.getMax / 1048576}M"
+    }.mkString("; ")
+    System.err.println(s"[bench] code-cache @$tag: $s")
   }
 
   /** Continuous-ingest throughput: the documents corpus arrives in 4

@@ -179,6 +179,41 @@ object ConnectSchemaJson {
       case _ => Some("\"" + esc(expr) + "\"")
     } catch { case _: IllegalArgumentException => None }
 
+  /** Epoch micros of an NTZ wall clock read as UTC — i.e. exactly the
+    * NTZ value's internal micros representation. Pure zone-free field
+    * arithmetic: NTZ→DATE, hour/minute and date_part(MICROSECONDS) all
+    * read the local fields of a TIMESTAMP_NTZ without consulting the
+    * session zone, so `pipeline.local-time-zone` can never shift the
+    * result — including inside a DST transition window, where the
+    * previous cast-through-LTZ pair was off by the DST delta (the zone
+    * offset at the wall time and at the shifted instant differ there).
+    */
+  private def ntzEpochMicros(c: Column): Column =
+    datediff(c.cast(DateType), to_date(lit("1970-01-01"))).cast(LongType) *
+      86400000000L +
+      hour(c).cast(LongType) * 3600000000L +
+      minute(c).cast(LongType) * 60000000L +
+      // SECOND extracts Decimal(8,6) seconds incl. the fractional
+      // micros; ×1e6 in decimal is an exact digit shift, so the long
+      // cast is exact — completes the micro-of-day sum
+      (date_part(lit("SECOND"), c) * 1000000L).cast(LongType)
+
+  /** Inverse of [[ntzEpochMicros]]: epoch micros → the NTZ whose wall
+    * clock is the UTC reading. Same zone-free discipline: epoch-day
+    * arithmetic plus a day-time interval (NTZ + interval is pure local
+    * arithmetic).
+    */
+  private def microsToNtz(micros: Column): Column = {
+    val microOfDay = pmod(micros, lit(86400000000L)) // non-negative, exact long
+    // (micros - microOfDay) is an exact multiple of 86400000000; the
+    // double division's relative error is ~1e-10 so round() recovers the
+    // exact integer day count (|days| < 2^23 for any year 1..9999)
+    val days = round((micros - microOfDay) / lit(86400000000L)).cast(IntegerType)
+    val midnight = date_add(to_date(lit("1970-01-01")), days).cast(TimestampNTZType)
+    midnight + make_dt_interval(lit(0), lit(0), lit(0),
+      microOfDay.cast(DecimalType(20, 6)) / lit(1000000L))
+  }
+
   private def isTime(meta: Metadata): Boolean =
     meta.contains("graft.cdc.type") && meta.getString("graft.cdc.type") == "time"
 
@@ -235,14 +270,15 @@ object ConnectSchemaJson {
   private[cdc] def wireForm(c: Column, dt: DataType, meta: Metadata): Column = dt match {
     case IntegerType if isTime(meta) => c.cast(LongType) * 1000L
     case TimestampNTZType =>
-      // the NTZ wall clock is the UTC instant of the wire value. The
-      // NTZ→LTZ cast reads the wall clock in the SESSION zone, so undo
-      // that zone explicitly (from_utc_timestamp adds the zone offset
-      // back) — `pipeline.local-time-zone` must not shift wire values.
-      // Spark's `/` is double division — cast back so the wire value is
-      // the declared int64, not a JSON double
-      val micros = unix_micros(
-        from_utc_timestamp(c.cast(TimestampType), current_timezone()))
+      // the NTZ wall clock is the UTC instant of the wire value.
+      // Zone-FREE field arithmetic (ntzEpochMicros): the previous
+      // cast-through-LTZ + from_utc_timestamp pair evaluated the session
+      // zone's offset at two different instants, so a DST session zone
+      // (`pipeline.local-time-zone: America/New_York`) shifted wall
+      // clocks inside a transition window by the DST delta. Spark's `/`
+      // is double division — cast back so the wire value is the declared
+      // int64, not a JSON double
+      val micros = ntzEpochMicros(c)
       if (isMillisPrecision(meta)) (micros / 1000L).cast(LongType) else micros
     case s: StructType if s == CdcTemporal.ZonedTimestampType =>
       val micros = unix_micros(c.getField("instant"))
@@ -251,13 +287,13 @@ object ConnectSchemaJson {
       concat(CdcTemporal.timeToString(c.getField("millis")),
         coalesce(c.getField("tz"), lit("")))
     case TimestampType =>
-      // date_format renders in the SESSION zone; shift the instant so the
-      // rendered wall clock is UTC — the 'Z' suffix must be true under
-      // `pipeline.local-time-zone` too (identity when the session is UTC)
-      val utc = to_utc_timestamp(c, current_timezone())
-      val frac = regexp_replace(date_format(utc, "SSSSSS"), "0+$", "")
-      concat(date_format(utc, "yyyy-MM-dd'T'HH:mm:ss"),
-        when(length(frac) > 0, concat(lit("."), frac)).otherwise(lit("")),
+      // render the instant's UTC wall clock with no session zone in the
+      // path: instant → epoch micros (zone-free) → NTZ via field
+      // arithmetic → string cast (which trims fractional trailing zeros
+      // exactly like the previous SSSSSS+strip form). The old
+      // to_utc_timestamp(c, current_timezone()) + date_format pair had
+      // the same DST-window flaw as the NTZ case above.
+      concat(translate(microsToNtz(unix_micros(c)).cast(StringType), " ", "T"),
         lit("Z"))
     case DateType => datediff(c, to_date(lit("1970-01-01")))
     case ArrayType(e, _) if needsWireProjection(e, Metadata.empty) =>
@@ -307,11 +343,10 @@ object ConnectSchemaJson {
     case IntegerType if isTime(meta) => (c / 1000L).cast(IntegerType)
     case TimestampNTZType =>
       val micros = if (isMillisPrecision(meta)) c * 1000L else c
-      // the LTZ→NTZ cast renders in the SESSION zone; pre-shift so the
-      // NTZ wall clock is the UTC reading of the wire instant regardless
-      // of `pipeline.local-time-zone` (identity under a UTC session)
-      to_utc_timestamp(timestamp_micros(micros.cast(LongType)), current_timezone())
-        .cast(TimestampNTZType)
+      // zone-free inverse: the NTZ wall clock is the UTC reading of the
+      // wire micros regardless of `pipeline.local-time-zone` — built by
+      // day+interval arithmetic, never through a session-zone cast
+      microsToNtz(micros.cast(LongType))
     case s: StructType if s == CdcTemporal.ZonedTimestampType =>
       val micros = if (isMillisPrecision(meta)) c * 1000L else c
       when(c.isNotNull, struct(

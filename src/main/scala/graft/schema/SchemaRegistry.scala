@@ -31,7 +31,10 @@ object SchemaChangeBehavior {
   * `YamlPipelineDefinitionParserTest.testSchemaEvolutionTypesConfiguration`
   * and `testCreateTableAutoAddedToIncludedSchemaChanges` (FLINK-37837):
   *
-  *  - include absent → every kind; present → the expanded list, with
+  *  - include absent OR explicitly empty → every kind (the reference
+  *    branches on `includedSETypes.isEmpty()`,
+  *    YamlPipelineDefinitionParser.java:227-232, which cannot tell the
+  *    two apart); present and non-empty → the expanded list, with
   *    `create.table` auto-added (the foundational event) UNLESS the
   *    exclude side names it (directly or via the `create`/`table`
   *    families);
@@ -47,12 +50,17 @@ object SchemaEvolutionTypes {
   def resolveIncluded(behavior: SchemaChangeBehavior,
       include: Option[Seq[String]], exclude: Option[Seq[String]]): Set[String] = {
     val all = SchemaChangeEvent.families("all")
-    val inc0 = include.map(SchemaChangeEvent.expand).getOrElse(all)
+    // Some(empty) include == absent (include ALL): the reference's
+    // includedSETypes list can't distinguish them. An explicit-but-empty
+    // EXCLUDE stays meaningful (disables the LENIENT default below).
+    val explicitInclude = include.filter(_.nonEmpty)
+    val inc0 = explicitInclude.map(SchemaChangeEvent.expand).getOrElse(all)
     val exc = exclude.map(SchemaChangeEvent.expand).getOrElse(
       if (behavior == SchemaChangeBehavior.Lenient)
         Set("drop.table", "truncate.table") else Set.empty[String])
     val inc =
-      if (include.isDefined && !exc("create.table")) inc0 + "create.table" else inc0
+      if (explicitInclude.isDefined && !exc("create.table")) inc0 + "create.table"
+      else inc0
     inc -- exc
   }
 }

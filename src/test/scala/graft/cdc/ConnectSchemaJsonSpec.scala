@@ -480,6 +480,61 @@ class ConnectSchemaJsonSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", prior)
   }
 
+  test("wire conversions are exact inside a DST transition window (ADVICE r12)") {
+    // Asia/Shanghai is a fixed offset, so the r12 round-trip proved
+    // nothing about DST. Under a DST session zone the old
+    // cast-through-LTZ pairs evaluated the zone offset at two different
+    // instants and shifted wall clocks inside a transition window by the
+    // DST delta; the zone-free field-arithmetic forms must be exact.
+    import java.time.LocalDateTime
+    val hostile = Seq(
+      LocalDateTime.of(2021, 3, 14, 2, 30, 0, 123456000), // spring-forward gap (no such NY wall time)
+      LocalDateTime.of(2021, 3, 14, 3, 0, 0, 0), // first wall minute after the gap
+      LocalDateTime.of(2021, 11, 7, 1, 30, 0, 999999000), // fall-back overlap (ambiguous NY wall time)
+      LocalDateTime.of(2021, 11, 7, 2, 0, 0, 1000), // first unambiguous micros after
+      LocalDateTime.of(1969, 12, 31, 23, 59, 59, 999999000), // pre-epoch negative micros
+      LocalDateTime.of(2021, 3, 14, 0, 0, 0, 0)) // plain midnight control
+    val schema = StructType(Seq(
+      StructField("ntz", TimestampNTZType, nullable = true),
+      StructField("ltz", TimestampType, nullable = true)))
+    // the instants: the NTZ wall clocks read as UTC (zone-free by design)
+    val rows = hostile.map(l => Row(l,
+      java.sql.Timestamp.from(l.toInstant(java.time.ZoneOffset.UTC))))
+    val prior = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      for (zone <- Seq("UTC", "America/New_York")) {
+        spark.conf.set("spark.sql.session.timeZone", zone)
+        val df = spark.createDataFrame(
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+        val out = df.select(
+          ConnectSchemaJson.wireForm(col("ntz"), TimestampNTZType, Metadata.empty).as("w"),
+          ConnectSchemaJson.wireForm(col("ltz"), TimestampType, Metadata.empty).as("s"))
+        val got = out.collect()
+        hostile.zip(got).foreach { case (l, r) =>
+          val expMicros = l.toInstant(java.time.ZoneOffset.UTC)
+          // exact epoch micros of the wall clock read as UTC, every zone
+          assert(r.getLong(0) ===
+            expMicros.getEpochSecond * 1000000L + expMicros.getNano / 1000L,
+            s"NTZ wire micros for $l under $zone")
+          // the LTZ ISO string parses back to the same instant and ends 'Z'
+          assert(r.getString(1).endsWith("Z"), s"LTZ render for $l under $zone")
+          assert(java.time.Instant.parse(r.getString(1)) === expMicros,
+            s"LTZ instant for $l under $zone")
+        }
+        // fromWire inverse: wire micros → the same NTZ wall clock
+        val back = out.select(
+          ConnectSchemaJson.fromWire(col("w"), TimestampNTZType, Metadata.empty).as("ntz"),
+          ConnectSchemaJson.fromWire(col("s"), TimestampType, Metadata.empty).as("ltz"))
+          .collect()
+        hostile.zip(back).foreach { case (l, r) =>
+          assert(r.getAs[LocalDateTime]("ntz") === l, s"NTZ round trip for $l under $zone")
+          assert(r.getAs[java.sql.Timestamp]("ltz").toInstant ===
+            l.toInstant(java.time.ZoneOffset.UTC), s"LTZ round trip for $l under $zone")
+        }
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prior)
+  }
+
   test("defaultJson properties: parser round-trip, warn-and-skip, parseBoolean") {
     // numerics: a parseable default renders as a JSON number equal to it
     val numProp = Prop.forAll(Gen.choose(-1000000L, 1000000L)) { n =>

@@ -68,6 +68,18 @@ class SchemaEvolutionTypesSpec extends AnyFunSuite {
     assert(resolve(Lenient, None, Some(Nil)) === all)
   }
 
+  test("an explicit EMPTY include resolves like an absent one (include ALL)") {
+    // the reference branches on includedSETypes.isEmpty()
+    // (YamlPipelineDefinitionParser.java:227-232), which cannot tell
+    // `include: []` apart from no include key at all — both include ALL
+    // (minus the LENIENT default excludes when no exclude key is given)
+    assert(resolve(Evolve, Some(Nil), None) === all)
+    assert(resolve(Lenient, Some(Nil), None) ===
+      all -- Set("drop.table", "truncate.table"))
+    // ... and the empty-include + empty-exclude corner keeps both rules
+    assert(resolve(Lenient, Some(Nil), Some(Nil)) === all)
+  }
+
   test("create.table auto-adds to a user include list (FLINK-37837)") {
     // case 1: only add.column declared
     assert(resolve(Evolve, Some(Seq("add.column")), None) ===
