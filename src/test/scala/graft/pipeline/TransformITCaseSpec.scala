@@ -910,4 +910,68 @@ class TransformITCaseSpec extends SparkSpec {
       s"DropColumnEvent{tableId=$ns.table1, droppedColumns=[newCol2]}",
       s"DataChangeEvent{tableId=$ns.table1, before=[2.5, ], after=[2.5, x], op=UPDATE}"))
   }
+
+  // ---- UnifiedTransformOperatorTest ports (the runtime operator-harness
+  // cases not already covered above; subsumption table in NOTES.md) ----
+
+  test("metadata columns compose in expressions (testCalculatedMetadataTransform)") {
+    // `||` concatenation OF metadata columns — testMetadataColumn above
+    // only projects them bare
+    val sink = runGeneric(
+      s"""transform:
+         |  - source-table: $ns.mytable1
+         |    projection: "*, __namespace_name__ || '.' || __schema_name__ || '.' || __table_name__ AS identifier_name"
+         |""".stripMargin)
+    val id = s"default_namespace.default_schema.mytable1"
+    assert(sink.eventLog.take(4) === Seq(
+      s"CreateTableEvent{tableId=$ns.mytable1, schema=columns={id INT, name STRING, age INT, identifier_name STRING}, primaryKeys=id}",
+      s"DataChangeEvent{tableId=$ns.mytable1, before=[], after=[1, Alice, 18, $id], op=INSERT}",
+      s"DataChangeEvent{tableId=$ns.mytable1, before=[], after=[2, Bob, 20, $id], op=INSERT}",
+      s"DataChangeEvent{tableId=$ns.mytable1, before=[2, Bob, 20, $id], after=[2, Bob, 30, $id], op=UPDATE}"))
+  }
+
+  test("aliased + computed metadata columns next to metadata-shaped literals " +
+    "(testMetadataTransformIncludeMetaColumnString)") {
+    val sink = runGeneric(
+      s"""transform:
+         |  - source-table: $ns.mytable1
+         |    projection: "id, name, age, id + age as computed, __namespace_name__ as metaColNameSpaceName, __schema_name__ as metaColSchemaName, __table_name__ as metaColNameTableName, UPPER(__schema_name__) as metaColSchemaNameUpper, '__table_name__' as metaColStr1, '__namespace__name__schema__name__table__name__' as metaColStr2"
+         |""".stripMargin)
+    assert(sink.eventLog.take(2) === Seq(
+      s"CreateTableEvent{tableId=$ns.mytable1, schema=columns={id INT, name STRING, " +
+        "age INT, computed INT, metaColNameSpaceName STRING, metaColSchemaName STRING, " +
+        "metaColNameTableName STRING, metaColSchemaNameUpper STRING, " +
+        "metaColStr1 STRING, metaColStr2 STRING}, primaryKeys=id}",
+      s"DataChangeEvent{tableId=$ns.mytable1, before=[], after=[1, Alice, 18, 19, " +
+        "default_namespace, default_schema, mytable1, DEFAULT_SCHEMA, __table_name__, " +
+        "__namespace__name__schema__name__table__name__], op=INSERT}"))
+  }
+
+  test("hyphenated and keyword-named columns: backticks vs subtraction " +
+    "(testTransformWithColumnNameMap)") {
+    // `foo-bar` unquoted is SUBTRACTION of columns foo and bar; backticked
+    // it is the column literally named foo-bar; `class` is a plain (Java-
+    // keyword) column name — the reference needs an internal column-name
+    // map for Janino, graft leans on Spark's parser which handles all
+    // three natively. Same expressions, same expected values.
+    val tid = TableId.parse(s"$ns.column_name_map")
+    val tinfo = TableInfo(
+      StructType(Seq(
+        StructField("foo", IntegerType), StructField("bar", IntegerType),
+        StructField("foo-bar", IntegerType), StructField("bar-foo", IntegerType),
+        StructField("class", StringType))))
+    val events = Seq(
+      CreateTableEvent(tid, tinfo),
+      DataChangeEvent.insert(tid, Row(1, 2, 3, 4, "class")))
+    val sink = runGeneric(
+      s"""transform:
+         |  - source-table: $ns.column_name_map
+         |    projection: "foo-bar AS f0, `foo-bar`, foo-bar-`foo-bar` AS f1, class"
+         |    filter: "foo-bar <> 0"
+         |""".stripMargin, events = events)
+    assert(sink.eventLog === Seq(
+      s"CreateTableEvent{tableId=$ns.column_name_map, schema=columns={f0 INT, " +
+        "foo-bar INT, f1 INT, class STRING}, primaryKeys=}",
+      s"DataChangeEvent{tableId=$ns.column_name_map, before=[], after=[-1, 3, -4, class], op=INSERT}"))
+  }
 }
