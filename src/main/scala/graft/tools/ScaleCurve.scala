@@ -125,6 +125,25 @@ object ScaleCurve {
         }.reduce(_ unionByName _)
         replicated.write.mode("overwrite").parquet(embPath.getAbsolutePath)
       }
+      val evPath = new java.io.File(s"$dir/events.parquet")
+      if (!evPath.isDirectory) {
+        val base = graft.Tables.load(spark, sfDir, "events")
+        // codec family (q18/q40/q54/q60/q79): replicas re-key event ids
+        // (the changelog __seq) and user ids (the materialize key) into
+        // disjoint ranges; every other column — and so the JSON payload
+        // bytes per record — is unchanged, making encode/decode work an
+        // exact function of row count. Embarrassingly parallel by
+        // construction; the measurement proves no hidden driver or
+        // broadcast cost sneaks in.
+        val replicated = (0 until f).map { i =>
+          base.select(
+            (col("event_id") + lit(i.toLong * 1000000000000L)).as("event_id"),
+            col("ts"),
+            (col("user_id") + lit(i.toLong * 1000000000L)).as("user_id"),
+            col("event_type"), col("value"), col("props"))
+        }.reduce(_ unionByName _)
+        replicated.write.mode("overwrite").parquet(evPath.getAbsolutePath)
+      }
       val rows = spark.read.parquet(docsPath.getAbsolutePath).count()
       for (name <- names) {
         consume(name, dir) // warm
