@@ -86,7 +86,12 @@ object EventRender {
       Some(f.metadata.getString("comment").replace("'", "''")) else None
     val dflt = if (f.metadata.contains("default"))
       Some(f.metadata.getString("default")) else None
-    s"`${f.name}` ${typeName(f)}" +
+    // escapeIdentifier doubles backticks inside the name
+    // (EncodingUtils.escapeBackticks); comments double single quotes
+    // (escapeSingleQuotes); DEFAULT expressions render VERBATIM — the
+    // reference's FIELD_FORMAT_*_WITH_DEFAULT_VALUE_EXPRESSION formats
+    // never escape them (Column.java:112-133)
+    s"`${f.name.replace("`", "``")}` ${typeName(f)}" +
       comment.map(c => s" '$c'").getOrElse("") +
       dflt.map(d => s" '$d'").getOrElse("")
   }
