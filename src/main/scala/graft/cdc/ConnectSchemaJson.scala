@@ -179,40 +179,11 @@ object ConnectSchemaJson {
       case _ => Some("\"" + esc(expr) + "\"")
     } catch { case _: IllegalArgumentException => None }
 
-  /** Epoch micros of an NTZ wall clock read as UTC — i.e. exactly the
-    * NTZ value's internal micros representation. Pure zone-free field
-    * arithmetic: NTZ→DATE, hour/minute and date_part(MICROSECONDS) all
-    * read the local fields of a TIMESTAMP_NTZ without consulting the
-    * session zone, so `pipeline.local-time-zone` can never shift the
-    * result — including inside a DST transition window, where the
-    * previous cast-through-LTZ pair was off by the DST delta (the zone
-    * offset at the wall time and at the shifted instant differ there).
-    */
-  private def ntzEpochMicros(c: Column): Column =
-    datediff(c.cast(DateType), to_date(lit("1970-01-01"))).cast(LongType) *
-      86400000000L +
-      hour(c).cast(LongType) * 3600000000L +
-      minute(c).cast(LongType) * 60000000L +
-      // SECOND extracts Decimal(8,6) seconds incl. the fractional
-      // micros; ×1e6 in decimal is an exact digit shift, so the long
-      // cast is exact — completes the micro-of-day sum
-      (date_part(lit("SECOND"), c) * 1000000L).cast(LongType)
-
-  /** Inverse of [[ntzEpochMicros]]: epoch micros → the NTZ whose wall
-    * clock is the UTC reading. Same zone-free discipline: epoch-day
-    * arithmetic plus a day-time interval (NTZ + interval is pure local
-    * arithmetic).
-    */
-  private def microsToNtz(micros: Column): Column = {
-    val microOfDay = pmod(micros, lit(86400000000L)) // non-negative, exact long
-    // (micros - microOfDay) is an exact multiple of 86400000000; the
-    // double division's relative error is ~1e-10 so round() recovers the
-    // exact integer day count (|days| < 2^23 for any year 1..9999)
-    val days = round((micros - microOfDay) / lit(86400000000L)).cast(IntegerType)
-    val midnight = date_add(to_date(lit("1970-01-01")), days).cast(TimestampNTZType)
-    midnight + make_dt_interval(lit(0), lit(0), lit(0),
-      microOfDay.cast(DecimalType(20, 6)) / lit(1000000L))
-  }
+  // zone-free NTZ ↔ epoch-micros conversions (shared with the (instant,
+  // tz) struct rendering): see graft.sources.CdcTemporal scaladoc for the
+  // DST-window exactness argument
+  private def ntzEpochMicros(c: Column): Column = CdcTemporal.ntzEpochMicros(c)
+  private def microsToNtz(micros: Column): Column = CdcTemporal.microsToNtz(micros)
 
   private def isTime(meta: Metadata): Boolean =
     meta.contains("graft.cdc.type") && meta.getString("graft.cdc.type") == "time"

@@ -66,6 +66,39 @@ object CdcTemporal {
       lpad((a % 1000).cast(StringType), 3, "0"))
   }
 
+  /** Epoch micros of an NTZ wall clock read as UTC — i.e. exactly the NTZ
+    * value's internal micros. Pure zone-free field arithmetic (NTZ→DATE,
+    * hour/minute and the SECOND date_part all read local fields without
+    * consulting the session zone), so `pipeline.local-time-zone` can
+    * never shift the result — including inside a DST transition window,
+    * where any cast-through-LTZ pair is off by the DST delta (the zone
+    * offset at the wall time and at the shifted instant differ there).
+    */
+  private[graft] def ntzEpochMicros(c: Column): Column =
+    datediff(c.cast(DateType), to_date(lit("1970-01-01"))).cast(LongType) *
+      86400000000L +
+      hour(c).cast(LongType) * 3600000000L +
+      minute(c).cast(LongType) * 60000000L +
+      // SECOND extracts Decimal(8,6) seconds incl. fractional micros;
+      // ×1e6 in decimal is an exact digit shift
+      (date_part(lit("SECOND"), c) * 1000000L).cast(LongType)
+
+  /** Inverse of [[ntzEpochMicros]]: epoch micros → the NTZ whose wall
+    * clock is the UTC reading. Same zone-free discipline: epoch-day
+    * arithmetic plus a day-time interval (NTZ + interval is pure local
+    * arithmetic).
+    */
+  private[graft] def microsToNtz(micros: Column): Column = {
+    val microOfDay = pmod(micros, lit(86400000000L)) // non-negative, exact long
+    // (micros - microOfDay) is an exact multiple of 86400000000; the
+    // double division's relative error is ~1e-10 so round() recovers the
+    // exact integer day count (|days| < 2^23 for any year 1..9999)
+    val days = round((micros - microOfDay) / lit(86400000000L)).cast(IntegerType)
+    val midnight = date_add(to_date(lit("1970-01-01")), days).cast(TimestampNTZType)
+    midnight + make_dt_interval(lit(0), lit(0), lit(0),
+      microOfDay.cast(DecimalType(20, 6)) / lit(1000000L))
+  }
+
   /** ISO-8601 string with offset ("2024-03-01T10:15:30+05:30" / "...Z")
     * -> (instant, tz) struct. The cast to timestamp honors the inline
     * offset; the original offset id is kept alongside.
@@ -77,20 +110,22 @@ object CdcTemporal {
   /** (instant, tz) struct -> ISO-8601 string rendered in the preserved
     * offset, sub-second digits included when present (trailing zeros
     * trimmed, so whole-second values round-trip byte-identically).
-    * `date_format` renders in the SESSION zone, so the shifted instant is
-    * re-anchored with `to_utc_timestamp(_, current_timezone())` — identity
-    * under the default UTC session, and still correct when
-    * `pipeline.local-time-zone` changes the session zone.
+    * Zone-FREE: `from_utc_timestamp` shifts by the PRESERVED zone's
+    * offset at the instant (exact — that zone is what we render in), and
+    * the micros→NTZ reconstruction + string cast never consult the
+    * session zone, so `pipeline.local-time-zone` cannot shift the output
+    * even inside a DST transition window (the old
+    * to_utc_timestamp(_, current_timezone()) + date_format unshift pair
+    * was off by the DST delta there).
     */
   def zonedTimestampToString(c: Column): Column = {
     val tz = c.getField("tz")
     val zone = when(tz === "Z", "UTC").otherwise(tz)
-    val local = to_utc_timestamp(
-      from_utc_timestamp(c.getField("instant"), zone), current_timezone())
-    val frac = regexp_replace(date_format(local, "SSSSSS"), "0+$", "")
-    concat(
-      date_format(local, "yyyy-MM-dd'T'HH:mm:ss"),
-      when(length(frac) > 0, concat(lit("."), frac)).otherwise(lit("")),
-      tz)
+    val localNtz = microsToNtz(unix_micros(
+      from_utc_timestamp(c.getField("instant"), zone)))
+    // NTZ→string renders "yyyy-MM-dd HH:mm:ss[.frac]" with trailing
+    // fractional zeros trimmed — the same minimal form the old
+    // SSSSSS+strip build produced
+    concat(translate(localNtz.cast(StringType), " ", "T"), tz)
   }
 }

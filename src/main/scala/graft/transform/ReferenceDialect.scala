@@ -429,12 +429,41 @@ object ReferenceDialect {
     UnresolvedExtractValue(child, sLit("instant"))
 
   /** The (instant, tz) struct's LOCAL wall clock in its preserved zone,
-    * as TIMESTAMP_NTZ.
+    * as TIMESTAMP_NTZ. The preserved-zone shift (from_utc_timestamp)
+    * uses that zone's offset at the instant — exact; the result then
+    * converts to NTZ via the zone-free micros arithmetic so downstream
+    * date_format/to_date render the wall clock independent of
+    * `pipeline.local-time-zone` (a bare from_utc_timestamp result is
+    * LTZ-typed and date_format would re-render it in the SESSION zone —
+    * correct only under UTC sessions).
     */
   private def tzLocal(child: Expression): Expression = {
     val tz = tzField(child)
     val zone = CaseWhen(Seq((EqualTo(tz, sLit("Z")), sLit("UTC"))), tz)
-    fn("from_utc_timestamp", tzInstant(child), zone)
+    ntzWall(fn("from_utc_timestamp", tzInstant(child), zone))
+  }
+
+  /** LTZ expression → its wall clock as TIMESTAMP_NTZ, zone-free — the
+    * expression-level twin of `graft.sources.CdcTemporal.microsToNtz`
+    * (built directly from catalyst nodes: a Column round trip would hide
+    * the inner UnresolvedAttributes from the transform engine's
+    * per-image remap). See CdcTemporal's scaladoc for the exactness
+    * argument; `round` recovers the exact integer day count from the
+    * double division of an exact multiple.
+    */
+  private def ntzWall(ltz: Expression): Expression = {
+    val dayMicros = Literal(86400000000L, LongType)
+    val micros = fn("unix_micros", ltz)
+    val microOfDay = fn("pmod", micros, dayMicros)
+    val days = Cast(
+      fn("round", Divide(Subtract(micros, microOfDay), dayMicros),
+        Literal(0, IntegerType)),
+      IntegerType)
+    val midnight = Cast(
+      fn("date_add", fn("to_date", sLit("1970-01-01")), days), TimestampNTZType)
+    Add(midnight, fn("make_dt_interval",
+      Literal(0, IntegerType), Literal(0, IntegerType), Literal(0, IntegerType),
+      Divide(Cast(microOfDay, DecimalType(20, 6)), Literal(1000000L, LongType))))
   }
 
   /** (instant, tz) struct -> ISO-8601 `local±offset` string (the
@@ -754,7 +783,11 @@ object ReferenceDialect {
           case Some(t) if isTzStruct(t) =>
             fn("date_format", tzLocal(ts), spark)
           case _ =>
-            fn("date_format", fn("from_utc_timestamp", ts, tz), spark)
+            // format the instant in the EXPLICIT zone independent of the
+            // session zone: from_utc_timestamp applies the target zone's
+            // offset (exact), ntzWall strips the LTZ typing so
+            // date_format cannot re-shift by `pipeline.local-time-zone`
+            fn("date_format", ntzWall(fn("from_utc_timestamp", ts, tz)), spark)
         }
       case "to_timestamp_ltz" => f.arguments match {
         case Seq(x) if inferType(x, schema).contains(StringType) || strLit(x).isDefined =>

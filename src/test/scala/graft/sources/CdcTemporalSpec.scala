@@ -80,4 +80,28 @@ class CdcTemporalSpec extends SparkSpec {
       .collect()
     back.foreach(r => assert(r.getString(0) === r.getString(1), r.getString(1)))
   }
+
+  test("TIMESTAMP_TZ rendering is session-zone independent, incl. DST windows") {
+    // walls that land inside America/New_York's 2021 transitions when the
+    // preserved offset shifts them — the old render-then-unshift pair
+    // evaluated the SESSION zone's offset at two instants and was off by
+    // the DST delta there; the zone-free build must be exact
+    val inputs = Seq(
+      "2021-03-14T02:30:00.123456-05:00", // NY spring-forward gap wall time
+      "2021-11-07T01:30:00.999999-04:00", // NY fall-back ambiguous wall time
+      "2021-03-14T07:30:00Z",
+      "1969-12-31T23:59:59.5+05:30") // pre-epoch
+    val prior = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      for (zone <- Seq("UTC", "America/New_York")) {
+        spark.conf.set("spark.sql.session.timeZone", zone)
+        val df = inputs.toDF("ts")
+        val back = df.select(CdcTemporal.zonedTimestampToString(
+          CdcTemporal.zonedTimestampFromString(col("ts"))).as("s"), col("ts"))
+          .collect()
+        back.foreach(r =>
+          assert(r.getString(0) === r.getString(1), s"${r.getString(1)} under $zone"))
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prior)
+  }
 }
