@@ -88,16 +88,14 @@ object CdcTemporal {
     * arithmetic plus a day-time interval (NTZ + interval is pure local
     * arithmetic).
     */
-  private[graft] def microsToNtz(micros: Column): Column = {
-    val microOfDay = pmod(micros, lit(86400000000L)) // non-negative, exact long
-    // (micros - microOfDay) is an exact multiple of 86400000000; the
-    // double division's relative error is ~1e-10 so round() recovers the
-    // exact integer day count (|days| < 2^23 for any year 1..9999)
-    val days = round((micros - microOfDay) / lit(86400000000L)).cast(IntegerType)
-    val midnight = date_add(to_date(lit("1970-01-01")), days).cast(TimestampNTZType)
-    midnight + make_dt_interval(lit(0), lit(0), lit(0),
-      microOfDay.cast(DecimalType(20, 6)) / lit(1000000L))
-  }
+  private[graft] def microsToNtz(micros: Column): Column =
+    // epoch NTZ + one day-time interval: the decimal division is a pure
+    // digit shift (micros/1e6 has <= 6 fractional digits, and the result
+    // scale stays >= 6), so the seconds value is exact; NTZ + interval is
+    // pure local arithmetic. Any year 1..9999 fits the interval range.
+    lit("1970-01-01 00:00:00").cast(TimestampNTZType) +
+      make_dt_interval(lit(0), lit(0), lit(0),
+        micros.cast(DecimalType(24, 6)) / lit(1000000L))
 
   /** ISO-8601 string with offset ("2024-03-01T10:15:30+05:30" / "...Z")
     * -> (instant, tz) struct. The cast to timestamp honors the inline

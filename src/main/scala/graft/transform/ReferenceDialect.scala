@@ -451,20 +451,12 @@ object ReferenceDialect {
     * argument; `round` recovers the exact integer day count from the
     * double division of an exact multiple.
     */
-  private def ntzWall(ltz: Expression): Expression = {
-    val dayMicros = Literal(86400000000L, LongType)
-    val micros = fn("unix_micros", ltz)
-    val microOfDay = fn("pmod", micros, dayMicros)
-    val days = Cast(
-      fn("round", Divide(Subtract(micros, microOfDay), dayMicros),
-        Literal(0, IntegerType)),
-      IntegerType)
-    val midnight = Cast(
-      fn("date_add", fn("to_date", sLit("1970-01-01")), days), TimestampNTZType)
-    Add(midnight, fn("make_dt_interval",
-      Literal(0, IntegerType), Literal(0, IntegerType), Literal(0, IntegerType),
-      Divide(Cast(microOfDay, DecimalType(20, 6)), Literal(1000000L, LongType))))
-  }
+  private def ntzWall(ltz: Expression): Expression =
+    Add(Cast(sLit("1970-01-01 00:00:00"), TimestampNTZType),
+      fn("make_dt_interval",
+        Literal(0, IntegerType), Literal(0, IntegerType), Literal(0, IntegerType),
+        Divide(Cast(fn("unix_micros", ltz), DecimalType(24, 6)),
+          Literal(1000000L, LongType))))
 
   /** (instant, tz) struct -> ISO-8601 `local±offset` string (the
     * reference's ZonedTimestampData rendering).
