@@ -81,25 +81,56 @@ final class SchemaRegistry(
   private val original = mutable.Map.empty[TableId, TableInfo]
   private val evolved = mutable.Map.empty[TableId, TableInfo]
   // versioned store (SchemaManager keeps a sorted version map per table;
-  // SchemaManager.java:56): every applied change appends a version
+  // SchemaManager.java:56): every applied change appends a version, and
+  // only the newest VERSIONS_TO_KEEP survive (SchemaManager.java:58,
+  // cleanup at :232 — pinned by SchemaManagerTest.testVersionCleanup).
+  // The cap bounds driver state under long DDL churn; absolute version
+  // numbers keep counting, with first*Version tracking the oldest
+  // retained one per table.
+  private val VersionsToKeep = 3
   private val originalHistory = mutable.Map.empty[TableId, Vector[TableInfo]]
   private val evolvedHistory = mutable.Map.empty[TableId, Vector[TableInfo]]
+  private val firstOriginalVersion = mutable.Map.empty[TableId, Int]
+  private val firstEvolvedVersion = mutable.Map.empty[TableId, Int]
+
+  private def appendVersion(hist: mutable.Map[TableId, Vector[TableInfo]],
+      first: mutable.Map[TableId, Int], t: TableId, info: TableInfo): Unit = {
+    val v = hist.getOrElse(t, Vector.empty) :+ info
+    if (v.size > VersionsToKeep) {
+      first(t) = first.getOrElse(t, 0) + (v.size - VersionsToKeep)
+      hist(t) = v.drop(v.size - VersionsToKeep)
+    } else hist(t) = v
+  }
 
   def originalInfo(t: TableId): Option[TableInfo] = original.get(t)
   def evolvedInfo(t: TableId): Option[TableInfo] = evolved.get(t)
   def tables: Set[TableId] = original.keySet.toSet
 
-  /** All evolved-plane versions of a table, oldest first (version = index). */
+  /** The RETAINED evolved-plane versions of a table, oldest first (at
+    * most the newest [[VersionsToKeep]]; absolute numbering starts at
+    * [[firstEvolvedVersionOf]]).
+    */
   def evolvedVersions(t: TableId): Seq[TableInfo] =
     evolvedHistory.getOrElse(t, Vector.empty)
 
-  /** All original-plane versions of a table, oldest first. */
+  /** The RETAINED original-plane versions of a table, oldest first. */
   def originalVersions(t: TableId): Seq[TableInfo] =
     originalHistory.getOrElse(t, Vector.empty)
 
-  /** The evolved schema at a historical version (0-based). */
-  def evolvedInfoAt(t: TableId, version: Int): Option[TableInfo] =
-    evolvedVersions(t).lift(version)
+  /** Absolute version number of the oldest retained evolved version. */
+  def firstEvolvedVersionOf(t: TableId): Int = firstEvolvedVersion.getOrElse(t, 0)
+
+  /** Absolute version number of the oldest retained original version. */
+  def firstOriginalVersionOf(t: TableId): Int = firstOriginalVersion.getOrElse(t, 0)
+
+  /** The evolved schema at an ABSOLUTE historical version (0-based from
+    * table creation). None when out of range OR cleaned up — the
+    * reference throws "Schema version %s does not exist" for both.
+    */
+  def evolvedInfoAt(t: TableId, version: Int): Option[TableInfo] = {
+    val idx = version - firstEvolvedVersionOf(t)
+    if (idx < 0) None else evolvedVersions(t).lift(idx)
+  }
 
   private def allowed(e: SchemaChangeEvent): Boolean = e match {
     // create is foundational — filtered only when an EXPLICIT include set
@@ -119,14 +150,14 @@ final class SchemaRegistry(
     e match {
       case CreateTableEvent(t, info) =>
         original(t) = info
-        originalHistory(t) = originalHistory.getOrElse(t, Vector.empty) :+ info
+        appendVersion(originalHistory, firstOriginalVersion, t, info)
       case DropTableEvent(t) =>
         original.remove(t); originalHistory.remove(t)
+        firstOriginalVersion.remove(t)
       case other => original.get(other.tableId).foreach { i =>
         val next = i.applySchemaChange(other)
         original(other.tableId) = next
-        originalHistory(other.tableId) =
-          originalHistory.getOrElse(other.tableId, Vector.empty) :+ next
+        appendVersion(originalHistory, firstOriginalVersion, other.tableId, next)
       }
     }
 
@@ -169,6 +200,7 @@ final class SchemaRegistry(
     val t = e.tableId
     val savedEvolved = evolved.get(t)
     val savedHistory = evolvedHistory.get(t)
+    val savedFirst = firstEvolvedVersion.get(t)
     val events = apply(e)
     try events.foreach(applier)
     catch {
@@ -180,6 +212,10 @@ final class SchemaRegistry(
         savedHistory match {
           case Some(h) => evolvedHistory(t) = h
           case None => evolvedHistory.remove(t)
+        }
+        savedFirst match {
+          case Some(v) => firstEvolvedVersion(t) = v
+          case None => firstEvolvedVersion.remove(t)
         }
         System.err.println(s"[graft] sink rejected $e under TRY_EVOLVE " +
           s"(${ex.getMessage}); keeping the previous sink schema")
@@ -208,7 +244,13 @@ final class SchemaRegistry(
         "originalVersions" -> originalHistory.getOrElse(t, Vector.empty)
           .map(infoMap).asJava,
         "evolvedVersions" -> evolvedHistory.getOrElse(t, Vector.empty)
-          .map(infoMap).asJava).asJava
+          .map(infoMap).asJava,
+        // absolute number of the oldest retained version per plane (the
+        // VERSIONS_TO_KEEP cleanup offset); absent in pre-cap checkpoints
+        "firstOriginalVersion" ->
+          Integer.valueOf(firstOriginalVersion.getOrElse(t, 0)),
+        "firstEvolvedVersion" ->
+          Integer.valueOf(firstEvolvedVersion.getOrElse(t, 0))).asJava
     }.asJava
     new org.yaml.snakeyaml.Yaml().dump(
       Map[String, Object]("tables" -> tables).asJava)
@@ -229,6 +271,7 @@ final class SchemaRegistry(
       Option(m.get("comment")).map(_.toString))
     original.clear(); evolved.clear()
     originalHistory.clear(); evolvedHistory.clear()
+    firstOriginalVersion.clear(); firstEvolvedVersion.clear()
     val root = new org.yaml.snakeyaml.Yaml().load[java.util.Map[String, Object]](state)
     def versions(tm: java.util.Map[String, Object], key: String): Vector[TableInfo] =
       Option(tm.get(key)).map(_.asInstanceOf[java.util.List[java.util.Map[String, Object]]]
@@ -241,6 +284,10 @@ final class SchemaRegistry(
           evolved(tid) = infoOf(e.asInstanceOf[java.util.Map[String, Object]]))
         originalHistory(tid) = versions(tm, "originalVersions")
         evolvedHistory(tid) = versions(tm, "evolvedVersions")
+        Option(tm.get("firstOriginalVersion")).foreach(v =>
+          firstOriginalVersion(tid) = v.toString.toInt)
+        Option(tm.get("firstEvolvedVersion")).foreach(v =>
+          firstEvolvedVersion(tid) = v.toString.toInt)
       }
     }
   }
@@ -249,14 +296,14 @@ final class SchemaRegistry(
     e match {
       case CreateTableEvent(t, info) =>
         evolved(t) = info
-        evolvedHistory(t) = evolvedHistory.getOrElse(t, Vector.empty) :+ info
+        appendVersion(evolvedHistory, firstEvolvedVersion, t, info)
       case DropTableEvent(t) =>
         evolved.remove(t); evolvedHistory.remove(t)
+        firstEvolvedVersion.remove(t)
       case other => evolved.get(other.tableId).foreach { i =>
         val next = i.applySchemaChange(other)
         evolved(other.tableId) = next
-        evolvedHistory(other.tableId) =
-          evolvedHistory.getOrElse(other.tableId, Vector.empty) :+ next
+        appendVersion(evolvedHistory, firstEvolvedVersion, other.tableId, next)
       }
     }
     Seq(e)

@@ -329,6 +329,22 @@ object ReferenceDialect {
     case _ => None
   }
 
+  /** True when a REGEXP_* call statically resolves to NULL under the
+    * reference's semantics (StringFunctions.getRegexpMatcher +
+    * regexpExtract[All] guards): a literal pattern that fails to
+    * compile, a negative literal extract index, or a literal index
+    * beyond the pattern's group count. Non-literal invalid inputs still
+    * throw at runtime (the same documented residue as the REGEXP trio).
+    */
+  private def regexpStaticNull(pat: Expression, idx: Option[Int]): Boolean = {
+    val compiled = strLit(pat).map(p =>
+      scala.util.Try(java.util.regex.Pattern.compile(p)))
+    compiled.exists(_.isFailure) ||
+      idx.exists(_ < 0) ||
+      (for (i <- idx; c <- compiled.flatMap(_.toOption))
+        yield c.matcher("").groupCount() < i).getOrElse(false)
+  }
+
   /** Null-valued expression shapes (`CAST(NULL AS STRING)`, bare NULL). */
   private def isNullish(e: Expression): Boolean = e match {
     case Literal(null, _) => true
@@ -672,6 +688,51 @@ object ReferenceDialect {
         fn("parse_json", Cast(f.arguments.head, StringType))
       case "try_parse_json" =>
         fn("try_parse_json", Cast(f.arguments.head, StringType))
+      case "regexp_extract" if f.arguments.length == 2 || f.arguments.length == 3 =>
+        // StringFunctions.java:74-87: default extractIndex is 0 (the
+        // WHOLE match — Spark defaults to group 1), and no-match /
+        // negative index / group-out-of-range / invalid pattern all
+        // yield NULL (Spark returns '' on no-match and throws on the
+        // rest). Literal patterns validate here; the no-match guard is
+        // an RLIKE probe (matcher.find() semantics).
+        val str = f.arguments.head
+        val pat = f.arguments(1)
+        val idx = if (f.arguments.length == 3) f.arguments(2) else Literal(0, IntegerType)
+        if (regexpStaticNull(pat, intLit(idx))) Literal(null, StringType)
+        else CaseWhen(Seq((RLike(str, pat),
+          fn("regexp_extract", str, pat, idx))), Literal(null, StringType))
+      case "regexp_extract_all" if f.arguments.length == 2 || f.arguments.length == 3 =>
+        // StringFunctions.java:90-108: default extractIndex 1 and
+        // empty-list-on-no-match match Spark's regexp_extract_all
+        // exactly; only the null-on-invalid-input family needs the
+        // literal validation (negative index / group-out-of-range /
+        // invalid pattern → NULL where Spark throws)
+        val idx = if (f.arguments.length == 3) intLit(f.arguments(2)) else Some(1)
+        if (regexpStaticNull(f.arguments(1), idx)) Literal(null, ArrayType(StringType))
+        else f
+      case "unix_timestamp" if f.arguments.length == 1 || f.arguments.length == 2 =>
+        // TemporalFunctions.unixTimestamp → DateTimeUtils.java:168-184:
+        // parse the string in the pipeline zone (graft: the session
+        // zone) with an SDF pattern (default 'yyyy-MM-dd HH:mm:ss') and
+        // return epoch SECONDS; an unparseable string returns
+        // Long.MIN_VALUE (the reference's logged sentinel), a NULL input
+        // stays NULL. Residue shared with the SDF shim: SimpleDateFormat
+        // parses LENIENTLY (rolls over '2021-13-01'); Spark's parser is
+        // strict, so such strings take the MIN_VALUE branch here.
+        val str = f.arguments.head
+        // try_to_timestamp (NOT unix_timestamp, which throws under ANSI
+        // mode) parses in the session zone and nulls on failure; `div`
+        // truncates toward zero like the reference's Java millis/1000
+        val base = fn("try_to_timestamp", str,
+          if (f.arguments.length == 2) f.arguments(1)
+          else sLit("yyyy-MM-dd HH:mm:ss"))
+        val parsed = translatePattern(base.asInstanceOf[UnresolvedFunction], 1)
+        val secs = fn("div", fn("unix_micros", parsed), Literal(1000000L, LongType))
+        val nullIn =
+          if (f.arguments.length == 2) Or(IsNull(str), IsNull(f.arguments(1)))
+          else IsNull(str)
+        CaseWhen(Seq((nullIn, Literal(null, LongType))),
+          Coalesce(Seq(secs, Literal(Long.MinValue, LongType))))
       case name @ ("regexp_count" | "regexp_instr" | "regexp_substr")
           if f.arguments.length == 2 =>
         // Spark's same-named built-ins match the reference exactly on

@@ -122,6 +122,50 @@ class CliDefinitionsSpec extends AnyFunSuite {
       Map("comment" -> "a, b and c", "buckets" -> "4"))
   }
 
+  test("table-options.delimiter matrix (SchemaMetadataTransformTest, 8 methods)") {
+    // the reference's runtime matrix: the delimiter is LITERAL even when
+    // it is a regex metacharacter, values split on the FIRST '=' only,
+    // and custom delimiters free the comma for use inside values
+    def opts(optsStr: String, delim: Option[String]): Map[String, String] = {
+      val dl = delim.map(d =>
+        "    table-options.delimiter: \"" + d + "\"\n").getOrElse("")
+      YamlPipelineParser.parse(
+        s"""source: { type: values }
+           |sink: { type: values }
+           |transform:
+           |  - source-table: db.t
+           |    table-options: "$optsStr"
+           |$dl""".stripMargin).transforms.head.tableOptions.toMap
+    }
+    val two = Map("key1" -> "value1", "key2" -> "value2")
+    // testTableOptionsWithCommaDelimiter (default)
+    assert(opts("key1=value1,key2=value2", None) === two)
+    // testTableOptionsWithSemicolonDelimiter
+    assert(opts("key1=value1;key2=value2", Some(";")) === two)
+    // testTableOptionsWithCommaInValue
+    assert(opts("sequence.field=gxsj,jjsj;file-index.range-bitmap.columns=jjsj;" +
+      "file-index.bloom-filter.columns=jjdbh", Some(";")) ===
+      Map("sequence.field" -> "gxsj,jjsj",
+        "file-index.range-bitmap.columns" -> "jjsj",
+        "file-index.bloom-filter.columns" -> "jjdbh"))
+    // testTableOptionsSplitByFirstEqualSign
+    assert(opts("key1=value=1;key2=value2", Some(";")) ===
+      Map("key1" -> "value=1", "key2" -> "value2"))
+    // testTableOptionsWithCustomDelimiter(AndCommaInValue)
+    assert(opts("key1=value1|key2=value2", Some("|")) === two)
+    assert(opts("sequence.field=gxsj,jjsj$file-index.range-bitmap.columns=jjsj",
+      Some("$")) ===
+      Map("sequence.field" -> "gxsj,jjsj", "file-index.range-bitmap.columns" -> "jjsj"))
+    // testTableOptionsWithRegexSpecialCharacterDelimiter — each must act
+    // as a literal, not a regex
+    for (d <- Seq(".", "*", "+", "?", "[", "\\\\"))
+      assert(opts(s"key1=value1${if (d == "\\\\") "\\\\" else d}key2=value2", Some(d))
+        === two, s"delimiter $d")
+    // testTableOptionsWithSpecialCharacterDelimiter — newline and tab
+    assert(opts("key1=value1\\nkey2=value2", Some("\\n")) === two)
+    assert(opts("key1=value1\\tkey2=value2", Some("\\t")) === two)
+  }
+
   test("with-udf.yaml + with-udf-options.yaml (pipelineDefWithUdf[Options])") {
     val pd = parse("pipeline-definition-with-udf.yaml")
     assert(pd.udfs === Seq(

@@ -914,6 +914,80 @@ class TransformITCaseSpec extends SparkSpec {
   // ---- UnifiedTransformOperatorTest ports (the runtime operator-harness
   // cases not already covered above; subsumption table in NOTES.md) ----
 
+  test("explicit-projection rules swallow irrelevant DDL, forward relevant diffs " +
+    "(TransformOperatorWithSchemaEvolveTest irrelevant/semi-relevant/relevant)") {
+    // the reference asserts its internal pre/post operator split; the
+    // sink-visible contract is what ports: DDL touching columns OUTSIDE
+    // an explicit projection's reference set never reaches the sink
+    // (graft derives sink DDL by diffing the projection's output under
+    // the old vs new upstream schema — an irrelevant change diffs to
+    // nothing), while a type change to a PROJECTED column arrives as the
+    // diff, including the recomputed type of dependent computed columns
+    // (documented adaptation: the reference keeps `computed` at its
+    // rule-creation type; graft re-derives INT+DOUBLE → DOUBLE, which is
+    // what the post-evolution VALUES are. Its name VARCHAR(17) alter is
+    // a no-op here — Spark has one string type).
+    val tid = TableId.parse(s"$ns.data_changes")
+    val tinfo = TableInfo(StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType),
+      StructField("age", IntegerType))), primaryKeys = Seq("id"))
+    val events = Seq(
+      CreateTableEvent(tid, tinfo),
+      DataChangeEvent.insert(tid, Row(1000, "Alice", 17)),
+      // irrelevant: none of these touch the projected {id, age} set
+      AddColumnEvent(tid, Seq((StructField("extras", FloatType), ColumnPosition.Last))),
+      DataChangeEvent.insert(tid, Row(2000, "Bob", 18, 3.14f)),
+      RenameColumnEvent(tid, Map("name" -> "namae")),
+      AlterColumnTypeEvent(tid, Map("extras" -> DoubleType)),
+      DropColumnEvent(tid, Seq("namae", "extras")),
+      DataChangeEvent.insert(tid, Row(3000, 19)),
+      // relevant: age IS projected — the diff reaches the sink
+      AlterColumnTypeEvent(tid, Map("age" -> DoubleType)),
+      DataChangeEvent.insert(tid, Row(4000, 20.5)))
+    val sink = runGeneric(
+      s"""transform:
+         |  - source-table: $ns.data_changes
+         |    projection: "id, age, id + age as computed"
+         |    filter: "id > 100"
+         |""".stripMargin, events = events, behavior = "evolve")
+    assert(sink.eventLog === Seq(
+      s"CreateTableEvent{tableId=$ns.data_changes, schema=columns={id INT, age INT, computed INT}, primaryKeys=id}",
+      s"DataChangeEvent{tableId=$ns.data_changes, before=[], after=[1000, 17, 1017], op=INSERT}",
+      s"DataChangeEvent{tableId=$ns.data_changes, before=[], after=[2000, 18, 2018], op=INSERT}",
+      s"DataChangeEvent{tableId=$ns.data_changes, before=[], after=[3000, 19, 3019], op=INSERT}",
+      s"AlterColumnTypeEvent{tableId=$ns.data_changes, types=[age DOUBLE, computed DOUBLE]}",
+      s"DataChangeEvent{tableId=$ns.data_changes, before=[], after=[4000, 20.5, 4020.5], op=INSERT}"))
+  }
+
+  test("a MID-projection wildcard rides schema evolution in place " +
+    "(testSchemaChangeWithMidWildcard / testSchemaChangeWithPostWildcard)") {
+    // computed columns around a mid-position `*`: the wildcard region
+    // expands in place, and an upstream AddColumn lands INSIDE it (after
+    // the last pre-existing physical column), not at the row's end
+    val tid = TableId.parse(s"$ns.data_changes")
+    val tinfo = TableInfo(StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType),
+      StructField("age", IntegerType))), primaryKeys = Seq("id"))
+    val events = Seq(
+      CreateTableEvent(tid, tinfo),
+      DataChangeEvent.insert(tid, Row(1000, "Alice", 17)), // filtered out
+      DataChangeEvent.insert(tid, Row(2000, "Bob", 18)),
+      AddColumnEvent(tid, Seq((StructField("height", DoubleType), ColumnPosition.Last))),
+      DataChangeEvent.insert(tid, Row(3000, "Carol", 19, 1.85)))
+    val sink = runGeneric(
+      s"""transform:
+         |  - source-table: $ns.data_changes
+         |    projection: "id + age as computed1, *, id * age as computed2"
+         |    filter: "name <> 'Alice'"
+         |""".stripMargin, events = events, behavior = "evolve")
+    assert(sink.eventLog === Seq(
+      s"CreateTableEvent{tableId=$ns.data_changes, schema=columns={computed1 INT, " +
+        "id INT, name STRING, age INT, computed2 INT}, primaryKeys=id}",
+      s"DataChangeEvent{tableId=$ns.data_changes, before=[], after=[2018, 2000, Bob, 18, 36000], op=INSERT}",
+      s"AddColumnEvent{tableId=$ns.data_changes, addedColumns=[height DOUBLE After(age)]}",
+      s"DataChangeEvent{tableId=$ns.data_changes, before=[], after=[3019, 3000, Carol, 19, 1.85, 57000], op=INSERT}"))
+  }
+
   test("metadata columns compose in expressions (testCalculatedMetadataTransform)") {
     // `||` concatenation OF metadata columns — testMetadataColumn above
     // only projects them bare
@@ -945,6 +1019,23 @@ class TransformITCaseSpec extends SparkSpec {
       s"DataChangeEvent{tableId=$ns.mytable1, before=[], after=[1, Alice, 18, 19, " +
         "default_namespace, default_schema, mytable1, DEFAULT_SCHEMA, __table_name__, " +
         "__namespace__name__schema__name__table__name__], op=INSERT}"))
+  }
+
+  test("UUID() computes a random v4 UUID per image (TransformSqlOperatorTable UUID)") {
+    // non-deterministic — golden specs cannot pin it; assert shape
+    val sink = runGeneric(
+      s"""transform:
+         |  - source-table: $ns.mytable1
+         |    projection: "id, UUID() AS uid"
+         |""".stripMargin)
+    assert(sink.eventLog.head ===
+      s"CreateTableEvent{tableId=$ns.mytable1, schema=columns={id INT, uid STRING}, primaryKeys=id}")
+    val uuidRe = "[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}".r
+    val dataLines = sink.eventLog.filter(l =>
+      l.startsWith("DataChangeEvent") && l.contains("mytable1"))
+    assert(dataLines.size === 3)
+    dataLines.foreach(l =>
+      assert(uuidRe.findFirstIn(l).isDefined, s"no v4 uuid in $l"))
   }
 
   test("hyphenated and keyword-named columns: backticks vs subtraction " +
