@@ -67,35 +67,25 @@ object CdcTemporal {
   }
 
   /** Epoch micros of an NTZ wall clock read as UTC — i.e. exactly the NTZ
-    * value's internal micros. Pure zone-free field arithmetic (NTZ→DATE,
-    * hour/minute and the SECOND date_part all read local fields without
-    * consulting the session zone), so `pipeline.local-time-zone` can
-    * never shift the result — including inside a DST transition window,
-    * where any cast-through-LTZ pair is off by the DST delta (the zone
-    * offset at the wall time and at the shifted instant differ there).
+    * value's internal storage long, surfaced by a zero-cost reinterpret
+    * ([[graft.functions.expressions.TemporalReinterpret]]): no session
+    * zone anywhere in the path, so `pipeline.local-time-zone` can never
+    * shift the result — including inside a DST transition window, where
+    * any cast-through-LTZ pair is off by the DST delta (the zone offset
+    * at the wall time and at the shifted instant differ there).
     */
   private[graft] def ntzEpochMicros(c: Column): Column =
-    datediff(c.cast(DateType), to_date(lit("1970-01-01"))).cast(LongType) *
-      86400000000L +
-      hour(c).cast(LongType) * 3600000000L +
-      minute(c).cast(LongType) * 60000000L +
-      // SECOND extracts Decimal(8,6) seconds incl. fractional micros;
-      // ×1e6 in decimal is an exact digit shift
-      (date_part(lit("SECOND"), c) * 1000000L).cast(LongType)
+    org.apache.spark.sql.graft.SparkInternals.column(
+      graft.functions.expressions.TemporalReinterpret.NtzToMicros(
+        org.apache.spark.sql.graft.SparkInternals.expression(c)))
 
   /** Inverse of [[ntzEpochMicros]]: epoch micros → the NTZ whose wall
-    * clock is the UTC reading. Same zone-free discipline: epoch-day
-    * arithmetic plus a day-time interval (NTZ + interval is pure local
-    * arithmetic).
+    * clock is the UTC reading — the same reinterpret, the other way.
     */
   private[graft] def microsToNtz(micros: Column): Column =
-    // epoch NTZ + one day-time interval: the decimal division is a pure
-    // digit shift (micros/1e6 has <= 6 fractional digits, and the result
-    // scale stays >= 6), so the seconds value is exact; NTZ + interval is
-    // pure local arithmetic. Any year 1..9999 fits the interval range.
-    lit("1970-01-01 00:00:00").cast(TimestampNTZType) +
-      make_dt_interval(lit(0), lit(0), lit(0),
-        micros.cast(DecimalType(24, 6)) / lit(1000000L))
+    org.apache.spark.sql.graft.SparkInternals.column(
+      graft.functions.expressions.TemporalReinterpret.MicrosToNtz(
+        org.apache.spark.sql.graft.SparkInternals.expression(micros.cast(LongType))))
 
   /** ISO-8601 string with offset ("2024-03-01T10:15:30+05:30" / "...Z")
     * -> (instant, tz) struct. The cast to timestamp honors the inline

@@ -459,20 +459,16 @@ object ReferenceDialect {
     ntzWall(fn("from_utc_timestamp", tzInstant(child), zone))
   }
 
-  /** LTZ expression → its wall clock as TIMESTAMP_NTZ, zone-free — the
-    * expression-level twin of `graft.sources.CdcTemporal.microsToNtz`
-    * (built directly from catalyst nodes: a Column round trip would hide
-    * the inner UnresolvedAttributes from the transform engine's
-    * per-image remap). See CdcTemporal's scaladoc for the exactness
-    * argument; `round` recovers the exact integer day count from the
-    * double division of an exact multiple.
+  /** LTZ expression → its wall clock as TIMESTAMP_NTZ, zone-free:
+    * unix_micros reads the instant (no zone), and the NTZ materializes
+    * by the zero-cost storage reinterpret (an NTZ's internal long IS its
+    * wall-clock-as-UTC micros; TemporalReinterpret scaladoc). Built from
+    * catalyst nodes directly — a Column round trip would hide the inner
+    * UnresolvedAttributes from the transform engine's per-image remap.
     */
   private def ntzWall(ltz: Expression): Expression =
-    Add(Cast(sLit("1970-01-01 00:00:00"), TimestampNTZType),
-      fn("make_dt_interval",
-        Literal(0, IntegerType), Literal(0, IntegerType), Literal(0, IntegerType),
-        Divide(Cast(fn("unix_micros", ltz), DecimalType(24, 6)),
-          Literal(1000000L, LongType))))
+    graft.functions.expressions.TemporalReinterpret.MicrosToNtz(
+      fn("unix_micros", ltz))
 
   /** (instant, tz) struct -> ISO-8601 `local±offset` string (the
     * reference's ZonedTimestampData rendering).
