@@ -399,4 +399,19 @@ class PlanSpec extends SparkSpec {
     assert("\\*\\(\\d+\\) Project".r.findFirstIn(projLine).isDefined,
       s"projection fell out of WSCG:\n$p")
   }
+
+  test("temporal reinterprets stay inside whole-stage codegen (q79 wire path)") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.TimestampNTZType
+    // the NTZ<->micros reinterpret pair must fuse like any intrinsic —
+    // the q18/q79 wire hot loops run them per payload field
+    val df = Tables.load(spark, sf(), "events")
+      .select(graft.sources.CdcTemporal.microsToNtz(
+        graft.sources.CdcTemporal.ntzEpochMicros(
+          col("ts").cast(TimestampNTZType)) + 1000000L).as("shifted"))
+    val p = df.queryExecution.executedPlan.toString()
+    val projLine = p.linesIterator.find(_.contains("Project")).getOrElse("")
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(projLine).isDefined,
+      s"reinterpret fell out of WSCG:\n$p")
+  }
 }
