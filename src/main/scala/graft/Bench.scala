@@ -35,6 +35,7 @@ object Bench {
     // with anything in this repo — lets any BENCH_r{N} be read against
     // machine state without hand-reconstructed drift trails
     val mf = machineFactor()
+    val mfMt = machineFactorParallel()
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
     SparkEntry.queries.foreach { case (name, fn) =>
       try consume(fn, warmDir)
@@ -90,6 +91,7 @@ object Bench {
     val ing = math.max(ingA, ingB)
     logCodeCache("end")
     val mfEnd = machineFactor()
+    val mfMtEnd = machineFactorParallel()
     println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec",""" +
       s""""run_totals":[${f"$t1%.2f"},${f"$t2%.2f"}],""" +
       s""""total_min_run":${f"${math.min(t1, t2)}%.2f"},"queries":$qs,""" +
@@ -99,6 +101,7 @@ object Bench {
       s""""stream_batch_eps_spread_pct":${st.spreadPct},""" +
       s""""ingest_docs_per_s":$ing,"ingest_runs":[$ingA,$ingB],""" +
       s""""machine_factor":[${f"$mf%.2f"},${f"$mfEnd%.2f"}],""" +
+      s""""machine_factor_mt":[${f"$mfMt%.2f"},${f"$mfMtEnd%.2f"}],""" +
       s""""note":"q keys=qNN ids (names in SparkEntry.queries); value=sum of per-query min of 2 passes; total_min_run=best single pass; stream/ingest=best of 2; protocol in NOTES.md",""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
@@ -125,6 +128,41 @@ object Bench {
     val secs = (System.nanoTime() - t0) / 1e9
     if ((warm ^ v) == 42L) System.err.println("[bench] spin collision") // defeat DCE
     System.err.println(f"[bench] machine_factor: $secs%.2f s (nominal ~0.97)")
+    secs
+  }
+
+  /** Parallel twin of [[machineFactor]]: the same 500M spin on 16
+    * concurrent threads, wall seconds. Catches host degradation the
+    * single-thread spin cannot (core contention / throttling): on a free
+    * host it matches the single-thread time (~0.97 s nominal); a value
+    * of 2× the single-thread factor means effective parallelism is
+    * halved — read the STREAM/INGEST cells (32-way phases) against THIS
+    * factor, the per-query composite against the single-thread one.
+    * (Motivating case: r13 afternoon — machine_factor steady at
+    * 0.97-1.01 while stream_steady fell 56k→36k ev/s on byte-identical
+    * code.)
+    */
+  private def machineFactorParallel(): Double = {
+    def spin(seed: Long, iters: Long): Long = {
+      var h = 0x9E3779B97F4A7C15L ^ seed
+      var i = 0L
+      while (i < iters) { h ^= i; h *= 0xC2B2AE3D27D4EB4FL; h ^= (h >>> 31); i += 1 }
+      h
+    }
+    val n = 16
+    val acc = new java.util.concurrent.atomic.AtomicLong()
+    def run(iters: Long): Unit = {
+      val threads = (0 until n).map { k =>
+        new Thread(() => { acc.addAndGet(spin(k.toLong, iters)); () })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+    }
+    run(20000000L) // warm all lanes
+    val t0 = System.nanoTime()
+    run(500000000L)
+    val secs = (System.nanoTime() - t0) / 1e9
+    if (acc.get == 42L) System.err.println("[bench] spin collision")
+    System.err.println(f"[bench] machine_factor_mt: $secs%.2f s (nominal ~0.97)")
     secs
   }
 
