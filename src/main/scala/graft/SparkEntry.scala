@@ -1530,6 +1530,49 @@ object SparkEntry {
       .orderBy(col("emb_id"))
   }
 
+  /** Okapi BM25 top-10 per query term (TextAnalysis.bm25TopK) with the
+    * integer evidence (tf, dl, df) the score derives from. The gated
+    * score is the rational-idf form — one exact-integer num/den division,
+    * bit-identical across engines (log-idf isn't identically rounded;
+    * the log-idf ordering itself is OpsSpec-gated, same policy as q64's
+    * tf-idf ranking).
+    */
+  private def q80Bm25(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "join", "window", "merge", "filter"), k = 10,
+        rationalIdf = true)
+      .select(col("term"), col("rank").cast("long").as("rank"), col("doc_id"),
+        col("tf"), col("dl"), col("df"), col("score"))
+      .orderBy(col("term"), col("rank"))
+
+  /** Weighted Bernoulli sample (Curation.weightedHashSample): keep each
+    * document with probability w/4096 where w = min(n_chars, 400) — the
+    * importance-sampling primitive. The decision is all-integer
+    * (u·rateDen < w·rateNum·2^32 on a 32-bit md5 draw), so DuckDB
+    * recomputing the same md5 makes the identical decision row for row.
+    */
+  private def q81WeightedSample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Curation.weightedHashSample(
+        t(s, dir, "documents"), col("doc_id"),
+        least(col("n_chars"), lit(400L)), rateNum = 1, rateDen = 4096)
+      .select(col("doc_id"), col("n_chars"),
+        least(col("n_chars"), lit(400L)).as("w"))
+      .orderBy(col("doc_id"))
+
+  /** Overlapping token-window chunking (Curation.chunkTokens): 32-token
+    * windows every 24 tokens plus a tail-aligned final window — the
+    * context-window preparation step for embedding/RAG pipelines. Exact
+    * gate: DuckDB rebuilds the same normalized token array and slices
+    * the same start offsets.
+    */
+  private def q82Chunk(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Curation.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+        window = 32, stride = 24)
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("start").cast("long").as("start"),
+        col("n_tokens").cast("long").as("n_tokens"), col("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1611,7 +1654,10 @@ object SparkEntry {
     "q76_media_decode" -> (q76MediaDecode _),
     "q77_random_projection" -> (q77RandomProjection _),
     "q78_pca" -> (q78Pca _),
-    "q79_connect_schema_roundtrip" -> (q79ConnectSchemaRoundtrip _)
+    "q79_connect_schema_roundtrip" -> (q79ConnectSchemaRoundtrip _),
+    "q80_bm25" -> (q80Bm25 _),
+    "q81_weighted_sample" -> (q81WeightedSample _),
+    "q82_chunk" -> (q82Chunk _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2655,6 +2701,61 @@ object SparkEntry {
         |  strftime(ts6, '%Y-%m-%d %H:%M:%S.%f') AS ltz_repr,
         |  strftime(d, '%Y-%m-%d') AS d_repr,
         |  t_ms, last_value
-        |FROM ranked WHERE rn = 1 AND op <> '-D' ORDER BY user_id""".stripMargin
+        |FROM ranked WHERE rn = 1 AND op <> '-D' ORDER BY user_id""".stripMargin,
+    // rational-idf BM25: num/den are exact BIGINTs (< 2^53), so the single
+    // division is bit-identical across engines; k1=6/5, b=3/4 fold into the
+    // integer coefficients 44/20/6/18 (see TextAnalysis.bm25TopK scaladoc)
+    "q80_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(
+        |    trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')),
+        |    ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+        |  FROM tok WHERE term <> '' GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+        |st AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS s FROM dl),
+        |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |c AS (
+        |  SELECT tf.term, tf.doc_id, tf.tf, dl.dl, df.df,
+        |    ((2*st.n - 2*df.df + 1) * 44 * st.s * tf.tf) /
+        |    ((2*df.df + 1) * (20*st.s*tf.tf + 6*st.s + 18*dl.dl*st.n)) AS score
+        |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN st
+        |  WHERE tf.term IN ('spark','join','window','merge','filter')),
+        |r AS (SELECT term, doc_id, tf, dl, df, score,
+        |  row_number() OVER (PARTITION BY term
+        |    ORDER BY score DESC, doc_id ASC) AS rank FROM c)
+        |SELECT term, rank, doc_id, tf, dl, df, score FROM r WHERE rank <= 10
+        |ORDER BY term, rank""".stripMargin,
+    // all-integer weighted Bernoulli decision on a 32-bit md5 draw
+    "q81_weighted_sample" ->
+      """SELECT doc_id, n_chars, least(n_chars, 400)::BIGINT AS w
+        |FROM documents
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT::BIGINT
+        |        * 4096
+        |      < least(n_chars, 400) * 4294967296
+        |ORDER BY doc_id""".stripMargin,
+    // 32-token windows every 24 tokens + tail-aligned final window
+    "q82_chunk" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(
+        |    trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')),
+        |    ' ') AS t
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, t, len(t) AS n,
+        |    CASE WHEN len(t) <= 32 THEN [1]
+        |         WHEN (len(t) - 32) % 24 = 0
+        |           THEN generate_series(1, len(t) - 31, 24)
+        |         ELSE list_append(generate_series(1, len(t) - 31, 24),
+        |                          len(t) - 31)
+        |    END AS starts
+        |  FROM d),
+        |c AS (SELECT doc_id, n, t, unnest(starts) AS start,
+        |    unnest(generate_series(1, len(starts))) AS chunk_id FROM s)
+        |SELECT doc_id, chunk_id::BIGINT AS chunk_id, start::BIGINT AS start,
+        |  least(32, n - start + 1)::BIGINT AS n_tokens,
+        |  array_to_string(t[start:start+31], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
   )
 }

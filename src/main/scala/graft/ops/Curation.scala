@@ -62,6 +62,76 @@ object Curation {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** 8-hex-digit md5 prefix of the key as a uniform 32-bit draw in
+    * [0, 2^32) — the numeric sibling of [[hashBucket]], for sampling
+    * decisions that scale with a per-row weight. Identical in any engine
+    * with md5 + hex parsing, so decisions reproduce across engines.
+    */
+  private def hashUniform32(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Weighted Bernoulli sample: keep each row independently with
+    * probability min(1, weight·rateNum/rateDen) — the importance-sampling
+    * primitive (sample ∝ quality score, ∝ token count, DSIR-style
+    * selection). Deterministic: the key hash IS the randomness, so
+    * reruns, backfills, and external engines make identical decisions.
+    *
+    * The decision `u·rateDen < weight·rateNum·2^32` is ALL integer
+    * arithmetic (u = [[hashUniform32]]), hence exactly reproducible —
+    * no float rounding at the boundary. Caller keeps
+    * `weight·rateNum ≤ 2^31` (ANSI overflow guard: 2^31·2^32 = 2^63).
+    *
+    * Scale shape: pure projection + filter over the scan — no shuffle,
+    * no RNG state, pushdown-friendly.
+    */
+  def weightedHashSample(df: DataFrame, key: Column, weight: Column,
+      rateNum: Long, rateDen: Long): DataFrame = {
+    require(rateNum >= 0 && rateDen > 0,
+      s"rate must be a non-negative rational: $rateNum/$rateDen")
+    df.where(hashUniform32(key) * lit(rateDen) <
+      weight.cast("long") * lit(rateNum) * lit(4294967296L))
+  }
+
+  /** Overlapping token-window chunks — the context-window preparation
+    * step for embedding/RAG/eval pipelines: each document splits into
+    * `window`-token chunks every `stride` tokens, plus one tail-aligned
+    * chunk ending at the last token when the stride doesn't land there
+    * (so every token is covered and no chunk is shorter than `window`
+    * except when the whole document is). One row per chunk:
+    * (doc_id, chunk_id 1-based, start 1-based token offset, n_tokens,
+    * chunk_text).
+    *
+    * Tokens are [[TextAnalysis.normalize]]d alnum words (the corpus-wide
+    * tokenization every other text op here uses), so an external engine
+    * splitting the same normalized text reproduces chunk boundaries
+    * exactly.
+    *
+    * Scale shape: projection + generator over the scan (sequence of
+    * starts is O(len/stride) ints per doc, built before the explode;
+    * slice/array_join run inside codegen) — no shuffle, no state.
+    */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window: window=$window stride=$stride")
+    val t = split(TextAnalysis.normalize(col(textCol)), " ")
+    val len = size(t)
+    val lastStart = len - window + 1
+    val starts = when(len <= window, array(lit(1))).otherwise(concat(
+      sequence(lit(1), lastStart, lit(stride)),
+      when(pmod(len - lit(window), lit(stride)) === 0,
+        array().cast("array<int>")).otherwise(array(lastStart))))
+    docs.select(col(idCol).as("doc_id"), t.as("__t"), starts.as("__s"))
+      .select(col("doc_id"), col("__t"),
+        posexplode(col("__s")).as(Seq("__pos", "start")))
+      .select(col("doc_id"),
+        (col("__pos") + 1).as("chunk_id"),
+        col("start"),
+        least(lit(window), size(col("__t")) - col("start") + 1).as("n_tokens"),
+        array_join(slice(col("__t"), col("start"), lit(window)), " ")
+          .as("chunk_text"))
+  }
+
   /** Benchmark decontamination: documents sharing any word `n`-gram with
     * the probe set, with the count of distinct shared grams — the
     * standard pre-training hygiene check (probe = eval-benchmark text).

@@ -332,4 +332,81 @@ object TextAnalysis {
       .select(col("bigram"), col("cnt"), col("l_term"), col("r_term"),
         col("l_cnt"), col("r_cnt"))
   }
+
+  // ---- BM25 retrieval (Robertson & Spärck Jones; the lexical-search
+  // ranking a training-data pipeline uses for targeted corpus slicing
+  // and retrieval-based decontamination) ----
+
+  /** Okapi BM25 top-`k` documents per query term, with the integer
+    * evidence the score derives from (tf, dl, df, N, S=Σdl).
+    *
+    * Scoring: with k1 = `k1Num/k1Den`, b = `bNum/bDen`, avgdl = S/N, the
+    * per-term BM25 factor `tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
+    * multiplied by the idf weight. Two idf forms:
+    *  - `rationalIdf = true` (the gated form): idf = (N−df+0.5)/(df+0.5)
+    *    — the raw RSJ odds WITHOUT the log. The whole score is then one
+    *    exact-integer num/den pair evaluated with a SINGLE IEEE division,
+    *    so an external engine recomputing from the same integers matches
+    *    bit-for-bit (the tf-idf/PMI float policy; log is monotone on the
+    *    odds so top-k per term is ranking-compatible with log-idf BM25);
+    *  - `rationalIdf = false` (the standard form): idf =
+    *    ln(1 + (N−df+0.5)/(df+0.5)) — the Robertson/Lucene formulation,
+    *    double math, for real use.
+    *
+    * num = (2N−2df+1)·(k1Num+k1Den)·bDen·S·tf,
+    * den = (2df+1)·(k1Den·bDen·S·tf + k1Num·(bDen−bNum)·S + k1Num·bNum·dl·N)
+    * — all BIGINT (callers keep S·tf·N inside 2^53 for the exact gate;
+    * the standard form has no such constraint).
+    *
+    * N counts documents with ≥1 alnum token (the only BM25 candidates).
+    *
+    * Scale shape: ONE corpus tokenize via [[termFrequencies]] (persisted
+    * tf frame feeds tf, df AND dl); corpus stats (N, S) are a 1-row
+    * aggregate broadcast into the scoring projection; the query-term
+    * filter prunes the tf frame to the terms' postings BEFORE any join;
+    * per-term top-k plans as a window-group-limit over the postings, so
+    * nothing corpus-sized ever sorts or shuffles beyond the tf hash aggs.
+    */
+  def bm25TopK(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, queryTerms: Seq[String], k: Int,
+      k1Num: Long = 6, k1Den: Long = 5, bNum: Long = 3, bDen: Long = 4,
+      rationalIdf: Boolean = false): org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k1Num >= 0 && k1Den > 0 && bNum >= 0 && bDen > 0 && bNum <= bDen,
+      s"k1 >= 0 and b in [0,1] as positive rationals: $k1Num/$k1Den, $bNum/$bDen")
+    import org.apache.spark.sql.expressions.Window
+    val tf = termFrequencies(docs, idCol, textCol)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
+    val cand = tf
+      .where(col("term").isin(queryTerms: _*))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+    val den = (lit(2) * col("df") + lit(1)) *
+      (lit(k1Den * bDen) * col("s") * col("tf") +
+        lit(k1Num * (bDen - bNum)) * col("s") +
+        lit(k1Num * bNum) * col("dl") * col("n"))
+    val score =
+      if (rationalIdf) {
+        val num = (lit(2) * col("n") - lit(2) * col("df") + lit(1)) *
+          lit((k1Num + k1Den) * bDen) * col("s") * col("tf")
+        num / den
+      } else {
+        val idf = log(lit(1.0) +
+          (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+        val k1 = k1Num.toDouble / k1Den
+        val b = bNum.toDouble / bDen
+        val norm = col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl") * col("n") / col("s")))
+        idf * norm
+      }
+    val w = Window.partitionBy(col("term"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    cand.withColumn("score", score)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("term"), col("rank"), col("doc_id"),
+        col("tf"), col("dl"), col("df"), col("score"))
+  }
 }

@@ -1195,4 +1195,88 @@ class OpsSpec extends SparkSpec {
     assert(en > 0 && fr < 0)
     assert(w(1L).getAs[Long]("n_tok") === 6L)
   }
+  test("bm25: evidence consistent, rational-idf ranks like log-idf, score formula") {
+    val df = Seq(
+      (1L, "spark join spark spark filter"),
+      (2L, "spark join join window merge scan table row group key"),
+      (3L, "filter filter filter filter"),
+      (4L, "spark"),
+      (5L, "other words only here")).toDF("doc_id", "text")
+    val std = TextAnalysis.bm25TopK(df, "doc_id", "text",
+      Seq("spark", "filter"), k = 10)
+      .orderBy("term", "rank").collect()
+    val rat = TextAnalysis.bm25TopK(df, "doc_id", "text",
+      Seq("spark", "filter"), k = 10, rationalIdf = true)
+      .orderBy("term", "rank").collect()
+    // log is monotone on the RSJ odds: both idf forms rank identically
+    assert(std.map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq ===
+      rat.map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq)
+    // 'spark': doc 1 (tf=3) first; tf tie between docs 2 and 4 breaks by
+    // length normalization (dl=1 beats dl=10)
+    val spark_ = std.filter(_.getString(0) == "spark")
+    assert(spark_.map(_.getLong(2)).toSeq === Seq(1L, 4L, 2L))
+    // evidence: df(spark)=3 over docs {1,2,4}; dl(doc1)=5
+    val d1 = spark_.head
+    assert((d1.getLong(3), d1.getLong(4), d1.getLong(5)) === ((3L, 5L, 3L)))
+    // standard-form score matches the closed formula (N=5, S=24)
+    val (n, s) = (5.0, 24.0)
+    val (tf, dl, dfq) = (3.0, 5.0, 3.0)
+    val idf = math.log(1.0 + (n - dfq + 0.5) / (dfq + 0.5))
+    val norm = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl * n / s))
+    assert(math.abs(d1.getDouble(6) - idf * norm) < 1e-12)
+    // rational form: one exact-integer division
+    val rd1 = rat.filter(_.getString(0) == "spark").head
+    val num = (2 * 5 - 2 * 3 + 1).toDouble * 44 * 24 * 3
+    val den = (2 * 3 + 1).toDouble * (20 * 24 * 3 + 6 * 24 + 18 * 5 * 5)
+    assert(rd1.getDouble(6) === num / den)
+  }
+
+  test("weighted hash sample: all-integer decision reproduces, w=0 excluded, cap at p=1") {
+    val df = (0L to 1999L).map(i => (i, i % 100)).toDF("id", "w")
+    val kept = Curation.weightedHashSample(df, col("id"), col("w"), 1, 64)
+      .select("id").collect().map(_.getLong(0)).toSet
+    def u32(k: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(k.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val expect = (0L to 1999L)
+      .filter(i => u32(i) * 64L < (i % 100) * 4294967296L).toSet
+    assert(kept === expect)
+    // w = 0 rows can never be kept; w >= rateDen rows always are (p = 1)
+    assert(!kept.exists(_ % 100 == 0))
+    val always = (0L to 1999L).filter(i => i % 100 >= 64)
+    assert(always.forall(kept))
+  }
+
+  test("chunk tokens: stride spacing, tail alignment, full coverage, short docs") {
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")),
+      (2L, (1 to 32).map(i => s"s$i").mkString(" ")),
+      (3L, (1 to 33).map(i => s"u$i").mkString(" ")),
+      (4L, "one two"),
+      (5L, "")).toDF("doc_id", "text")
+    val out = Curation.chunkTokens(docs, "doc_id", "text",
+      window = 32, stride = 24).collect().groupBy(_.getLong(0))
+    // 100 tokens: aligned starts 1/25/49 + tail-aligned 69 (ends at 100)
+    val d1 = out(1L).sortBy(_.getInt(1))
+    assert(d1.map(_.getInt(1)).toSeq === Seq(1, 2, 3, 4)) // chunk_id 1-based
+    assert(d1.map(_.getInt(2)).toSeq === Seq(1, 25, 49, 69))
+    assert(d1.map(_.getInt(3)).toSeq === Seq(32, 32, 32, 32))
+    assert(d1.head.getString(4).startsWith("t1 t2 "))
+    assert(d1.last.getString(4).endsWith(" t100"))
+    // coverage: chunk c covers tokens [start, start+31] - union is 1..100
+    val covered = d1.flatMap(r => r.getInt(2) to (r.getInt(2) + 31)).toSet
+    assert(covered === (1 to 100).toSet)
+    // exactly window tokens: one chunk
+    assert(out(2L).length === 1 && out(2L).head.getInt(3) === 32)
+    // window+1: aligned [1] + tail-aligned 2
+    assert(out(3L).map(_.getInt(2)).sorted.toSeq === Seq(1, 2))
+    // shorter than window: the whole doc, n_tokens = real count
+    assert(out(4L).length === 1 && out(4L).head.getInt(3) === 2 &&
+      out(4L).head.getString(4) === "one two")
+    // empty text: single empty chunk (the [""] token array)
+    assert(out(5L).length === 1 && out(5L).head.getString(4) === "")
+  }
 }
