@@ -380,6 +380,33 @@ class PlanSpec extends SparkSpec {
     assert(out.count() === 15) // 3 queries x k
   }
 
+  test("q80 bm25: corpus stats broadcast, rank limit pushed down, no cartesian") {
+    val p = plan("q80_bm25")
+    // the 1-row (N, S) stats frame rides a broadcast into the scoring
+    // projection (crossJoin(broadcast(..)) plans as a broadcast NLJ)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"corpus stats not broadcast:\n$p")
+    // per-term top-k: Spark's rank-limit pushdown bounds the postings
+    // before the term exchange — never a full per-term sort
+    assert(p.contains("WindowGroupLimit"), s"rank limit not pushed down:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in bm25 plan:\n$p")
+  }
+
+  test("q81 weighted sample: pure scan + filter — no join, agg, or keyed shuffle") {
+    val p = plan("q81_weighted_sample")
+    assert(!p.contains("Exchange hashpartitioning"), s"keyed shuffle in sample:\n$p")
+    assert(!p.contains("Join"), s"join in sample plan:\n$p")
+    assert(!p.contains("HashAggregate"), s"aggregation in sample plan:\n$p")
+  }
+
+  test("q82 chunk: projection + generator only — no join, agg, or keyed shuffle") {
+    val p = plan("q82_chunk")
+    assert(p.contains("Generate"), s"expected a generator (posexplode):\n$p")
+    assert(!p.contains("Exchange hashpartitioning"), s"keyed shuffle in chunking:\n$p")
+    assert(!p.contains("Join"), s"join in chunking plan:\n$p")
+    assert(!p.contains("HashAggregate"), s"aggregation in chunking plan:\n$p")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     import graft.functions.expressions.NativeHashFunctions
