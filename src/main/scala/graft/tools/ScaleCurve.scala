@@ -72,7 +72,18 @@ object ScaleCurve {
         graft.ops.Similarity.semDedup(
           graft.Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
           threshold = 0.4, nlist = 64)
-          .select(col("id"), col("rep"), col("keep"))))
+          .select(col("id"), col("rep"), col("keep"))),
+      // BM25 whose query terms cover every replica's token suffix (zra..
+      // zrp), so the postings — not just the corpus tokenize/tf/dl
+      // stages — grow with the factor; q80's fixed terms would match
+      // nothing in a suffixed replica
+      "x_bm25" -> ((s, dir) => {
+        val terms = Seq("spark", "join", "window", "merge", "filter")
+          .flatMap(t => ('a' to 'p').map(c => s"${t}zr$c"))
+        graft.ops.TextAnalysis.bm25TopK(
+          graft.Tables.load(s, dir, "documents"), "doc_id", "text",
+          terms, k = 10)
+      }))
 
     def consume(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
