@@ -35,20 +35,38 @@ final case class UdfDef(
     options: Map[String, String] = Map.empty)
 
 /** Sink-side distribution strategy (reference `sink.partitioning.strategy`,
-  * PipelineOptions.java:140 + hash function providers): PRIMARY_KEY hashes
-  * rows by PK (default), TABLE_ID keeps each table's rows together,
-  * SINK_DEFINED lets the sink supply the key columns.
+  * PipelineOptions.java:139-150 + `HashFunctionStrategy`): SINK_DEFINED
+  * (the reference DEFAULT) lets the sink supply the key columns — sinks
+  * with no declared keys degenerate to primary-key hashing, exactly like
+  * the reference's DefaultDataChangeEventHashFunctionProvider; PRIMARY_KEY
+  * hashes rows by PK; TABLE_ID keeps each table's rows together. Sinks
+  * that DECLARE keys (paimon/fluss/maxcompute-style routing) accept only
+  * SINK_DEFINED — the composer validation in PipelineRunner rejects the
+  * other two (FlinkPipelineComposer.java:310-326).
   */
 sealed trait PartitionStrategy
 object PartitionStrategy {
   case object PrimaryKey extends PartitionStrategy
   case object TableIdHash extends PartitionStrategy
+
+  /** Empty `keyColumns` defers to the sink's declared keys
+    * ([[graft.sinks.DataSink.sinkDefinedPartitionKeys]]), falling back
+    * to primary-key hashing — the reference's default-provider path.
+    */
   final case class SinkDefined(keyColumns: Seq[String]) extends PartitionStrategy
 
   def parse(s: String): PartitionStrategy = s.toLowerCase match {
     case "primary-key" | "primary_key" => PrimaryKey
     case "table-id" | "table_id" => TableIdHash
+    case "sink-defined" | "sink_defined" => SinkDefined(Nil)
     case other => throw new IllegalArgumentException(s"unknown partitioning: $other")
+  }
+
+  /** The reference enum spelling, for error-message parity. */
+  def name(p: PartitionStrategy): String = p match {
+    case PrimaryKey => "PRIMARY_KEY"
+    case TableIdHash => "TABLE_ID"
+    case SinkDefined(_) => "SINK_DEFINED"
   }
 }
 
@@ -60,7 +78,7 @@ final case class PipelineDef(
     name: String = "pipeline",
     parallelism: Int = 1,
     schemaChangeBehavior: SchemaChangeBehavior = SchemaChangeBehavior.Lenient,
-    partitionStrategy: PartitionStrategy = PartitionStrategy.PrimaryKey,
+    partitionStrategy: PartitionStrategy = PartitionStrategy.SinkDefined(Nil),
     models: Seq[ModelDef] = Nil,
     udfs: Seq[UdfDef] = Nil,
     // `pipeline.execution.runtime-mode: BATCH` (PipelineOptions.java:48-53):
@@ -297,7 +315,7 @@ object YamlPipelineParser {
       schemaChangeBehavior = pipelineOpts.get("schema.change.behavior")
         .map(SchemaChangeBehavior.parse).getOrElse(SchemaChangeBehavior.Lenient),
       partitionStrategy = pipelineOpts.get("sink.partitioning.strategy")
-        .map(PartitionStrategy.parse).getOrElse(PartitionStrategy.PrimaryKey),
+        .map(PartitionStrategy.parse).getOrElse(PartitionStrategy.SinkDefined(Nil)),
       models = models,
       udfs = udfs,
       batchMode = pipelineOpts.get("execution.runtime-mode")

@@ -342,7 +342,21 @@ final class PipelineRunner(
         val coerced = coerceExploded(exploded, info.schema)
         // PrePartition analog (RegularPrePartitionOperator): hash-distribute
         // per the configured strategy so each sink partition owns a
-        // disjoint key set
+        // disjoint key set. A sink that DECLARES its own keys only
+        // supports SINK_DEFINED — the reference's composer validation
+        // (FlinkPipelineComposer.java:310-326), message pinned verbatim.
+        val sinkKeys = sink.sinkDefinedPartitionKeys(sinkId, info)
+        pipeline.partitionStrategy match {
+          case PartitionStrategy.PrimaryKey | PartitionStrategy.TableIdHash
+              if sinkKeys.isDefined =>
+            throw new IllegalArgumentException(String.format(
+              "Sink type '%s' only supports %s=%s when DataSink" +
+                ".getDataChangeEventHashFunctionProvider(...) returns a custom " +
+                "HashFunctionProvider, but found %s.",
+              pipeline.sink.kind, "sink.partitioning.strategy", "SINK_DEFINED",
+              PartitionStrategy.name(pipeline.partitionStrategy)))
+          case _ => ()
+        }
         val partitioned =
           if (pipeline.parallelism <= 1) coerced
           else pipeline.partitionStrategy match {
@@ -350,8 +364,16 @@ final class PipelineRunner(
               coerced.repartition(pipeline.parallelism, info.primaryKeys.map(col): _*)
             case PartitionStrategy.TableIdHash =>
               coerced.repartition(pipeline.parallelism, lit(sinkId.identifier))
-            case PartitionStrategy.SinkDefined(keys) if keys.nonEmpty =>
-              coerced.repartition(pipeline.parallelism, keys.map(col): _*)
+            case PartitionStrategy.SinkDefined(explicit) =>
+              // explicit keys from the pipeline def win; otherwise the
+              // sink's declared keys; otherwise the default provider
+              // (primary-key hashing — DefaultDataChangeEventHashFunctionProvider)
+              val keys = Some(explicit).filter(_.nonEmpty)
+                .orElse(sinkKeys.filter(_.nonEmpty))
+                .getOrElse(info.primaryKeys)
+              if (keys.nonEmpty)
+                coerced.repartition(pipeline.parallelism, keys.map(col): _*)
+              else coerced
             case _ => coerced
           }
         sink.write(sinkId, partitioned, info)

@@ -13,4 +13,15 @@ import org.apache.spark.sql.DataFrame
 trait DataSink {
   def applySchemaChange(e: SchemaChangeEvent): Unit = ()
   def write(tableId: TableId, exploded: DataFrame, info: TableInfo): Unit
+
+  /** Sink-declared partition keys — the analog of the reference's
+    * `DataSink.getDataChangeEventHashFunctionProvider(...)` returning a
+    * CUSTOM HashFunctionProvider (DataSink.java;
+    * FlinkPipelineComposer.java:310-355): `Some(keys)` declares
+    * sink-defined routing (paimon/fluss/maxcompute-style bucket keys),
+    * honored under the default SINK_DEFINED strategy and REQUIRED by the
+    * composer validation when the user picks a strategy explicitly;
+    * `None` is the default provider — primary-key hashing.
+    */
+  def sinkDefinedPartitionKeys(tableId: TableId, info: TableInfo): Option[Seq[String]] = None
 }

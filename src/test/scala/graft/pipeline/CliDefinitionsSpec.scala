@@ -84,7 +84,10 @@ class CliDefinitionsSpec extends AnyFunSuite {
     assert(pd.transforms === Nil)
     assert(pd.parallelism === 4)
     assert(pd.schemaChangeBehavior === SchemaChangeBehavior.Lenient)
-    assert(pd.partitionStrategy === PartitionStrategy.PrimaryKey)
+    // the reference's PIPELINE_PARTITIONING_STRATEGY defaults to
+    // SINK_DEFINED (PipelineOptions.java:139-150) — the sink's provider,
+    // which degenerates to primary-key hashing for plain sinks
+    assert(pd.partitionStrategy === PartitionStrategy.SinkDefined(Nil))
   }
 
   test("minimized.yaml: source/sink types alone make a pipeline (minimizedDef)") {

@@ -53,7 +53,7 @@ class PrePartitionSpec extends SparkSpec {
     * (table, numPartitions, key → partition-ids-seen), plus the
     * ddl/write call order.
     */
-  private final class PartitionProbeSink extends DataSink {
+  private class PartitionProbeSink extends DataSink {
     val ddl = mutable.Buffer.empty[SchemaChangeEvent]
     val calls = mutable.Buffer.empty[String]
     val writes = mutable.Buffer.empty[(TableId, Int, Map[String, Set[Int]])]
@@ -159,5 +159,66 @@ class PrePartitionSpec extends SparkSpec {
     assert(sink.calls === Seq(
       "ddl:CreateTableEvent", "write:customers",
       "ddl:AddColumnEvent", "write:customers"))
+  }
+
+  /** A sink that DECLARES its own partition keys — the reference's
+    * custom HashFunctionProvider (TestDataSinkFactory with
+    * CUSTOM_HASH_PROVIDER=true in FlinkPipelineComposerTest).
+    */
+  private final class KeyDeclaringSink extends PartitionProbeSink {
+    override def sinkDefinedPartitionKeys(
+        tableId: TableId, info: TableInfo): Option[Seq[String]] = Some(Seq("name"))
+  }
+
+  test("key-declaring sink rejects explicit PRIMARY_KEY/TABLE_ID with the composer " +
+    "message (testSinkDefinedOnlyPartitioningStrategyConfiguration)") {
+    Seq("primary-key" -> "PRIMARY_KEY", "table-id" -> "TABLE_ID").foreach {
+      case (yaml, refName) =>
+        val pd = YamlPipelineParser.parse(
+          s"""source: { type: values }
+             |sink: { type: values }
+             |pipeline: { parallelism: 5, sink.partitioning.strategy: $yaml }
+             |""".stripMargin)
+        val ex = intercept[IllegalArgumentException] {
+          new PipelineRunner(spark, pd, new ValuesSource(customersCrud),
+            new KeyDeclaringSink).run()
+        }
+        // FlinkPipelineComposer.java:317-325, verbatim
+        assert(ex.getMessage ===
+          "Sink type 'values' only supports sink.partitioning.strategy=SINK_DEFINED " +
+            "when DataSink.getDataChangeEventHashFunctionProvider(...) returns a " +
+            "custom HashFunctionProvider, but found " + refName + ".")
+    }
+  }
+
+  test("default strategy is SINK_DEFINED: a key-declaring sink routes by its declared " +
+    "keys, no throw (testSinkDefinedOnlyPartitioningStrategyDefaultConfiguration)") {
+    val pd = YamlPipelineParser.parse(
+      """source: { type: values }
+        |sink: { type: values }
+        |pipeline: { parallelism: 5 }
+        |""".stripMargin)
+    assert(pd.partitionStrategy === PartitionStrategy.SinkDefined(Nil))
+    val sink = new KeyDeclaringSink
+    new PipelineRunner(spark, pd, new ValuesSource(customersCrud), sink).run()
+    val (_, numParts, byKey) = sink.writes.head
+    assert(numParts === 5)
+    // pk → name is 1:1 in this corpus, so collocation by the DECLARED
+    // key (name) shows as one partition per pk
+    byKey.foreach { case (k, pids) =>
+      assert(pids.size === 1, s"key $k split across partitions $pids")
+    }
+  }
+
+  test("sink-defined strategy parses from YAML; plain sinks degenerate to PK hashing") {
+    val sink = run(customersCrud, ", sink.partitioning.strategy: sink-defined")
+    val (_, numParts, byKey) = sink.writes.head
+    assert(numParts === 5)
+    // no declared keys on PartitionProbeSink -> the default provider is
+    // primary-key hashing: same ownership invariant as PRIMARY_KEY
+    byKey.foreach { case (k, pids) =>
+      assert(pids.size === 1, s"key $k split across partitions $pids")
+    }
+    assert(byKey.values.flatten.toSet.size > 1)
   }
 }
