@@ -72,8 +72,18 @@ object UdfRegistry {
     */
   def registerByClasspath(spark: SparkSession, name: String, classpath: String,
       options: Map[String, String] = Map.empty): Unit = {
-    val cls = Class.forName(classpath)
-    val instance = cls.getDeclaredConstructor().newInstance().asInstanceOf[AnyRef]
+    // instantiation failures surface as the reference's message
+    // (UserDefinedFunctionDescriptor.java, pinned by its descriptor test:
+    // "Failed to instantiate UDF not_even_exist@not.a.valid.class.path")
+    val (cls, instance) =
+      try {
+        val c = Class.forName(classpath)
+        (c, c.getDeclaredConstructor().newInstance().asInstanceOf[AnyRef])
+      } catch {
+        case e: ReflectiveOperationException =>
+          throw new IllegalArgumentException(
+            s"Failed to instantiate UDF $name@$classpath", e)
+      }
     val evals = cls.getMethods.filter(m =>
       m.getName == "eval" && !m.isBridge && !m.isSynthetic)
     require(evals.nonEmpty, s"$classpath has no public eval method")

@@ -133,4 +133,27 @@ class UdfITCaseSpec extends SparkSpec {
     assert(sink.eventLog(1) ===
       s"DataChangeEvent{tableId=$ns.table1, before=[], after=[1, 1, typehint: 1], op=INSERT}")
   }
+
+  // UserDefinedFunctionDescriptorTest's red paths (the portable halves:
+  // the Flink-ScalarFunction flavor and descriptor-field extraction are
+  // Flink plumbing; class-detection + instantiation failures port)
+
+  test("a class with no public eval is not a UDF (testUserDefinedFunctionDescriptor)") {
+    val ex = intercept[IllegalArgumentException] {
+      graft.functions.UdfRegistry.registerByClasspath(
+        spark, "not_udf", "java.lang.StringBuilder")
+    }
+    assert(ex.getMessage.contains("no public eval method"))
+  }
+
+  test("a nonexistent classpath fails with the reference's message " +
+    "(testUserDefinedFunctionDescriptor)") {
+    val ex = intercept[IllegalArgumentException] {
+      graft.functions.UdfRegistry.registerByClasspath(
+        spark, "not_even_exist", "not.a.valid.class.path")
+    }
+    // UserDefinedFunctionDescriptorTest's exact expectation
+    assert(ex.getMessage ===
+      "Failed to instantiate UDF not_even_exist@not.a.valid.class.path")
+  }
 }
