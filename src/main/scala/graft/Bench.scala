@@ -36,6 +36,7 @@ object Bench {
     // machine state without hand-reconstructed drift trails
     val mf = machineFactor()
     val mfMt = machineFactorParallel()
+    val mfMem = machineFactorMemory()
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
     SparkEntry.queries.foreach { case (name, fn) =>
       try consume(fn, warmDir)
@@ -92,6 +93,7 @@ object Bench {
     logCodeCache("end")
     val mfEnd = machineFactor()
     val mfMtEnd = machineFactorParallel()
+    val mfMemEnd = machineFactorMemory()
     println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec",""" +
       s""""run_totals":[${f"$t1%.2f"},${f"$t2%.2f"}],""" +
       s""""total_min_run":${f"${math.min(t1, t2)}%.2f"},"queries":$qs,""" +
@@ -102,6 +104,7 @@ object Bench {
       s""""ingest_docs_per_s":$ing,"ingest_runs":[$ingA,$ingB],""" +
       s""""machine_factor":[${f"$mf%.2f"},${f"$mfEnd%.2f"}],""" +
       s""""machine_factor_mt":[${f"$mfMt%.2f"},${f"$mfMtEnd%.2f"}],""" +
+      s""""machine_factor_mem":[${f"$mfMem%.2f"},${f"$mfMemEnd%.2f"}],""" +
       s""""note":"q keys=qNN ids (names in SparkEntry.queries); value=sum of per-query min of 2 passes; total_min_run=best single pass; stream/ingest=best of 2; protocol in NOTES.md",""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
@@ -163,6 +166,47 @@ object Bench {
     val secs = (System.nanoTime() - t0) / 1e9
     if (acc.get == 42L) System.err.println("[bench] spin collision")
     System.err.println(f"[bench] machine_factor_mt: $secs%.2f s (nominal ~0.97)")
+    secs
+  }
+
+  /** Memory-bandwidth twin of [[machineFactor]]: wall seconds for a fixed
+    * number of strided passes over a 256 MB long array — cache-defeating
+    * reads whose throughput tracks the memory subsystem, not the ALUs.
+    * Motivating case (r13 session 2): the per-query composite ran ~16%
+    * above the same tree's morning numbers while machine_factor AND
+    * machine_factor_mt read nominal — pure-register spins cannot see
+    * memory-bandwidth contention, which is what a columnar scan suite
+    * is mostly made of. That same session measured 1.42-1.43 s here;
+    * no unloaded window has stamped the true nominal yet — read the
+    * SMALLEST value across BENCH_r{N} artifacts as the floor (NOTES
+    * tracks it).
+    */
+  private def machineFactorMemory(): Double = {
+    val n = 32 * 1024 * 1024 // 32M longs = 256 MB
+    val a = new Array[Long](n)
+    var i = 0
+    while (i < n) { a(i) = i.toLong * 0x9E3779B97F4A7C15L; i += 1 }
+    // stride-16 passes (one element per cache line): 16 offsets x 32M/16
+    // reads = 32M line fetches per full sweep, 4 sweeps
+    def sweep(): Long = {
+      var acc = 0L
+      var off = 0
+      while (off < 16) {
+        var j = off
+        while (j < n) { acc ^= a(j); j += 16 }
+        off += 1
+      }
+      acc
+    }
+    val warm = sweep()
+    val t0 = System.nanoTime()
+    var k = 0
+    var v = 0L
+    while (k < 4) { v ^= sweep(); k += 1 }
+    val secs = (System.nanoTime() - t0) / 1e9
+    if ((warm ^ v) == 42L) System.err.println("[bench] mem spin collision")
+    System.err.println(
+      f"[bench] machine_factor_mem: $secs%.2f s (floor across artifacts = nominal; NOTES)")
     secs
   }
 
