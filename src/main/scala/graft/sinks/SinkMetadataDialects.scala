@@ -49,6 +49,15 @@ trait SinkMetadataDialect extends Serializable {
     */
   def typeName(dt: DataType, isPrimaryKey: Boolean = false): String
 
+  /** The dialect's sink-defined routing keys — `Some` for the three
+    * sinks whose reference DataSink returns a custom
+    * HashFunctionProvider (paimon/fluss/maxcompute,
+    * HashFunctionStrategy.java:39-41): their hash functions all route by
+    * (table, key columns), so the portable contract is collocation by
+    * these columns. `None` = the default provider (PK hashing).
+    */
+  def sinkDefinedPartitionKeys(info: graft.model.TableInfo): Option[Seq[String]] = None
+
   def applyChange(e: SchemaChangeEvent, info: TableInfo): SinkAction
 
   // ---- shared spelling helpers --------------------------------------
@@ -363,6 +372,15 @@ object SinkMetadataDialects {
     val supportedChangeKinds: Set[String] = Set(
       "create.table", "add.column", "drop.column", "rename.column",
       "alter.column.type")
+
+    // PaimonHashFunctionProvider routes by the paimon table's bucket
+    // assignment, whose keys are the PK with partition keys folded in
+    // (the same fold this dialect's CREATE performs)
+    override def sinkDefinedPartitionKeys(
+        info: graft.model.TableInfo): Option[Seq[String]] =
+      Some((info.primaryKeys ++
+        info.partitionKeys.filterNot(info.primaryKeys.contains)).distinct)
+        .filter(_.nonEmpty)
 
     def typeName(dt: DataType, isPrimaryKey: Boolean = false): String = dt match {
       case BooleanType => "BOOLEAN"
@@ -838,6 +856,11 @@ object SinkMetadataDialects {
       "alter.column.type", "drop.table", "truncate.table",
       "alter.table.comment")
 
+    // MaxComputeHashFunction hashes the primary-key values into buckets
+    override def sinkDefinedPartitionKeys(
+        info: graft.model.TableInfo): Option[Seq[String]] =
+      Some(info.primaryKeys).filter(_.nonEmpty)
+
     def typeName(dt: DataType, isPrimaryKey: Boolean = false): String = dt match {
       case BooleanType => "BOOLEAN"
       case ByteType => "TINYINT"
@@ -937,6 +960,14 @@ object SinkMetadataDialects {
     val name = "fluss"
     val supportedChangeKinds: Set[String] = Set(
       "create.table", "drop.table", "truncate.table", "alter.table.comment")
+
+    // FlussHashFunction routes by (table, PK values); explicit bucket
+    // keys win, else PK minus partition keys (FlussConversions.java:67-78)
+    override def sinkDefinedPartitionKeys(
+        info: graft.model.TableInfo): Option[Seq[String]] =
+      Some(if (bucketKeys.nonEmpty) bucketKeys
+        else info.primaryKeys.filterNot(info.partitionKeys.contains))
+        .filter(_.nonEmpty)
 
     def typeName(dt: DataType, isPrimaryKey: Boolean = false): String =
       PaimonDialect.typeName(dt, isPrimaryKey) // Flink SQL spelling, identity map
@@ -1054,4 +1085,11 @@ final class DialectMetadataSink(
   override def write(tableId: TableId, exploded: org.apache.spark.sql.DataFrame,
       info: TableInfo): Unit =
     inner.write(tableId, exploded, info)
+
+  // sink-defined routing (paimon/fluss/maxcompute) surfaces through the
+  // DataSink SPI so the pipeline's PrePartition collocates by the
+  // dialect's bucket keys and the composer validation engages
+  override def sinkDefinedPartitionKeys(
+      tableId: TableId, info: TableInfo): Option[Seq[String]] =
+    dialect.sinkDefinedPartitionKeys(info)
 }

@@ -94,4 +94,47 @@ class SinkDialectPipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("DropTableEvent") ||
       Option(e.getCause).exists(_.getMessage.contains("DropTableEvent")))
   }
+
+  test("sink-defined routing dialects declare their bucket keys; plain dialects don't") {
+    import SinkMetadataDialects._
+    val partitioned = baseInfo.copy(
+      primaryKeys = Seq("id", "name"), partitionKeys = Seq("name"))
+    // fluss: PK minus partition keys (FlussConversions.java:67-78);
+    // explicit bucket keys win
+    assert(FlussDialect().sinkDefinedPartitionKeys(partitioned) === Some(Seq("id")))
+    assert(FlussDialect(bucketKeys = Seq("v"))
+      .sinkDefinedPartitionKeys(partitioned) === Some(Seq("v")))
+    // paimon: PK with partition keys folded in (same fold as its CREATE)
+    assert(PaimonDialect.sinkDefinedPartitionKeys(baseInfo) === Some(Seq("id")))
+    assert(PaimonDialect.sinkDefinedPartitionKeys(
+      baseInfo.copy(partitionKeys = Seq("name"))) === Some(Seq("id", "name")))
+    // maxcompute: the PK
+    assert(MaxComputeDialect().sinkDefinedPartitionKeys(baseInfo) === Some(Seq("id")))
+    // no PK anywhere -> None (the reference randomizes; graft leaves the
+    // batch partitioning alone)
+    assert(FlussDialect().sinkDefinedPartitionKeys(
+      baseInfo.copy(primaryKeys = Nil)) === None)
+    // default-provider dialects stay None
+    assert(DorisDialect.sinkDefinedPartitionKeys(baseInfo) === None)
+    assert(StarRocksDialect().sinkDefinedPartitionKeys(baseInfo) === None)
+  }
+
+  test("a sink-defined dialect under explicit PRIMARY_KEY strategy trips the composer " +
+    "validation end-to-end") {
+    val pd = PipelineDef(
+      SourceDef("values", Map.empty), SinkDef("fluss", Map.empty),
+      schemaChangeBehavior = graft.schema.SchemaChangeBehavior.Evolve,
+      partitionStrategy = PartitionStrategy.PrimaryKey)
+    val sink = new DialectMetadataSink(SinkMetadataDialects.FlussDialect())
+    val s = Seq(
+      CreateTableEvent(tid, baseInfo),
+      DataChangeEvent.insert(tid, Row(1L, "a", 10)))
+    val e = intercept[IllegalArgumentException] {
+      new PipelineRunner(spark, pd, new ValuesSource(s), sink).run()
+    }
+    assert(e.getMessage ===
+      "Sink type 'fluss' only supports sink.partitioning.strategy=SINK_DEFINED " +
+        "when DataSink.getDataChangeEventHashFunctionProvider(...) returns a " +
+        "custom HashFunctionProvider, but found PRIMARY_KEY.")
+  }
 }
