@@ -1573,6 +1573,42 @@ object SparkEntry {
         col("n_tokens").cast("long").as("n_tokens"), col("chunk_text"))
       .orderBy(col("doc_id"), col("chunk_id"))
 
+  /** End-to-end curation pipeline — the composed flow a pretraining-data
+    * run executes: language gate (langId == 'en') → Gopher quality gate
+    * (all repetition/length filters pass) → exact dedup among survivors
+    * (first doc per normalized text wins) → per-source rollup. Every
+    * stage formula is individually gated (q20/q48/q21); this query gates
+    * their COMPOSITION. Plan shape: ONE corpus scan feeds the native
+    * langScores/repetitionStats projections; the dedup winner is a
+    * row_number over the normalized-text key (high-cardinality, tiny
+    * groups — the safe window shape), so survivors flow straight into
+    * the rollup without a second scan or a join back.
+    */
+  private def q83CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TextAnalysis
+    val thresholds = TextAnalysis.GopherThresholds(
+      minWords = 30, maxWords = 90, maxDupWordFrac = 0.55,
+      maxTopWordFrac = 0.12, minMeanTokenLen = 4.2, maxMeanTokenLen = 4.8)
+    val scored = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"),
+        split(col("text"), " ").as("words"),
+        TextAnalysis.langId(col("text")).as("lang_guess"),
+        explode(array(graft.functions.expressions.NativeTextFunctions
+          .repetitionStats(col("text")))).as("r"))
+      .where(col("lang_guess") === "en" &&
+        size(TextAnalysis.gopherReasons(col("r"),
+          TextAnalysis.meanWordLength(col("words")), thresholds)) === 0)
+    val w = Window.partitionBy(TextAnalysis.normalize(col("text")))
+      .orderBy(col("doc_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(size(col("words"))).cast("long").as("n_words"))
+      .orderBy(col("source"))
+  }
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1657,7 +1693,8 @@ object SparkEntry {
     "q79_connect_schema_roundtrip" -> (q79ConnectSchemaRoundtrip _),
     "q80_bm25" -> (q80Bm25 _),
     "q81_weighted_sample" -> (q81WeightedSample _),
-    "q82_chunk" -> (q82Chunk _)
+    "q82_chunk" -> (q82Chunk _),
+    "q83_curation_pipeline" -> (q83CurationPipeline _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2756,6 +2793,51 @@ object SparkEntry {
         |SELECT doc_id, chunk_id::BIGINT AS chunk_id, start::BIGINT AS start,
         |  least(32, n - start + 1)::BIGINT AS n_tokens,
         |  array_to_string(t[start:start+31], ' ') AS chunk_text
-        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // the q20 language CASE + q48 gopher gates + q21 dedup, composed
+    "q83_curation_pipeline" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text,
+        |    string_split(text, ' ') AS words,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |ls AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, x -> list_contains(['der','und','nicht','das','ist','ich','mit','sich'], x))) AS de,
+        |    len(list_filter(toks, x -> list_contains(['the','and','of','is','that','with','for','this'], x))) AS en,
+        |    len(list_filter(toks, x -> list_contains(['que','los','una','por','con','para','está','las'], x))) AS es,
+        |    len(list_filter(toks, x -> list_contains(['les','est','une','dans','pour','qui','pas','vous'], x))) AS fr,
+        |    len(regexp_extract_all(text, '的')) + len(regexp_extract_all(text, '是'))
+        |      + len(regexp_extract_all(text, '了')) + len(regexp_extract_all(text, '在'))
+        |      + len(regexp_extract_all(text, '我')) + len(regexp_extract_all(text, '有'))
+        |      + len(regexp_extract_all(text, '和')) + len(regexp_extract_all(text, '不')) AS zh
+        |  FROM d),
+        |lang AS (
+        |  SELECT doc_id, CASE WHEN greatest(de, en, es, fr, zh) = 0 THEN 'und'
+        |    WHEN zh > greatest(de, en, es, fr) THEN 'zh'
+        |    WHEN fr > greatest(de, en, es) THEN 'fr'
+        |    WHEN es > greatest(de, en) THEN 'es'
+        |    WHEN en > de THEN 'en'
+        |    ELSE 'de' END AS lang_guess
+        |  FROM ls),
+        |g AS (
+        |  SELECT doc_id, len(words) AS n,
+        |    (len(words) - len(list_distinct(words)))::DOUBLE / len(words) AS dup,
+        |    list_max(list_transform(list_distinct(words),
+        |      x -> len(list_filter(words, y -> y = x))))::DOUBLE / len(words) AS topw,
+        |    list_sum(list_transform(words, x -> len(x)))::DOUBLE / len(words) AS meanlen
+        |  FROM d),
+        |surv AS (
+        |  SELECT d.doc_id, d.source, len(d.words)::BIGINT AS nw,
+        |    trim(regexp_replace(lower(d.text), '[^\p{L}\p{N}]+', ' ', 'g')) AS k
+        |  FROM d JOIN lang USING (doc_id) JOIN g USING (doc_id)
+        |  WHERE lang.lang_guess = 'en'
+        |    AND g.n >= 30 AND g.n <= 90 AND g.dup <= 0.55 AND g.topw <= 0.12
+        |    AND g.meanlen >= 4.2 AND g.meanlen <= 4.8),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM surv GROUP BY k)
+        |SELECT source, count(*)::BIGINT AS n_docs, sum(doc_id)::BIGINT AS sum_ids,
+        |  sum(nw)::BIGINT AS n_words
+        |FROM surv JOIN keep USING (doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -407,6 +407,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("HashAggregate"), s"aggregation in chunking plan:\n$p")
   }
 
+  test("q83 curation pipeline: ONE corpus scan, no join-back, no global window") {
+    val p = plan("q83_curation_pipeline")
+    // the dedup winner is a keyed window, not a groupBy + join back —
+    // the corpus is scanned exactly once
+    assert("FileScan".r.findAllIn(p).size === 1, s"corpus scanned more than once:\n$p")
+    assert(!p.contains("Join"), s"join-back in the pipeline plan:\n$p")
+    // the window partitions by the normalized-text key (high cardinality),
+    // never a single global partition
+    assert(!p.contains("Exchange SinglePartition"), s"global window:\n$p")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     import graft.functions.expressions.NativeHashFunctions
