@@ -1609,6 +1609,24 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** Mergeable histogram quantile sketch (Sketches.histBuild/Merge/
+    * Quantiles — the third of the sketch trio after q62 HLL and q63
+    * CMS): per-(lang, source) shard sketches merge to per-lang state
+    * (BIGINT vector adds, exactly equal to a one-shot build), then
+    * p25/p50/p75/p95 estimates whose rank test is all integer and whose
+    * bucket-center reconstruction is one multiply-add — DuckDB
+    * recomputes everything bit-for-bit.
+    */
+  private def q84HistQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sketches
+    val shards = Sketches.histBuild(t(s, dir, "documents"), col("n_chars"),
+      Seq("lang", "source"), lo = 0, hi = 600, buckets = 120)
+    val merged = Sketches.histMerge(Seq("lang"), shards.drop("source"))
+    Sketches.histQuantiles(merged, Seq("lang"),
+        lo = 0, hi = 600, buckets = 120, percents = Seq(25, 50, 75, 95))
+      .orderBy(col("lang"))
+  }
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1694,7 +1712,8 @@ object SparkEntry {
     "q80_bm25" -> (q80Bm25 _),
     "q81_weighted_sample" -> (q81WeightedSample _),
     "q82_chunk" -> (q82Chunk _),
-    "q83_curation_pipeline" -> (q83CurationPipeline _)
+    "q83_curation_pipeline" -> (q83CurationPipeline _),
+    "q84_hist_quantiles" -> (q84HistQuantiles _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2838,6 +2857,26 @@ object SparkEntry {
         |SELECT source, count(*)::BIGINT AS n_docs, sum(doc_id)::BIGINT AS sum_ids,
         |  sum(nw)::BIGINT AS n_words
         |FROM surv JOIN keep USING (doc_id)
-        |GROUP BY source ORDER BY source""".stripMargin
+        |GROUP BY source ORDER BY source""".stripMargin,
+    // fixed-bin histogram quantiles: bucket arithmetic = exact-double
+    // products + one correctly rounded division; rank test all-integer;
+    // center reconstruction one multiply-add (width 600/120 = 5.0 exact)
+    "q84_hist_quantiles" ->
+      """WITH b AS (
+        |  SELECT lang,
+        |    least(greatest(floor(n_chars * 120.0 / 600.0), 0), 119)::INT AS bucket
+        |  FROM documents),
+        |c AS (SELECT lang, bucket, count(*)::BIGINT AS cnt FROM b GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT lang, bucket, cnt,
+        |    sum(cnt) OVER (PARTITION BY lang ORDER BY bucket) AS cum,
+        |    sum(cnt) OVER (PARTITION BY lang) AS n
+        |  FROM c)
+        |SELECT lang, max(n)::BIGINT AS n,
+        |  0.0 + (min(CASE WHEN cum*100 >= n*25 THEN bucket END) + 0.5) * 5.0 AS p25,
+        |  0.0 + (min(CASE WHEN cum*100 >= n*50 THEN bucket END) + 0.5) * 5.0 AS p50,
+        |  0.0 + (min(CASE WHEN cum*100 >= n*75 THEN bucket END) + 0.5) * 5.0 AS p75,
+        |  0.0 + (min(CASE WHEN cum*100 >= n*95 THEN bucket END) + 0.5) * 5.0 AS p95
+        |FROM cum GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -163,4 +163,74 @@ object Sketches {
   private def cmsBucket(row: Column, key: Column, width: Int): Column =
     conv(substring(md5(concat(row.cast("string"), lit(":"), key)), 1, 8),
       16, 10).cast("long") % width
+
+  // ---- fixed-bin histogram quantile sketch (the third of the classic
+  // trio: HLL = cardinality, CMS = frequency, histogram = quantiles) ----
+
+  /** Histogram sketch over a bounded domain [lo, hi): one row per
+    * (group, bucket) with its count — the mergeable quantile state
+    * (fixed-resolution histogram, the Druid/Pinot shape). Values clamp
+    * into [0, buckets-1]; bucket = floor((v − lo)·buckets / (hi − lo)).
+    *
+    * Exactness across engines: with integer-valued inputs and integer
+    * lo/hi/buckets the bucket arithmetic is exact-double products and
+    * ONE correctly rounded division — bit-identical in any IEEE engine;
+    * counts are BIGINTs, so merge and rank arithmetic never touch
+    * floats.
+    *
+    * Scale: ONE map-side-combined hash aggregation keyed by
+    * (group, bucket) — at most `buckets` rows per group survive the map
+    * side; the sketch frame is O(#groups × buckets), never corpus-sized.
+    */
+  def histBuild(df: DataFrame, valueCol: Column, groupCols: Seq[String],
+      lo: Long, hi: Long, buckets: Int): DataFrame = {
+    require(hi > lo && buckets >= 1, s"need hi > lo, buckets >= 1: [$lo,$hi) x $buckets")
+    val idx = least(greatest(
+      floor((valueCol.cast("double") - lit(lo.toDouble)) * lit(buckets.toDouble) /
+        lit((hi - lo).toDouble)), lit(0.0)), lit((buckets - 1).toDouble))
+      .cast("int")
+    df.groupBy(groupCols.map(col) :+ idx.as("bucket"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge histogram sketches (any frames shaped like [[histBuild]]
+    * output over the same domain): vector addition of counts — identical
+    * to one build over the unioned inputs, exactly (BIGINT adds).
+    */
+  def histMerge(groupCols: Seq[String], sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+
+  /** Quantile estimates from a histogram sketch: for each `p` in
+    * `percents`, the CENTER of the first bucket whose running count
+    * reaches ceil(n·p/100) — `cum·100 ≥ n·p` keeps the rank test all
+    * integer; the center reconstruction `lo + (b + 0.5)·width` is one
+    * multiply-add of exact values. Error is bounded by half a bucket
+    * width by construction. Output: group cols, `n`, one `p<P>` column
+    * per requested percent.
+    *
+    * The cumulative window partitions by GROUP over the bucket-sized
+    * sketch frame (≤ `buckets` rows per partition) — never data-sized.
+    */
+  def histQuantiles(sketch: DataFrame, groupCols: Seq[String],
+      lo: Long, hi: Long, buckets: Int, percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents in [1,100]: $percents")
+    import org.apache.spark.sql.expressions.Window
+    val byGroup = Window.partitionBy(groupCols.map(col): _*)
+    val cum = sketch
+      .withColumn("__cum", sum(col("cnt")).over(byGroup.orderBy(col("bucket"))))
+      .withColumn("__n", sum(col("cnt")).over(byGroup))
+    val width = (hi - lo).toDouble / buckets
+    val picks = percents.map { p =>
+      min(when(col("__cum") * 100 >= col("__n") * p, col("bucket"))).as(s"__b$p")
+    }
+    val picked = cum.groupBy(groupCols.map(col): _*)
+      .agg(max(col("__n")).as("n"), picks: _*)
+    val withVals = percents.foldLeft(picked)((d, p) =>
+      d.withColumn(s"p$p",
+        lit(lo.toDouble) + (col(s"__b$p") + lit(0.5)) * lit(width)))
+    withVals.select(groupCols.map(col) ++ (col("n") +: percents.map(p => col(s"p$p"))): _*)
+  }
 }

@@ -418,6 +418,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), s"global window:\n$p")
   }
 
+  test("q84 histogram quantiles: sketch agg partial before the shuffle, no join") {
+    val p = plan("q84_hist_quantiles")
+    // the (group, bucket) count combines map-side; everything after runs
+    // over the bucket-sized sketch frame
+    assert(p.contains("partial_count"), s"sketch build not map-side combined:\n$p")
+    assert(!p.contains("Join"), s"join in sketch plan:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), s"global window:\n$p")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     import graft.functions.expressions.NativeHashFunctions

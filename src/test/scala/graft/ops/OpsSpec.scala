@@ -1279,4 +1279,30 @@ class OpsSpec extends SparkSpec {
     // empty text: single empty chunk (the [""] token array)
     assert(out(5L).length === 1 && out(5L).head.getString(4) === "")
   }
+  test("histogram quantile sketch: shard merge == one-shot build, bounded error, clamps") {
+    import org.apache.spark.sql.DataFrame
+    val df = (1L to 1000L).map(i => (i, (i % 4).toString, i * 7 % 600))
+      .toDF("id", "g", "v")
+    val whole = Sketches.histBuild(df, col("v"), Seq("g"), 0, 600, 120)
+    val a = Sketches.histBuild(df.where(col("id") % 2 === 0), col("v"), Seq("g"), 0, 600, 120)
+    val b = Sketches.histBuild(df.where(col("id") % 2 === 1), col("v"), Seq("g"), 0, 600, 120)
+    val merged = Sketches.histMerge(Seq("g"), a, b)
+    def key(d: DataFrame) = d.collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // mergeability is EXACT: vector addition of BIGINT counts
+    assert(key(merged) === key(whole))
+    // estimates sit within one bucket width of the exact percentile
+    val est = Sketches.histQuantiles(whole, Seq("g"), 0, 600, 120, Seq(50))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val exact = df.groupBy(col("g")).agg(expr("percentile(v, 0.5)").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    est.foreach { case (g, e) =>
+      assert(math.abs(e - exact(g)) <= 5.0, s"group $g: $e vs exact ${exact(g)}")
+    }
+    // out-of-domain values clamp into the edge buckets
+    val oob = Seq(("a", -50L), ("a", 1000L)).toDF("g", "v")
+    val edges = Sketches.histBuild(oob, col("v"), Seq("g"), 0, 600, 120)
+      .collect().map(_.getInt(1)).sorted.toSeq
+    assert(edges === Seq(0, 119))
+  }
 }
