@@ -72,22 +72,29 @@ object Curation {
 
   /** Weighted Bernoulli sample: keep each row independently with
     * probability min(1, weight·rateNum/rateDen) — the importance-sampling
-    * primitive (sample ∝ quality score, ∝ token count, DSIR-style
-    * selection). Deterministic: the key hash IS the randomness, so
-    * reruns, backfills, and external engines make identical decisions.
+    * primitive (sample ∝ token count, ∝ an integer quality grade,
+    * DSIR-style selection). Deterministic: the key hash IS the
+    * randomness, so reruns, backfills, and external engines make
+    * identical decisions.
     *
-    * The decision `u·rateDen < weight·rateNum·2^32` is ALL integer
-    * arithmetic (u = [[hashUniform32]]), hence exactly reproducible —
-    * no float rounding at the boundary. Caller keeps
-    * `weight·rateNum ≤ 2^31` (ANSI overflow guard: 2^31·2^32 = 2^63).
+    * `weight` must be INTEGER-valued — the decision
+    * `u·rateDen < weight·rateNum·2^32` is ALL integer arithmetic
+    * (u = [[hashUniform32]]), hence exactly reproducible with no float
+    * rounding at the boundary. Fractional scores (a [0,1] quality
+    * score) must be pre-scaled by the caller — e.g.
+    * `floor(quality * 1000)` with the 1000 folded into `rateDen` —
+    * because the internal long cast TRUNCATES (a raw [0,1) score would
+    * sample nothing). Bounds for the exact-integer contract:
+    * `weight·rateNum < 2^31` (strict — 2^31·2^32 overflows a Long under
+    * ANSI) and `rateDen ≤ 2^31` (checked).
     *
     * Scale shape: pure projection + filter over the scan — no shuffle,
     * no RNG state, pushdown-friendly.
     */
   def weightedHashSample(df: DataFrame, key: Column, weight: Column,
       rateNum: Long, rateDen: Long): DataFrame = {
-    require(rateNum >= 0 && rateDen > 0,
-      s"rate must be a non-negative rational: $rateNum/$rateDen")
+    require(rateNum >= 0 && rateDen > 0 && rateDen <= (1L << 31),
+      s"rate must be a non-negative rational with rateDen <= 2^31: $rateNum/$rateDen")
     df.where(hashUniform32(key) * lit(rateDen) <
       weight.cast("long") * lit(rateNum) * lit(4294967296L))
   }

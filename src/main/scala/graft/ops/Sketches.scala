@@ -178,6 +178,10 @@ object Sketches {
     * counts are BIGINTs, so merge and rank arithmetic never touch
     * floats.
     *
+    * NULL values are EXCLUDED (standard sketch semantics) — a NULL
+    * bucket row would also sort differently between engines' window
+    * NULL orderings and bias [[histQuantiles]].
+    *
     * Scale: ONE map-side-combined hash aggregation keyed by
     * (group, bucket) — at most `buckets` rows per group survive the map
     * side; the sketch frame is O(#groups × buckets), never corpus-sized.
@@ -189,7 +193,8 @@ object Sketches {
       floor((valueCol.cast("double") - lit(lo.toDouble)) * lit(buckets.toDouble) /
         lit((hi - lo).toDouble)), lit(0.0)), lit((buckets - 1).toDouble))
       .cast("int")
-    df.groupBy(groupCols.map(col) :+ idx.as("bucket"): _*)
+    df.where(valueCol.isNotNull)
+      .groupBy(groupCols.map(col) :+ idx.as("bucket"): _*)
       .agg(count(lit(1)).as("cnt"))
   }
 

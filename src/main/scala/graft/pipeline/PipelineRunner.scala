@@ -49,6 +49,21 @@ final class PipelineRunner(
   // fail fast on source-option typos (unknown keys under scan./chunk-/
   // connect reserved prefixes), whatever backend ends up interpreting them
   graft.sources.SourceOptions.resolve(pipeline.source.options)
+  // composer validation (FlinkPipelineComposer.java:310-326, message
+  // verbatim): a sink that DECLARES its own routing keys only supports
+  // SINK_DEFINED — rejected HERE at construction (= the reference's
+  // compose time), before any DDL or data reaches the sink
+  pipeline.partitionStrategy match {
+    case PartitionStrategy.PrimaryKey | PartitionStrategy.TableIdHash
+        if sink.declaresPartitionKeys =>
+      throw new IllegalArgumentException(String.format(
+        "Sink type '%s' only supports %s=%s when DataSink" +
+          ".getDataChangeEventHashFunctionProvider(...) returns a custom " +
+          "HashFunctionProvider, but found %s.",
+        pipeline.sink.kind, "sink.partitioning.strategy", "SINK_DEFINED",
+        PartitionStrategy.name(pipeline.partitionStrategy)))
+    case _ => ()
+  }
   // `pipeline.local-time-zone` (PipelineOptions.java:92-110): applied as
   // the session zone so LOCALTIMESTAMP / DATE_FORMAT-on-LTZ render in the
   // pipeline's declared zone — the same mechanism the reference's
@@ -342,21 +357,10 @@ final class PipelineRunner(
         val coerced = coerceExploded(exploded, info.schema)
         // PrePartition analog (RegularPrePartitionOperator): hash-distribute
         // per the configured strategy so each sink partition owns a
-        // disjoint key set. A sink that DECLARES its own keys only
-        // supports SINK_DEFINED — the reference's composer validation
-        // (FlinkPipelineComposer.java:310-326), message pinned verbatim.
+        // disjoint key set (the SINK_DEFINED-only validation for
+        // key-declaring sinks already ran at construction, below the
+        // class body — compose time, like the reference)
         val sinkKeys = sink.sinkDefinedPartitionKeys(sinkId, info)
-        pipeline.partitionStrategy match {
-          case PartitionStrategy.PrimaryKey | PartitionStrategy.TableIdHash
-              if sinkKeys.isDefined =>
-            throw new IllegalArgumentException(String.format(
-              "Sink type '%s' only supports %s=%s when DataSink" +
-                ".getDataChangeEventHashFunctionProvider(...) returns a custom " +
-                "HashFunctionProvider, but found %s.",
-              pipeline.sink.kind, "sink.partitioning.strategy", "SINK_DEFINED",
-              PartitionStrategy.name(pipeline.partitionStrategy)))
-          case _ => ()
-        }
         val partitioned =
           if (pipeline.parallelism <= 1) coerced
           else pipeline.partitionStrategy match {

@@ -49,12 +49,18 @@ trait SinkMetadataDialect extends Serializable {
     */
   def typeName(dt: DataType, isPrimaryKey: Boolean = false): String
 
-  /** The dialect's sink-defined routing keys — `Some` for the three
-    * sinks whose reference DataSink returns a custom
-    * HashFunctionProvider (paimon/fluss/maxcompute,
-    * HashFunctionStrategy.java:39-41): their hash functions all route by
-    * (table, key columns), so the portable contract is collocation by
-    * these columns. `None` = the default provider (PK hashing).
+  /** Whether this dialect's reference DataSink returns a custom
+    * HashFunctionProvider — true for paimon/fluss/maxcompute
+    * (HashFunctionStrategy.java:39-41). Table-independent, like the
+    * reference's provider-type check; drives the compose-time
+    * SINK_DEFINED-only validation.
+    */
+  def sinkDefinedRouting: Boolean = false
+
+  /** The dialect's sink-defined routing keys for one table: their hash
+    * functions all route by (table, key columns), so the portable
+    * contract is collocation by these columns. `None` = fall back to
+    * the default provider (PK hashing) — e.g. a keyless table.
     */
   def sinkDefinedPartitionKeys(info: graft.model.TableInfo): Option[Seq[String]] = None
 
@@ -372,6 +378,8 @@ object SinkMetadataDialects {
     val supportedChangeKinds: Set[String] = Set(
       "create.table", "add.column", "drop.column", "rename.column",
       "alter.column.type")
+
+    override def sinkDefinedRouting: Boolean = true
 
     // PaimonHashFunctionProvider routes by the paimon table's bucket
     // assignment, whose keys are the PK with partition keys folded in
@@ -856,6 +864,8 @@ object SinkMetadataDialects {
       "alter.column.type", "drop.table", "truncate.table",
       "alter.table.comment")
 
+    override def sinkDefinedRouting: Boolean = true
+
     // MaxComputeHashFunction hashes the primary-key values into buckets
     override def sinkDefinedPartitionKeys(
         info: graft.model.TableInfo): Option[Seq[String]] =
@@ -960,6 +970,8 @@ object SinkMetadataDialects {
     val name = "fluss"
     val supportedChangeKinds: Set[String] = Set(
       "create.table", "drop.table", "truncate.table", "alter.table.comment")
+
+    override def sinkDefinedRouting: Boolean = true
 
     // FlussHashFunction routes by (table, PK values); explicit bucket
     // keys win, else PK minus partition keys (FlussConversions.java:67-78)
@@ -1088,7 +1100,9 @@ final class DialectMetadataSink(
 
   // sink-defined routing (paimon/fluss/maxcompute) surfaces through the
   // DataSink SPI so the pipeline's PrePartition collocates by the
-  // dialect's bucket keys and the composer validation engages
+  // dialect's bucket keys and the compose-time validation engages
+  override def declaresPartitionKeys: Boolean = dialect.sinkDefinedRouting
+
   override def sinkDefinedPartitionKeys(
       tableId: TableId, info: TableInfo): Option[Seq[String]] =
     dialect.sinkDefinedPartitionKeys(info)

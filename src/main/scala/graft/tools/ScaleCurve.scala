@@ -42,6 +42,10 @@ object ScaleCurve {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val factors = args(1).split(',').map(_.trim.toInt).toSeq
+    // replica suffixes are zra..zrz — 26 is the scheme's ceiling (a
+    // non-letter 27th suffix would break the letter-terminated
+    // bijectivity argument in the scaladoc)
+    require(factors.forall(f => f >= 1 && f <= 26), s"factors in [1,26]: $factors")
     val names = args(2).split(',').map(_.trim).toSeq
     val reps = if (args.length > 3) args(3).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -74,12 +78,13 @@ object ScaleCurve {
           threshold = 0.4, nlist = 64)
           .select(col("id"), col("rep"), col("keep"))),
       // BM25 whose query terms cover every replica's token suffix (zra..
-      // zrp), so the postings — not just the corpus tokenize/tf/dl
-      // stages — grow with the factor; q80's fixed terms would match
-      // nothing in a suffixed replica
+      // zrz — the replication scheme's full 26-replica range), so the
+      // postings — not just the corpus tokenize/tf/dl stages — grow with
+      // the factor; q80's fixed terms would match nothing in a suffixed
+      // replica
       "x_bm25" -> ((s, dir) => {
         val terms = Seq("spark", "join", "window", "merge", "filter")
-          .flatMap(t => ('a' to 'p').map(c => s"${t}zr$c"))
+          .flatMap(t => ('a' to 'z').map(c => s"${t}zr$c"))
         graft.ops.TextAnalysis.bm25TopK(
           graft.Tables.load(s, dir, "documents"), "doc_id", "text",
           terms, k = 10)

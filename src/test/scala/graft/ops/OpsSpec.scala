@@ -1299,10 +1299,14 @@ class OpsSpec extends SparkSpec {
     est.foreach { case (g, e) =>
       assert(math.abs(e - exact(g)) <= 5.0, s"group $g: $e vs exact ${exact(g)}")
     }
-    // out-of-domain values clamp into the edge buckets
-    val oob = Seq(("a", -50L), ("a", 1000L)).toDF("g", "v")
-    val edges = Sketches.histBuild(oob, col("v"), Seq("g"), 0, 600, 120)
-      .collect().map(_.getInt(1)).sorted.toSeq
-    assert(edges === Seq(0, 119))
+    // out-of-domain values clamp into the edge buckets; NULLs are
+    // excluded (a NULL bucket row would bias quantiles and sort
+    // differently across engines' window NULL orderings)
+    val oob = Seq(("a", java.lang.Long.valueOf(-50L)),
+      ("a", java.lang.Long.valueOf(1000L)),
+      ("a", null.asInstanceOf[java.lang.Long])).toDF("g", "v")
+    val edgeRows = Sketches.histBuild(oob, col("v"), Seq("g"), 0, 600, 120).collect()
+    assert(edgeRows.map(_.getInt(1)).sorted.toSeq === Seq(0, 119))
+    assert(edgeRows.map(_.getLong(2)).sum === 2L) // the NULL row is gone
   }
 }

@@ -166,6 +166,7 @@ class PrePartitionSpec extends SparkSpec {
     * CUSTOM_HASH_PROVIDER=true in FlinkPipelineComposerTest).
     */
   private final class KeyDeclaringSink extends PartitionProbeSink {
+    override def declaresPartitionKeys: Boolean = true
     override def sinkDefinedPartitionKeys(
         tableId: TableId, info: TableInfo): Option[Seq[String]] = Some(Seq("name"))
   }
