@@ -62,7 +62,8 @@ trait SinkMetadataDialect extends Serializable {
     * contract is collocation by these columns. `None` = fall back to
     * the default provider (PK hashing) — e.g. a keyless table.
     */
-  def sinkDefinedPartitionKeys(info: graft.model.TableInfo): Option[Seq[String]] = None
+  def sinkDefinedPartitionKeys(
+      tableId: TableId, info: graft.model.TableInfo): Option[Seq[String]] = None
 
   def applyChange(e: SchemaChangeEvent, info: TableInfo): SinkAction
 
@@ -80,6 +81,40 @@ trait SinkMetadataDialect extends Serializable {
 
   /** Spark's timestamp kinds sit at fixed microsecond precision. */
   protected final val TsPrecision = 6
+}
+
+/** Fluss `bucket.key` / `bucket.num` option parsing
+  * (FlussConfigUtils.java:39-92): per-table maps in the wire formats
+  * "db1.t1:k1,k2;db1.t2:k3" and "db1.t1:4;db1.t2:8"; malformed entries
+  * reject with the reference's exact messages.
+  */
+object FlussConfig {
+  def parseBucketKeys(raw: String): Map[String, Seq[String]] =
+    if (raw == null || raw.isEmpty) Map.empty
+    else raw.split(";").toSeq.filter(_.trim.nonEmpty).map { entry =>
+      entry.trim.split(":", 2) match {
+        case Array(table, keys) => table.trim -> keys.trim.split(",").toSeq
+        case _ => throw new IllegalArgumentException(
+          "Invalid bucket key configuration: " + raw)
+      }
+    }.toMap
+
+  def parseBucketNumber(raw: String): Map[String, Int] =
+    if (raw == null || raw.isEmpty) Map.empty
+    else raw.split(";").toSeq.filter(_.trim.nonEmpty).map { entry =>
+      entry.trim.split(":", 2) match {
+        case Array(table, n) =>
+          val value =
+            try n.trim.toInt
+            catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                "Invalid bucket number configuration: " + raw)
+            }
+          table.trim -> value
+        case _ => throw new IllegalArgumentException(
+          "Invalid bucket number configuration: " + raw)
+      }
+    }.toMap
 }
 
 object SinkMetadataDialects {
@@ -385,7 +420,7 @@ object SinkMetadataDialects {
     // assignment, whose keys are the PK with partition keys folded in
     // (the same fold this dialect's CREATE performs)
     override def sinkDefinedPartitionKeys(
-        info: graft.model.TableInfo): Option[Seq[String]] =
+        tableId: TableId, info: graft.model.TableInfo): Option[Seq[String]] =
       Some((info.primaryKeys ++
         info.partitionKeys.filterNot(info.primaryKeys.contains)).distinct)
         .filter(_.nonEmpty)
@@ -868,7 +903,7 @@ object SinkMetadataDialects {
 
     // MaxComputeHashFunction hashes the primary-key values into buckets
     override def sinkDefinedPartitionKeys(
-        info: graft.model.TableInfo): Option[Seq[String]] =
+        tableId: TableId, info: graft.model.TableInfo): Option[Seq[String]] =
       Some(info.primaryKeys).filter(_.nonEmpty)
 
     def typeName(dt: DataType, isPrimaryKey: Boolean = false): String = dt match {
@@ -961,34 +996,46 @@ object SinkMetadataDialects {
     *    — the mismatch is upstream's, preserved as-is;
     *  - bucket keys default to primaryKeys MINUS partitionKeys
     *    (FlussConversions.java:67-78);
+    *  - `bucket.key`/`bucket.num` are PER-TABLE maps
+    *    ("db1.t1:k1,k2;db1.t2:k3" / "db1.t1:4;db1.t2:8",
+    *    FlussDataSinkOptions.java:37-57, parsed by [[FlussConfig]] with
+    *    the reference's exact rejection messages); `bucketKeys`/
+    *    `bucketNum` are the single-table defaults for tables absent from
+    *    the maps;
     *  - AddColumn supports only LAST, and the rejection message suggests
     *    LENIENT mode (FlussMetaDataApplier.java:154-159).
     */
   final case class FlussDialect(
       bucketKeys: Seq[String] = Nil,
-      bucketNum: Option[Int] = None) extends SinkMetadataDialect {
+      bucketNum: Option[Int] = None,
+      tableBucketKeys: Map[String, Seq[String]] = Map.empty,
+      tableBucketNums: Map[String, Int] = Map.empty) extends SinkMetadataDialect {
     val name = "fluss"
     val supportedChangeKinds: Set[String] = Set(
       "create.table", "drop.table", "truncate.table", "alter.table.comment")
 
     override def sinkDefinedRouting: Boolean = true
 
-    // FlussHashFunction routes by (table, PK values); explicit bucket
+    private def keysFor(t: TableId, info: graft.model.TableInfo): Seq[String] = {
+      val configured = tableBucketKeys.getOrElse(t.identifier,
+        if (bucketKeys.nonEmpty) bucketKeys else Nil)
+      if (configured.nonEmpty) configured
+      else info.primaryKeys.filterNot(info.partitionKeys.contains)
+    }
+
+    // FlussHashFunction routes by (table, PK values); configured bucket
     // keys win, else PK minus partition keys (FlussConversions.java:67-78)
     override def sinkDefinedPartitionKeys(
-        info: graft.model.TableInfo): Option[Seq[String]] =
-      Some(if (bucketKeys.nonEmpty) bucketKeys
-        else info.primaryKeys.filterNot(info.partitionKeys.contains))
-        .filter(_.nonEmpty)
+        tableId: TableId, info: graft.model.TableInfo): Option[Seq[String]] =
+      Some(keysFor(tableId, info)).filter(_.nonEmpty)
 
     def typeName(dt: DataType, isPrimaryKey: Boolean = false): String =
       PaimonDialect.typeName(dt, isPrimaryKey) // Flink SQL spelling, identity map
 
     def applyChange(e: SchemaChangeEvent, info: TableInfo): SinkAction = e match {
       case CreateTableEvent(t, ti) =>
-        val buckets =
-          if (bucketKeys.nonEmpty) bucketKeys
-          else ti.primaryKeys.filterNot(ti.partitionKeys.contains)
+        val buckets = keysFor(t, ti)
+        val bucketCount = tableBucketNums.get(t.identifier).orElse(bucketNum)
         val pkSql =
           if (ti.primaryKeys.isEmpty) ""
           else s", PRIMARY KEY (${ti.primaryKeys.map(quote).mkString(", ")}) NOT ENFORCED"
@@ -998,7 +1045,7 @@ object SinkMetadataDialects {
         val distSql =
           if (buckets.isEmpty) ""
           else s" DISTRIBUTED BY HASH(${buckets.map(quote).mkString(", ")})" +
-            bucketNum.map(n => s" INTO $n BUCKETS").getOrElse("")
+            bucketCount.map(n => s" INTO $n BUCKETS").getOrElse("")
         SinkAction.Statements(Seq(
           s"CREATE TABLE IF NOT EXISTS ${qualified(t)} (" +
             ti.schema.fields.map(f =>
@@ -1105,5 +1152,5 @@ final class DialectMetadataSink(
 
   override def sinkDefinedPartitionKeys(
       tableId: TableId, info: TableInfo): Option[Seq[String]] =
-    dialect.sinkDefinedPartitionKeys(info)
+    dialect.sinkDefinedPartitionKeys(tableId, info)
 }

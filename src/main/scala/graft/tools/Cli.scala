@@ -179,6 +179,11 @@ object Cli {
             pd.sink.options.get("unicode-char.max-bytes").map(_.toInt).getOrElse(3))
           case "maxcompute" => SinkMetadataDialects.MaxComputeDialect(
             pd.sink.options.getOrElse("project", "default_project"))
+          case "fluss" => SinkMetadataDialects.FlussDialect(
+            tableBucketKeys = graft.sinks.FlussConfig
+              .parseBucketKeys(pd.sink.options.getOrElse("bucket.key", "")),
+            tableBucketNums = graft.sinks.FlussConfig
+              .parseBucketNumber(pd.sink.options.getOrElse("bucket.num", "")))
           case "hudi" => SinkMetadataDialects.HudiDialect(
             pd.sink.options.getOrElse("table.type", "MERGE_ON_READ"),
             pd.sink.options.get("ordering.fields"))

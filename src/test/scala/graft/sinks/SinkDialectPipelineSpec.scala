@@ -100,23 +100,44 @@ class SinkDialectPipelineSpec extends SparkSpec {
     val partitioned = baseInfo.copy(
       primaryKeys = Seq("id", "name"), partitionKeys = Seq("name"))
     // fluss: PK minus partition keys (FlussConversions.java:67-78);
-    // explicit bucket keys win
-    assert(FlussDialect().sinkDefinedPartitionKeys(partitioned) === Some(Seq("id")))
+    // configured bucket keys win — per-table map over the flat default
+    assert(FlussDialect().sinkDefinedPartitionKeys(tid, partitioned) === Some(Seq("id")))
     assert(FlussDialect(bucketKeys = Seq("v"))
-      .sinkDefinedPartitionKeys(partitioned) === Some(Seq("v")))
+      .sinkDefinedPartitionKeys(tid, partitioned) === Some(Seq("v")))
+    assert(FlussDialect(bucketKeys = Seq("v"),
+      tableBucketKeys = Map("db.t1" -> Seq("name")))
+      .sinkDefinedPartitionKeys(tid, partitioned) === Some(Seq("name")))
     // paimon: PK with partition keys folded in (same fold as its CREATE)
-    assert(PaimonDialect.sinkDefinedPartitionKeys(baseInfo) === Some(Seq("id")))
-    assert(PaimonDialect.sinkDefinedPartitionKeys(
+    assert(PaimonDialect.sinkDefinedPartitionKeys(tid, baseInfo) === Some(Seq("id")))
+    assert(PaimonDialect.sinkDefinedPartitionKeys(tid,
       baseInfo.copy(partitionKeys = Seq("name"))) === Some(Seq("id", "name")))
     // maxcompute: the PK
-    assert(MaxComputeDialect().sinkDefinedPartitionKeys(baseInfo) === Some(Seq("id")))
+    assert(MaxComputeDialect().sinkDefinedPartitionKeys(tid, baseInfo) === Some(Seq("id")))
     // no PK anywhere -> None (the reference randomizes; graft leaves the
     // batch partitioning alone)
-    assert(FlussDialect().sinkDefinedPartitionKeys(
+    assert(FlussDialect().sinkDefinedPartitionKeys(tid,
       baseInfo.copy(primaryKeys = Nil)) === None)
     // default-provider dialects stay None
-    assert(DorisDialect.sinkDefinedPartitionKeys(baseInfo) === None)
-    assert(StarRocksDialect().sinkDefinedPartitionKeys(baseInfo) === None)
+    assert(DorisDialect.sinkDefinedPartitionKeys(tid, baseInfo) === None)
+    assert(StarRocksDialect().sinkDefinedPartitionKeys(tid, baseInfo) === None)
+  }
+
+  test("fluss bucket.key / bucket.num parse the reference's per-table wire formats") {
+    import graft.sinks.FlussConfig._
+    // FlussConfigUtils.parseBucketKeys/parseBucketNumber, incl. blank
+    // entries skipped and the exact rejection messages
+    assert(parseBucketKeys("") === Map.empty)
+    assert(parseBucketKeys("db1.t1:k1,k2;db1.t2:k3") ===
+      Map("db1.t1" -> Seq("k1", "k2"), "db1.t2" -> Seq("k3")))
+    // entry/table/keys-string are trimmed, individual keys are not
+    // (FlussConfigUtils.java:56-58 trims the whole segment only)
+    assert(parseBucketKeys(" db1.t1 : k1,k2 ; ") === Map("db1.t1" -> Seq("k1", "k2")))
+    assert(parseBucketNumber("db1.t1:4;db1.t2:8") ===
+      Map("db1.t1" -> 4, "db1.t2" -> 8))
+    val e1 = intercept[IllegalArgumentException](parseBucketKeys("nokeys"))
+    assert(e1.getMessage === "Invalid bucket key configuration: nokeys")
+    val e2 = intercept[IllegalArgumentException](parseBucketNumber("db.t:notanum"))
+    assert(e2.getMessage === "Invalid bucket number configuration: db.t:notanum")
   }
 
   test("a sink-defined dialect under explicit PRIMARY_KEY strategy trips the composer " +
