@@ -104,6 +104,7 @@ object Bench {
       s""""ingest_docs_per_s":$ing,"ingest_runs":[$ingA,$ingB],""" +
       s""""machine_factor":[${f"$mf%.2f"},${f"$mfEnd%.2f"}],""" +
       s""""machine_factor_mt":[${f"$mfMt%.2f"},${f"$mfMtEnd%.2f"}],""" +
+      s""""machine_factor_mt_threads":$mtThreads,""" +
       s""""machine_factor_mem":[${f"$mfMem%.2f"},${f"$mfMemEnd%.2f"}],""" +
       s""""note":"q keys=qNN ids (names in SparkEntry.queries); value=sum of per-query min of 2 passes; total_min_run=best single pass; stream/ingest=best of 2; protocol in NOTES.md",""" +
       s""""sf":"$sfDir"}""")
@@ -143,7 +144,10 @@ object Bench {
     * factor, the per-query composite against the single-thread one.
     * (Motivating case: r13 afternoon — machine_factor steady at
     * 0.97-1.01 while stream_steady fell 56k→36k ev/s on byte-identical
-    * code.)
+    * code.) Thread count = min(16, availableProcessors) and rides in the
+    * JSON line as machine_factor_mt_threads, so readings stay comparable
+    * on hosts with fewer cores (where a hardcoded 16 would read as
+    * degradation on a healthy machine).
     */
   private def machineFactorParallel(): Double = {
     def spin(seed: Long, iters: Long): Long = {
@@ -152,7 +156,7 @@ object Bench {
       while (i < iters) { h ^= i; h *= 0xC2B2AE3D27D4EB4FL; h ^= (h >>> 31); i += 1 }
       h
     }
-    val n = 16
+    val n = mtThreads
     val acc = new java.util.concurrent.atomic.AtomicLong()
     def run(iters: Long): Unit = {
       val threads = (0 until n).map { k =>
@@ -165,9 +169,12 @@ object Bench {
     run(500000000L)
     val secs = (System.nanoTime() - t0) / 1e9
     if (acc.get == 42L) System.err.println("[bench] spin collision")
-    System.err.println(f"[bench] machine_factor_mt: $secs%.2f s (nominal ~0.97)")
+    System.err.println(f"[bench] machine_factor_mt: $secs%.2f s on $n threads (nominal ~0.97)")
     secs
   }
+
+  private def mtThreads: Int =
+    math.min(16, Runtime.getRuntime.availableProcessors())
 
   /** Memory-bandwidth twin of [[machineFactor]]: wall seconds for a fixed
     * number of strided passes over a 256 MB long array — cache-defeating
@@ -176,10 +183,12 @@ object Bench {
     * above the same tree's morning numbers while machine_factor AND
     * machine_factor_mt read nominal — pure-register spins cannot see
     * memory-bandwidth contention, which is what a columnar scan suite
-    * is mostly made of. That same session measured 1.42-1.43 s here;
-    * no unloaded window has stamped the true nominal yet — read the
-    * SMALLEST value across BENCH_r{N} artifacts as the floor (NOTES
-    * tracks it).
+    * is mostly made of. NOMINAL ON THIS HOST: ~1.4-1.5 s, stamped in
+    * round 14 by a standalone minimal-JVM run of this exact sweep on a
+    * verifiably idle machine (load 0.28, nothing running: 1.39-1.80 s
+    * across 8 reps, floor 1.39) — the r13 "1.42-1.55 contended band"
+    * reading was in fact nominal. Values >= ~1.9 indicate genuine
+    * memory contention (BASELINE.md "reading guide").
     */
   private def machineFactorMemory(): Double = {
     val n = 32 * 1024 * 1024 // 32M longs = 256 MB
