@@ -375,13 +375,23 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** SimHash near-dup pairs — not expressible in the oracle (xxhash64-based
-    * signatures), driver records a rows-only check; semantics covered by
-    * OpsSpec.
+  /** SimHash near-dup pairs at a SECOND pigeonhole geometry (r14, closing
+    * the last no_oracle rows): maxHamming=2 over numChunks=4 — C(4,2)=6
+    * block keys of two 16-bit chunks, vs q59's C(6,3)=20 three-chunk keys —
+    * through the same production `simhashPairsOf` blocking machinery, with
+    * the q59 oracle-reproducible md5 fingerprint so DuckDB brute-forces the
+    * exact ground truth. Together the two geometries pin the chunk-bound
+    * arithmetic, combination enumeration, and band join across different
+    * (g, chunk-width) shapes. The production xxhash64 kernel config
+    * (`simhashPairs`) stays pinned by OpsSpec laws — its hash is the one
+    * part no external engine can recompute.
     */
   private def q23DedupSimhash(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Dedup
-    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+    Dedup.simhashPairsOf(md5Simhash60(t(s, dir, "documents")),
+        maxHamming = 2, numChunks = 4)
+      .select(col("id_a"), col("id_b"),
+        col("hamming").cast("bigint").as("hamming"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -394,15 +404,23 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** LSH-bucketed approximate nearest neighbors — approximate by design
-    * (recall < 1), rows-only check; recall characterized in OpsSpec.
+  /** LSH-bucketed approximate nearest neighbors, oracle-gated in its
+    * APPROXIMATE configuration (r14, closing the last no_oracle rows): the
+    * 4 hyperplanes are md5-derived dyadic rationals
+    * ([[graft.ops.Similarity.md5Planes]]) that DuckDB re-derives
+    * bit-for-bit, so the oracle recomputes the same 16-bucket partition
+    * (recall < 1 — queries only see their own bucket) and the same
+    * per-bucket cosine top-k. The production xxhash64-plane path
+    * (`lshTopK`) stays pinned by OpsSpec's kernel-equivalence and recall
+    * laws; q57 gates its exhaustive configuration.
     */
   private def q25EmbedAnnLsh(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Similarity
     val emb = t(s, dir, "embeddings")
-    Similarity.lshTopK(
+    Similarity.lshTopKPlanes(
       emb, "vec_id", "embedding",
-      emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5, numPlanes = 4)
+      emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5,
+      planes = Similarity.md5Planes("q25", numPlanes = 4, dim = 64))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -516,9 +534,17 @@ object SparkEntry {
         col("n_events"), col("sum_value"))
       .orderBy(col("user_id"), col("session_start"))
 
-  /** IVF approximate nearest neighbors (scale path alongside LSH):
-    * deterministic k-means-lite inverted lists, nprobe-list probing.
-    * Approximate — rows-only check; recall pinned by OpsSpec.
+  /** IVF approximate nearest neighbors, oracle-gated in its APPROXIMATE
+    * configuration (r14, closing the last no_oracle rows): `iters = 0`
+    * makes the centroids the 16 smallest-id corpus vectors (data-derived,
+    * no float training means), so DuckDB recomputes the squared-L2 argmin
+    * assignment, the nprobe=4-of-16 probe set (recall < 1 — candidates
+    * shrink 4x), and the per-candidate cosine top-k bit-for-bit. Lloyd
+    * TRAINING (iters > 0) is the one piece that cannot be bit-gated: its
+    * mean updates are float hash-agg sums whose accumulation order is
+    * partition-dependent — not even two Spark runs are bit-identical — so
+    * the trained config stays pinned by OpsSpec's recall/parity laws, and
+    * q58 gates the exhaustive (nprobe = nlist) pipeline.
     */
   private def q33EmbedIvf(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Similarity
@@ -526,7 +552,7 @@ object SparkEntry {
     Similarity.ivfTopK(
       emb, "vec_id", "embedding",
       emb.where(col("vec_id") < 10), "vec_id", "embedding",
-      k = 5, nlist = 16, nprobe = 4)
+      k = 5, nlist = 16, nprobe = 4, iters = 0)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -1129,9 +1155,21 @@ object SparkEntry {
     */
   private def q59SimhashBlocking(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Dedup
-    val docs = t(s, dir, "documents")
-    // tokens exactly as the oracle: lower, non-alnum runs -> single space,
-    // trim, split (an all-separator doc yields one empty token)
+    Dedup.simhashPairsOf(md5Simhash60(t(s, dir, "documents")),
+        maxHamming = 3, numChunks = 6)
+      .select(col("id_a"), col("id_b"),
+        col("hamming").cast("bigint").as("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** The oracle-reproducible 60-bit SimHash frame `(id, sim)` shared by
+    * q59 and q23: per-token hash = first 15 hex digits of md5 (computable
+    * identically in DuckDB), majority vote per bit with ties -> 0 (the
+    * native kernel's rule). Tokens exactly as the oracle: lower,
+    * non-alnum runs -> single space, trim, split (an all-separator doc
+    * yields one empty token).
+    */
+  private def md5Simhash60(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(split(
       trim(regexp_replace(lower(col("text")), "[^\\p{L}\\p{N}]+", " ")),
       " ")).as("tok"))
@@ -1141,15 +1179,10 @@ object SparkEntry {
       sum(shiftrightunsigned(col("h"), b).bitwiseAND(lit(1L))).as(s"s$b"))
     val agg = hashed.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"), votes: _*)
-    // majority vote per bit, ties -> 0 (same rule as the native kernel)
-    val sim = agg.select(col("doc_id").as("id"),
+    agg.select(col("doc_id").as("id"),
       (0 until 60).map(b =>
         when(col(s"s$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
         .reduce(_ + _).as("sim"))
-    Dedup.simhashPairsOf(sim, maxHamming = 3, numChunks = 6)
-      .select(col("id_a"), col("id_b"),
-        col("hamming").cast("bigint").as("hamming"))
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** MongoDB change-stream envelope decode (§2.1's document-DB shape —
@@ -1932,6 +1965,32 @@ object SparkEntry {
         |   AND least(len(a.sh), len(b.sh))::DOUBLE / greatest(len(a.sh), len(b.sh)) >= 0.6)
         |SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs
         |WHERE j >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+    "q23_dedup_simhash" ->
+      // same md5-derived 60-bit simhash as q59, brute-forced at the q23
+      // geometry's threshold (Hamming <= 2) — ground truth for the
+      // 2-of-4-chunk pigeonhole blocking's exact-recall claim
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    string_split(
+        |      trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')),
+        |      ' ') AS toks
+        |  FROM documents),
+        |hx AS (
+        |  SELECT doc_id, len(toks) AS n,
+        |    [[strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1
+        |      for i in range(1, 16)] for t in toks] AS hs
+        |  FROM d),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_sum([(1::BIGINT << b) * (CASE WHEN
+        |        2 * list_sum([(h[15 - b // 4] >> (b % 4)) & 1 for h in hs]) > n
+        |      THEN 1 ELSE 0 END) for b in range(0, 60)])::BIGINT AS sim
+        |  FROM hx)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.sim, b.sim))::BIGINT AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sim, b.sim)) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
     "q24_embed_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
@@ -1940,6 +1999,34 @@ object SparkEntry {
         |    list_dot_product(q.qv, e.v)
         |      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS c
         |  FROM e, q WHERE e.vec_id <> q.qid),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY c DESC, neighbor_id ASC) AS rank FROM scored)
+        |SELECT query_id, neighbor_id, rank, round(c, 9) AS cos
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q25_embed_ann_lsh" ->
+      // re-derives the md5 dyadic-rational hyperplanes (exact doubles in
+      // both engines), recomputes the 16-bucket sign partition, then the
+      // per-bucket cosine top-k — the APPROXIMATE selection itself is the
+      // ground truth being checked
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |pl AS (
+        |  SELECT p, [(('0x' || substr(md5('q25:' || p::VARCHAR || ':' || i::VARCHAR),
+        |      1, 8))::UBIGINT / 4294967296.0) - 0.5
+        |    for i in range(0, 64)] AS plane
+        |  FROM range(0, 4) t(p)),
+        |b AS (
+        |  SELECT e.vec_id,
+        |    sum(CASE WHEN list_dot_product(pl.plane, e.v) > 0
+        |      THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+        |  FROM e, pl GROUP BY e.vec_id),
+        |cb AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN b USING (vec_id)),
+        |q AS (SELECT vec_id AS qid, v AS qv, bucket FROM cb WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.qid AS query_id, cb.vec_id AS neighbor_id,
+        |    list_dot_product(q.qv, cb.v)
+        |      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cb.v, cb.v))) AS c
+        |  FROM cb JOIN q USING (bucket) WHERE cb.vec_id <> q.qid),
         |ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY c DESC, neighbor_id ASC) AS rank FROM scored)
@@ -2016,6 +2103,40 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(sum(json_extract(props, '$.k')::INT) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q33_embed_ivf" ->
+      // centroids = the 16 smallest-id vectors (iters=0, data-derived);
+      // assignment/probing by squared-L2 accumulated in INDEX ORDER
+      // (list_reduce left fold == the kernel's sequential loop), ties to
+      // the smaller centroid id; then cosine top-k over the probed lists.
+      // The APPROXIMATE nprobe=4-of-16 selection is the ground truth.
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cent AS (
+        |  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid, v AS cv
+        |  FROM e ORDER BY vec_id LIMIT 16),
+        |dist AS (
+        |  SELECT e.vec_id, cent.cid,
+        |    list_reduce(list_transform(range(1, 65),
+        |      i -> (e.v[i] - cent.cv[i]) * (e.v[i] - cent.cv[i])),
+        |      (a, b) -> a + b) AS d2
+        |  FROM e, cent),
+        |rk AS (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY d2 ASC, cid ASC) AS rn FROM dist),
+        |assign AS (SELECT vec_id, cid FROM rk WHERE rn = 1),
+        |probe AS (SELECT vec_id AS qid, cid FROM rk WHERE rn <= 4 AND vec_id < 10),
+        |scored AS (
+        |  SELECT p.qid AS query_id, a.vec_id AS neighbor_id,
+        |    list_dot_product(qe.v, ne.v)
+        |      / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ne.v, ne.v))) AS c
+        |  FROM probe p JOIN assign a USING (cid)
+        |    JOIN e ne ON ne.vec_id = a.vec_id
+        |    JOIN e qe ON qe.vec_id = p.qid
+        |  WHERE a.vec_id <> p.qid),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY c DESC, neighbor_id ASC) AS rank FROM scored)
+        |SELECT query_id, neighbor_id, rank, round(c, 9) AS cos
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q34_sketches" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey)::BIGINT AS exact_parts,

@@ -191,6 +191,46 @@ case class LshBucketExpr(child: Expression, numPlanes: Int)
     copy(child = newChild)
 }
 
+/** [[LshBucketExpr]] with an EXPLICIT hyperplane table instead of the
+  * xxhash64-derived one — the oracle-gate variant: the caller derives the
+  * plane components from a hash an external engine can also compute (e.g.
+  * md5 → dyadic rationals, [[graft.ops.Similarity.md5Planes]]), so the
+  * bucket assignment is recomputable bit-for-bit outside Spark. Same
+  * left-to-right double accumulation and strict `proj > 0` sign rule as
+  * the production kernel; dimensions beyond a plane's length contribute
+  * nothing (min-length loop, like [[CosineSimExpr]]).
+  */
+case class PlaneLshBucketExpr(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression with SinglePassCodegen {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val isFloat = VectorExpressions.isFloatArray(child.dataType)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    var bucket = 0L
+    var p = 0
+    while (p < planes.length) {
+      val comp = planes(p)
+      val lim = math.min(comp.length, v.numElements())
+      var proj = 0.0
+      var i = 0
+      while (i < lim) {
+        proj += VectorExpressions.elem(v, i, isFloat) * comp(i)
+        i += 1
+      }
+      if (proj > 0) bucket |= (1L << p)
+      p += 1
+    }
+    java.lang.Long.valueOf(bucket)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PlaneLshBucketExpr =
+    copy(child = newChild)
+}
+
 object NativeVectorFunctions {
   /** Column API for [[CosineSimExpr]]. */
   def cosine(a: Column, b: Column): Column =
@@ -200,6 +240,10 @@ object NativeVectorFunctions {
   /** Column API for [[LshBucketExpr]]. */
   def lshBucket(vec: Column, numPlanes: Int): Column =
     SparkInternals.column(LshBucketExpr(SparkInternals.expression(vec), numPlanes))
+
+  /** Column API for [[PlaneLshBucketExpr]]. */
+  def planeLshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    SparkInternals.column(PlaneLshBucketExpr(SparkInternals.expression(vec), planes))
 
   /** Column API for [[NearestCentroidsExpr]]. */
   def nearestCentroids(vec: Column, centroids: Array[(Int, Array[Double])], n: Int): Column =

@@ -368,12 +368,53 @@ object Similarity {
   def lshTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, numPlanes: Int = 8): DataFrame = {
-    val bucketed = corpus.withColumn("__bucket", lshBucket(col(corpusVec), numPlanes))
+      k: Int, numPlanes: Int = 8): DataFrame =
+    lshTopKBucketed(corpus, corpusId, corpusVec, queries, queryId, queryVec,
+      k, lshBucket(_, numPlanes))
+
+  /** Hyperplane components derived from md5 — the oracle-reproducible
+    * plane table for [[lshTopKPlanes]]: component (p, i) is
+    * uint32(first 8 hex digits of md5("tag:p:i")) / 2^32 − 0.5, a dyadic
+    * rational with a ≤32-bit numerator, so the double value is EXACT and
+    * any engine with md5 (DuckDB:
+    * `('0x'||substr(md5(...),1,8))::UBIGINT / 4294967296.0 - 0.5`)
+    * derives the identical plane table bit-for-bit. Distribution is the
+    * same uniform [-0.5, 0.5) family as the production xxhash64 planes.
+    */
+  def md5Planes(tag: String, numPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(numPlanes) { p =>
+      Array.tabulate(dim) { i =>
+        val hex = md.digest(s"$tag:$p:$i".getBytes("UTF-8"))
+          .take(4).map(b => f"${b & 0xff}%02x").mkString
+        java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0 - 0.5
+      }
+    }
+  }
+
+  /** [[lshTopK]] over an EXPLICIT hyperplane table (e.g. [[md5Planes]]) —
+    * the oracle-gate variant: same bucketing/join/top-k machinery, but the
+    * bucket assignment is recomputable bit-for-bit outside Spark, so the
+    * APPROXIMATE configuration (recall < 1) can be checked exactly against
+    * an external ground truth. Production use goes through [[lshTopK]]'s
+    * xxhash64 planes (no plane table to ship).
+    */
+  def lshTopKPlanes(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, planes: Array[Array[Double]]): DataFrame =
+    lshTopKBucketed(corpus, corpusId, corpusVec, queries, queryId, queryVec,
+      k, graft.functions.expressions.NativeVectorFunctions.planeLshBucket(_, planes))
+
+  private def lshTopKBucketed(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, bucketOf: Column => Column): DataFrame = {
+    val bucketed = corpus.withColumn("__bucket", bucketOf(col(corpusVec)))
     val q = broadcast(queries.select(
       col(queryId).as("__qid"),
       col(queryVec).as("__qvec"),
-      lshBucket(col(queryVec), numPlanes).as("__bucket")))
+      bucketOf(col(queryVec)).as("__bucket")))
     val scored = bucketed.join(q, "__bucket")
       .where(col(corpusId) =!= col("__qid"))
       .select(
