@@ -86,7 +86,12 @@ object Curation {
     * because the internal long cast TRUNCATES (a raw [0,1) score would
     * sample nothing). Bounds for the exact-integer contract:
     * `weight·rateNum < 2^31` (strict — 2^31·2^32 overflows a Long under
-    * ANSI) and `rateDen ≤ 2^31` (checked).
+    * ANSI) and `rateDen ≤ 2^31` (checked). The weight bound is enforced
+    * IN the plan (raise_error on the first violating row, in ANSI and
+    * non-ANSI modes alike) — under non-ANSI Spark an unchecked oversized
+    * weight would silently wrap the Long multiply and flip keep
+    * decisions; NULL weights keep their SQL semantics (comparison is
+    * NULL → row dropped, no error).
     *
     * Scale shape: pure projection + filter over the scan — no shuffle,
     * no RNG state, pushdown-friendly.
@@ -95,8 +100,17 @@ object Curation {
       rateNum: Long, rateDen: Long): DataFrame = {
     require(rateNum >= 0 && rateDen > 0 && rateDen <= (1L << 31),
       s"rate must be a non-negative rational with rateDen <= 2^31: $rateNum/$rateDen")
+    // w*rateNum < 2^31 tested as w <= (2^31-1)/rateNum — the product
+    // itself could already wrap under non-ANSI
+    val maxW = if (rateNum == 0) Long.MaxValue else ((1L << 31) - 1) / rateNum
+    val w = weight.cast("long")
+    val guarded = when(w.isNull || w <= lit(maxW), w)
+      .otherwise(raise_error(concat(
+        lit(s"weightedHashSample: weight*rateNum must stay < 2^31 " +
+          s"(rateNum=$rateNum, max weight $maxW), got weight="),
+        w.cast("string"))))
     df.where(hashUniform32(key) * lit(rateDen) <
-      weight.cast("long") * lit(rateNum) * lit(4294967296L))
+      guarded * lit(rateNum) * lit(4294967296L))
   }
 
   /** Overlapping token-window chunks — the context-window preparation

@@ -9,17 +9,37 @@ import org.apache.spark.sql.functions._
   * (e.g. `... /root/testdata/sf0.1 1,2,4,8 q66_jaccard_join,q22_dedup_minhash`).
   *
   * Replication re-keys ids into disjoint ranges and renames each
-  * replica's tokens BIJECTIVELY (a per-replica suffix on every word):
-  * within-replica Jaccard structure is preserved EXACTLY (token renames
-  * cannot change set overlaps), cross-replica documents share no
-  * shingles, and document lengths are unchanged — so the near-dup pair
-  * population grows ~linearly with the corpus, the way a real crawl
-  * grows. (Naive duplication grows pairs quadratically; inserting a salt
-  * token BETWEEN words — the first attempt — manufactures `(salt, w,
-  * salt)` sandwich shingles shared by every pair of docs with a common
-  * word, an adversarial structure that blew q66 up 38× at f=2. Both
-  * measure replication artifacts, not the operator.) Queries run from a
-  * temp dir
+  * replica's tokens BIJECTIVELY via a MARKER-FIXED CAESAR CIPHER: replica
+  * i shifts every ASCII letter by i (case-preserving; digits, punctuation
+  * and non-Latin scripts untouched), EXCEPT whitespace tokens whose
+  * lowercase form is a language marker ([[graft.ops.TextAnalysis
+  * .LanguageMarkers]]), which ride unchanged. Why this exact scheme —
+  * each clause preserves a property some measured operator gates on:
+  *  - a letter permutation COMMUTES with `normalize` (lower + non-alnum →
+  *    space), so the bijection holds under every tokenizer in the ops
+  *    (the r13 suffix scheme broke under bm25TopK's normalize: "spark."
+  *    suffixed to "spark.zra" re-split into "spark zra", leaking bare
+  *    base terms into replicas — ADVICE r13);
+  *  - it is LENGTH-preserving, so Gopher's mean-word-length band, word
+  *    counts, and the n_chars column stay exact per replica (the suffix
+  *    scheme grew every token by 3 chars and left n_chars stale);
+  *  - fixed markers keep langId verdicts (whole-token marker counts) and
+  *    zh substring counts invariant, so GATED pipelines (q83's language +
+  *    Gopher gates) pass in every replica — the r13 scheme failed the
+  *    gate at f>1 and measured only the pre-gate stages;
+  *  - within a replica the rename is injective (a cipher is injective on
+  *    strings), so dup structure, repetition stats and within-replica
+  *    Jaccard are preserved EXACTLY; across replicas non-marker images
+  *    are disjoint, so texts/shingles collide only on all-marker content
+  *    or docs that are literal Caesar translates of each other —
+  *    measured absent in this corpus (survivor/pair counts scale ~f).
+  * Near-dup pair population therefore grows ~linearly with the corpus,
+  * the way a real crawl grows. (Naive duplication grows pairs
+  * quadratically; inserting a salt token BETWEEN words — the r9 first
+  * attempt — manufactures `(salt, w, salt)` sandwich shingles shared by
+  * every pair of docs with a common word, which blew q66 up 38× at f=2.
+  * Replication must be a bijection that preserves every property the
+  * measured operator gates on.) Queries run from a temp dir
   * holding only the replicated table, through the same full-output hash
   * consume as Bench; per (factor, query): one warm pass + `reps` timed,
   * min reported. A near-linear seconds-vs-factor slope is the check; a
@@ -39,12 +59,21 @@ import org.apache.spark.sql.functions._
   *    O(avg-cluster²·nlist) — the nlist knob bounds it at scale.
   */
 object ScaleCurve {
+  /** Case-preserving Caesar shift of ASCII letters by `i`; every other
+    * character rides unchanged (must agree with the translate() mapping
+    * in the replication body).
+    */
+  private def caesar(s: String, i: Int): String = s.map {
+    case c if c >= 'a' && c <= 'z' => (((c - 'a' + i) % 26) + 'a').toChar
+    case c if c >= 'A' && c <= 'Z' => (((c - 'A' + i) % 26) + 'A').toChar
+    case c => c
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val factors = args(1).split(',').map(_.trim.toInt).toSeq
-    // replica suffixes are zra..zrz — 26 is the scheme's ceiling (a
-    // non-letter 27th suffix would break the letter-terminated
-    // bijectivity argument in the scaladoc)
+    // Caesar shifts 0..25 are distinct — 26 is the scheme's ceiling
+    // (shift 26 would be the identity, colliding with replica 0)
     require(factors.forall(f => f >= 1 && f <= 26), s"factors in [1,26]: $factors")
     val names = args(2).split(',').map(_.trim).toSeq
     val reps = if (args.length > 3) args(3).toInt else 2
@@ -77,14 +106,13 @@ object ScaleCurve {
           graft.Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
           threshold = 0.4, nlist = 64)
           .select(col("id"), col("rep"), col("keep"))),
-      // BM25 whose query terms cover every replica's token suffix (zra..
-      // zrz — the replication scheme's full 26-replica range), so the
-      // postings — not just the corpus tokenize/tf/dl stages — grow with
-      // the factor; q80's fixed terms would match nothing in a suffixed
-      // replica
+      // BM25 whose query terms cover every replica's Caesar image (shifts
+      // 0..25 — the replication scheme's full range), so the postings —
+      // not just the corpus tokenize/tf/dl stages — grow with the factor;
+      // q80's fixed terms would match only replica 0
       "x_bm25" -> ((s, dir) => {
         val terms = Seq("spark", "join", "window", "merge", "filter")
-          .flatMap(t => ('a' to 'z').map(c => s"${t}zr$c"))
+          .flatMap(t => (0 until 26).map(i => caesar(t, i))).distinct
         graft.ops.TextAnalysis.bm25TopK(
           graft.Tables.load(s, dir, "documents"), "doc_id", "text",
           terms, k = 10)
@@ -103,16 +131,22 @@ object ScaleCurve {
       val docsPath = new java.io.File(s"$dir/documents.parquet")
       if (!docsPath.isDirectory) {
         val base = graft.Tables.load(spark, sfDir, "documents")
-        // EVERY replica gets a letter-terminated suffix (zra, zrb, ...):
-        // two renames can only collide if their final letters match, i.e.
-        // within one replica — where the rename is bijective. A bare
-        // digit suffix on replicas 1.. is NOT collision-free against the
-        // unsuffixed base (base token "top1" == replica-1's "top"+"1"),
-        // which would quietly re-introduce cross-replica shingle overlap.
+        // marker-fixed Caesar cipher per replica (scheme rationale in the
+        // object scaladoc): letters shift by i via one translate() call,
+        // marker tokens ride unchanged so gate verdicts are invariant
+        val markerToks = graft.ops.TextAnalysis.LanguageMarkers
+          .collect { case (l, ms) if l != "zh" => ms }.flatten.toSeq
+        val lowerAz = ('a' to 'z').mkString
+        val upperAz = lowerAz.toUpperCase
         val replicated = (0 until f).map { i =>
-          val suffix = s"zr${('a' + i).toChar}"
-          val text = concat_ws(" ",
-            transform(split(col("text"), " "), w => concat(w, lit(suffix))))
+          val text =
+            if (i == 0) col("text")
+            else {
+              val to = caesar(lowerAz, i) + caesar(upperAz, i)
+              concat_ws(" ", transform(split(col("text"), " "),
+                w => when(lower(w).isInCollection(markerToks), w)
+                  .otherwise(translate(w, lowerAz + upperAz, to))))
+            }
           base.select(
             (col("doc_id") + lit(i.toLong * 1000000000L)).as("doc_id"),
             text.as("text"), col("lang"), col("source"), col("n_chars"))

@@ -329,22 +329,6 @@ object ReferenceDialect {
     case _ => None
   }
 
-  /** True when a REGEXP_* call statically resolves to NULL under the
-    * reference's semantics (StringFunctions.getRegexpMatcher +
-    * regexpExtract[All] guards): a literal pattern that fails to
-    * compile, a negative literal extract index, or a literal index
-    * beyond the pattern's group count. Non-literal invalid inputs still
-    * throw at runtime (the same documented residue as the REGEXP trio).
-    */
-  private def regexpStaticNull(pat: Expression, idx: Option[Int]): Boolean = {
-    val compiled = strLit(pat).map(p =>
-      scala.util.Try(java.util.regex.Pattern.compile(p)))
-    compiled.exists(_.isFailure) ||
-      idx.exists(_ < 0) ||
-      (for (i <- idx; c <- compiled.flatMap(_.toOption))
-        yield c.matcher("").groupCount() < i).getOrElse(false)
-  }
-
   /** Null-valued expression shapes (`CAST(NULL AS STRING)`, bare NULL). */
   private def isNullish(e: Expression): Boolean = e match {
     case Literal(null, _) => true
@@ -685,27 +669,34 @@ object ReferenceDialect {
       case "try_parse_json" =>
         fn("try_parse_json", Cast(f.arguments.head, StringType))
       case "regexp_extract" if f.arguments.length == 2 || f.arguments.length == 3 =>
-        // StringFunctions.java:74-87: default extractIndex is 0 (the
-        // WHOLE match — Spark defaults to group 1), and no-match /
-        // negative index / group-out-of-range / invalid pattern all
-        // yield NULL (Spark returns '' on no-match and throws on the
-        // rest). Literal patterns validate here; the no-match guard is
-        // an RLIKE probe (matcher.find() semantics).
+        // StringFunctions.java:74-87 via the reference-exact kernel
+        // (RegexpExtractRef): default extractIndex is 0 (the WHOLE
+        // match — Spark defaults to group 1); no-match / negative index /
+        // group-out-of-range / invalid pattern (literal or not) / a
+        // matched-but-NON-PARTICIPATING group ('(a)|(b)' idx 1 on 'b')
+        // all yield NULL — the last two are inexpressible as a Spark
+        // regexp_extract composition (r13's RLIKE-probe form returned ''
+        // for non-participating groups and threw on non-literal invalid
+        // patterns; both were ADVICE findings).
         val str = f.arguments.head
         val pat = f.arguments(1)
         val idx = if (f.arguments.length == 3) f.arguments(2) else Literal(0, IntegerType)
-        if (regexpStaticNull(pat, intLit(idx))) Literal(null, StringType)
-        else CaseWhen(Seq((RLike(str, pat),
-          fn("regexp_extract", str, pat, idx))), Literal(null, StringType))
+        graft.functions.expressions.RegexpExtractRef(
+          Cast(str, StringType, None, EvalMode.LEGACY),
+          Cast(pat, StringType, None, EvalMode.LEGACY),
+          Cast(idx, LongType, None, EvalMode.LEGACY))
       case "regexp_extract_all" if f.arguments.length == 2 || f.arguments.length == 3 =>
-        // StringFunctions.java:90-108: default extractIndex 1 and
-        // empty-list-on-no-match match Spark's regexp_extract_all
-        // exactly; only the null-on-invalid-input family needs the
-        // literal validation (negative index / group-out-of-range /
-        // invalid pattern → NULL where Spark throws)
-        val idx = if (f.arguments.length == 3) intLit(f.arguments(2)) else Some(1)
-        if (regexpStaticNull(f.arguments(1), idx)) Literal(null, ArrayType(StringType))
-        else f
+        // StringFunctions.java:90-108 via the reference-exact kernel
+        // (RegexpExtractAllRef): default extractIndex 1 and empty list
+        // on no-match; NULL on invalid input (negative index /
+        // group-out-of-range / invalid pattern, literal or not); a
+        // non-participating group contributes a NULL ELEMENT
+        // (StringFunctions.java:105 adds matcher.group(idx) verbatim)
+        val idx = if (f.arguments.length == 3) f.arguments(2) else Literal(1, IntegerType)
+        graft.functions.expressions.RegexpExtractAllRef(
+          Cast(f.arguments.head, StringType, None, EvalMode.LEGACY),
+          Cast(f.arguments(1), StringType, None, EvalMode.LEGACY),
+          Cast(idx, LongType, None, EvalMode.LEGACY))
       case "unix_timestamp" if f.arguments.length == 1 || f.arguments.length == 2 =>
         // TemporalFunctions.unixTimestamp → DateTimeUtils.java:168-184:
         // parse the string in the pipeline zone (graft: the session

@@ -1250,6 +1250,34 @@ class OpsSpec extends SparkSpec {
     assert(always.forall(kept))
   }
 
+  test("weighted hash sample: oversized weight errors instead of wrapping") {
+    // weight*rateNum >= 2^31 would wrap the Long multiply (*2^32) under
+    // non-ANSI Spark and silently flip keep decisions — the guard makes
+    // it an error in the plan (r14 ADVICE)
+    val bad = Seq((1L, 1L << 20), (2L, 5L)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Curation.weightedHashSample(bad, col("id"), col("w"), 4096, 4096).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("weightedHashSample")), messages(e).mkString("; "))
+    // at the boundary: max admissible weight passes, one above errors
+    val maxW = ((1L << 31) - 1) / 4096
+    val edge = Seq((1L, maxW)).toDF("id", "w")
+    Curation.weightedHashSample(edge, col("id"), col("w"), 4096, 4096).collect()
+    val over = Seq((1L, maxW + 1)).toDF("id", "w")
+    val e2 = intercept[Exception] {
+      Curation.weightedHashSample(over, col("id"), col("w"), 4096, 4096).collect()
+    }
+    assert(messages(e2).exists(_.contains("weightedHashSample")))
+    // NULL weights keep their SQL semantics: dropped, not an error
+    val withNull = Seq((1L, java.lang.Long.valueOf(5L)), (2L, null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "w")
+    val keptN = Curation.weightedHashSample(withNull, col("id"), col("w"), 4096, 4096)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(!keptN.contains(2L))
+  }
+
   test("chunk tokens: stride spacing, tail alignment, full coverage, short docs") {
     val docs = Seq(
       (1L, (1 to 100).map(i => s"t$i").mkString(" ")),
