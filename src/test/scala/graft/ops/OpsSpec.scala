@@ -918,6 +918,47 @@ class OpsSpec extends SparkSpec {
     assert(ivfTop === exactTop)
   }
 
+  test("ann recall: clustered-data floors; exhaustive configs read exactly 1.0") {
+    // The r14 recall harness' spec-level pin (graft.tools.AnnRecall is
+    // the measurement side; NOTES carries the sf0.1 characterization).
+    // 8 well-separated clusters of 40 vectors in dim 16 — data where the
+    // approximate configs are SUPPOSED to work; everything deterministic
+    // (fixed fixture + xxhash64 planes), so the floors are stable pins,
+    // not statistical hopes.
+    val vecs = (0 until 320).map { i =>
+      val c = i % 8
+      val base = Array.tabulate(16)(j => if (j == c * 2) 10.0f else 0.0f)
+      (i.toLong, base.zipWithIndex.map { case (x, j) =>
+        x + 0.1f * math.sin(i * 13 + j).toFloat })
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.where(col("vec_id") < 16) // two per cluster
+    val k = 5
+    val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    def recall(approx: org.apache.spark.sql.DataFrame): Double = {
+      val got = approx.collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      exact.map { case (q, e) =>
+        got.getOrElse(q, Set.empty).intersect(e).size.toDouble / k }.sum / exact.size
+    }
+    // exhaustive configurations are the exact ranking (the q57/q58 gates)
+    assert(recall(Similarity.lshTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k, numPlanes = 0)) === 1.0)
+    assert(recall(Similarity.ivfTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k, nlist = 8, nprobe = 8)) === 1.0)
+    // approximate floors on clustered data: IVF probing 2-of-8 trained
+    // lists must recover in-cluster neighbors; 4-plane sign LSH keeps
+    // most clusters bucket-coherent (a plane splits a cluster only when
+    // its component on the cluster axis is near zero)
+    val rIvf = recall(Similarity.ivfTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k, nlist = 8, nprobe = 2))
+    assert(rIvf >= 0.9, s"ivf nprobe=2/8 recall@5 $rIvf")
+    val rLsh = recall(Similarity.lshTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k, numPlanes = 4))
+    assert(rLsh >= 0.7, s"lsh numPlanes=4 recall@5 $rLsh")
+  }
+
   test("sketches: approx distinct within rsd of exact") {
     val li = graft.Tables.load(spark, sf("sf0.001"), "lineitem")
     val exact = li.select(countDistinct(col("l_partkey"))).head().getLong(0)
