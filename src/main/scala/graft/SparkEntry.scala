@@ -1660,6 +1660,50 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** Curation pipeline v2 (r14) — the retrieval-side composition the r13
+    * primitives exist for: token-window chunking (q82's config) →
+    * per-chunk exact dedup (first chunk per text wins, keyed window like
+    * q83's) → BM25 slice over the SURVIVING CHUNKS (q80's rational-idf
+    * exact-integer gate, the chunk table as the BM25 corpus) → weighted
+    * Bernoulli subsample of the slice (q81's all-integer md5 decision,
+    * weight = tf at rate 1/4 — relevance-proportional downsampling).
+    * Every stage formula is individually gated; this gates their
+    * COMPOSITION (the reference's composed-pipeline shape,
+    * FlinkPipelineComposer.java:176-260, is the analog). Chunk identity
+    * rides one synthetic key doc_id·1000 + chunk_id (chunk counts are
+    * bounded by the 600-char corpus docs — ~6 windows max, far under
+    * 1000), decoded back in the output.
+    *
+    * Plan shape: ONE corpus scan feeds chunk→dedup (generator +
+    * chunk-text-keyed window — high-cardinality tiny groups, q83's safe
+    * shape); bm25's (N,S) stats broadcast; postings prune to the query
+    * terms before the dl join; per-term top-k is a WindowGroupLimit; the
+    * sample is a pure filter on the ranked slice. PlanSpec pins the
+    * single FileScan, no cartesian, and the group-limit.
+    */
+  private def q85CurationV2(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Curation, TextAnalysis}
+    val chunks = Curation.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+        window = 32, stride = 24)
+      .select((col("doc_id") * 1000 + col("chunk_id")).as("chunk_key"),
+        col("chunk_text"))
+    val w = Window.partitionBy(col("chunk_text")).orderBy(col("chunk_key"))
+    val deduped = chunks.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("chunk_key"), col("chunk_text"))
+    val sliced = TextAnalysis.bm25TopK(deduped, "chunk_key", "chunk_text",
+      Seq("spark", "join", "window", "merge", "filter"), k = 10,
+      rationalIdf = true)
+    Curation.weightedHashSample(sliced,
+        concat_ws(":", col("term"), col("doc_id")), col("tf"),
+        rateNum = 1, rateDen = 4)
+      .select(col("term"), col("rank").cast("long").as("rank"),
+        expr("doc_id DIV 1000").as("doc_id"),
+        expr("doc_id % 1000").as("chunk_id"),
+        col("tf"), col("dl"), col("df"), col("score"))
+      .orderBy(col("term"), col("rank"))
+  }
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1746,7 +1790,8 @@ object SparkEntry {
     "q81_weighted_sample" -> (q81WeightedSample _),
     "q82_chunk" -> (q82Chunk _),
     "q83_curation_pipeline" -> (q83CurationPipeline _),
-    "q84_hist_quantiles" -> (q84HistQuantiles _)
+    "q84_hist_quantiles" -> (q84HistQuantiles _),
+    "q85_curation_v2" -> (q85CurationV2 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2998,6 +3043,52 @@ object SparkEntry {
         |  0.0 + (min(CASE WHEN cum*100 >= n*50 THEN bucket END) + 0.5) * 5.0 AS p50,
         |  0.0 + (min(CASE WHEN cum*100 >= n*75 THEN bucket END) + 0.5) * 5.0 AS p75,
         |  0.0 + (min(CASE WHEN cum*100 >= n*95 THEN bucket END) + 0.5) * 5.0 AS p95
-        |FROM cum GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM cum GROUP BY lang ORDER BY lang""".stripMargin,
+    // q82's chunk formula -> min-key dedup per chunk text -> q80's
+    // rational-idf BM25 over the surviving chunks -> q81's all-integer
+    // md5 sample (weight = tf, rate 1/4) in one chain
+    "q85_curation_v2" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(
+        |    trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')),
+        |    ' ') AS t
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, t, len(t) AS n,
+        |    CASE WHEN len(t) <= 32 THEN [1]
+        |         WHEN (len(t) - 32) % 24 = 0
+        |           THEN generate_series(1, len(t) - 31, 24)
+        |         ELSE list_append(generate_series(1, len(t) - 31, 24),
+        |                          len(t) - 31)
+        |    END AS starts
+        |  FROM d),
+        |ch AS (
+        |  SELECT doc_id * 1000 + chunk_id AS key,
+        |    array_to_string(t[start:start+31], ' ') AS chunk_text
+        |  FROM (SELECT doc_id, t, unnest(starts) AS start,
+        |      unnest(generate_series(1, len(starts))) AS chunk_id FROM s)),
+        |ded AS (SELECT min(key) AS key, chunk_text FROM ch GROUP BY chunk_text),
+        |tok AS (SELECT key, unnest(string_split(chunk_text, ' ')) AS term FROM ded),
+        |tf AS (SELECT key, term, count(*)::BIGINT AS tf
+        |  FROM tok WHERE term <> '' GROUP BY 1, 2),
+        |dl AS (SELECT key, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+        |st AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS s FROM dl),
+        |dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |c AS (
+        |  SELECT tf.term, tf.key, tf.tf, dl.dl, dfq.df,
+        |    ((2*st.n - 2*dfq.df + 1) * 44 * st.s * tf.tf) /
+        |    ((2*dfq.df + 1) * (20*st.s*tf.tf + 6*st.s + 18*dl.dl*st.n)) AS score
+        |  FROM tf JOIN dl USING (key) JOIN dfq USING (term) CROSS JOIN st
+        |  WHERE tf.term IN ('spark','join','window','merge','filter')),
+        |r AS (SELECT term, key, tf, dl, df, score,
+        |  row_number() OVER (PARTITION BY term
+        |    ORDER BY score DESC, key ASC) AS rank FROM c)
+        |SELECT term, rank, key // 1000 AS doc_id, key % 1000 AS chunk_id,
+        |  tf, dl, df, score
+        |FROM r WHERE rank <= 10
+        |  AND ('0x' || substr(md5(term || ':' || key::VARCHAR), 1, 8))::UBIGINT::BIGINT
+        |        * 4
+        |      < tf * 4294967296
+        |ORDER BY term, rank""".stripMargin
   )
 }

@@ -418,6 +418,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), s"global window:\n$p")
   }
 
+  test("q85 curation v2: one corpus scan feeds chunk->dedup, stats broadcast, group-limited top-k") {
+    val p = plan("q85_curation_v2")
+    // one corpus pass: the chunk generator + chunk-text dedup window live
+    // INSIDE bm25's persisted tf frame, so the file is read once at cache
+    // materialization and every consumer (tf/df/dl/stats) is an
+    // InMemoryTableScan. The printed plan repeats the cached subtree under
+    // each cache scan, so assert ONE DISTINCT scan shape, not one line.
+    val scans = p.linesIterator.filter(_.contains("FileScan"))
+      .map(l => l.substring(l.indexOf("FileScan")).replaceAll("#\\d+", "")).toSeq
+    assert(scans.nonEmpty && scans.distinct.size === 1,
+      s"more than one corpus relation/scan shape:\n$p")
+    assert(p.contains("InMemoryTableScan"), s"tf frame not cached/reused:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in curation-v2 plan:\n$p")
+    // the 1-row (N, S) stats frame broadcasts into the scoring projection
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"corpus stats not broadcast:\n$p")
+    // per-term top-k bounded before the term exchange; the chunk-dedup
+    // window keys by chunk text (high cardinality). The plan's one
+    // Exchange SinglePartition is the 1-row (N,S) stats aggregate — a
+    // scalar reduce, not a data-sized global window — so no
+    // SinglePartition exchange may feed a Window node.
+    assert(p.contains("WindowGroupLimit"), s"rank limit not pushed down:\n$p")
+    val lines = p.linesIterator.toSeq
+    lines.zipWithIndex.filter(_._1.contains("Window")).foreach { case (_, i) =>
+      val below = lines.drop(i + 1).take(6)
+      assert(!below.exists(_.contains("Exchange SinglePartition")),
+        s"window fed by a single-partition exchange:\n$p")
+    }
+  }
+
   test("q84 histogram quantiles: sketch agg partial before the shuffle, no join") {
     val p = plan("q84_hist_quantiles")
     // the (group, bucket) count combines map-side; everything after runs
