@@ -188,7 +188,11 @@ object Sketches {
     */
   def histBuild(df: DataFrame, valueCol: Column, groupCols: Seq[String],
       lo: Long, hi: Long, buckets: Int): DataFrame = {
-    require(hi > lo && buckets >= 1, s"need hi > lo, buckets >= 1: [$lo,$hi) x $buckets")
+    // hi - lo > 0 rejects domains whose WIDTH overflows a Long (e.g.
+    // [Long.MinValue, Long.MaxValue]: hi > lo holds but hi - lo wraps to
+    // -1 and every bucket index silently degenerates)
+    require(hi > lo && hi - lo > 0 && buckets >= 1,
+      s"need hi > lo with a Long-representable width, buckets >= 1: [$lo,$hi) x $buckets")
     val idx = least(greatest(
       floor((valueCol.cast("double") - lit(lo.toDouble)) * lit(buckets.toDouble) /
         lit((hi - lo).toDouble)), lit(0.0)), lit((buckets - 1).toDouble))
@@ -220,6 +224,8 @@ object Sketches {
     */
   def histQuantiles(sketch: DataFrame, groupCols: Seq[String],
       lo: Long, hi: Long, buckets: Int, percents: Seq[Int]): DataFrame = {
+    require(hi > lo && hi - lo > 0 && buckets >= 1,
+      s"need hi > lo with a Long-representable width, buckets >= 1: [$lo,$hi) x $buckets")
     require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
       s"percents in [1,100]: $percents")
     import org.apache.spark.sql.expressions.Window

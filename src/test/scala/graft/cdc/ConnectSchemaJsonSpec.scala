@@ -372,8 +372,22 @@ class ConnectSchemaJsonSpec extends SparkSpec {
     // (field, input value, expected value after the round trip)
     case class RoundTrip(field: StructField, in: Any, exp: Any)
     // micros in 1900..2200 — wide enough for pre-1970 negatives, inside
-    // date_format's 4-digit-year rendering
-    val microsGen = Gen.choose(-2208988800000000L, 7258118400000000L)
+    // date_format's 4-digit-year rendering; one case in three lands
+    // within ±2h of a DST transition (America/New_York spring/fall
+    // edges incl. a pre-epoch 1969 one), so generated instants CROSS
+    // transitions instead of only the fixed hostile list doing so
+    val dstEdges = Seq(
+      "1969-10-26T06:00:00Z", // pre-epoch NY fall-back
+      "2021-03-14T07:00:00Z", "2021-11-07T06:00:00Z",
+      "2037-03-08T07:00:00Z")
+      .map(s => java.time.Instant.parse(s).getEpochSecond * 1000000L)
+    val nearDstGen = for {
+      edge <- Gen.oneOf(dstEdges)
+      off <- Gen.choose(-7200000000L, 7200000000L)
+    } yield edge + off
+    val microsGen = Gen.frequency(
+      2 -> Gen.choose(-2208988800000000L, 7258118400000000L),
+      1 -> nearDstGen)
     val precGen = Gen.choose(0, 9)
     val zoneGen = Gen.oneOf("Z", "+05:30", "Asia/Shanghai", "America/New_York")
     val kindGen: Gen[(String, Int, Long, String, Int, Boolean)] = for {
@@ -477,6 +491,12 @@ class ConnectSchemaJsonSpec extends SparkSpec {
     try {
       spark.conf.set("spark.sql.session.timeZone", "Asia/Shanghai")
       checkRound(seed = 33L)
+      // and under a DST session zone (r14 stretch): Shanghai is a fixed
+      // offset, so only this round makes the GENERATED matrix — a third
+      // of whose instants sit inside DST transition windows — prove the
+      // conversions are zone-free where the offset actually moves
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      checkRound(seed = 44L)
     } finally spark.conf.set("spark.sql.session.timeZone", prior)
   }
 

@@ -1272,6 +1272,44 @@ class OpsSpec extends SparkSpec {
     assert(rd1.getDouble(6) === num / den)
   }
 
+  test("bm25 adversarial: df=N corpus, single-doc corpus, large-tf exact score") {
+    // df = N: the term is in EVERY document — the rational idf odds
+    // degenerate to 1/(2N+1) but stay positive; ranking falls to the
+    // tf/length normalization alone
+    val allDocs = Seq(
+      (1L, "alpha beta"), (2L, "alpha alpha gamma"), (3L, "alpha")).toDF("doc_id", "text")
+    val r = TextAnalysis.bm25TopK(allDocs, "doc_id", "text",
+      Seq("alpha"), k = 3, rationalIdf = true).orderBy("rank").collect()
+    assert(r.length === 3 && r.forall(_.getLong(5) === 3L) && r.forall(_.getDouble(6) > 0))
+    // dl=1 tf=1 beats dl=3 tf=2 beats dl=2 tf=1 under k1=6/5, b=3/4
+    assert(r.map(_.getLong(2)).toSeq === Seq(3L, 2L, 1L))
+    // single-document corpus: N = df = 1 -> num factor (2N-2df+1) = 1
+    val single = Seq((7L, "solo solo tune")).toDF("doc_id", "text")
+    val s = TextAnalysis.bm25TopK(single, "doc_id", "text",
+      Seq("solo"), k = 5, rationalIdf = true).collect()
+    assert(s.length === 1 && s(0).getLong(2) === 7L && s(0).getDouble(6) > 0)
+    // large tf (1e5 repeated tokens): the emitted score must still be the
+    // single IEEE division of the exact integer num/den — recomputed here
+    // in BigInt and checked for Long-exactness first
+    val bigTf = 100000
+    val big = Seq(
+      (1L, Seq.fill(bigTf)("tok").mkString(" ")),
+      (2L, "tok other words here")).toDF("doc_id", "text")
+    val b = TextAnalysis.bm25TopK(big, "doc_id", "text",
+      Seq("tok"), k = 2, rationalIdf = true).collect()
+      .map(r => r.getLong(2) -> r).toMap
+    val (nDocs, sTot) = (2L, bigTf.toLong + 4L)
+    def rational(tf: Long, dl: Long, df: Long): Double = {
+      val num = BigInt(2 * nDocs - 2 * df + 1) * 44 * sTot * tf
+      val den = BigInt(2 * df + 1) *
+        (BigInt(20) * sTot * tf + BigInt(6) * sTot + BigInt(18) * dl * nDocs)
+      assert(num.isValidLong && den.isValidLong, "exact-integer contract overflowed")
+      num.toLong.toDouble / den.toLong.toDouble
+    }
+    assert(b(1L).getDouble(6) === rational(bigTf.toLong, bigTf.toLong, 2L))
+    assert(b(2L).getDouble(6) === rational(1L, 4L, 2L))
+  }
+
   test("weighted hash sample: all-integer decision reproduces, w=0 excluded, cap at p=1") {
     val df = (0L to 1999L).map(i => (i, i % 100)).toDF("id", "w")
     val kept = Curation.weightedHashSample(df, col("id"), col("w"), 1, 64)

@@ -63,4 +63,43 @@ class SketchesPropertySpec extends SparkSpec {
       SCTest.Parameters.default.withMinSuccessfulTests(8).withWorkers(1), prop)
     assert(result.passed, s"property failed: ${result.status}")
   }
+
+  test("hist adversarial: degenerate mass, one bucket, empty shard, extreme domains") {
+    val df = (1 to 100).map(i => (i.toLong, "g", 42L)).toDF("id", "g", "v")
+    // every value identical -> ONE populated bucket; all quantiles read
+    // its center: bucket floor(42*120/600)=8, center 0 + 8.5*5 = 42.5
+    val q = Sketches.histQuantiles(
+      Sketches.histBuild(df, col("v"), Seq("g"), 0, 600, 120),
+      Seq("g"), 0, 600, 120, Seq(1, 50, 100)).collect()(0)
+    assert(q.getLong(1) === 100L)
+    assert(Seq(2, 3, 4).forall(q.getDouble(_) === 42.5))
+    // buckets = 1: the whole domain is one bucket, quantiles = lo + width/2
+    val q1 = Sketches.histQuantiles(
+      Sketches.histBuild(df, col("v"), Seq("g"), 0, 600, 1),
+      Seq("g"), 0, 600, 1, Seq(50)).collect()(0)
+    assert(q1.getDouble(2) === 300.0)
+    // an EMPTY shard merges as the identity
+    val full = Sketches.histBuild(df, col("v"), Seq("g"), 0, 600, 120)
+    val empty = Sketches.histBuild(df.where(lit(false)), col("v"), Seq("g"), 0, 600, 120)
+    val merged = Sketches.histMerge(Seq("g"), full, empty)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val oneShot = full.collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(merged === oneShot)
+    // out-of-domain mass clamps to the edge buckets
+    val oob = Seq((1L, "lo", -999999L), (2L, "hi", 999999L)).toDF("id", "g", "v")
+    val clamped = Sketches.histBuild(oob, col("v"), Seq("g"), 0, 600, 120)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(clamped === Map("lo" -> 0, "hi" -> 119))
+    // max representable domain width builds; an overflowing width is an error
+    val wide = Seq((1L, "g", 0L)).toDF("id", "g", "v")
+    val w = Sketches.histBuild(wide, col("v"), Seq("g"),
+      -(1L << 62), (1L << 62) - 1, 4).collect()
+    assert(w.length === 1 && w(0).getInt(1) === 2) // 0 sits mid-domain
+    intercept[IllegalArgumentException] {
+      Sketches.histBuild(wide, col("v"), Seq("g"), Long.MinValue, Long.MaxValue, 4)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.histQuantiles(full, Seq("g"), Long.MinValue, Long.MaxValue, 120, Seq(50))
+    }
+  }
 }
