@@ -1685,7 +1685,15 @@ object SparkEntry {
     import graft.ops.{Curation, TextAnalysis}
     val chunks = Curation.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
         window = 32, stride = 24)
-      .select((col("doc_id") * 1000 + col("chunk_id")).as("chunk_key"),
+      // the key encoding assumes < 1000 chunks/doc; enforce it IN the
+      // plan — a violation must error, not silently collide keys (the
+      // oracle computes the same arithmetic, so the gate could not catch
+      // a collision)
+      .select(when(col("chunk_id") < 1000,
+          col("doc_id") * 1000 + col("chunk_id"))
+        .otherwise(raise_error(concat(lit("q85: chunk_id overflows the "
+          + "doc_id*1000 key encoding: "), col("chunk_id").cast("string"))))
+        .as("chunk_key"),
         col("chunk_text"))
     val w = Window.partitionBy(col("chunk_text")).orderBy(col("chunk_key"))
     val deduped = chunks.withColumn("__rn", row_number().over(w))

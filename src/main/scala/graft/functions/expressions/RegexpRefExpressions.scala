@@ -82,10 +82,14 @@ case class RegexpExtractRef(str: Expression, regex: Expression, idx: Expression)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("graftExpr", this, classOf[RegexpExtractRef].getName)
+    // freshName: two regexp kernels inlined into one generated scope must
+    // not declare the same local (janino duplicate-local -> interpreted
+    // fallback for the whole stage)
+    val res = ctx.freshName("graftRes")
     nullSafeCodeGen(ctx, ev, (a, b, c) => s"""
-      Object graftRes = $ref.compute($a, $b, $c);
-      if (graftRes == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = (org.apache.spark.unsafe.types.UTF8String) graftRes; }""")
+      Object $res = $ref.compute($a, $b, $c);
+      if ($res == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $res; }""")
   }
 
   override protected def withNewChildrenInternal(
@@ -123,10 +127,11 @@ case class RegexpExtractAllRef(str: Expression, regex: Expression, idx: Expressi
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("graftExpr", this, classOf[RegexpExtractAllRef].getName)
+    val res = ctx.freshName("graftRes")
     nullSafeCodeGen(ctx, ev, (a, b, c) => s"""
-      Object graftRes = $ref.compute($a, $b, $c);
-      if (graftRes == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) graftRes; }""")
+      Object $res = $ref.compute($a, $b, $c);
+      if ($res == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $res; }""")
   }
 
   override protected def withNewChildrenInternal(

@@ -100,14 +100,17 @@ object Curation {
       rateNum: Long, rateDen: Long): DataFrame = {
     require(rateNum >= 0 && rateDen > 0 && rateDen <= (1L << 31),
       s"rate must be a non-negative rational with rateDen <= 2^31: $rateNum/$rateDen")
-    // w*rateNum < 2^31 tested as w <= (2^31-1)/rateNum — the product
-    // itself could already wrap under non-ANSI
+    // |w|*rateNum < 2^31 tested as |w| <= (2^31-1)/rateNum — the product
+    // itself could already wrap under non-ANSI. The bound is two-sided:
+    // a large NEGATIVE weight would wrap w*rateNum*2^32 to a huge
+    // positive and flip drop-all into keep-most (small negative weights
+    // keep their natural drop semantics: the RHS is negative).
     val maxW = if (rateNum == 0) Long.MaxValue else ((1L << 31) - 1) / rateNum
     val w = weight.cast("long")
-    val guarded = when(w.isNull || w <= lit(maxW), w)
+    val guarded = when(w.isNull || (w <= lit(maxW) && w >= lit(-maxW)), w)
       .otherwise(raise_error(concat(
-        lit(s"weightedHashSample: weight*rateNum must stay < 2^31 " +
-          s"(rateNum=$rateNum, max weight $maxW), got weight="),
+        lit(s"weightedHashSample: |weight|*rateNum must stay < 2^31 " +
+          s"(rateNum=$rateNum, |weight| <= $maxW), got weight="),
         w.cast("string"))))
     df.where(hashUniform32(key) * lit(rateDen) <
       guarded * lit(rateNum) * lit(4294967296L))

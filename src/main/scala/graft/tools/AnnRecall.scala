@@ -69,13 +69,26 @@ object AnnRecall {
       }
 
       for (p <- Seq(2, 4, 6, 8))
-        recall(s"lsh numPlanes=$p" + (if (p == 4) " (q25)" else ""),
+        recall(s"lsh numPlanes=$p (prod planes)",
           Similarity.lshTopK(emb, "vec_id", "embedding",
             queries, "vec_id", "embedding", k, numPlanes = p))
+      // the EXACT q25 configuration: md5-derived planes (a different
+      // plane table than the production xxhash64 one — same distribution
+      // family, but the gated query's own recall is what gets published)
+      recall("lsh md5 planes=4 (q25)",
+        Similarity.lshTopKPlanes(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k,
+          planes = Similarity.md5Planes("q25", numPlanes = 4, dim = 64)))
       for (np <- Seq(1, 2, 4, 8, 16))
-        recall(s"ivf nlist=16 nprobe=$np" + (if (np == 4) " (q33)" else ""),
+        recall(s"ivf nlist=16 nprobe=$np (trained)",
           Similarity.ivfTopK(emb, "vec_id", "embedding",
             queries, "vec_id", "embedding", k, nlist = 16, nprobe = np))
+      // the EXACT q33 configuration: untrained iters=0 centroids (the
+      // 16 smallest-id vectors) — how much recall the 3 Lloyd rounds buy
+      // is the delta against the trained nprobe=4 row
+      recall("ivf nprobe=4 iters=0 (q33)",
+        Similarity.ivfTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k, nlist = 16, nprobe = 4, iters = 0))
       exact.unpersist(false)
     }
     // markdown for NOTES.md: rows = config, cols = k

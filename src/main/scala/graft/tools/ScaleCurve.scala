@@ -27,12 +27,16 @@ import org.apache.spark.sql.functions._
   *    zh substring counts invariant, so GATED pipelines (q83's language +
   *    Gopher gates) pass in every replica — the r13 scheme failed the
   *    gate at f>1 and measured only the pre-gate stages;
-  *  - within a replica the rename is injective (a cipher is injective on
-  *    strings), so dup structure, repetition stats and within-replica
-  *    Jaccard are preserved EXACTLY; across replicas non-marker images
-  *    are disjoint, so texts/shingles collide only on all-marker content
-  *    or docs that are literal Caesar translates of each other —
-  *    measured absent in this corpus (survivor/pair counts scale ~f).
+  *  - within a replica the rename is injective: a cipher is injective on
+  *    strings, and the marker exemption cannot merge tokens because the
+  *    tool ASSERTS no corpus token is a Caesar preimage of a marker (and
+  *    that token separators are plain spaces, so the cipher's ' ' split
+  *    agrees with langId's \s+ split) — so dup structure, repetition
+  *    stats and within-replica Jaccard are preserved EXACTLY; across
+  *    replicas non-marker images are disjoint, so texts/shingles collide
+  *    only on all-marker content or docs that are literal Caesar
+  *    translates of each other — measured absent in this corpus
+  *    (survivor/pair counts scale ~f, exactly: 911·f at f=1/4/16).
   * Near-dup pair population therefore grows ~linearly with the corpus,
   * the way a real crawl grows. (Naive duplication grows pairs
   * quadratically; inserting a salt token BETWEEN words — the r9 first
@@ -136,6 +140,32 @@ object ScaleCurve {
         // marker tokens ride unchanged so gate verdicts are invariant
         val markerToks = graft.ops.TextAnalysis.LanguageMarkers
           .collect { case (l, ms) if l != "zh" => ms }.flatten.toSeq
+        // Scheme preconditions, asserted per corpus (r14 review findings
+        // — both hold on the synthetic corpora; a future corpus that
+        // violates them would silently skew the curves, so fail fast):
+        // (a) token separators are plain spaces — the cipher splits on
+        //     ' ' while langId tokenizes on \s+, so a tab/newline inside
+        //     a "token" would Caesar-shift marker words langId still
+        //     counts, flipping gate verdicts between replicas;
+        // (b) no corpus token is a Caesar PREIMAGE of a marker — such a
+        //     token would shift INTO a fixed marker in some replica,
+        //     breaking within-replica injectivity (the bijection the
+        //     whole measurement rests on).
+        val nonSpaceWs = base.where(col("text").rlike("[^\\S ]")).count()
+        require(nonSpaceWs == 0,
+          s"$nonSpaceWs docs contain non-space whitespace; the cipher's " +
+            "space tokenization would diverge from langId's \\s+ tokenization")
+        val preimages = (1 until f).flatMap(i =>
+          markerToks.map(m => caesar(m, 26 - i))).distinct
+            .filterNot(markerToks.contains) // markers themselves stay fixed
+        if (preimages.nonEmpty) {
+          val hits = base.select(explode(split(lower(col("text")), " ")).as("tok"))
+            .where(col("tok").isInCollection(preimages))
+            .groupBy(col("tok")).count().collect()
+          require(hits.isEmpty,
+            s"corpus tokens are Caesar preimages of markers (would merge with " +
+              s"the fixed marker in some replica): ${hits.map(_.getString(0)).mkString(",")}")
+        }
         val lowerAz = ('a' to 'z').mkString
         val upperAz = lowerAz.toUpperCase
         val replicated = (0 until f).map { i =>

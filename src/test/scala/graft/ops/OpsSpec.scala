@@ -1355,6 +1355,18 @@ class OpsSpec extends SparkSpec {
     val keptN = Curation.weightedHashSample(withNull, col("id"), col("w"), 4096, 4096)
       .select("id").collect().map(_.getLong(0)).toSet
     assert(!keptN.contains(2L))
+    // the bound is two-sided: a large NEGATIVE weight would wrap
+    // w*rateNum*2^32 to a huge positive and keep (almost) every row —
+    // it must error; a small negative weight is a plain drop (p = 0)
+    val bigNeg = Seq((1L, -600000000L)).toDF("id", "w")
+    val e3 = intercept[Exception] {
+      Curation.weightedHashSample(bigNeg, col("id"), col("w"), 4, 4096).collect()
+    }
+    assert(messages(e3).exists(_.contains("weightedHashSample")))
+    val smallNeg = Seq((1L, -5L), (2L, 4096L)).toDF("id", "w")
+    val keptNeg = Curation.weightedHashSample(smallNeg, col("id"), col("w"), 4096, 4096)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(keptNeg === Set(2L))
   }
 
   test("chunk tokens: stride spacing, tail alignment, full coverage, short docs") {
