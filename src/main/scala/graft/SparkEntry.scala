@@ -1712,6 +1712,38 @@ object SparkEntry {
       .orderBy(col("term"), col("rank"))
   }
 
+  /** Reciprocal-rank fusion of two lexical retrievers (r14): the BM25
+    * top-20 per term (q80's rational-idf config) fused with the naive
+    * raw-term-frequency top-20 (genuinely different ranking: no idf, no
+    * length normalization) via [[graft.ops.Relational.rrfFusion]] at the
+    * standard K=60 — the hybrid-retrieval merge step of a retrieval /
+    * decontamination pipeline. Both retrievers read ONE persisted
+    * termFrequencies frame (plan-identical cache hit), and the RRF score
+    * is an exact num/den rational of the integer ranks, so DuckDB
+    * recomputes the whole fusion bit-for-bit.
+    */
+  private def q86RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Relational, TextAnalysis}
+    val docs = t(s, dir, "documents")
+    val terms = Seq("spark", "join", "window", "merge", "filter")
+    val bm25 = TextAnalysis.bm25TopK(docs, "doc_id", "text", terms, k = 20,
+        rationalIdf = true)
+      .select(col("term"), col("doc_id"), col("rank"))
+    val tfW = Window.partitionBy(col("term"))
+      .orderBy(col("tf").desc, col("doc_id").asc)
+    val tfTop = TextAnalysis.termFrequencies(docs, "doc_id", "text")
+      .where(col("term").isin(terms: _*))
+      .withColumn("rank", row_number().over(tfW))
+      .where(col("rank") <= 20)
+      .select(col("term"), col("doc_id"), col("rank"))
+    Relational.rrfFusion(bm25, tfTop, "term", "doc_id", "rank",
+        kRrf = 60, topK = 10)
+      .select(col("term"), col("rank").cast("long").as("rank"), col("doc_id"),
+        col("r_a").as("r_bm25"), col("r_b").as("r_tf"),
+        col("num"), col("den"), col("score"))
+      .orderBy(col("term"), col("rank"))
+  }
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1799,7 +1831,8 @@ object SparkEntry {
     "q82_chunk" -> (q82Chunk _),
     "q83_curation_pipeline" -> (q83CurationPipeline _),
     "q84_hist_quantiles" -> (q84HistQuantiles _),
-    "q85_curation_v2" -> (q85CurationV2 _)
+    "q85_curation_v2" -> (q85CurationV2 _),
+    "q86_rrf_fusion" -> (q86RrfFusion _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3097,6 +3130,46 @@ object SparkEntry {
         |  AND ('0x' || substr(md5(term || ':' || key::VARCHAR), 1, 8))::UBIGINT::BIGINT
         |        * 4
         |      < tf * 4294967296
-        |ORDER BY term, rank""".stripMargin
+        |ORDER BY term, rank""".stripMargin,
+    // q80's bm25 ranking (k=20) full-outer fused with the raw-tf ranking
+    // at K=60: exact-rational RRF scores, ties by doc_id
+    "q86_rrf_fusion" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(
+        |    trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')),
+        |    ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+        |  FROM tok WHERE term <> '' GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+        |st AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS s FROM dl),
+        |dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |c AS (
+        |  SELECT tf.term, tf.doc_id,
+        |    ((2*st.n - 2*dfq.df + 1) * 44 * st.s * tf.tf) /
+        |    ((2*dfq.df + 1) * (20*st.s*tf.tf + 6*st.s + 18*dl.dl*st.n)) AS score
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN st
+        |  WHERE tf.term IN ('spark','join','window','merge','filter')),
+        |ra AS (SELECT term, doc_id, r FROM (
+        |  SELECT term, doc_id, row_number() OVER (PARTITION BY term
+        |    ORDER BY score DESC, doc_id ASC) AS r FROM c) WHERE r <= 20),
+        |rb AS (SELECT term, doc_id, r FROM (
+        |  SELECT term, doc_id, row_number() OVER (PARTITION BY term
+        |    ORDER BY tf DESC, doc_id ASC) AS r FROM tf
+        |  WHERE term IN ('spark','join','window','merge','filter')) WHERE r <= 20),
+        |fused AS (
+        |  SELECT term, doc_id, a.r AS r_bm25, b.r AS r_tf,
+        |    (CASE WHEN a.r IS NOT NULL AND b.r IS NOT NULL
+        |      THEN 120 + a.r + b.r ELSE 1 END)::BIGINT AS num,
+        |    (CASE WHEN a.r IS NOT NULL AND b.r IS NOT NULL
+        |        THEN (60 + a.r) * (60 + b.r)
+        |      WHEN a.r IS NOT NULL THEN 60 + a.r
+        |      ELSE 60 + b.r END)::BIGINT AS den
+        |  FROM ra a FULL JOIN rb b USING (term, doc_id)),
+        |rr AS (SELECT *, num / den AS score,
+        |  row_number() OVER (PARTITION BY term
+        |    ORDER BY num / den DESC, doc_id ASC) AS rank FROM fused)
+        |SELECT term, rank, doc_id, r_bm25, r_tf, num, den, score
+        |FROM rr WHERE rank <= 10 ORDER BY term, rank""".stripMargin
   )
 }

@@ -83,4 +83,47 @@ object Relational {
       .where(abs(leftOn - rightOn) <= maxDistance)
       .drop("__bin", "__bin0")
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two per-query
+    * rankings — the standard hybrid-retrieval merge (lexical + dense, or
+    * any two retrievers) a data pipeline runs after its per-retriever
+    * top-k. Inputs are `(queryCol, itemCol, rankCol)` frames with ranks
+    * 1-based within each query; output is the fused per-query top-`topK`
+    * with the evidence: both input ranks (null where the item missed a
+    * list) and the EXACT-RATIONAL RRF score as a num/den pair of small
+    * BIGINTs — 1/(K+ra) + 1/(K+rb) = (2K+ra+rb)/((K+ra)(K+rb)), or
+    * 1/(K+r) for a single-list item — so `score = num/den` is one IEEE
+    * division of exact integers, reproducible bit-for-bit by any engine
+    * (the q80/q84 exact-integer gate policy). Fused ties break by item id.
+    *
+    * Scale shape: ONE full-outer equi-join of two already-top-k frames
+    * (each at most queries×k rows — never corpus-sized) and one
+    * per-query window; the heavy lifting stays in the upstream
+    * retrievers.
+    */
+  def rrfFusion(a: DataFrame, b: DataFrame,
+      queryCol: String, itemCol: String, rankCol: String,
+      kRrf: Int = 60, topK: Int = 10): DataFrame = {
+    require(kRrf >= 0 && topK >= 1, s"need kRrf >= 0, topK >= 1: $kRrf, $topK")
+    val la = a.select(col(queryCol).as("__q"), col(itemCol).as("__i"),
+      col(rankCol).cast("long").as("r_a"))
+    val lb = b.select(col(queryCol).as("__q"), col(itemCol).as("__i"),
+      col(rankCol).cast("long").as("r_b"))
+    val joined = la.join(lb, Seq("__q", "__i"), "full_outer")
+    val num = when(col("r_a").isNotNull && col("r_b").isNotNull,
+        lit(2L * kRrf) + col("r_a") + col("r_b"))
+      .otherwise(lit(1L))
+    val den = when(col("r_a").isNotNull && col("r_b").isNotNull,
+        (lit(kRrf.toLong) + col("r_a")) * (lit(kRrf.toLong) + col("r_b")))
+      .when(col("r_a").isNotNull, lit(kRrf.toLong) + col("r_a"))
+      .otherwise(lit(kRrf.toLong) + col("r_b"))
+    val w = Window.partitionBy(col("__q"))
+      .orderBy(col("score").desc, col("__i").asc)
+    joined.withColumn("num", num).withColumn("den", den)
+      .withColumn("score", col("num") / col("den"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("__q").as(queryCol), col("rank"), col("__i").as(itemCol),
+        col("r_a"), col("r_b"), col("num"), col("den"), col("score"))
+  }
 }

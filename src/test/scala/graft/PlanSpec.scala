@@ -448,6 +448,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q86 rrf fusion: shared tf cache, group-limited top-k, no cartesian") {
+    val p = plan("q86_rrf_fusion")
+    assert(!p.contains("CartesianProduct"), s"cartesian in rrf plan:\n$p")
+    // both retrievers read ONE persisted termFrequencies frame
+    assert(p.contains("InMemoryTableScan"), s"tf frame not cached/shared:\n$p")
+    // per-term top-k bounded before the term exchange on the bm25 side
+    assert(p.contains("WindowGroupLimit"), s"rank limit not pushed down:\n$p")
+    // one corpus relation only (same distinct-scan-shape check as q85)
+    val scans = p.linesIterator.filter(_.contains("FileScan"))
+      .map(l => l.substring(l.indexOf("FileScan")).replaceAll("#\\d+", "")).toSeq
+    assert(scans.nonEmpty && scans.distinct.size === 1,
+      s"more than one corpus relation/scan shape:\n$p")
+  }
+
   test("q84 histogram quantiles: sketch agg partial before the shuffle, no join") {
     val p = plan("q84_hist_quantiles")
     // the (group, bucket) count combines map-side; everything after runs

@@ -1272,6 +1272,28 @@ class OpsSpec extends SparkSpec {
     assert(rd1.getDouble(6) === num / den)
   }
 
+  test("rrf fusion: exact rational scores, single-list items, tie-break by item") {
+    val a = Seq(("q", 10L, 1), ("q", 11L, 2), ("q", 12L, 3)).toDF("query", "item", "rank")
+    val b = Seq(("q", 11L, 1), ("q", 13L, 2)).toDF("query", "item", "rank")
+    val out = Relational.rrfFusion(a, b, "query", "item", "rank", kRrf = 60, topK = 10)
+      .collect().map(r => r.getLong(2) -> r).toMap
+    // both lists: 1/(60+2) + 1/(60+1) = (120+2+1)/((60+2)(60+1)) = 123/3782
+    assert((out(11L).getLong(5), out(11L).getLong(6)) === ((123L, 3782L)))
+    assert(out(11L).getDouble(7) === 123.0 / 3782.0)
+    // single-list: 1/(60+1)
+    assert((out(10L).getLong(5), out(10L).getLong(6)) === ((1L, 61L)))
+    assert(out(10L).isNullAt(4) && out(13L).isNullAt(3))
+    // fused order: 123/3782 > 1/61 > 1/62 > 1/63
+    assert(Seq(11L, 10L, 13L, 12L).zipWithIndex.forall { case (item, i) =>
+      out(item).getInt(1) == i + 1 })
+    // equal scores (same rank, different lists) break by item id
+    val o2 = Relational.rrfFusion(
+      Seq(("q", 5L, 1)).toDF("query", "item", "rank"),
+      Seq(("q", 3L, 1)).toDF("query", "item", "rank"),
+      "query", "item", "rank").collect().sortBy(_.getInt(1))
+    assert(o2.map(_.getLong(2)).toSeq === Seq(3L, 5L))
+  }
+
   test("bm25 adversarial: df=N corpus, single-doc corpus, large-tf exact score") {
     // df = N: the term is in EVERY document — the rational idf odds
     // degenerate to 1/(2N+1) but stay positive; ranking falls to the
