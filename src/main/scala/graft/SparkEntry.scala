@@ -1744,6 +1744,29 @@ object SparkEntry {
       .orderBy(col("term"), col("rank"))
   }
 
+  /** Z-order write clustering (r14, [[graft.ops.Layout]]): the Morton key
+    * of (user_id, event_id) — the data-layout primitive that decides what
+    * parquet min/max statistics can prune at 100 TB (files sorted by this
+    * key carry tight bounding boxes in BOTH dimensions). The gate
+    * aggregates per z-range "file": row count, the exact xor of the keys
+    * (any interleaving bug flips it), and the per-bucket bounding box in
+    * both dimensions — the min/max evidence a reader's pruning would use.
+    * Pure integer bit arithmetic, recomputed identically by the oracle's
+    * 5-step spread ladder.
+    */
+  private def q87ZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Layout
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        Layout.zorderKey(col("user_id"), col("event_id")).as("z"))
+      .groupBy(shiftrightunsigned(col("z"), 16).as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        expr("bit_xor(z)").as("xor_z"),
+        min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user"),
+        min(col("event_id")).as("min_event"), max(col("event_id")).as("max_event"))
+      .orderBy(col("zbucket"))
+  }
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1832,7 +1855,8 @@ object SparkEntry {
     "q83_curation_pipeline" -> (q83CurationPipeline _),
     "q84_hist_quantiles" -> (q84HistQuantiles _),
     "q85_curation_v2" -> (q85CurationV2 _),
-    "q86_rrf_fusion" -> (q86RrfFusion _)
+    "q86_rrf_fusion" -> (q86RrfFusion _),
+    "q87_zorder_layout" -> (q87ZorderLayout _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3170,6 +3194,27 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY term
         |    ORDER BY num / den DESC, doc_id ASC) AS rank FROM fused)
         |SELECT term, rank, doc_id, r_bm25, r_tf, num, den, score
-        |FROM rr WHERE rank <= 10 ORDER BY term, rank""".stripMargin
+        |FROM rr WHERE rank <= 10 ORDER BY term, rank""".stripMargin,
+    // the same 5-step Morton bit-spread ladder, x at even bits, y at odd
+    "q87_zorder_layout" ->
+      """WITH st0 AS (
+        |  SELECT (user_id & 4294967295) AS x, (event_id & 4294967295) AS y,
+        |    user_id, event_id FROM events),
+        |st1 AS (SELECT ((x | (x << 16)) & 281470681808895) AS x,
+        |  ((y | (y << 16)) & 281470681808895) AS y, user_id, event_id FROM st0),
+        |st2 AS (SELECT ((x | (x << 8)) & 71777214294589695) AS x,
+        |  ((y | (y << 8)) & 71777214294589695) AS y, user_id, event_id FROM st1),
+        |st3 AS (SELECT ((x | (x << 4)) & 1085102592571150095) AS x,
+        |  ((y | (y << 4)) & 1085102592571150095) AS y, user_id, event_id FROM st2),
+        |st4 AS (SELECT ((x | (x << 2)) & 3689348814741910323) AS x,
+        |  ((y | (y << 2)) & 3689348814741910323) AS y, user_id, event_id FROM st3),
+        |st5 AS (SELECT ((x | (x << 1)) & 6148914691236517205) AS x,
+        |  ((y | (y << 1)) & 6148914691236517205) AS y, user_id, event_id FROM st4),
+        |zt AS (SELECT (x | (y << 1)) AS z, user_id, event_id FROM st5)
+        |SELECT (z >> 16) AS zbucket, count(*)::BIGINT AS n,
+        |  bit_xor(z)::BIGINT AS xor_z,
+        |  min(user_id)::BIGINT AS min_user, max(user_id)::BIGINT AS max_user,
+        |  min(event_id)::BIGINT AS min_event, max(event_id)::BIGINT AS max_event
+        |FROM zt GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -1272,6 +1272,38 @@ class OpsSpec extends SparkSpec {
     assert(rd1.getDouble(6) === num / den)
   }
 
+  test("zorder layout: matches the reference interleave, bijective on 32+32 bits") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def refInterleave(x: Long, y: Long): Long = {
+      var z = 0L
+      var i = 0
+      while (i < 32) {
+        z |= ((x >> i) & 1L) << (2 * i)
+        z |= ((y >> i) & 1L) << (2 * i + 1)
+        i += 1
+      }
+      z
+    }
+    val pairsGen = Gen.listOfN(64, for {
+      x <- Gen.oneOf(Gen.choose(0L, 0xFFFFFFFFL), Gen.oneOf(0L, 1L, 0xFFFFFFFFL))
+      y <- Gen.oneOf(Gen.choose(0L, 0xFFFFFFFFL), Gen.oneOf(0L, 1L, 0xFFFFFFFFL))
+    } yield (x, y))
+    val prop = Prop.forAllNoShrink(pairsGen) { ps =>
+      val out = ps.toDF("x", "y")
+        .select(col("x"), col("y"), Layout.zorderKey(col("x"), col("y")).as("z"))
+        .select(col("x"), col("y"), col("z"),
+          Layout.unzorderX(col("z")).as("bx"), Layout.unzorderY(col("z")).as("by"))
+        .collect()
+      out.forall { r =>
+        r.getLong(2) == refInterleave(r.getLong(0), r.getLong(1)) &&
+          r.getLong(3) == r.getLong(0) && r.getLong(4) == r.getLong(1)
+      }
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(4).withWorkers(1), prop)
+    assert(result.passed, s"property failed: ${result.status}")
+  }
+
   test("rrf fusion: exact rational scores, single-list items, tie-break by item") {
     val a = Seq(("q", 10L, 1), ("q", 11L, 2), ("q", 12L, 3)).toDF("query", "item", "rank")
     val b = Seq(("q", 11L, 1), ("q", 13L, 2)).toDF("query", "item", "rank")
