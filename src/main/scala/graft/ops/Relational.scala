@@ -95,6 +95,12 @@ object Relational {
     * 1/(K+r) for a single-list item — so `score = num/den` is one IEEE
     * division of exact integers, reproducible bit-for-bit by any engine
     * (the q80/q84 exact-integer gate policy). Fused ties break by item id.
+    * The double ORDERING equals the exact rational ordering, provably:
+    * two distinct fused rationals with denominators ≤ (K+maxRank)² differ
+    * by at least 1/(den₁·den₂); at K=60 and ranks ≤ ~10⁴ that gap is
+    * ≥ ~2⁻⁴⁵, far above the ~2⁻⁵³ relative rounding of the two divisions
+    * — so a correctly-rounded double per side cannot swap them
+    * (OpsSpec property-pins this against an exact-BigInt reference).
     *
     * Scale shape: ONE full-outer equi-join of two already-top-k frames
     * (each at most queries×k rows — never corpus-sized) and one

@@ -1326,6 +1326,59 @@ class OpsSpec extends SparkSpec {
     assert(o2.map(_.getLong(2)).toSeq === Seq(3L, 5L))
   }
 
+  test("rrf fusion property: matches an exact-BigInt-rational reference on random rankings") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // random two-list rankings over a small item universe; the reference
+    // fuses and orders EXACTLY (BigInt cross-multiplication), proving the
+    // operator's double-division ordering never swaps distinct rationals
+    // at these magnitudes (scaladoc argument)
+    val caseGen = for {
+      nq <- Gen.choose(1, 3)
+      lists <- Gen.listOfN(nq, for {
+        aItems <- Gen.someOf(0L to 30L)
+        bItems <- Gen.someOf(0L to 30L)
+      } yield (aItems.take(10).toSeq, bItems.take(10).toSeq))
+    } yield lists
+    val prop = Prop.forAllNoShrink(caseGen) { lists =>
+      val a = lists.zipWithIndex.flatMap { case ((as, _), q) =>
+        as.zipWithIndex.map { case (it, i) => (s"q$q", it, i + 1) } }
+      val b = lists.zipWithIndex.flatMap { case ((_, bs), q) =>
+        bs.zipWithIndex.map { case (it, i) => (s"q$q", it, i + 1) } }
+      val got = Relational.rrfFusion(
+          (if (a.isEmpty) Seq(("qx", -1L, 1)) else a).toDF("query", "item", "rank"),
+          (if (b.isEmpty) Seq(("qx", -1L, 1)) else b).toDF("query", "item", "rank"),
+          "query", "item", "rank", kRrf = 60, topK = 1000)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(2)) -> (r.getInt(1), r.getLong(5), r.getLong(6)))
+        .toMap
+      // exact reference: rational compare by BigInt cross-multiplication
+      val refAll = lists.zipWithIndex.flatMap { case ((as, bs), q) =>
+        val ra = as.zipWithIndex.map { case (it, i) => it -> (i + 1L) }.toMap
+        val rb = bs.zipWithIndex.map { case (it, i) => it -> (i + 1L) }.toMap
+        val fused = (ra.keySet ++ rb.keySet).toSeq.map { it =>
+          val (num, den) = (ra.get(it), rb.get(it)) match {
+            case (Some(x), Some(y)) => (120L + x + y, (60L + x) * (60L + y))
+            case (Some(x), None) => (1L, 60L + x)
+            case (None, Some(y)) => (1L, 60L + y)
+            case _ => sys.error("unreachable")
+          }
+          (it, num, den)
+        }
+        val ordered = fused.sortWith { case ((i1, n1, d1), (i2, n2, d2)) =>
+          val cmp = (BigInt(n1) * d2).compare(BigInt(n2) * d1)
+          if (cmp != 0) cmp > 0 else i1 < i2
+        }
+        ordered.zipWithIndex.map { case ((it, n, d), i) =>
+          (s"q$q", it) -> (i + 1, n, d) }
+      }.toMap
+      refAll.forall { case (k, v) => got.get(k).contains(v) } &&
+        got.keySet.filterNot(_._1 == "qx") == refAll.keySet
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(6).withWorkers(1), prop)
+    assert(result.passed, s"property failed: ${result.status}")
+  }
+
   test("bm25 adversarial: df=N corpus, single-doc corpus, large-tf exact score") {
     // df = N: the term is in EVERY document — the rational idf odds
     // degenerate to 1/(2N+1) but stay positive; ranking falls to the
