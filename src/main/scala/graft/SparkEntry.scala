@@ -409,10 +409,13 @@ object SparkEntry {
     * 4 hyperplanes are md5-derived dyadic rationals
     * ([[graft.ops.Similarity.md5Planes]]) that DuckDB re-derives
     * bit-for-bit, so the oracle recomputes the same 16-bucket partition
-    * (recall < 1 — queries only see their own bucket) and the same
-    * per-bucket cosine top-k. The production xxhash64-plane path
+    * and the same per-probe cosine top-k. The config MULTIPROBES at
+    * Hamming 1 (each query scans its own bucket plus the 4 one-plane-flip
+    * neighbors — 5 of 16 buckets; still recall < 1, measured ~3× the
+    * single-probe recall by AnnRecall), the production recall remedy that
+    * keeps the corpus bucketing untouched. The xxhash64-plane path
     * (`lshTopK`) stays pinned by OpsSpec's kernel-equivalence and recall
-    * laws; q57 gates its exhaustive configuration.
+    * laws; q57 gates the exhaustive configuration.
     */
   private def q25EmbedAnnLsh(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Similarity
@@ -420,7 +423,8 @@ object SparkEntry {
     Similarity.lshTopKPlanes(
       emb, "vec_id", "embedding",
       emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5,
-      planes = Similarity.md5Planes("q25", numPlanes = 4, dim = 64))
+      planes = Similarity.md5Planes("q25", numPlanes = 4, dim = 64),
+      probeHamming = 1)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -2117,8 +2121,9 @@ object SparkEntry {
     "q25_embed_ann_lsh" ->
       // re-derives the md5 dyadic-rational hyperplanes (exact doubles in
       // both engines), recomputes the 16-bucket sign partition, then the
-      // per-bucket cosine top-k — the APPROXIMATE selection itself is the
-      // ground truth being checked
+      // per-probe cosine top-k over each query's Hamming-1 probe set
+      // (own bucket + 4 one-bit flips) — the APPROXIMATE selection
+      // itself is the ground truth being checked
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |pl AS (
         |  SELECT p, [(('0x' || substr(md5('q25:' || p::VARCHAR || ':' || i::VARCHAR),
@@ -2131,7 +2136,11 @@ object SparkEntry {
         |      THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
         |  FROM e, pl GROUP BY e.vec_id),
         |cb AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN b USING (vec_id)),
-        |q AS (SELECT vec_id AS qid, v AS qv, bucket FROM cb WHERE vec_id < 10),
+        |q AS (
+        |  SELECT vec_id AS qid, v AS qv,
+        |    unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+        |            xor(bucket, 4), xor(bucket, 8)]) AS bucket
+        |  FROM cb WHERE vec_id < 10),
         |scored AS (
         |  SELECT q.qid AS query_id, cb.vec_id AS neighbor_id,
         |    list_dot_product(q.qv, cb.v)

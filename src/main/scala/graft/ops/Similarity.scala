@@ -368,9 +368,9 @@ object Similarity {
   def lshTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, numPlanes: Int = 8): DataFrame =
+      k: Int, numPlanes: Int = 8, probeHamming: Int = 0): DataFrame =
     lshTopKBucketed(corpus, corpusId, corpusVec, queries, queryId, queryVec,
-      k, lshBucket(_, numPlanes))
+      k, lshBucket(_, numPlanes), numPlanes, probeHamming)
 
   /** Hyperplane components derived from md5 — the oracle-reproducible
     * plane table for [[lshTopKPlanes]]: component (p, i) is
@@ -402,19 +402,46 @@ object Similarity {
   def lshTopKPlanes(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, planes: Array[Array[Double]]): DataFrame =
+      k: Int, planes: Array[Array[Double]], probeHamming: Int = 0): DataFrame =
     lshTopKBucketed(corpus, corpusId, corpusVec, queries, queryId, queryVec,
-      k, graft.functions.expressions.NativeVectorFunctions.planeLshBucket(_, planes))
+      k, graft.functions.expressions.NativeVectorFunctions.planeLshBucket(_, planes),
+      planes.length, probeHamming)
 
+  /** Shared LSH top-k core. `probeHamming` enables MULTIPROBE (Lv et al.
+    * 2007): each query also probes every bucket within that Hamming
+    * distance of its own (probeHamming=1 → 1+numPlanes buckets — the
+    * buckets reachable by one hyperplane's sign flipping, i.e. the most
+    * likely homes of near neighbors that landed just across a plane).
+    * Candidates grow (1 + Σ C(numPlanes, d))-fold while recall typically
+    * multiplies — the standard way to buy recall WITHOUT rebucketing the
+    * corpus. A corpus vector lives in exactly one bucket and a query's
+    * probe set is distinct buckets, so candidate pairs stay distinct —
+    * no dedup shuffle. Only the BROADCAST query side expands; the corpus
+    * is never touched.
+    */
   private def lshTopKBucketed(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, bucketOf: Column => Column): DataFrame = {
+      k: Int, bucketOf: Column => Column,
+      numPlanes: Int, probeHamming: Int): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= numPlanes,
+      s"probeHamming in [0, numPlanes]: $probeHamming vs $numPlanes")
     val bucketed = corpus.withColumn("__bucket", bucketOf(col(corpusVec)))
+    val base = bucketOf(col(queryVec))
+    val probeBuckets =
+      if (probeHamming == 0) base.as("__bucket")
+      else {
+        // bit masks with <= probeHamming of the numPlanes plane bits set,
+        // built combinatorially (never a 2^numPlanes scan)
+        val flips: Seq[Long] = (0 to probeHamming).flatMap(d =>
+          (0 until numPlanes).combinations(d)
+            .map(_.foldLeft(0L)((a, b) => a | (1L << b))))
+        explode(array(flips.map(m => base.bitwiseXOR(lit(m))): _*)).as("__bucket")
+      }
     val q = broadcast(queries.select(
       col(queryId).as("__qid"),
       col(queryVec).as("__qvec"),
-      bucketOf(col(queryVec)).as("__bucket")))
+      probeBuckets))
     val scored = bucketed.join(q, "__bucket")
       .where(col(corpusId) =!= col("__qid"))
       .select(

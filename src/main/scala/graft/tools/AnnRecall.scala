@@ -72,13 +72,23 @@ object AnnRecall {
         recall(s"lsh numPlanes=$p (prod planes)",
           Similarity.lshTopK(emb, "vec_id", "embedding",
             queries, "vec_id", "embedding", k, numPlanes = p))
+      // multiprobe at Hamming 1: 5-of-16 buckets per query — the recall
+      // remedy that leaves the corpus bucketing untouched
+      recall("lsh planes=4 probe=1 (prod)",
+        Similarity.lshTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k, numPlanes = 4, probeHamming = 1))
       // the EXACT q25 configuration: md5-derived planes (a different
       // plane table than the production xxhash64 one — same distribution
       // family, but the gated query's own recall is what gets published)
-      recall("lsh md5 planes=4 (q25)",
+      recall("lsh md5 planes=4 (probe=0)",
         Similarity.lshTopKPlanes(emb, "vec_id", "embedding",
           queries, "vec_id", "embedding", k,
           planes = Similarity.md5Planes("q25", numPlanes = 4, dim = 64)))
+      recall("lsh md5 planes=4 probe=1 (q25)",
+        Similarity.lshTopKPlanes(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k,
+          planes = Similarity.md5Planes("q25", numPlanes = 4, dim = 64),
+          probeHamming = 1))
       for (np <- Seq(1, 2, 4, 8, 16))
         recall(s"ivf nlist=16 nprobe=$np (trained)",
           Similarity.ivfTopK(emb, "vec_id", "embedding",

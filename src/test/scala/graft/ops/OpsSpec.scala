@@ -947,6 +947,10 @@ class OpsSpec extends SparkSpec {
       queries, "vec_id", "embedding", k, numPlanes = 0)) === 1.0)
     assert(recall(Similarity.ivfTopK(vecs, "vec_id", "embedding",
       queries, "vec_id", "embedding", k, nlist = 8, nprobe = 8)) === 1.0)
+    // multiprobe at the full Hamming radius probes EVERY bucket — a
+    // second exhaustive identity
+    assert(recall(Similarity.lshTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k, numPlanes = 4, probeHamming = 4)) === 1.0)
     // approximate floors on clustered data: IVF probing 2-of-8 trained
     // lists must recover in-cluster neighbors; 4-plane sign LSH keeps
     // most clusters bucket-coherent (a plane splits a cluster only when
@@ -957,6 +961,10 @@ class OpsSpec extends SparkSpec {
     val rLsh = recall(Similarity.lshTopK(vecs, "vec_id", "embedding",
       queries, "vec_id", "embedding", k, numPlanes = 4))
     assert(rLsh >= 0.7, s"lsh numPlanes=4 recall@5 $rLsh")
+    // Hamming-1 multiprobe never loses recall (superset of the probe set)
+    val rProbed = recall(Similarity.lshTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k, numPlanes = 4, probeHamming = 1))
+    assert(rProbed >= rLsh, s"multiprobe lost recall: $rProbed < $rLsh")
   }
 
   test("sketches: approx distinct within rsd of exact") {
