@@ -1117,8 +1117,10 @@ object SparkEntry {
     * one bucket): exercises the LSH bucket-join / per-query top-k
     * machinery end to end while staying oracle-checkable against the
     * exact brute-force cosine ranking — any bucketing, join, or ranking
-    * bug breaks the hash match. The approximate setting stays q25
-    * (rows-only + OpsSpec recall laws).
+    * bug breaks the hash match. Since r14 the approximate setting (q25)
+    * is ALSO exact-gated on md5-derived planes with Hamming-1 multiprobe;
+    * this query remains the exhaustive pin for the PRODUCTION xxhash64
+    * plane path, which no external engine can recompute.
     */
   private def q57LshExhaustive(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Similarity
@@ -1133,7 +1135,9 @@ object SparkEntry {
   /** IVF top-k probing EVERY list (nprobe = nlist): the full pipeline —
     * centroid training, projection-only assignment, per-list search,
     * cross-list merge — must reproduce the exact ranking. The
-    * approximate setting stays q33 (rows-only + OpsSpec parity laws).
+    * approximate setting (q33) is ALSO exact-gated since r14 with
+    * iters=0 data-derived centroids; this query remains the exhaustive
+    * pin covering the TRAINED-centroid path end to end.
     */
   private def q58IvfExhaustive(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Similarity
@@ -1154,7 +1158,8 @@ object SparkEntry {
     * Hamming <= 3, so a chunk-arithmetic, block-key, join, or verify
     * regression that loses or invents a single pair breaks the hash
     * match. (The native kernel's own hash stays pinned by OpsSpec laws
-    * and the q23 rows-only setting — only the token hash is swapped
+    * and OpsSpec laws; q23 gates a second pigeonhole geometry
+    * (maxHamming=2, numChunks=4) since r14 — only the token hash is swapped
     * here, to make the ground truth computable outside Spark.)
     */
   private def q59SimhashBlocking(s: SparkSession, dir: String): DataFrame = {
@@ -1685,18 +1690,20 @@ object SparkEntry {
     * sample is a pure filter on the ranked slice. PlanSpec pins the
     * single FileScan, no cartesian, and the group-limit.
     */
-  private def q85CurationV2(s: SparkSession, dir: String): DataFrame = {
+  /** q85's pipeline shape, terms-parameterized — SHARED with ScaleCurve's
+    * x_curation2 so the scale measurement runs the SAME code, including
+    * the chunk_id < 1000 key-encoding guard (a violation must error, not
+    * silently collide keys: the oracle computes the same arithmetic, so
+    * the gate could not catch a collision).
+    */
+  private[graft] def curationV2Pipeline(docs: DataFrame, terms: Seq[String]): DataFrame = {
     import graft.ops.{Curation, TextAnalysis}
-    val chunks = Curation.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+    val chunks = Curation.chunkTokens(docs, "doc_id", "text",
         window = 32, stride = 24)
-      // the key encoding assumes < 1000 chunks/doc; enforce it IN the
-      // plan — a violation must error, not silently collide keys (the
-      // oracle computes the same arithmetic, so the gate could not catch
-      // a collision)
       .select(when(col("chunk_id") < 1000,
           col("doc_id") * 1000 + col("chunk_id"))
-        .otherwise(raise_error(concat(lit("q85: chunk_id overflows the "
-          + "doc_id*1000 key encoding: "), col("chunk_id").cast("string"))))
+        .otherwise(raise_error(concat(lit("curationV2: chunk_id overflows "
+          + "the doc_id*1000 key encoding: "), col("chunk_id").cast("string"))))
         .as("chunk_key"),
         col("chunk_text"))
     val w = Window.partitionBy(col("chunk_text")).orderBy(col("chunk_key"))
@@ -1704,17 +1711,20 @@ object SparkEntry {
       .where(col("__rn") === 1)
       .select(col("chunk_key"), col("chunk_text"))
     val sliced = TextAnalysis.bm25TopK(deduped, "chunk_key", "chunk_text",
-      Seq("spark", "join", "window", "merge", "filter"), k = 10,
-      rationalIdf = true)
+      terms, k = 10, rationalIdf = true)
     Curation.weightedHashSample(sliced,
-        concat_ws(":", col("term"), col("doc_id")), col("tf"),
-        rateNum = 1, rateDen = 4)
+      concat_ws(":", col("term"), col("doc_id")), col("tf"),
+      rateNum = 1, rateDen = 4)
+  }
+
+  private def q85CurationV2(s: SparkSession, dir: String): DataFrame =
+    curationV2Pipeline(t(s, dir, "documents"),
+        Seq("spark", "join", "window", "merge", "filter"))
       .select(col("term"), col("rank").cast("long").as("rank"),
         expr("doc_id DIV 1000").as("doc_id"),
         expr("doc_id % 1000").as("chunk_id"),
         col("tf"), col("dl"), col("df"), col("score"))
       .orderBy(col("term"), col("rank"))
-  }
 
   /** Reciprocal-rank fusion of two lexical retrievers (r14): the BM25
     * top-20 per term (q80's rational-idf config) fused with the naive
@@ -1726,10 +1736,11 @@ object SparkEntry {
     * is an exact num/den rational of the integer ranks, so DuckDB
     * recomputes the whole fusion bit-for-bit.
     */
-  private def q86RrfFusion(s: SparkSession, dir: String): DataFrame = {
+  /** q86's fusion shape, terms-parameterized — SHARED with ScaleCurve's
+    * x_rrf (same code path under measurement as under the gate).
+    */
+  private[graft] def rrfFusionPipeline(docs: DataFrame, terms: Seq[String]): DataFrame = {
     import graft.ops.{Relational, TextAnalysis}
-    val docs = t(s, dir, "documents")
-    val terms = Seq("spark", "join", "window", "merge", "filter")
     val bm25 = TextAnalysis.bm25TopK(docs, "doc_id", "text", terms, k = 20,
         rationalIdf = true)
       .select(col("term"), col("doc_id"), col("rank"))
@@ -1741,12 +1752,16 @@ object SparkEntry {
       .where(col("rank") <= 20)
       .select(col("term"), col("doc_id"), col("rank"))
     Relational.rrfFusion(bm25, tfTop, "term", "doc_id", "rank",
-        kRrf = 60, topK = 10)
+      kRrf = 60, topK = 10)
+  }
+
+  private def q86RrfFusion(s: SparkSession, dir: String): DataFrame =
+    rrfFusionPipeline(t(s, dir, "documents"),
+        Seq("spark", "join", "window", "merge", "filter"))
       .select(col("term"), col("rank").cast("long").as("rank"), col("doc_id"),
         col("r_a").as("r_bm25"), col("r_b").as("r_tf"),
         col("num"), col("den"), col("score"))
       .orderBy(col("term"), col("rank"))
-  }
 
   /** Z-order write clustering (r14, [[graft.ops.Layout]]): the Morton key
     * of (user_id, event_id) — the data-layout primitive that decides what
@@ -1756,13 +1771,20 @@ object SparkEntry {
     * (any interleaving bug flips it), and the per-bucket bounding box in
     * both dimensions — the min/max evidence a reader's pruning would use.
     * Pure integer bit arithmetic, recomputed identically by the oracle's
-    * 5-step spread ladder.
+    * 5-step spread ladder. The GATE masks both dimensions to 20 bits
+    * (covers every id in the test corpora; deterministic wrap beyond):
+    * DuckDB's BIGINT `<<` THROWS when a spread value's bit 62 shifts into
+    * the sign bit and its `>>` sign-extends, so the cross-engine-exact
+    * claim holds on sub-31-bit dimensions — the [[graft.ops.Layout]]
+    * scaladoc documents the boundary; Spark-side full-width behavior is
+    * OpsSpec property-pinned against a plain-Scala reference.
     */
   private def q87ZorderLayout(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Layout
     t(s, dir, "events")
       .select(col("event_id"), col("user_id"),
-        Layout.zorderKey(col("user_id"), col("event_id")).as("z"))
+        Layout.zorderKey(col("user_id").bitwiseAND(lit(0xFFFFFL)),
+          col("event_id").bitwiseAND(lit(0xFFFFFL))).as("z"))
       .groupBy(shiftrightunsigned(col("z"), 16).as("zbucket"))
       .agg(count(lit(1)).as("n"),
         expr("bit_xor(z)").as("xor_z"),
@@ -3204,10 +3226,12 @@ object SparkEntry {
         |    ORDER BY num / den DESC, doc_id ASC) AS rank FROM fused)
         |SELECT term, rank, doc_id, r_bm25, r_tf, num, den, score
         |FROM rr WHERE rank <= 10 ORDER BY term, rank""".stripMargin,
-    // the same 5-step Morton bit-spread ladder, x at even bits, y at odd
+    // the same 5-step Morton bit-spread ladder, x at even bits, y at odd;
+    // 20-bit dimension masks keep every shift clear of DuckDB's
+    // sign-bit-overflow check (which Java shifts don't have)
     "q87_zorder_layout" ->
       """WITH st0 AS (
-        |  SELECT (user_id & 4294967295) AS x, (event_id & 4294967295) AS y,
+        |  SELECT (user_id & 1048575) AS x, (event_id & 1048575) AS y,
         |    user_id, event_id FROM events),
         |st1 AS (SELECT ((x | (x << 16)) & 281470681808895) AS x,
         |  ((y | (y << 16)) & 281470681808895) AS y, user_id, event_id FROM st0),

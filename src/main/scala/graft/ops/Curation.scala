@@ -105,13 +105,18 @@ object Curation {
     // a large NEGATIVE weight would wrap w*rateNum*2^32 to a huge
     // positive and flip drop-all into keep-most (small negative weights
     // keep their natural drop semantics: the RHS is negative).
-    val maxW = if (rateNum == 0) Long.MaxValue else ((1L << 31) - 1) / rateNum
     val w = weight.cast("long")
-    val guarded = when(w.isNull || (w <= lit(maxW) && w >= lit(-maxW)), w)
-      .otherwise(raise_error(concat(
-        lit(s"weightedHashSample: |weight|*rateNum must stay < 2^31 " +
-          s"(rateNum=$rateNum, |weight| <= $maxW), got weight="),
-        w.cast("string"))))
+    // rateNum == 0 cannot overflow (w*0*2^32 = 0 exactly): no guard, the
+    // natural drop-everything semantics apply to ANY weight incl.
+    // Long.MinValue
+    val guarded = if (rateNum == 0) w else {
+      val maxW = ((1L << 31) - 1) / rateNum
+      when(w.isNull || (w <= lit(maxW) && w >= lit(-maxW)), w)
+        .otherwise(raise_error(concat(
+          lit(s"weightedHashSample: |weight|*rateNum must stay < 2^31 " +
+            s"(rateNum=$rateNum, |weight| <= $maxW), got weight="),
+          w.cast("string"))))
+    }
     df.where(hashUniform32(key) * lit(rateDen) <
       guarded * lit(rateNum) * lit(4294967296L))
   }

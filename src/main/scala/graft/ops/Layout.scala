@@ -13,10 +13,15 @@ import org.apache.spark.sql.functions._
   * primitive of the Delta/Iceberg world, as a plain deterministic
   * projection any engine can recompute.
   *
-  * All pure integer bit arithmetic (the classic 5-step bit-spread), so
-  * keys are exact and reproducible bit-for-bit in any engine with 64-bit
-  * shifts — and the whole expression tree is ~40 codegen-friendly
-  * long ops, no UDF.
+  * All pure integer bit arithmetic (the classic 5-step bit-spread) — ~40
+  * codegen-friendly long ops, no UDF. Cross-engine portability boundary:
+  * Spark/Java shifts wrap silently through the sign bit, but engines
+  * with CHECKED 64-bit arithmetic (DuckDB: `<<` throws when a bit shifts
+  * into the sign position, `>>` sign-extends) diverge once a dimension
+  * reaches 2^31 — keys are reproducible bit-for-bit across engines for
+  * dimensions up to 31 bits; mask wider domains first (the q87 gate
+  * masks to 20). Full 32+32-bit behavior under Java semantics is
+  * OpsSpec property-pinned.
   */
 object Layout {
   private val Masks: Seq[(Int, Long)] = Seq(

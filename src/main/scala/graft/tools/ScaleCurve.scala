@@ -129,42 +129,16 @@ object ScaleCurve {
       }),
       // q85's composition with Caesar-image terms, so the BM25-slice and
       // sample stages see postings from every replica (the chunk + dedup
-      // stages grow with the corpus regardless)
-      "x_curation2" -> ((s, dir) => {
-        val chunks = graft.ops.Curation.chunkTokens(
-            graft.Tables.load(s, dir, "documents"), "doc_id", "text",
-            window = 32, stride = 24)
-          .select((col("doc_id") * 1000 + col("chunk_id")).as("chunk_key"),
-            col("chunk_text"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("chunk_text")).orderBy(col("chunk_key"))
-        val deduped = chunks.withColumn("__rn", row_number().over(w))
-          .where(col("__rn") === 1)
-          .select(col("chunk_key"), col("chunk_text"))
-        val sliced = graft.ops.TextAnalysis.bm25TopK(
-          deduped, "chunk_key", "chunk_text", caesarTerms, k = 10,
-          rationalIdf = true)
-        graft.ops.Curation.weightedHashSample(sliced,
-          concat_ws(":", col("term"), col("doc_id")), col("tf"),
-          rateNum = 1, rateDen = 4)
-      }),
+      // stages grow with the corpus regardless) — the SAME shared builder
+      // the gated query runs, key-encoding guard included
+      "x_curation2" -> ((s, dir) =>
+        graft.SparkEntry.curationV2Pipeline(
+          graft.Tables.load(s, dir, "documents"), caesarTerms)),
       // q86's fusion with Caesar-image terms — the fused frame itself
       // grows with the factor (26x more query terms, f x more postings)
-      "x_rrf" -> ((s, dir) => {
-        val docs = graft.Tables.load(s, dir, "documents")
-        val bm25 = graft.ops.TextAnalysis.bm25TopK(
-            docs, "doc_id", "text", caesarTerms, k = 20, rationalIdf = true)
-          .select(col("term"), col("doc_id"), col("rank"))
-        val tfW = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("term")).orderBy(col("tf").desc, col("doc_id").asc)
-        val tfTop = graft.ops.TextAnalysis.termFrequencies(docs, "doc_id", "text")
-          .where(col("term").isin(caesarTerms: _*))
-          .withColumn("rank", row_number().over(tfW))
-          .where(col("rank") <= 20)
-          .select(col("term"), col("doc_id"), col("rank"))
-        graft.ops.Relational.rrfFusion(bm25, tfTop, "term", "doc_id", "rank",
-          kRrf = 60, topK = 10)
-      }))
+      "x_rrf" -> ((s, dir) =>
+        graft.SparkEntry.rrfFusionPipeline(
+          graft.Tables.load(s, dir, "documents"), caesarTerms)))
 
     def consume(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
