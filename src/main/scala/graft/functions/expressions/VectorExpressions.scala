@@ -139,6 +139,8 @@ case class NearestCentroidsExpr(
   */
 case class LshBucketExpr(child: Expression, numPlanes: Int)
     extends UnaryExpression with SinglePassCodegen {
+  require(numPlanes >= 0 && numPlanes <= 63,
+    s"numPlanes in [0, 63]: $numPlanes — 1L << p wraps silently at p >= 64")
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
@@ -202,6 +204,8 @@ case class LshBucketExpr(child: Expression, numPlanes: Int)
   */
 case class PlaneLshBucketExpr(child: Expression, planes: Array[Array[Double]])
     extends UnaryExpression with SinglePassCodegen {
+  require(planes.length <= 63,
+    s"plane count <= 63: ${planes.length} — 1L << p wraps silently at p >= 64")
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable

@@ -109,12 +109,27 @@ object Relational {
     */
   def rrfFusion(a: DataFrame, b: DataFrame,
       queryCol: String, itemCol: String, rankCol: String,
-      kRrf: Int = 60, topK: Int = 10): DataFrame = {
+      kRrf: Int = 60, topK: Int = 10, maxRank: Int = 10000): DataFrame = {
     require(kRrf >= 0 && topK >= 1, s"need kRrf >= 0, topK >= 1: $kRrf, $topK")
+    // the exact-double-ordering proof above holds only while
+    // (kRrf + rank)² stays ≤ ~2⁻⁴⁵-gap territory: beyond ~10⁴ two distinct
+    // fused rationals can collide in double and the id tie-break silently
+    // diverges from an exact-rational oracle (r14 ADVICE) — so the bound
+    // is ENFORCED, in-plan for the data (ranks) and here for the constant
+    require(kRrf.toLong + maxRank <= 20000L,
+      s"kRrf + maxRank <= 20000 keeps double ordering exact: $kRrf + $maxRank")
+    // ranks are data: validate inside the plan (fail fast like the q81/q85
+    // guards — a silent out-of-domain rank would break the gate's claim,
+    // not just this query's answer)
+    def checkedRank(c: Column, side: String): Column =
+      when(c.isNull || (c >= 1 && c <= maxRank), c)
+        .otherwise(raise_error(concat(
+          lit(s"rrfFusion: $side rank outside [1, $maxRank] breaks the " +
+            "exact-double-ordering bound: "), c.cast("string"))))
     val la = a.select(col(queryCol).as("__q"), col(itemCol).as("__i"),
-      col(rankCol).cast("long").as("r_a"))
+      checkedRank(col(rankCol).cast("long"), "left").as("r_a"))
     val lb = b.select(col(queryCol).as("__q"), col(itemCol).as("__i"),
-      col(rankCol).cast("long").as("r_b"))
+      checkedRank(col(rankCol).cast("long"), "right").as("r_b"))
     val joined = la.join(lb, Seq("__q", "__i"), "full_outer")
     val num = when(col("r_a").isNotNull && col("r_b").isNotNull,
         lit(2L * kRrf) + col("r_a") + col("r_b"))

@@ -363,12 +363,28 @@ object Similarity {
 
   /** Approximate top-k: corpus bucketed by [[lshBucket]]; each query only
     * scans its own bucket. Recall < 1 by construction; increase recall by
-    * lowering `numPlanes` (bigger buckets) or multi-probing.
+    * lowering `numPlanes` (bigger buckets), raising `probeHamming`
+    * (multiprobe), or amplifying across tables ([[lshTopKMultiTable]]).
+    *
+    * Default calibration (AnnRecall, 64-dim near-isotropic corpus —
+    * realistic embedding distributions, where single-probe sign-LSH is
+    * measurably weak):
+    * {{{
+    * numPlanes=8 probe=0   recall@10 ≈ 0.02   (the r14 footgun — avoid)
+    * numPlanes=8 probe=1   recall@10 ≈ 0.13   (this default: 9/256 buckets)
+    * numPlanes=4 probe=1   recall@10 ≈ 0.50   (5/16 buckets — the q25 config)
+    * 16 tables p=8 probe=1 recall@10 ≥ 0.8    (lshTopKMultiTable — the
+    *                                           banded-OR amplification)
+    * }}}
+    * On CLUSTERED corpora recall is far higher at every setting (planes
+    * rarely split a tight cluster — OpsSpec's floor laws). The default is
+    * probeHamming=1 since r15: probe=0 at 8 planes returned near-random
+    * neighbors on isotropic data while looking plausible.
     */
   def lshTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, numPlanes: Int = 8, probeHamming: Int = 0): DataFrame =
+      k: Int, numPlanes: Int = 8, probeHamming: Int = 1): DataFrame =
     lshTopKBucketed(corpus, corpusId, corpusVec, queries, queryId, queryVec,
       k, lshBucket(_, numPlanes), numPlanes, probeHamming)
 
@@ -407,6 +423,84 @@ object Similarity {
       k, graft.functions.expressions.NativeVectorFunctions.planeLshBucket(_, planes),
       planes.length, probeHamming)
 
+  /** The `numTables` independent md5-derived plane tables for
+    * [[lshTopKMultiTable]]: table `t` is `md5Planes("tag:t", ...)`, so the
+    * whole bank is recomputable bit-for-bit by any engine with md5 — the
+    * amplified construction stays oracle-gateable exactly like the
+    * single-table [[lshTopKPlanes]] recipe.
+    */
+  def md5PlaneTables(tag: String, numTables: Int, numPlanes: Int,
+      dim: Int): Seq[Array[Array[Double]]] =
+    (0 until numTables).map(t => md5Planes(s"$tag:$t", numPlanes, dim))
+
+  /** Multi-table (banded-OR) LSH amplification — the structural recall
+    * fix for sign-LSH on realistic (near-isotropic) embeddings, where a
+    * single table tops out around recall 0.5 even with multiprobe
+    * (AnnRecall, r14): run `tables.length` INDEPENDENT plane tables,
+    * union each query's per-table candidates, dedup, and rank the union
+    * exactly. A neighbor is found if ANY table co-buckets it —
+    * recall = 1 − (1 − r₁)^L for per-table recall r₁ — while a RANDOM
+    * point is scanned with the much smaller 1 − (1 − f₁)^L, f₁ the
+    * per-table bucket fraction: amplification widens the neighbor/random
+    * gap that one table can't. Measured on the 64-dim isotropic corpus
+    * (AnnRecall r15): 16 tables × 8 planes, Hamming-1 probes →
+    * recall@10 ≈ 0.85 while scanning ≈ 0.4 of the corpus per query,
+    * where the best single-table config at that recall scans ~everything.
+    *
+    * Plan shape: the corpus is scanned ONCE — one projection computes all
+    * L bucket ids (fused native kernels), one `posexplode` emits the L
+    * `(table, bucket)` rows, and the broadcast-hash join against the
+    * exploded query probe set never shuffles the corpus. A pair colliding
+    * in several tables is deduped by a `(query_id, neighbor_id)` groupBy
+    * whose shuffle carries only id/score triples of the CANDIDATE set
+    * (queries × collided rows — never corpus-sized); cosine is a pure
+    * function of the pair, so `max` just picks the replicated value.
+    */
+  def lshTopKMultiTable(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, tables: Seq[Array[Array[Double]]],
+      probeHamming: Int = 1): DataFrame = {
+    import graft.functions.expressions.NativeVectorFunctions.planeLshBucket
+    require(tables.nonEmpty, "need at least one plane table")
+    val numPlanes = tables.head.length
+    require(tables.forall(_.length == numPlanes),
+      s"all tables need the same plane count: ${tables.map(_.length).distinct}")
+    require(numPlanes >= 1 && numPlanes <= 63,
+      s"numPlanes in [1, 63]: $numPlanes (bucket bits live in one Long)")
+    require(probeHamming >= 0 && probeHamming <= numPlanes,
+      s"probeHamming in [0, numPlanes]: $probeHamming vs $numPlanes")
+
+    val bucketed = corpus.select(
+      col(corpusId).as("__cid"), col(corpusVec).as("__cvec"),
+      posexplode(array(tables.map(t => planeLshBucket(col(corpusVec), t)): _*))
+        .as(Seq("__t", "__bucket")))
+    val flips: Seq[Long] = (0 to probeHamming).flatMap(d =>
+      (0 until numPlanes).combinations(d)
+        .map(_.foldLeft(0L)((a, b) => a | (1L << b))))
+    val probesPerTable = array(tables.map { t =>
+      val base = planeLshBucket(col(queryVec), t)
+      array(flips.map(m => base.bitwiseXOR(lit(m))): _*)
+    }: _*)
+    val q = broadcast(queries
+      .select(col(queryId).as("__qid"), col(queryVec).as("__qvec"),
+        posexplode(probesPerTable).as(Seq("__t", "__probes")))
+      .select(col("__qid"), col("__qvec"), col("__t"),
+        explode(col("__probes")).as("__bucket")))
+    val scored = bucketed.join(q, Seq("__t", "__bucket"))
+      .where(col("__cid") =!= col("__qid"))
+      .select(col("__qid").as("query_id"), col("__cid").as("neighbor_id"),
+        cosine(col("__qvec"), col("__cvec")).as("cos"))
+    val dedup = scored.groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("cos")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    dedup.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 9).as("cos"))
+  }
+
   /** Shared LSH top-k core. `probeHamming` enables MULTIPROBE (Lv et al.
     * 2007): each query also probes every bucket within that Hamming
     * distance of its own (probeHamming=1 → 1+numPlanes buckets — the
@@ -424,6 +518,9 @@ object Similarity {
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, bucketOf: Column => Column,
       numPlanes: Int, probeHamming: Int): DataFrame = {
+    require(numPlanes >= 0 && numPlanes <= 63,
+      s"numPlanes in [0, 63]: $numPlanes — bucket bits live in one Long, " +
+        "and 1L << p wraps silently at p >= 64 (colliding buckets, wrong probe masks)")
     require(probeHamming >= 0 && probeHamming <= numPlanes,
       s"probeHamming in [0, numPlanes]: $probeHamming vs $numPlanes")
     val bucketed = corpus.withColumn("__bucket", bucketOf(col(corpusVec)))

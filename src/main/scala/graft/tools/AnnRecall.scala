@@ -3,35 +3,50 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** ANN recall harness (round-14 verdict #3): measures recall@k of the
-  * APPROXIMATE similarity configurations against exact brute-force
-  * cosine top-k — the one quality dimension the exact oracle gates
-  * cannot see (q25/q33 pin that the approximate SELECTION is computed
-  * correctly; this measures how GOOD that selection is).
+/** ANN recall harness (r14 verdict #3, extended r15 with the COST column
+  * and grown corpora): measures recall@k of the APPROXIMATE similarity
+  * configurations against exact brute-force cosine top-k — the one
+  * quality dimension the exact oracle gates cannot see (q25/q33/q88 pin
+  * that the approximate SELECTION is computed correctly; this measures
+  * how GOOD that selection is) — and, per config, the price paid for it:
+  * the fraction of the corpus actually scanned per query (distinct
+  * candidates / (corpus − 1)), so recall-vs-cost tradeoffs are explicit
+  * instead of living in prose.
   *
-  *   runMain graft.tools.AnnRecall <embDir> [nQueries]
+  *   runMain graft.tools.AnnRecall <embDir> [nQueries] [factor]
   *
-  * `embDir` is any directory holding an embeddings.parquet — the raw
-  * sf tables or a ScaleCurve replica dir (/tmp/graft_scale_f16), whose
-  * per-replica sign-flip isometry preserves within-replica geometry, so
-  * recall under corpus growth is the honest scale read.
+  * `embDir` is any directory holding an embeddings.parquet — the raw sf
+  * tables or a ScaleCurve replica dir. `factor` grows the corpus IN
+  * MEMORY by [[ScaleCurve.embeddingReplica]]'s sign-flip isometry
+  * (within-replica geometry preserved exactly, distinct orthant per
+  * replica) — unlike the Caesar document ceiling (f ≤ 26) this path has
+  * no 26 limit, so the f=64 (128k-vector) read the r14 verdict asked for
+  * runs without materializing a corpus on disk.
   *
   * Measured configs:
-  *  - LSH (production xxhash64 planes, the q25 family): numPlanes
-  *    2/4/6/8 — recall falls as planes grow (buckets shrink 2×/plane);
-  *  - IVF (trained Lloyd centroids, the q33 family): nlist=16,
-  *    nprobe 1/2/4/8/16 — nprobe=nlist must read 1.0 (the q58-gated
-  *    exhaustive identity), giving the harness an internal check.
+  *  - LSH (production xxhash64 planes, the lshTopK defaults' family):
+  *    numPlanes 2/4/6/8, single- and multi-probe;
+  *  - single-table md5 planes (the q25 gated config);
+  *  - MULTI-TABLE banded-OR amplification (the q88 gated config and its
+  *    L-ladder): L independent md5 tables, Hamming-1 probes, recall
+  *    1−(1−r₁)^L against scanned 1−(1−f₁)^L;
+  *  - IVF (trained Lloyd centroids, q33's family): nlist=16, nprobe
+  *    1/2/4/8/16 — nprobe=nlist must read 1.0 (the q58-gated exhaustive
+  *    identity), an internal check.
   *
   * recall@k = |approx top-k ∩ exact top-k| / k, averaged over queries
   * (ties broken identically on both sides: cos DESC, neighbor_id ASC).
-  * All distributed: one broadcast-join per config, a two-level agg,
-  * one scalar collected.
+  * scanned = the config re-run with k = ∞: its row count IS the distinct
+  * candidate-pair count (top-k never drops candidates below k), so the
+  * cost read shares every line of the measured operator's plan. All
+  * distributed: broadcast joins + two-level aggs, scalars collected.
   */
 object AnnRecall {
   def main(args: Array[String]): Unit = {
     val embDir = args(0)
     val nQueries = if (args.length > 1) args(1).toInt else 100
+    val factor = if (args.length > 2) args(2).toInt else 1
+    require(factor >= 1, s"factor >= 1: $factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = graft.Sessions.tuned(SparkSession.builder()
@@ -41,74 +56,95 @@ object AnnRecall {
     spark.sparkContext.setLogLevel("WARN")
     import graft.ops.Similarity
 
-    val emb = spark.read.parquet(s"$embDir/embeddings.parquet")
+    val base = spark.read.parquet(s"$embDir/embeddings.parquet")
+    val emb = (if (factor == 1) base
+      else (0 until factor).map(ScaleCurve.embeddingReplica(base, _))
+        .reduce(_ unionByName _))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = emb.count()
     val queries = emb.where(col("vec_id") < nQueries)
-    println(s"[recall] corpus=$n queries=${queries.count()} dir=$embDir")
+    val nq = queries.count()
+    println(s"[recall] corpus=$n (factor=$factor) queries=$nq dir=$embDir")
+
+    val dim = 64
+    val q25Planes = Similarity.md5Planes("q25", numPlanes = 4, dim = dim)
+    def q88Tables(l: Int) =
+      Similarity.md5PlaneTables("q88", numTables = l, numPlanes = 8, dim = dim)
+    // name -> k-parameterized config; k = Int.MaxValue turns the same
+    // plan into the candidate counter for the scanned column
+    val configs: Seq[(String, Int => DataFrame)] = Seq(
+      ("lsh planes=2 probe=0 (prod)", (k: Int) => Similarity.lshTopK(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding", k,
+        numPlanes = 2, probeHamming = 0)),
+      ("lsh planes=4 probe=0 (prod)", (k: Int) => Similarity.lshTopK(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding", k,
+        numPlanes = 4, probeHamming = 0)),
+      ("lsh planes=8 probe=0 (r14 dflt)", (k: Int) => Similarity.lshTopK(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding", k,
+        numPlanes = 8, probeHamming = 0)),
+      ("lsh planes=8 probe=1 (dflt)", (k: Int) => Similarity.lshTopK(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding", k,
+        numPlanes = 8, probeHamming = 1)),
+      ("lsh planes=4 probe=1 (prod)", (k: Int) => Similarity.lshTopK(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding", k,
+        numPlanes = 4, probeHamming = 1)),
+      ("lsh md5 planes=4 probe=1 (q25)", (k: Int) => Similarity.lshTopKPlanes(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding", k,
+        planes = q25Planes, probeHamming = 1)),
+      ("multi md5 L=4 p=8 probe=1", (k: Int) => Similarity.lshTopKMultiTable(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding", k,
+        tables = q88Tables(4), probeHamming = 1)),
+      ("multi md5 L=8 p=8 probe=1", (k: Int) => Similarity.lshTopKMultiTable(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding", k,
+        tables = q88Tables(8), probeHamming = 1)),
+      ("multi md5 L=16 p=8 probe=0", (k: Int) => Similarity.lshTopKMultiTable(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding", k,
+        tables = q88Tables(16), probeHamming = 0)),
+      ("multi md5 L=16 p=8 probe=1 (q88)", (k: Int) => Similarity.lshTopKMultiTable(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding", k,
+        tables = q88Tables(16), probeHamming = 1))
+    ) ++ Seq(1, 2, 4, 8, 16).map { np =>
+      (s"ivf nlist=16 nprobe=$np (trained)", (k: Int) => Similarity.ivfTopK(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding", k,
+        nlist = 16, nprobe = np))
+    } :+ (("ivf nprobe=4 iters=0 (q33)", (k: Int) => Similarity.ivfTopK(
+      emb, "vec_id", "embedding", queries, "vec_id", "embedding", k,
+      nlist = 16, nprobe = 4, iters = 0)))
 
     val rows = scala.collection.mutable.ArrayBuffer[(String, Int, Double)]()
+    val costs = scala.collection.mutable.LinkedHashMap[String, Double]()
     for (k <- Seq(10, 50)) {
       val exact = Similarity.bruteForceTopK(
           emb, "vec_id", "embedding", queries, "vec_id", "embedding", k)
         .select(col("query_id"), col("neighbor_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       exact.count()
-
-      def recall(name: String, approx: DataFrame): Unit = {
-        val hits = approx.select(col("query_id"), col("neighbor_id"))
+      for ((name, mk) <- configs) {
+        val hits = mk(k).select(col("query_id"), col("neighbor_id"))
           .join(exact, Seq("query_id", "neighbor_id"))
           .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
-        // average over ALL queries (a query whose bucket returned no
+        // average over ALL queries (a query whose buckets returned no
         // neighbors counts as recall 0, not a dropped row)
         val r = queries.select(col("vec_id").as("query_id"))
           .join(hits, Seq("query_id"), "left")
           .agg(avg(coalesce(col("h"), lit(0)).cast("double") / k))
           .collect()(0).getDouble(0)
-        println(f"[recall] $name%-28s recall@$k%-3d = $r%.3f")
+        val cost = costs.getOrElseUpdate(name,
+          mk(Int.MaxValue).count().toDouble / (nq * (n - 1.0)))
+        println(f"[recall] $name%-34s recall@$k%-3d = $r%.3f  scanned = $cost%.3f")
         rows += ((name, k, r))
       }
-
-      for (p <- Seq(2, 4, 6, 8))
-        recall(s"lsh numPlanes=$p (prod planes)",
-          Similarity.lshTopK(emb, "vec_id", "embedding",
-            queries, "vec_id", "embedding", k, numPlanes = p))
-      // multiprobe at Hamming 1: 5-of-16 buckets per query — the recall
-      // remedy that leaves the corpus bucketing untouched
-      recall("lsh planes=4 probe=1 (prod)",
-        Similarity.lshTopK(emb, "vec_id", "embedding",
-          queries, "vec_id", "embedding", k, numPlanes = 4, probeHamming = 1))
-      // the EXACT q25 configuration: md5-derived planes (a different
-      // plane table than the production xxhash64 one — same distribution
-      // family, but the gated query's own recall is what gets published)
-      recall("lsh md5 planes=4 (probe=0)",
-        Similarity.lshTopKPlanes(emb, "vec_id", "embedding",
-          queries, "vec_id", "embedding", k,
-          planes = Similarity.md5Planes("q25", numPlanes = 4, dim = 64)))
-      recall("lsh md5 planes=4 probe=1 (q25)",
-        Similarity.lshTopKPlanes(emb, "vec_id", "embedding",
-          queries, "vec_id", "embedding", k,
-          planes = Similarity.md5Planes("q25", numPlanes = 4, dim = 64),
-          probeHamming = 1))
-      for (np <- Seq(1, 2, 4, 8, 16))
-        recall(s"ivf nlist=16 nprobe=$np (trained)",
-          Similarity.ivfTopK(emb, "vec_id", "embedding",
-            queries, "vec_id", "embedding", k, nlist = 16, nprobe = np))
-      // the EXACT q33 configuration: untrained iters=0 centroids (the
-      // 16 smallest-id vectors) — how much recall the 3 Lloyd rounds buy
-      // is the delta against the trained nprobe=4 row
-      recall("ivf nprobe=4 iters=0 (q33)",
-        Similarity.ivfTopK(emb, "vec_id", "embedding",
-          queries, "vec_id", "embedding", k, nlist = 16, nprobe = 4, iters = 0))
       exact.unpersist(false)
     }
-    // markdown for NOTES.md: rows = config, cols = k
+    // markdown for NOTES.md: rows = config, cols = recall@k ... + scanned
     val ks = rows.map(_._2).distinct.sorted
-    println("| config | " + ks.map(k => s"recall@$k").mkString(" | ") + " |")
-    println("|---|" + ks.map(_ => "---|").mkString)
+    println(s"corpus=$n factor=$factor queries=$nq")
+    println("| config | " + ks.map(k => s"recall@$k").mkString(" | ") + " | scanned |")
+    println("|---|" + ks.map(_ => "---|").mkString + "---|")
     for (name <- rows.map(_._1).distinct) {
       val cells = ks.map(k => f"${rows.collectFirst {
         case (`name`, `k`, r) => r }.get}%.3f")
-      println(s"| $name | " + cells.mkString(" | ") + " |")
+      println(s"| $name | " + cells.mkString(" | ") + f" | ${costs(name)}%.3f |")
     }
     spark.stop()
   }

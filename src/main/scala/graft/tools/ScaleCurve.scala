@@ -81,6 +81,31 @@ object ScaleCurve {
     Seq("spark", "join", "window", "merge", "filter")
       .flatMap(t => (0 until 26).map(i => caesar(t, i))).distinct
 
+  /** Replica `i` of an embeddings frame — the per-replica SIGN-FLIP
+    * isometry (object scaladoc): dimension d flips when bit (d % 16) of
+    * (i · 2654435761) is set; replica 0 is the base exactly. Within a
+    * replica, norms / dot products / cluster structure are preserved
+    * bit-for-bit; distinct replicas occupy distinct orthants (the
+    * multiplier is odd, so the 16-bit patterns are injective for
+    * i < 2^16). Shared with AnnRecall's grown-corpus recall runs, which
+    * need factors past the Caesar f≤26 document ceiling.
+    */
+  private[tools] def embeddingReplica(
+      base: org.apache.spark.sql.DataFrame, i: Int): org.apache.spark.sql.DataFrame = {
+    val pat = (i.toLong * 2654435761L) & 0xffffL
+    val vec =
+      if (i == 0) col("embedding")
+      else org.apache.spark.sql.functions.zip_with(
+        col("embedding"),
+        sequence(lit(0), size(col("embedding")) - 1),
+        (x, d) => when(
+          (lit(pat.toDouble) / pow(lit(2.0), (d % 16).cast("double")))
+            .cast("long") % 2 === 1, -x).otherwise(x).cast("float"))
+    base.select(
+      (col("vec_id") + lit(i.toLong * 1000000000L)).as("vec_id"),
+      vec.as("embedding"), col("label"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val factors = args(1).split(',').map(_.trim.toInt).toSeq
@@ -148,8 +173,33 @@ object ScaleCurve {
     }
 
     val results = scala.collection.mutable.ArrayBuffer[(Int, Long, String, Double)]()
+    // Replication-scheme fingerprint (r14 ADVICE): replica dirs are cached
+    // in /tmp and reused across runs, so a dir built by an EARLIER scheme
+    // (r13 token-suffix) or from a different base corpus would be silently
+    // measured under this scheme's assumptions — and the injectivity /
+    // whitespace preconditions below are only asserted at build time. The
+    // marker is written LAST, after every table lands, so a half-built dir
+    // (crash mid-generation) also rebuilds instead of being trusted.
+    val schemeId = s"caesar-markerfix-v2 base=$sfDir"
     for (f <- factors) {
       val dir = s"/tmp/graft_scale_f$f"
+      val dirFile = new java.io.File(dir)
+      val marker = new java.io.File(dirFile, "SCHEME")
+      if (dirFile.exists()) {
+        val cur =
+          if (marker.isFile)
+            new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+          else ""
+        if (cur != schemeId) {
+          println(s"[scale] wiping stale replica dir $dir " +
+            s"(scheme '${cur}' != '$schemeId')")
+          def rm(x: java.io.File): Unit = {
+            if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(rm))
+            x.delete(); ()
+          }
+          rm(dirFile)
+        }
+      }
       val docsPath = new java.io.File(s"$dir/documents.parquet")
       if (!docsPath.isDirectory) {
         val base = graft.Tables.load(spark, sfDir, "documents")
@@ -204,23 +254,8 @@ object ScaleCurve {
       val embPath = new java.io.File(s"$dir/embeddings.parquet")
       if (!embPath.isDirectory) {
         val base = graft.Tables.load(spark, sfDir, "embeddings")
-        // replica i sign-flips dimension d when bit (d % 16) of (i * 2654435761)
-        // is set (replica 0 keeps the base exactly): an isometry per replica,
-        // distinct orthant per replica pair
-        val replicated = (0 until f).map { i =>
-          val pat = (i.toLong * 2654435761L) & 0xffffL
-          val vec =
-            if (i == 0) col("embedding")
-            else org.apache.spark.sql.functions.zip_with(
-              col("embedding"),
-              sequence(lit(0), size(col("embedding")) - 1),
-              (x, d) => when(
-                (lit(pat.toDouble) / pow(lit(2.0), (d % 16).cast("double")))
-                  .cast("long") % 2 === 1, -x).otherwise(x).cast("float"))
-          base.select(
-            (col("vec_id") + lit(i.toLong * 1000000000L)).as("vec_id"),
-            vec.as("embedding"), col("label"))
-        }.reduce(_ unionByName _)
+        val replicated = (0 until f).map(embeddingReplica(base, _))
+          .reduce(_ unionByName _)
         replicated.write.mode("overwrite").parquet(embPath.getAbsolutePath)
       }
       val evPath = new java.io.File(s"$dir/events.parquet")
@@ -242,6 +277,7 @@ object ScaleCurve {
         }.reduce(_ unionByName _)
         replicated.write.mode("overwrite").parquet(evPath.getAbsolutePath)
       }
+      java.nio.file.Files.write(marker.toPath, schemeId.getBytes("UTF-8"))
       val rows = spark.read.parquet(docsPath.getAbsolutePath).count()
       for (name <- names) {
         consume(name, dir) // warm

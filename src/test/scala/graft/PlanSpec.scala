@@ -446,6 +446,10 @@ class PlanSpec extends SparkSpec {
       assert(!below.exists(_.contains("Exchange SinglePartition")),
         s"window fed by a single-partition exchange:\n$p")
     }
+    // the chunk-dedup shuffle/sort leads with the 8-byte xxhash64 of the
+    // chunk text (r15): string comparisons only settle hash ties
+    assert(p.contains("xxhash64(chunk_text"),
+      s"chunk-dedup window not keyed by xxhash64(chunk_text):\n$p")
   }
 
   test("q86 rrf fusion: shared tf cache, group-limited top-k, no cartesian") {
@@ -460,6 +464,26 @@ class PlanSpec extends SparkSpec {
       .map(l => l.substring(l.indexOf("FileScan")).replaceAll("#\\d+", "")).toSeq
     assert(scans.nonEmpty && scans.distinct.size === 1,
       s"more than one corpus relation/scan shape:\n$p")
+  }
+
+  test("q88 multi-table lsh: broadcast probe join, no all-pairs, candidate-sized dedup") {
+    val p = plan("q88_multi_lsh")
+    // the probe join must be a broadcast hash join on (table, bucket) —
+    // never a cartesian/nested-loop over the corpus
+    assert(p.contains("BroadcastHashJoin"), s"probe join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in multi-table lsh plan:\n$p")
+    // corpus side: ONE scan shape, exploded L times by a single Generate
+    // (the L bucket ids are computed in one fused projection)
+    val corpusScans = p.linesIterator.filter(_.contains("FileScan"))
+      .map(l => l.substring(l.indexOf("FileScan")).replaceAll("#\\d+", ""))
+      .filterNot(_.contains("LessThan(vec_id,10)")).toSeq
+    assert(corpusScans.nonEmpty && corpusScans.distinct.size === 1,
+      s"corpus scanned with more than one shape:\n$p")
+    // cross-table dedup is a hash aggregate with map-side partials (the
+    // shuffle carries candidate id/score triples, never vectors)
+    assert(p.contains("partial_max") || p.contains("partial_first"),
+      s"candidate dedup not map-side combined:\n$p")
   }
 
   test("q84 histogram quantiles: sketch agg partial before the shuffle, no join") {

@@ -944,7 +944,7 @@ class OpsSpec extends SparkSpec {
     }
     // exhaustive configurations are the exact ranking (the q57/q58 gates)
     assert(recall(Similarity.lshTopK(vecs, "vec_id", "embedding",
-      queries, "vec_id", "embedding", k, numPlanes = 0)) === 1.0)
+      queries, "vec_id", "embedding", k, numPlanes = 0, probeHamming = 0)) === 1.0)
     assert(recall(Similarity.ivfTopK(vecs, "vec_id", "embedding",
       queries, "vec_id", "embedding", k, nlist = 8, nprobe = 8)) === 1.0)
     // multiprobe at the full Hamming radius probes EVERY bucket — a
@@ -959,12 +959,63 @@ class OpsSpec extends SparkSpec {
       queries, "vec_id", "embedding", k, nlist = 8, nprobe = 2))
     assert(rIvf >= 0.9, s"ivf nprobe=2/8 recall@5 $rIvf")
     val rLsh = recall(Similarity.lshTopK(vecs, "vec_id", "embedding",
-      queries, "vec_id", "embedding", k, numPlanes = 4))
+      queries, "vec_id", "embedding", k, numPlanes = 4, probeHamming = 0))
     assert(rLsh >= 0.7, s"lsh numPlanes=4 recall@5 $rLsh")
     // Hamming-1 multiprobe never loses recall (superset of the probe set)
     val rProbed = recall(Similarity.lshTopK(vecs, "vec_id", "embedding",
       queries, "vec_id", "embedding", k, numPlanes = 4, probeHamming = 1))
     assert(rProbed >= rLsh, s"multiprobe lost recall: $rProbed < $rLsh")
+  }
+
+  test("multi-table lsh: L=1 equivalence, recall monotone in L, exhaustive identity, distinct pairs") {
+    val vecs = (0 until 64).map { i =>
+      val c = i / 8
+      val base = Array.tabulate(16)(j => if (j == c * 2) 10.0f else 0.0f)
+      (i.toLong, base.zipWithIndex.map { case (x, j) =>
+        x + 0.1f * math.sin(i * 13 + j).toFloat })
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.where(col("vec_id") < 16)
+    val k = 5
+    val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    def recall(approx: org.apache.spark.sql.DataFrame): Double = {
+      val got = approx.collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      exact.map { case (q, e) =>
+        got.getOrElse(q, Set.empty).intersect(e).size.toDouble / k }.sum / exact.size
+    }
+    val tables = Similarity.md5PlaneTables("mt", numTables = 4, numPlanes = 4, dim = 16)
+    // a 1-table bank IS lshTopKPlanes — row-for-row (same buckets, same
+    // probes, same ranking; the cross-table dedup is a no-op at L=1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._3))
+    assert(rows(Similarity.lshTopKMultiTable(vecs, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k, tables.take(1), probeHamming = 1))
+      === rows(Similarity.lshTopKPlanes(vecs, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k, tables.head, probeHamming = 1)))
+    // more tables = candidate superset = recall never drops
+    val r1 = recall(Similarity.lshTopKMultiTable(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k, tables.take(1), probeHamming = 0))
+    val r4 = recall(Similarity.lshTopKMultiTable(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k, tables, probeHamming = 0))
+    assert(r4 >= r1, s"amplification lost recall: L=4 $r4 < L=1 $r1")
+    // probing the full Hamming radius visits every bucket: the amplified
+    // construction collapses to the exact ranking (q57/q58's gate law)
+    assert(recall(Similarity.lshTopKMultiTable(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k, tables.take(2), probeHamming = 4)) === 1.0)
+    // output is a well-formed top-k: ranks 1..n, distinct neighbors per
+    // query (a pair colliding in several tables must dedup to one row)
+    val out = Similarity.lshTopKMultiTable(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k, tables, probeHamming = 1).collect()
+    out.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.length <= k, s"query $q returned ${rs.length} > k rows")
+      assert(rs.map(_.getLong(1)).distinct.length === rs.length,
+        s"query $q has duplicate neighbors after cross-table dedup")
+      assert(rs.map(_.getInt(2)).sorted.toSeq === (1 to rs.length),
+        s"query $q ranks not 1..${rs.length}")
+    }
   }
 
   test("sketches: approx distinct within rsd of exact") {
