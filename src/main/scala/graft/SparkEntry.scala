@@ -539,16 +539,20 @@ object SparkEntry {
       .orderBy(col("user_id"), col("session_start"))
 
   /** IVF approximate nearest neighbors, oracle-gated in its APPROXIMATE
-    * configuration (r14, closing the last no_oracle rows): `iters = 0`
-    * makes the centroids the 16 smallest-id corpus vectors (data-derived,
-    * no float training means), so DuckDB recomputes the squared-L2 argmin
+    * AND TRAINED configuration (r15, lifting r14's iters=0 workaround):
+    * since the Lloyd mean update accumulates in FIXED POINT
+    * ([[graft.ops.Similarity.trainIvfCentroids]] — per-component
+    * `floor(x·2²⁴+0.5)` longs summed exactly, centroid = one IEEE
+    * division of exact integers), the 3 training rounds are
+    * bit-reproducible under any partitioning and DuckDB folds the
+    * IDENTICAL update: the oracle re-runs init (16 smallest-id vectors),
+    * all 3 assignment+mean rounds, the final squared-L2 argmin
     * assignment, the nprobe=4-of-16 probe set (recall < 1 — candidates
-    * shrink 4x), and the per-candidate cosine top-k bit-for-bit. Lloyd
-    * TRAINING (iters > 0) is the one piece that cannot be bit-gated: its
-    * mean updates are float hash-agg sums whose accumulation order is
-    * partition-dependent — not even two Spark runs are bit-identical — so
-    * the trained config stays pinned by OpsSpec's recall/parity laws, and
-    * q58 gates the exhaustive (nprobe = nlist) pipeline.
+    * shrink 4×, measured ~0.6 recall@10 by AnnRecall), and the
+    * per-candidate cosine top-k bit-for-bit. r14 had to gate iters=0
+    * because double-sum training was accumulation-order dependent — the
+    * fixed-point trainer removes that asterisk. q58 still gates the
+    * exhaustive (nprobe = nlist) pipeline.
     */
   private def q33EmbedIvf(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Similarity
@@ -556,7 +560,7 @@ object SparkEntry {
     Similarity.ivfTopK(
       emb, "vec_id", "embedding",
       emb.where(col("vec_id") < 10), "vec_id", "embedding",
-      k = 5, nlist = 16, nprobe = 4, iters = 0)
+      k = 5, nlist = 16, nprobe = 4, iters = 3)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -2287,10 +2291,50 @@ object SparkEntry {
       // (list_reduce left fold == the kernel's sequential loop), ties to
       // the smaller centroid id; then cosine top-k over the probed lists.
       // The APPROXIMATE nprobe=4-of-16 selection is the ground truth.
+      // fixed-point Lloyd (r15): each round assigns by index-order
+      // squared-L2 left fold, then re-derives means from floor(x*2^24+0.5)
+      // BIGINT sums — exact integer adds, so the 3 trained rounds match
+      // Spark's trainer bit-for-bit; empty clusters keep their centroid
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |cent AS (
+        |cent0 AS (
         |  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid, v AS cv
         |  FROM e ORDER BY vec_id LIMIT 16),
+        |a0 AS (SELECT vec_id, v, cid FROM (
+        |  SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_reduce(list_transform(range(1, 65),
+        |      i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])),
+        |      (x, y) -> x + y) ASC, c.cid ASC) AS rn
+        |  FROM e, cent0 c) WHERE rn = 1),
+        |m0 AS (SELECT cid, list(s::DOUBLE / (n * 16777216.0) ORDER BY i) AS cv
+        |  FROM (SELECT a.cid, t.i AS i,
+        |      sum(floor(a.v[t.i] * 16777216.0 + 0.5)::BIGINT) AS s, count(*) AS n
+        |    FROM a0 a, range(1, 65) t(i) GROUP BY a.cid, t.i) GROUP BY cid),
+        |cent1 AS (SELECT c.cid, coalesce(m.cv, c.cv) AS cv
+        |  FROM cent0 c LEFT JOIN m0 m USING (cid)),
+        |a1 AS (SELECT vec_id, v, cid FROM (
+        |  SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_reduce(list_transform(range(1, 65),
+        |      i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])),
+        |      (x, y) -> x + y) ASC, c.cid ASC) AS rn
+        |  FROM e, cent1 c) WHERE rn = 1),
+        |m1 AS (SELECT cid, list(s::DOUBLE / (n * 16777216.0) ORDER BY i) AS cv
+        |  FROM (SELECT a.cid, t.i AS i,
+        |      sum(floor(a.v[t.i] * 16777216.0 + 0.5)::BIGINT) AS s, count(*) AS n
+        |    FROM a1 a, range(1, 65) t(i) GROUP BY a.cid, t.i) GROUP BY cid),
+        |cent2 AS (SELECT c.cid, coalesce(m.cv, c.cv) AS cv
+        |  FROM cent1 c LEFT JOIN m1 m USING (cid)),
+        |a2 AS (SELECT vec_id, v, cid FROM (
+        |  SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_reduce(list_transform(range(1, 65),
+        |      i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])),
+        |      (x, y) -> x + y) ASC, c.cid ASC) AS rn
+        |  FROM e, cent2 c) WHERE rn = 1),
+        |m2 AS (SELECT cid, list(s::DOUBLE / (n * 16777216.0) ORDER BY i) AS cv
+        |  FROM (SELECT a.cid, t.i AS i,
+        |      sum(floor(a.v[t.i] * 16777216.0 + 0.5)::BIGINT) AS s, count(*) AS n
+        |    FROM a2 a, range(1, 65) t(i) GROUP BY a.cid, t.i) GROUP BY cid),
+        |cent AS (SELECT c.cid, coalesce(m.cv, c.cv) AS cv
+        |  FROM cent2 c LEFT JOIN m2 m USING (cid)),
         |dist AS (
         |  SELECT e.vec_id, cent.cid,
         |    list_reduce(list_transform(range(1, 65),

@@ -564,14 +564,34 @@ object Similarity {
   def nearestCentroids(vec: Column, centroids: Array[(Int, Array[Double])], n: Int): Column =
     graft.functions.expressions.NativeVectorFunctions.nearestCentroids(vec, centroids, n)
 
+  /** Fixed-point scale for [[trainIvfCentroids]]'s Lloyd accumulation:
+    * components are quantized to the 2⁻²⁴ grid before summing.
+    */
+  private val LloydScale = 16777216.0d // 2^24
+
   /** Deterministic k-means-lite centroids for IVF: init = the `nlist`
     * vectors with the smallest ids, then `iters` Lloyd rounds computed as
     * DataFrame jobs. Assignment is the [[nearestCentroid]] projection (no
-    * crossJoin/window); the mean update posexplodes dims but groupBy's
-    * map-side partial aggregation reduces each task to ≤ nlist×dim partial
-    * sums before the shuffle, so shuffle volume is O(tasks×nlist×dim) —
-    * independent of corpus size. The driver only ever holds the centroid
-    * table — O(nlist×dim) — never corpus rows.
+    * crossJoin/window); the mean update runs dim per-element sum
+    * aggregates in ONE hash agg whose map-side partials reduce each task
+    * to ≤ nlist×(dim+1) values before the shuffle, so shuffle volume is
+    * O(tasks×nlist×dim) — independent of corpus size. The driver only
+    * ever holds the centroid table — O(nlist×dim) — never corpus rows.
+    *
+    * BIT-REPRODUCIBLE under any partitioning (r15, verdict #4): the mean
+    * update accumulates in FIXED POINT — each component is quantized to
+    * the 2⁻²⁴ grid (`floor(x·2²⁴ + 0.5)`, exact in double for |x| < 2²⁵)
+    * and summed as a Long, and integer addition is associative, so the
+    * per-cluster sums are identical whatever order Spark's hash agg
+    * combines partials in. The new centroid component is then ONE IEEE
+    * division `sF / (n·2²⁴)` of exactly-represented integers — the same
+    * double on every engine, which is what lets the TRAINED q33 gate
+    * exist (DuckDB folds the identical update; r14 had to pin iters=0
+    * because double-sum training was accumulation-order dependent).
+    * Quantization costs 2⁻²⁵ per component per round — noise against
+    * k-means' own convergence tolerance. The driver-side require guards
+    * the |sum| < 2⁵³ exactness window (≈ 5·10⁸ rows per cluster at
+    * |x| ≤ 16 — past it, raise the grid, don't drop the guard).
     */
   def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int = 3): Array[(Int, Array[Double])] = {
@@ -586,18 +606,22 @@ object Similarity {
           .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
       val dim = centroids.headOption.map(_._2.length).getOrElse(0)
       for (_ <- 0 until iters) {
-        // mean update as dim per-element sum aggregates in ONE hash agg —
-        // no posexplode row multiplication; map-side partials reduce each
-        // task to nlist×(dim+1) values before the shuffle
-        val sums = (0 until dim).map(i => sum(col("__v")(i)).as(s"__s$i"))
+        val sums = (0 until dim).map(i =>
+          sum(floor(col("__v")(i) * LloydScale + 0.5d)).as(s"__s$i"))
         val updated = vecs
           .withColumn("__cid", nearestCentroid(col("__v"), centroids))
           .groupBy(col("__cid"))
           .agg(count(lit(1)).as("__n"), sums: _*)
           .collect()
           .map { r =>
-            val n = r.getLong(1).toDouble
-            r.getInt(0) -> Array.tabulate(dim)(i => r.getDouble(i + 2) / n)
+            val n = r.getLong(1)
+            r.getInt(0) -> Array.tabulate(dim) { i =>
+              val s = r.getLong(i + 2)
+              require(math.abs(s) < (1L << 53),
+                s"Lloyd fixed-point sum $s exceeds the 2^53 double-exactness " +
+                  "window; raise the quantization grid for this corpus")
+              s.toDouble / (n.toDouble * LloydScale)
+            }
           }.toMap
         centroids = centroids.map { case (cid, old) =>
           (cid, updated.getOrElse(cid, old))

@@ -967,6 +967,27 @@ class OpsSpec extends SparkSpec {
     assert(rProbed >= rLsh, s"multiprobe lost recall: $rProbed < $rLsh")
   }
 
+  test("ivf training: fixed-point Lloyd centroids bit-identical under any partitioning") {
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Array.tabulate(16)(j => (math.sin(i * 31 + j * 7) * 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    def bits(c: Array[(Int, Array[Double])]) =
+      c.map { case (cid, v) =>
+        (cid, v.map(java.lang.Double.doubleToRawLongBits).toSeq) }.toSeq
+    // long sums are exact integers whatever order partials combine in, so
+    // 1, 13, and keyed-5 partitions must produce the SAME doubles to the
+    // last bit — the property that makes the trained q33 gate possible
+    // (float-sum training differed run-to-run, r14)
+    val a = Similarity.trainIvfCentroids(
+      vecs.repartition(1), "vec_id", "embedding", nlist = 8, iters = 3)
+    val b = Similarity.trainIvfCentroids(
+      vecs.repartition(13), "vec_id", "embedding", nlist = 8, iters = 3)
+    val c = Similarity.trainIvfCentroids(
+      vecs.repartition(5, col("vec_id") % 5), "vec_id", "embedding", nlist = 8, iters = 3)
+    assert(bits(a) === bits(b))
+    assert(bits(a) === bits(c))
+  }
+
   test("multi-table lsh: L=1 equivalence, recall monotone in L, exhaustive identity, distinct pairs") {
     val vecs = (0 until 64).map { i =>
       val c = i / 8
