@@ -241,7 +241,7 @@ object Bench {
     * micro-batch loop without the stream plumbing, so the number is the
     * OPERATOR's rate). Returns docs/s over the whole run.
     */
-  private def ingestThroughput(spark: SparkSession, sfDir: String): Long = {
+  private[graft] def ingestThroughput(spark: SparkSession, sfDir: String): Long = {
     import org.apache.spark.sql.functions.col
     try {
       val docs = Tables.load(spark, sfDir, "documents")
@@ -268,7 +268,7 @@ object Bench {
     }
   }
 
-  private final case class StreamResult(
+  private[graft] final case class StreamResult(
       eps: Long, steadyEps: Long, batches: Int, spreadPct: Long)
 
   /** Stream-phase throughput (BASELINE.md protocol): the events table
@@ -283,7 +283,7 @@ object Bench {
     * deployment has. Per-batch rates come from the query's progress log;
     * the spread ((max-min)/median) is reported alongside.
     */
-  private def streamThroughput(spark: SparkSession, sfDir: String): StreamResult = {
+  private[graft] def streamThroughput(spark: SparkSession, sfDir: String): StreamResult = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     try {

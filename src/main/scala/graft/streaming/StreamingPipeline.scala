@@ -365,6 +365,18 @@ final class StreamingPipeline(
     val created = scala.collection.mutable.Set[TableId](
       (tables.map(_._1) ++ dynamicTables.keys)
         .filter(runner.registry.evolvedInfo(_).isDefined): _*)
+    // per-phase wall clock inside the micro-batch, printed when
+    // SPARK_GRAFT_STREAM_PROFILE=1 — the breakdown that locates the
+    // steady-state eps bound (driver control plane vs decode+write)
+    val prof = sys.env.get("SPARK_GRAFT_STREAM_PROFILE").contains("1")
+    def timed[T](name: String)(f: => T): T =
+      if (!prof) f
+      else {
+        val t0 = System.nanoTime(); val r = f
+        System.err.println(
+          f"[stream-prof] $name%-14s ${(System.nanoTime() - t0) / 1e6}%6.1f ms")
+        r
+      }
     val writer = jsonStream.writeStream
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epochId: Long) =>
@@ -384,8 +396,15 @@ final class StreamingPipeline(
         val sequencedBase = batch.toDF()
           .withColumn(Changelog.SeqCol, StreamingPipeline.seqColumn(epochId))
           .withColumn("__ddl", DebeziumJson.ddlOf(col("value")))
-        val sequenced = (if (multi) StreamingPipeline.withRoutingKey(sequencedBase)
+        val stamped = (if (multi) StreamingPipeline.withRoutingKey(sequencedBase)
           else sequencedBase)
+        // Measured r15 (local[32], 25k-row batches): repartitioning the
+        // batch up to defaultParallelism does NOT help — decode+write is
+        // bound by fixed per-job/commit overhead at this batch size, and
+        // the extra round-robin shuffle + small write files cost more
+        // than 8x task parallelism buys. Parallelism stays the source's
+        // (a real deployment sizes it via topic partitions).
+        val sequenced = stamped
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
         // Control plane: schema-change envelopes are rare, so collecting
@@ -396,15 +415,17 @@ final class StreamingPipeline(
         // point, so an ALTER TABLE mid-batch applies exactly where the
         // log says it does (the micro-batch boundary alone is no longer
         // the only DDL barrier).
-        val allDdl = sequenced.where(col("__ddl").isNotNull)
-          .select(col(Changelog.SeqCol), col("__ddl"),
-            (if (multi) col(StreamingPipeline.RoutingCol)
-             else DebeziumJson.ddlTableOf(col("value"))).as("__tbl"),
-            coalesce(
-              get_json_object(col("value"), "$.source.db"),
-              get_json_object(col("value"), "$.database")).as("__db"))
-          .collect()
-          .sortBy(_.getLong(0))
+        val allDdl = timed("cache+ddl") {
+          sequenced.where(col("__ddl").isNotNull)
+            .select(col(Changelog.SeqCol), col("__ddl"),
+              (if (multi) col(StreamingPipeline.RoutingCol)
+               else DebeziumJson.ddlTableOf(col("value"))).as("__tbl"),
+              coalesce(
+                get_json_object(col("value"), "$.source.db"),
+                get_json_object(col("value"), "$.database")).as("__db"))
+            .collect()
+            .sortBy(_.getLong(0))
+        }
         val data = sequenced.where(col("__ddl").isNull)
 
         // Newly-added-table capture: a wire CREATE TABLE naming an
@@ -462,8 +483,10 @@ final class StreamingPipeline(
             // added/renamed by earlier DDL in this very batch parse from this
             // row on
             val cur = upstream.evolvedInfo(tableId).getOrElse(info)
-            runner.processBatch(
-              SourceBatch(Nil, Seq(tableId -> decodeSegment(segment, cur.schema))))
+            timed("decode+write") {
+              runner.processBatch(
+                SourceBatch(Nil, Seq(tableId -> decodeSegment(segment, cur.schema))))
+            }
           }
 
           if (ddlRows.isEmpty) emit(tblData)
@@ -493,7 +516,7 @@ final class StreamingPipeline(
           }
         }
         sequenced.unpersist(false)
-        persistSchemaPlanes(checkpointLocation)
+        timed("schema-persist") { persistSchemaPlanes(checkpointLocation) }
         ()
       }
     checkpointLocation.fold(writer)(cp => writer.option("checkpointLocation", cp)).start()
