@@ -450,6 +450,14 @@ class PlanSpec extends SparkSpec {
     // chunk text (r15): string comparisons only settle hash ties
     assert(p.contains("xxhash64(chunk_text"),
       s"chunk-dedup window not keyed by xxhash64(chunk_text):\n$p")
+    // and its rank-1 filter must keep the PARTIAL group limit: each map
+    // task reduces a hot chunk_text to one candidate BEFORE the exchange
+    // — the defense SkewCurve measures flat at m=160k hot rows; losing
+    // it re-creates the one-reducer hot-key sort
+    assert(p.linesIterator.exists(l =>
+      l.contains("WindowGroupLimit") && l.contains("chunk_text")
+        && l.contains("Partial")),
+      s"chunk-dedup lost its partial WindowGroupLimit:\n$p")
   }
 
   test("q86 rrf fusion: shared tf cache, group-limited top-k, no cartesian") {
