@@ -1384,6 +1384,70 @@ class OpsSpec extends SparkSpec {
     assert(result.passed, s"property failed: ${result.status}")
   }
 
+  test("zorder layout: equal z-ranges are 2-D tiles; single-sort ranges are 1-D slabs") {
+    // the bounding-box-tightness law behind LayoutBench's measured file
+    // skipping: on a complete 256x256 grid, each aligned block of 1024
+    // consecutive z values is EXACTLY a 32x32 tile (1024 = 4^5 — an
+    // aligned Morton quadrant), so a range-partitioned z-sorted writer
+    // gives every file a tile-shaped bbox and a band predicate on EITHER
+    // dimension prunes to its tile row/column. An x-major sort's blocks
+    // span the full y domain: y-bands prune nothing.
+    val grid = spark.range(65536).select(
+      (col("id") % 256).as("x"), expr("id DIV 256").as("y"))
+    val tiles = grid
+      .withColumn("b", floor(Layout.zorderKey(col("x"), col("y")) / 1024))
+      .groupBy(col("b")).agg(count(lit(1)).as("n"),
+        min("x").as("xlo"), max("x").as("xhi"),
+        min("y").as("ylo"), max("y").as("yhi"))
+      .collect()
+    assert(tiles.length === 64)
+    tiles.foreach { r =>
+      assert(r.getLong(1) === 1024L)
+      assert(r.getLong(3) - r.getLong(2) === 31L,
+        s"block ${r.getLong(0)} x-span not a 32-tile")
+      assert(r.getLong(5) - r.getLong(4) === 31L,
+        s"block ${r.getLong(0)} y-span not a 32-tile")
+    }
+    def intersecting(stats: Array[org.apache.spark.sql.Row],
+        lo: Int, hi: Int, loIdx: Int, hiIdx: Int): Int =
+      stats.count(r => r.getLong(loIdx) <= hi && r.getLong(hiIdx) >= lo)
+    // a 32-wide band on either dimension touches exactly one tile row/col
+    assert(intersecting(tiles, 0, 31, 2, 3) === 8)
+    assert(intersecting(tiles, 0, 31, 4, 5) === 8)
+    val slabs = grid
+      .withColumn("b", floor((col("x") * 256 + col("y")) / 1024))
+      .groupBy(col("b")).agg(count(lit(1)).as("n"),
+        min("x").as("xlo"), max("x").as("xhi"),
+        min("y").as("ylo"), max("y").as("yhi"))
+      .collect()
+    assert(intersecting(slabs, 0, 31, 2, 3) === 8) // its own dimension: fine
+    assert(intersecting(slabs, 0, 31, 4, 5) === 64) // the other: reads ALL
+  }
+
+  test("zorder scaled: matches plain-Scala reference, clamps out-of-domain") {
+    def refScaled(v: Long, lo: Long, hi: Long, bits: Int): Long =
+      math.min(math.max((v - lo) * (1L << bits) / (hi - lo + 1), 0L), (1L << bits) - 1)
+    def refInterleave(x: Long, y: Long): Long =
+      (0 until 32).foldLeft(0L)((z, i) =>
+        z | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+    // the events domain shape that defeated the raw key (r15 LayoutBench:
+    // 11-bit users x 17-bit events -> bbox(user)=0.997, no pruning)
+    val (uLo, uHi, eLo, eHi) = (0L, 1499L, 0L, 99999L)
+    val rows = Seq((0L, 0L), (1499L, 99999L), (700L, 50000L), (3L, 99999L),
+      (2000L, 100500L), (-5L, -1L)) // last two: out-of-domain, must clamp
+    val got = rows.toDF("u", "e")
+      .select(Layout.zorderKeyScaled(col("u"), uLo, uHi, col("e"), eLo, eHi).as("z"))
+      .collect().map(_.getLong(0))
+    val want = rows.map { case (u, e) =>
+      refInterleave(refScaled(u, uLo, uHi, 16), refScaled(e, eLo, eHi, 16)) }
+    assert(got.toSeq === want)
+    // normalization puts both dimensions on the same 16-bit grid: the low
+    // corner maps to z = 0, out-of-domain rows clamp to the grid edges
+    assert(got(0) === 0L)
+    assert(got(4) === refInterleave(65535L, 65535L))
+    assert(got(5) === 0L)
+  }
+
   test("rrf fusion: exact rational scores, single-list items, tie-break by item") {
     val a = Seq(("q", 10L, 1), ("q", 11L, 2), ("q", 12L, 3)).toDF("query", "item", "rank")
     val b = Seq(("q", 11L, 1), ("q", 13L, 2)).toDF("query", "item", "rank")
