@@ -29,9 +29,21 @@ import org.apache.spark.sql.functions._
   * creation so key→bucket assignment and read-time merging stay stable
   * across batches and processes.
   */
+/** @param autoCompactDeltas merge-on-read only: fold pending deltas into
+  *   the bucketed base once this many delta sets accumulate (0 = manual
+  *   [[ParquetUpsertSink.compact]] calls only). MorBench's r15 curve
+  *   (24 × 20k-row upsert batches, read after every batch): ingest wall
+  *   50.6/26.5/24.1/13.2/7.2 s and mean read 0.21/0.88/1.84/3.01/4.61 s
+  *   at cadence 1/4/8/16/never — for that balanced read-per-batch
+  *   workload, cadence 4 minimizes total wall (between 4 and 8 the
+  *   ingest saving flattens while read amplification doubles), so 4 is
+  *   the recommended setting for mixed workloads; keep 0/manual for
+  *   write-only ingest with a terminal compaction (the Bench stream
+  *   profile), and 1 for read-dominated tables.
+  */
 final class ParquetUpsertSink(spark: SparkSession, baseDir: String,
     registry: Option[SchemaRegistry] = None, numBuckets: Int = 16,
-    mergeOnRead: Boolean = false) extends DataSink {
+    mergeOnRead: Boolean = false, autoCompactDeltas: Int = 0) extends DataSink {
 
   private val BucketCol = "__bucket"
 
@@ -96,10 +108,13 @@ final class ParquetUpsertSink(spark: SparkSession, baseDir: String,
       val n = Option(root.listFiles()).toSeq.flatten.count(_.getName.startsWith("delta-"))
       batch.write.mode(SaveMode.ErrorIfExists)
         .parquet(new java.io.File(root, f"delta-$n%05d").getAbsolutePath)
+      stampMeta(p, resolveBuckets(p), info.primaryKeys)
+      if (autoCompactDeltas > 0 && n + 1 >= autoCompactDeltas)
+        compact(tableId, info)
     } else {
       cowApply(p, batch, info, writeAhead = true)
+      stampMeta(p, resolveBuckets(p), info.primaryKeys)
     }
-    stampMeta(p, resolveBuckets(p), info.primaryKeys)
   }
 
   /** Fold all pending deltas of a merge-on-read table into the bucketed

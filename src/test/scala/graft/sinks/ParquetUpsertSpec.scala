@@ -122,6 +122,39 @@ class ParquetUpsertSpec extends SparkSpec {
     assert(state() === Seq((1L, "a2"), (4L, "d")))
   }
 
+  test("merge-on-read auto-compaction folds at the configured cadence") {
+    val dir = java.nio.file.Files.createTempDirectory("pqsink_mor_auto").toFile
+    val sink = new ParquetUpsertSink(spark, dir.getAbsolutePath,
+      numBuckets = 4, mergeOnRead = true, autoCompactDeltas = 2)
+    val tid = TableId.parse("db.ac")
+    val info = TableInfo(
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))),
+      primaryKeys = Seq("id"))
+    def pendingDeltas() = Option(new java.io.File(dir, "db/ac__delta").listFiles())
+      .map(_.count(_.getName.startsWith("delta-"))).getOrElse(0)
+    def state() = sink.read(tid).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+
+    sink.write(tid, Seq((1L, "a", "+I", 1L))
+      .toDF("id", "v", Changelog.OpCol, Changelog.SeqCol), info)
+    assert(pendingDeltas() === 1) // below the cadence: stays a delta
+    sink.write(tid, Seq((1L, "a2", "+U", 2L), (2L, "b", "+I", 3L))
+      .toDF("id", "v", Changelog.OpCol, Changelog.SeqCol), info)
+    // second delta reaches the cadence: both fold into the bucketed base
+    assert(pendingDeltas() === 0)
+    assert(new java.io.File(dir, "db/ac").listFiles()
+      .exists(_.getName.startsWith("__bucket=")))
+    assert(state() === Seq((1L, "a2"), (2L, "b")))
+    // the cycle repeats against the existing base
+    sink.write(tid, Seq((3L, "c", "+I", 4L))
+      .toDF("id", "v", Changelog.OpCol, Changelog.SeqCol), info)
+    assert(pendingDeltas() === 1)
+    sink.write(tid, Seq((2L, "b", "-D", 5L))
+      .toDF("id", "v", Changelog.OpCol, Changelog.SeqCol), info)
+    assert(pendingDeltas() === 0)
+    assert(state() === Seq((1L, "a2"), (3L, "c")))
+  }
+
   test("merge-on-read survives schema evolution between delta writes") {
     val dir = java.nio.file.Files.createTempDirectory("pqsink_mor_evo").toFile
     val sink = new ParquetUpsertSink(spark, dir.getAbsolutePath, mergeOnRead = true)
