@@ -67,10 +67,13 @@ object Layout {
     require(xHi >= xLo && yHi >= yLo, s"empty domain: [$xLo,$xHi] [$yLo,$yHi]")
     require(xHi - xLo < (1L << 31) && yHi - yLo < (1L << 31),
       "domains wider than 2^31 overflow the scaling product — bucket first")
+    // clamp INTO the domain before scaling: clamping the scaled product
+    // instead would let a far-out value (corrupt id, epoch-nanos in an
+    // id column) overflow the Long multiply first — ArithmeticException
+    // under ANSI, silently wrong edge without
     def scaled(v: Column, lo: Long, hi: Long): Column =
-      least(greatest(
-          (v.cast("long") - lo) * (1L << bits) / (hi - lo + 1), lit(0L)),
-        lit((1L << bits) - 1L))
+      (least(greatest(v.cast("long"), lit(lo)), lit(hi)) - lo) *
+        (1L << bits) / (hi - lo + 1)
     zorderKey(scaled(x, xLo, xHi), scaled(y, yLo, yHi))
   }
 

@@ -645,9 +645,19 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
-    val centroids = trainIvfCentroids(corpus, corpusId, corpusVec, nlist, iters)
+      k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame =
+    ivfTopKPrecomputed(corpus, corpusId, corpusVec, queries, queryId, queryVec,
+      k, trainIvfCentroids(corpus, corpusId, corpusVec, nlist, iters), nprobe)
 
+  /** [[ivfTopK]] over an already-trained centroid table — the shape for
+    * callers probing several configurations of one index (AnnRecall's
+    * nprobe ladder): training is deterministic (fixed-point Lloyd), so
+    * identical (nlist, iters) re-trainings are pure waste.
+    */
+  def ivfTopKPrecomputed(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, centroids: Array[(Int, Array[Double])], nprobe: Int): DataFrame = {
     val indexed = corpus
       .select(col(corpusId).as("__id"), col(corpusVec).as("__vec"))
       .withColumn("__list", nearestCentroid(col("__vec").cast("array<double>"), centroids))

@@ -28,8 +28,8 @@ import org.apache.spark.sql.functions._
   * The bucket count and primary keys are pinned in a marker file at table
   * creation so key→bucket assignment and read-time merging stay stable
   * across batches and processes.
-  */
-/** @param autoCompactDeltas merge-on-read only: fold pending deltas into
+  *
+  * @param autoCompactDeltas merge-on-read only: fold pending deltas into
   *   the bucketed base once this many delta sets accumulate (0 = manual
   *   [[ParquetUpsertSink.compact]] calls only). MorBench's r15 curve
   *   (24 × 20k-row upsert batches, read after every batch): ingest wall

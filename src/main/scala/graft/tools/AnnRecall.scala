@@ -30,9 +30,11 @@ import org.apache.spark.sql.functions._
   *  - MULTI-TABLE banded-OR amplification (the q88 gated config and its
   *    L-ladder): L independent md5 tables, Hamming-1 probes, recall
   *    1−(1−r₁)^L against scanned 1−(1−f₁)^L;
-  *  - IVF (trained Lloyd centroids, q33's family): nlist=16, nprobe
-  *    1/2/4/8/16 — nprobe=nlist must read 1.0 (the q58-gated exhaustive
-  *    identity), an internal check.
+  *  - IVF (fixed-point-trained Lloyd centroids): nlist=16, nprobe
+  *    1/2/4/8/16 — nprobe=4 IS the q33 gated config since r15 (trained,
+  *    iters=3); nprobe=nlist must read 1.0 (the q58-gated exhaustive
+  *    identity), an internal check; the iters=0 row keeps r14's old
+  *    gate config for the training-benefit delta.
   *
   * recall@k = |approx top-k ∩ exact top-k| / k, averaged over queries
   * (ties broken identically on both sides: cos DESC, neighbor_id ASC).
@@ -103,13 +105,25 @@ object AnnRecall {
       ("multi md5 L=16 p=8 probe=1 (q88)", (k: Int) => Similarity.lshTopKMultiTable(
         emb, "vec_id", "embedding", queries, "vec_id", "embedding", k,
         tables = q88Tables(16), probeHamming = 1))
-    ) ++ Seq(1, 2, 4, 8, 16).map { np =>
-      (s"ivf nlist=16 nprobe=$np (trained)", (k: Int) => Similarity.ivfTopK(
-        emb, "vec_id", "embedding", queries, "vec_id", "embedding", k,
-        nlist = 16, nprobe = np))
-    } :+ (("ivf nprobe=4 iters=0 (q33)", (k: Int) => Similarity.ivfTopK(
-      emb, "vec_id", "embedding", queries, "vec_id", "embedding", k,
-      nlist = 16, nprobe = 4, iters = 0)))
+    ) ++ {
+      // train each centroid table ONCE: fixed-point Lloyd is
+      // deterministic, so per-config re-training would recompute
+      // byte-identical centroids (3 corpus passes each) 16+ times
+      val trained = Similarity.trainIvfCentroids(
+        emb, "vec_id", "embedding", nlist = 16, iters = 3)
+      val untrained = Similarity.trainIvfCentroids(
+        emb, "vec_id", "embedding", nlist = 16, iters = 0)
+      Seq(1, 2, 4, 8, 16).map { np =>
+        // nprobe=4 is the q33 gated config since r15 (trained iters=3)
+        (s"ivf nlist=16 nprobe=$np (trained${if (np == 4) ", q33" else ""})",
+          (k: Int) => Similarity.ivfTopKPrecomputed(
+            emb, "vec_id", "embedding", queries, "vec_id", "embedding", k,
+            trained, nprobe = np))
+      } :+ (("ivf nprobe=4 iters=0 (r14 q33)", (k: Int) =>
+        Similarity.ivfTopKPrecomputed(
+          emb, "vec_id", "embedding", queries, "vec_id", "embedding", k,
+          untrained, nprobe = 4)))
+    }
 
     val rows = scala.collection.mutable.ArrayBuffer[(String, Int, Double)]()
     val costs = scala.collection.mutable.LinkedHashMap[String, Double]()

@@ -63,8 +63,11 @@ object MorBench {
         val t0 = System.nanoTime()
         sink.write(tid, batchFrame(i), info)
         ingest += (System.nanoTime() - t0) / 1e9
+        // same predicate as the sink's own delta enumeration — a raw
+        // entry count would drift if anything else ever lands in __delta
         val pending = Option(new java.io.File(
-            dir, s"graft/mor_state__delta").listFiles()).map(_.length).getOrElse(0)
+            dir, s"graft/mor_state__delta").listFiles())
+          .map(_.count(_.getName.startsWith("delta-"))).getOrElse(0)
         peak = math.max(peak, pending)
         val t1 = System.nanoTime()
         val df = sink.read(tid)

@@ -184,22 +184,7 @@ object ScaleCurve {
     for (f <- factors) {
       val dir = s"/tmp/graft_scale_f$f"
       val dirFile = new java.io.File(dir)
-      val marker = new java.io.File(dirFile, "SCHEME")
-      if (dirFile.exists()) {
-        val cur =
-          if (marker.isFile)
-            new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
-          else ""
-        if (cur != schemeId) {
-          println(s"[scale] wiping stale replica dir $dir " +
-            s"(scheme '${cur}' != '$schemeId')")
-          def rm(x: java.io.File): Unit = {
-            if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(rm))
-            x.delete(); ()
-          }
-          rm(dirFile)
-        }
-      }
+      ReplicaCache.wipeUnlessScheme(dirFile, schemeId)
       val docsPath = new java.io.File(s"$dir/documents.parquet")
       if (!docsPath.isDirectory) {
         val base = graft.Tables.load(spark, sfDir, "documents")
@@ -277,7 +262,7 @@ object ScaleCurve {
         }.reduce(_ unionByName _)
         replicated.write.mode("overwrite").parquet(evPath.getAbsolutePath)
       }
-      java.nio.file.Files.write(marker.toPath, schemeId.getBytes("UTF-8"))
+      ReplicaCache.stampScheme(dirFile, schemeId)
       val rows = spark.read.parquet(docsPath.getAbsolutePath).count()
       for (name <- names) {
         consume(name, dir) // warm

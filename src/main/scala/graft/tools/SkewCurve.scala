@@ -99,25 +99,18 @@ object SkewCurve {
         else {
           val d = s"/tmp/graft_skew_m$m"
           val dirFile = new java.io.File(d)
-          val marker = new java.io.File(dirFile, "SCHEME")
-          if (dirFile.exists()) {
-            val cur = if (marker.isFile)
-              new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
-            else ""
-            if (cur != schemeId) {
-              def rm(x: java.io.File): Unit = {
-                if (x.isDirectory && !java.nio.file.Files.isSymbolicLink(x.toPath))
-                  Option(x.listFiles()).foreach(_.foreach(rm))
-                x.delete(); ()
-              }
-              rm(dirFile)
-            }
-          }
+          ReplicaCache.wipeUnlessScheme(dirFile, schemeId)
           if (!dirFile.exists()) {
             dirFile.mkdirs()
             val docs = graft.Tables.load(spark, sfDir, "documents")
             val hotDoc = docs.where(lower(col("text")).rlike("\\bspark\\b"))
               .orderBy(col("doc_id")).limit(1)
+            // fail fast, never silently measure an unskewed corpus: an
+            // empty hot frame would union zero rows and the flat curves
+            // would read as a stress that never ran
+            require(hotDoc.count() == 1,
+              s"no document in $sfDir contains the token 'spark' — the " +
+                "document-side skew plant needs one (pick a different token)")
             docs.unionByName(
               spark.range(m).crossJoin(broadcast(hotDoc.drop("doc_id")))
                 .select((lit(3000000000L) + col("id")).as("doc_id"),
@@ -147,7 +140,7 @@ object SkewCurve {
                   java.nio.file.Files.createSymbolicLink(link,
                     java.nio.file.Paths.get(sfDir, s"$n.parquet").toAbsolutePath)
               }
-            java.nio.file.Files.write(marker.toPath, schemeId.getBytes("UTF-8"))
+            ReplicaCache.stampScheme(dirFile, schemeId)
           }
           d
         }

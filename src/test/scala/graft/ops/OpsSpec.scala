@@ -1425,8 +1425,10 @@ class OpsSpec extends SparkSpec {
   }
 
   test("zorder scaled: matches plain-Scala reference, clamps out-of-domain") {
+    // clamp INTO the domain BEFORE scaling (matches the operator: the
+    // scaled product of a far-out value would overflow Long under ANSI)
     def refScaled(v: Long, lo: Long, hi: Long, bits: Int): Long =
-      math.min(math.max((v - lo) * (1L << bits) / (hi - lo + 1), 0L), (1L << bits) - 1)
+      (math.min(math.max(v, lo), hi) - lo) * (1L << bits) / (hi - lo + 1)
     def refInterleave(x: Long, y: Long): Long =
       (0 until 32).foldLeft(0L)((z, i) =>
         z | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
@@ -1442,10 +1444,16 @@ class OpsSpec extends SparkSpec {
       refInterleave(refScaled(u, uLo, uHi, 16), refScaled(e, eLo, eHi, 16)) }
     assert(got.toSeq === want)
     // normalization puts both dimensions on the same 16-bit grid: the low
-    // corner maps to z = 0, out-of-domain rows clamp to the grid edges
+    // corner maps to z = 0, and out-of-domain rows clamp to EXACTLY the
+    // key of the nearest in-domain corner (clamp-before-scale) — also
+    // exercise a value whose unclamped product would overflow a Long
     assert(got(0) === 0L)
-    assert(got(4) === refInterleave(65535L, 65535L))
-    assert(got(5) === 0L)
+    assert(got(4) === got(1))
+    assert(got(5) === got(0))
+    val far = Seq((Long.MaxValue / 2, Long.MaxValue / 2)).toDF("u", "e")
+      .select(Layout.zorderKeyScaled(col("u"), uLo, uHi, col("e"), eLo, eHi).as("z"))
+      .collect()(0).getLong(0)
+    assert(far === got(1))
   }
 
   test("rrf fusion: exact rational scores, single-list items, tie-break by item") {
