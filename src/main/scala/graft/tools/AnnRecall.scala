@@ -143,6 +143,12 @@ object AnnRecall {
           .join(hits, Seq("query_id"), "left")
           .agg(avg(coalesce(col("h"), lit(0)).cast("double") / k))
           .collect()(0).getDouble(0)
+        // the scaladoc's internal check, enforced: probing every list IS
+        // the exhaustive ranking (the q58 gate law) — a regression in the
+        // shared precomputed-centroid path must fail here, not print a
+        // skimmable sub-1.0 row
+        if (name.startsWith("ivf nlist=16 nprobe=16"))
+          require(r == 1.0, s"exhaustive nprobe=nlist identity broken: $r")
         val cost = costs.getOrElseUpdate(name,
           mk(Int.MaxValue).count().toDouble / (nq * (n - 1.0)))
         println(f"[recall] $name%-34s recall@$k%-3d = $r%.3f  scanned = $cost%.3f")

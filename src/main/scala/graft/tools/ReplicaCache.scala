@@ -29,6 +29,12 @@ private[tools] object ReplicaCache {
       if (cur != schemeId) {
         println(s"[replica-cache] wiping stale dir $dir (scheme '$cur' != '$schemeId')")
         rm(dir)
+        // fail fast on a partial wipe (open handle, permissions): the
+        // caller's per-table existence checks would otherwise KEEP the
+        // surviving old-scheme tables, regenerate the rest, and stamp
+        // the new scheme over a mixed dir — poisoning every later run
+        require(!dir.exists(),
+          s"could not fully remove stale replica dir $dir — remove it manually")
       }
     }
   }

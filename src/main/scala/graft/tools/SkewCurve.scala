@@ -103,14 +103,17 @@ object SkewCurve {
           if (!dirFile.exists()) {
             dirFile.mkdirs()
             val docs = graft.Tables.load(spark, sfDir, "documents")
-            val hotDoc = docs.where(lower(col("text")).rlike("\\bspark\\b"))
-              .orderBy(col("doc_id")).limit(1)
-            // fail fast, never silently measure an unskewed corpus: an
-            // empty hot frame would union zero rows and the flat curves
-            // would read as a stress that never ran
-            require(hotDoc.count() == 1,
+            // one scan: collect the single hot row, fail fast if absent
+            // (an empty plant would union zero rows and the flat curves
+            // would read as a stress that never ran), replant as a
+            // local one-row frame for the crossJoin
+            val hotRows = docs.where(lower(col("text")).rlike("\\bspark\\b"))
+              .orderBy(col("doc_id")).limit(1).collect()
+            require(hotRows.length == 1,
               s"no document in $sfDir contains the token 'spark' — the " +
                 "document-side skew plant needs one (pick a different token)")
+            val hotDoc = spark.createDataFrame(
+              java.util.Arrays.asList(hotRows(0)), docs.schema)
             docs.unionByName(
               spark.range(m).crossJoin(broadcast(hotDoc.drop("doc_id")))
                 .select((lit(3000000000L) + col("id")).as("doc_id"),
