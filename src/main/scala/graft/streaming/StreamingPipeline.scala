@@ -404,8 +404,23 @@ final class StreamingPipeline(
         // the extra round-robin shuffle + small write files cost more
         // than 8x task parallelism buys. Parallelism stays the source's
         // (a real deployment sizes it via topic partitions).
-        val sequenced = stamped
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        //
+        // Steady-state fast path (measured r15): on a single-table
+        // stream, a DDL-free batch — the overwhelmingly common case —
+        // never cuts segments and feeds exactly one decode pass, so the
+        // cached copy buys nothing: skip the persist and let decode
+        // re-read the source (page-cache hot). The probe is the
+        // contains()-guarded __ddl scan with an isEmpty early exit, so
+        // data batches pay substring scans, never JSON parses. Any DDL
+        // present — or a multi-table topic, whose per-table routing
+        // filters re-read the frame T times — falls back to the
+        // persist-first path unchanged (segment boundaries need the
+        // monotonically_increasing_id frame pinned across jobs).
+        val fastPath = !multi &&
+          timed("ddl-probe")(stamped.where(col("__ddl").isNotNull).isEmpty)
+        val sequenced =
+          if (fastPath) stamped
+          else stamped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
         // Control plane: schema-change envelopes are rare, so collecting
         // just their (seq, statement, table, db) tuples is O(#DDL) driver
@@ -415,7 +430,8 @@ final class StreamingPipeline(
         // point, so an ALTER TABLE mid-batch applies exactly where the
         // log says it does (the micro-batch boundary alone is no longer
         // the only DDL barrier).
-        val allDdl = timed("cache+ddl") {
+        val allDdl = if (fastPath) Array.empty[org.apache.spark.sql.Row]
+        else timed("cache+ddl") {
           sequenced.where(col("__ddl").isNotNull)
             .select(col(Changelog.SeqCol), col("__ddl"),
               (if (multi) col(StreamingPipeline.RoutingCol)
@@ -515,7 +531,7 @@ final class StreamingPipeline(
             if (!tail.isEmpty) emit(tail)
           }
         }
-        sequenced.unpersist(false)
+        if (!fastPath) sequenced.unpersist(false)
         timed("schema-persist") { persistSchemaPlanes(checkpointLocation) }
         ()
       }
