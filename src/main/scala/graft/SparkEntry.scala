@@ -1833,6 +1833,29 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q89: product-quantization ADC retrieval with exact rerank
+    * (Similarity.trainPqCodebooks + pqTopKPrecomputed) — 4 subspaces of
+    * 16 components, 8-entry codebooks trained by TWO fixed-point Lloyd
+    * rounds (bit-reproducible under any partitioning, the q33 property
+    * per subspace), coarse candidates = smallest-40 asymmetric distances
+    * (per-query LUT lookups summed left-to-right), exact cosine top-5
+    * rerank. DuckDB folds the identical per-subspace fixed-point
+    * training, re-derives every code and LUT entry, and re-ranks the
+    * same ADC candidate cut — the APPROXIMATE selection is the ground
+    * truth, trained configuration included.
+    */
+  private def q89PqAdc(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Similarity
+    val emb = t(s, dir, "embeddings")
+    val books = Similarity.trainPqCodebooks(
+      emb, "vec_id", "embedding", m = 4, ksub = 8, iters = 2)
+    Similarity.pqTopKPrecomputed(
+      emb, "vec_id", "embedding",
+      emb.where(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, books, coarseK = 40)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1923,7 +1946,8 @@ object SparkEntry {
     "q85_curation_v2" -> (q85CurationV2 _),
     "q86_rrf_fusion" -> (q86RrfFusion _),
     "q87_zorder_layout" -> (q87ZorderLayout _),
-    "q88_multi_lsh" -> (q88MultiLsh _)
+    "q88_multi_lsh" -> (q88MultiLsh _),
+    "q89_pq_adc" -> (q89PqAdc _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3367,6 +3391,72 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY c DESC, neighbor_id ASC) AS rank FROM scored)
         |SELECT query_id, neighbor_id, rank, round(c, 9) AS cos
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q89_pq_adc" ->
+      // product quantization, fully recomputed: 4 subspaces × 8-entry
+      // codebooks, init = slices of the 8 smallest-id vectors, TWO
+      // fixed-point Lloyd rounds (floor(x*2^24+0.5) BIGINT sums — exact
+      // integer adds match Spark's trainer bit-for-bit; empty clusters
+      // keep their entry), per-vector codes = strict-< squared-L2 argmin
+      // per subspace, per-query LUT = index-order squared-L2 folds, ADC =
+      // left fold of the 4 LUT hits in subspace order, coarse top-40 by
+      // (adc, id), exact cosine top-5 rerank
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cent0 AS (
+        |  SELECT s.j, (row_number() OVER (PARTITION BY s.j ORDER BY b.vec_id) - 1)::INT AS code,
+        |    list_transform(range(1, 17), i -> b.v[s.j*16 + i]) AS cv
+        |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8) b,
+        |    range(0, 4) s(j)),
+        |a0 AS (SELECT vec_id, v, j, code FROM (
+        |  SELECT e.vec_id, e.v, c.j, c.code, row_number() OVER (PARTITION BY e.vec_id, c.j
+        |    ORDER BY list_reduce(list_transform(range(1, 17),
+        |      i -> (e.v[c.j*16 + i] - c.cv[i]) * (e.v[c.j*16 + i] - c.cv[i])),
+        |      (x, y) -> x + y) ASC, c.code ASC) AS rn
+        |  FROM e, cent0 c) WHERE rn = 1),
+        |m0 AS (SELECT j, code, list(s::DOUBLE / (n * 16777216.0) ORDER BY i) AS cv
+        |  FROM (SELECT a.j, a.code, t.i AS i,
+        |      sum(floor(a.v[a.j*16 + t.i] * 16777216.0 + 0.5)::BIGINT) AS s, count(*) AS n
+        |    FROM a0 a, range(1, 17) t(i) GROUP BY a.j, a.code, t.i) GROUP BY j, code),
+        |cent1 AS (SELECT c.j, c.code, coalesce(m.cv, c.cv) AS cv
+        |  FROM cent0 c LEFT JOIN m0 m ON m.j = c.j AND m.code = c.code),
+        |a1 AS (SELECT vec_id, v, j, code FROM (
+        |  SELECT e.vec_id, e.v, c.j, c.code, row_number() OVER (PARTITION BY e.vec_id, c.j
+        |    ORDER BY list_reduce(list_transform(range(1, 17),
+        |      i -> (e.v[c.j*16 + i] - c.cv[i]) * (e.v[c.j*16 + i] - c.cv[i])),
+        |      (x, y) -> x + y) ASC, c.code ASC) AS rn
+        |  FROM e, cent1 c) WHERE rn = 1),
+        |m1 AS (SELECT j, code, list(s::DOUBLE / (n * 16777216.0) ORDER BY i) AS cv
+        |  FROM (SELECT a.j, a.code, t.i AS i,
+        |      sum(floor(a.v[a.j*16 + t.i] * 16777216.0 + 0.5)::BIGINT) AS s, count(*) AS n
+        |    FROM a1 a, range(1, 17) t(i) GROUP BY a.j, a.code, t.i) GROUP BY j, code),
+        |cent AS (SELECT c.j, c.code, coalesce(m.cv, c.cv) AS cv
+        |  FROM cent1 c LEFT JOIN m1 m ON m.j = c.j AND m.code = c.code),
+        |codes AS (SELECT vec_id, j, code FROM (
+        |  SELECT e.vec_id, c.j, c.code, row_number() OVER (PARTITION BY e.vec_id, c.j
+        |    ORDER BY list_reduce(list_transform(range(1, 17),
+        |      i -> (e.v[c.j*16 + i] - c.cv[i]) * (e.v[c.j*16 + i] - c.cv[i])),
+        |      (x, y) -> x + y) ASC, c.code ASC) AS rn
+        |  FROM e, cent c) WHERE rn = 1),
+        |lut AS (SELECT q.vec_id AS qid, c.j, c.code,
+        |    list_reduce(list_transform(range(1, 17),
+        |      i -> (q.v[c.j*16 + i] - c.cv[i]) * (q.v[c.j*16 + i] - c.cv[i])),
+        |      (x, y) -> x + y) AS d
+        |  FROM e q, cent c WHERE q.vec_id < 10),
+        |adc AS (SELECT l.qid AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list(l.d ORDER BY l.j), (x, y) -> x + y) AS a
+        |  FROM codes c JOIN lut l ON l.j = c.j AND l.code = c.code
+        |  WHERE c.vec_id <> l.qid GROUP BY 1, 2),
+        |coarse AS (SELECT query_id, neighbor_id, a FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY a ASC, neighbor_id ASC) AS crank FROM adc) WHERE crank <= 40),
+        |scored AS (SELECT c.query_id, c.neighbor_id, c.a,
+        |    list_dot_product(qe.v, ne.v)
+        |      / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ne.v, ne.v))) AS c2
+        |  FROM coarse c JOIN e ne ON ne.vec_id = c.neighbor_id
+        |    JOIN e qe ON qe.vec_id = c.query_id),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY c2 DESC, neighbor_id ASC) AS rank FROM scored)
+        |SELECT query_id, neighbor_id, rank, round(c2, 9) AS cos, round(a, 9) AS adc
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   )
 }

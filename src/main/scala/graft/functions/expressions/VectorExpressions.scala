@@ -235,6 +235,109 @@ case class PlaneLshBucketExpr(child: Expression, planes: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** Product-quantization code assignment (Jégou, Douze, Schmid, "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011): the vector is
+  * split into `m` contiguous subvectors of `dim/m` components; subspace
+  * `j` is assigned the id of its nearest codebook entry (squared-L2,
+  * index-order accumulation, strict `<` keeps the smaller code on ties —
+  * the same tie rule as [[NearestCentroidsExpr]]). The codebooks ride in
+  * the expression (m×ksub×subdim doubles), so encoding is a pure
+  * projection — no join, no shuffle. Returns `array<int>` of m codes.
+  */
+case class PqCodesExpr(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression with SinglePassCodegen {
+
+  require(codebooks.nonEmpty && codebooks.forall(_.length == codebooks(0).length),
+    "codebooks must be non-empty with one uniform ksub across subspaces")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val isFloat = VectorExpressions.isFloatArray(child.dataType)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val m = codebooks.length
+    val sd = codebooks(0)(0).length
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val book = codebooks(j)
+      val base = j * sd
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        val lim = math.min(sd, math.max(0, v.numElements() - base))
+        var s = 0.0
+        var i = 0
+        while (i < lim) {
+          val d = VectorExpressions.elem(v, base + i, isFloat) - cent(i)
+          s += d * d; i += 1
+        }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      out(j) = best; j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqCodesExpr =
+    copy(child = newChild)
+}
+
+/** Per-query asymmetric-distance lookup table for PQ/ADC: entry
+  * `j*ksub + c` is the squared-L2 distance (index-order fold) between the
+  * query's subvector `j` and codebook entry `(j, c)`. Computed ONCE per
+  * query row — the ADC score of a (query, code-vector) pair is then just
+  * `m` array lookups + `m−1` adds, which is the entire point of PQ: the
+  * corpus-side scan touches `m` small ints per vector, never `dim`
+  * floats. Returns `array<double>` of m×ksub entries, subspace-major.
+  */
+case class PqLutExpr(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression with SinglePassCodegen {
+
+  require(codebooks.nonEmpty && codebooks.forall(_.length == codebooks(0).length),
+    "codebooks must be non-empty with one uniform ksub across subspaces")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val isFloat = VectorExpressions.isFloatArray(child.dataType)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val sd = codebooks(0)(0).length
+    val out = new Array[Double](m * ksub)
+    var j = 0
+    while (j < m) {
+      val book = codebooks(j)
+      val base = j * sd
+      var c = 0
+      while (c < ksub) {
+        val cent = book(c)
+        val lim = math.min(sd, math.max(0, v.numElements() - base))
+        var s = 0.0
+        var i = 0
+        while (i < lim) {
+          val d = VectorExpressions.elem(v, base + i, isFloat) - cent(i)
+          s += d * d; i += 1
+        }
+        out(j * ksub + c) = s; c += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqLutExpr =
+    copy(child = newChild)
+}
+
 object NativeVectorFunctions {
   /** Column API for [[CosineSimExpr]]. */
   def cosine(a: Column, b: Column): Column =
@@ -254,4 +357,12 @@ object NativeVectorFunctions {
     SparkInternals.column(NearestCentroidsExpr(
       SparkInternals.expression(vec),
       centroids.map(_._1), centroids.map(_._2), n))
+
+  /** Column API for [[PqCodesExpr]]. */
+  def pqCodes(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    SparkInternals.column(PqCodesExpr(SparkInternals.expression(vec), codebooks))
+
+  /** Column API for [[PqLutExpr]]. */
+  def pqLut(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    SparkInternals.column(PqLutExpr(SparkInternals.expression(vec), codebooks))
 }

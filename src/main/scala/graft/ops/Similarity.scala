@@ -677,6 +677,211 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 9).as("cos"))
   }
 
+  /** Deterministic product-quantization codebooks (Jégou, Douze, Schmid,
+    * "Product Quantization for Nearest Neighbor Search", TPAMI 2011): the
+    * vector space is split into `m` contiguous subspaces of dim/m
+    * components, and each subspace gets its own `ksub`-entry codebook —
+    * the memory story IVF alone cannot tell: a 64-float vector becomes m
+    * small ints (m=4: 16 bytes → 4 codes), with k_sub^m effective cells.
+    *
+    * Training mirrors [[trainIvfCentroids]] exactly — init = slices of
+    * the `ksub` smallest-id vectors, Lloyd mean updates accumulated in
+    * FIXED POINT (floor(x·2²⁴ + 0.5) Long sums, order-independent, one
+    * IEEE division per component, 2⁵³ exactness guard, empty clusters
+    * keep their entry) — so trained codebooks are bit-reproducible under
+    * any partitioning and an external engine folding the same update
+    * derives them bit-for-bit (the q89 gate). All m subspaces train in
+    * the SAME jobs: one [[PqCodesExpr]] projection assigns every
+    * subspace, one generator explodes (subspace, code, subvector) rows,
+    * one map-side-combined hash agg sums them — per round the shuffle is
+    * O(tasks × m × ksub × (dim/m + 1)), independent of corpus size, and
+    * the driver only ever holds the m×ksub×(dim/m) codebook table.
+    */
+  def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int = 3): Array[Array[Array[Double]]] = {
+    require(m >= 1 && ksub >= 1 && iters >= 0,
+      s"m, ksub >= 1 and iters >= 0: m=$m ksub=$ksub iters=$iters")
+    val init = corpus.orderBy(col(idCol)).limit(ksub)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(init.length == ksub, s"corpus has ${init.length} rows < ksub=$ksub")
+    val dim = init(0).length
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val sd = dim / m
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(j => init.map(v => v.slice(j * sd, (j + 1) * sd)))
+    if (iters > 0) {
+      val vecs = corpus.select(col(vecCol).cast("array<double>").as("__v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        for (_ <- 0 until iters) {
+          val subRows = (0 until m).map(j => struct(
+            lit(j).as("s"),
+            element_at(col("__codes"), j + 1).as("c"),
+            slice(col("__v"), j * sd + 1, sd).as("sv")))
+          val sums = (0 until sd).map(i =>
+            sum(floor(col("e.sv")(i) * LloydScale + 0.5d)).as(s"__s$i"))
+          val updated = vecs
+            .withColumn("__codes",
+              graft.functions.expressions.NativeVectorFunctions.pqCodes(col("__v"), books))
+            // explode-through-a-generator: forces ONE evaluation of the
+            // m-subspace assignment per row (NOTES: projection collapse
+            // re-evaluates per consumer otherwise)
+            .select(explode(array(subRows: _*)).as("e"))
+            .groupBy(col("e.s"), col("e.c"))
+            .agg(count(lit(1)).as("__n"), sums: _*)
+            .collect()
+            .map { r =>
+              val n = r.getLong(2)
+              (r.getInt(0), r.getInt(1)) -> Array.tabulate(sd) { i =>
+                val s = r.getLong(i + 3)
+                require(math.abs(s) < (1L << 53),
+                  s"PQ Lloyd fixed-point sum $s exceeds the 2^53 " +
+                    "double-exactness window; raise the quantization grid")
+                s.toDouble / (n.toDouble * LloydScale)
+              }
+            }.toMap
+          books = Array.tabulate(m)(j => Array.tabulate(ksub)(c =>
+            updated.getOrElse((j, c), books(j)(c))))
+        }
+      } finally { vecs.unpersist(false); () }
+    }
+    books
+  }
+
+  /** PQ code assignment as a pure projection — `array<int>` of m codes
+    * ([[PqCodesExpr]]: squared-L2 argmin per subspace, ties to the
+    * smaller code).
+    */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    graft.functions.expressions.NativeVectorFunctions.pqCodes(
+      vec.cast("array<double>"), codebooks)
+
+  /** Build the materialized PQ index: one `(id, codes array<int>)` row
+    * per vector — m×4 bytes against dim×8, the scan-traffic point of PQ.
+    * Persist THIS table; [[pqTopKPrecoded]]'s coarse stage then never
+    * touches full-precision data.
+    */
+  def materializePqCodes(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame =
+    df.select(col(idCol), pqEncode(col(vecCol), codebooks).as("codes"))
+
+  /** The ADC score of a code vector against a per-query LUT: m 1-based
+    * array lookups summed LEFT-TO-RIGHT (((d₀+d₁)+d₂)+d₃ — the fixed
+    * association an external engine reproduces with an ordered list
+    * fold), composed from codegen'd built-ins.
+    */
+  private def adcScore(lut: Column, codes: Column, m: Int, ksub: Int): Column =
+    (0 until m).map(j => element_at(lut, codes.getItem(j) + lit(j * ksub + 1)))
+      .reduce(_ + _)
+
+  /** PQ/ADC approximate top-k with exact rerank: stage 1 scores every
+    * (query, corpus) pair ASYMMETRICALLY — the query keeps full
+    * precision, the corpus vector is represented by its m codes, and the
+    * squared-L2 distance to each reconstruction is `m` lookups into the
+    * query's precomputed [[PqLutExpr]] table + `m−1` adds (never a
+    * dim-length loop) — and keeps `coarseK` candidates per query
+    * (smallest ADC distance, ties to the smaller id); stage 2 re-scores
+    * only those with exact float cosine. This is the FAISS PQ/ADC
+    * pattern: at 100 TB the coarse scan streams m ints per vector, 16×
+    * less traffic than the float column at m=4/dim=64.
+    *
+    * Determinism: LUT entries are index-order squared-L2 folds and the
+    * ADC sum is a fixed left-to-right association of m doubles, so the
+    * coarse ranking is bit-reproducible and — with fixed-point-trained
+    * codebooks — the whole APPROXIMATE selection is oracle-checkable
+    * (q89). Plan shape mirrors [[rerankTopK]]: queries broadcast with
+    * their LUTs, corpus never shuffles until the per-query windows.
+    *
+    * This overload derives codes from the float vectors per call (the
+    * convenience path). The production shape is [[materializePqCodes]]
+    * once + [[pqTopKPrecoded]] per query batch.
+    */
+  def pqTopKPrecomputed(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, codebooks: Array[Array[Array[Double]]], coarseK: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(coarseK >= k, s"coarseK ($coarseK) must cover k ($k)")
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val c = corpus.select(col(corpusId).as("__cid"), col(corpusVec).as("__cvec"))
+      .withColumn("__codes", pqEncode(col("__cvec"), codebooks))
+    val q = broadcast(queries
+      .select(col(queryId).as("__qid"), col(queryVec).as("__qvec"))
+      .withColumn("__lut", graft.functions.expressions.NativeVectorFunctions
+        .pqLut(col("__qvec").cast("array<double>"), codebooks)))
+    val coarse = c.crossJoin(q)
+      .where(if (excludeSelf) col("__cid") =!= col("__qid") else lit(true))
+      .select(col("__qid").as("query_id"), col("__cid").as("neighbor_id"),
+        col("__qvec"), col("__cvec"),
+        adcScore(col("__lut"), col("__codes"), m, ksub).as("adc"))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    coarse.withColumn("__crank", row_number().over(w1))
+      .where(col("__crank") <= coarseK)
+      .withColumn("cos", cosine(col("__qvec"), col("__cvec")))
+      .withColumn("rank", row_number().over(w2))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 9).as("cos"), round(col("adc"), 9).as("adc"))
+  }
+
+  /** [[pqTopKPrecomputed]] with training folded in — the one-call form. */
+  def pqTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, m: Int = 4, ksub: Int = 16, iters: Int = 3,
+      coarseK: Int = 64, excludeSelf: Boolean = true): DataFrame =
+    pqTopKPrecomputed(corpus, corpusId, corpusVec, queries, queryId, queryVec,
+      k, trainPqCodebooks(corpus, corpusId, corpusVec, m, ksub, iters),
+      coarseK, excludeSelf)
+
+  /** [[pqTopKPrecomputed]] over a PRE-MATERIALIZED code table: the coarse
+    * subtree scans `(id, codes)` only — no float column anywhere in it,
+    * so the 100 TB scan really is m×4 bytes per vector — and the
+    * `coarseK` survivors per query join back to full-precision vectors
+    * by id for the exact rerank (the candidate set is queries×coarseK
+    * rows, broadcast into the vector table: the corpus never shuffles).
+    */
+  def pqTopKPrecoded(
+      corpusCodes: DataFrame, codesId: String, codesCol: String,
+      corpusVecs: DataFrame, vecsId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, codebooks: Array[Array[Array[Double]]], coarseK: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(coarseK >= k, s"coarseK ($coarseK) must cover k ($k)")
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val q = broadcast(queries
+      .select(col(queryId).as("__qid"), col(queryVec).as("__qvec"))
+      .withColumn("__lut", graft.functions.expressions.NativeVectorFunctions
+        .pqLut(col("__qvec").cast("array<double>"), codebooks)))
+    val coarse = corpusCodes
+      .select(col(codesId).as("__cid"), col(codesCol).as("__codes"))
+      .crossJoin(q)
+      .where(if (excludeSelf) col("__cid") =!= col("__qid") else lit(true))
+      .select(col("__qid").as("query_id"), col("__cid").as("neighbor_id"),
+        col("__qvec"),
+        adcScore(col("__lut"), col("__codes"), m, ksub).as("adc"))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val candidates = coarse.withColumn("__crank", row_number().over(w1))
+      .where(col("__crank") <= coarseK)
+    broadcast(candidates)
+      .join(corpusVecs.select(col(vecsId).as("__vid"), col(corpusVec).as("__cvec")),
+        col("neighbor_id") === col("__vid"))
+      .withColumn("cos", cosine(col("__qvec"), col("__cvec")))
+      .withColumn("rank", row_number().over(w2))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 9).as("cos"), round(col("adc"), 9).as("adc"))
+  }
+
   /** Two-stage retrieval: an int8 coarse scan reranked by exact float
     * cosine — the SQ8 "scan small codes, rerank few floats" pattern
     * (FAISS's SQ index family): stage 1 streams the QUANTIZED corpus

@@ -123,6 +123,24 @@ object AnnRecall {
         Similarity.ivfTopKPrecomputed(
           emb, "vec_id", "embedding", queries, "vec_id", "embedding", k,
           untrained, nprobe = 4)))
+    } ++ {
+      // PQ/ADC (r15, q89 family). Its "scanned" reads differently from
+      // the bucket/list configs: the coarse ADC pass visits EVERY corpus
+      // code (m small ints per vector — compressed, not skipped), and
+      // only coarseK candidates per query reach full-precision floats —
+      // so the column reports the RERANK fraction coarseK/(n−1), the
+      // full-precision traffic, by capping k at coarseK for the counter.
+      def pqCfg(name: String, m: Int, ksub: Int, iters: Int, coarseK: Int) = {
+        val books = Similarity.trainPqCodebooks(
+          emb, "vec_id", "embedding", m, ksub, iters)
+        (name, (k: Int) => Similarity.pqTopKPrecomputed(
+          emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+          math.min(k, coarseK), books, coarseK))
+      }
+      Seq(
+        pqCfg("pq m=4 ksub=8 coarse=40 (q89)", 4, 8, 2, 40),
+        pqCfg("pq m=4 ksub=16 coarse=64 (dflt)", 4, 16, 3, 64),
+        pqCfg("pq m=8 ksub=16 coarse=64", 8, 16, 3, 64))
     }
 
     val rows = scala.collection.mutable.ArrayBuffer[(String, Int, Double)]()

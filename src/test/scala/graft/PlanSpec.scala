@@ -494,6 +494,23 @@ class PlanSpec extends SparkSpec {
       s"candidate dedup not map-side combined:\n$p")
   }
 
+  test("q89 pq/adc: queries broadcast with LUTs, coarse cut group-limited, codes projection-only") {
+    val p = plan("q89_pq_adc")
+    // the corpus streams against the broadcast query+LUT frame
+    // (bruteForceTopK's shape) — code assignment is a pure projection,
+    // never a join or an argmin window
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query set not broadcast:\n$p")
+    // both rank cuts (coarse ADC and exact rerank) engage WindowGroupLimit
+    // so map partitions carry at most coarseK/k rows per query into the
+    // window exchanges
+    assert(p.contains("WindowGroupLimit"), s"rank limits not pushed down:\n$p")
+    // exactly two Window nodes: coarse cut + rerank — an assignment or
+    // LUT window would add more
+    val windowNodes = p.linesIterator.count(_.contains("Window ["))
+    assert(windowNodes <= 2, s"extra window in pq plan:\n$p")
+  }
+
   test("q84 histogram quantiles: sketch agg partial before the shuffle, no join") {
     val p = plan("q84_hist_quantiles")
     // the (group, bucket) count combines map-side; everything after runs

@@ -1039,6 +1039,102 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("pq: exhaustive coarseK equals brute force; codes/LUT match the plain-Scala reference") {
+    val vecs = (0 until 60).map(i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 7 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = vecs.where(col("vec_id") < 3)
+    val books = Similarity.trainPqCodebooks(vecs, "vec_id", "embedding",
+      m = 2, ksub = 4, iters = 2)
+    assert(books.length === 2 && books.forall(_.length === 4) &&
+      books.forall(_.forall(_.length === 4)))
+    // coarseK covering the corpus: the exact rerank sees every candidate,
+    // so the ranking degenerates to bruteForceTopK's
+    val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 4)
+      .select("query_id", "neighbor_id", "rank", "cos").collect().map(_.toSeq).toSet
+    val full = Similarity.pqTopKPrecomputed(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 4, books, coarseK = 60)
+      .select("query_id", "neighbor_id", "rank", "cos").collect().map(_.toSeq).toSet
+    assert(full === exact)
+    // kernel-vs-reference law: codes are the strict-< argmin per subspace
+    // and LUT entries the index-order squared-L2 folds
+    val rows = vecs.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"),
+        Similarity.pqEncode(col("embedding"), books).as("codes"),
+        graft.functions.expressions.NativeVectorFunctions
+          .pqLut(col("embedding").cast("array<double>"), books).as("lut"))
+      .collect()
+    def sqL2(v: Array[Double], base: Int, cent: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < cent.length) { val d = v(base + i) - cent(i); s += d * d; i += 1 }
+      s
+    }
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1).toArray
+      val codes = r.getSeq[Int](2)
+      val lut = r.getSeq[Double](3)
+      for (j <- 0 until 2) {
+        val dists = books(j).map(c => sqL2(v, j * 4, c))
+        val ref = dists.zipWithIndex.minBy { case (d, c) => (d, c) }._2
+        assert(codes(j) === ref, s"code mismatch vec=${r.getLong(0)} sub=$j")
+        for (c <- 0 until 4)
+          assert(java.lang.Double.doubleToRawLongBits(lut(j * 4 + c)) ===
+            java.lang.Double.doubleToRawLongBits(dists(c)),
+            s"lut mismatch vec=${r.getLong(0)} sub=$j code=$c")
+      }
+    }
+  }
+
+  test("pq training: codebooks bit-identical under any partitioning") {
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Array.tabulate(16)(j => (math.sin(i * 31 + j * 7) * 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    def bits(b: Array[Array[Array[Double]]]) =
+      b.map(_.map(_.map(java.lang.Double.doubleToRawLongBits).toSeq).toSeq).toSeq
+    // the same fixed-point-Lloyd property as trainIvfCentroids, per
+    // subspace — what makes the trained q89 gate possible
+    val a = Similarity.trainPqCodebooks(
+      vecs.repartition(1), "vec_id", "embedding", m = 4, ksub = 8, iters = 3)
+    val b = Similarity.trainPqCodebooks(
+      vecs.repartition(13), "vec_id", "embedding", m = 4, ksub = 8, iters = 3)
+    val c = Similarity.trainPqCodebooks(
+      vecs.repartition(5, col("vec_id") % 5), "vec_id", "embedding",
+      m = 4, ksub = 8, iters = 3)
+    assert(bits(a) === bits(b))
+    assert(bits(a) === bits(c))
+    // and each subspace book must equal the SLICED whole-space trainer
+    // run on the subvectors alone (the subspaces are independent)
+    val sliced = Similarity.trainIvfCentroids(
+      vecs.select(col("vec_id"),
+        slice(col("embedding").cast("array<double>"), 5, 4).as("sv")),
+      "vec_id", "sv", nlist = 8, iters = 3).map(_._2)
+    assert(bits(Array(a(1))) === bits(Array(sliced)))
+  }
+
+  test("pq: precoded path is row-identical to derive-on-the-fly") {
+    val vecs = (0 until 60).map(i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 7 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = vecs.where(col("vec_id") < 3)
+    val books = Similarity.trainPqCodebooks(vecs, "vec_id", "embedding",
+      m = 2, ksub = 4, iters = 1)
+    val codes = Similarity.materializePqCodes(vecs, "vec_id", "embedding", books)
+    assert(codes.schema("codes").dataType ===
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, containsNull = false))
+    for (coarseK <- Seq(8, 60)) {
+      val derive = Similarity.pqTopKPrecomputed(vecs, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 4, books, coarseK = coarseK)
+        .collect().map(_.toSeq).toSet
+      val precoded = Similarity.pqTopKPrecoded(
+        codes, "vec_id", "codes", vecs, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 4, books, coarseK = coarseK)
+        .collect().map(_.toSeq).toSet
+      assert(precoded === derive, s"paths diverge at coarseK=$coarseK")
+    }
+  }
+
   test("sketches: approx distinct within rsd of exact") {
     val li = graft.Tables.load(spark, sf("sf0.001"), "lineitem")
     val exact = li.select(countDistinct(col("l_partkey"))).head().getLong(0)
