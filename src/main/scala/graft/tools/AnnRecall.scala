@@ -140,7 +140,12 @@ object AnnRecall {
       Seq(
         pqCfg("pq m=4 ksub=8 coarse=40 (q89)", 4, 8, 2, 40),
         pqCfg("pq m=4 ksub=16 coarse=64 (dflt)", 4, 16, 3, 64),
-        pqCfg("pq m=8 ksub=16 coarse=64", 8, 16, 3, 64))
+        pqCfg("pq m=8 ksub=16 coarse=64", 8, 16, 3, 64),
+        // fixed coarseK decays with corpus growth by construction (the
+        // rerank fraction shrinks); production sizes it with the corpus —
+        // the 2% config shows recall holds when the budget scales
+        pqCfg("pq m=8 ksub=16 coarse=2%", 8, 16, 3,
+          math.max(64, ((n - 1) / 50).toInt)))
     }
 
     val rows = scala.collection.mutable.ArrayBuffer[(String, Int, Double)]()
