@@ -247,8 +247,9 @@ case class PlaneLshBucketExpr(child: Expression, planes: Array[Array[Double]])
 case class PqCodesExpr(child: Expression, codebooks: Array[Array[Array[Double]]])
     extends UnaryExpression with SinglePassCodegen {
 
-  require(codebooks.nonEmpty && codebooks.forall(_.length == codebooks(0).length),
-    "codebooks must be non-empty with one uniform ksub across subspaces")
+  require(codebooks.nonEmpty && codebooks.forall(_.length == codebooks(0).length) &&
+      codebooks.forall(_.forall(_.length == codebooks(0)(0).length)),
+    "codebooks must be non-empty with uniform ksub and subdim across subspaces")
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -259,6 +260,11 @@ case class PqCodesExpr(child: Expression, codebooks: Array[Array[Array[Double]]]
     val v = input.asInstanceOf[ArrayData]
     val m = codebooks.length
     val sd = codebooks(0)(0).length
+    // a short vector must fail loudly: silently clamping would score the
+    // truncated subspaces as distance 0 to EVERY centroid (artificially
+    // close, wrong neighbors) instead of surfacing the dim mismatch
+    require(v.numElements() >= m * sd,
+      s"vector has ${v.numElements()} elements; PQ codebooks need ${m * sd}")
     val out = new Array[Int](m)
     var j = 0
     while (j < m) {
@@ -269,10 +275,9 @@ case class PqCodesExpr(child: Expression, codebooks: Array[Array[Array[Double]]]
       var c = 0
       while (c < book.length) {
         val cent = book(c)
-        val lim = math.min(sd, math.max(0, v.numElements() - base))
         var s = 0.0
         var i = 0
-        while (i < lim) {
+        while (i < sd) {
           val d = VectorExpressions.elem(v, base + i, isFloat) - cent(i)
           s += d * d; i += 1
         }
@@ -299,8 +304,9 @@ case class PqCodesExpr(child: Expression, codebooks: Array[Array[Array[Double]]]
 case class PqLutExpr(child: Expression, codebooks: Array[Array[Array[Double]]])
     extends UnaryExpression with SinglePassCodegen {
 
-  require(codebooks.nonEmpty && codebooks.forall(_.length == codebooks(0).length),
-    "codebooks must be non-empty with one uniform ksub across subspaces")
+  require(codebooks.nonEmpty && codebooks.forall(_.length == codebooks(0).length) &&
+      codebooks.forall(_.forall(_.length == codebooks(0)(0).length)),
+    "codebooks must be non-empty with uniform ksub and subdim across subspaces")
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -312,6 +318,10 @@ case class PqLutExpr(child: Expression, codebooks: Array[Array[Array[Double]]])
     val m = codebooks.length
     val ksub = codebooks(0).length
     val sd = codebooks(0)(0).length
+    // same loud-failure rule as PqCodesExpr: a clamped short vector would
+    // read as distance 0 in the truncated subspaces
+    require(v.numElements() >= m * sd,
+      s"vector has ${v.numElements()} elements; PQ codebooks need ${m * sd}")
     val out = new Array[Double](m * ksub)
     var j = 0
     while (j < m) {
@@ -320,10 +330,9 @@ case class PqLutExpr(child: Expression, codebooks: Array[Array[Array[Double]]])
       var c = 0
       while (c < ksub) {
         val cent = book(c)
-        val lim = math.min(sd, math.max(0, v.numElements() - base))
         var s = 0.0
         var i = 0
-        while (i < lim) {
+        while (i < sd) {
           val d = VectorExpressions.elem(v, base + i, isFloat) - cent(i)
           s += d * d; i += 1
         }

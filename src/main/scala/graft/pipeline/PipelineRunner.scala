@@ -91,6 +91,13 @@ final class PipelineRunner(
     metadataKeys = pipeline.source.options.get("metadata.list")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
   private val router = new TableIdRouter(pipeline.routes, pipeline.routeMode)
+
+  /** How many sink tables a source table's rows fan out to — each routed
+    * sink is one independent write action over the decoded frame, which
+    * is what the streaming fast path needs to know (a single consumer
+    * makes the unpersisted __seq self-consistent unconditionally).
+    */
+  def routeFanOut(tableId: TableId): Int = router.route(tableId).size
   // UPSTREAM schema per source table (what the database sends), distinct
   // from the registry's SINK plane: projected-table DDL derivation diffs
   // the projection's output under the old vs new upstream schema

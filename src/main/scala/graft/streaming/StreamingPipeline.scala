@@ -381,11 +381,16 @@ final class StreamingPipeline(
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epochId: Long) =>
         import org.apache.spark.sql.functions._
-        // Persisted before any action: the control-plane collect, the
-        // segment emptiness probes, and each emit all act on this frame,
-        // and monotonically_increasing_id is only stable if the batch is
-        // NOT recomputed between jobs (a task retry or repartition would
-        // otherwise renumber rows and tear the segment boundaries).
+        // Seq-column stability: monotonically_increasing_id is only
+        // stable if the batch is NOT recomputed between jobs (a
+        // repartitioned/nondeterministic upstream would renumber rows and
+        // tear segment boundaries or per-key ordering). Two ways to hold
+        // that: persist the frame before any action (the general path
+        // below), or arrange that exactly ONE action ever evaluates
+        // __seq — the fast path's condition (single table, single routed
+        // sink, no DDL → one decode+write job; the probe prunes __seq),
+        // under which a single evaluation is self-consistent whatever
+        // the source does.
         //
         // Routing key: on a multi-table topic the envelope's table name
         // materializes ONCE into the persisted frame (`__tbl`), so the
@@ -406,17 +411,20 @@ final class StreamingPipeline(
         // (a real deployment sizes it via topic partitions).
         //
         // Steady-state fast path (measured r15): on a single-table
-        // stream, a DDL-free batch — the overwhelmingly common case —
-        // never cuts segments and feeds exactly one decode pass, so the
-        // cached copy buys nothing: skip the persist and let decode
-        // re-read the source (page-cache hot). The probe is the
-        // contains()-guarded __ddl scan with an isEmpty early exit, so
-        // data batches pay substring scans, never JSON parses. Any DDL
-        // present — or a multi-table topic, whose per-table routing
-        // filters re-read the frame T times — falls back to the
-        // persist-first path unchanged (segment boundaries need the
-        // monotonically_increasing_id frame pinned across jobs).
-        val fastPath = !multi &&
+        // stream routed to ONE sink, a DDL-free batch — the
+        // overwhelmingly common case — never cuts segments and feeds
+        // exactly one decode+write job, so the cached copy buys nothing:
+        // skip the persist and let decode re-read the source (page-cache
+        // hot). With one consuming action the unpersisted __seq is
+        // self-consistent unconditionally (comment above). The probe is
+        // the contains()-guarded __ddl scan with an isEmpty early exit,
+        // so data batches pay substring scans, never JSON parses. Any
+        // DDL present, a multi-table topic (T routing filters re-read
+        // the frame), or a >1-sink route fan-out (independent write
+        // actions would each re-evaluate __seq) falls back to the
+        // persist-first path unchanged.
+        val fastPath = !multi && tables.size == 1 &&
+          runner.routeFanOut(tables.head._1) == 1 &&
           timed("ddl-probe")(stamped.where(col("__ddl").isNotNull).isEmpty)
         val sequenced =
           if (fastPath) stamped

@@ -130,21 +130,28 @@ object AnnRecall {
       // only coarseK candidates per query reach full-precision floats —
       // so the column reports the RERANK fraction coarseK/(n−1), the
       // full-precision traffic, by capping k at coarseK for the counter.
-      def pqCfg(name: String, m: Int, ksub: Int, iters: Int, coarseK: Int) = {
-        val books = Similarity.trainPqCodebooks(
-          emb, "vec_id", "embedding", m, ksub, iters)
+      def pqCfg(name: String, books: Array[Array[Array[Double]]], coarseK: Int) =
         (name, (k: Int) => Similarity.pqTopKPrecomputed(
           emb, "vec_id", "embedding", queries, "vec_id", "embedding",
           math.min(k, coarseK), books, coarseK))
-      }
+      // one training per distinct (m, ksub, iters) — same rationale as
+      // the shared IVF centroid tables above (deterministic training,
+      // re-deriving byte-identical books is pure waste; coarseK is a
+      // query-time parameter, not a training one)
+      val books489 = Similarity.trainPqCodebooks(
+        emb, "vec_id", "embedding", m = 4, ksub = 8, iters = 2)
+      val books4163 = Similarity.trainPqCodebooks(
+        emb, "vec_id", "embedding", m = 4, ksub = 16, iters = 3)
+      val books8163 = Similarity.trainPqCodebooks(
+        emb, "vec_id", "embedding", m = 8, ksub = 16, iters = 3)
       Seq(
-        pqCfg("pq m=4 ksub=8 coarse=40 (q89)", 4, 8, 2, 40),
-        pqCfg("pq m=4 ksub=16 coarse=64 (dflt)", 4, 16, 3, 64),
-        pqCfg("pq m=8 ksub=16 coarse=64", 8, 16, 3, 64),
+        pqCfg("pq m=4 ksub=8 coarse=40 (q89)", books489, 40),
+        pqCfg("pq m=4 ksub=16 coarse=64 (dflt)", books4163, 64),
+        pqCfg("pq m=8 ksub=16 coarse=64", books8163, 64),
         // fixed coarseK decays with corpus growth by construction (the
         // rerank fraction shrinks); production sizes it with the corpus —
         // the 2% config shows recall holds when the budget scales
-        pqCfg("pq m=8 ksub=16 coarse=2%", 8, 16, 3,
+        pqCfg("pq m=8 ksub=16 coarse=2%", books8163,
           math.max(64, ((n - 1) / 50).toInt)))
     }
 
