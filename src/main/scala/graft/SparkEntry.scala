@@ -1856,6 +1856,27 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q90: IVF-PQ (FAISS IVFADC) — coarse IVF quantizer (8 lists, one
+    * fixed-point Lloyd round) + product quantization of the RESIDUALS
+    * (4 subspaces × 8 entries, one round, trained on v − c_list),
+    * nprobe=2 probe, per-(query, list) residual LUTs, coarse-32 ADC cut,
+    * exact cosine top-5 rerank. Every stage is deterministic (fixed-point
+    * training, componentwise IEEE residuals, index-order LUT folds, fixed
+    * ADC association), so DuckDB re-derives the ENTIRE trained index —
+    * both quantizers — and the composed approximate selection is the
+    * ground truth.
+    */
+  private def q90IvfPq(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Similarity
+    val emb = t(s, dir, "embeddings")
+    val (cents, books) = Similarity.trainIvfPq(emb, "vec_id", "embedding",
+      nlist = 8, itersIvf = 1, m = 4, ksub = 8, itersPq = 1)
+    Similarity.ivfPqTopKPrecomputed(emb, "vec_id", "embedding",
+      emb.where(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, cents, books, nprobe = 2, coarseK = 32)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1947,7 +1968,8 @@ object SparkEntry {
     "q86_rrf_fusion" -> (q86RrfFusion _),
     "q87_zorder_layout" -> (q87ZorderLayout _),
     "q88_multi_lsh" -> (q88MultiLsh _),
-    "q89_pq_adc" -> (q89PqAdc _)
+    "q89_pq_adc" -> (q89PqAdc _),
+    "q90_ivf_pq" -> (q90IvfPq _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3449,6 +3471,90 @@ object SparkEntry {
         |coarse AS (SELECT query_id, neighbor_id, a FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY a ASC, neighbor_id ASC) AS crank FROM adc) WHERE crank <= 40),
+        |scored AS (SELECT c.query_id, c.neighbor_id, c.a,
+        |    list_dot_product(qe.v, ne.v)
+        |      / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ne.v, ne.v))) AS c2
+        |  FROM coarse c JOIN e ne ON ne.vec_id = c.neighbor_id
+        |    JOIN e qe ON qe.vec_id = c.query_id),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY c2 DESC, neighbor_id ASC) AS rank FROM scored)
+        |SELECT query_id, neighbor_id, rank, round(c2, 9) AS cos, round(a, 9) AS adc
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q90_ivf_pq" ->
+      // IVF-PQ fully recomputed: coarse quantizer = 8 centroids (init =
+      // smallest ids, ONE fixed-point round), residuals v − c_list,
+      // residual PQ = 4×8 codebooks (init = residuals of the smallest
+      // ids, ONE fixed-point round), nprobe=2 probe sets, per-(query,
+      // list) residual LUTs, ADC = ordered-list left fold, coarse top-32
+      // by (adc, id), exact cosine top-5 rerank
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |icent0 AS (
+        |  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid, v AS cv
+        |  FROM e ORDER BY vec_id LIMIT 8),
+        |ia0 AS (SELECT vec_id, v, cid FROM (
+        |  SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_reduce(list_transform(range(1, 65),
+        |      i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])),
+        |      (x, y) -> x + y) ASC, c.cid ASC) AS rn
+        |  FROM e, icent0 c) WHERE rn = 1),
+        |im0 AS (SELECT cid, list(s::DOUBLE / (n * 16777216.0) ORDER BY i) AS cv
+        |  FROM (SELECT a.cid, t.i AS i,
+        |      sum(floor(a.v[t.i] * 16777216.0 + 0.5)::BIGINT) AS s, count(*) AS n
+        |    FROM ia0 a, range(1, 65) t(i) GROUP BY a.cid, t.i) GROUP BY cid),
+        |icent AS (SELECT c.cid, coalesce(m.cv, c.cv) AS cv
+        |  FROM icent0 c LEFT JOIN im0 m USING (cid)),
+        |idist AS (SELECT e.vec_id, c.cid,
+        |    list_reduce(list_transform(range(1, 65),
+        |      i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])),
+        |      (x, y) -> x + y) AS d2
+        |  FROM e, icent c),
+        |irk AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY d2 ASC, cid ASC) AS rn FROM idist),
+        |assign AS (SELECT vec_id, cid FROM irk WHERE rn = 1),
+        |resid AS (SELECT e.vec_id, a.cid,
+        |    list_transform(range(1, 65), i -> e.v[i] - c.cv[i]) AS r
+        |  FROM e JOIN assign a USING (vec_id) JOIN icent c ON c.cid = a.cid),
+        |pcent0 AS (SELECT s.j,
+        |    (row_number() OVER (PARTITION BY s.j ORDER BY b.vec_id) - 1)::INT AS code,
+        |    list_transform(range(1, 17), i -> b.r[s.j*16 + i]) AS cv
+        |  FROM (SELECT vec_id, r FROM resid ORDER BY vec_id LIMIT 8) b,
+        |    range(0, 4) s(j)),
+        |pa0 AS (SELECT vec_id, r, j, code FROM (
+        |  SELECT rr.vec_id, rr.r, c.j, c.code, row_number() OVER (PARTITION BY rr.vec_id, c.j
+        |    ORDER BY list_reduce(list_transform(range(1, 17),
+        |      i -> (rr.r[c.j*16 + i] - c.cv[i]) * (rr.r[c.j*16 + i] - c.cv[i])),
+        |      (x, y) -> x + y) ASC, c.code ASC) AS rn
+        |  FROM resid rr, pcent0 c) WHERE rn = 1),
+        |pm0 AS (SELECT j, code, list(s::DOUBLE / (n * 16777216.0) ORDER BY i) AS cv
+        |  FROM (SELECT a.j, a.code, t.i AS i,
+        |      sum(floor(a.r[a.j*16 + t.i] * 16777216.0 + 0.5)::BIGINT) AS s, count(*) AS n
+        |    FROM pa0 a, range(1, 17) t(i) GROUP BY a.j, a.code, t.i) GROUP BY j, code),
+        |pcent AS (SELECT c.j, c.code, coalesce(m.cv, c.cv) AS cv
+        |  FROM pcent0 c LEFT JOIN pm0 m ON m.j = c.j AND m.code = c.code),
+        |codes AS (SELECT vec_id, j, code FROM (
+        |  SELECT rr.vec_id, c.j, c.code, row_number() OVER (PARTITION BY rr.vec_id, c.j
+        |    ORDER BY list_reduce(list_transform(range(1, 17),
+        |      i -> (rr.r[c.j*16 + i] - c.cv[i]) * (rr.r[c.j*16 + i] - c.cv[i])),
+        |      (x, y) -> x + y) ASC, c.code ASC) AS rn
+        |  FROM resid rr, pcent c) WHERE rn = 1),
+        |probe AS (SELECT vec_id AS qid, cid FROM irk WHERE rn <= 2 AND vec_id < 10),
+        |qresid AS (SELECT p.qid, p.cid,
+        |    list_transform(range(1, 65), i -> qe.v[i] - c.cv[i]) AS qr
+        |  FROM probe p JOIN e qe ON qe.vec_id = p.qid
+        |    JOIN icent c ON c.cid = p.cid),
+        |lut AS (SELECT q.qid, q.cid, c.j, c.code,
+        |    list_reduce(list_transform(range(1, 17),
+        |      i -> (q.qr[c.j*16 + i] - c.cv[i]) * (q.qr[c.j*16 + i] - c.cv[i])),
+        |      (x, y) -> x + y) AS d
+        |  FROM qresid q, pcent c),
+        |adc AS (SELECT l.qid AS query_id, cd.vec_id AS neighbor_id,
+        |    list_reduce(list(l.d ORDER BY l.j), (x, y) -> x + y) AS a
+        |  FROM codes cd JOIN assign asn ON asn.vec_id = cd.vec_id
+        |    JOIN lut l ON l.cid = asn.cid AND l.j = cd.j AND l.code = cd.code
+        |  WHERE cd.vec_id <> l.qid GROUP BY 1, 2),
+        |coarse AS (SELECT query_id, neighbor_id, a FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY a ASC, neighbor_id ASC) AS crank FROM adc) WHERE crank <= 32),
         |scored AS (SELECT c.query_id, c.neighbor_id, c.a,
         |    list_dot_product(qe.v, ne.v)
         |      / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ne.v, ne.v))) AS c2

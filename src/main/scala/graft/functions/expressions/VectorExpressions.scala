@@ -347,6 +347,59 @@ case class PqLutExpr(child: Expression, codebooks: Array[Array[Array[Double]]])
     copy(child = newChild)
 }
 
+/** Residual of a vector against its assigned centroid — `v − c_list`,
+  * componentwise IEEE subtraction (array<double>). The centroid table
+  * rides in the expression, so IVF-PQ residual encoding stays a pure
+  * projection: `PqCodesExpr(ResidualExpr(vec, list))` composes into one
+  * codegen'd pipeline with no join. `list` ids index the table by
+  * position of the cid (the [[NearestCentroidsExpr]] output).
+  */
+case class ResidualExpr(left: Expression, right: Expression,
+    cids: Array[Int], centroids: Array[Array[Double]])
+    extends BinaryExpression {
+
+  require(cids.length == centroids.length && centroids.nonEmpty)
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  @transient private lazy val isFloat = VectorExpressions.isFloatArray(left.dataType)
+  @transient private lazy val byCid: Map[Int, Array[Double]] =
+    cids.zip(centroids).toMap
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val cid = b.asInstanceOf[Int]
+    val cent = byCid.getOrElse(cid,
+      throw new IllegalArgumentException(s"unknown centroid id $cid"))
+    require(v.numElements() >= cent.length,
+      s"vector has ${v.numElements()} elements; centroid has ${cent.length}")
+    val out = new Array[Double](cent.length)
+    var i = 0
+    while (i < cent.length) {
+      out(i) = VectorExpressions.elem(v, i, isFloat) - cent(i)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Public bridge for generated code. */
+  def compute(a: Any, b: Any): Any = nullSafeEval(a, b)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftExpr", this, classOf[ResidualExpr].getName)
+    // explicit boxing: janino's autoboxing of a primitive int argument
+    // into an Object parameter is not guaranteed across versions
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"$ref.compute($a, java.lang.Integer.valueOf($b));")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ResidualExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object NativeVectorFunctions {
   /** Column API for [[CosineSimExpr]]. */
   def cosine(a: Column, b: Column): Column =
@@ -370,6 +423,13 @@ object NativeVectorFunctions {
   /** Column API for [[PqCodesExpr]]. */
   def pqCodes(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
     SparkInternals.column(PqCodesExpr(SparkInternals.expression(vec), codebooks))
+
+  /** Column API for [[ResidualExpr]]. */
+  def residual(vec: Column, list: Column,
+      centroids: Array[(Int, Array[Double])]): Column =
+    SparkInternals.column(ResidualExpr(
+      SparkInternals.expression(vec), SparkInternals.expression(list.cast("int")),
+      centroids.map(_._1), centroids.map(_._2)))
 
   /** Column API for [[PqLutExpr]]. */
   def pqLut(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =

@@ -882,6 +882,95 @@ object Similarity {
         round(col("cos"), 9).as("cos"), round(col("adc"), 9).as("adc"))
   }
 
+  /** IVF-PQ index (the FAISS IVFADC workhorse, Jégou et al. 2011 §IV):
+    * a coarse IVF quantizer partitions the corpus into inverted lists,
+    * and each vector's RESIDUAL against its list centroid is
+    * product-quantized — residuals are much smaller than raw vectors, so
+    * the same codebook budget quantizes them far more precisely, which
+    * is why the composition beats either index alone. Both trainers are
+    * the fixed-point Lloyd, so the whole index is bit-reproducible under
+    * any partitioning (and externally derivable — the q90 gate).
+    * Returns (centroids, residual codebooks).
+    */
+  def trainIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, itersIvf: Int, m: Int, ksub: Int, itersPq: Int)
+      : (Array[(Int, Array[Double])], Array[Array[Array[Double]]]) = {
+    val cents = trainIvfCentroids(corpus, idCol, vecCol, nlist, itersIvf)
+    val vec = col(vecCol).cast("array<double>")
+    val resid = corpus.select(col(idCol).as("__id"),
+      graft.functions.expressions.NativeVectorFunctions
+        .residual(vec, nearestCentroid(vec, cents), cents).as("__r"))
+    (cents, trainPqCodebooks(resid, "__id", "__r", m, ksub, itersPq))
+  }
+
+  /** IVF-PQ approximate top-k: each query probes its `nprobe` nearest
+    * lists; within a probed list, candidates are scored by ADC over the
+    * RESIDUAL codes against a per-(query, list) LUT (the query's residual
+    * against THAT list's centroid — computed once per probe pair on the
+    * broadcast side, never per candidate); `coarseK` smallest ADC
+    * distances per query are reranked by exact cosine. The corpus scan
+    * touches (list, codes) — 4+m×4 bytes per vector — and never shuffles:
+    * the probe join broadcasts queries×nprobe rows.
+    *
+    * Determinism: both quantizers are fixed-point-trained; residuals are
+    * componentwise IEEE subtractions; LUT folds and the ADC association
+    * are fixed — the TRAINED approximate selection is oracle-checkable
+    * end-to-end (q90).
+    */
+  def ivfPqTopKPrecomputed(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, centroids: Array[(Int, Array[Double])],
+      codebooks: Array[Array[Array[Double]]], nprobe: Int, coarseK: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(coarseK >= k, s"coarseK ($coarseK) must cover k ($k)")
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    import graft.functions.expressions.{NativeVectorFunctions => NV}
+    val cv = col("__cvec").cast("array<double>")
+    val c = corpus.select(col(corpusId).as("__cid"), col(corpusVec).as("__cvec"))
+      .withColumn("__list", nearestCentroid(cv, centroids))
+      .withColumn("__codes",
+        NV.pqCodes(NV.residual(cv, col("__list"), centroids), codebooks))
+    val qv = col("__qvec").cast("array<double>")
+    val q = broadcast(queries
+      .select(col(queryId).as("__qid"), col(queryVec).as("__qvec"))
+      .withColumn("__list", explode(nearestCentroids(qv, centroids, nprobe)))
+      .withColumn("__lut",
+        NV.pqLut(NV.residual(qv, col("__list"), centroids), codebooks)))
+    val coarse = c.join(q, "__list")
+      .where(if (excludeSelf) col("__cid") =!= col("__qid") else lit(true))
+      .select(col("__qid").as("query_id"), col("__cid").as("neighbor_id"),
+        col("__qvec"), col("__cvec"),
+        adcScore(col("__lut"), col("__codes"), m, ksub).as("adc"))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    coarse.withColumn("__crank", row_number().over(w1))
+      .where(col("__crank") <= coarseK)
+      .withColumn("cos", cosine(col("__qvec"), col("__cvec")))
+      .withColumn("rank", row_number().over(w2))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 9).as("cos"), round(col("adc"), 9).as("adc"))
+  }
+
+  /** [[ivfPqTopKPrecomputed]] with training folded in — the one-call
+    * form.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4, m: Int = 4, ksub: Int = 16,
+      itersIvf: Int = 3, itersPq: Int = 3, coarseK: Int = 64,
+      excludeSelf: Boolean = true): DataFrame = {
+    val (cents, books) = trainIvfPq(corpus, corpusId, corpusVec,
+      nlist, itersIvf, m, ksub, itersPq)
+    ivfPqTopKPrecomputed(corpus, corpusId, corpusVec,
+      queries, queryId, queryVec, k, cents, books, nprobe, coarseK, excludeSelf)
+  }
+
   /** Two-stage retrieval: an int8 coarse scan reranked by exact float
     * cosine — the SQ8 "scan small codes, rerank few floats" pattern
     * (FAISS's SQ index family): stage 1 streams the QUANTIZED corpus

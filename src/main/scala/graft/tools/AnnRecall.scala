@@ -153,6 +153,24 @@ object AnnRecall {
         // the 2% config shows recall holds when the budget scales
         pqCfg("pq m=8 ksub=16 coarse=2%", books8163,
           math.max(64, ((n - 1) / 50).toInt)))
+    } ++ {
+      // IVF-PQ (r15, q90): coarse lists bound the ADC scan to the probed
+      // fraction AND residual codes quantize tighter than raw-vector
+      // codes at the same budget; scanned = rerank traffic, as for PQ
+      def ivfPqCfg(name: String, cents: Array[(Int, Array[Double])],
+          books: Array[Array[Array[Double]]], nprobe: Int, coarseK: Int) =
+        (name, (k: Int) => Similarity.ivfPqTopKPrecomputed(
+          emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+          math.min(k, coarseK), cents, books, nprobe, coarseK))
+      val (c90, b90) = Similarity.trainIvfPq(emb, "vec_id", "embedding",
+        nlist = 8, itersIvf = 1, m = 4, ksub = 8, itersPq = 1)
+      val (cBig, bBig) = Similarity.trainIvfPq(emb, "vec_id", "embedding",
+        nlist = 16, itersIvf = 3, m = 8, ksub = 16, itersPq = 3)
+      Seq(
+        ivfPqCfg("ivfpq 8x(4,8) np=2 coarse=32 (q90)", c90, b90, 2, 32),
+        ivfPqCfg("ivfpq 16x(8,16) np=4 coarse=64", cBig, bBig, 4, 64),
+        ivfPqCfg("ivfpq 16x(8,16) np=4 coarse=2%", cBig, bBig, 4,
+          math.max(64, ((n - 1) / 50).toInt)))
     }
 
     val rows = scala.collection.mutable.ArrayBuffer[(String, Int, Double)]()

@@ -511,6 +511,18 @@ class PlanSpec extends SparkSpec {
     assert(windowNodes <= 2, s"extra window in pq plan:\n$p")
   }
 
+  test("q90 ivf-pq: equi-joined broadcast probe, no all-pairs, group-limited cuts") {
+    val p = plan("q90_ivf_pq")
+    // the probe join is an EQUI-join on __list against the broadcast
+    // query×probe frame — better than the ADC-only crossJoin shape
+    assert(p.contains("BroadcastHashJoin"), s"probe join not broadcast-hash:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in ivf-pq plan:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"rank limits not pushed down:\n$p")
+    val windowNodes = p.linesIterator.count(_.contains("Window ["))
+    assert(windowNodes <= 2, s"extra window in ivf-pq plan:\n$p")
+  }
+
   test("q84 histogram quantiles: sketch agg partial before the shuffle, no join") {
     val p = plan("q84_hist_quantiles")
     // the (group, bucket) count combines map-side; everything after runs

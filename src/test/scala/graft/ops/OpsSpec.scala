@@ -1135,6 +1135,54 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("ivfpq: exhaustive config equals brute force; index partition-invariant; residual kernel exact") {
+    val vecs = (0 until 60).map(i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 7 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = vecs.where(col("vec_id") < 3)
+    val (cents, books) = Similarity.trainIvfPq(vecs, "vec_id", "embedding",
+      nlist = 4, itersIvf = 2, m = 2, ksub = 4, itersPq = 2)
+    // probing every list with an exhaustive rerank budget degenerates to
+    // the exact ranking (the q58 identity, composed)
+    val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 4)
+      .select("query_id", "neighbor_id", "rank", "cos").collect().map(_.toSeq).toSet
+    val full = Similarity.ivfPqTopKPrecomputed(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 4, cents, books,
+      nprobe = 4, coarseK = 60)
+      .select("query_id", "neighbor_id", "rank", "cos").collect().map(_.toSeq).toSet
+    assert(full === exact)
+    // BOTH trained quantizers bit-identical under repartitioning
+    def cbits(c: Array[(Int, Array[Double])]) =
+      c.map { case (cid, v) =>
+        (cid, v.map(java.lang.Double.doubleToRawLongBits).toSeq) }.toSeq
+    def bbits(b: Array[Array[Array[Double]]]) =
+      b.map(_.map(_.map(java.lang.Double.doubleToRawLongBits).toSeq).toSeq).toSeq
+    val (c2, b2) = Similarity.trainIvfPq(vecs.repartition(7),
+      "vec_id", "embedding", nlist = 4, itersIvf = 2, m = 2, ksub = 4, itersPq = 2)
+    assert(cbits(cents) === cbits(c2))
+    assert(bbits(books) === bbits(b2))
+    // residual kernel vs plain-Scala reference, bit-for-bit
+    val rows = vecs.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"),
+        graft.functions.expressions.NativeVectorFunctions.residual(
+          col("embedding").cast("array<double>"),
+          Similarity.nearestCentroid(col("embedding").cast("array<double>"), cents),
+          cents).as("r"),
+        Similarity.nearestCentroid(
+          col("embedding").cast("array<double>"), cents).as("list"))
+      .collect()
+    rows.foreach { row =>
+      val v = row.getSeq[Double](1)
+      val r = row.getSeq[Double](2)
+      val cent = cents.find(_._1 == row.getInt(3)).get._2
+      for (i <- cent.indices)
+        assert(java.lang.Double.doubleToRawLongBits(r(i)) ===
+          java.lang.Double.doubleToRawLongBits(v(i) - cent(i)),
+          s"residual mismatch vec=${row.getLong(0)} i=$i")
+    }
+  }
+
   test("sketches: approx distinct within rsd of exact") {
     val li = graft.Tables.load(spark, sf("sf0.001"), "lineitem")
     val exact = li.select(countDistinct(col("l_partkey"))).head().getLong(0)
