@@ -775,6 +775,26 @@ object Similarity {
     (0 until m).map(j => element_at(lut, codes.getItem(j) + lit(j * ksub + 1)))
       .reduce(_ + _)
 
+  /** Shared ADC tail for the vector-carrying paths (pq + ivf-pq): coarse
+    * cut by (adc ASC, id ASC) with WindowGroupLimit, exact cosine rerank
+    * of the survivors. `coarse` must carry (query_id, neighbor_id,
+    * __qvec, __cvec, adc). One definition so a tie-break or rounding
+    * change can never diverge the q89 and q90 result shapes.
+    */
+  private def adcRerankCarried(coarse: DataFrame, k: Int, coarseK: Int): DataFrame = {
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    coarse.withColumn("__crank", row_number().over(w1))
+      .where(col("__crank") <= coarseK)
+      .withColumn("cos", cosine(col("__qvec"), col("__cvec")))
+      .withColumn("rank", row_number().over(w2))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 9).as("cos"), round(col("adc"), 9).as("adc"))
+  }
+
   /** PQ/ADC approximate top-k with exact rerank: stage 1 scores every
     * (query, corpus) pair ASYMMETRICALLY — the query keeps full
     * precision, the corpus vector is represented by its m codes, and the
@@ -816,17 +836,7 @@ object Similarity {
       .select(col("__qid").as("query_id"), col("__cid").as("neighbor_id"),
         col("__qvec"), col("__cvec"),
         adcScore(col("__lut"), col("__codes"), m, ksub).as("adc"))
-    val w1 = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").asc, col("neighbor_id").asc)
-    val w2 = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    coarse.withColumn("__crank", row_number().over(w1))
-      .where(col("__crank") <= coarseK)
-      .withColumn("cos", cosine(col("__qvec"), col("__cvec")))
-      .withColumn("rank", row_number().over(w2))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("cos"), 9).as("cos"), round(col("adc"), 9).as("adc"))
+    adcRerankCarried(coarse, k, coarseK)
   }
 
   /** [[pqTopKPrecomputed]] with training folded in — the one-call form. */
@@ -896,11 +906,22 @@ object Similarity {
       nlist: Int, itersIvf: Int, m: Int, ksub: Int, itersPq: Int)
       : (Array[(Int, Array[Double])], Array[Array[Array[Double]]]) = {
     val cents = trainIvfCentroids(corpus, idCol, vecCol, nlist, itersIvf)
+    (cents, trainResidualPqCodebooks(corpus, idCol, vecCol, cents, m, ksub, itersPq))
+  }
+
+  /** The residual-PQ half of [[trainIvfPq]] over an already-trained
+    * centroid table — for callers probing several PQ geometries of one
+    * coarse quantizer (AnnRecall), where re-training the deterministic
+    * centroids would be pure waste.
+    */
+  def trainResidualPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[(Int, Array[Double])],
+      m: Int, ksub: Int, itersPq: Int): Array[Array[Array[Double]]] = {
     val vec = col(vecCol).cast("array<double>")
     val resid = corpus.select(col(idCol).as("__id"),
       graft.functions.expressions.NativeVectorFunctions
-        .residual(vec, nearestCentroid(vec, cents), cents).as("__r"))
-    (cents, trainPqCodebooks(resid, "__id", "__r", m, ksub, itersPq))
+        .residual(vec, nearestCentroid(vec, centroids), centroids).as("__r"))
+    trainPqCodebooks(resid, "__id", "__r", m, ksub, itersPq)
   }
 
   /** IVF-PQ approximate top-k: each query probes its `nprobe` nearest
@@ -908,9 +929,14 @@ object Similarity {
     * RESIDUAL codes against a per-(query, list) LUT (the query's residual
     * against THAT list's centroid — computed once per probe pair on the
     * broadcast side, never per candidate); `coarseK` smallest ADC
-    * distances per query are reranked by exact cosine. The corpus scan
-    * touches (list, codes) — 4+m×4 bytes per vector — and never shuffles:
-    * the probe join broadcasts queries×nprobe rows.
+    * distances per query are reranked by exact cosine. The probe join
+    * broadcasts queries×nprobe rows — the corpus never shuffles before
+    * the per-query windows. NOTE this convenience path derives codes
+    * from (and carries) the float vectors, so its coarse stage still
+    * reads and ships full-precision data; the codes-only scan that
+    * delivers the 4+m×4-bytes-per-vector property at 100 TB is the
+    * [[pqTopKPrecoded]] pattern (materialize `(id, list, codes)`,
+    * join candidates back by id), applicable here identically.
     *
     * Determinism: both quantizers are fixed-point-trained; residuals are
     * componentwise IEEE subtractions; LUT folds and the ADC association
@@ -943,17 +969,7 @@ object Similarity {
       .select(col("__qid").as("query_id"), col("__cid").as("neighbor_id"),
         col("__qvec"), col("__cvec"),
         adcScore(col("__lut"), col("__codes"), m, ksub).as("adc"))
-    val w1 = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").asc, col("neighbor_id").asc)
-    val w2 = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    coarse.withColumn("__crank", row_number().over(w1))
-      .where(col("__crank") <= coarseK)
-      .withColumn("cos", cosine(col("__qvec"), col("__cvec")))
-      .withColumn("rank", row_number().over(w2))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("cos"), 9).as("cos"), round(col("adc"), 9).as("adc"))
+    adcRerankCarried(coarse, k, coarseK)
   }
 
   /** [[ivfPqTopKPrecomputed]] with training folded in — the one-call

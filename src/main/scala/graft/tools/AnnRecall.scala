@@ -72,6 +72,13 @@ object AnnRecall {
     val q25Planes = Similarity.md5Planes("q25", numPlanes = 4, dim = dim)
     def q88Tables(l: Int) =
       Similarity.md5PlaneTables("q88", numTables = l, numPlanes = 8, dim = dim)
+    // shared trained tables: fixed-point training is deterministic, so
+    // every config family reuses one table per distinct geometry (the
+    // ivfpq nlist=16/iters=3 coarse quantizer IS the ivf one)
+    val trained = Similarity.trainIvfCentroids(
+      emb, "vec_id", "embedding", nlist = 16, iters = 3)
+    val untrained = Similarity.trainIvfCentroids(
+      emb, "vec_id", "embedding", nlist = 16, iters = 0)
     // name -> k-parameterized config; k = Int.MaxValue turns the same
     // plan into the candidate counter for the scanned column
     val configs: Seq[(String, Int => DataFrame)] = Seq(
@@ -106,13 +113,6 @@ object AnnRecall {
         emb, "vec_id", "embedding", queries, "vec_id", "embedding", k,
         tables = q88Tables(16), probeHamming = 1))
     ) ++ {
-      // train each centroid table ONCE: fixed-point Lloyd is
-      // deterministic, so per-config re-training would recompute
-      // byte-identical centroids (3 corpus passes each) 16+ times
-      val trained = Similarity.trainIvfCentroids(
-        emb, "vec_id", "embedding", nlist = 16, iters = 3)
-      val untrained = Similarity.trainIvfCentroids(
-        emb, "vec_id", "embedding", nlist = 16, iters = 0)
       Seq(1, 2, 4, 8, 16).map { np =>
         // nprobe=4 is the q33 gated config since r15 (trained iters=3)
         (s"ivf nlist=16 nprobe=$np (trained${if (np == 4) ", q33" else ""})",
@@ -164,8 +164,10 @@ object AnnRecall {
           math.min(k, coarseK), cents, books, nprobe, coarseK))
       val (c90, b90) = Similarity.trainIvfPq(emb, "vec_id", "embedding",
         nlist = 8, itersIvf = 1, m = 4, ksub = 8, itersPq = 1)
-      val (cBig, bBig) = Similarity.trainIvfPq(emb, "vec_id", "embedding",
-        nlist = 16, itersIvf = 3, m = 8, ksub = 16, itersPq = 3)
+      // the big coarse quantizer IS the shared `trained` table — only
+      // the residual books need training
+      val (cBig, bBig) = (trained, Similarity.trainResidualPqCodebooks(
+        emb, "vec_id", "embedding", trained, m = 8, ksub = 16, itersPq = 3))
       Seq(
         ivfPqCfg("ivfpq 8x(4,8) np=2 coarse=32 (q90)", c90, b90, 2, 32),
         ivfPqCfg("ivfpq 16x(8,16) np=4 coarse=64", cBig, bBig, 4, 64),

@@ -6,6 +6,14 @@ import org.apache.spark.sql.functions._
 class OpsSpec extends SparkSpec {
   import spark.implicits._
 
+  // bit-level snapshots of trained tables, shared by the ivf/pq/ivfpq
+  // partition-invariance pins (raw IEEE bits — a 1-ulp drift must fail)
+  private def centroidBits(c: Array[(Int, Array[Double])]) =
+    c.map { case (cid, v) =>
+      (cid, v.map(java.lang.Double.doubleToRawLongBits).toSeq) }.toSeq
+  private def bookBits(b: Array[Array[Array[Double]]]) =
+    b.map(_.map(_.map(java.lang.Double.doubleToRawLongBits).toSeq).toSeq).toSeq
+
   test("text analysis: token counts, ratios, quality") {
     val df = Seq(
       (1L, "The quick brown fox jumps over the lazy dog."),
@@ -971,9 +979,6 @@ class OpsSpec extends SparkSpec {
     val vecs = (0 until 200).map(i =>
       (i.toLong, Array.tabulate(16)(j => (math.sin(i * 31 + j * 7) * 3).toFloat)))
       .toDF("vec_id", "embedding")
-    def bits(c: Array[(Int, Array[Double])]) =
-      c.map { case (cid, v) =>
-        (cid, v.map(java.lang.Double.doubleToRawLongBits).toSeq) }.toSeq
     // long sums are exact integers whatever order partials combine in, so
     // 1, 13, and keyed-5 partitions must produce the SAME doubles to the
     // last bit — the property that makes the trained q33 gate possible
@@ -984,8 +989,8 @@ class OpsSpec extends SparkSpec {
       vecs.repartition(13), "vec_id", "embedding", nlist = 8, iters = 3)
     val c = Similarity.trainIvfCentroids(
       vecs.repartition(5, col("vec_id") % 5), "vec_id", "embedding", nlist = 8, iters = 3)
-    assert(bits(a) === bits(b))
-    assert(bits(a) === bits(c))
+    assert(centroidBits(a) === centroidBits(b))
+    assert(centroidBits(a) === centroidBits(c))
   }
 
   test("multi-table lsh: L=1 equivalence, recall monotone in L, exhaustive identity, distinct pairs") {
@@ -1090,8 +1095,6 @@ class OpsSpec extends SparkSpec {
     val vecs = (0 until 200).map(i =>
       (i.toLong, Array.tabulate(16)(j => (math.sin(i * 31 + j * 7) * 3).toFloat)))
       .toDF("vec_id", "embedding")
-    def bits(b: Array[Array[Array[Double]]]) =
-      b.map(_.map(_.map(java.lang.Double.doubleToRawLongBits).toSeq).toSeq).toSeq
     // the same fixed-point-Lloyd property as trainIvfCentroids, per
     // subspace — what makes the trained q89 gate possible
     val a = Similarity.trainPqCodebooks(
@@ -1101,15 +1104,15 @@ class OpsSpec extends SparkSpec {
     val c = Similarity.trainPqCodebooks(
       vecs.repartition(5, col("vec_id") % 5), "vec_id", "embedding",
       m = 4, ksub = 8, iters = 3)
-    assert(bits(a) === bits(b))
-    assert(bits(a) === bits(c))
+    assert(bookBits(a) === bookBits(b))
+    assert(bookBits(a) === bookBits(c))
     // and each subspace book must equal the SLICED whole-space trainer
     // run on the subvectors alone (the subspaces are independent)
     val sliced = Similarity.trainIvfCentroids(
       vecs.select(col("vec_id"),
         slice(col("embedding").cast("array<double>"), 5, 4).as("sv")),
       "vec_id", "sv", nlist = 8, iters = 3).map(_._2)
-    assert(bits(Array(a(1))) === bits(Array(sliced)))
+    assert(bookBits(Array(a(1))) === bookBits(Array(sliced)))
   }
 
   test("pq: precoded path is row-identical to derive-on-the-fly") {
@@ -1153,15 +1156,10 @@ class OpsSpec extends SparkSpec {
       .select("query_id", "neighbor_id", "rank", "cos").collect().map(_.toSeq).toSet
     assert(full === exact)
     // BOTH trained quantizers bit-identical under repartitioning
-    def cbits(c: Array[(Int, Array[Double])]) =
-      c.map { case (cid, v) =>
-        (cid, v.map(java.lang.Double.doubleToRawLongBits).toSeq) }.toSeq
-    def bbits(b: Array[Array[Array[Double]]]) =
-      b.map(_.map(_.map(java.lang.Double.doubleToRawLongBits).toSeq).toSeq).toSeq
     val (c2, b2) = Similarity.trainIvfPq(vecs.repartition(7),
       "vec_id", "embedding", nlist = 4, itersIvf = 2, m = 2, ksub = 4, itersPq = 2)
-    assert(cbits(cents) === cbits(c2))
-    assert(bbits(books) === bbits(b2))
+    assert(centroidBits(cents) === centroidBits(c2))
+    assert(bookBits(books) === bookBits(b2))
     // residual kernel vs plain-Scala reference, bit-for-bit
     val rows = vecs.select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"),
