@@ -168,6 +168,84 @@ object Dedup {
       .withColumnRenamed("id_b", "base_id")
   }
 
+  /** The banded minhash signature table — the MATERIALIZED artifact the
+    * steady-state incremental dedup maintains instead of re-signaturing
+    * the whole base per batch: one `(id, sig, band, bucket)` row per
+    * (document, band). Persist/checkpoint this and append each kept
+    * batch's rows; [[incrementalKeepWithSignatures]] then costs
+    * O(delta × bands) per batch, never O(base).
+    */
+  def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 24, rowsPerBand: Int = 3, shingleSize: Int = 3): DataFrame = df
+    .select(col(idCol).as("id"),
+      explode(array(graft.functions.expressions.NativeHashFunctions
+        .minhash(col(textCol), bands, rowsPerBand, shingleSize))).as("m"))
+    .select(col("id"), col("m.sig").as("sig"), posexplode(col("m.bands")))
+    .toDF("id", "sig", "band", "bucket")
+
+  /** [[incrementalKeep]] over a PRE-MATERIALIZED base signature table —
+    * the steady-state shape its scaladoc promises: the base is never
+    * re-signatured (the bucket join reads `baseSigs` as-is) and never
+    * re-shingled wholesale (exact-Jaccard verification shingles ONLY the
+    * rows named by surviving candidate pairs, via an id semi-join BEFORE
+    * the shingle projection — at 100 TB that is a candidates-sized text
+    * fetch, not a base scan). Returns (kept rows, kept rows' banded
+    * signatures — sliced from the delta's, never recomputed) for the
+    * caller to append to its base/signature artifacts. Output rows are
+    * IDENTICAL to [[incrementalKeep]]'s (OpsSpec law).
+    */
+  def incrementalKeepWithSignatures(
+      batch: DataFrame, idCol: String,
+      base: DataFrame, baseIdCol: String, textCol: String,
+      baseSigs: DataFrame,
+      threshold: Double = 0.6, bands: Int = 24, rowsPerBand: Int = 3,
+      shingleSize: Int = 3): (DataFrame, DataFrame) = {
+    val numHashes = bands * rowsPerBand
+    val deltaSigs = bandedSignatures(batch, idCol, textCol,
+        bands, rowsPerBand, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = deltaSigs
+      .toDF("id_a", "sig_a", "band", "bucket")
+      .join(baseSigs.toDF("id_b", "sig_b", "band", "bucket"), Seq("band", "bucket"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("est",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          b => b)).cast("double") / numHashes)
+      .where(col("est") >= threshold * 0.6)
+      .select("id_a", "id_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // shingle ONLY candidate rows: the id semi-join runs below the
+    // shingle projection, so non-candidate base text is never tokenized
+    val shTable = batch
+      .join(candidates.select(col("id_a").as(idCol)).distinct(), Seq(idCol))
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+      .unionByName(base
+        .join(candidates.select(col("id_b").as(baseIdCol)).distinct(), Seq(baseIdCol))
+        .select(col(baseIdCol).as("id"), shingles(col(textCol), shingleSize).as("sh")))
+    val vsBase = verifyJaccardPairs(shTable, candidates, threshold)
+      .select(col("id_a").as("__drop"))
+    val (intraPairs, sigs) = minhashLshPairsTracked(batch, idCol, textCol,
+      threshold, bands, rowsPerBand, shingleSize)
+    try {
+      val intra = nearDupClusters(batch.select(col(idCol)), idCol, intraPairs)
+        .where(col("id") =!= col("rep"))
+        .select(col("id").as("__drop"))
+      val kept = batch.join(vsBase.unionByName(intra).distinct(),
+          batch(idCol) === col("__drop"), "left_anti")
+        .localCheckpoint(true)
+      // kept signatures = the delta's, filtered — never re-minhashed
+      val keptSigs = deltaSigs
+        .join(kept.select(col(idCol).as("id")), Seq("id"))
+        .localCheckpoint(true)
+      (kept, keptSigs)
+    } finally {
+      sigs.unpersist(false)
+      deltaSigs.unpersist(false)
+      candidates.unpersist(false)
+      ()
+    }
+  }
+
   /** One ingest step of the incremental dedup pipeline: of a new batch,
     * keep the documents that are (a) their intra-batch near-dup
     * component's representative (smallest id — [[nearDupClusters]] over

@@ -131,6 +131,34 @@ class OpsSpec extends SparkSpec {
     assert(again.count() === 2)
   }
 
+  test("incrementalKeepWithSignatures: identical rows to incrementalKeep; sigs slice, caches released") {
+    spark.catalog.clearCache()
+    assume(org.apache.spark.sql.graft.SparkInternals.cacheIsEmpty(spark))
+    val base0 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val novel = "one two three four five six seven eight nine ten eleven twelve"
+    val base = Seq((1L, base0)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base0.replace("kappa", "kappa2")),
+      (11L, novel),
+      (12L, novel.replace("twelve", "thirteen")),
+      (13L, "completely different content entirely unshared with anything else"))
+      .toDF("doc_id", "text")
+    val baseSigs = Dedup.bandedSignatures(base, "doc_id", "text")
+    val (kept, keptSigs) = Dedup.incrementalKeepWithSignatures(
+      batch, "doc_id", base, "doc_id", "text", baseSigs, threshold = 0.5)
+    val ref = Dedup.incrementalKeep(batch, "doc_id", base, "doc_id", "text",
+      threshold = 0.5)
+    assert(kept.collect().map(_.toSeq).toSet === ref.collect().map(_.toSeq).toSet)
+    // kept signatures are exactly the delta's rows for the kept ids —
+    // re-banding the kept rows must reproduce them
+    assert(keptSigs.collect().map(_.toSeq).toSet ===
+      Dedup.bandedSignatures(batch.join(kept.select("doc_id"), Seq("doc_id")),
+        "doc_id", "text").collect().map(_.toSeq).toSet)
+    // the per-batch cache discipline holds on this path too
+    assert(org.apache.spark.sql.graft.SparkInternals.cacheIsEmpty(spark),
+      "incrementalKeepWithSignatures left a CacheManager entry behind")
+  }
+
   test("incrementalKeep releases every cache it registered (per-batch discipline)") {
     // the streaming ingest loop calls this per micro-batch: a leaked
     // CacheManager entry per call would grow without bound over the
