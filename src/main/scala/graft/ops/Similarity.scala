@@ -876,6 +876,17 @@ object Similarity {
       .select(col("__qid").as("query_id"), col("__cid").as("neighbor_id"),
         col("__qvec"),
         adcScore(col("__lut"), col("__codes"), m, ksub).as("adc"))
+    adcRerankJoinBack(coarse, corpusVecs, vecsId, corpusVec, k, coarseK)
+  }
+
+  /** Shared ADC tail for the codes-only (precoded) paths: coarse cut by
+    * (adc ASC, id ASC), then the candidate set — queries×coarseK rows —
+    * broadcasts INTO the full-precision vector table by id for the exact
+    * rerank; the corpus never shuffles.
+    */
+  private def adcRerankJoinBack(coarse: DataFrame,
+      corpusVecs: DataFrame, vecsId: String, corpusVec: String,
+      k: Int, coarseK: Int): DataFrame = {
     val w1 = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").asc, col("neighbor_id").asc)
     val w2 = Window.partitionBy(col("query_id"))
@@ -970,6 +981,59 @@ object Similarity {
         col("__qvec"), col("__cvec"),
         adcScore(col("__lut"), col("__codes"), m, ksub).as("adc"))
     adcRerankCarried(coarse, k, coarseK)
+  }
+
+  /** Build the materialized IVF-PQ index: one `(id, list, codes)` row
+    * per vector — 4 + m×4 bytes against dim×8. Persist THIS table;
+    * [[ivfPqTopKPrecoded]]'s coarse stage then never touches
+    * full-precision data, and the probed fraction bounds the scan.
+    */
+  def materializeIvfPqCodes(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[(Int, Array[Double])],
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    import graft.functions.expressions.{NativeVectorFunctions => NV}
+    val vec = col(vecCol).cast("array<double>")
+    df.select(col(idCol), col(vecCol))
+      .withColumn("list", nearestCentroid(vec, centroids))
+      .withColumn("codes", NV.pqCodes(
+        NV.residual(vec, col("list"), centroids), codebooks))
+      .select(col(idCol), col("list"), col("codes"))
+  }
+
+  /** [[ivfPqTopKPrecomputed]] over a PRE-MATERIALIZED `(id, list,
+    * codes)` table — the production shape: the coarse subtree scans the
+    * compact index only (no float column anywhere in it), the probe
+    * equi-join touches just the probed lists, and the `coarseK`
+    * survivors per query broadcast into the full-precision vector table
+    * by id for the exact rerank. Identical results to the
+    * derive-on-the-fly overload (OpsSpec law).
+    */
+  def ivfPqTopKPrecoded(
+      corpusCodes: DataFrame, codesId: String, listCol: String, codesCol: String,
+      corpusVecs: DataFrame, vecsId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, centroids: Array[(Int, Array[Double])],
+      codebooks: Array[Array[Array[Double]]], nprobe: Int, coarseK: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(coarseK >= k, s"coarseK ($coarseK) must cover k ($k)")
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    import graft.functions.expressions.{NativeVectorFunctions => NV}
+    val qv = col("__qvec").cast("array<double>")
+    val q = broadcast(queries
+      .select(col(queryId).as("__qid"), col(queryVec).as("__qvec"))
+      .withColumn("__list", explode(nearestCentroids(qv, centroids, nprobe)))
+      .withColumn("__lut", NV.pqLut(NV.residual(qv, col("__list"), centroids),
+        codebooks)))
+    val coarse = corpusCodes
+      .select(col(codesId).as("__cid"), col(listCol).as("__list"),
+        col(codesCol).as("__codes"))
+      .join(q, "__list")
+      .where(if (excludeSelf) col("__cid") =!= col("__qid") else lit(true))
+      .select(col("__qid").as("query_id"), col("__cid").as("neighbor_id"),
+        col("__qvec"),
+        adcScore(col("__lut"), col("__codes"), m, ksub).as("adc"))
+    adcRerankJoinBack(coarse, corpusVecs, vecsId, corpusVec, k, coarseK)
   }
 
   /** [[ivfPqTopKPrecomputed]] with training folded in — the one-call

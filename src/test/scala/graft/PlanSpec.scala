@@ -380,6 +380,55 @@ class PlanSpec extends SparkSpec {
     assert(out.count() === 15) // 3 queries x k
   }
 
+  test("pq/ivfpq precoded: the coarse stage reads the compact index only, never floats") {
+    import org.apache.spark.sql.functions.col
+    // the q73-precoded audit applied to the PQ family: with the
+    // materialized index in its own parquet, the coarse (ADC) subtree
+    // must scan ONLY that file — the float table appears solely in the
+    // join-back above the coarseK cut
+    val dir = java.nio.file.Files.createTempDirectory("pq_precoded").toString
+    val vecs = Tables.load(spark, sf(), "embeddings").limit(200)
+    vecs.write.mode("overwrite").parquet(s"$dir/vecs")
+    vecs.limit(3).write.mode("overwrite").parquet(s"$dir/queries")
+    val vecsDf = spark.read.parquet(s"$dir/vecs")
+    val queriesDf = spark.read.parquet(s"$dir/queries")
+    val books = graft.ops.Similarity.trainPqCodebooks(
+      vecsDf, "vec_id", "embedding", m = 4, ksub = 8, iters = 1)
+    graft.ops.Similarity.materializePqCodes(vecsDf, "vec_id", "embedding", books)
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    val (cents, rbooks) = graft.ops.Similarity.trainIvfPq(
+      vecsDf, "vec_id", "embedding", nlist = 4, itersIvf = 1, m = 4, ksub = 8,
+      itersPq = 1)
+    graft.ops.Similarity.materializeIvfPqCodes(
+        vecsDf, "vec_id", "embedding", cents, rbooks)
+      .write.mode("overwrite").parquet(s"$dir/ivfcodes")
+    def audit(out: org.apache.spark.sql.DataFrame, codesPath: String): Unit = {
+      val plan = out.queryExecution.sparkPlan
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, s"no window in plan:\n$plan")
+      val coarseSubtree = windows.last.toString()
+      assert(coarseSubtree.contains(codesPath),
+        s"coarse stage does not scan the compact index:\n$coarseSubtree")
+      assert(!coarseSubtree.contains(s"$dir/vecs"),
+        s"coarse stage reads the FLOAT table:\n$coarseSubtree")
+      assert(plan.toString().contains(s"$dir/vecs"), "rerank never reads floats?")
+      assert(out.count() === 15) // 3 queries x k
+    }
+    audit(graft.ops.Similarity.pqTopKPrecoded(
+      spark.read.parquet(s"$dir/codes"), "vec_id", "codes",
+      vecsDf, "vec_id", "embedding",
+      queriesDf, "vec_id", "embedding", k = 5, books, coarseK = 20),
+      s"$dir/codes")
+    audit(graft.ops.Similarity.ivfPqTopKPrecoded(
+      spark.read.parquet(s"$dir/ivfcodes"), "vec_id", "list", "codes",
+      vecsDf, "vec_id", "embedding",
+      queriesDf, "vec_id", "embedding", k = 5, cents, rbooks,
+      nprobe = 4, coarseK = 20),
+      s"$dir/ivfcodes")
+  }
+
   test("q80 bm25: corpus stats broadcast, rank limit pushed down, no cartesian") {
     val p = plan("q80_bm25")
     // the 1-row (N, S) stats frame rides a broadcast into the scoring

@@ -1209,6 +1209,28 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("ivfpq: precoded path is row-identical to derive-on-the-fly") {
+    val vecs = (0 until 60).map(i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 7 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = vecs.where(col("vec_id") < 3)
+    val (cents, books) = Similarity.trainIvfPq(vecs, "vec_id", "embedding",
+      nlist = 4, itersIvf = 1, m = 2, ksub = 4, itersPq = 1)
+    val codes = Similarity.materializeIvfPqCodes(vecs, "vec_id", "embedding",
+      cents, books)
+    assert(codes.schema.fieldNames.toSeq === Seq("vec_id", "list", "codes"))
+    for (coarseK <- Seq(8, 60)) {
+      val derive = Similarity.ivfPqTopKPrecomputed(vecs, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 4, cents, books,
+        nprobe = 2, coarseK = coarseK).collect().map(_.toSeq).toSet
+      val precoded = Similarity.ivfPqTopKPrecoded(
+        codes, "vec_id", "list", "codes", vecs, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 4, cents, books,
+        nprobe = 2, coarseK = coarseK).collect().map(_.toSeq).toSet
+      assert(precoded === derive, s"paths diverge at coarseK=$coarseK")
+    }
+  }
+
   test("sketches: approx distinct within rsd of exact") {
     val li = graft.Tables.load(spark, sf("sf0.001"), "lineitem")
     val exact = li.select(countDistinct(col("l_partkey"))).head().getLong(0)
