@@ -252,13 +252,13 @@ object Bench {
         .localCheckpoint(true)
       // NOTE the recompute-the-base path is deliberate at THIS scale:
       // the materialized-signature variant
-      // (Dedup.incrementalKeepWithSignatures, r15 — O(delta) per batch at
-      // scale) measured 571 vs ~980 docs/s here, because with base ≈
-      // delta ≈ 1.2k docs the per-batch artifact maintenance (24× banded
-      // signature checkpoint, candidate semi-joins) outweighs the base
-      // re-signature it avoids. At 100 TB (base >> delta) the
-      // signature-table shape wins by construction; the bench keeps the
-      // protocol comparable across rounds.
+      // (Dedup.incrementalKeepWithSignatures, r15 — delta-sized kernel
+      // CPU per batch; see its scan-I/O caveat) measured 571 vs ~980
+      // docs/s here, because with base ≈ delta ≈ 1.2k docs the per-batch
+      // artifact maintenance (24× banded signature checkpoint, candidate
+      // semi-joins) outweighs the base re-signature CPU it avoids. With
+      // base >> delta the avoided kernel CPU dominates; the bench keeps
+      // the protocol comparable across rounds.
       val t0 = System.nanoTime()
       var i = 0
       while (i < batches) {

@@ -74,6 +74,22 @@ object Dedup {
   /** [[minhashLshPairs]] plus the handle of the persisted signature frame,
     * so per-batch callers can unpersist after materializing.
     */
+  /** The signature-estimated Jaccard prefilter shared by every LSH pair
+    * generator: matching-minhash fraction concentrates around the true J
+    * (std ~ sqrt(J(1−J)/numHashes)), so a generous margin kills low-J
+    * bucket collisions before the expensive exact verification ever sees
+    * them. Input must carry (id_a, sig_a, id_b, sig_b); ONE definition so
+    * the margin can never diverge across the intra/cross/artifact paths.
+    */
+  private def estPrefilter(cands: DataFrame, numHashes: Int,
+      threshold: Double): DataFrame = cands
+    .dropDuplicates("id_a", "id_b")
+    .withColumn("est",
+      size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+        b => b)).cast("double") / numHashes)
+    .where(col("est") >= threshold * 0.6)
+    .select("id_a", "id_b")
+
   private[graft] def minhashLshPairsTracked(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double, bands: Int, rowsPerBand: Int,
@@ -104,18 +120,9 @@ object Dedup {
     // candidates: ids sharing any (band, bucket)
     val left = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
     val right = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    val estimated = left.join(right, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      // signature-estimated Jaccard prefilter: matching-minhash fraction
-      // concentrates around the true J (std ~ sqrt(J(1-J)/numHashes)), so a
-      // generous margin kills the low-J bucket collisions before the
-      // expensive exact verification ever sees them
-      .withColumn("est",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          b => b)).cast("double") / numHashes)
-      .where(col("est") >= threshold * 0.6)
-      .select("id_a", "id_b")
+    val estimated = estPrefilter(
+      left.join(right, Seq("band", "bucket")).where(col("id_a") < col("id_b")),
+      numHashes, threshold)
 
     (verifyJaccardPairs(
       df.select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh")),
@@ -144,21 +151,14 @@ object Dedup {
       threshold: Double = 0.6, bands: Int = 24, rowsPerBand: Int = 3,
       shingleSize: Int = 3): DataFrame = {
     val numHashes = bands * rowsPerBand
-    def banded(df: DataFrame, idCol: String, side: String): DataFrame = df
-      .select(col(idCol).as(s"id_$side"),
-        explode(array(graft.functions.expressions.NativeHashFunctions
-          .minhash(col(textCol), bands, rowsPerBand, shingleSize))).as("m"))
-      .select(col(s"id_$side"), col("m.sig").as(s"sig_$side"),
-        posexplode(col("m.bands")))
-      .toDF(s"id_$side", s"sig_$side", "band", "bucket")
-    val candidates = banded(delta, deltaIdCol, "a")
-      .join(banded(base, baseIdCol, "b"), Seq("band", "bucket"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("est",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          b => b)).cast("double") / numHashes)
-      .where(col("est") >= threshold * 0.6)
-      .select("id_a", "id_b")
+    def banded(df: DataFrame, idCol: String, side: String): DataFrame =
+      bandedSignatures(df, idCol, textCol, bands, rowsPerBand, shingleSize)
+        .select(col("id").as(s"id_$side"), col("sig").as(s"sig_$side"),
+          col("band"), col("bucket"))
+    val candidates = estPrefilter(
+      banded(delta, deltaIdCol, "a")
+        .join(banded(base, baseIdCol, "b"), Seq("band", "bucket")),
+      numHashes, threshold)
     val shTable = delta.select(col(deltaIdCol).as("id"),
         shingles(col(textCol), shingleSize).as("sh"))
       .unionByName(base.select(col(baseIdCol).as("id"),
@@ -172,8 +172,15 @@ object Dedup {
     * steady-state incremental dedup maintains instead of re-signaturing
     * the whole base per batch: one `(id, sig, band, bucket)` row per
     * (document, band). Persist/checkpoint this and append each kept
-    * batch's rows; [[incrementalKeepWithSignatures]] then costs
-    * O(delta × bands) per batch, never O(base).
+    * batch's rows; [[incrementalKeepWithSignatures]] then spends
+    * signature/shingle CPU only on the delta and the candidate pairs.
+    * NOTE the scan-I/O caveat: the bucket join still READS the whole
+    * artifact per batch (and the verify semi-join reads the base text
+    * column) unless the artifact is written bucketed/partitioned by
+    * (band, bucket) and the base by id, which is what a 100 TB
+    * deployment should do — the saving this API itself delivers is the
+    * kernel CPU (normalize + shingle + numHashes-minhash per document),
+    * the dominant per-row cost.
     */
   def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 24, rowsPerBand: Int = 3, shingleSize: Int = 3): DataFrame = df
@@ -184,15 +191,19 @@ object Dedup {
     .toDF("id", "sig", "band", "bucket")
 
   /** [[incrementalKeep]] over a PRE-MATERIALIZED base signature table —
-    * the steady-state shape its scaladoc promises: the base is never
-    * re-signatured (the bucket join reads `baseSigs` as-is) and never
-    * re-shingled wholesale (exact-Jaccard verification shingles ONLY the
-    * rows named by surviving candidate pairs, via an id semi-join BEFORE
-    * the shingle projection — at 100 TB that is a candidates-sized text
-    * fetch, not a base scan). Returns (kept rows, kept rows' banded
-    * signatures — sliced from the delta's, never recomputed) for the
-    * caller to append to its base/signature artifacts. Output rows are
-    * IDENTICAL to [[incrementalKeep]]'s (OpsSpec law).
+    * the steady-state shape: the base is never re-signatured (the bucket
+    * join reads `baseSigs` as-is, validated in-plan against the call's
+    * numHashes — a mismatched artifact raises instead of silently
+    * depressing the prefilter), the DELTA is minhashed exactly once
+    * (intra-batch pairs band from the same `deltaSigs` frame the cross
+    * check uses), and exact-Jaccard verification shingles ONLY the rows
+    * named by candidate pairs (id semi-join BELOW the shingle
+    * projection — the shingle CPU is candidates-sized; the semi-join
+    * still SCANS the base text column unless the base is id-partitioned,
+    * see [[bandedSignatures]]' I/O caveat). Returns (kept rows, kept
+    * rows' banded signatures — sliced from the delta's, never
+    * recomputed) for the caller to append to its artifacts. Output rows
+    * are IDENTICAL to [[incrementalKeep]]'s (OpsSpec law).
     */
   def incrementalKeepWithSignatures(
       batch: DataFrame, idCol: String,
@@ -201,32 +212,56 @@ object Dedup {
       threshold: Double = 0.6, bands: Int = 24, rowsPerBand: Int = 3,
       shingleSize: Int = 3): (DataFrame, DataFrame) = {
     val numHashes = bands * rowsPerBand
+    // caller-supplied artifact: select BY NAME (a reordered column set
+    // must not silently bind band-values to "bucket") and guard the
+    // stored signature length in-plan (an artifact built with different
+    // bands×rowsPerBand would depress `est` and silently keep dups)
+    val baseSide = baseSigs.select(
+      col("id").as("id_b"),
+      when(size(col("sig")) === numHashes, col("sig"))
+        .otherwise(raise_error(concat(
+          lit(s"baseSigs signature length != $numHashes (bands x rowsPerBand"
+            + " of this call) — got "),
+          size(col("sig")).cast("string")))).as("sig_b"),
+      col("band"), col("bucket"))
     val deltaSigs = bandedSignatures(batch, idCol, textCol,
-        bands, rowsPerBand, shingleSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candidates = deltaSigs
-      .toDF("id_a", "sig_a", "band", "bucket")
-      .join(baseSigs.toDF("id_b", "sig_b", "band", "bucket"), Seq("band", "bucket"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("est",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          b => b)).cast("double") / numHashes)
-      .where(col("est") >= threshold * 0.6)
-      .select("id_a", "id_b")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // shingle ONLY candidate rows: the id semi-join runs below the
-    // shingle projection, so non-candidate base text is never tokenized
-    val shTable = batch
-      .join(candidates.select(col("id_a").as(idCol)).distinct(), Seq(idCol))
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
-      .unionByName(base
-        .join(candidates.select(col("id_b").as(baseIdCol)).distinct(), Seq(baseIdCol))
-        .select(col(baseIdCol).as("id"), shingles(col(textCol), shingleSize).as("sh")))
-    val vsBase = verifyJaccardPairs(shTable, candidates, threshold)
-      .select(col("id_a").as("__drop"))
-    val (intraPairs, sigs) = minhashLshPairsTracked(batch, idCol, textCol,
-      threshold, bands, rowsPerBand, shingleSize)
+      bands, rowsPerBand, shingleSize)
+    val persisted = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def persist(df: DataFrame): DataFrame = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persisted += p; p
+    }
     try {
+      // ONE minhash pass over the batch: both the cross-base candidates
+      // and the intra-batch candidates band from this persisted frame
+      val ds = persist(deltaSigs)
+      val cross = persist(estPrefilter(
+        ds.select(col("id").as("id_a"), col("sig").as("sig_a"),
+            col("band"), col("bucket"))
+          .join(baseSide, Seq("band", "bucket")),
+        numHashes, threshold))
+      val intraCands = persist(estPrefilter(
+        ds.select(col("band"), col("bucket"),
+            col("id").as("id_a"), col("sig").as("sig_a"))
+          .join(ds.select(col("band"), col("bucket"),
+            col("id").as("id_b"), col("sig").as("sig_b")), Seq("band", "bucket"))
+          .where(col("id_a") < col("id_b")),
+        numHashes, threshold))
+      // ONE candidate-only shingle table feeds BOTH verifications
+      val batchCandIds = cross.select(col("id_a").as(idCol))
+        .unionByName(intraCands.select(col("id_a").as(idCol)))
+        .unionByName(intraCands.select(col("id_b").as(idCol)))
+        .distinct()
+      val shTable = persist(batch
+        .join(batchCandIds, Seq(idCol))
+        .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+        .unionByName(base
+          .join(cross.select(col("id_b").as(baseIdCol)).distinct(), Seq(baseIdCol))
+          .select(col(baseIdCol).as("id"),
+            shingles(col(textCol), shingleSize).as("sh"))))
+      val vsBase = verifyJaccardPairs(shTable, cross, threshold)
+        .select(col("id_a").as("__drop"))
+      val intraPairs = verifyJaccardPairs(shTable, intraCands, threshold)
       val intra = nearDupClusters(batch.select(col(idCol)), idCol, intraPairs)
         .where(col("id") =!= col("rep"))
         .select(col("id").as("__drop"))
@@ -234,14 +269,15 @@ object Dedup {
           batch(idCol) === col("__drop"), "left_anti")
         .localCheckpoint(true)
       // kept signatures = the delta's, filtered — never re-minhashed
-      val keptSigs = deltaSigs
+      val keptSigs = ds
         .join(kept.select(col(idCol).as("id")), Seq("id"))
         .localCheckpoint(true)
       (kept, keptSigs)
     } finally {
-      sigs.unpersist(false)
-      deltaSigs.unpersist(false)
-      candidates.unpersist(false)
+      // unpersist EVERYTHING registered, even on an analysis error from
+      // caller-supplied inputs — a retrying ingest loop must not grow
+      // CacheManager entries without bound
+      persisted.foreach(_.unpersist(false))
       ()
     }
   }

@@ -159,6 +159,38 @@ class OpsSpec extends SparkSpec {
       "incrementalKeepWithSignatures left a CacheManager entry behind")
   }
 
+  test("incrementalKeepWithSignatures: mismatched artifact raises; error path releases caches") {
+    spark.catalog.clearCache()
+    assume(org.apache.spark.sql.graft.SparkInternals.cacheIsEmpty(spark))
+    val base = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, "alpha beta gamma delta epsilon zeta eta theta2"))
+      .toDF("doc_id", "text")
+    // artifact built with a DIFFERENT geometry (32 hashes, not 72): the
+    // in-plan guard must raise (inside the call — the kept frame is an
+    // eager localCheckpoint) instead of silently depressing `est`
+    val wrongSigs = Dedup.bandedSignatures(base, "doc_id", "text",
+      bands = 16, rowsPerBand = 2)
+    val e = intercept[Exception] {
+      Dedup.incrementalKeepWithSignatures(
+        batch, "doc_id", base, "doc_id", "text", wrongSigs, threshold = 0.5)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("signature length")), s"wrong error: $e")
+    // the error path must release every cache it registered (a retrying
+    // ingest loop must not grow CacheManager entries without bound)
+    assert(org.apache.spark.sql.graft.SparkInternals.cacheIsEmpty(spark),
+      "error path left a CacheManager entry behind")
+    // column ORDER of a well-formed artifact must not matter (selection
+    // is by name, never positional)
+    val reordered = Dedup.bandedSignatures(base, "doc_id", "text")
+      .select("bucket", "band", "sig", "id")
+    val (kept2, _) = Dedup.incrementalKeepWithSignatures(
+      batch, "doc_id", base, "doc_id", "text", reordered, threshold = 0.5)
+    assert(kept2.count() === 0) // near-dup of base doc 1 -> dropped
+  }
+
   test("incrementalKeep releases every cache it registered (per-batch discipline)") {
     // the streaming ingest loop calls this per micro-batch: a leaked
     // CacheManager entry per call would grow without bound over the
