@@ -44,6 +44,7 @@ object Bench {
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
     }
     streamThroughput(spark, warmDir)
+    streamThroughput(spark, warmDir, tableCount = 4)
     ingestThroughput(spark, warmDir)
     logCodeCache("after-warmup")
     // 2-run protocol: single runs swing 2-5x on individual queries (JSON
@@ -85,6 +86,11 @@ object Bench {
     val stA = streamThroughput(spark, sfDir)
     val stB = streamThroughput(spark, sfDir)
     val st = if (stB.steadyEps >= stA.steadyEps) stB else stA
+    // multiplexed-topic shape (4 tables on one feed, deterministic-order
+    // fast path) — same 2-run protocol
+    val stmA = streamThroughput(spark, sfDir, tableCount = 4)
+    val stmB = streamThroughput(spark, sfDir, tableCount = 4)
+    val stm = if (stmB.steadyEps >= stmA.steadyEps) stmB else stmA
     // continuous-ingest composition (incremental near-dedup per batch):
     // best of 2, same JIT argument as the stream phase
     val ingA = ingestThroughput(spark, sfDir)
@@ -101,6 +107,8 @@ object Bench {
       s""""stream_runs_eps":[${stA.eps},${stB.eps}],""" +
       s""""stream_batches":${st.batches},""" +
       s""""stream_batch_eps_spread_pct":${st.spreadPct},""" +
+      s""""stream_multi_steady_eps":${stm.steadyEps},""" +
+      s""""stream_multi_runs_eps":[${stmA.eps},${stmB.eps}],""" +
       s""""ingest_docs_per_s":$ing,"ingest_runs":[$ingA,$ingB],""" +
       s""""machine_factor":[${f"$mf%.2f"},${f"$mfEnd%.2f"}],""" +
       s""""machine_factor_mt":[${f"$mfMt%.2f"},${f"$mfMtEnd%.2f"}],""" +
@@ -292,7 +300,19 @@ object Bench {
     * deployment has. Per-batch rates come from the query's progress log;
     * the spread ((max-min)/median) is reported alongside.
     */
-  private[graft] def streamThroughput(spark: SparkSession, sfDir: String): StreamResult = {
+  private[graft] def streamThroughput(spark: SparkSession, sfDir: String): StreamResult =
+    streamThroughput(spark, sfDir, tableCount = 1)
+
+  /** `tableCount > 1` measures the MULTIPLEXED-topic shape (the
+    * reference's flagship MySQL whole-database capture): the same event
+    * feed splits into `tableCount` tables by `user_id % tableCount`, every
+    * record routes by its envelope's `source.table`, and the pipeline
+    * takes the r16 deterministic-order fast path (`order` = the feed's
+    * unique `ts_ms`), so DDL-free multi-table batches skip the per-batch
+    * persist. `tableCount = 1` is byte-identical to the r6–r15 protocol.
+    */
+  private[graft] def streamThroughput(
+      spark: SparkSession, sfDir: String, tableCount: Int): StreamResult = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     try {
@@ -301,23 +321,28 @@ object Bench {
       val ev = Tables.load(spark, sfDir, "events")
       val n = ev.count()
       val payload = struct(col("user_id"), col("value").as("last_value"))
+      val tableName =
+        if (tableCount <= 1) lit("events")
+        else concat(lit("user_state_"), pmod(col("user_id"), lit(tableCount)))
       ev.select(to_json(struct(
         when(col("event_type") === "error", payload).as("before"),
         when(col("event_type") =!= "error", payload).as("after"),
         when(col("event_type") === "signup", "c")
           .when(col("event_type") === "error", "d").otherwise("u").as("op"),
         col("event_id").as("ts_ms"),
-        struct(lit("graft").as("db"), lit("events").as("table")).as("source"))).as("value"))
+        struct(lit("graft").as("db"), tableName.as("table")).as("source"))).as("value"))
         // fixed 16-file layout: with maxFilesPerTrigger = 4 the run is
         // always exactly 4 micro-batches, independent of the SF's scan
         // partitioning
         .repartition(16)
         .write.mode("overwrite").text(feedDir.getAbsolutePath)
 
-      val tid = graft.model.TableId.parse("graft.user_state")
       val info = graft.model.TableInfo(
         StructType(Seq(StructField("user_id", LongType), StructField("last_value", DoubleType))),
         primaryKeys = Seq("user_id"))
+      val tids =
+        if (tableCount <= 1) Seq(graft.model.TableId.parse("graft.user_state"))
+        else (0 until tableCount).map(i => graft.model.TableId.parse(s"graft.user_state_$i"))
       // MERGE-ON-READ profile: each micro-batch appends its delta, one
       // compaction folds them at the end — the matching profile for the
       // multi-batch protocol. (COW pays its full bucketed rewrite per
@@ -332,15 +357,20 @@ object Bench {
       // bound micro-batches so the run spans >= 4 of them
       val feedFiles = feedDir.listFiles().count(_.getName.startsWith("part-"))
       val perTrigger = math.max(1, feedFiles / 4)
+      // the feed's ts_ms IS event_id — unique per record and monotone in
+      // feed order: exactly the deterministic-order contract
+      val order = Some(get_json_object(col("value"), "$.ts_ms").cast(LongType))
       val t0 = System.nanoTime()
-      val q = new graft.streaming.StreamingPipeline(spark, pd, sink)
-        .startFromDebeziumJson(
-          graft.streaming.StreamingPipeline.fileJsonStream(
-            spark, feedDir.getAbsolutePath, Some(perTrigger)),
-          tid, info)
+      val pipelineStream = new graft.streaming.StreamingPipeline(spark, pd, sink)
+      val feed = graft.streaming.StreamingPipeline.fileJsonStream(
+        spark, feedDir.getAbsolutePath, Some(perTrigger))
+      val q =
+        if (tableCount <= 1) pipelineStream.startFromDebeziumJson(feed, tids.head, info)
+        else pipelineStream.startMultiFromDebeziumJson(
+          feed, tids.map(_ -> info), order = order)
       val finished = q.awaitTermination(600000)
       if (!finished) { q.stop(); return StreamResult(-1L, -1L, 0, -1L) }
-      sink.compact(tid, info) // no-op for COW; folds deltas if MOR
+      tids.foreach(sink.compact(_, info)) // no-op for COW; folds deltas if MOR
       val secs = (System.nanoTime() - t0) / 1e9
       val batchRates = q.recentProgress.toSeq
         .filter(p => p.numInputRows > 0 && p.batchDuration > 0)

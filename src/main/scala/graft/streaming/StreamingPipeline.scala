@@ -5,7 +5,7 @@ import graft.model.{CreateTableEvent, TableId, TableInfo}
 import graft.pipeline.{PipelineDef, PipelineRunner}
 import graft.sinks.DataSink
 import graft.sources.SourceBatch
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
@@ -64,10 +64,27 @@ final class StreamingPipeline(
   private[graft] val dynamicTables =
     scala.collection.mutable.LinkedHashMap.empty[TableId, TableInfo]
 
+  /** Micro-batches that took the persist-first (slow) path — driver-side
+    * counter, observability for specs pinning the fast-path gate.
+    */
+  private[graft] var persistedBatches = 0
+
   /** Start a streaming query over debezium-JSON lines. The source table's
     * schema must be known (CDC JSON carries no types); the CreateTable
     * event is synthesized on the first batch — unless checkpointed schema
     * state was restored (a re-Create would reset sink-side evolution).
+    *
+    * `order`, on every front end here: an optional DETERMINISTIC log-order
+    * expression over the stream's columns — a pure function of each row's
+    * own content that is unique per record and monotone in log order per
+    * key within a micro-batch, fitting in 43 bits (e.g. the Kafka
+    * `offset` column on a keyed topic, a binlog position field the
+    * envelope carries, or any unique event timestamp/id). When supplied,
+    * `__seq` becomes `epoch<<43 | order` — identical under ANY
+    * recomputation, task retry, or repeated evaluation — which lets
+    * DDL-free batches skip the per-batch persist on multi-table topics
+    * and >1-sink fan-outs too (see the fast-path note in
+    * [[startFromJsonLines]]).
     */
   def startFromDebeziumJson(
       jsonStream: DataFrame, // one string column `value`
@@ -76,8 +93,9 @@ final class StreamingPipeline(
       checkpointLocation: Option[String] = None,
       trigger: Trigger = Trigger.AvailableNow(),
       schemaInclude: Boolean = false, // Connect {"schema":..,"payload":..} wrapping
-      connectWire: Boolean = false): StreamingQuery = // epoch-int temporals
-    startFromJsonLines(jsonStream, Seq(tableId -> info), checkpointLocation, trigger) {
+      connectWire: Boolean = false, // epoch-int temporals
+      order: Option[Column] = None): StreamingQuery =
+    startFromJsonLines(jsonStream, Seq(tableId -> info), checkpointLocation, trigger, order) {
       (segment, schema) =>
         DebeziumJson.decode(segment, "value", schema, seqCol = Some(Changelog.SeqCol),
           connectWire = connectWire, schemaEnvelope = schemaInclude)
@@ -92,8 +110,9 @@ final class StreamingPipeline(
       tableId: TableId,
       info: TableInfo,
       checkpointLocation: Option[String] = None,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    startFromJsonLines(jsonStream, Seq(tableId -> info), checkpointLocation, trigger) {
+      trigger: Trigger = Trigger.AvailableNow(),
+      order: Option[Column] = None): StreamingQuery =
+    startFromJsonLines(jsonStream, Seq(tableId -> info), checkpointLocation, trigger, order) {
       (segment, schema) =>
         CanalJson.decode(segment, "value", schema, seqCol = Some(Changelog.SeqCol))
           .drop("__table")
@@ -112,8 +131,9 @@ final class StreamingPipeline(
       checkpointLocation: Option[String] = None,
       trigger: Trigger = Trigger.AvailableNow(),
       schemaInclude: Boolean = false,
-      connectWire: Boolean = false): StreamingQuery =
-    startFromJsonLines(jsonStream, tables, checkpointLocation, trigger) {
+      connectWire: Boolean = false,
+      order: Option[Column] = None): StreamingQuery =
+    startFromJsonLines(jsonStream, tables, checkpointLocation, trigger, order) {
       (segment, schema) =>
         DebeziumJson.decode(segment, "value", schema, seqCol = Some(Changelog.SeqCol),
           connectWire = connectWire, schemaEnvelope = schemaInclude)
@@ -129,8 +149,9 @@ final class StreamingPipeline(
       jsonStream: DataFrame,
       tables: Seq[(TableId, TableInfo)],
       checkpointLocation: Option[String] = None,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    startFromJsonLines(jsonStream, tables, checkpointLocation, trigger) {
+      trigger: Trigger = Trigger.AvailableNow(),
+      order: Option[Column] = None): StreamingQuery =
+    startFromJsonLines(jsonStream, tables, checkpointLocation, trigger, order) {
       (segment, schema) =>
         CanalJson.decode(segment, "value", schema, seqCol = Some(Changelog.SeqCol))
           .drop("__table")
@@ -148,8 +169,9 @@ final class StreamingPipeline(
       tableId: TableId,
       info: TableInfo,
       checkpointLocation: Option[String] = None,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    startFromJsonLines(jsonStream, Seq(tableId -> info), checkpointLocation, trigger) {
+      trigger: Trigger = Trigger.AvailableNow(),
+      order: Option[Column] = None): StreamingQuery =
+    startFromJsonLines(jsonStream, Seq(tableId -> info), checkpointLocation, trigger, order) {
       (segment, schema) =>
         MongoChangeStreamJson.decode(segment, "value", schema,
           seqCol = Some(Changelog.SeqCol))
@@ -165,8 +187,9 @@ final class StreamingPipeline(
       jsonStream: DataFrame,
       tables: Seq[(TableId, TableInfo)],
       checkpointLocation: Option[String] = None,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    startFromJsonLines(jsonStream, tables, checkpointLocation, trigger) {
+      trigger: Trigger = Trigger.AvailableNow(),
+      order: Option[Column] = None): StreamingQuery =
+    startFromJsonLines(jsonStream, tables, checkpointLocation, trigger, order) {
       (segment, schema) =>
         MongoChangeStreamJson.decode(segment, "value", schema,
           seqCol = Some(Changelog.SeqCol))
@@ -349,7 +372,8 @@ final class StreamingPipeline(
       jsonStream: DataFrame,
       tables: Seq[(TableId, TableInfo)],
       checkpointLocation: Option[String],
-      trigger: Trigger)(
+      trigger: Trigger,
+      order: Option[Column] = None)(
       decodeSegment: (DataFrame, StructType) => DataFrame): StreamingQuery = {
     restoreSchemaPlanes(checkpointLocation)
     // a multi-table topic routes by the envelope table; declaring one
@@ -381,16 +405,29 @@ final class StreamingPipeline(
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epochId: Long) =>
         import org.apache.spark.sql.functions._
-        // Seq-column stability: monotonically_increasing_id is only
-        // stable if the batch is NOT recomputed between jobs (a
-        // repartitioned/nondeterministic upstream would renumber rows and
-        // tear segment boundaries or per-key ordering). Two ways to hold
-        // that: persist the frame before any action (the general path
-        // below), or arrange that exactly ONE action ever evaluates
-        // __seq — the fast path's condition (single table, single routed
-        // sink, no DDL → one decode+write job; the probe prunes __seq),
-        // under which a single evaluation is self-consistent whatever
-        // the source does.
+        // Seq-column stability. With a caller-supplied `order` expression
+        // __seq is a pure projection of each row's own content
+        // (epoch<<43 | order) — every evaluation, on every task attempt,
+        // after any recomputation or shuffle fetch failure, produces the
+        // SAME value for the same record: deterministic by construction.
+        // Without `order`, __seq falls back to
+        // monotonically_increasing_id, which is only stable if the batch
+        // is NOT recomputed between jobs (a repartitioned or
+        // non-order-stable upstream would renumber rows and tear segment
+        // boundaries or per-key ordering). Two ways to hold that: persist
+        // the frame before any action (the general path below), or
+        // arrange that exactly ONE action ever evaluates __seq — the
+        // mono-id fast path's condition (single table, single routed
+        // sink, no DDL → one decode+write job; the probe prunes __seq).
+        // Even then, a single evaluation is only self-consistent when no
+        // partial recompute can interleave attempts with different
+        // numberings: with pipeline.parallelism > 1 the write job
+        // contains a repartition shuffle, and a fetch-failure-driven map
+        // recompute of a NON-order-stable source could mix numberings
+        // across attempts. Replayable micro-batch sources (Kafka, files)
+        // re-read in a stable order, making mono-id effectively
+        // deterministic per evaluation — the mono-id fast path assumes
+        // that; supply `order` to drop the assumption entirely.
         //
         // Routing key: on a multi-table topic the envelope's table name
         // materializes ONCE into the persisted frame (`__tbl`), so the
@@ -399,7 +436,9 @@ final class StreamingPipeline(
         // declared table (500 captured tables would otherwise pay 500
         // JSON probes per record).
         val sequencedBase = batch.toDF()
-          .withColumn(Changelog.SeqCol, StreamingPipeline.seqColumn(epochId))
+          .withColumn(Changelog.SeqCol, order
+            .map(StreamingPipeline.deterministicSeqColumn(epochId, _))
+            .getOrElse(StreamingPipeline.seqColumn(epochId)))
           .withColumn("__ddl", DebeziumJson.ddlOf(col("value")))
         val stamped = (if (multi) StreamingPipeline.withRoutingKey(sequencedBase)
           else sequencedBase)
@@ -410,25 +449,30 @@ final class StreamingPipeline(
         // than 8x task parallelism buys. Parallelism stays the source's
         // (a real deployment sizes it via topic partitions).
         //
-        // Steady-state fast path (measured r15): on a single-table
-        // stream routed to ONE sink, a DDL-free batch — the
-        // overwhelmingly common case — never cuts segments and feeds
-        // exactly one decode+write job, so the cached copy buys nothing:
-        // skip the persist and let decode re-read the source (page-cache
-        // hot). With one consuming action the unpersisted __seq is
-        // self-consistent unconditionally (comment above). The probe is
-        // the contains()-guarded __ddl scan with an isEmpty early exit,
-        // so data batches pay substring scans, never JSON parses. Any
-        // DDL present, a multi-table topic (T routing filters re-read
-        // the frame), or a >1-sink route fan-out (independent write
-        // actions would each re-evaluate __seq) falls back to the
-        // persist-first path unchanged.
-        val fastPath = !multi && tables.size == 1 &&
-          runner.routeFanOut(tables.head._1) == 1 &&
+        // Steady-state fast path (measured r15, extended to multi-table
+        // r16): a DDL-free batch — the overwhelmingly common case —
+        // never cuts segments, so the cached copy buys little: skip the
+        // persist and let each consuming action re-read the source
+        // (page-cache hot). Sound under either seq regime: a
+        // deterministic `order` makes every re-evaluation identical (so
+        // any number of routing filters / fan-out writes agree on
+        // __seq), while the mono-id regime needs exactly one consuming
+        // action — single table, fan-out 1 (see the stability comment
+        // above). The probe is the contains()-guarded __ddl scan with an
+        // isEmpty early exit, so data batches pay substring scans, never
+        // JSON parses. Any DDL present falls back to the persist-first
+        // path: segmentation runs several isEmpty actions per table over
+        // the same frame, where the cached copy earns its cost.
+        val oneAction = !multi && tables.size == 1 &&
+          runner.routeFanOut(tables.head._1) == 1
+        val fastPath = (order.isDefined || oneAction) &&
           timed("ddl-probe")(stamped.where(col("__ddl").isNotNull).isEmpty)
         val sequenced =
           if (fastPath) stamped
-          else stamped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          else {
+            persistedBatches += 1
+            stamped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          }
 
         // Control plane: schema-change envelopes are rare, so collecting
         // just their (seq, statement, table, db) tuples is O(#DDL) driver
@@ -632,6 +676,26 @@ object StreamingPipeline {
       raise_error(lit("__seq encoding overflow: needs <2^20 partitions, " +
         "<2^23 rows/partition, <2^20 epochs")))
       .otherwise(shiftleft(lit(epochId), 43) + shiftleft(pid, 23) + rowInPart)
+  }
+
+  /** Cross-batch total order per key from a caller-supplied DETERMINISTIC
+    * log-order expression: seq = epoch(20 bits) | order(43 bits). Because
+    * `order` is a pure function of the row's own content (a Kafka offset,
+    * a binlog position, a unique event id), the seq survives any
+    * recomputation or task retry bit-identically — no persist needed for
+    * stability. Contract on `order` (caller-checked only where cheap):
+    * non-null, non-negative, < 2^43, unique per record within the batch,
+    * and monotone in log order per key; violations of the range raise,
+    * violations of uniqueness/monotonicity silently misorder (the same
+    * contract the source's own log gives these fields).
+    */
+  def deterministicSeqColumn(epochId: Long, order: Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val o = order.cast(org.apache.spark.sql.types.LongType)
+    when(o.isNull || o < 0 || o >= (1L << 43) || lit(epochId >= (1L << 20)),
+      raise_error(lit("__seq deterministic-order violation: order must be " +
+        "non-null, in [0, 2^43), epochs < 2^20")))
+      .otherwise(shiftleft(lit(epochId), 43) + o)
   }
 
   /** Convenience: a file-based debezium-JSON stream (one JSON per line) —

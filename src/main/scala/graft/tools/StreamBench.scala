@@ -30,6 +30,11 @@ object StreamBench {
       println(s"[streambench] run $i: eps=${r.eps} steady=${r.steadyEps} " +
         s"batches=${r.batches} spread=${r.spreadPct}%")
     }
+    for (i <- 1 to reps) {
+      val r = graft.Bench.streamThroughput(spark, sfDir, tableCount = 4)
+      println(s"[streambench] multi(4) run $i: eps=${r.eps} steady=${r.steadyEps} " +
+        s"batches=${r.batches} spread=${r.spreadPct}%")
+    }
     for (i <- 1 to reps)
       println(s"[streambench] ingest run $i: docs/s=" +
         graft.Bench.ingestThroughput(spark, sfDir))

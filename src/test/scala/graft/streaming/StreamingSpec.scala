@@ -489,6 +489,111 @@ class StreamingSpec extends SparkSpec {
     keyed.unpersist()
   }
 
+  test("deterministic order: multi-table DDL-free batches keep last-wins state per table") {
+    // r16 fast path: with a caller-supplied order expression the __seq is
+    // a pure row-content function, so a DDL-free MULTI-table batch skips
+    // the per-batch persist — last-wins per key must follow the order
+    // field, across interleaved tables on one feed
+    val dir = java.nio.file.Files.createTempDirectory("dbz_det").toFile
+    val tidB = TableId.parse("db.orders")
+    val infoB = TableInfo(
+      StructType(Seq(StructField("id", LongType), StructField("amt", LongType))),
+      primaryKeys = Seq("id"))
+    val lines = Seq(
+      """{"before":null,"after":{"id":1,"v":"a"},"op":"c","ts_ms":10,"source":{"db":"db","table":"users"}}""",
+      """{"before":null,"after":{"id":10,"amt":100},"op":"c","ts_ms":11,"source":{"db":"db","table":"orders"}}""",
+      """{"before":{"id":1,"v":"a"},"after":{"id":1,"v":"a2"},"op":"u","ts_ms":12,"source":{"db":"db","table":"users"}}""",
+      """{"before":{"id":10,"amt":100},"after":{"id":10,"amt":150},"op":"u","ts_ms":13,"source":{"db":"db","table":"orders"}}""",
+      """{"before":{"id":1,"v":"a2"},"after":{"id":1,"v":"a3"},"op":"u","ts_ms":14,"source":{"db":"db","table":"users"}}""")
+    java.nio.file.Files.write(new java.io.File(dir, "feed.json").toPath,
+      lines.mkString("\n").getBytes("UTF-8"))
+    val sink = new ValuesDatabase
+    val sp = new StreamingPipeline(spark, pd, sink)
+    val q = sp.startMultiFromDebeziumJson(
+      StreamingPipeline.fileJsonStream(spark, dir.getAbsolutePath),
+      Seq(tid -> tableInfo, tidB -> infoB),
+      order = Some(get_json_object(col("value"), "$.ts_ms").cast("long")))
+    q.awaitTermination(60000)
+    assert(sink.results(tid) === Seq("db.users:1;a3"))
+    assert(sink.results(tidB) === Seq("db.orders:10;150"))
+    // the point of the deterministic order: no batch needed the persist
+    assert(sp.persistedBatches === 0)
+  }
+
+  test("deterministic order + route fan-out > 1: every routed sink converges identically") {
+    // fan-out > 1 means N independent write actions each re-evaluate the
+    // batch; only a deterministic __seq makes that safe — both sink
+    // tables must land the same last-wins state
+    val dir = java.nio.file.Files.createTempDirectory("dbz_fan").toFile
+    val lines = Seq(
+      """{"before":null,"after":{"id":1,"v":"a"},"op":"c","ts_ms":1,"source":{"db":"db","table":"users"}}""",
+      """{"before":{"id":1,"v":"a"},"after":{"id":1,"v":"a2"},"op":"u","ts_ms":2,"source":{"db":"db","table":"users"}}""",
+      """{"before":null,"after":{"id":2,"v":"b"},"op":"c","ts_ms":3,"source":{"db":"db","table":"users"}}""")
+    java.nio.file.Files.write(new java.io.File(dir, "feed.json").toPath,
+      lines.mkString("\n").getBytes("UTF-8"))
+    val pdFan = pd.copy(routes = Seq(
+      graft.route.RouteRule("db.users", "db.copy_a"),
+      graft.route.RouteRule("db.users", "db.copy_b")))
+    val sink = new ValuesDatabase
+    val sp = new StreamingPipeline(spark, pdFan, sink)
+    val q = sp.startFromDebeziumJson(
+      StreamingPipeline.fileJsonStream(spark, dir.getAbsolutePath), tid, tableInfo,
+      order = Some(get_json_object(col("value"), "$.ts_ms").cast("long")))
+    q.awaitTermination(60000)
+    val a = sink.results(TableId.parse("db.copy_a")).map(_.split(":")(1))
+    val b = sink.results(TableId.parse("db.copy_b")).map(_.split(":")(1))
+    assert(a.toSet === Set("1;a2", "2;b"))
+    assert(a === b)
+  }
+
+  test("deterministic order with mid-batch DDL falls back to the segmented persist path") {
+    // DDL present → the persist-first path runs even with an order
+    // expression; segmentation must still apply the ALTER at its log
+    // position (the order field orders DDL envelopes too — the contract)
+    val dir = java.nio.file.Files.createTempDirectory("dbz_det_ddl").toFile
+    val lines = Seq(
+      """{"before":null,"after":{"id":1,"v":"a"},"op":"c","ts_ms":1,"source":{"db":"db","table":"users"}}""",
+      """{"source":{"db":"db","table":"users"},"ts_ms":2,"ddl":"ALTER TABLE users ADD COLUMN age INT"}""",
+      """{"before":null,"after":{"id":2,"v":"b","age":22},"op":"c","ts_ms":3,"source":{"db":"db","table":"users"}}""")
+    java.nio.file.Files.write(new java.io.File(dir, "feed.json").toPath,
+      lines.mkString("\n").getBytes("UTF-8"))
+    val sink = new ValuesDatabase
+    val sp = new StreamingPipeline(spark, pd, sink)
+    val q = sp.startMultiFromDebeziumJson(
+      StreamingPipeline.fileJsonStream(spark, dir.getAbsolutePath),
+      Seq(tid -> tableInfo),
+      order = Some(get_json_object(col("value"), "$.ts_ms").cast("long")))
+    q.awaitTermination(60000)
+    assert(sp.runner.registry.evolvedInfo(tid).get.fieldNames === Seq("id", "v", "age"))
+    assert(sink.results(tid).toSet === Set("db.users:1;a;null", "db.users:2;b;22"))
+    assert(sp.persistedBatches > 0) // DDL → persist-first path
+  }
+
+  test("deterministicSeqColumn is a pure function of row content, partitioning-invariant") {
+    val df = spark.range(0, 1000).toDF("id")
+    def seqMap(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      d.withColumn("s", StreamingPipeline.deterministicSeqColumn(7, col("id")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = seqMap(df)
+    val b = seqMap(df.repartition(13))
+    assert(a === b)
+    assert(a(5L) === (7L << 43) + 5L)
+  }
+
+  test("deterministicSeqColumn raises on null and out-of-range order values") {
+    def evalOne(order: org.apache.spark.sql.Column, epoch: Long = 1L): Unit = {
+      spark.range(1).select(
+        StreamingPipeline.deterministicSeqColumn(epoch, order).as("s")).collect()
+      ()
+    }
+    for (bad <- Seq(lit(null).cast("long"), lit(-1L), lit(1L << 43)))
+      assert(intercept[Exception] { evalOne(bad) }
+        .getMessage.contains("deterministic-order violation"))
+    assert(intercept[Exception] { evalOne(lit(0L), epoch = 1L << 20) }
+      .getMessage.contains("deterministic-order violation"))
+    evalOne(lit((1L << 43) - 1)) // boundary accepted
+  }
+
   test("inferred schema: CreateTable synthesized from payloads, new field mid-stream adds a column") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
