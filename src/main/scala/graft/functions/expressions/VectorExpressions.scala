@@ -260,11 +260,14 @@ case class PqCodesExpr(child: Expression, codebooks: Array[Array[Array[Double]]]
     val v = input.asInstanceOf[ArrayData]
     val m = codebooks.length
     val sd = codebooks(0)(0).length
-    // a short vector must fail loudly: silently clamping would score the
-    // truncated subspaces as distance 0 to EVERY centroid (artificially
-    // close, wrong neighbors) instead of surfacing the dim mismatch
-    require(v.numElements() >= m * sd,
-      s"vector has ${v.numElements()} elements; PQ codebooks need ${m * sd}")
+    // any dim mismatch must fail loudly, in BOTH directions: a short
+    // vector would score truncated subspaces as distance 0 to EVERY
+    // centroid (artificially close, wrong neighbors); a LONG vector
+    // (128-d data against 64-d-trained codebooks) would silently encode
+    // only its prefix — trainPqCodebooks requires dim % m == 0 and
+    // covers the full dimension, so exact length is the only valid shape
+    require(v.numElements() == m * sd,
+      s"vector has ${v.numElements()} elements; PQ codebooks need exactly ${m * sd}")
     val out = new Array[Int](m)
     var j = 0
     while (j < m) {
@@ -318,10 +321,10 @@ case class PqLutExpr(child: Expression, codebooks: Array[Array[Array[Double]]])
     val m = codebooks.length
     val ksub = codebooks(0).length
     val sd = codebooks(0)(0).length
-    // same loud-failure rule as PqCodesExpr: a clamped short vector would
-    // read as distance 0 in the truncated subspaces
-    require(v.numElements() >= m * sd,
-      s"vector has ${v.numElements()} elements; PQ codebooks need ${m * sd}")
+    // same exact-length rule as PqCodesExpr: short clamps read as
+    // distance 0, long vectors would silently score on their prefix
+    require(v.numElements() == m * sd,
+      s"vector has ${v.numElements()} elements; PQ codebooks need exactly ${m * sd}")
     val out = new Array[Double](m * ksub)
     var j = 0
     while (j < m) {
@@ -400,6 +403,53 @@ case class ResidualExpr(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Centered orthonormal rotation `y = R·(x − mu)` — the OPQ-lite
+  * preprocessing (rotate into decorrelated coordinates before PQ's
+  * subspace split; PCA rotation is the classic OPQ approximation, Ge et
+  * al. CVPR'13 §2). The k×d matrix and the means ride in the expression,
+  * so rotation is a pure projection — no join, no shuffle — and because
+  * rotation preserves pairwise L2 distances (centering cancels in
+  * differences), ADC distances over rotated codes estimate the SAME
+  * metric the raw-coordinate PQ estimates. Index-order accumulation per
+  * output component: bit-reproducible.
+  */
+case class RotateExpr(child: Expression, means: Array[Double],
+    components: Array[Array[Double]])
+    extends UnaryExpression with SinglePassCodegen {
+
+  require(components.nonEmpty && components.forall(_.length == means.length),
+    "components must be non-empty rows of the means' dimension")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val isFloat = VectorExpressions.isFloatArray(child.dataType)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val d = means.length
+    require(v.numElements() == d,
+      s"vector has ${v.numElements()} elements; rotation expects exactly $d")
+    val out = new Array[Double](components.length)
+    var c = 0
+    while (c < components.length) {
+      val row = components(c)
+      var s = 0.0
+      var i = 0
+      while (i < d) {
+        s += (VectorExpressions.elem(v, i, isFloat) - means(i)) * row(i)
+        i += 1
+      }
+      out(c) = s
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RotateExpr =
+    copy(child = newChild)
+}
+
 object NativeVectorFunctions {
   /** Column API for [[CosineSimExpr]]. */
   def cosine(a: Column, b: Column): Column =
@@ -434,4 +484,9 @@ object NativeVectorFunctions {
   /** Column API for [[PqLutExpr]]. */
   def pqLut(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
     SparkInternals.column(PqLutExpr(SparkInternals.expression(vec), codebooks))
+
+  /** Column API for [[RotateExpr]]. */
+  def rotate(vec: Column, means: Array[Double],
+      components: Array[Array[Double]]): Column =
+    SparkInternals.column(RotateExpr(SparkInternals.expression(vec), means, components))
 }

@@ -159,11 +159,15 @@ object Dedup {
       banded(delta, deltaIdCol, "a")
         .join(banded(base, baseIdCol, "b"), Seq("band", "bucket")),
       numHashes, threshold)
-    val shTable = delta.select(col(deltaIdCol).as("id"),
+    // side-tagged shingle table: a delta doc id that collides with a
+    // base doc id (two ingestion namespaces) must not have the verify
+    // pick an arbitrary shingle array for the pair — each pair side
+    // resolves against its OWN table's rows
+    val shTable = delta.select(col(deltaIdCol).as("id"), lit("a").as("__side"),
         shingles(col(textCol), shingleSize).as("sh"))
-      .unionByName(base.select(col(baseIdCol).as("id"),
+      .unionByName(base.select(col(baseIdCol).as("id"), lit("b").as("__side"),
         shingles(col(textCol), shingleSize).as("sh")))
-    verifyJaccardPairs(shTable, candidates, threshold)
+    verifyJaccardPairsSided(shTable, candidates, sideB = "b", threshold)
       .withColumnRenamed("id_a", "delta_id")
       .withColumnRenamed("id_b", "base_id")
   }
@@ -190,6 +194,33 @@ object Dedup {
     .select(col("id"), col("m.sig").as("sig"), posexplode(col("m.bands")))
     .toDF("id", "sig", "band", "bucket")
 
+  /** Write the steady-state dedup base as PRUNABLE parquet artifacts —
+    * the layout [[bandedSignatures]]' I/O caveat calls for:
+    * `<dir>/base_text` range-partitioned AND sorted by id (so the
+    * verify's candidate-id filter skips files and row groups on parquet
+    * min/max stats — enable it with `pruneBaseIds = true` on
+    * [[incrementalKeepWithSignatures]]), and `<dir>/base_sigs`
+    * range-partitioned and sorted by (band, bucket) (clustered bucket
+    * runs: the per-batch bucket join reads runs, and a co-bucketed
+    * 100 TB deployment makes it shuffle-free). Appending a kept batch =
+    * appending its rows with the same writer over the new rows only
+    * (range layout degrades gracefully; re-compact on cadence like the
+    * MOR sink).
+    */
+  def writeBaseArtifacts(base: DataFrame, idCol: String, textCol: String,
+      baseSigs: DataFrame, dir: String, rowsPerFile: Int = 20000): Unit = {
+    val n = base.count()
+    val textParts = math.max(1, (n / math.max(1, rowsPerFile)).toInt)
+    base.repartitionByRange(textParts, col(idCol))
+      .sortWithinPartitions(idCol)
+      .write.mode("overwrite").parquet(s"$dir/base_text")
+    // sig rows = docs x bands; keep file count proportional
+    val sigParts = math.max(1, (n * 24 / math.max(1, rowsPerFile * 4)).toInt)
+    baseSigs.repartitionByRange(sigParts, col("band"), col("bucket"))
+      .sortWithinPartitions("band", "bucket")
+      .write.mode("overwrite").parquet(s"$dir/base_sigs")
+  }
+
   /** [[incrementalKeep]] over a PRE-MATERIALIZED base signature table —
     * the steady-state shape: the base is never re-signatured (the bucket
     * join reads `baseSigs` as-is, validated in-plan against the call's
@@ -199,8 +230,12 @@ object Dedup {
     * check uses), and exact-Jaccard verification shingles ONLY the rows
     * named by candidate pairs (id semi-join BELOW the shingle
     * projection — the shingle CPU is candidates-sized; the semi-join
-    * still SCANS the base text column unless the base is id-partitioned,
-    * see [[bandedSignatures]]' I/O caveat). Returns (kept rows, kept
+    * still SCANS the base text column unless `pruneBaseIds = true` over
+    * a [[writeBaseArtifacts]] id-sorted base, which pushes the candidate
+    * ids down as an In filter and skips non-candidate files/row groups).
+    * Requires ids GLOBALLY UNIQUE per document across batch and base
+    * namespaces for the returned pair ids to be unambiguous (the verify
+    * itself is side-tagged and survives collisions). Returns (kept rows, kept
     * rows' banded signatures — sliced from the delta's, never
     * recomputed) for the caller to append to its artifacts. Output rows
     * are IDENTICAL to [[incrementalKeep]]'s (OpsSpec law).
@@ -210,7 +245,7 @@ object Dedup {
       base: DataFrame, baseIdCol: String, textCol: String,
       baseSigs: DataFrame,
       threshold: Double = 0.6, bands: Int = 24, rowsPerBand: Int = 3,
-      shingleSize: Int = 3): (DataFrame, DataFrame) = {
+      shingleSize: Int = 3, pruneBaseIds: Boolean = false): (DataFrame, DataFrame) = {
     val numHashes = bands * rowsPerBand
     // caller-supplied artifact: select BY NAME (a reordered column set
     // must not silently bind band-values to "bucket") and guard the
@@ -252,16 +287,40 @@ object Dedup {
         .unionByName(intraCands.select(col("id_a").as(idCol)))
         .unionByName(intraCands.select(col("id_b").as(idCol)))
         .distinct()
+      // candidate base rows: a semi-join by default; with pruneBaseIds
+      // the candidate ids collect to the driver (bounded by the
+      // persisted cross-candidate count — capped below) and push down as
+      // an In filter, so an id-sorted parquet base ([[writeBaseArtifacts]])
+      // skips files and row groups on min/max stats instead of scanning
+      // the whole text column per batch
+      val candBaseIds = cross.select(col("id_b").as(baseIdCol)).distinct()
+      val baseCand =
+        if (pruneBaseIds) {
+          // count first, NOT limit().collect(): a limit on the persisted
+          // candidate frame runs Spark's incremental partial execution,
+          // which materializes (and caches) only some partitions — the
+          // expensive bucket join would then re-run for the rest
+          val n = candBaseIds.count()
+          if (n > 100000)
+            // candidate set too large for a driver-side filter — the
+            // semi-join plan is the right one at this density anyway
+            base.join(candBaseIds, Seq(baseIdCol))
+          else if (n == 0) base.where(lit(false))
+          else base.where(col(baseIdCol)
+            .isInCollection(candBaseIds.collect().map(_.get(0)).toSeq))
+        } else base.join(candBaseIds, Seq(baseIdCol))
+      // side-tagged ("a" = batch, "b" = base): ids colliding across the
+      // two namespaces must not cross-contaminate the Jaccard verify
       val shTable = persist(batch
         .join(batchCandIds, Seq(idCol))
-        .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
-        .unionByName(base
-          .join(cross.select(col("id_b").as(baseIdCol)).distinct(), Seq(baseIdCol))
-          .select(col(baseIdCol).as("id"),
+        .select(col(idCol).as("id"), lit("a").as("__side"),
+          shingles(col(textCol), shingleSize).as("sh"))
+        .unionByName(baseCand
+          .select(col(baseIdCol).as("id"), lit("b").as("__side"),
             shingles(col(textCol), shingleSize).as("sh"))))
-      val vsBase = verifyJaccardPairs(shTable, cross, threshold)
+      val vsBase = verifyJaccardPairsSided(shTable, cross, sideB = "b", threshold)
         .select(col("id_a").as("__drop"))
-      val intraPairs = verifyJaccardPairs(shTable, intraCands, threshold)
+      val intraPairs = verifyJaccardPairsSided(shTable, intraCands, sideB = "a", threshold)
       val intra = nearDupClusters(batch.select(col(idCol)), idCol, intraPairs)
         .where(col("id") =!= col("rep"))
         .select(col("id").as("__drop"))
@@ -346,6 +405,36 @@ object Dedup {
       .agg(
         max(when(col("id") === col("pair.id_a"), col("sh"))).as("sh_a"),
         max(when(col("id") === col("pair.id_b"), col("sh"))).as("sh_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .where(col("jaccard") >= threshold)
+      .select(col("pair.id_a").as("id_a"), col("pair.id_b").as("id_b"), col("jaccard"))
+  }
+
+  /** [[verifyJaccardPairs]] over a SIDE-TAGGED shingle table (`id`,
+    * `__side`, `sh`): pair side `id_a` always resolves against side "a"
+    * rows, `id_b` against `sideB` ("b" for cross-table pairs, "a" for
+    * intra-batch pairs) — so an id that exists in BOTH tables (delta and
+    * base drawn from different ingestion namespaces) still verifies each
+    * pair side against the right document, where the untagged join would
+    * have max() pick an arbitrary one.
+    */
+  private def verifyJaccardPairsSided(shTable: DataFrame,
+      candidates: DataFrame, sideB: String, threshold: Double): DataFrame = {
+    val melted = candidates
+      .select(struct(col("id_a"), col("id_b")).as("pair"))
+      .select(col("pair"), explode(array(
+        struct(col("pair.id_a").as("id"), lit("a").as("__side")),
+        struct(col("pair.id_b").as("id"), lit(sideB).as("__side")))).as("m"))
+      .select(col("pair"), col("m.id").as("id"), col("m.__side").as("__side"))
+    melted.join(shTable, Seq("id", "__side"))
+      .groupBy(col("pair"))
+      .agg(
+        max(when(col("id") === col("pair.id_a") && col("__side") === "a",
+          col("sh"))).as("sh_a"),
+        max(when(col("id") === col("pair.id_b") && col("__side") === sideB,
+          col("sh"))).as("sh_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))

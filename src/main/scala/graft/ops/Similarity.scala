@@ -102,22 +102,38 @@ object Similarity {
       eigenvalues: Array[Double])
 
   /** One-pass PCA fit: the d×d Gram matrix and the mean accumulate in a
-    * single `treeAggregate` over fixed-size double arrays (the MLlib
+    * single `treeAggregate` over fixed-size arrays (the MLlib
     * RowMatrix shape — this is the one place an RDD fold is the honest
     * kernel: n×d² exploded rows through a shuffle would be astronomically
     * worse at scale, while per-partition array accumulation moves d²+d
-    * doubles per partition), then the driver runs an O(d³) Jacobi
+    * values per partition), then the driver runs an O(d³) Jacobi
     * eigensolver on the d×d covariance — control-plane work, d is 64-1024
     * for embedding stores, never data-sized.
+    *
+    * BIT-REPRODUCIBLE under any partitioning (r16, same trick as
+    * [[trainIvfCentroids]]'s fixed-point Lloyd): every accumulated term —
+    * each component `x_i` and each product `x_i·x_j` — is quantized to
+    * the 2⁻²⁴ grid (`floor(v·2²⁴ + 0.5)`) and summed as a Long; integer
+    * addition is associative, so partition/combine order cannot move the
+    * sums. Means and second moments are then ONE IEEE division each of
+    * exactly-represented integers, the covariance/Jacobi pipeline is
+    * deterministic driver-side arithmetic over those — the whole rotation
+    * (and everything trained on rotated vectors, e.g. OPQ-lite codebooks)
+    * is a pure function of the data. Quantizing products (not factors)
+    * keeps the grid error ≤ 2⁻²⁵ per term; the driver-side require guards
+    * the 2⁵³ exactness window.
     */
   def pcaFit(df: DataFrame, vecCol: String, k: Int): PcaModel = {
     val first = df.select(col(vecCol)).where(col(vecCol).isNotNull).head()
     val d = first.getSeq[Any](0).size
     require(k >= 1 && k <= d, s"k=$k out of range for dim $d")
-    // acc layout: [count, sum(d), gram upper triangle (d*(d+1)/2)]
+    // acc layout: [count, sum(d), gram upper triangle (d*(d+1)/2)] — all
+    // fixed-point Longs on the 2^-24 grid
     val tri = d * (d + 1) / 2
-    val zero = new Array[Double](1 + d + tri)
-    def seqOp(acc: Array[Double], v: Seq[Double]): Array[Double] = {
+    val zero = new Array[Long](1 + d + tri)
+    val scale = 16777216.0d // 2^24, the LloydScale grid
+    def q(x: Double): Long = math.floor(x * scale + 0.5d).toLong
+    def seqOp(acc: Array[Long], v: Seq[Double]): Array[Long] = {
       require(v.size == d,
         s"ragged embedding dimension: expected $d (from the first row), got ${v.size}")
       acc(0) += 1
@@ -125,14 +141,14 @@ object Similarity {
       var t = 1 + d
       while (i < d) {
         val vi = v(i)
-        acc(1 + i) += vi
+        acc(1 + i) += q(vi)
         var j = i
-        while (j < d) { acc(t) += vi * v(j); t += 1; j += 1 }
+        while (j < d) { acc(t) += q(vi * v(j)); t += 1; j += 1 }
         i += 1
       }
       acc
     }
-    def combOp(a: Array[Double], b: Array[Double]): Array[Double] = {
+    def combOp(a: Array[Long], b: Array[Long]): Array[Long] = {
       var i = 0
       while (i < a.length) { a(i) += b(i); i += 1 }
       a
@@ -141,15 +157,18 @@ object Similarity {
       .where(col(vecCol).isNotNull)
       .rdd.map(_.getSeq[Double](0))
       .treeAggregate(zero)(seqOp, combOp)
-    val n = acc(0)
+    acc.foreach(s => require(math.abs(s) < (1L << 53),
+      s"PCA fixed-point sum $s exceeds the 2^53 double-exactness window; " +
+        "raise the quantization grid for this corpus"))
+    val n = acc(0).toDouble
     require(n > 1, s"PCA needs more than one vector, got $n")
-    val means = Array.tabulate(d)(i => acc(1 + i) / n)
+    val means = Array.tabulate(d)(i => acc(1 + i).toDouble / (n * scale))
     // covariance (population): E[x xT] - mean meanT, symmetrized from the
     // upper triangle
     val cov = Array.ofDim[Double](d, d)
     var t = 1 + d
     for (i <- 0 until d; j <- i until d) {
-      val c = acc(t) / n - means(i) * means(j)
+      val c = acc(t).toDouble / (n * scale) - means(i) * means(j)
       cov(i)(j) = c; cov(j)(i) = c
       t += 1
     }
@@ -815,7 +834,9 @@ object Similarity {
     *
     * This overload derives codes from the float vectors per call (the
     * convenience path). The production shape is [[materializePqCodes]]
-    * once + [[pqTopKPrecoded]] per query batch.
+    * once + [[pqTopKPrecoded]] per query batch. Size `coarseK` by
+    * [[autoCoarseK]]'s corpus-proportional rule — a fixed value decays
+    * under corpus growth (measured table at the definition).
     */
   def pqTopKPrecomputed(
       corpus: DataFrame, corpusId: String, corpusVec: String,
@@ -839,15 +860,32 @@ object Similarity {
     adcRerankCarried(coarse, k, coarseK)
   }
 
-  /** [[pqTopKPrecomputed]] with training folded in — the one-call form. */
+  /** Corpus-proportional `coarseK` default: `max(64, ceil(0.02·n))`.
+    * A FIXED coarseK decays under corpus growth BY CONSTRUCTION — the
+    * coarse ADC ranking's precision is roughly scale-free, so keeping a
+    * constant number of candidates out of an ever-larger corpus keeps an
+    * ever-smaller fraction of the true neighborhood. Measured (AnnRecall,
+    * recall@10, m=4/ksub=16): fixed coarseK=64 reads 0.31 at 2k vectors
+    * but 0.107 at 128k, and the IVF-PQ analog 0.476→0.233, while the
+    * 2%-of-corpus sizing holds 0.79 at 128k. The convenience trainers
+    * below apply this automatically; the Precomputed/Precoded forms take
+    * an explicit coarseK — size it by the same rule (n is the corpus or
+    * code-table count the caller already has).
+    */
+  def autoCoarseK(n: Long): Int = math.max(64L, math.ceil(n * 0.02).toLong).toInt
+
+  /** [[pqTopKPrecomputed]] with training folded in — the one-call form.
+    * `coarseK < 0` (the default) auto-sizes by [[autoCoarseK]] — the
+    * corpus count is one cheap job next to the Lloyd training passes.
+    */
   def pqTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, m: Int = 4, ksub: Int = 16, iters: Int = 3,
-      coarseK: Int = 64, excludeSelf: Boolean = true): DataFrame =
+      coarseK: Int = -1, excludeSelf: Boolean = true): DataFrame =
     pqTopKPrecomputed(corpus, corpusId, corpusVec, queries, queryId, queryVec,
       k, trainPqCodebooks(corpus, corpusId, corpusVec, m, ksub, iters),
-      coarseK, excludeSelf)
+      if (coarseK < 0) autoCoarseK(corpus.count()) else coarseK, excludeSelf)
 
   /** [[pqTopKPrecomputed]] over a PRE-MATERIALIZED code table: the coarse
     * subtree scans `(id, codes)` only — no float column anywhere in it,
@@ -903,6 +941,81 @@ object Similarity {
         round(col("cos"), 9).as("cos"), round(col("adc"), 9).as("adc"))
   }
 
+  /** OPQ-lite training: PQ codebooks over PCA-ROTATED vectors (Ge et al.
+    * CVPR'13 — PCA rotation is the classic approximation to the OPQ
+    * rotation). Raw-coordinate PQ splits correlated dimensions across
+    * subspaces, wasting codebook budget re-encoding shared variance;
+    * rotating into decorrelated coordinates first lets each subspace's
+    * ksub centroids spend their bits on independent structure. Rotation
+    * preserves pairwise L2 (centering cancels in differences), so ADC
+    * over rotated codes estimates the SAME distances — only better.
+    * Both stages are fixed-point-trained ([[pcaFit]]'s Gram and
+    * [[trainPqCodebooks]]'s Lloyd), so the whole index is
+    * bit-reproducible under any partitioning (OpsSpec pin; no DuckDB
+    * gate — re-deriving the Jacobi eigensolve in SQL is not practical,
+    * the documented boundary the r14 training precedent set).
+    * Returns (rotation model, codebooks over rotated coordinates).
+    */
+  def trainOpq(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 4, ksub: Int = 16, iters: Int = 3)
+      : (PcaModel, Array[Array[Array[Double]]]) = {
+    val d = corpus.select(col(vecCol)).where(col(vecCol).isNotNull)
+      .head().getSeq[Any](0).size
+    val model = pcaFit(corpus, vecCol, d)
+    val rotated = corpus.select(col(idCol).as("__id"),
+      graft.functions.expressions.NativeVectorFunctions
+        .rotate(col(vecCol).cast("array<double>"), model.means, model.components)
+        .as("__r"))
+    (model, trainPqCodebooks(rotated, "__id", "__r", m, ksub, iters))
+  }
+
+  /** [[pqTopKPrecomputed]] with an OPQ rotation in front: codes and the
+    * per-query LUT both compute over `y = R(x − mu)` (one fused codegen
+    * projection — RotateExpr feeds PqCodesExpr/PqLutExpr), the coarse ADC
+    * ranking therefore estimates the same L2 metric, and the exact rerank
+    * scores ORIGINAL vectors (user-facing cosine is over the data's own
+    * coordinates). Same plan shape, scan traffic, and `coarseK` sizing
+    * rule ([[autoCoarseK]]) as plain PQ — the rotation only moves WHERE
+    * the codebook budget goes.
+    */
+  def opqTopKPrecomputed(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, model: PcaModel, codebooks: Array[Array[Array[Double]]],
+      coarseK: Int, excludeSelf: Boolean = true): DataFrame = {
+    require(coarseK >= k, s"coarseK ($coarseK) must cover k ($k)")
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    import graft.functions.expressions.{NativeVectorFunctions => NV}
+    def rot(c: Column): Column =
+      NV.rotate(c.cast("array<double>"), model.means, model.components)
+    val c = corpus.select(col(corpusId).as("__cid"), col(corpusVec).as("__cvec"))
+      .withColumn("__codes", NV.pqCodes(rot(col("__cvec")), codebooks))
+    val q = broadcast(queries
+      .select(col(queryId).as("__qid"), col(queryVec).as("__qvec"))
+      .withColumn("__lut", NV.pqLut(rot(col("__qvec")), codebooks)))
+    val coarse = c.crossJoin(q)
+      .where(if (excludeSelf) col("__cid") =!= col("__qid") else lit(true))
+      .select(col("__qid").as("query_id"), col("__cid").as("neighbor_id"),
+        col("__qvec"), col("__cvec"),
+        adcScore(col("__lut"), col("__codes"), m, ksub).as("adc"))
+    adcRerankCarried(coarse, k, coarseK)
+  }
+
+  /** [[trainOpq]] + [[opqTopKPrecomputed]] — the one-call form; `coarseK
+    * < 0` auto-sizes by [[autoCoarseK]].
+    */
+  def opqTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, m: Int = 4, ksub: Int = 16, iters: Int = 3,
+      coarseK: Int = -1, excludeSelf: Boolean = true): DataFrame = {
+    val (model, books) = trainOpq(corpus, corpusId, corpusVec, m, ksub, iters)
+    opqTopKPrecomputed(corpus, corpusId, corpusVec, queries, queryId, queryVec,
+      k, model, books,
+      if (coarseK < 0) autoCoarseK(corpus.count()) else coarseK, excludeSelf)
+  }
+
   /** IVF-PQ index (the FAISS IVFADC workhorse, Jégou et al. 2011 §IV):
     * a coarse IVF quantizer partitions the corpus into inverted lists,
     * and each vector's RESIDUAL against its list centroid is
@@ -952,7 +1065,8 @@ object Similarity {
     * Determinism: both quantizers are fixed-point-trained; residuals are
     * componentwise IEEE subtractions; LUT folds and the ADC association
     * are fixed — the TRAINED approximate selection is oracle-checkable
-    * end-to-end (q90).
+    * end-to-end (q90). Size `coarseK` by [[autoCoarseK]]'s rule; fixed
+    * values decay under corpus growth.
     */
   def ivfPqTopKPrecomputed(
       corpus: DataFrame, corpusId: String, corpusVec: String,
@@ -1037,18 +1151,22 @@ object Similarity {
   }
 
   /** [[ivfPqTopKPrecomputed]] with training folded in — the one-call
-    * form.
+    * form. `coarseK < 0` (the default) auto-sizes by [[autoCoarseK]]
+    * (fixed defaults decay under corpus growth — see the sizing note
+    * there; the IVF-PQ decay measured 0.476→0.233 recall@10 from 2k to
+    * 128k vectors at fixed 64).
     */
   def ivfPqTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4, m: Int = 4, ksub: Int = 16,
-      itersIvf: Int = 3, itersPq: Int = 3, coarseK: Int = 64,
+      itersIvf: Int = 3, itersPq: Int = 3, coarseK: Int = -1,
       excludeSelf: Boolean = true): DataFrame = {
     val (cents, books) = trainIvfPq(corpus, corpusId, corpusVec,
       nlist, itersIvf, m, ksub, itersPq)
     ivfPqTopKPrecomputed(corpus, corpusId, corpusVec,
-      queries, queryId, queryVec, k, cents, books, nprobe, coarseK, excludeSelf)
+      queries, queryId, queryVec, k, cents, books, nprobe,
+      if (coarseK < 0) autoCoarseK(corpus.count()) else coarseK, excludeSelf)
   }
 
   /** Two-stage retrieval: an int8 coarse scan reranked by exact float

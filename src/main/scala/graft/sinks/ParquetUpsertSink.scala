@@ -46,9 +46,19 @@ final class ParquetUpsertSink(spark: SparkSession, baseDir: String,
     mergeOnRead: Boolean = false, autoCompactDeltas: Int = 0) extends DataSink {
 
   private val BucketCol = "__bucket"
+  private val SwapMarker = "_SWAP"
+
+  /** Test-only failpoints for the crash-replay specs: throw just before
+    * the `_SWAP` commit marker (staging complete, merge uncommitted), or
+    * after moving N staged bucket dirs (mid-swap kill). -1/false =
+    * disabled; production code never sets them.
+    */
+  private[sinks] var failBeforeCommit: Boolean = false
+  private[sinks] var failAfterSwappedBuckets: Int = -1
 
   private def path(t: TableId) = s"$baseDir/${t.parts.mkString("/")}"
   private def deltaRoot(p: String) = new java.io.File(p + "__delta")
+  private def stagingDir(p: String) = new java.io.File(p + "__staging")
 
   override def applySchemaChange(e: SchemaChangeEvent): Unit = {
     // TRUNCATE/DROP reach the storage layer (the reference's sinks clear
@@ -102,9 +112,17 @@ final class ParquetUpsertSink(spark: SparkSession, baseDir: String,
     val batch = exploded.select(
       (payload.map(col) :+ col(Changelog.OpCol) :+ col(Changelog.SeqCol)): _*)
     if (mergeOnRead) {
-      // append-only delta: no read, no merge — one pass over the pipeline
+      // crash leftovers first: a delta dir without _SUCCESS is an
+      // uncommitted write whose micro-batch WILL replay (the checkpoint
+      // never committed) — drop it so the replay starts clean and the
+      // next name never collides with a half-written dir
       val root = deltaRoot(p)
       root.mkdirs()
+      Option(root.listFiles()).toSeq.flatten
+        .filter(d => d.getName.startsWith("delta-") &&
+          !new java.io.File(d, "_SUCCESS").isFile)
+        .foreach(deleteRecursively)
+      // append-only delta: no read, no merge — one pass over the pipeline
       val n = Option(root.listFiles()).toSeq.flatten.count(_.getName.startsWith("delta-"))
       batch.write.mode(SaveMode.ErrorIfExists)
         .parquet(new java.io.File(root, f"delta-$n%05d").getAbsolutePath)
@@ -141,9 +159,16 @@ final class ParquetUpsertSink(spark: SparkSession, baseDir: String,
     dirs.foreach(deleteRecursively)
   }
 
+  /** Pending COMMITTED delta sets: a dir without its _SUCCESS marker is a
+    * crashed write whose batch replays via the checkpoint — readers and
+    * compaction must not see its partial rows (and an empty partial dir
+    * would fail the parquet schema read outright).
+    */
   private def deltaDirs(p: String): Seq[java.io.File] =
     Option(deltaRoot(p).listFiles()).toSeq.flatten
-      .filter(_.getName.startsWith("delta-")).sortBy(_.getName)
+      .filter(d => d.getName.startsWith("delta-") &&
+        new java.io.File(d, "_SUCCESS").isFile)
+      .sortBy(_.getName)
 
   /** Read pending deltas union-widened: deltas written before a schema
     * change carry the old shape, so each delta dir coerces onto the
@@ -161,6 +186,10 @@ final class ParquetUpsertSink(spark: SparkSession, baseDir: String,
   /** Bucket-granular copy-on-write merge of one changelog batch. */
   private def cowApply(p: String, rawBatch: DataFrame, info: TableInfo,
       writeAhead: Boolean): Unit = {
+    // crash recovery FIRST: current state must reflect any committed but
+    // interrupted swap before this merge reads it (and an uncommitted
+    // staging leftover must not shadow this batch's own staging)
+    recover(p)
     val target = info.schema
     val buckets = resolveBuckets(p)
     def bucketOf(df: DataFrame): DataFrame =
@@ -178,9 +207,9 @@ final class ParquetUpsertSink(spark: SparkSession, baseDir: String,
       // to a single file). The staged dirs define the bucket set to move
       // in (no deletions possible).
       val merged = Changelog.materialize(batch, info.primaryKeys)
-      val tmp = p + "__staging"
+      val tmp = stagingDir(p).getAbsolutePath
       merged.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(tmp)
-      swap(p, listBuckets(tmp), removeMissing = Nil)
+      commitSwap(p, listBuckets(tmp), removeMissing = Nil)
     } else {
       // Steady state. The touched-bucket set must be known BEFORE reading
       // current state, but computing it with a distinct() job would re-run
@@ -210,7 +239,7 @@ final class ParquetUpsertSink(spark: SparkSession, baseDir: String,
       val merged = Changelog.materialize(curCl.unionByName(staged), info.primaryKeys)
       val written = stage(p, merged)
       // a touched bucket absent from staging lost all its rows: remove it
-      swap(p, written, removeMissing = touched.filterNot(written.contains))
+      commitSwap(p, written, removeMissing = touched.filterNot(written.contains))
       tmpBatch.foreach(t => deleteRecursively(new java.io.File(t)))
     }
   }
@@ -226,29 +255,79 @@ final class ParquetUpsertSink(spark: SparkSession, baseDir: String,
     * later reads to list). Returns the bucket ids actually written.
     */
   private def stage(p: String, merged: DataFrame): Seq[Int] = {
-    val tmp = p + "__staging"
+    val tmp = stagingDir(p).getAbsolutePath
     merged.repartition(col(BucketCol))
       .write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(tmp)
     listBuckets(tmp)
   }
 
-  /** Swap staged bucket dirs into the table (copy-on-write), and drop the
-    * `removeMissing` buckets whose rows were all deleted.
+  /** Commit the staged merge, then swap it in. The `_SWAP` marker (bucket
+    * lists, written atomically AFTER staging completes) is the commit
+    * point of the whole merge: a kill BEFORE it leaves the base untouched
+    * (the uncommitted staging is discarded by [[recover]] and the batch
+    * replays), a kill AFTER it leaves a complete staged truth that
+    * [[recover]] finishes swapping idempotently. The pre-r16 swap renamed
+    * live bucket dirs aside with no journal — a kill between the rename
+    * and the staged move LOST the bucket on replay.
     */
-  private def swap(p: String, written: Seq[Int], removeMissing: Seq[Int]): Unit = {
-    val tmp = p + "__staging"
+  private def commitSwap(p: String, written: Seq[Int], removeMissing: Seq[Int]): Unit = {
+    if (failBeforeCommit) throw new RuntimeException("failpoint: before _SWAP commit")
+    val marker = new java.io.File(stagingDir(p), SwapMarker)
+    val tmpM = new java.io.File(stagingDir(p), SwapMarker + ".tmp")
+    java.nio.file.Files.write(tmpM.toPath,
+      s"written=${written.mkString(",")}\nremove=${removeMissing.mkString(",")}\n"
+        .getBytes("UTF-8"))
+    java.nio.file.Files.move(tmpM.toPath, marker.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    doSwap(p, written, removeMissing)
+  }
+
+  /** The idempotent swap body: every staged bucket still present moves in
+    * (delete-then-rename; a bucket whose staged dir is gone was already
+    * moved by a previous attempt and keeps its dst), `removeMissing`
+    * buckets delete, the staging dir (marker included) goes last. Safe to
+    * re-run from any interruption point.
+    */
+  private def doSwap(p: String, written: Seq[Int], removeMissing: Seq[Int]): Unit = {
+    val tmp = stagingDir(p)
     new java.io.File(p).mkdirs()
-    (written ++ removeMissing).foreach { b =>
+    var moved = 0
+    written.foreach { b =>
       val src = new java.io.File(tmp, s"$BucketCol=$b")
       val dst = new java.io.File(p, s"$BucketCol=$b")
-      if (dst.exists()) {
-        val old = new java.io.File(p, s"$BucketCol=${b}__old")
-        dst.renameTo(old)
-        deleteRecursively(old)
+      if (src.exists()) {
+        if (failAfterSwappedBuckets >= 0 && moved >= failAfterSwappedBuckets)
+          throw new RuntimeException(s"failpoint: mid-swap after $moved buckets")
+        deleteRecursively(dst)
+        require(src.renameTo(dst), s"could not move staged bucket $src -> $dst")
+        moved += 1
       }
-      if (src.exists()) { src.renameTo(dst); () }
     }
-    deleteRecursively(new java.io.File(tmp))
+    removeMissing.foreach(b => deleteRecursively(new java.io.File(p, s"$BucketCol=$b")))
+    deleteRecursively(tmp)
+  }
+
+  /** Crash recovery for the COW commit protocol: a staging dir carrying
+    * the `_SWAP` marker is a COMMITTED merge — finish its swap; one
+    * without the marker is an uncommitted leftover — discard it (its
+    * micro-batch replays through the checkpoint). Runs at the head of
+    * every write-path entry ([[cowApply]]); [[read]] completes committed
+    * swaps too (read-your-writes after a crash) but leaves uncommitted
+    * staging for the writer to reclaim.
+    */
+  private def recover(p: String, discardUncommitted: Boolean = true): Unit = {
+    val tmp = stagingDir(p)
+    if (!tmp.exists()) return
+    val marker = new java.io.File(tmp, SwapMarker)
+    if (marker.isFile) {
+      val kv = new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+        .linesIterator.flatMap(_.split("=", 2) match {
+          case Array(k, v) => Some(k -> v); case _ => None
+        }).toMap
+      def ints(k: String): Seq[Int] =
+        kv.getOrElse(k, "").split(",").filter(_.nonEmpty).map(_.toInt).toSeq
+      doSwap(p, ints("written"), ints("remove"))
+    } else if (discardUncommitted) deleteRecursively(tmp)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -262,6 +341,10 @@ final class ParquetUpsertSink(spark: SparkSession, baseDir: String,
     */
   def read(tableId: TableId): DataFrame = {
     val p = path(tableId)
+    // a committed-but-interrupted swap must surface to readers (the
+    // marker is the commit point); an uncommitted staging is left for
+    // the writer to discard
+    recover(p, discardUncommitted = false)
     val dirs = deltaDirs(p)
     val baseExists = Option(new java.io.File(p).listFiles())
       .exists(_.exists(_.getName.startsWith(s"$BucketCol=")))

@@ -154,6 +154,31 @@ object AnnRecall {
         pqCfg("pq m=8 ksub=16 coarse=2%", books8163,
           math.max(64, ((n - 1) / 50).toInt)))
     } ++ {
+      // OPQ-lite (r16): PCA rotation before the subspace split, matched
+      // (m, ksub, coarseK) against the plain-PQ rows above — the delta
+      // IS the value of spending the codebook budget in decorrelated
+      // coordinates. ONE rotation fit serves both geometries (full-rank
+      // PCA is geometry-independent; fixed-point training makes re-fits
+      // byte-identical anyway).
+      val rotM = Similarity.pcaFit(emb, "embedding", dim)
+      val rotEmb = emb.select(col("vec_id"),
+        graft.functions.expressions.NativeVectorFunctions.rotate(
+          col("embedding").cast("array<double>"), rotM.means, rotM.components)
+          .as("__r"))
+      val opqB4 = Similarity.trainPqCodebooks(rotEmb, "vec_id", "__r",
+        m = 4, ksub = 16, iters = 3)
+      val opqB8 = Similarity.trainPqCodebooks(rotEmb, "vec_id", "__r",
+        m = 8, ksub = 16, iters = 3)
+      def opqCfg(name: String, books: Array[Array[Array[Double]]], coarseK: Int) =
+        (name, (k: Int) => Similarity.opqTopKPrecomputed(
+          emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+          math.min(k, coarseK), rotM, books, coarseK))
+      Seq(
+        opqCfg("opq m=4 ksub=16 coarse=64", opqB4, 64),
+        opqCfg("opq m=8 ksub=16 coarse=64", opqB8, 64),
+        opqCfg("opq m=8 ksub=16 coarse=2%", opqB8,
+          math.max(64, ((n - 1) / 50).toInt)))
+    } ++ {
       // IVF-PQ (r15, q90): coarse lists bound the ADC scan to the probed
       // fraction AND residual codes quantize tighter than raw-vector
       // codes at the same budget; scanned = rerank traffic, as for PQ

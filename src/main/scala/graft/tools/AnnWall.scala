@@ -91,6 +91,40 @@ object AnnWall {
             queries, "vec_id", "embedding", k = 5, c, b,
             nprobe = 2, coarseK = 32)
         })
+
+      // Disk-backed precoded pair (r16, verdict #6): the 16×-less-scan
+      // claim of the precoded path was plan-pinned but wall-measured only
+      // on in-memory corpora where scan traffic is free. Both tables go
+      // to parquet; `disk carried` drags the float column through the
+      // coarse stage, `disk precoded` scans (id, codes) only and joins
+      // the coarseK survivors back to the float table. One training
+      // (deterministic — identical to the q89 books) serves both; build =
+      // the table write each path needs.
+      val diskBooks = Similarity.trainPqCodebooks(
+        emb, "vec_id", "embedding", m = 4, ksub = 8, iters = 2)
+      val dd = new java.io.File(s"/tmp/graft_annwall/f$f")
+      run("pq m=4 disk carried", () => {
+        dd.mkdirs()
+        emb.write.mode("overwrite").parquet(s"$dd/floats")
+        diskBooks
+      }, b => {
+        val floats = spark.read.parquet(s"$dd/floats")
+        Similarity.pqTopKPrecomputed(floats, "vec_id", "embedding",
+          floats.where(col("vec_id") < 10), "vec_id", "embedding", k = 5,
+          b.asInstanceOf[Array[Array[Array[Double]]]], coarseK = 40)
+      })
+      run("pq m=4 disk precoded", () => {
+        Similarity.materializePqCodes(emb, "vec_id", "embedding", diskBooks)
+          .write.mode("overwrite").parquet(s"$dd/codes")
+        diskBooks
+      }, b => {
+        val floats = spark.read.parquet(s"$dd/floats")
+        val codes = spark.read.parquet(s"$dd/codes")
+        Similarity.pqTopKPrecoded(codes, "vec_id", "codes",
+          floats, "vec_id", "embedding",
+          floats.where(col("vec_id") < 10), "vec_id", "embedding", k = 5,
+          b.asInstanceOf[Array[Array[Array[Double]]]], coarseK = 40)
+      })
       emb.unpersist(false)
     }
     // markdown for NOTES.md

@@ -108,6 +108,35 @@ class OpsSpec extends SparkSpec {
     assert(exactJ === 1.0)
   }
 
+  test("cross-namespace id collision: each pair side verifies against its own table") {
+    // delta doc 1 and base doc 1 are DIFFERENT documents (two ingestion
+    // namespaces): the verify must score delta-1's text against base-1's
+    // text — an untagged shingle union would let max() pick one side's
+    // array for both, reading jaccard 1.0 for a non-identical pair
+    val base0 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val nearDup = base0.replace("kappa", "kappa2")
+    val base = Seq((1L, base0)).toDF("doc_id", "text")
+    val delta = Seq((1L, nearDup)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairsAgainst(
+      delta, "doc_id", base, "doc_id", "text", threshold = 0.5).collect()
+    assert(pairs.length === 1)
+    val j = pairs(0).getDouble(2)
+    assert(j < 1.0 && j >= 0.5, s"collided-id pair read jaccard $j")
+
+    // same collision through the signature-table path: at threshold 0.9
+    // the one-token near-dup (true jaccard ~0.6) must be KEPT — the
+    // collided verify would read 1.0 and wrongly drop it
+    val sigOverlap = Dedup.bandedSignatures(base, "doc_id", "text")
+      .select("band", "bucket")
+      .intersect(Dedup.bandedSignatures(delta, "doc_id", "text")
+        .select("band", "bucket"))
+    assert(sigOverlap.count() > 0, "fixture must band-collide or the pin is vacuous")
+    val (kept, _) = Dedup.incrementalKeepWithSignatures(
+      delta, "doc_id", base, "doc_id", "text",
+      Dedup.bandedSignatures(base, "doc_id", "text"), threshold = 0.9)
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("incrementalKeep: batch reps survive unless the base already has the content") {
     val base0 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
     val nearDup = base0.replace("kappa", "kappa2")
@@ -149,6 +178,13 @@ class OpsSpec extends SparkSpec {
     val ref = Dedup.incrementalKeep(batch, "doc_id", base, "doc_id", "text",
       threshold = 0.5)
     assert(kept.collect().map(_.toSeq).toSet === ref.collect().map(_.toSeq).toSet)
+    // identity law holds under the pruned base scan too (same rows,
+    // different physical plan: driver-collected candidate ids pushed
+    // down as an In filter)
+    val (keptPruned, _) = Dedup.incrementalKeepWithSignatures(
+      batch, "doc_id", base, "doc_id", "text", baseSigs, threshold = 0.5,
+      pruneBaseIds = true)
+    assert(keptPruned.collect().map(_.toSeq).toSet === ref.collect().map(_.toSeq).toSet)
     // kept signatures are exactly the delta's rows for the kept ids —
     // re-banding the kept rows must reproduce them
     assert(keptSigs.collect().map(_.toSeq).toSet ===
@@ -877,10 +913,12 @@ class OpsSpec extends SparkSpec {
       val expect = if (a == b) 1.0 else 0.0
       assert(math.abs(dot - expect) < 1e-9, s"components($a,$b) dot=$dot")
     }
-    // eigenvalues descending, all >= -eps
+    // eigenvalues descending, all >= -eps; the eps budget is the r16
+    // fixed-point Gram's documented grid error (2^-25 per accumulated
+    // term, d-fold in an eigenvalue bound), not double rounding
     model.eigenvalues.sliding(2).foreach { case Array(x, y) =>
       assert(x >= y - 1e-12) }
-    assert(model.eigenvalues.forall(_ > -1e-9))
+    assert(model.eigenvalues.forall(_ > -1e-6))
     // planted direction dominates: |cos(top, unit)| ~ 1
     val top = model.components(0)
     val cosTop = math.abs(top.zip(unit).map { case (x, y) => x * y }.sum)
@@ -1102,6 +1140,67 @@ class OpsSpec extends SparkSpec {
       assert(rs.map(_.getInt(2)).sorted.toSeq === (1 to rs.length),
         s"query $q ranks not 1..${rs.length}")
     }
+  }
+
+  test("opq: fixed-point pca fit is partition-invariant; exhaustive coarseK equals brute force") {
+    // correlated coordinates: mix two independent signals across all 8
+    // dims so raw-coordinate subspace splits see shared variance
+    val vecs = (0 until 60).map { i =>
+      val a = math.sin(i * 7.0); val b = math.cos(i * 3.0)
+      (i.toLong, Array.tabulate(8)(j => (a * (j + 1) + b * (8 - j) * 0.5).toFloat))
+    }.toDF("vec_id", "embedding")
+    // the fixed-point Gram makes the ROTATION a pure function of the
+    // data: any partitioning, bit-identical model
+    val m1 = Similarity.pcaFit(vecs, "embedding", 8)
+    val m2 = Similarity.pcaFit(vecs.repartition(7), "embedding", 8)
+    assert(m1.means.toSeq === m2.means.toSeq)
+    assert(m1.eigenvalues.toSeq === m2.eigenvalues.toSeq)
+    assert(m1.components.map(_.toSeq).toSeq === m2.components.map(_.toSeq).toSeq)
+    // ...and everything trained downstream of it (OPQ codebooks) too
+    val (model, books) = Similarity.trainOpq(vecs, "vec_id", "embedding",
+      m = 2, ksub = 4, iters = 2)
+    val (_, books2) = Similarity.trainOpq(vecs.repartition(5), "vec_id", "embedding",
+      m = 2, ksub = 4, iters = 2)
+    assert(books.map(_.map(_.toSeq).toSeq).toSeq === books2.map(_.map(_.toSeq).toSeq).toSeq)
+    // exact-rerank degeneration law (same as plain PQ): coarseK covering
+    // the corpus collapses to brute force on ORIGINAL-coordinate cosine
+    val queries = vecs.where(col("vec_id") < 3)
+    val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 4)
+      .select("query_id", "neighbor_id", "rank", "cos").collect().map(_.toSeq).toSet
+    val full = Similarity.opqTopKPrecomputed(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 4, model, books, coarseK = 60)
+      .select("query_id", "neighbor_id", "rank", "cos").collect().map(_.toSeq).toSet
+    assert(full === exact)
+  }
+
+  test("pq: dim mismatch raises in BOTH directions; autoCoarseK is corpus-proportional") {
+    // codebooks trained at dim 8 (m=2 × subdim 4): a 6-element vector
+    // would read truncated subspaces as distance 0, a 12-element vector
+    // would silently encode only its prefix — both must raise
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 7 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val books = Similarity.trainPqCodebooks(vecs, "vec_id", "embedding",
+      m = 2, ksub = 4, iters = 1)
+    for (badDim <- Seq(6, 12); kernel <- Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column](
+        c => Similarity.pqEncode(c, books),
+        c => graft.functions.expressions.NativeVectorFunctions
+          .pqLut(c.cast("array<double>"), books))) {
+      val bad = Seq((1L, Array.tabulate(badDim)(_.toFloat))).toDF("vec_id", "embedding")
+      val e = intercept[Exception] {
+        bad.select(kernel(col("embedding"))).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("PQ codebooks need exactly")),
+        s"dim $badDim: wrong error $e")
+    }
+    // the sizing rule: 2% of the corpus, floored at 64 (fixed defaults
+    // decay under corpus growth — AnnRecall r15 table)
+    assert(Similarity.autoCoarseK(1000) === 64)
+    assert(Similarity.autoCoarseK(128000) === 2560)
+    assert(Similarity.autoCoarseK(0) === 64)
   }
 
   test("pq: exhaustive coarseK equals brute force; codes/LUT match the plain-Scala reference") {

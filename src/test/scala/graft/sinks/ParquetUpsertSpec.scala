@@ -54,6 +54,140 @@ class ParquetUpsertSpec extends SparkSpec {
     assert(first.map(r => (r(0), r(1))) === Seq((1L, "a2"), (2L, "b")))
   }
 
+  test("COW crash-replay: kill before the _SWAP commit leaves the base untouched; replay converges") {
+    // the micro-batch died AFTER staging the merged buckets but BEFORE
+    // the commit marker: the base must read as if the batch never ran,
+    // and the replay must land exactly the uninterrupted state
+    val dir = java.nio.file.Files.createTempDirectory("pqsink_crash1").toFile
+    val sink = new ParquetUpsertSink(spark, dir.getAbsolutePath, numBuckets = 4)
+    val tid = TableId.parse("db.c1")
+    val info = TableInfo(
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))),
+      primaryKeys = Seq("id"))
+    val batch1 = (1L to 20L).map(i => (i, s"v$i", "+I", i))
+      .toDF("id", "v", Changelog.OpCol, Changelog.SeqCol)
+    sink.write(tid, batch1, info)
+    val preCrash = sink.read(tid).collect().map(_.toSeq).toSet
+    val batch2 = Seq((1L, "x1", "+U", 100L), (2L, "x2", "-D", 101L),
+      (21L, "x21", "+I", 102L)).toDF("id", "v", Changelog.OpCol, Changelog.SeqCol)
+    sink.failBeforeCommit = true
+    intercept[RuntimeException] { sink.write(tid, batch2, info) }
+    sink.failBeforeCommit = false
+    // uncommitted staging: readers see the PRE-batch state
+    assert(sink.read(tid).collect().map(_.toSeq).toSet === preCrash)
+    // replay (checkpoint never committed -> the stream re-delivers)
+    sink.write(tid, batch2, info)
+    val replayed = sink.read(tid).collect().map(_.toSeq).toSet
+    // reference: the same two batches on a fresh sink, no crash
+    val refDir = java.nio.file.Files.createTempDirectory("pqsink_crash1r").toFile
+    val ref = new ParquetUpsertSink(spark, refDir.getAbsolutePath, numBuckets = 4)
+    ref.write(tid, batch1, info); ref.write(tid, batch2, info)
+    assert(replayed === ref.read(tid).collect().map(_.toSeq).toSet)
+  }
+
+  test("COW crash-replay: kill MID-SWAP recovers from the journal; no bucket is lost") {
+    // the kill lands between bucket renames — the pre-r16 swap (rename
+    // the live dir aside, then move staging in, no journal) LOST the
+    // bucket in this window; the _SWAP journal must complete the swap on
+    // replay and converge to the uninterrupted state
+    val dir = java.nio.file.Files.createTempDirectory("pqsink_crash2").toFile
+    val sink = new ParquetUpsertSink(spark, dir.getAbsolutePath, numBuckets = 4)
+    val tid = TableId.parse("db.c2")
+    val info = TableInfo(
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))),
+      primaryKeys = Seq("id"))
+    val batch1 = (1L to 40L).map(i => (i, s"v$i", "+I", i))
+      .toDF("id", "v", Changelog.OpCol, Changelog.SeqCol)
+    sink.write(tid, batch1, info)
+    // touch every bucket, then die after moving exactly one of them
+    val batch2 = (1L to 40L).map(i => (i, s"w$i", "+U", 100L + i))
+      .toDF("id", "v", Changelog.OpCol, Changelog.SeqCol)
+    sink.failAfterSwappedBuckets = 1
+    intercept[RuntimeException] { sink.write(tid, batch2, info) }
+    sink.failAfterSwappedBuckets = -1
+    // the commit marker exists: even BEFORE any replay, a reader must
+    // see the committed post-batch state (recovery completes the swap)
+    val afterCrash = sink.read(tid).collect().map(_.toSeq).toSet
+    val refDir = java.nio.file.Files.createTempDirectory("pqsink_crash2r").toFile
+    val ref = new ParquetUpsertSink(spark, refDir.getAbsolutePath, numBuckets = 4)
+    ref.write(tid, batch1, info); ref.write(tid, batch2, info)
+    val expected = ref.read(tid).collect().map(_.toSeq).toSet
+    assert(afterCrash === expected)
+    assert(afterCrash.size === 40) // every bucket's rows survived
+    // replay of the same batch converges (idempotent upsert)
+    sink.write(tid, batch2, info)
+    assert(sink.read(tid).collect().map(_.toSeq).toSet === expected)
+  }
+
+  test("MOR crash-replay: uncommitted deltas are invisible and reclaimed; duplicate deltas converge") {
+    val dir = java.nio.file.Files.createTempDirectory("pqsink_crash3").toFile
+    val sink = new ParquetUpsertSink(spark, dir.getAbsolutePath, numBuckets = 4,
+      mergeOnRead = true)
+    val tid = TableId.parse("db.c3")
+    val info = TableInfo(
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))),
+      primaryKeys = Seq("id"))
+    val batch1 = Seq((1L, "a", "+I", 1L), (2L, "b", "+I", 2L))
+      .toDF("id", "v", Changelog.OpCol, Changelog.SeqCol)
+    sink.write(tid, batch1, info)
+    val committed = sink.read(tid).collect().map(_.toSeq).toSet
+    // simulate a mid-write kill: a delta dir with data files but NO
+    // _SUCCESS (task commits landed, job commit did not)
+    val root = new java.io.File(dir, "db/c3__delta")
+    val partial = new java.io.File(root, "delta-00001")
+    val committedDelta = new java.io.File(root, "delta-00000")
+    org.apache.commons.io.FileUtils.copyDirectory(committedDelta, partial)
+    assert(new java.io.File(partial, "_SUCCESS").delete())
+    // readers must not see the partial delta (and must not crash on it)
+    assert(sink.read(tid).collect().map(_.toSeq).toSet === committed)
+    // the replayed batch reclaims the partial dir and lands once more —
+    // duplicate rows with identical seqs materialize identically
+    val batch2 = Seq((1L, "a2", "+U", 3L), (3L, "c", "+I", 4L))
+      .toDF("id", "v", Changelog.OpCol, Changelog.SeqCol)
+    sink.write(tid, batch2, info)
+    sink.write(tid, batch2, info) // the replay: a second committed copy
+    val refDir = java.nio.file.Files.createTempDirectory("pqsink_crash3r").toFile
+    val ref = new ParquetUpsertSink(spark, refDir.getAbsolutePath, numBuckets = 4,
+      mergeOnRead = true)
+    ref.write(tid, batch1, info); ref.write(tid, batch2, info)
+    val expected = ref.read(tid).collect().map(_.toSeq).toSet
+    assert(sink.read(tid).collect().map(_.toSeq).toSet === expected)
+    // compaction over the duplicated delta set converges to the same
+    // materialized base as compacting the clean set
+    sink.compact(tid, info); ref.compact(tid, info)
+    assert(sink.read(tid).collect().map(_.toSeq).toSet === expected)
+    assert(sink.read(tid).collect().map(_.toSeq).toSet ===
+      ref.read(tid).collect().map(_.toSeq).toSet)
+  }
+
+  test("MOR crash-replay: compaction killed after the fold but before delta cleanup converges") {
+    // compact = cowApply(deltas) then delete delta dirs; a kill between
+    // the two leaves the folded base AND the deltas — re-reading and
+    // re-compacting must not change the materialized state (the deltas
+    // re-apply the same seqs the base already holds)
+    val dir = java.nio.file.Files.createTempDirectory("pqsink_crash4").toFile
+    val sink = new ParquetUpsertSink(spark, dir.getAbsolutePath, numBuckets = 4,
+      mergeOnRead = true)
+    val tid = TableId.parse("db.c4")
+    val info = TableInfo(
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))),
+      primaryKeys = Seq("id"))
+    sink.write(tid, Seq((1L, "a", "+I", 1L), (2L, "b", "+I", 2L))
+      .toDF("id", "v", Changelog.OpCol, Changelog.SeqCol), info)
+    sink.write(tid, Seq((1L, "a2", "+U", 3L), (2L, "b", "-D", 4L))
+      .toDF("id", "v", Changelog.OpCol, Changelog.SeqCol), info)
+    val before = sink.read(tid).collect().map(_.toSeq).toSet
+    // fold into the base but keep the deltas (the crash window)
+    val root = new java.io.File(dir, "db/c4__delta")
+    val saved = java.nio.file.Files.createTempDirectory("pqsink_crash4s").toFile
+    org.apache.commons.io.FileUtils.copyDirectory(root, saved)
+    sink.compact(tid, info)
+    org.apache.commons.io.FileUtils.copyDirectory(saved, root) // deltas resurface
+    assert(sink.read(tid).collect().map(_.toSeq).toSet === before)
+    sink.compact(tid, info) // the re-run compaction after recovery
+    assert(sink.read(tid).collect().map(_.toSeq).toSet === before)
+  }
+
   test("bucketed COW: untouched buckets are not rewritten") {
     val dir = java.nio.file.Files.createTempDirectory("pqsink_bucket").toFile
     val sink = new ParquetUpsertSink(spark, dir.getAbsolutePath, numBuckets = 8)
