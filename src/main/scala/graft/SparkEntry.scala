@@ -1877,6 +1877,23 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q91: blocked edit-distance similarity join
+    * ([[graft.ops.Dedup.editDistanceJoin]]) — document key = first 16
+    * characters of the letters-only lowercased text, every pair within
+    * Levenshtein distance 1 via numbered-q-gram prefix blocking + exact
+    * verify. The oracle brute-forces the pair space with DuckDB's own
+    * `levenshtein` (unit-cost edit distance in both engines; the keys
+    * are ASCII so code-point and byte distances coincide) — a hash
+    * mismatch means the q-gram blocking dropped a qualifying pair.
+    */
+  private def q91EditdistJoin(s: SparkSession, dir: String): DataFrame = {
+    val keyed = t(s, dir, "documents").select(col("doc_id"),
+      substring(regexp_replace(lower(col("text")), "[^a-z]", ""), 1, 16).as("k"))
+    graft.ops.Dedup.editDistanceJoin(keyed, "doc_id", "k", maxDist = 1, q = 2)
+      .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1969,7 +1986,8 @@ object SparkEntry {
     "q87_zorder_layout" -> (q87ZorderLayout _),
     "q88_multi_lsh" -> (q88MultiLsh _),
     "q89_pq_adc" -> (q89PqAdc _),
-    "q90_ivf_pq" -> (q90IvfPq _)
+    "q90_ivf_pq" -> (q90IvfPq _),
+    "q91_editdist_join" -> (q91EditdistJoin _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3563,6 +3581,20 @@ object SparkEntry {
         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY c2 DESC, neighbor_id ASC) AS rank FROM scored)
         |SELECT query_id, neighbor_id, rank, round(c2, 9) AS cos, round(a, 9) AS adc
-        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // brute-force edit-distance join over the full pair space (the
+    // length-band predicate is exact-safe: ed <= 1 forces ||a|-|b|| <= 1)
+    "q91_editdist_join" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    substring(regexp_replace(lower(text), '[^a-z]', '', 'g'), 1, 16) AS k
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.k, b.k) AS INT) AS dist
+        |FROM s a JOIN s b
+        |  ON a.doc_id < b.doc_id
+        | AND abs(length(a.k) - length(b.k)) <= 1
+        | AND levenshtein(a.k, b.k) <= 1
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -512,6 +512,93 @@ object Dedup {
     verifyJaccardPairs(sh, candidates, threshold)
   }
 
+  /** Blocked EDIT-DISTANCE similarity join: every pair of rows whose key
+    * strings are within Levenshtein distance `maxDist`, found without the
+    * all-pairs product (q-gram count filtering — Gravano et al. VLDB'01;
+    * prefix filtering on frequency-ordered grams — Ed-Join, Xiao et al.
+    * VLDB'08). Recall is EXACT: the blocking is a sound necessary
+    * condition, and survivors verify with the exact `levenshtein` kernel.
+    *
+    * Blocking, for a pair (s, t) with ed(s, t) <= d:
+    *  - length filter: ||s| − |t|| <= d;
+    *  - q-gram count filter: one edit destroys at most q of a string's
+    *    |s| − q + 1 positional q-grams, so the gram MULTISET overlap is
+    *    >= max(|G(s)|, |G(t)|) − q·d. Duplicate grams are numbered per
+    *    string — the (gram, occurrence) elements turn the multiset into a
+    *    set whose equi-join overlap IS the multiset overlap — elements
+    *    order globally rarest-first, and each side contributes only its
+    *    first q·d + 1 elements: by the prefix-filter lemma the globally
+    *    smallest common element must sit inside BOTH prefixes whenever
+    *    the overlap bound is >= 1, so the equi-join on prefix elements
+    *    finds every qualifying pair with a positive bound.
+    *  - a pair whose bound is <= 0 (both strings shorter than q·(d+1)
+    *    characters) may share no gram at all: that short-string subset
+    *    self-joins under the length filter alone. Its KEY domain is
+    *    finite (strings of < q·(d+1) characters), so after the verify
+    *    join-back the block stays broadcast-sized at any corpus scale.
+    *
+    * Scale shape: one (id, gram)-keyed aggregation to number grams, one
+    * (gram, occ)-keyed aggregation for global frequencies, one id-keyed
+    * aggregation to order prefixes, one equi-join on PREFIX elements only
+    * — the globally rarest grams of each string, so hot stop-grams never
+    * form a join bucket — then an O(candidates) verify. Nothing touches
+    * the O(n²) pair space.
+    *
+    * Returns (id_a, id_b, dist) with id_a < id_b and dist <= maxDist.
+    * Ids must be globally unique across the frame; null keys compare as
+    * empty strings.
+    */
+  def editDistanceJoin(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 1, q: Int = 2): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1: $maxDist")
+    require(q >= 1, s"q must be >= 1: $q")
+    val keys = df.select(col(idCol).as("id"),
+      coalesce(col(strCol), lit("")).as("k"))
+      .withColumn("len", length(col("k")))
+    // numbered positional q-grams: group-count per (id, gram), then
+    // re-explode 1..cnt — equivalent to numbering occurrences, without a
+    // per-id window sort (the count agg is map-side partial)
+    val el = keys.where(col("len") >= q)
+      .select(col("id"), col("len"), explode(expr(
+        s"transform(sequence(1, len - ${q - 1}), i -> substring(k, i, $q))")).as("g"))
+      .groupBy(col("id"), col("len"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("id"), col("len"), col("g"),
+        explode(expr("sequence(1L, cnt)")).as("occ"))
+    val dfreq = el.groupBy(col("g"), col("occ")).agg(count(lit(1)).as("df"))
+    // rare-first global total order (df, gram, occ); the slice keeps the
+    // q·d + 1 prefix — the only elements that enter the join
+    val prefix = el.join(dfreq, Seq("g", "occ"))
+      .groupBy(col("id"), col("len"))
+      .agg(array_sort(collect_list(struct(col("df"), col("g"), col("occ"))))
+        .as("ordered"))
+      .select(col("id"), col("len"),
+        explode(slice(col("ordered"), 1, q * maxDist + 1)).as("e"))
+      .select(col("id"), col("len"),
+        col("e.g").as("g"), col("e.occ").as("occ"))
+    val candGram = prefix
+      .select(col("g"), col("occ"), col("id").as("id_a"), col("len").as("len_a"))
+      .join(prefix.select(col("g"), col("occ"),
+        col("id").as("id_b"), col("len").as("len_b")), Seq("g", "occ"))
+      .where(col("id_a") < col("id_b") &&
+        abs(col("len_a") - col("len_b")) <= maxDist)
+      .select(col("id_a"), col("id_b"))
+    // the short-string block (len < q·(d+1)): bound <= 0 pairs live here
+    val short = keys.where(col("len") < q * (maxDist + 1))
+    val candShort = short.select(col("id").as("id_a"), col("len").as("len_a"))
+      .join(broadcast(short.select(col("id").as("id_b"), col("len").as("len_b"))),
+        col("id_a") < col("id_b") &&
+          abs(col("len_a") - col("len_b")) <= maxDist)
+      .select(col("id_a"), col("id_b"))
+    val cands = candGram.union(candShort).distinct()
+    cands
+      .join(keys.select(col("id").as("id_a"), col("k").as("__ka")), Seq("id_a"))
+      .join(keys.select(col("id").as("id_b"), col("k").as("__kb")), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("__ka"), col("__kb")))
+      .where(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   /** Resolve near-dup pairs into clusters: every id labels with the
     * smallest id reachable through the pair graph (connected components).
     * Returns (id, rep); a document is the cluster's canonical keeper iff

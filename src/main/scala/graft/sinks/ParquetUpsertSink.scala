@@ -40,10 +40,25 @@ import org.apache.spark.sql.functions._
   *   the recommended setting for mixed workloads; keep 0/manual for
   *   write-only ingest with a terminal compaction (the Bench stream
   *   profile), and 1 for read-dominated tables.
+  * @param autoCompactReadAmp merge-on-read only: compact when the
+  *   MEASURED read amplification — pending delta rows ÷ base rows —
+  *   reaches this ratio (0 = disabled). Unlike a fixed delta-count
+  *   cadence, the trigger tracks what a read actually pays: compaction
+  *   cost grows with the base, the read-side merge penalty grows with
+  *   pending rows, and their ratio is the exchange rate between the two
+  *   — so one threshold lands near the total-wall optimum across
+  *   read/write mixes where any fixed count is tuned to exactly one mix
+  *   (MorBench's r16 two-mix curve). Row counts come from parquet
+  *   footers, driver-side: the base count caches until the next
+  *   compaction and the pending count accumulates incrementally, so the
+  *   steady-state probe cost is one footer read of the just-written
+  *   delta set per batch. A cadence and a ratio may be combined; either
+  *   trigger compacts.
   */
 final class ParquetUpsertSink(spark: SparkSession, baseDir: String,
     registry: Option[SchemaRegistry] = None, numBuckets: Int = 16,
-    mergeOnRead: Boolean = false, autoCompactDeltas: Int = 0) extends DataSink {
+    mergeOnRead: Boolean = false, autoCompactDeltas: Int = 0,
+    autoCompactReadAmp: Double = 0.0) extends DataSink {
 
   private val BucketCol = "__bucket"
   private val SwapMarker = "_SWAP"
@@ -68,10 +83,12 @@ final class ParquetUpsertSink(spark: SparkSession, baseDir: String,
       case TruncateTableEvent(t) =>
         deleteRecursively(new java.io.File(path(t)))
         deleteRecursively(deltaRoot(path(t)))
+        pendingRowsCache -= path(t); baseRowsCache -= path(t)
       case DropTableEvent(t) =>
         deleteRecursively(new java.io.File(path(t)))
         deleteRecursively(deltaRoot(path(t)))
         metaFile(path(t)).delete()
+        pendingRowsCache -= path(t); baseRowsCache -= path(t)
       case _ => ()
     }
     registry.foreach(_.apply(e))
@@ -124,10 +141,22 @@ final class ParquetUpsertSink(spark: SparkSession, baseDir: String,
         .foreach(deleteRecursively)
       // append-only delta: no read, no merge — one pass over the pipeline
       val n = Option(root.listFiles()).toSeq.flatten.count(_.getName.startsWith("delta-"))
-      batch.write.mode(SaveMode.ErrorIfExists)
-        .parquet(new java.io.File(root, f"delta-$n%05d").getAbsolutePath)
+      val deltaDir = new java.io.File(root, f"delta-$n%05d")
+      batch.write.mode(SaveMode.ErrorIfExists).parquet(deltaDir.getAbsolutePath)
       stampMeta(p, resolveBuckets(p), info.primaryKeys)
+      if (autoCompactReadAmp > 0) {
+        // incremental pending count: one footer read of the delta just
+        // written (on a cache miss — first batch after a restart — the
+        // full recompute below includes it)
+        pendingRowsCache.get(p) match {
+          case Some(c) => pendingRowsCache(p) = c + footerRowCount(deltaDir)
+          case None =>
+            pendingRowsCache(p) = deltaDirs(p).map(footerRowCount).sum
+        }
+      }
       if (autoCompactDeltas > 0 && n + 1 >= autoCompactDeltas)
+        compact(tableId, info)
+      else if (autoCompactReadAmp > 0 && readAmplification(p) >= autoCompactReadAmp)
         compact(tableId, info)
     } else {
       cowApply(p, batch, info, writeAhead = true)
@@ -157,7 +186,39 @@ final class ParquetUpsertSink(spark: SparkSession, baseDir: String,
     // parquet, not the upstream pipeline — skip the write-ahead
     cowApply(p, deltas, info, writeAhead = false)
     dirs.foreach(deleteRecursively)
+    pendingRowsCache(p) = 0L
+    baseRowsCache -= p
   }
+
+  // ---- measured read amplification (the autoCompactReadAmp trigger) ----
+
+  /** Pending delta rows ÷ base rows, from the driver-side caches (class
+    * scaladoc). An empty base reads as 1 row so the ratio stays finite —
+    * the first deltas then trip any threshold immediately, which is the
+    * right call: compacting a tiny base is nearly free and bootstraps
+    * the denominator.
+    */
+  private def readAmplification(p: String): Double = {
+    val pending = pendingRowsCache.getOrElse(p, 0L)
+    val base = baseRowsCache.getOrElseUpdate(p, footerRowCount(new java.io.File(p)))
+    pending.toDouble / math.max(base, 1L)
+  }
+
+  private val pendingRowsCache = scala.collection.mutable.Map[String, Long]()
+  private val baseRowsCache = scala.collection.mutable.Map[String, Long]()
+
+  /** Sum of parquet-footer record counts under `f` (recursive), read
+    * driver-side — no Spark job, no data pages; one footer per file.
+    */
+  private def footerRowCount(f: java.io.File): Long =
+    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(footerRowCount).sum
+    else if (f.getName.endsWith(".parquet")) {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+        spark.sessionState.newHadoopConf())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    } else 0L
 
   /** Pending COMMITTED delta sets: a dir without its _SUCCESS marker is a
     * crashed write whose batch replays via the checkpoint — readers and

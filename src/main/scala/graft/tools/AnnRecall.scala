@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * candidates / (corpus − 1)), so recall-vs-cost tradeoffs are explicit
   * instead of living in prose.
   *
-  *   runMain graft.tools.AnnRecall <embDir> [nQueries] [factor]
+  *   runMain graft.tools.AnnRecall <embDir|clustered> [nQueries] [factor] [configFilter]
   *
   * `embDir` is any directory holding an embeddings.parquet — the raw sf
   * tables or a ScaleCurve replica dir. `factor` grows the corpus IN
@@ -22,6 +22,15 @@ import org.apache.spark.sql.functions._
   * replica) — unlike the Caesar document ceiling (f ≤ 26) this path has
   * no 26 limit, so the f=64 (128k-vector) read the r14 verdict asked for
   * runs without materializing a corpus on disk.
+  *
+  * The literal `clustered` instead generates 2000·factor planted-
+  * Gaussian-cluster vectors ([[ScaleCurve.clusteredCorpus]], 64 clusters,
+  * centerScale = sigma = 1): the sign-flip growth preserves isotropy —
+  * the shape that CAPS IVF probe recall — so the ivf/ivfpq ladder is
+  * also read on the opposite, cluster-concentrated shape (r15 verdict
+  * #7). `configFilter` (substring match) limits the measured rows, e.g.
+  * `ivf` for the IVF/IVF-PQ family; trainings shared across rows still
+  * run once regardless.
   *
   * Measured configs:
   *  - LSH (production xxhash64 planes, the lshTopK defaults' family):
@@ -58,11 +67,16 @@ object AnnRecall {
     spark.sparkContext.setLogLevel("WARN")
     import graft.ops.Similarity
 
-    val base = spark.read.parquet(s"$embDir/embeddings.parquet")
-    val emb = (if (factor == 1) base
-      else (0 until factor).map(ScaleCurve.embeddingReplica(base, _))
-        .reduce(_ unionByName _))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val only = if (args.length > 3) Some(args(3)) else None
+    val emb = (if (embDir == "clustered")
+        ScaleCurve.clusteredCorpus(spark, 2000L * factor, dim = 64,
+          nClusters = 64, centerScale = 1.0, sigma = 1.0, seed = 42L)
+      else {
+        val base = spark.read.parquet(s"$embDir/embeddings.parquet")
+        if (factor == 1) base
+        else (0 until factor).map(ScaleCurve.embeddingReplica(base, _))
+          .reduce(_ unionByName _)
+      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = emb.count()
     val queries = emb.where(col("vec_id") < nQueries)
     val nq = queries.count()
@@ -208,7 +222,7 @@ object AnnRecall {
         .select(col("query_id"), col("neighbor_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       exact.count()
-      for ((name, mk) <- configs) {
+      for ((name, mk) <- configs if only.forall(name.contains)) {
         val hits = mk(k).select(col("query_id"), col("neighbor_id"))
           .join(exact, Seq("query_id", "neighbor_id"))
           .groupBy(col("query_id")).agg(count(lit(1)).as("h"))

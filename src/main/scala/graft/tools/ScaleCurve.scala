@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scaling-curve audit: replicate the documents corpus N× and measure the
@@ -104,6 +104,39 @@ object ScaleCurve {
     base.select(
       (col("vec_id") + lit(i.toLong * 1000000000L)).as("vec_id"),
       vec.as("embedding"), col("label"))
+  }
+
+  /** Deterministic planted-Gaussian-cluster corpus for AnnRecall's
+    * clustered reads (r15 verdict #7): the sign-flip growth preserves
+    * within-replica ISOTROPY — exactly the data shape that caps IVF
+    * probe recall — so the ivf/ivfpq ladder also needs the opposite
+    * shape, measured. `nClusters` centers with i.i.d. N(0, centerScale²)
+    * components; vector i = center(hash(i) mod nClusters) + N(0, sigma²)
+    * noise. Every value derives from xxhash64 via Box–Muller (u ∈ (0,1),
+    * never 0, so ln is safe), so the corpus is bit-reproducible under
+    * any partitioning and needs no materialization. With centerScale =
+    * sigma = 1 and dim = 64, within-cluster cosine ≈ |c|²/(|c|²+|n|²) ≈
+    * 0.5 against ≈ 0 across clusters — true neighbors concentrate in
+    * the query's own cluster, the IVF-favoring regime.
+    */
+  private[tools] def clusteredCorpus(spark: org.apache.spark.sql.SparkSession,
+      n: Long, dim: Int, nClusters: Int, centerScale: Double, sigma: Double,
+      seed: Long): org.apache.spark.sql.DataFrame = {
+    def unif(cols: Column*): Column =
+      (shiftrightunsigned(xxhash64(cols: _*), 11).cast("double") + 0.5) /
+        9007199254740992.0 // 2^53
+    def gauss(tag: String, a: Column, b: Column): Column = {
+      val u1 = unif(lit(tag), lit(1), a, b, lit(seed))
+      val u2 = unif(lit(tag), lit(2), a, b, lit(seed))
+      sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2)
+    }
+    val cluster = pmod(xxhash64(col("id"), lit(seed)), lit(nClusters.toLong))
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), d =>
+        (lit(centerScale) * gauss("c", cluster, d) +
+          lit(sigma) * gauss("p", col("id"), d)).cast("float")).as("embedding"),
+      cluster.cast("int").as("label"))
   }
 
   def main(args: Array[String]): Unit = {

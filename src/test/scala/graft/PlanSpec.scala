@@ -79,6 +79,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"window in jaccard-join plan:\n$p")
   }
 
+  test("q91 edit-distance join: prefix equi-join + one broadcast short block, no cartesian") {
+    val p = plan("q91_editdist_join")
+    assert(!p.contains("CartesianProduct"), s"cartesian in editdist plan:\n$p")
+    // the one BNLJ the operator allows is the length-banded SHORT-STRING
+    // block (broadcast side, domain-bounded); the gram path must stay an
+    // equi-join
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"more than the short-block BNLJ in editdist plan:\n$p")
+    // occurrence numbering is a group-count re-explode, never a per-id
+    // window sort
+    assert(!p.contains("Window ["), s"window in editdist plan:\n$p")
+  }
+
   test("q24 brute-force ANN: corpus streams against a broadcast query set") {
     val p = plan("q24_embed_topk")
     // the cross join IS the algorithm; the small side must be broadcast

@@ -293,6 +293,40 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("edit-distance join: blocked result equals brute force, shorts and duplicates included") {
+    // adversarial mix: planted distance-1 neighbors (sub/ins/del),
+    // identical keys (distance 0), repeated-gram strings (the multiset
+    // numbering), short strings below the gram threshold, empties, null
+    val rows = Seq(
+      (1L, "kitten"), (2L, "sitten"), (3L, "sittin"), (4L, "kittens"),
+      (5L, "mitten"), (6L, "kitten"), (7L, "banana"), (8L, "bananas"),
+      (9L, "aaaa"), (10L, "aaa"), (11L, "aaab"), (12L, "ab"), (13L, "b"),
+      (14L, ""), (15L, ""), (16L, "a"), (17L, null.asInstanceOf[String]),
+      (18L, "completely different"), (19L, "xy"), (20L, "yx"))
+    val df = rows.toDF("id", "k")
+    val keyed = df.select(col("id"), coalesce(col("k"), lit("")).as("k"))
+    for (d <- Seq(1, 2); q <- Seq(2, 3)) {
+      val fast = Dedup.editDistanceJoin(df, "id", "k", maxDist = d, q = q)
+        .orderBy("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      val a = keyed.select(col("id").as("id_a"), col("k").as("ka"))
+      val brute = a.crossJoin(keyed.select(col("id").as("id_b"), col("k").as("kb")))
+        .where(col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("ka"), col("kb")))
+        .where(col("dist") <= d)
+        .select("id_a", "id_b", "dist")
+        .orderBy("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      assert(fast === brute, s"maxDist=$d q=$q")
+      // the planted families must actually exercise the join (not an
+      // accidentally-empty comparison)
+      assert(brute.exists { case (x, y, dd) => x == 1L && y == 2L && dd == 1 })
+      assert(brute.exists { case (x, y, dd) => x == 1L && y == 6L && dd == 0 })
+      assert(brute.exists { case (x, y, dd) => x == 9L && y == 10L && dd == 1 })
+      assert(brute.exists { case (x, y, dd) => x == 14L && y == 15L && dd == 0 })
+    }
+  }
+
   test("semdedup: exhaustive config resolves duplicate groups; clustered drops are a subset") {
     // three planted duplicate groups in distinct directions + singletons
     def v(xs: Double*) = xs.toArray.map(_.toFloat)

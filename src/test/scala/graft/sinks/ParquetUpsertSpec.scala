@@ -289,6 +289,44 @@ class ParquetUpsertSpec extends SparkSpec {
     assert(state() === Seq((1L, "a2"), (3L, "c")))
   }
 
+  test("merge-on-read adaptive compaction triggers on measured read amplification") {
+    val dir = java.nio.file.Files.createTempDirectory("pqsink_mor_amp").toFile
+    val sink = new ParquetUpsertSink(spark, dir.getAbsolutePath,
+      numBuckets = 4, mergeOnRead = true, autoCompactReadAmp = 1.0)
+    val tid = TableId.parse("db.amp")
+    val info = TableInfo(
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))),
+      primaryKeys = Seq("id"))
+    def pendingDeltas() = Option(new java.io.File(dir, "db/amp__delta").listFiles())
+      .map(_.count(_.getName.startsWith("delta-"))).getOrElse(0)
+    def batch(rows: (Long, String)*) = rows.map { case (i, v) => (i, v, "+U", i) }
+      .toDF("id", "v", Changelog.OpCol, Changelog.SeqCol)
+
+    // empty base: the first delta's amplification is pending/1 — compacts
+    // immediately and bootstraps the denominator
+    sink.write(tid, batch(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"), info)
+    assert(pendingDeltas() === 0)
+    // 2 pending rows over a 4-row base = 0.5 < 1.0: stays a delta
+    sink.write(tid, batch(1L -> "a2", 2L -> "b2"), info)
+    assert(pendingDeltas() === 1)
+    // 4 pending rows over 4 = 1.0: compacts (incremental pending count)
+    sink.write(tid, batch(3L -> "c2", 4L -> "d2"), info)
+    assert(pendingDeltas() === 0)
+    // below threshold again — the denominator did NOT shrink
+    sink.write(tid, batch(1L -> "a3"), info)
+    assert(pendingDeltas() === 1)
+    // a FRESH sink (restart: caches empty) recomputes pending from disk:
+    // 1 carried + 4 new = 5 over base 4 = 1.25 — compacts
+    val sink2 = new ParquetUpsertSink(spark, dir.getAbsolutePath,
+      numBuckets = 4, mergeOnRead = true, autoCompactReadAmp = 1.0)
+    sink2.write(tid, batch(5L -> "e", 6L -> "f", 7L -> "g", 8L -> "h"), info)
+    assert(pendingDeltas() === 0)
+    assert(sink2.read(tid).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq(1L -> "a3", 2L -> "b2", 3L -> "c2", 4L -> "d2",
+        5L -> "e", 6L -> "f", 7L -> "g", 8L -> "h"))
+  }
+
   test("merge-on-read survives schema evolution between delta writes") {
     val dir = java.nio.file.Files.createTempDirectory("pqsink_mor_evo").toFile
     val sink = new ParquetUpsertSink(spark, dir.getAbsolutePath, mergeOnRead = true)
