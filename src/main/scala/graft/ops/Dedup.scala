@@ -214,8 +214,10 @@ object Dedup {
     base.repartitionByRange(textParts, col(idCol))
       .sortWithinPartitions(idCol)
       .write.mode("overwrite").parquet(s"$dir/base_text")
-    // sig rows = docs x bands; keep file count proportional
-    val sigParts = math.max(1, (n * 24 / math.max(1, rowsPerFile * 4)).toInt)
+    // sig rows = docs x bands — counted from the artifact itself, not a
+    // hardcoded band count (the caller may have banded with any `bands`)
+    val sigRows = baseSigs.count()
+    val sigParts = math.max(1, (sigRows / math.max(1, rowsPerFile.toLong * 4)).toInt)
     baseSigs.repartitionByRange(sigParts, col("band"), col("bucket"))
       .sortWithinPartitions("band", "bucket")
       .write.mode("overwrite").parquet(s"$dir/base_sigs")
@@ -396,21 +398,11 @@ object Dedup {
     * vanishing fraction of the corpus.
     */
   private def verifyJaccardPairs(shTable: DataFrame,
-      candidates: DataFrame, threshold: Double): DataFrame = {
-    val melted = candidates
-      .select(struct(col("id_a"), col("id_b")).as("pair"))
-      .select(col("pair"), explode(array(col("pair.id_a"), col("pair.id_b"))).as("id"))
-    melted.join(shTable, "id")
-      .groupBy(col("pair"))
-      .agg(
-        max(when(col("id") === col("pair.id_a"), col("sh"))).as("sh_a"),
-        max(when(col("id") === col("pair.id_b"), col("sh"))).as("sh_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
-      .where(col("jaccard") >= threshold)
-      .select(col("pair.id_a").as("id_a"), col("pair.id_b").as("id_b"), col("jaccard"))
-  }
+      candidates: DataFrame, threshold: Double): DataFrame =
+    // the sided kernel with one constant side IS the untagged verify —
+    // one body to keep correct, not two near-copies
+    verifyJaccardPairsSided(shTable.withColumn("__side", lit("a")),
+      candidates, sideB = "a", threshold)
 
   /** [[verifyJaccardPairs]] over a SIDE-TAGGED shingle table (`id`,
     * `__side`, `sh`): pair side `id_a` always resolves against side "a"
@@ -533,16 +525,26 @@ object Dedup {
     *    finds every qualifying pair with a positive bound.
     *  - a pair whose bound is <= 0 (both strings shorter than q·(d+1)
     *    characters) may share no gram at all: that short-string subset
-    *    self-joins under the length filter alone. Its KEY domain is
-    *    finite (strings of < q·(d+1) characters), so after the verify
-    *    join-back the block stays broadcast-sized at any corpus scale.
+    *    self-joins under the length filter alone — and because every
+    *    blocking stage runs on DISTINCT keys, the broadcast side is
+    *    bounded by the short-key DOMAIN (strings of < q·(d+1)
+    *    characters), not by how many rows carry them.
     *
-    * Scale shape: one (id, gram)-keyed aggregation to number grams, one
-    * (gram, occ)-keyed aggregation for global frequencies, one id-keyed
+    * Everything expensive runs on the DISTINCT KEY table: duplicate keys
+    * (identical strings — the common case in dedup corpora) would
+    * otherwise multiply every gram bucket and the short-string broadcast
+    * by their multiplicity and emit n_dup² rows through the joins. Ids
+    * fan back in only at the end — cross-key pairs via the matched key
+    * pair (each unordered id pair emerges exactly once, normalized
+    * least/greatest; an id has ONE key), same-key pairs (distance 0) via
+    * a per-key id self-join — so only the OUTPUT is pair-sized.
+    *
+    * Scale shape: one (key, gram)-keyed aggregation to number grams, one
+    * (gram, occ)-keyed aggregation for global frequencies, one key-keyed
     * aggregation to order prefixes, one equi-join on PREFIX elements only
-    * — the globally rarest grams of each string, so hot stop-grams never
-    * form a join bucket — then an O(candidates) verify. Nothing touches
-    * the O(n²) pair space.
+    * — the globally rarest grams of each key, so hot stop-grams never
+    * form a join bucket — an O(candidate-keys) verify, and output-sized
+    * id join-backs. Nothing touches the O(n²) pair space.
     *
     * Returns (id_a, id_b, dist) with id_a < id_b and dist <= maxDist.
     * Ids must be globally unique across the frame; null keys compare as
@@ -552,51 +554,61 @@ object Dedup {
       maxDist: Int = 1, q: Int = 2): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1: $maxDist")
     require(q >= 1, s"q must be >= 1: $q")
-    val keys = df.select(col(idCol).as("id"),
+    val ids = df.select(col(idCol).as("id"),
       coalesce(col(strCol), lit("")).as("k"))
+    val keys = ids.select(col("k")).distinct()
       .withColumn("len", length(col("k")))
-    // numbered positional q-grams: group-count per (id, gram), then
+    // numbered positional q-grams: group-count per (key, gram), then
     // re-explode 1..cnt — equivalent to numbering occurrences, without a
-    // per-id window sort (the count agg is map-side partial)
+    // per-key window sort (the count agg is map-side partial)
     val el = keys.where(col("len") >= q)
-      .select(col("id"), col("len"), explode(expr(
+      .select(col("k"), col("len"), explode(expr(
         s"transform(sequence(1, len - ${q - 1}), i -> substring(k, i, $q))")).as("g"))
-      .groupBy(col("id"), col("len"), col("g"))
+      .groupBy(col("k"), col("len"), col("g"))
       .agg(count(lit(1)).as("cnt"))
-      .select(col("id"), col("len"), col("g"),
+      .select(col("k"), col("len"), col("g"),
         explode(expr("sequence(1L, cnt)")).as("occ"))
     val dfreq = el.groupBy(col("g"), col("occ")).agg(count(lit(1)).as("df"))
     // rare-first global total order (df, gram, occ); the slice keeps the
     // q·d + 1 prefix — the only elements that enter the join
     val prefix = el.join(dfreq, Seq("g", "occ"))
-      .groupBy(col("id"), col("len"))
+      .groupBy(col("k"), col("len"))
       .agg(array_sort(collect_list(struct(col("df"), col("g"), col("occ"))))
         .as("ordered"))
-      .select(col("id"), col("len"),
+      .select(col("k"), col("len"),
         explode(slice(col("ordered"), 1, q * maxDist + 1)).as("e"))
-      .select(col("id"), col("len"),
+      .select(col("k"), col("len"),
         col("e.g").as("g"), col("e.occ").as("occ"))
     val candGram = prefix
-      .select(col("g"), col("occ"), col("id").as("id_a"), col("len").as("len_a"))
+      .select(col("g"), col("occ"), col("k").as("ka"), col("len").as("len_a"))
       .join(prefix.select(col("g"), col("occ"),
-        col("id").as("id_b"), col("len").as("len_b")), Seq("g", "occ"))
-      .where(col("id_a") < col("id_b") &&
+        col("k").as("kb"), col("len").as("len_b")), Seq("g", "occ"))
+      .where(col("ka") < col("kb") &&
         abs(col("len_a") - col("len_b")) <= maxDist)
-      .select(col("id_a"), col("id_b"))
-    // the short-string block (len < q·(d+1)): bound <= 0 pairs live here
+      .select(col("ka"), col("kb"))
+    // the short-key block (len < q·(d+1)): bound <= 0 pairs live here;
+    // the broadcast side is the short-key DOMAIN, not its carrier rows
     val short = keys.where(col("len") < q * (maxDist + 1))
-    val candShort = short.select(col("id").as("id_a"), col("len").as("len_a"))
-      .join(broadcast(short.select(col("id").as("id_b"), col("len").as("len_b"))),
-        col("id_a") < col("id_b") &&
+    val candShort = short.select(col("k").as("ka"), col("len").as("len_a"))
+      .join(broadcast(short.select(col("k").as("kb"), col("len").as("len_b"))),
+        col("ka") < col("kb") &&
           abs(col("len_a") - col("len_b")) <= maxDist)
-      .select(col("id_a"), col("id_b"))
-    val cands = candGram.union(candShort).distinct()
-    cands
-      .join(keys.select(col("id").as("id_a"), col("k").as("__ka")), Seq("id_a"))
-      .join(keys.select(col("id").as("id_b"), col("k").as("__kb")), Seq("id_b"))
-      .withColumn("dist", levenshtein(col("__ka"), col("__kb")))
+      .select(col("ka"), col("kb"))
+    val keyPairs = candGram.union(candShort).distinct()
+      .withColumn("dist", levenshtein(col("ka"), col("kb")))
       .where(col("dist") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("dist"))
+    // id fan-out (output-sized): cross-key pairs normalize id order;
+    // same-key pairs are the duplicate-key groups at distance 0
+    val crossKey = keyPairs
+      .join(ids.select(col("id").as("ia"), col("k").as("ka")), Seq("ka"))
+      .join(ids.select(col("id").as("ib"), col("k").as("kb")), Seq("kb"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("dist"))
+    val sameKey = ids.select(col("id").as("id_a"), col("k"))
+      .join(ids.select(col("id").as("id_b"), col("k")), Seq("k"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).as("dist"))
+    crossKey.unionByName(sameKey)
   }
 
   /** Resolve near-dup pairs into clusters: every id labels with the

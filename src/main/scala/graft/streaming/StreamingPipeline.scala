@@ -465,7 +465,19 @@ final class StreamingPipeline(
         // the same frame, where the cached copy earns its cost.
         val oneAction = !multi && tables.size == 1 &&
           runner.routeFanOut(tables.head._1) == 1
-        val fastPath = (order.isDefined || oneAction) &&
+        // Each consuming action of the UNPERSISTED frame re-reads the
+        // source and re-runs the decode (and, multi-table, the routing
+        // JSON probe): R routed actions cost R decode passes where the
+        // persist path costs 1 decode + cache build + R cached filters.
+        // Measured at 4 tables the unpersisted passes still win (88-99k
+        // vs ~66k ev/s), but the trade inverts with table count — a
+        // 200-table whole-database topic would pay 200 probe passes per
+        // batch — so the deterministic-order fast path is capped at a
+        // bounded action fan-out and persists beyond it.
+        val consumingActions = tables.iterator.map {
+          case (tid, _) => runner.routeFanOut(tid) }.sum
+        val fastPath = (oneAction || (order.isDefined &&
+            consumingActions <= StreamingPipeline.FastPathMaxActions)) &&
           timed("ddl-probe")(stamped.where(col("__ddl").isNotNull).isEmpty)
         val sequenced =
           if (fastPath) stamped
@@ -601,6 +613,18 @@ object StreamingPipeline {
 
   /** Column holding the envelope's table name on multi-table topics. */
   val RoutingCol = "__tbl"
+
+  /** Max consuming actions (Σ per-table route fan-out) the DDL-free
+    * fast path will serve UNPERSISTED under a deterministic `order`:
+    * each action re-decodes the source, so R actions cost R decode
+    * passes vs the persist path's one decode + cache build + R cached
+    * filters. Measured at 4 tables the re-decodes win (88–99k vs ~66k
+    * ev/s — per-pass cost is small and the cache build is the largest
+    * per-batch constant); the crossover sits well below a whole-database
+    * topic's hundreds of tables, so the cap keeps the fast path to the
+    * regime it was measured in.
+    */
+  val FastPathMaxActions = 8
 
   /** Column holding the envelope's database name on multi-table topics —
     * TableIds are db-qualified, so routing on the bare table name alone

@@ -36,7 +36,9 @@ object MorBench {
     val policies = (if (args.length > 3) args(3) else "1,4,8,16,a0.25,a1,a4,0")
       .split(',').map(_.trim).toSeq
     val readEvery = if (args.length > 4) args(4).toInt else 1
-    require(readEvery >= 1, s"readEvery >= 1: $readEvery")
+    require(readEvery >= 1 && readEvery <= batches,
+      s"readEvery must be in [1, batches=$batches] so at least one read " +
+        s"runs (got $readEvery)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = graft.Sessions.tuned(SparkSession.builder()
