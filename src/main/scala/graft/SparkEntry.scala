@@ -1894,6 +1894,55 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** q92: BPE tokenizer TRAINING ([[graft.ops.Bpe.train]]) — 8 merges over
+    * the documents corpus, weighted pair counts with the total tiebreak
+    * (count DESC, pair ASC). The oracle re-derives every merge in DuckDB
+    * as 8 unrolled stages (pair-count aggregation → argmax → a
+    * `list_reduce` string-fold greedy merge — an independent formulation
+    * of the same Sennrich scan, which OpsSpec pins against the brute-force
+    * reference). Integer counts make the training bit-reproducible under
+    * any partitioning (the fixed-point-Lloyd contract).
+    */
+  private def q92BpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merges = graft.ops.Bpe.train(t(s, dir, "documents"), "text",
+      numMerges = 8, minPairCount = 2L)
+    merges.toDF().select(col("rank"), col("lhs"), col("rhs"),
+      col("pairCount").as("pair_count")).orderBy("rank")
+  }
+
+  /** q93: BPE ENCODE with corpus-trained merges — train 8 merges, then
+    * tokenize every document with the native min-rank kernel
+    * ([[graft.functions.expressions.BpeEncodeExpr]]) and count tokens
+    * corpus-wide. The oracle encodes the DISTINCT-WORD table instead (the
+    * trained word table after 8 sequential rank-order merges IS the
+    * encoding — equivalent to the min-rank loop because a merge's
+    * components always predate its output symbol; OpsSpec pins that
+    * equivalence) and multiplies by word frequency — two different
+    * computational paths over two engines agreeing on the same counts.
+    */
+  private def q93BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = graft.ops.Bpe.train(docs, "text", numMerges = 8, minPairCount = 2L)
+    docs.select(explode(graft.ops.Bpe.encode(col("text"), merges)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("token")).limit(40)
+  }
+
+  /** q94: exact-substring span dedup ([[graft.ops.Dedup.spanDedupCut]],
+    * Lee et al. 2021 style) — every 8-token window seen earlier in
+    * (doc_id, pos) order marks its span; overlapping spans union; output
+    * is per-doc kept/cut token accounting. String window keys here so the
+    * oracle reproduces them; the production path shuffles xxhash64 keys
+    * (OpsSpec pins both paths identical).
+    */
+  private def q94SpanDedup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.spanDedupCut(t(s, dir, "documents"), "doc_id", "text",
+      k = 8, hashWindows = false)
+      .select(col("doc_id"), col("n_tokens"), col("cut_tokens"),
+        round(col("keep_frac"), 9).as("keep_frac"))
+      .orderBy("doc_id")
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1987,7 +2036,10 @@ object SparkEntry {
     "q88_multi_lsh" -> (q88MultiLsh _),
     "q89_pq_adc" -> (q89PqAdc _),
     "q90_ivf_pq" -> (q90IvfPq _),
-    "q91_editdist_join" -> (q91EditdistJoin _)
+    "q91_editdist_join" -> (q91EditdistJoin _),
+    "q92_bpe_train" -> (q92BpeTrain _),
+    "q93_bpe_encode" -> (q93BpeEncode _),
+    "q94_span_dedup" -> (q94SpanDedup _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3595,6 +3647,88 @@ object SparkEntry {
         |  ON a.doc_id < b.doc_id
         | AND abs(length(a.k) - length(b.k)) <= 1
         | AND levenshtein(a.k, b.k) <= 1
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+    // independent DuckDB recomputation of the full BPE training loop:
+    // 8 unrolled stages of (pair counts -> argmax -> list_reduce greedy
+    // string-fold merge); the fold == the Sennrich left-to-right scan
+    // (OpsSpec "fold merge == reference greedy scan")
+    "q92_bpe_train" ->
+      (s"WITH ${bpeOracleStages(8)}\n" +
+        (1 to 8).map(r =>
+          s"SELECT $r AS rank, lhs, rhs, pc AS pair_count FROM best$r WHERE pc >= 2")
+          .mkString("SELECT * FROM (", "\nUNION ALL ", ")") +
+        " ORDER BY rank"),
+    // encode == the trained word table after all 8 rank-order merges
+    // (sequential application == the kernel's min-rank loop; OpsSpec pin),
+    // weighted by word frequency
+    "q93_bpe_encode" ->
+      (s"WITH ${bpeOracleStages(8)},\n" +
+        "tok AS (SELECT unnest(string_split(s, '|')) AS token, cnt FROM w8)\n" +
+        "SELECT token, sum(cnt)::BIGINT AS n FROM tok GROUP BY token " +
+        "ORDER BY n DESC, token ASC LIMIT 40"),
+    // first-occurrence-keep duplicated-span accounting: rn>1 windows are
+    // dups, per-doc interval union via the running-max-end gaps-and-islands
+    "q94_span_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(
+        |    trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')),
+        |    ' ') AS t
+        |  FROM documents),
+        |n AS (SELECT doc_id,
+        |  (CASE WHEN t = [''] THEN 0 ELSE len(t) END)::BIGINT AS n_tokens FROM d),
+        |w AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS win
+        |  FROM d, unnest(generate_series(1, len(t) - 7)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |r AS (SELECT doc_id, pos,
+        |  row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn FROM w),
+        |iv AS (SELECT doc_id, pos, pos + 7 AS e FROM r WHERE rn > 1),
+        |m AS (SELECT doc_id, pos, e, max(e) OVER (PARTITION BY doc_id
+        |  ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM iv),
+        |c AS (SELECT doc_id, sum(greatest(0,
+        |    e - greatest(coalesce(pm, pos - 1), pos - 1)))::BIGINT AS cut
+        |  FROM m GROUP BY 1)
+        |SELECT n.doc_id, n.n_tokens, coalesce(c.cut, 0)::BIGINT AS cut_tokens,
+        |  round(CASE WHEN n.n_tokens > 0
+        |    THEN (n.n_tokens - coalesce(c.cut, 0))::DOUBLE / n.n_tokens
+        |    ELSE 1.0 END, 9) AS keep_frac
+        |FROM n LEFT JOIN c ON n.doc_id = c.doc_id
+        |ORDER BY n.doc_id""".stripMargin
   )
+
+  /** The unrolled BPE-training WITH-stages for the q92/q93 oracles:
+    * `w0` = char-split word frequencies, then per rank r: `pairsR`
+    * (adjacent-pair counts), `bestR` (argmax with the total tiebreak),
+    * `wR` (greedy merge via a separator-string `list_reduce` fold — the
+    * `^` sentinel seeds the accumulator so every symbol is `|`-preceded
+    * and `ends_with` tests complete symbols only).
+    */
+  private def bpeOracleStages(n: Int): String = {
+    val w0 =
+      """w0 AS (
+        |  SELECT array_to_string(string_split(w, ''), '|') AS s,
+        |    count(*)::BIGINT AS cnt
+        |  FROM (SELECT unnest(string_split(
+        |    trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')),
+        |    ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY 1)""".stripMargin
+    val stages = (1 to n).map { r =>
+      s"""pairs$r AS (
+         |  SELECT sp[i] AS lhs, sp[i+1] AS rhs, sum(cnt)::BIGINT AS pc
+         |  FROM (SELECT cnt, string_split(s, '|') AS sp FROM w${r - 1}),
+         |       unnest(generate_series(1, len(sp)-1)) AS u(i)
+         |  GROUP BY 1, 2),
+         |best$r AS (SELECT lhs, rhs, pc FROM pairs$r
+         |  ORDER BY pc DESC, lhs ASC, rhs ASC LIMIT 1),
+         |w$r AS (
+         |  SELECT cnt, substr(list_reduce(list_prepend('^', string_split(s, '|')),
+         |    (acc, x) -> CASE
+         |      WHEN ends_with(acc, '|' || b.lhs) AND x = b.rhs
+         |      THEN substr(acc, 1, length(acc) - length(b.lhs) - 1)
+         |        || '|' || b.lhs || b.rhs
+         |      ELSE acc || '|' || x END), 3) AS s
+         |  FROM w${r - 1}, best$r b)""".stripMargin
+    }
+    (w0 +: stages).mkString(",\n")
+  }
 }

@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer: corpus-trained merge table + a
+  * merge-applying encoder (Sennrich, Haddow & Birch 2016, "Neural Machine
+  * Translation of Rare Words with Subword Units", ACL — the subword
+  * tokenizer family used by GPT-2/LLaMA-style training pipelines).
+  *
+  * Scale design: training never touches the corpus after ONE word-count
+  * aggregation (map-side partial sum → vocabulary-sized table). Each merge
+  * iteration is a pair-count aggregation plus an argmax over the DISTINCT
+  * WORD table — O(vocab × word-length) per iteration, independent of
+  * corpus size (the 100 TB path: a web-scale corpus has ~10⁷ distinct
+  * normalized words, a few hundred MB — trivially partitionable, no state
+  * on the driver beyond the single best pair per iteration). Encoding is a
+  * pure per-row projection (native single-pass expression, broadcast merge
+  * table inside the expression tree) — embarrassingly parallel.
+  *
+  * Determinism: pair counts are integer sums (order-independent), the
+  * argmax tiebreak is total (count DESC, then lexicographic pair ASC), so
+  * the merge table is bit-reproducible under any partitioning — same
+  * contract as the fixed-point Lloyd trainers in [[Similarity]].
+  */
+object Bpe {
+
+  /** Normalized word frequencies: one corpus pass, map-side combined.
+    * Tokenization matches [[TextAnalysis.normalize]] (lowercase, non-alnum
+    * runs → space) exactly; empty tokens dropped.
+    */
+  def wordFreqs(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(TextAnalysis.normalize(col(textCol)), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** Split a word into single-character symbols (ASCII or BMP chars; the
+    * corpus normalizer already restricted symbols to letters/digits).
+    */
+  private def charSyms(w: Column): Column =
+    transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+
+  /** Greedy left-to-right merge of one adjacent pair `(l, r) → l+r` in a
+    * symbol array — a single fold: the accumulator's last element merges
+    * with the incoming symbol iff they equal the pair, and a merged symbol
+    * can never re-match `l` (its string differs from both components), so
+    * the fold is exactly the non-overlapping left-to-right scan of the
+    * reference BPE algorithm.
+    */
+  private[ops] def mergePairCol(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** One trained merge: 1-based rank, the pair, and its corpus count. */
+  final case class Merge(rank: Int, lhs: String, rhs: String, pairCount: Long)
+
+  /** Train `numMerges` BPE merges over the corpus. Returns the ranked
+    * merge list (driver-side — it is O(numMerges), the only data that ever
+    * reaches the driver). Stops early when the best pair's weighted count
+    * drops below `minPairCount` or no pairs remain.
+    *
+    * Each iteration: adjacent-pair counts weighted by word frequency
+    * (hash aggregation with partial combine), a LIMIT-1 argmax with the
+    * total tiebreak, then the greedy merge fold applied to the word table.
+    * The word table is persisted per iteration and the previous iteration
+    * unpersisted after the next argmax action (the loop never recomputes
+    * the corpus scan — `wordFreqs` materializes once).
+    */
+  def train(docs: DataFrame, textCol: String, numMerges: Int,
+      minPairCount: Long = 2L): Seq[Merge] = {
+    require(numMerges >= 0 && numMerges <= 4096, "numMerges out of range")
+    val out = scala.collection.mutable.ArrayBuffer[Merge]()
+    var cur = wordFreqs(docs, textCol)
+      .select(col("cnt"), charSyms(col("w")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var prev: DataFrame = null
+    try {
+      var rank = 1
+      var done = false
+      while (rank <= numMerges && !done) {
+        val best = cur.where(size(col("s")) >= 2)
+          .select(col("cnt"), explode(transform(
+            sequence(lit(0), size(col("s")) - 2),
+            i => struct(element_at(col("s"), i + 1).as("lhs"),
+              element_at(col("s"), i + 2).as("rhs")))).as("p"))
+          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+          .agg(sum("cnt").as("pc"))
+          .orderBy(desc("pc"), asc("lhs"), asc("rhs"))
+          .limit(1).collect()
+        if (prev != null) { prev.unpersist(); prev = null }
+        if (best.isEmpty || best(0).getLong(2) < minPairCount) done = true
+        else {
+          val (l, r, pc) =
+            (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          out += Merge(rank, l, r, pc)
+          prev = cur
+          cur = cur.select(col("cnt"), mergePairCol(col("s"), l, r).as("s"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          rank += 1
+        }
+      }
+    } finally {
+      cur.unpersist()
+      if (prev != null) prev.unpersist()
+    }
+    out.toSeq
+  }
+
+  /** Encode text into BPE tokens with a trained merge list: normalize +
+    * tokenize + per-word min-rank merge loop in one native single-pass
+    * kernel ([[graft.functions.expressions.BpeEncodeExpr]]) — returns
+    * `array<string>` of subword tokens in document order.
+    */
+  def encode(text: Column, merges: Seq[Merge]): Column =
+    graft.functions.expressions.BpeEncodeExpr.of(
+      text, merges.sortBy(_.rank).map(m => (m.lhs, m.rhs)))
+}

@@ -885,4 +885,78 @@ object Dedup {
           col("dup_windows").cast("double") / col("n_windows"))
           .otherwise(lit(0.0)).as("dup_frac"))
   }
+
+  /** Exact-substring span dedup, first occurrence kept (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * suffix-span removal family, here at fixed `k`-token window
+    * granularity): every `k`-token window whose text appeared EARLIER in
+    * the corpus (global order = (doc_id, position), the first occurrence
+    * wins — including earlier positions of the same document) marks its
+    * span for removal; overlapping marked spans merge into intervals, and
+    * the per-document result is `(n_tokens, cut_tokens, keep_frac)` after
+    * the cut.
+    *
+    * Scale shape: one corpus scan → window explode (×~n_tokens rows, the
+    * unavoidable k-gram fan-out; a second pruned scan computes the per-doc
+    * token counts — cheaper than caching raw token arrays corpus-wide),
+    * a first-occurrence aggregation
+    * `min(struct(doc_id, pos))` per window key (map-side partial combine —
+    * a hot window, e.g. a boilerplate sentence in millions of docs,
+    * partial-aggregates per task instead of serializing through one
+    * reducer the way a per-key `row_number` window would), one equi-join
+    * of the windows against the vocabulary-sized firsts frame, and a
+    * per-document interval merge (window function partitioned by doc —
+    * bounded by document length, no corpus-level skew). With
+    * `hashWindows` the shuffled key is the 8-byte xxhash64 of the window
+    * instead of the window text (the 100 TB path); the string path exists
+    * for external-oracle reproducibility, and OpsSpec pins both paths
+    * identical on fixtures.
+    */
+  def spanDedupCut(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, hashWindows: Boolean = true): DataFrame = {
+    require(k >= 1, "window length must be >= 1")
+    val base = docs.select(col(idCol).as("doc_id"),
+      split(graft.ops.TextAnalysis.normalize(col(textCol)), " ").as("t"))
+    // spark split("", " ") yields [""]: an empty doc has zero real tokens
+    val counted = base.select(col("doc_id"),
+      when(col("t") === array(lit("")), lit(0)).otherwise(size(col("t")))
+        .as("n_tokens"), col("t"))
+    val wins = counted
+      .where(col("n_tokens") >= k)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), col("n_tokens") - (k - 1)),
+        i => struct(i.as("pos"),
+          array_join(slice(col("t"), i, lit(k)), " ").as("win")))).as("p"))
+      .select(col("doc_id"), col("p.pos").as("pos"),
+        (if (hashWindows) xxhash64(col("p.win")) else col("p.win")).as("wkey"))
+      // consumed by the firsts aggregation AND the probe join — without
+      // the persist the corpus is normalized/exploded twice (no exchange
+      // reuse across the two branches; the shared-pass rule from NOTES)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val firsts = wins.groupBy(col("wkey"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    val dups = wins.join(firsts, "wkey")
+      .where(!(col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos")))
+      .select(col("doc_id"), col("pos"), (col("pos") + (k - 1)).as("e"))
+    // gaps-and-islands cut length: each dup interval contributes the part
+    // of [pos, e] past the running max end of earlier intervals in the doc
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cut = dups
+      .select(col("doc_id"), col("pos"), col("e"),
+        max(col("e")).over(byPos).as("pm"))
+      .groupBy("doc_id")
+      .agg(sum(greatest(lit(0),
+        col("e") - greatest(coalesce(col("pm"), col("pos") - 1), col("pos") - 1)))
+        .as("cut_tokens"))
+    counted.select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+      .join(cut, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("cut_tokens"), lit(0L)).as("cut_tokens"),
+        when(col("n_tokens") > 0,
+          (col("n_tokens") - coalesce(col("cut_tokens"), lit(0L))).cast("double") /
+            col("n_tokens"))
+          .otherwise(lit(1.0)).as("keep_frac"))
+  }
 }

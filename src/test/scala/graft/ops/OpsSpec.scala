@@ -2044,4 +2044,165 @@ class OpsSpec extends SparkSpec {
     assert(edgeRows.map(_.getInt(1)).sorted.toSeq === Seq(0, 119))
     assert(edgeRows.map(_.getLong(2)).sum === 2L) // the NULL row is gone
   }
+
+  // ---- BPE tokenizer ----
+
+  /** Reference greedy left-to-right merge of one pair (Sennrich scan). */
+  private def refMergePair(s: List[String], l: String, r: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer[String]()
+    var i = 0
+    while (i < s.length) {
+      if (i < s.length - 1 && s(i) == l && s(i + 1) == r) { out += (l + r); i += 2 }
+      else { out += s(i); i += 1 }
+    }
+    out.toList
+  }
+
+  /** Reference BPE trainer over a word-frequency map. */
+  private def refBpeTrain(words: Map[String, Long], numMerges: Int,
+      minPair: Long): Seq[(Int, String, String, Long)] = {
+    var ws: Seq[(List[String], Long)] =
+      words.toSeq.map { case (w, c) => (w.toList.map(String.valueOf(_)), c) }
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      val pairs = scala.collection.mutable.Map[(String, String), Long]()
+      ws.foreach { case (s, c) =>
+        s.zip(s.drop(1)).foreach(p => pairs(p) = pairs.getOrElse(p, 0L) + c) }
+      if (pairs.isEmpty) done = true
+      else {
+        val ((l, r), pc) = pairs.toSeq.minBy { case ((l, r), pc) => (-pc, l, r) }
+        if (pc < minPair) done = true
+        else {
+          out += ((rank, l, r, pc))
+          ws = ws.map { case (s, c) => (refMergePair(s, l, r), c) }
+          rank += 1
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpe: fold merge == reference greedy scan on random pair/word combos") {
+    val rnd = new scala.util.Random(41)
+    val alpha = Array("a", "b", "c")
+    val cases = (0 until 200).map { i =>
+      val w = (0 until (1 + rnd.nextInt(9))).map(_ => alpha(rnd.nextInt(3))).mkString
+      (i.toLong, w, alpha(rnd.nextInt(3)), alpha(rnd.nextInt(3)))
+    }
+    cases.groupBy(c => (c._3, c._4)).foreach { case ((l, r), group) =>
+      val df = group.map(c => (c._1, c._2)).toDF("id", "w")
+        .select(col("id"), transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))).as("s"))
+      val got = df.select(col("id"), Bpe.mergePairCol(col("s"), l, r).as("m"))
+        .collect().map(row => row.getLong(0) -> row.getSeq[String](1).toList).toMap
+      group.foreach { case (id, w, _, _) =>
+        assert(got(id) === refMergePair(w.toList.map(String.valueOf(_)), l, r),
+          s"word=$w pair=($l,$r)")
+      }
+    }
+  }
+
+  test("bpe train: matches the reference trainer, invariant under partitioning") {
+    val docs = Seq(
+      "the cat sat on the mat", "the bat and the cat", "a mat on a hat",
+      "the the the cat cat", "rat bat cat mat hat sat", "on and on and on")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val wf = Bpe.wordFreqs(docs, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = refBpeTrain(wf, numMerges = 8, minPair = 2L)
+    val got = Bpe.train(docs, "text", numMerges = 8, minPairCount = 2L)
+      .map(m => (m.rank, m.lhs, m.rhs, m.pairCount))
+    assert(got === expect)
+    val got13 = Bpe.train(docs.repartition(13), "text", 8, 2L)
+      .map(m => (m.rank, m.lhs, m.rhs, m.pairCount))
+    assert(got13 === expect) // integer pair counts + total tiebreak
+    spark.catalog.clearCache()
+  }
+
+  test("bpe encode: min-rank kernel == sequential rank-order application") {
+    // the oracle's unrolled form applies each merge once in rank order;
+    // the kernel loops on the lowest-ranked pair present — equivalent
+    // because a merge's components always predate its own output symbol
+    val docs = Seq((0L, "the cat sat on the mat"), (1L, "batter chatter"),
+      (2L, ""), (3L, "aaaa abab"), (4L, "TH-E the: TheThe"))
+      .toDF("id", "text")
+    val merges = Seq(("t", "h"), ("th", "e"), ("a", "t"), ("a", "a"),
+      ("c", "at"), ("a", "b"), ("ab", "ab"))
+    val got = docs.select(col("id"),
+      Bpe.encode(col("text"), merges.zipWithIndex.map { case ((l, r), i) =>
+        Bpe.Merge(i + 1, l, r, 0L) }).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    def seqApply(w: String): List[String] = {
+      var s = w.toList.map(String.valueOf(_))
+      merges.foreach { case (l, r) => s = refMergePair(s, l, r) }
+      s
+    }
+    def tokensOf(t: String): List[String] =
+      t.toLowerCase.replaceAll("[^\\p{L}\\p{N}]+", " ").trim
+        .split(" ").filter(_.nonEmpty).toList
+    for ((id, text) <- Seq((0L, "the cat sat on the mat"), (1L, "batter chatter"),
+        (2L, ""), (3L, "aaaa abab"), (4L, "TH-E the: TheThe"))) {
+      assert(got(id) === tokensOf(text).flatMap(seqApply), s"doc $id")
+    }
+    // spot semantics: trained pairs actually fuse
+    assert(got(0L).contains("the") && got(0L).contains("cat"))
+    assert(got(3L) === List("aa", "aa", "abab"))
+  }
+
+  test("bpe end-to-end: corpus-trained merges encode the corpus consistently") {
+    val docs = Seq.tabulate(30)(i =>
+      (i.toLong, s"alpha beta alpha gamma doc$i beta alpha")).toDF("id", "text")
+    val merges = Bpe.train(docs, "text", numMerges = 10, minPairCount = 2L)
+    assert(merges.nonEmpty && merges.map(_.rank) === (1 to merges.length))
+    // after 10 merges over this skewed corpus, 'alpha' fuses to one token
+    val toks = docs.select(explode(Bpe.encode(col("text"), merges)).as("t"))
+      .groupBy("t").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(toks.contains("alpha") && toks("alpha") === 90L)
+    spark.catalog.clearCache()
+  }
+
+  // ---- exact-substring span dedup ----
+
+  /** Reference span-dedup: first occurrence (doc order, then position)
+    * kept, later occurrences cut; union of overlapping windows.
+    */
+  private def refSpanCut(docs: Seq[(Long, String)], k: Int): Map[Long, (Long, Long)] = {
+    val tok = docs.sortBy(_._1).map { case (id, t) =>
+      id -> t.toLowerCase.replaceAll("[^\\p{L}\\p{N}]+", " ").trim
+        .split(" ").filter(_.nonEmpty).toSeq }
+    val seen = scala.collection.mutable.Set[String]()
+    tok.map { case (id, ts) =>
+      val dup = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+      for (pos <- 1 to math.max(0, ts.length - k + 1)) {
+        val win = ts.slice(pos - 1, pos - 1 + k).mkString(" ")
+        if (!seen.add(win)) dup += ((pos, pos + k - 1))
+      }
+      val covered = dup.flatMap { case (a, b) => a to b }.toSet.size
+      id -> (ts.length.toLong, covered.toLong)
+    }.toMap
+  }
+
+  test("span dedup cut: both key paths match the reference interval union") {
+    val boiler = "all rights reserved contact us for more information today"
+    val docs = Seq(
+      (1L, s"unique alpha beta gamma delta epsilon zeta eta theta $boiler"),
+      (2L, s"$boiler totally different middle content here now $boiler"), // self-dup too
+      (3L, s"fresh words only nothing repeated in this document at all"),
+      (4L, s"unique alpha beta gamma delta epsilon zeta eta theta $boiler"), // full dup of 1
+      (5L, ""), (6L, "short doc"))
+    val expect = refSpanCut(docs, k = 8)
+    for (hashed <- Seq(true, false)) {
+      val got = Dedup.spanDedupCut(docs.toDF("doc_id", "text"),
+        "doc_id", "text", k = 8, hashWindows = hashed)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got === expect, s"hashWindows=$hashed")
+      spark.catalog.clearCache()
+    }
+    // doc 4 is fully covered by doc 1's windows
+    assert(expect(4L)._1 === expect(4L)._2)
+    assert(expect(3L)._2 === 0L)
+    assert(expect(5L) === ((0L, 0L)))
+  }
 }
