@@ -3701,7 +3701,10 @@ object SparkEntry {
     * (adjacent-pair counts), `bestR` (argmax with the total tiebreak),
     * `wR` (greedy merge via a separator-string `list_reduce` fold — the
     * `^` sentinel seeds the accumulator so every symbol is `|`-preceded
-    * and `ends_with` tests complete symbols only).
+    * and `ends_with` tests complete symbols only). A stage whose best
+    * pair falls under minPairCount=2 is a no-op, mirroring
+    * [[graft.ops.Bpe.train]]'s early stop (later stages then recompute
+    * the same sub-threshold best and stay no-ops).
     */
   private def bpeOracleStages(n: Int): String = {
     val w0 =
@@ -3721,12 +3724,13 @@ object SparkEntry {
          |best$r AS (SELECT lhs, rhs, pc FROM pairs$r
          |  ORDER BY pc DESC, lhs ASC, rhs ASC LIMIT 1),
          |w$r AS (
-         |  SELECT cnt, substr(list_reduce(list_prepend('^', string_split(s, '|')),
+         |  SELECT cnt, CASE WHEN b.pc < 2 THEN s ELSE
+         |    substr(list_reduce(list_prepend('^', string_split(s, '|')),
          |    (acc, x) -> CASE
          |      WHEN ends_with(acc, '|' || b.lhs) AND x = b.rhs
          |      THEN substr(acc, 1, length(acc) - length(b.lhs) - 1)
          |        || '|' || b.lhs || b.rhs
-         |      ELSE acc || '|' || x END), 3) AS s
+         |      ELSE acc || '|' || x END), 3) END AS s
          |  FROM w${r - 1}, best$r b)""".stripMargin
     }
     (w0 +: stages).mkString(",\n")

@@ -141,6 +141,11 @@ object Similarity {
       var t = 1 + d
       while (i < d) {
         val vi = v(i)
+        // the quantizer maps NaN/Inf to 0 silently (floor(NaN)+toLong);
+        // a Double accumulator would have propagated NaN loudly — keep
+        // that failure mode loud rather than training a skewed rotation
+        require(!vi.isNaN && !vi.isInfinite,
+          s"non-finite embedding component at dim $i")
         acc(1 + i) += q(vi)
         var j = i
         while (j < d) { acc(t) += q(vi * v(j)); t += 1; j += 1 }
@@ -872,7 +877,8 @@ object Similarity {
     * an explicit coarseK — size it by the same rule (n is the corpus or
     * code-table count the caller already has).
     */
-  def autoCoarseK(n: Long): Int = math.max(64L, math.ceil(n * 0.02).toLong).toInt
+  def autoCoarseK(n: Long): Int =
+    math.min(math.max(64L, math.ceil(n * 0.02).toLong), Int.MaxValue.toLong).toInt
 
   /** [[pqTopKPrecomputed]] with training folded in — the one-call form.
     * `coarseK < 0` (the default) auto-sizes by [[autoCoarseK]] — the

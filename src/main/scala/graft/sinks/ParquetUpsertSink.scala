@@ -83,10 +83,14 @@ final class ParquetUpsertSink(spark: SparkSession, baseDir: String,
       case TruncateTableEvent(t) =>
         deleteRecursively(new java.io.File(path(t)))
         deleteRecursively(deltaRoot(path(t)))
+        // a committed-but-unapplied _SWAP from before the truncate would
+        // otherwise be replayed by recover() and resurrect deleted rows
+        deleteRecursively(stagingDir(path(t)))
         pendingRowsCache -= path(t); baseRowsCache -= path(t)
       case DropTableEvent(t) =>
         deleteRecursively(new java.io.File(path(t)))
         deleteRecursively(deltaRoot(path(t)))
+        deleteRecursively(stagingDir(path(t)))
         metaFile(path(t)).delete()
         pendingRowsCache -= path(t); baseRowsCache -= path(t)
       case _ => ()

@@ -474,8 +474,12 @@ final class StreamingPipeline(
         // 200-table whole-database topic would pay 200 probe passes per
         // batch — so the deterministic-order fast path is capped at a
         // bounded action fan-out and persists beyond it.
-        val consumingActions = tables.iterator.map {
-          case (tid, _) => runner.routeFanOut(tid) }.sum
+        // wire-captured tables (dynamicTables) consume actions too — a
+        // whole-database topic that grew 200 captured tables must fall
+        // back to persist even though only 1 table was declared
+        val consumingActions =
+          (tables.iterator.map(_._1) ++ dynamicTables.keysIterator)
+            .toSet.iterator.map(runner.routeFanOut).sum
         val fastPath = (oneAction || (order.isDefined &&
             consumingActions <= StreamingPipeline.FastPathMaxActions)) &&
           timed("ddl-probe")(stamped.where(col("__ddl").isNotNull).isEmpty)
