@@ -554,8 +554,14 @@ object Dedup {
       maxDist: Int = 1, q: Int = 2): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1: $maxDist")
     require(q >= 1, s"q must be >= 1: $q")
+    // ids feeds keys-distinct + two crossKey joins + the sameKey
+    // self-join; el feeds dfreq + the prefix join; prefix self-joins —
+    // without persists every branch recomputes the whole front end
+    // (source scan + regex key projection included): the
+    // no-exchange-reuse rule from NOTES. All three are key-domain-sized.
     val ids = df.select(col(idCol).as("id"),
       coalesce(col(strCol), lit("")).as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keys = ids.select(col("k")).distinct()
       .withColumn("len", length(col("k")))
     // numbered positional q-grams: group-count per (key, gram), then
@@ -568,6 +574,7 @@ object Dedup {
       .agg(count(lit(1)).as("cnt"))
       .select(col("k"), col("len"), col("g"),
         explode(expr("sequence(1L, cnt)")).as("occ"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = el.groupBy(col("g"), col("occ")).agg(count(lit(1)).as("df"))
     // rare-first global total order (df, gram, occ); the slice keeps the
     // q·d + 1 prefix — the only elements that enter the join
@@ -579,6 +586,7 @@ object Dedup {
         explode(slice(col("ordered"), 1, q * maxDist + 1)).as("e"))
       .select(col("k"), col("len"),
         col("e.g").as("g"), col("e.occ").as("occ"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candGram = prefix
       .select(col("g"), col("occ"), col("k").as("ka"), col("len").as("len_a"))
       .join(prefix.select(col("g"), col("occ"),
