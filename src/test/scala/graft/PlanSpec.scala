@@ -628,4 +628,31 @@ class PlanSpec extends SparkSpec {
     assert("\\*\\(\\d+\\) Project".r.findFirstIn(projLine).isDefined,
       s"reinterpret fell out of WSCG:\n$p")
   }
+
+  test("q93 bpe encode: kernel is a projection — one corpus scan, one token agg, no join") {
+    val p = plan("q93_bpe_encode")
+    // encode = Generate(explode(BpeEncodeExpr)) over the scan; the only
+    // shuffle is the token-count hash aggregation (map-side partial)
+    assert(!p.contains("Join"), s"join in the encode plan:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"token count not map-side combined:\n$p")
+    val corpusScans = p.linesIterator.count(_.contains("FileScan"))
+    assert(corpusScans === 1, s"encode should scan the corpus once:\n$p")
+  }
+
+  test("q94 span dedup: partial-agg firsts, equi-join probe, no corpus-keyed window") {
+    val p = plan("q94_span_dedup")
+    // first-occurrence table: min(struct) hash aggregate with map-side
+    // partials (a per-wkey row_number window would serialize hot windows
+    // through one task)
+    assert(p.contains("partial_min"), s"firsts not map-side combined:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in span dedup plan:\n$p")
+    // the only Window is the per-doc interval merge (partitioned by
+    // doc_id — bounded by document length, not corpus-level keys)
+    val windowLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.size <= 1, s"extra window:\n$p")
+    assert(windowLines.forall(_.contains("doc_id")),
+      s"interval-merge window not doc-partitioned:\n$p")
+  }
 }
