@@ -1943,6 +1943,20 @@ object SparkEntry {
         round(col("keep_frac"), 9).as("keep_frac"))
       .orderBy("doc_id")
 
+  /** q95: the span-dedup TRANSFORM ([[graft.ops.Dedup.spanDedupText]]) —
+    * q94's accounting materialized: per document, the normalized text
+    * with every globally-duplicated 8-token span removed (first
+    * occurrence kept). The oracle rebuilds kept text by expanding dup
+    * intervals to covered positions, anti-joining token positions, and
+    * re-assembling with an ordered string_agg — a different
+    * formulation (position expansion vs the Spark side's interval HOF
+    * filter) of the same cut.
+    */
+  private def q95SpanDedupText(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.spanDedupText(t(s, dir, "documents"), "doc_id", "text",
+      k = 8, hashWindows = false)
+      .orderBy("doc_id")
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2039,7 +2053,8 @@ object SparkEntry {
     "q91_editdist_join" -> (q91EditdistJoin _),
     "q92_bpe_train" -> (q92BpeTrain _),
     "q93_bpe_encode" -> (q93BpeEncode _),
-    "q94_span_dedup" -> (q94SpanDedup _)
+    "q94_span_dedup" -> (q94SpanDedup _),
+    "q95_span_dedup_text" -> (q95SpanDedupText _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3693,7 +3708,38 @@ object SparkEntry {
         |    THEN (n.n_tokens - coalesce(c.cut, 0))::DOUBLE / n.n_tokens
         |    ELSE 1.0 END, 9) AS keep_frac
         |FROM n LEFT JOIN c ON n.doc_id = c.doc_id
-        |ORDER BY n.doc_id""".stripMargin
+        |ORDER BY n.doc_id""".stripMargin,
+    // kept text via position expansion: dup intervals -> covered position
+    // set -> anti-join token positions -> ordered string_agg
+    "q95_span_dedup_text" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(
+        |    trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')),
+        |    ' ') AS t
+        |  FROM documents),
+        |w AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS win
+        |  FROM d, unnest(generate_series(1, len(t) - 7)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |r AS (SELECT doc_id, pos,
+        |  row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn FROM w),
+        |iv AS (SELECT doc_id, pos, pos + 7 AS e FROM r WHERE rn > 1),
+        |cov AS (SELECT DISTINCT doc_id, u.p
+        |  FROM iv, unnest(generate_series(pos, e)) AS u(p)),
+        |tok AS (SELECT doc_id, i AS pos, t[i] AS tk
+        |  FROM d, unnest(generate_series(1,
+        |    CASE WHEN t = [''] THEN 0 ELSE len(t) END)) AS u(i)),
+        |kept AS (SELECT tok.doc_id, tok.pos, tok.tk
+        |  FROM tok LEFT JOIN cov
+        |    ON tok.doc_id = cov.doc_id AND tok.pos = cov.p
+        |  WHERE cov.p IS NULL)
+        |SELECT d.doc_id,
+        |  coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+        |  coalesce(k.kept_text, '') AS kept_text
+        |FROM d LEFT JOIN (
+        |  SELECT doc_id, count(*)::BIGINT AS n_kept,
+        |    string_agg(tk, ' ' ORDER BY pos) AS kept_text
+        |  FROM kept GROUP BY doc_id) k ON d.doc_id = k.doc_id
+        |ORDER BY d.doc_id""".stripMargin
   )
 
   /** The unrolled BPE-training WITH-stages for the q92/q93 oracles:

@@ -922,6 +922,67 @@ object Dedup {
     */
   def spanDedupCut(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, hashWindows: Boolean = true): DataFrame = {
+    val (counted, dups) = spanDedupParts(docs, idCol, textCol, k, hashWindows)
+    // gaps-and-islands cut length: each dup interval contributes the part
+    // of [pos, e] past the running max end of earlier intervals in the doc
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cut = dups
+      .select(col("doc_id"), col("pos"), col("e"),
+        max(col("e")).over(byPos).as("pm"))
+      .groupBy("doc_id")
+      .agg(sum(greatest(lit(0),
+        col("e") - greatest(coalesce(col("pm"), col("pos") - 1), col("pos") - 1)))
+        .as("cut_tokens"))
+    counted.select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+      .join(cut, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("cut_tokens"), lit(0L)).as("cut_tokens"),
+        when(col("n_tokens") > 0,
+          (col("n_tokens") - coalesce(col("cut_tokens"), lit(0L))).cast("double") /
+            col("n_tokens"))
+          .otherwise(lit(1.0)).as("keep_frac"))
+  }
+
+  /** The dedup TRANSFORM for [[spanDedupCut]]'s accounting: per document,
+    * the normalized text with every duplicated span removed —
+    * `(doc_id, n_kept, kept_text)`. Kept tokens are exactly the positions
+    * outside the union of that doc's duplicate windows, in original
+    * order; a doc whose every window is a repeat of earlier content
+    * collapses to the empty string. Same scale shape as the accounting
+    * op plus one doc-bounded interval array (collect_list per doc) and a
+    * per-row HOF filter — O(n_tokens × intervals) per document, never
+    * corpus-keyed.
+    */
+  def spanDedupText(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, hashWindows: Boolean = true): DataFrame = {
+    val (counted, dups) = spanDedupParts(docs, idCol, textCol, k, hashWindows)
+    val ivs = dups.groupBy("doc_id")
+      .agg(collect_list(struct(col("pos"), col("e"))).as("ivs"))
+    counted.join(ivs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("t"),
+        coalesce(col("ivs"),
+          array().cast("array<struct<pos:int,e:int>>")).as("ivs"))
+      .select(col("doc_id"),
+        transform(
+          filter(
+            // sequence(1, 0) would step BACKWARDS — empty doc guard
+            when(col("n_tokens") === 0, array().cast("array<int>"))
+              .otherwise(sequence(lit(1), col("n_tokens"))),
+            i => !exists(col("ivs"), iv =>
+              i >= iv.getField("pos") && i <= iv.getField("e"))),
+          i => element_at(col("t"), i)).as("kept"))
+      .select(col("doc_id"), size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), " ").as("kept_text"))
+  }
+
+  /** Shared front end of the span-dedup pair: `counted` = (doc_id,
+    * n_tokens, t) per document, `dups` = (doc_id, pos, e) — one row per
+    * duplicate window occurrence (first global occurrence excluded).
+    */
+  private def spanDedupParts(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, hashWindows: Boolean): (DataFrame, DataFrame) = {
     require(k >= 1, "window length must be >= 1")
     val base = docs.select(col(idCol).as("doc_id"),
       split(graft.ops.TextAnalysis.normalize(col(textCol)), " ").as("t"))
@@ -946,25 +1007,6 @@ object Dedup {
     val dups = wins.join(firsts, "wkey")
       .where(!(col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos")))
       .select(col("doc_id"), col("pos"), (col("pos") + (k - 1)).as("e"))
-    // gaps-and-islands cut length: each dup interval contributes the part
-    // of [pos, e] past the running max end of earlier intervals in the doc
-    val byPos = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val cut = dups
-      .select(col("doc_id"), col("pos"), col("e"),
-        max(col("e")).over(byPos).as("pm"))
-      .groupBy("doc_id")
-      .agg(sum(greatest(lit(0),
-        col("e") - greatest(coalesce(col("pm"), col("pos") - 1), col("pos") - 1)))
-        .as("cut_tokens"))
-    counted.select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
-      .join(cut, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("cut_tokens"), lit(0L)).as("cut_tokens"),
-        when(col("n_tokens") > 0,
-          (col("n_tokens") - coalesce(col("cut_tokens"), lit(0L))).cast("double") /
-            col("n_tokens"))
-          .otherwise(lit(1.0)).as("keep_frac"))
+    (counted, dups)
   }
 }

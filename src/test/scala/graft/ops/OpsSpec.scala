@@ -2166,9 +2166,11 @@ class OpsSpec extends SparkSpec {
   // ---- exact-substring span dedup ----
 
   /** Reference span-dedup: first occurrence (doc order, then position)
-    * kept, later occurrences cut; union of overlapping windows.
+    * kept, later occurrences cut; union of overlapping windows. Returns
+    * (n_tokens, cut_tokens, kept_text) per doc.
     */
-  private def refSpanCut(docs: Seq[(Long, String)], k: Int): Map[Long, (Long, Long)] = {
+  private def refSpanCut(docs: Seq[(Long, String)],
+      k: Int): Map[Long, (Long, Long, String)] = {
     val tok = docs.sortBy(_._1).map { case (id, t) =>
       id -> t.toLowerCase.replaceAll("[^\\p{L}\\p{N}]+", " ").trim
         .split(" ").filter(_.nonEmpty).toSeq }
@@ -2179,8 +2181,9 @@ class OpsSpec extends SparkSpec {
         val win = ts.slice(pos - 1, pos - 1 + k).mkString(" ")
         if (!seen.add(win)) dup += ((pos, pos + k - 1))
       }
-      val covered = dup.flatMap { case (a, b) => a to b }.toSet.size
-      id -> (ts.length.toLong, covered.toLong)
+      val covered = dup.flatMap { case (a, b) => a to b }.toSet
+      val kept = (1 to ts.length).filterNot(covered).map(p => ts(p - 1))
+      id -> (ts.length.toLong, covered.size.toLong, kept.mkString(" "))
     }.toMap
   }
 
@@ -2197,12 +2200,19 @@ class OpsSpec extends SparkSpec {
       val got = Dedup.spanDedupCut(docs.toDF("doc_id", "text"),
         "doc_id", "text", k = 8, hashWindows = hashed)
         .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-      assert(got === expect, s"hashWindows=$hashed")
+      assert(got === expect.view.mapValues(v => (v._1, v._2)).toMap,
+        s"hashWindows=$hashed")
+      spark.catalog.clearCache()
+      val text = Dedup.spanDedupText(docs.toDF("doc_id", "text"),
+        "doc_id", "text", k = 8, hashWindows = hashed)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      assert(text === expect.view
+        .mapValues(v => (v._1 - v._2, v._3)).toMap, s"text hashWindows=$hashed")
       spark.catalog.clearCache()
     }
     // doc 4 is fully covered by doc 1's windows
-    assert(expect(4L)._1 === expect(4L)._2)
+    assert(expect(4L)._1 === expect(4L)._2 && expect(4L)._3 === "")
     assert(expect(3L)._2 === 0L)
-    assert(expect(5L) === ((0L, 0L)))
+    assert(expect(5L) === ((0L, 0L, "")))
   }
 }
