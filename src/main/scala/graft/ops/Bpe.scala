@@ -62,18 +62,31 @@ object Bpe {
     * reaches the driver). Stops early when the best pair's weighted count
     * drops below `minPairCount` or no pairs remain.
     *
-    * Each iteration: adjacent-pair counts weighted by word frequency
-    * (hash aggregation with partial combine), a LIMIT-1 argmax with the
-    * total tiebreak, then the greedy merge fold applied to the word table.
-    * The word table is persisted per iteration and the previous iteration
-    * unpersisted after the next argmax action (the loop never recomputes
-    * the corpus scan — `wordFreqs` materializes once).
+    * Two paths behind one contract (the [[Dedup.nearDupClusters]]
+    * pattern): when the distinct-word table fits the driver bound
+    * (`driverTrainMaxVocab`, default 2²⁰ words ≈ tens of MB — even a
+    * web-scale corpus's normalized vocabulary is usually low millions),
+    * ONE collect trains all merges locally — the distributed loop costs
+    * ~2 scheduler round-trips per merge, which dominates wall time on a
+    * vocabulary that small. Past the bound, the distributed loop: each
+    * iteration an adjacent-pair count aggregation (partial combine), a
+    * LIMIT-1 argmax with the total tiebreak, then the greedy merge fold
+    * over the persisted word table. Both paths produce BIT-IDENTICAL
+    * merges (integer counts; the local tiebreak compares UTF-8 bytes to
+    * match Spark's binary string ordering) — OpsSpec pins them equal.
     */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-      minPairCount: Long = 2L): Seq[Merge] = {
+      minPairCount: Long = 2L, driverTrainMaxVocab: Int = 1 << 20): Seq[Merge] = {
     require(numMerges >= 0 && numMerges <= 4096, "numMerges out of range")
+    val wf = wordFreqs(docs, textCol)
+    if (driverTrainMaxVocab > 0) {
+      val head = wf.take(driverTrainMaxVocab + 1)
+      if (head.length <= driverTrainMaxVocab)
+        return trainLocal(
+          head.map(r => (r.getString(0), r.getLong(1))), numMerges, minPairCount)
+    }
     val out = scala.collection.mutable.ArrayBuffer[Merge]()
-    var cur = wordFreqs(docs, textCol)
+    var cur = wf
       .select(col("cnt"), charSyms(col("w")).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var prev: DataFrame = null
@@ -105,6 +118,63 @@ object Bpe {
     } finally {
       cur.unpersist()
       if (prev != null) prev.unpersist()
+    }
+    out.toSeq
+  }
+
+  /** Driver-side trainer over a collected word-frequency table — same
+    * algorithm, same total tiebreak (UTF-8 byte comparison = Spark's
+    * binary string order), bit-identical output to the distributed loop.
+    */
+  private def trainLocal(words: Array[(String, Long)], numMerges: Int,
+      minPairCount: Long): Seq[Merge] = {
+    def utf8Lt(a: String, b: String): Boolean =
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+    var ws: Array[(Array[String], Long)] = words.map { case (w, c) =>
+      (w.toCharArray.map(String.valueOf(_)), c)
+    }
+    val out = scala.collection.mutable.ArrayBuffer[Merge]()
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      val pairs = new java.util.HashMap[(String, String), Long]()
+      ws.foreach { case (s, c) =>
+        var i = 0
+        while (i < s.length - 1) {
+          pairs.merge((s(i), s(i + 1)), c, java.lang.Long.sum)
+          i += 1
+        }
+      }
+      if (pairs.isEmpty) done = true
+      else {
+        var best: ((String, String), Long) = null
+        pairs.forEach { (p, c) =>
+          if (best == null || c > best._2 ||
+            (c == best._2 && (utf8Lt(p._1, best._1._1) ||
+              (p._1 == best._1._1 && utf8Lt(p._2, best._1._2)))))
+            best = (p, c)
+        }
+        val ((l, r), pc) = best
+        if (pc < minPairCount) done = true
+        else {
+          out += Merge(rank, l, r, pc)
+          val lr = l + r
+          ws = ws.map { case (s, c) =>
+            // greedy left-to-right non-overlapping merge (Sennrich scan)
+            val next = new scala.collection.mutable.ArrayBuffer[String](s.length)
+            var i = 0
+            while (i < s.length) {
+              if (i < s.length - 1 && s(i) == l && s(i + 1) == r) {
+                next += lr; i += 2
+              } else { next += s(i); i += 1 }
+            }
+            (next.toArray, c)
+          }
+          rank += 1
+        }
+      }
     }
     out.toSeq
   }

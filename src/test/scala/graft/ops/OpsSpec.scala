@@ -2115,9 +2115,12 @@ class OpsSpec extends SparkSpec {
     val got = Bpe.train(docs, "text", numMerges = 8, minPairCount = 2L)
       .map(m => (m.rank, m.lhs, m.rhs, m.pairCount))
     assert(got === expect)
-    val got13 = Bpe.train(docs.repartition(13), "text", 8, 2L)
+    // the DISTRIBUTED loop (driver path disabled) must be bit-identical
+    // to the local path, and invariant under partitioning
+    val gotDist = Bpe.train(docs.repartition(13), "text", 8, 2L,
+      driverTrainMaxVocab = 0)
       .map(m => (m.rank, m.lhs, m.rhs, m.pairCount))
-    assert(got13 === expect) // integer pair counts + total tiebreak
+    assert(gotDist === expect) // integer pair counts + total tiebreak
     spark.catalog.clearCache()
   }
 
