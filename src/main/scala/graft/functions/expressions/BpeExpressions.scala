@@ -38,12 +38,15 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
     val lower = input.asInstanceOf[UTF8String].toString.toLowerCase
     val out = new scala.collection.mutable.ArrayBuffer[UTF8String](64)
     val cur = new java.lang.StringBuilder
+    // code-point scan: a supplementary letter (surrogate pair) must stay
+    // in-word like the column normalizer's \p{L}\p{N} regex treats it
     var i = 0
     while (i < lower.length) {
-      val c = lower.charAt(i)
-      if (ShinglesExpr.isAlnumChar(c)) cur.append(c)
+      val cp = lower.codePointAt(i)
+      val n = Character.charCount(cp)
+      if (BpeEncodeExpr.isAlnumCp(cp)) cur.appendCodePoint(cp)
       else if (cur.length > 0) { encodeWord(cur.toString, out); cur.setLength(0) }
-      i += 1
+      i += n
     }
     if (cur.length > 0) encodeWord(cur.toString, out)
     new GenericArrayData(out.toArray[Any])
@@ -51,12 +54,23 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
 
   private def encodeWord(w: String,
       out: scala.collection.mutable.ArrayBuffer[UTF8String]): Unit = {
-    if (w.length == 1 || merges.isEmpty) {
+    if (w.length == 1) {
       out += UTF8String.fromString(w); return
     }
+    // split by CODE POINTS (surrogate pairs stay one symbol) — matches
+    // the trainer's column-side substr(i, 1) semantics
     var syms = new scala.collection.mutable.ArrayBuffer[String](w.length)
     var k = 0
-    while (k < w.length) { syms += String.valueOf(w.charAt(k)); k += 1 }
+    while (k < w.length) {
+      val cp = w.codePointAt(k)
+      val n = Character.charCount(cp)
+      syms += w.substring(k, k + n)
+      k += n
+    }
+    if (merges.isEmpty) { // untrained tokenizer = character split
+      syms.foreach(s => out += UTF8String.fromString(s))
+      return
+    }
     var continue = true
     while (continue && syms.length >= 2) {
       var bestRank = Int.MaxValue
@@ -90,4 +104,15 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
 object BpeEncodeExpr {
   def of(text: Column, merges: Seq[(String, String)]): Column =
     SparkInternals.column(BpeEncodeExpr(SparkInternals.expression(text), merges))
+
+  /** Code-point alnum test mirroring `[\p{L}\p{N}]` (the Char-based
+    * [[ShinglesExpr.isAlnumChar]] can't see supplementary-plane letters).
+    */
+  @inline def isAlnumCp(cp: Int): Boolean = {
+    if (Character.isLetter(cp) || Character.isDigit(cp)) true
+    else {
+      val t = Character.getType(cp)
+      t == Character.LETTER_NUMBER || t == Character.OTHER_NUMBER
+    }
+  }
 }

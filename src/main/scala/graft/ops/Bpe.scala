@@ -132,8 +132,19 @@ object Bpe {
       java.util.Arrays.compareUnsigned(
         a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
         b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+    // split by CODE POINTS to match the distributed path's substr(i, 1)
+    // (a surrogate pair is one symbol, not two broken halves)
+    def cpSplit(w: String): Array[String] = {
+      val out = new scala.collection.mutable.ArrayBuffer[String](w.length)
+      var k = 0
+      while (k < w.length) {
+        val n = Character.charCount(w.codePointAt(k))
+        out += w.substring(k, k + n); k += n
+      }
+      out.toArray
+    }
     var ws: Array[(Array[String], Long)] = words.map { case (w, c) =>
-      (w.toCharArray.map(String.valueOf(_)), c)
+      (cpSplit(w), c)
     }
     val out = scala.collection.mutable.ArrayBuffer[Merge]()
     var rank = 1

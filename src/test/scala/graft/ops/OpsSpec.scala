@@ -2154,6 +2154,24 @@ class OpsSpec extends SparkSpec {
     assert(got(3L) === List("aa", "aa", "abab"))
   }
 
+  test("bpe encode: untrained = code-point split, matches column substr (unicode)") {
+    // supplementary-plane letters (surrogate pairs) must stay one symbol
+    // and stay in-word — the kernel's scan vs the column formulation
+    val docs = Seq((1L, "héllo wörld 𝕏𝕐ab x"),
+      (2L, "ÉCOLE café 𝔸1 -- !!"), (3L, "")).toDF("id", "text")
+    val kernel = docs.select(col("id"), Bpe.encode(col("text"), Seq.empty).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    val colSide = docs.select(col("id"),
+      flatten(transform(
+        filter(split(TextAnalysis.normalize(col("text")), " "),
+          w => length(w) > 0),
+        w => transform(sequence(lit(1), length(w)),
+          i => w.substr(i, lit(1))))).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(kernel === colSide)
+    assert(kernel(1L).contains("𝕏")) // 𝕏 is ONE symbol
+  }
+
   test("bpe end-to-end: corpus-trained merges encode the corpus consistently") {
     val docs = Seq.tabulate(30)(i =>
       (i.toLong, s"alpha beta alpha gamma doc$i beta alpha")).toDF("id", "text")
