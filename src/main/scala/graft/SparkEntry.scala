@@ -1957,6 +1957,29 @@ object SparkEntry {
       k = 8, hashWindows = false)
       .orderBy("doc_id")
 
+  /** q96: per-document tokenizer FERTILITY (BPE tokens per word — the
+    * curation signal for spotting out-of-distribution documents: text
+    * the tokenizer fragments is unlike the training corpus). The Spark
+    * side encodes each document's raw text with the kernel; the oracle
+    * sums per-WORD token counts off the trained word table and joins the
+    * per-doc word multiset — two different aggregations agreeing.
+    */
+  private def q96BpeFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = graft.ops.Bpe.train(docs, "text", numMerges = 8, minPairCount = 2L)
+    val words = filter(
+      split(graft.ops.TextAnalysis.normalize(col("text")), " "),
+      w => length(w) > 0)
+    docs.select(col("doc_id"),
+      size(words).cast("long").as("n_words"),
+      size(graft.ops.Bpe.encode(col("text"), merges)).cast("long").as("n_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"),
+        round(when(col("n_words") > 0,
+          col("n_tokens").cast("double") / col("n_words"))
+          .otherwise(lit(0.0)), 9).as("fertility"))
+      .orderBy("doc_id")
+  }
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2054,7 +2077,8 @@ object SparkEntry {
     "q92_bpe_train" -> (q92BpeTrain _),
     "q93_bpe_encode" -> (q93BpeEncode _),
     "q94_span_dedup" -> (q94SpanDedup _),
-    "q95_span_dedup_text" -> (q95SpanDedupText _)
+    "q95_span_dedup_text" -> (q95SpanDedupText _),
+    "q96_bpe_fertility" -> (q96BpeFertility _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3739,7 +3763,27 @@ object SparkEntry {
         |  SELECT doc_id, count(*)::BIGINT AS n_kept,
         |    string_agg(tk, ' ' ORDER BY pos) AS kept_text
         |  FROM kept GROUP BY doc_id) k ON d.doc_id = k.doc_id
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+    // per-word token counts off the trained word table, summed per doc
+    "q96_bpe_fertility" ->
+      (s"WITH ${bpeOracleStages(8)},\n" +
+        """wtok AS (SELECT w, len(string_split(s, '|'))::BIGINT AS ntok FROM w8),
+          |dtok AS (SELECT doc_id, unnest(string_split(
+          |    trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')),
+          |    ' ')) AS w
+          |  FROM documents),
+          |agg AS (SELECT doc_id, count(*)::BIGINT AS n_words,
+          |    sum(ntok)::BIGINT AS n_tokens
+          |  FROM dtok JOIN wtok USING (w)
+          |  WHERE dtok.w <> '' GROUP BY doc_id)
+          |SELECT d.doc_id,
+          |  coalesce(a.n_words, 0)::BIGINT AS n_words,
+          |  coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+          |  round(CASE WHEN coalesce(a.n_words, 0) > 0
+          |    THEN a.n_tokens::DOUBLE / a.n_words ELSE 0.0 END, 9) AS fertility
+          |FROM (SELECT DISTINCT doc_id FROM documents) d
+          |LEFT JOIN agg a ON d.doc_id = a.doc_id
+          |ORDER BY d.doc_id""".stripMargin)
   )
 
   /** The unrolled BPE-training WITH-stages for the q92/q93 oracles:
@@ -3755,12 +3799,12 @@ object SparkEntry {
   private def bpeOracleStages(n: Int): String = {
     val w0 =
       """w0 AS (
-        |  SELECT array_to_string(string_split(w, ''), '|') AS s,
+        |  SELECT w, array_to_string(string_split(w, ''), '|') AS s,
         |    count(*)::BIGINT AS cnt
         |  FROM (SELECT unnest(string_split(
         |    trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')),
         |    ' ')) AS w FROM documents)
-        |  WHERE w <> '' GROUP BY 1)""".stripMargin
+        |  WHERE w <> '' GROUP BY 1, 2)""".stripMargin
     val stages = (1 to n).map { r =>
       s"""pairs$r AS (
          |  SELECT sp[i] AS lhs, sp[i+1] AS rhs, sum(cnt)::BIGINT AS pc
@@ -3770,7 +3814,7 @@ object SparkEntry {
          |best$r AS (SELECT lhs, rhs, pc FROM pairs$r
          |  ORDER BY pc DESC, lhs ASC, rhs ASC LIMIT 1),
          |w$r AS (
-         |  SELECT cnt, CASE WHEN b.pc < 2 THEN s ELSE
+         |  SELECT w, cnt, CASE WHEN b.pc < 2 THEN s ELSE
          |    substr(list_reduce(list_prepend('^', string_split(s, '|')),
          |    (acc, x) -> CASE
          |      WHEN ends_with(acc, '|' || b.lhs) AND x = b.rhs
