@@ -1967,12 +1967,13 @@ object SparkEntry {
   private def q96BpeFertility(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val merges = graft.ops.Bpe.train(docs, "text", numMerges = 8, minPairCount = 2L)
+    val text = coalesce(col("text"), lit(""))
     val words = filter(
-      split(graft.ops.TextAnalysis.normalize(col("text")), " "),
+      split(graft.ops.TextAnalysis.normalize(text), " "),
       w => length(w) > 0)
     docs.select(col("doc_id"),
       size(words).cast("long").as("n_words"),
-      size(graft.ops.Bpe.encode(col("text"), merges)).cast("long").as("n_tokens"))
+      size(graft.ops.Bpe.encode(text, merges)).cast("long").as("n_tokens"))
       .select(col("doc_id"), col("n_words"), col("n_tokens"),
         round(when(col("n_words") > 0,
           col("n_tokens").cast("double") / col("n_words"))
@@ -3792,9 +3793,11 @@ object SparkEntry {
     * `wR` (greedy merge via a separator-string `list_reduce` fold — the
     * `^` sentinel seeds the accumulator so every symbol is `|`-preceded
     * and `ends_with` tests complete symbols only). A stage whose best
-    * pair falls under minPairCount=2 is a no-op, mirroring
-    * [[graft.ops.Bpe.train]]'s early stop (later stages then recompute
-    * the same sub-threshold best and stay no-ops).
+    * pair falls under minPairCount=2 — or whose pair table is EMPTY
+    * (every word fully merged; bestR is 0 rows, hence the LEFT JOIN ON
+    * true) — is a no-op, mirroring [[graft.ops.Bpe.train]]'s early stop
+    * (later stages then recompute the same exhausted state and stay
+    * no-ops).
     */
   private def bpeOracleStages(n: Int): String = {
     val w0 =
@@ -3814,14 +3817,14 @@ object SparkEntry {
          |best$r AS (SELECT lhs, rhs, pc FROM pairs$r
          |  ORDER BY pc DESC, lhs ASC, rhs ASC LIMIT 1),
          |w$r AS (
-         |  SELECT w, cnt, CASE WHEN b.pc < 2 THEN s ELSE
+         |  SELECT w, cnt, CASE WHEN b.pc IS NULL OR b.pc < 2 THEN s ELSE
          |    substr(list_reduce(list_prepend('^', string_split(s, '|')),
          |    (acc, x) -> CASE
          |      WHEN ends_with(acc, '|' || b.lhs) AND x = b.rhs
          |      THEN substr(acc, 1, length(acc) - length(b.lhs) - 1)
          |        || '|' || b.lhs || b.rhs
          |      ELSE acc || '|' || x END), 3) END AS s
-         |  FROM w${r - 1}, best$r b)""".stripMargin
+         |  FROM w${r - 1} LEFT JOIN best$r b ON true)""".stripMargin
     }
     (w0 +: stages).mkString(",\n")
   }

@@ -57,16 +57,7 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
     if (w.length == 1) {
       out += UTF8String.fromString(w); return
     }
-    // split by CODE POINTS (surrogate pairs stay one symbol) — matches
-    // the trainer's column-side substr(i, 1) semantics
-    var syms = new scala.collection.mutable.ArrayBuffer[String](w.length)
-    var k = 0
-    while (k < w.length) {
-      val cp = w.codePointAt(k)
-      val n = Character.charCount(cp)
-      syms += w.substring(k, k + n)
-      k += n
-    }
+    var syms = BpeEncodeExpr.cpSyms(w)
     if (merges.isEmpty) { // untrained tokenizer = character split
       syms.foreach(s => out += UTF8String.fromString(s))
       return
@@ -83,15 +74,7 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
       if (bestRank == Int.MaxValue) continue = false
       else {
         val (l, r) = merges(bestRank)
-        val lr = l + r
-        val next = new scala.collection.mutable.ArrayBuffer[String](syms.length)
-        var p = 0
-        while (p < syms.length) {
-          if (p < syms.length - 1 && syms(p) == l && syms(p + 1) == r) {
-            next += lr; p += 2
-          } else { next += syms(p); p += 1 }
-        }
-        syms = next
+        syms = BpeEncodeExpr.mergeAll(syms, l, r)
       }
     }
     syms.foreach(s => out += UTF8String.fromString(s))
@@ -114,5 +97,37 @@ object BpeEncodeExpr {
       val t = Character.getType(cp)
       t == Character.LETTER_NUMBER || t == Character.OTHER_NUMBER
     }
+  }
+
+  /** Code-point symbol split (a surrogate pair stays ONE symbol) —
+    * matches the trainer's column-side `substr(i, 1)` semantics. The one
+    * shared splitter: the local trainer and the kernel both use it, so
+    * the bit-identical-paths contract can't drift.
+    */
+  def cpSyms(w: String): scala.collection.mutable.ArrayBuffer[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](w.length)
+    var k = 0
+    while (k < w.length) {
+      val n = Character.charCount(w.codePointAt(k))
+      out += w.substring(k, k + n); k += n
+    }
+    out
+  }
+
+  /** Greedy left-to-right non-overlapping merge of one pair (the
+    * Sennrich scan) — shared by the kernel's min-rank loop and the
+    * local trainer.
+    */
+  def mergeAll(syms: scala.collection.IndexedSeq[String], l: String,
+      r: String): scala.collection.mutable.ArrayBuffer[String] = {
+    val lr = l + r
+    val next = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var p = 0
+    while (p < syms.length) {
+      if (p < syms.length - 1 && syms(p) == l && syms(p + 1) == r) {
+        next += lr; p += 2
+      } else { next += syms(p); p += 1 }
+    }
+    next
   }
 }

@@ -30,7 +30,8 @@ object Bpe {
     * runs → space) exactly; empty tokens dropped.
     */
   def wordFreqs(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(split(TextAnalysis.normalize(col(textCol)), " ")).as("w"))
+    docs.select(explode(split(
+      TextAnalysis.normalize(coalesce(col(textCol), lit(""))), " ")).as("w"))
       .where(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
 
@@ -78,12 +79,18 @@ object Bpe {
   def train(docs: DataFrame, textCol: String, numMerges: Int,
       minPairCount: Long = 2L, driverTrainMaxVocab: Int = 1 << 20): Seq[Merge] = {
     require(numMerges >= 0 && numMerges <= 4096, "numMerges out of range")
+    // persisted across the driver-bound probe AND the loop's first
+    // iteration — without it an over-bound vocabulary pays the corpus
+    // word-count aggregation twice (once for take, once for the loop)
     val wf = wordFreqs(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (driverTrainMaxVocab > 0) {
       val head = wf.take(driverTrainMaxVocab + 1)
-      if (head.length <= driverTrainMaxVocab)
+      if (head.length <= driverTrainMaxVocab) {
+        wf.unpersist()
         return trainLocal(
           head.map(r => (r.getString(0), r.getLong(1))), numMerges, minPairCount)
+      }
     }
     val out = scala.collection.mutable.ArrayBuffer[Merge]()
     var cur = wf
@@ -118,6 +125,7 @@ object Bpe {
     } finally {
       cur.unpersist()
       if (prev != null) prev.unpersist()
+      wf.unpersist()
     }
     out.toSeq
   }
@@ -132,20 +140,9 @@ object Bpe {
       java.util.Arrays.compareUnsigned(
         a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
         b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
-    // split by CODE POINTS to match the distributed path's substr(i, 1)
-    // (a surrogate pair is one symbol, not two broken halves)
-    def cpSplit(w: String): Array[String] = {
-      val out = new scala.collection.mutable.ArrayBuffer[String](w.length)
-      var k = 0
-      while (k < w.length) {
-        val n = Character.charCount(w.codePointAt(k))
-        out += w.substring(k, k + n); k += n
-      }
-      out.toArray
-    }
-    var ws: Array[(Array[String], Long)] = words.map { case (w, c) =>
-      (cpSplit(w), c)
-    }
+    import graft.functions.expressions.BpeEncodeExpr.{cpSyms, mergeAll}
+    var ws: Array[(scala.collection.mutable.ArrayBuffer[String], Long)] =
+      words.map { case (w, c) => (cpSyms(w), c) }
     val out = scala.collection.mutable.ArrayBuffer[Merge]()
     var rank = 1
     var done = false
@@ -171,18 +168,7 @@ object Bpe {
         if (pc < minPairCount) done = true
         else {
           out += Merge(rank, l, r, pc)
-          val lr = l + r
-          ws = ws.map { case (s, c) =>
-            // greedy left-to-right non-overlapping merge (Sennrich scan)
-            val next = new scala.collection.mutable.ArrayBuffer[String](s.length)
-            var i = 0
-            while (i < s.length) {
-              if (i < s.length - 1 && s(i) == l && s(i + 1) == r) {
-                next += lr; i += 2
-              } else { next += s(i); i += 1 }
-            }
-            (next.toArray, c)
-          }
+          ws = ws.map { case (s, c) => (mergeAll(s, l, r), c) }
           rank += 1
         }
       }

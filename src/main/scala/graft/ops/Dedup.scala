@@ -985,7 +985,8 @@ object Dedup {
       k: Int, hashWindows: Boolean): (DataFrame, DataFrame) = {
     require(k >= 1, "window length must be >= 1")
     val base = docs.select(col(idCol).as("doc_id"),
-      split(graft.ops.TextAnalysis.normalize(col(textCol)), " ").as("t"))
+      split(graft.ops.TextAnalysis.normalize(
+        coalesce(col(textCol), lit(""))), " ").as("t"))
     // spark split("", " ") yields [""]: an empty doc has zero real tokens
     val counted = base.select(col("doc_id"),
       when(col("t") === array(lit("")), lit(0)).otherwise(size(col("t")))

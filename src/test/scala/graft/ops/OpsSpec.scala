@@ -2193,7 +2193,8 @@ class OpsSpec extends SparkSpec {
   private def refSpanCut(docs: Seq[(Long, String)],
       k: Int): Map[Long, (Long, Long, String)] = {
     val tok = docs.sortBy(_._1).map { case (id, t) =>
-      id -> t.toLowerCase.replaceAll("[^\\p{L}\\p{N}]+", " ").trim
+      id -> Option(t).getOrElse("")
+        .toLowerCase.replaceAll("[^\\p{L}\\p{N}]+", " ").trim
         .split(" ").filter(_.nonEmpty).toSeq }
     val seen = scala.collection.mutable.Set[String]()
     tok.map { case (id, ts) =>
@@ -2215,7 +2216,7 @@ class OpsSpec extends SparkSpec {
       (2L, s"$boiler totally different middle content here now $boiler"), // self-dup too
       (3L, s"fresh words only nothing repeated in this document at all"),
       (4L, s"unique alpha beta gamma delta epsilon zeta eta theta $boiler"), // full dup of 1
-      (5L, ""), (6L, "short doc"))
+      (5L, ""), (6L, "short doc"), (7L, null.asInstanceOf[String]))
     val expect = refSpanCut(docs, k = 8)
     for (hashed <- Seq(true, false)) {
       val got = Dedup.spanDedupCut(docs.toDF("doc_id", "text"),
