@@ -82,7 +82,13 @@ object SkewCurve {
         li.hint("shuffle_hash").join(p.hint("shuffle_hash"), "p_partkey")
           .groupBy(col("p_brand"))
           .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
-      }))
+      }),
+      // the m-duplicated doc makes EVERY one of its ~50 8-token windows
+      // an m-hot wkey — the firsts aggregation's partial min(struct) is
+      // the defense under measurement (r16, q94's family)
+      "k_span_dedup" -> ((s, dir) =>
+        graft.ops.Dedup.spanDedupCut(
+          graft.Tables.load(s, dir, "documents"), "doc_id", "text", k = 8)))
 
     def consume(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
