@@ -3711,7 +3711,7 @@ object SparkEntry {
     "q94_span_dedup" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(
-        |    trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')),
+        |    trim(regexp_replace(lower(coalesce(text, '')), '[^\p{L}\p{N}]+', ' ', 'g')),
         |    ' ') AS t
         |  FROM documents),
         |n AS (SELECT doc_id,
@@ -3739,7 +3739,7 @@ object SparkEntry {
     "q95_span_dedup_text" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(
-        |    trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')),
+        |    trim(regexp_replace(lower(coalesce(text, '')), '[^\p{L}\p{N}]+', ' ', 'g')),
         |    ' ') AS t
         |  FROM documents),
         |w AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS win

@@ -156,7 +156,7 @@ object CdcFunctions {
     override def embed(text: String): Array[Float] = {
       val v = new Array[Float](dim)
       if (text == null) return v
-      text.toLowerCase.split("\\s+").foreach { tok =>
+      text.toLowerCase(java.util.Locale.ROOT).split("\\s+").foreach { tok =>
         var h = 1125899906842597L // FNV-ish deterministic hash
         tok.foreach(ch => h = 31 * h + ch)
         val idx = ((h % dim) + dim) % dim

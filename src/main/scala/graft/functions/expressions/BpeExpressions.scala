@@ -35,7 +35,8 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
   }
 
   override protected def nullSafeEval(input: Any): Any = {
-    val lower = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val lower = input.asInstanceOf[UTF8String].toString
+      .toLowerCase(java.util.Locale.ROOT)
     val out = new scala.collection.mutable.ArrayBuffer[UTF8String](64)
     val cur = new java.lang.StringBuilder
     // code-point scan: a supplementary letter (surrogate pair) must stay

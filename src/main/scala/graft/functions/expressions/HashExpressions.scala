@@ -99,7 +99,8 @@ case class Simhash64Expr(child: Expression)
   override def nullable: Boolean = child.nullable
 
   override protected def nullSafeEval(input: Any): Any = {
-    val lower = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val lower = input.asInstanceOf[UTF8String].toString
+      .toLowerCase(java.util.Locale.ROOT)
     val votes = new Array[Int](64)
     val cur = new java.lang.StringBuilder
     def voteToken(): Unit = {
@@ -192,7 +193,7 @@ object ShinglesExpr {
 
   /** Distinct word n-gram shingles of normalized text (shared kernel). */
   private[expressions] def shingleSet(text: UTF8String, n: Int): Array[UTF8String] = {
-    val lower = text.toString.toLowerCase
+    val lower = text.toString.toLowerCase(java.util.Locale.ROOT)
     // normalize + tokenize in one scan
     val toks = new scala.collection.mutable.ArrayBuffer[String](64)
     val cur = new java.lang.StringBuilder

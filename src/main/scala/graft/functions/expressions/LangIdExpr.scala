@@ -36,7 +36,7 @@ case class LangIdExpr(
 
   override protected def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
-    val lower = text.toLowerCase
+    val lower = text.toLowerCase(java.util.Locale.ROOT)
     val scores = new Array[Int](langs.length)
 
     // token-marker scores in one tokenization pass

@@ -67,18 +67,23 @@ object Bpe {
     * pattern): when the distinct-word table fits the driver bound
     * (`driverTrainMaxVocab`, default 2²⁰ words ≈ tens of MB — even a
     * web-scale corpus's normalized vocabulary is usually low millions),
-    * ONE collect trains all merges locally — the distributed loop costs
-    * ~2 scheduler round-trips per merge, which dominates wall time on a
-    * vocabulary that small. Past the bound, the distributed loop: each
-    * iteration an adjacent-pair count aggregation (partial combine), a
-    * LIMIT-1 argmax with the total tiebreak, then the greedy merge fold
-    * over the persisted word table. Both paths produce BIT-IDENTICAL
-    * merges (integer counts; the local tiebreak compares UTF-8 bytes to
-    * match Spark's binary string ordering) — OpsSpec pins them equal.
+    * ONE collect trains all merges locally with the INCREMENTAL
+    * pair-index algorithm ([[trainLocal]] — O(total symbol updates), so a
+    * production 32k–64k-merge vocabulary trains in seconds; the
+    * distributed loop costs ~2 scheduler round-trips per merge, which
+    * dominates wall time on a vocabulary that small). Past the bound, the
+    * distributed loop: each iteration an adjacent-pair count aggregation
+    * (partial combine), a LIMIT-1 argmax with the total tiebreak, then
+    * the greedy merge fold over the persisted word table — use it with
+    * small `numMerges` (each merge is ~2 Spark jobs; a 32k-merge train
+    * belongs on the driver path, which any real vocabulary fits). Both
+    * paths produce BIT-IDENTICAL merges (integer counts; the local
+    * tiebreak compares UTF-8 bytes to match Spark's binary string
+    * ordering) — OpsSpec pins them equal.
     */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
       minPairCount: Long = 2L, driverTrainMaxVocab: Int = 1 << 20): Seq[Merge] = {
-    require(numMerges >= 0 && numMerges <= 4096, "numMerges out of range")
+    require(numMerges >= 0, "numMerges must be >= 0")
     // persisted across the driver-bound probe AND the loop's first
     // iteration — without it an over-bound vocabulary pays the corpus
     // word-count aggregation twice (once for take, once for the loop)
@@ -130,16 +135,128 @@ object Bpe {
     out.toSeq
   }
 
-  /** Driver-side trainer over a collected word-frequency table — same
-    * algorithm, same total tiebreak (UTF-8 byte comparison = Spark's
-    * binary string order), bit-identical output to the distributed loop.
+  private def utf8Lt(a: String, b: String): Boolean =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+
+  /** Driver-side trainer: incremental pair-count index (the Sennrich
+    * reference algorithm). One full scan builds pair counts and a
+    * pair→word-index occurrence index; each merge then touches ONLY the
+    * words containing the merged pair, applying exact count deltas at the
+    * merge sites and keeping the argmax in an ordered set under the same
+    * total tiebreak (count DESC, UTF-8 lexicographic pair ASC). Total work
+    * is O(symbol updates + changes·log #pairs) across ALL merges — the
+    * production-vocabulary path (32k–64k merges over a 10⁶⁺-word table),
+    * where the naive recount is O(vocab × word-len) PER merge.
+    *
+    * Counts are exact integer totals at every step, so the argmax sequence
+    * — hence the merge table — is bit-identical to the naive recount
+    * trainer ([[trainLocalNaive]], kept as the spec oracle) and to the
+    * distributed loop; OpsSpec pins all three.
     */
-  private def trainLocal(words: Array[(String, Long)], numMerges: Int,
+  private[ops] def trainLocal(words: Array[(String, Long)], numMerges: Int,
       minPairCount: Long): Seq[Merge] = {
-    def utf8Lt(a: String, b: String): Boolean =
-      java.util.Arrays.compareUnsigned(
-        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+    import graft.functions.expressions.BpeEncodeExpr.{cpSyms, mergeAll}
+    type Pair = (String, String)
+    val seqs = words.map { case (w, _) => cpSyms(w) }
+    val cnts = words.map(_._2)
+    val counts = new java.util.HashMap[Pair, Long]()
+    // pair -> indices of words containing it (presence, not multiplicity:
+    // the per-word delta rescan below recovers exact occurrence counts)
+    val index = new java.util.HashMap[Pair, java.util.HashSet[Integer]]()
+    // ordered view of `counts` for O(log n) argmax; entries carry their
+    // count so removal on update is exact
+    val ord = new java.util.TreeSet[(Pair, Long)](
+      new java.util.Comparator[(Pair, Long)] {
+        def compare(a: (Pair, Long), b: (Pair, Long)): Int = {
+          if (a._2 != b._2) return java.lang.Long.compare(b._2, a._2)
+          val l = if (a._1._1 == b._1._1) 0
+            else if (utf8Lt(a._1._1, b._1._1)) -1 else 1
+          if (l != 0) return l
+          if (a._1._2 == b._1._2) 0
+          else if (utf8Lt(a._1._2, b._1._2)) -1 else 1
+        }
+      })
+    def bump(p: Pair, delta: Long, wi: Int, present: Boolean): Unit = {
+      val old = counts.getOrDefault(p, 0L)
+      val nw = old + delta
+      if (old > 0) ord.remove((p, old))
+      if (nw > 0) { counts.put(p, nw); ord.add((p, nw)) }
+      else counts.remove(p)
+      if (present) index.computeIfAbsent(p, _ => new java.util.HashSet[Integer]())
+        .add(wi)
+      else {
+        val s = index.get(p)
+        if (s != null) { s.remove(Integer.valueOf(wi)); if (s.isEmpty) index.remove(p) }
+      }
+    }
+    // build: one pass over all words
+    var wi = 0
+    while (wi < seqs.length) {
+      val s = seqs(wi); val c = cnts(wi)
+      var i = 0
+      while (i < s.length - 1) { bump((s(i), s(i + 1)), c, wi, present = true); i += 1 }
+      wi += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer[Merge]()
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      if (ord.isEmpty) done = true
+      else {
+        val (p @ (l, r), pc) = ord.first()
+        if (pc < minPairCount) done = true
+        else {
+          out += Merge(rank, l, r, pc)
+          val touched = index.get(p)
+          val tArr = new Array[Integer](if (touched == null) 0 else touched.size())
+          if (touched != null) touched.toArray(tArr)
+          // delta rescan per touched word: exact multiset difference of
+          // adjacent pairs before/after the greedy merge (iteration order
+          // over the touched set is irrelevant — deltas are commutative)
+          var t = 0
+          while (t < tArr.length) {
+            val i = tArr(t).intValue()
+            val old = seqs(i); val c = cnts(i)
+            val nw = mergeAll(old, l, r)
+            val d = new java.util.HashMap[Pair, Long]()
+            var j = 0
+            while (j < old.length - 1) {
+              d.merge((old(j), old(j + 1)), -c, java.lang.Long.sum); j += 1
+            }
+            j = 0
+            while (j < nw.length - 1) {
+              d.merge((nw(j), nw(j + 1)), c, java.lang.Long.sum); j += 1
+            }
+            val stillHas = new java.util.HashSet[Pair]()
+            j = 0
+            while (j < nw.length - 1) { stillHas.add((nw(j), nw(j + 1))); j += 1 }
+            d.forEach { (q, delta) =>
+              if (delta != 0L || !stillHas.contains(q))
+                bump(q, delta, i, present = stillHas.contains(q))
+              // delta == 0 with the pair still present: index entry already
+              // correct, count unchanged — skip the TreeSet churn
+            }
+            // pairs with delta 0 that VANISHED are impossible (a removed
+            // occurrence always changes the count); pairs newly present
+            // always have delta > 0 — both covered above
+            seqs(i) = nw
+            t += 1
+          }
+          rank += 1
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Naive recount trainer — O(vocab × word-len) per merge. Kept as the
+    * executable spec oracle for [[trainLocal]] (OpsSpec pins them
+    * bit-identical on fixtures and the real corpus).
+    */
+  private[ops] def trainLocalNaive(words: Array[(String, Long)], numMerges: Int,
+      minPairCount: Long): Seq[Merge] = {
     import graft.functions.expressions.BpeEncodeExpr.{cpSyms, mergeAll}
     var ws: Array[(scala.collection.mutable.ArrayBuffer[String], Long)] =
       words.map { case (w, c) => (cpSyms(w), c) }
@@ -180,8 +297,34 @@ object Bpe {
     * tokenize + per-word min-rank merge loop in one native single-pass
     * kernel ([[graft.functions.expressions.BpeEncodeExpr]]) — returns
     * `array<string>` of subword tokens in document order.
+    *
+    * Precondition (checked): the merge table must be WELL-FORMED — no
+    * symbol contains a space (the kernel's rank keys are `l + " " + r`; a
+    * space inside a symbol would collide two distinct pairs) and each
+    * merge's components are base symbols (single code points) or outputs
+    * of EARLIER merges. [[train]] always produces such tables; for
+    * arbitrary hand-built lists the kernel's min-rank loop and sequential
+    * rank-order application can diverge, so ill-formed tables are
+    * rejected rather than silently mis-encoded.
     */
-  def encode(text: Column, merges: Seq[Merge]): Column =
+  def encode(text: Column, merges: Seq[Merge]): Column = {
+    val sorted = merges.sortBy(_.rank)
+    val produced = scala.collection.mutable.HashSet[String]()
+    sorted.foreach { m =>
+      require(!m.lhs.contains(' ') && !m.rhs.contains(' '),
+        s"merge ${m.rank}: symbols must not contain spaces " +
+          s"(rank keys are space-delimited): (${m.lhs}, ${m.rhs})")
+      def base(s: String) =
+        s.nonEmpty && s.codePointCount(0, s.length) == 1
+      require(base(m.lhs) || produced.contains(m.lhs),
+        s"merge ${m.rank}: lhs '${m.lhs}' is neither a base symbol nor an " +
+          "earlier merge's output — not a trained merge table")
+      require(base(m.rhs) || produced.contains(m.rhs),
+        s"merge ${m.rank}: rhs '${m.rhs}' is neither a base symbol nor an " +
+          "earlier merge's output — not a trained merge table")
+      produced += m.lhs + m.rhs
+    }
     graft.functions.expressions.BpeEncodeExpr.of(
-      text, merges.sortBy(_.rank).map(m => (m.lhs, m.rhs)))
+      text, sorted.map(m => (m.lhs, m.rhs)))
+  }
 }

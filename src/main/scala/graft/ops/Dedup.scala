@@ -549,21 +549,109 @@ object Dedup {
     * Returns (id_a, id_b, dist) with id_a < id_b and dist <= maxDist.
     * Ids must be globally unique across the frame; null keys compare as
     * empty strings.
+    *
+    * OUTPUT-SIZE WARNING: the id-pair output is inherently quadratic in
+    * duplicate-key multiplicity — a key carried by m rows emits m(m−1)/2
+    * same-key pairs (a 160k-duplicated key is 1.28×10¹⁰ pairs; the
+    * ENGINE never materializes the pair space, but the OUTPUT is the
+    * explosion). Callers that want clusters, not pairs — the dedup case —
+    * should use [[editDistanceClusterEdges]] (O(rows + key-pairs) edges,
+    * identical connected components) or [[editDistanceJoinKeys]] (the
+    * key-domain pairs with no id fan-out at all).
+    *
+    * Cache ownership: the returned frame references MEMORY_AND_DISK
+    * intermediates (the id projection, gram table, prefix table) that
+    * stay cached for the session after the consuming action — the
+    * repo-wide shared-frame idiom (NOTES). Long-lived drivers that call
+    * this repeatedly should `spark.catalog.clearCache()` between corpora.
     */
   def editDistanceJoin(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int = 1, q: Int = 2): DataFrame = {
-    require(maxDist >= 1, s"maxDist must be >= 1: $maxDist")
-    require(q >= 1, s"q must be >= 1: $q")
     // ids feeds keys-distinct + two crossKey joins + the sameKey
-    // self-join; el feeds dfreq + the prefix join; prefix self-joins —
-    // without persists every branch recomputes the whole front end
-    // (source scan + regex key projection included): the
-    // no-exchange-reuse rule from NOTES. All three are key-domain-sized.
+    // self-join — without persists every branch recomputes the whole
+    // front end (source scan + regex key projection included): the
+    // no-exchange-reuse rule from NOTES. All are key-domain-sized.
     val ids = df.select(col(idCol).as("id"),
       coalesce(col(strCol), lit("")).as("k"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val keys = ids.select(col("k")).distinct()
-      .withColumn("len", length(col("k")))
+    val keyPairs = editDistanceKeyPairsCore(ids.select(col("k")).distinct(),
+      maxDist, q)
+    // id fan-out (output-sized): cross-key pairs normalize id order;
+    // same-key pairs are the duplicate-key groups at distance 0
+    val crossKey = keyPairs
+      .join(ids.select(col("id").as("ia"), col("k").as("ka")), Seq("ka"))
+      .join(ids.select(col("id").as("ib"), col("k").as("kb")), Seq("kb"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("dist"))
+    val sameKey = ids.select(col("id").as("id_a"), col("k"))
+      .join(ids.select(col("id").as("id_b"), col("k")), Seq("k"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).as("dist"))
+    crossKey.unionByName(sameKey)
+  }
+
+  /** The key-domain variant of [[editDistanceJoin]]: every pair of
+    * DISTINCT key strings within Levenshtein distance `maxDist`, as
+    * (key_a, key_b, dist) with key_a < key_b (binary string order).
+    * Output is candidate-pair-sized — duplicate-key multiplicity never
+    * multiplies anything. Null keys compare as empty strings. Same cache
+    * ownership as [[editDistanceJoin]].
+    */
+  def editDistanceJoinKeys(df: DataFrame, strCol: String,
+      maxDist: Int = 1, q: Int = 2): DataFrame =
+    editDistanceKeyPairsCore(
+      df.select(coalesce(col(strCol), lit("")).as("k")).distinct(), maxDist, q)
+      .select(col("ka").as("key_a"), col("kb").as("key_b"), col("dist"))
+
+  /** Edit-distance dedup edges for CLUSTERING: a sparse edge set with the
+    * SAME connected components as the full [[editDistanceJoin]] pair set,
+    * but O(duplicate rows + key-pairs) in size instead of quadratic in
+    * duplicate-key multiplicity — each duplicate-key group contributes a
+    * star to its minimum id (m−1 edges, distance 0), and each matched key
+    * pair contributes ONE edge between the two groups' representative
+    * (minimum) ids. Connectivity is preserved: within a group every id
+    * reaches the representative through the star, and any cross-key id
+    * pair (a, b) is path-connected via rep(key_a) — edge — rep(key_b).
+    * Feed the result straight into [[nearDupClusters]]; OpsSpec pins the
+    * components equal to the full pair set's. Same cache ownership as
+    * [[editDistanceJoin]].
+    */
+  def editDistanceClusterEdges(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 1, q: Int = 2): DataFrame = {
+    val ids = df.select(col(idCol).as("id"),
+      coalesce(col(strCol), lit("")).as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-key representative in one partial-aggregating pass; reps feeds
+    // the blocking core + both edge fan-backs
+    val reps = ids.groupBy(col("k"))
+      .agg(min(col("id")).as("rep"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyPairs = editDistanceKeyPairsCore(reps.select(col("k")), maxDist, q)
+    // star edges: rep -> every other carrier of the key (rep is the min,
+    // so id_a < id_b by construction); singleton keys emit nothing
+    val star = ids.join(reps, Seq("k"))
+      .where(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"), lit(0).as("dist"))
+    // one representative edge per matched key pair
+    val cross = keyPairs
+      .join(reps.select(col("k").as("ka"), col("rep").as("ra")), Seq("ka"))
+      .join(reps.select(col("k").as("kb"), col("rep").as("rb")), Seq("kb"))
+      .select(least(col("ra"), col("rb")).as("id_a"),
+        greatest(col("ra"), col("rb")).as("id_b"), col("dist"))
+    star.unionByName(cross)
+  }
+
+  /** The shared blocking core over a DISTINCT key frame (single column
+    * `k`): verified (ka, kb, dist) with ka < kb, dist <= maxDist. The
+    * gram table (`el`) feeds dfreq + the prefix join and the prefix table
+    * self-joins, so both persist (key-domain-sized) — see the
+    * cache-ownership note on [[editDistanceJoin]].
+    */
+  private def editDistanceKeyPairsCore(keys0: DataFrame, maxDist: Int,
+      q: Int): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1: $maxDist")
+    require(q >= 1, s"q must be >= 1: $q")
+    val keys = keys0.withColumn("len", length(col("k")))
     // numbered positional q-grams: group-count per (key, gram), then
     // re-explode 1..cnt — equivalent to numbering occurrences, without a
     // per-key window sort (the count agg is map-side partial)
@@ -602,21 +690,9 @@ object Dedup {
         col("ka") < col("kb") &&
           abs(col("len_a") - col("len_b")) <= maxDist)
       .select(col("ka"), col("kb"))
-    val keyPairs = candGram.union(candShort).distinct()
+    candGram.union(candShort).distinct()
       .withColumn("dist", levenshtein(col("ka"), col("kb")))
       .where(col("dist") <= maxDist)
-    // id fan-out (output-sized): cross-key pairs normalize id order;
-    // same-key pairs are the duplicate-key groups at distance 0
-    val crossKey = keyPairs
-      .join(ids.select(col("id").as("ia"), col("k").as("ka")), Seq("ka"))
-      .join(ids.select(col("id").as("ib"), col("k").as("kb")), Seq("kb"))
-      .select(least(col("ia"), col("ib")).as("id_a"),
-        greatest(col("ia"), col("ib")).as("id_b"), col("dist"))
-    val sameKey = ids.select(col("id").as("id_a"), col("k"))
-      .join(ids.select(col("id").as("id_b"), col("k")), Seq("k"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), lit(0).as("dist"))
-    crossKey.unionByName(sameKey)
   }
 
   /** Resolve near-dup pairs into clusters: every id labels with the

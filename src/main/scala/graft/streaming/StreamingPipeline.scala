@@ -314,7 +314,8 @@ final class StreamingPipeline(
           .filter(f => curTypes.get(f.name).exists(_ != f.dataType))
           .map(f => f.name -> f.dataType).toMap
         val events: Seq[graft.model.SchemaChangeEvent] =
-          (if (adds.nonEmpty) Seq(graft.model.AddColumnEvent(tableId, adds)) else Nil) ++
+          (if (adds.nonEmpty)
+            Seq(graft.model.AddColumnEvent(tableId, adds.toIndexedSeq)) else Nil) ++
             (if (widens.nonEmpty) Seq(graft.model.AlterColumnTypeEvent(tableId, widens)) else Nil)
         if (events.nonEmpty) {
           events.foreach(upstream.apply)
@@ -740,5 +741,61 @@ object StreamingPipeline {
     // bench measures since r6)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     reader.load(dir).withColumnRenamed("value", "value")
+  }
+
+  /** Name of the natural-order column emitted by [[fileJsonStreamOrdered]]
+    * and consumed as the deterministic-`__seq` `order` expression.
+    */
+  val FileOrderCol = "__order"
+
+  /** [[fileJsonStream]] + the file source's NATURAL DETERMINISTIC log
+    * order as a column, satisfying the `order` contract of the
+    * deterministic-`__seq` fast path with no assumption left on the
+    * source: each file is read whole and split into lines, so the line
+    * index is a pure function of the file's own content (posexplode over
+    * the split — identical on every re-evaluation, task retry, or
+    * recompute), and the file's position in the log is the trailing
+    * digit run of its NAME (rotated log segments are numbered:
+    * `part-00042.json`, `binlog.000019`, ...).
+    *
+    * `__order` = fileSeq(21 bits) << 22 | lineIdx(22 bits) — ≤2M segment
+    * files, ≤4M lines per file; overflow or an un-numbered file name
+    * raises (ansi cast / explicit check) instead of misordering. Blank
+    * lines are dropped AFTER numbering, so their removal never renumbers
+    * later records. Pass `order = Some(col(FileOrderCol))` to the
+    * `startFrom*` front ends — the CLI file topics do this by default.
+    */
+  def fileJsonStreamOrdered(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.format("text").option("wholetext", "true")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    withFileOrder(reader.load(dir))
+  }
+
+  /** The [[fileJsonStreamOrdered]] projection over a `wholetext` read
+    * (streaming or batch — the spec pins partitioning/recompute
+    * invariance on the batch form): (`__order`, `value`) per line.
+    */
+  private[streaming] def withFileOrder(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val fname = element_at(split(col("_metadata.file_path"), "/"), -1)
+    // last run of digits in the file name = the segment sequence number
+    val fseqStr = regexp_extract(fname, "(\\d+)(?!.*\\d)", 1)
+    val fseq = when(fseqStr === "",
+        raise_error(concat(lit("fileJsonStreamOrdered: file name carries " +
+          "no sequence number: "), fname)))
+      .otherwise(fseqStr.cast("long"))
+    raw
+      .select(fseq.as("__fseq"), col("value"))
+      .select(col("__fseq"),
+        posexplode(split(col("value"), "\n")).as(Seq("__lidx", "value")))
+      .where(length(col("value")) > 0)
+      .select(
+        when(col("__fseq") >= (1L << 21) || col("__lidx") >= (1 << 22),
+          raise_error(lit("fileJsonStreamOrdered: __order overflow: needs " +
+            "file seq < 2^21 and < 2^22 lines/file")))
+          .otherwise(shiftleft(col("__fseq"), 22) + col("__lidx"))
+          .as(FileOrderCol),
+        col("value"))
   }
 }

@@ -68,7 +68,31 @@ object Cli {
           }
         }
         val sp = new StreamingPipeline(spark, pd, sink)
-        val stream = StreamingPipeline.fileJsonStream(spark, path)
+        // Deterministic log order by DEFAULT: a file topic carries a
+        // natural stable order (segment number from the file name + line
+        // index within the file), so __seq is a pure projection and the
+        // fast path's mono-id order-stability assumption never applies.
+        // `order.expr` overrides with a source-field expression over the
+        // raw `value` (e.g. a binlog position); `order.mode: none` drops
+        // to the legacy unordered stream (un-numbered file names).
+        val orderExpr = pd.source.options.get("order.expr")
+        val orderMode = pd.source.options.getOrElse("order.mode",
+          if (orderExpr.isDefined) "expr" else "file")
+        val (stream, order) = orderMode match {
+          case "none" =>
+            (StreamingPipeline.fileJsonStream(spark, path), None)
+          case "expr" =>
+            (StreamingPipeline.fileJsonStream(spark, path),
+              Some(org.apache.spark.sql.functions.expr(orderExpr.getOrElse(
+                throw new IllegalArgumentException(
+                  "order.mode=expr requires order.expr")))))
+          case "file" =>
+            (StreamingPipeline.fileJsonStreamOrdered(spark, path),
+              Some(org.apache.spark.sql.functions.col(
+                StreamingPipeline.FileOrderCol)))
+          case other => throw new IllegalArgumentException(
+            s"order.mode must be file|expr|none: $other")
+        }
         val checkpoint = pd.source.options.get("checkpoint")
         // `tables: db.a, db.b` (one topic, many tables — per-table
         // schemas under schema.ddl.<table>) or single `table:` + schema.ddl
@@ -85,12 +109,15 @@ object Cli {
             }
             kind match {
               case "canal-file" =>
-                sp.startMultiFromCanalJson(stream, pairs, checkpointLocation = checkpoint)
+                sp.startMultiFromCanalJson(stream, pairs, checkpointLocation = checkpoint,
+                  order = order)
               case "mongo-file" =>
-                sp.startMultiFromMongoJson(stream, pairs, checkpointLocation = checkpoint)
+                sp.startMultiFromMongoJson(stream, pairs, checkpointLocation = checkpoint,
+                  order = order)
               case _ =>
                 sp.startMultiFromDebeziumJson(stream, pairs, checkpointLocation = checkpoint,
-                  schemaInclude = schemaInclude(pd), connectWire = connectWire(pd))
+                  schemaInclude = schemaInclude(pd), connectWire = connectWire(pd),
+                  order = order)
             }
           case None =>
             val tid = TableId.parse(pd.source.options.getOrElse("table",
@@ -99,12 +126,15 @@ object Cli {
             val tinfo = schemaOf(tid, "schema.ddl")
             kind match {
               case "canal-file" =>
-                sp.startFromCanalJson(stream, tid, tinfo, checkpointLocation = checkpoint)
+                sp.startFromCanalJson(stream, tid, tinfo, checkpointLocation = checkpoint,
+                  order = order)
               case "mongo-file" =>
-                sp.startFromMongoJson(stream, tid, tinfo, checkpointLocation = checkpoint)
+                sp.startFromMongoJson(stream, tid, tinfo, checkpointLocation = checkpoint,
+                  order = order)
               case _ =>
                 sp.startFromDebeziumJson(stream, tid, tinfo, checkpointLocation = checkpoint,
-                  schemaInclude = schemaInclude(pd), connectWire = connectWire(pd))
+                  schemaInclude = schemaInclude(pd), connectWire = connectWire(pd),
+                  order = order)
             }
         }
         q.awaitTermination()

@@ -327,6 +327,49 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("edit-distance keys mode + cluster edges: key pairs exact; components equal the full pair set's") {
+    // heavy duplicate-key groups: the full pair output is quadratic in
+    // multiplicity, the cluster-edge output must stay linear while
+    // resolving to EXACTLY the same connected components
+    val rows = Seq(
+      (1L, "kitten"), (2L, "kitten"), (3L, "kitten"), (4L, "kitten"),
+      (5L, "sitten"), (6L, "sitten"),
+      (7L, "banana"), (8L, "bananas"), (9L, "bananas"),
+      (10L, "aaaa"), (11L, "aaa"), (12L, ""), (13L, ""), (14L, "zzz"),
+      (15L, null.asInstanceOf[String]))
+    val df = rows.toDF("id", "k")
+    val keyed = df.select(col("id"), coalesce(col("k"), lit("")).as("k"))
+    // keys mode == brute-force over the DISTINCT key domain
+    val keysGot = Dedup.editDistanceJoinKeys(df, "k", maxDist = 1, q = 2)
+      .orderBy("key_a", "key_b")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+    val dk = keyed.select("k").distinct()
+    val keysBrute = dk.select(col("k").as("key_a"))
+      .crossJoin(dk.select(col("k").as("key_b")))
+      .where(col("key_a") < col("key_b"))
+      .withColumn("dist", levenshtein(col("key_a"), col("key_b")))
+      .where(col("dist") <= 1).orderBy("key_a", "key_b")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+    assert(keysGot === keysBrute)
+    assert(keysGot.nonEmpty)
+    // cluster edges: linear-sized, same components as the full pair set
+    val ids = df.select(col("id"))
+    val full = Dedup.editDistanceJoin(df, "id", "k", maxDist = 1, q = 2)
+    val sparse = Dedup.editDistanceClusterEdges(df, "id", "k", maxDist = 1, q = 2)
+    def comps(pairs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Dedup.nearDupClusters(ids, "id", pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(sparse) === comps(full))
+    // linearity: each m-dup group emits m-1 star edges, not m(m-1)/2
+    val sparseCnt = sparse.count()
+    val fullCnt = full.count()
+    assert(sparseCnt < fullCnt)
+    // 4x kitten: 3 star edges + reps; full: 6 same-key pairs for kitten
+    // alone plus cross pairs per carrier product
+    assert(sparseCnt <= 3 + 1 + 2 + 1 + 1 + keysGot.size)
+    spark.catalog.clearCache()
+  }
+
   test("semdedup: exhaustive config resolves duplicate groups; clustered drops are a subset") {
     // three planted duplicate groups in distinct directions + singletons
     def v(xs: Double*) = xs.toArray.map(_.toFloat)
@@ -2122,6 +2165,58 @@ class OpsSpec extends SparkSpec {
       .map(m => (m.rank, m.lhs, m.rhs, m.pairCount))
     assert(gotDist === expect) // integer pair counts + total tiebreak
     spark.catalog.clearCache()
+  }
+
+  test("bpe incremental trainer == naive recount trainer (r17: the production-vocab path)") {
+    // the incremental pair-index trainer must be BIT-IDENTICAL to the
+    // naive recount spec oracle: same counts at every step -> same argmax
+    // sequence. Random corpora over a small alphabet maximize merge-site
+    // interactions (overlaps, l==r runs, pairs whose count hits zero).
+    val rnd = new scala.util.Random(1317)
+    for (trial <- 0 until 30) {
+      val alpha = "abcd".map(String.valueOf(_))
+      val words = (0 until (5 + rnd.nextInt(40))).map { _ =>
+        ((0 until (1 + rnd.nextInt(10)))
+          .map(_ => alpha(rnd.nextInt(alpha.length))).mkString,
+          1L + rnd.nextInt(9))
+      }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toArray
+      val merges = rnd.nextInt(60)
+      val minPair = 1L + rnd.nextInt(3)
+      val inc = Bpe.trainLocal(words, merges, minPair)
+      val naive = Bpe.trainLocalNaive(words, merges, minPair)
+      assert(inc === naive, s"trial=$trial merges=$merges minPair=$minPair " +
+        s"words=${words.take(8).mkString(",")}...")
+    }
+    // unicode symbols (surrogate pairs) + the utf8 tiebreak
+    val uni = Array(("𝕏𝕐𝕏", 3L), ("é𝕏é", 3L), ("zz", 3L), ("éz", 2L))
+    assert(Bpe.trainLocal(uni, 10, 2L) === Bpe.trainLocalNaive(uni, 10, 2L))
+    // the 4096 cap is gone: a deep merge run terminates by exhaustion
+    val deep = Array(("a" * 64, 100L), ("b" + "a" * 40, 50L))
+    val dm = Bpe.trainLocal(deep, 10000, 1L)
+    assert(dm === Bpe.trainLocalNaive(deep, 10000, 1L))
+    assert(dm.nonEmpty && dm.length < 10000) // exhausts, not caps
+  }
+
+  test("bpe encode rejects ill-formed merge tables (space symbols, components out of order)") {
+    val docs = Seq((0L, "ab")).toDF("id", "text")
+    def run(ms: Seq[(String, String)]): Unit = {
+      docs.select(Bpe.encode(col("text"),
+        ms.zipWithIndex.map { case ((l, r), i) => Bpe.Merge(i + 1, l, r, 0L) }))
+        .collect()
+      ()
+    }
+    // a space inside a symbol collides the kernel's "l r" rank keys
+    assert(intercept[IllegalArgumentException] { run(Seq(("a b", "c"))) }
+      .getMessage.contains("space"))
+    // a component that is neither a base code point nor an earlier
+    // merge's output cannot come from training
+    assert(intercept[IllegalArgumentException] { run(Seq(("ab", "c"))) }
+      .getMessage.contains("earlier merge"))
+    assert(intercept[IllegalArgumentException] {
+      run(Seq(("a", "b"), ("c", "bd"))) }
+      .getMessage.contains("earlier merge"))
+    // well-formed passes: components are base chars or earlier outputs
+    run(Seq(("a", "b"), ("ab", "c"), ("𝕏", "a")))
   }
 
   test("bpe encode: min-rank kernel == sequential rank-order application") {

@@ -580,6 +580,73 @@ class StreamingSpec extends SparkSpec {
     assert(a(5L) === (7L << 43) + 5L)
   }
 
+  test("file-ordered stream: natural file order drives the fast path, no content field needed") {
+    // r17: fileJsonStreamOrdered derives `order` from the file topic
+    // itself (segment number + line index) — the shipped CLI default.
+    // ts_ms is IDENTICAL on every record, so the last-wins outcome can
+    // only come from the file/line order; multi-table + DDL-free must
+    // take the unpersisted fast path.
+    val dir = java.nio.file.Files.createTempDirectory("dbz_fileord").toFile
+    val tidB = TableId.parse("db.orders")
+    val infoB = TableInfo(
+      StructType(Seq(StructField("id", LongType), StructField("amt", LongType))),
+      primaryKeys = Seq("id"))
+    java.nio.file.Files.write(new java.io.File(dir, "seg-001.json").toPath,
+      Seq(
+        """{"before":null,"after":{"id":1,"v":"a"},"op":"c","ts_ms":5,"source":{"db":"db","table":"users"}}""",
+        """{"before":null,"after":{"id":10,"amt":100},"op":"c","ts_ms":5,"source":{"db":"db","table":"orders"}}""",
+        """{"before":{"id":1,"v":"a"},"after":{"id":1,"v":"a2"},"op":"u","ts_ms":5,"source":{"db":"db","table":"users"}}"""
+      ).mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(new java.io.File(dir, "seg-002.json").toPath,
+      Seq(
+        """{"before":{"id":10,"amt":100},"after":{"id":10,"amt":150},"op":"u","ts_ms":5,"source":{"db":"db","table":"orders"}}""",
+        """{"before":{"id":1,"v":"a2"},"after":{"id":1,"v":"a3"},"op":"u","ts_ms":5,"source":{"db":"db","table":"users"}}"""
+      ).mkString("\n").getBytes("UTF-8"))
+    val sink = new ValuesDatabase
+    val sp = new StreamingPipeline(spark, pd, sink)
+    val q = sp.startMultiFromDebeziumJson(
+      StreamingPipeline.fileJsonStreamOrdered(spark, dir.getAbsolutePath),
+      Seq(tid -> tableInfo, tidB -> infoB),
+      order = Some(col(StreamingPipeline.FileOrderCol)))
+    q.awaitTermination(60000)
+    assert(sink.results(tid) === Seq("db.users:1;a3"))
+    assert(sink.results(tidB) === Seq("db.orders:10;150"))
+    assert(sp.persistedBatches === 0) // deterministic order -> fast path
+  }
+
+  test("withFileOrder: __order is a pure content/name function — recompute- and partitioning-invariant") {
+    val dir = java.nio.file.Files.createTempDirectory("fileord_pure").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "part-00007.json").toPath,
+      "r0\nr1\n\nr2\n".getBytes("UTF-8")) // blank line: dropped, not renumbered
+    java.nio.file.Files.write(new java.io.File(dir, "part-00010.json").toPath,
+      "s0\ns1".getBytes("UTF-8"))
+    def orders(extra: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+      val raw = spark.read.format("text").option("wholetext", "true")
+        .load(dir.getAbsolutePath)
+      StreamingPipeline.withFileOrder(extra(raw))
+        .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    }
+    val a = orders(identity)
+    val b = orders(_.repartition(7)) // a recomputed/shuffled evaluation
+    assert(a === b)
+    assert(a === Map(
+      "r0" -> ((7L << 22) + 0), "r1" -> ((7L << 22) + 1), "r2" -> ((7L << 22) + 3),
+      "s0" -> ((10L << 22) + 0), "s1" -> ((10L << 22) + 1)))
+  }
+
+  test("withFileOrder raises on a file name with no sequence number") {
+    val dir = java.nio.file.Files.createTempDirectory("fileord_bad").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "feed.json").toPath,
+      "x\n".getBytes("UTF-8"))
+    val raw = spark.read.format("text").option("wholetext", "true")
+      .load(dir.getAbsolutePath)
+    val e = intercept[Exception] {
+      StreamingPipeline.withFileOrder(raw).collect()
+    }
+    assert(e.getMessage.contains("no sequence number") ||
+      Option(e.getCause).exists(_.getMessage.contains("no sequence number")))
+  }
+
   test("deterministicSeqColumn raises on null and out-of-range order values") {
     def evalOne(order: org.apache.spark.sql.Column, epoch: Long = 1L): Unit = {
       spark.range(1).select(
