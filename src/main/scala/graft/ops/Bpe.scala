@@ -135,6 +135,16 @@ object Bpe {
     out.toSeq
   }
 
+  /** Driver-side training over an explicit word-frequency table — for
+    * callers that already hold word counts (and the measurement
+    * harness). `naive = true` selects the recount spec oracle; both
+    * paths are bit-identical (OpsSpec).
+    */
+  def trainFromWordFreqs(words: Array[(String, Long)], numMerges: Int,
+      minPairCount: Long = 2L, naive: Boolean = false): Seq[Merge] =
+    if (naive) trainLocalNaive(words, numMerges, minPairCount)
+    else trainLocal(words, numMerges, minPairCount)
+
   private def utf8Lt(a: String, b: String): Boolean =
     java.util.Arrays.compareUnsigned(
       a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
@@ -191,14 +201,24 @@ object Bpe {
         if (s != null) { s.remove(Integer.valueOf(wi)); if (s.isEmpty) index.remove(p) }
       }
     }
-    // build: one pass over all words
+    // build: one pass accumulating counts + index WITHOUT the ordered
+    // set, then seed it once per DISTINCT pair — the occurrence count
+    // (tens of millions on a 10⁶-word vocabulary) dwarfs the distinct
+    // pair count, so per-occurrence TreeSet churn would dominate the
+    // whole train (measured: ~4x the build cost)
     var wi = 0
     while (wi < seqs.length) {
       val s = seqs(wi); val c = cnts(wi)
       var i = 0
-      while (i < s.length - 1) { bump((s(i), s(i + 1)), c, wi, present = true); i += 1 }
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        counts.merge(p, c, java.lang.Long.sum)
+        index.computeIfAbsent(p, _ => new java.util.HashSet[Integer]()).add(wi)
+        i += 1
+      }
       wi += 1
     }
+    counts.forEach { (p, c) => ord.add((p, c)); () }
     val out = scala.collection.mutable.ArrayBuffer[Merge]()
     var rank = 1
     var done = false
