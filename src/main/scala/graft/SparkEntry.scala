@@ -1981,6 +1981,49 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** q97: CURATION v3 (r17) — the first composition where the span-dedup
+    * TRANSFORM's output (q95), not just its accounting, feeds downstream
+    * operators: dedup → train BPE on the DEDUPED corpus → encode +
+    * fertility gate → token-budget sequence pack
+    * ([[graft.ops.Curation.packOffsets]]'s two-level prefix sum — never a
+    * single-partition window). Exercises the normalized-text round trip
+    * (spanDedupText emits space-joined normalized tokens; wordFreqs /
+    * the encode kernel re-normalize idempotently) and empty-document
+    * collapse (fully-duplicated docs gate out on n_tokens = 0).
+    *
+    * Corpus passes: ONE span-dedup pass materializes the deduped frame
+    * (persisted — consumed by the train aggregation, the scoring
+    * projection, and nothing else), training touches only the word
+    * table, scoring is a single cached-frame projection (persisted —
+    * consumed by the pack's bucket totals and the final join), and the
+    * pack is bucket-parallel. PlanSpec audits the source-scan count.
+    */
+  private[graft] def curationV3Pipeline(docs: DataFrame,
+      numMerges: Int = 8, fertilityMax: Double = 3.8,
+      ctxLen: Int = 4096): DataFrame = {
+    import graft.ops.{Bpe, Curation, Dedup}
+    val dd = Dedup.spanDedupText(docs, "doc_id", "text", k = 8,
+        hashWindows = false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = Bpe.train(dd, "kept_text", numMerges, minPairCount = 2L)
+    val words = filter(split(col("kept_text"), " "), w => length(w) > 0)
+    val scored = dd.select(col("doc_id"),
+        size(words).cast("long").as("n_words"),
+        size(Bpe.encode(col("kept_text"), merges)).cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0 &&
+        col("n_tokens").cast("double") / col("n_words") <= fertilityMax)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val packed = Curation.packOffsets(scored, "doc_id", "n_tokens", ctxLen)
+    scored.join(packed, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("n_words"), 9)
+          .as("fertility"),
+        col("start_offset"), col("pack_id"), col("pos_in_pack"))
+  }
+
+  private def q97CurationV3(s: SparkSession, dir: String): DataFrame =
+    curationV3Pipeline(t(s, dir, "documents")).orderBy("doc_id")
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2079,7 +2122,8 @@ object SparkEntry {
     "q93_bpe_encode" -> (q93BpeEncode _),
     "q94_span_dedup" -> (q94SpanDedup _),
     "q95_span_dedup_text" -> (q95SpanDedupText _),
-    "q96_bpe_fertility" -> (q96BpeFertility _)
+    "q96_bpe_fertility" -> (q96BpeFertility _),
+    "q97_curation_v3" -> (q97CurationV3 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3784,7 +3828,60 @@ object SparkEntry {
           |    THEN a.n_tokens::DOUBLE / a.n_words ELSE 0.0 END, 9) AS fertility
           |FROM (SELECT DISTINCT doc_id FROM documents) d
           |LEFT JOIN agg a ON d.doc_id = a.doc_id
-          |ORDER BY d.doc_id""".stripMargin)
+          |ORDER BY d.doc_id""".stripMargin),
+    // curation v3: q95's kept-text rebuild -> BPE trained ON THE DEDUPED
+    // corpus (the parameterized w0 source) -> per-doc tokens off the
+    // trained word table -> fertility gate (unrounded double, both
+    // engines divide the same integers) -> exclusive running token sum
+    // in doc_id order -> ctxLen-bin pack ids
+    "q97_curation_v3" ->
+      ("""WITH d AS (
+        |  SELECT doc_id, string_split(
+        |    trim(regexp_replace(lower(coalesce(text, '')), '[^\p{L}\p{N}]+', ' ', 'g')),
+        |    ' ') AS t
+        |  FROM documents),
+        |w AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS win
+        |  FROM d, unnest(generate_series(1, len(t) - 7)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |r AS (SELECT doc_id, pos,
+        |  row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn FROM w),
+        |iv AS (SELECT doc_id, pos, pos + 7 AS e FROM r WHERE rn > 1),
+        |cov AS (SELECT DISTINCT doc_id, u.p
+        |  FROM iv, unnest(generate_series(pos, e)) AS u(p)),
+        |tok AS (SELECT doc_id, i AS pos, t[i] AS tk
+        |  FROM d, unnest(generate_series(1,
+        |    CASE WHEN t = [''] THEN 0 ELSE len(t) END)) AS u(i)),
+        |kept AS MATERIALIZED (SELECT tok.doc_id, tok.pos, tok.tk
+        |  FROM tok LEFT JOIN cov
+        |    ON tok.doc_id = cov.doc_id AND tok.pos = cov.p
+        |  WHERE cov.p IS NULL),
+        |dd AS MATERIALIZED (SELECT d.doc_id, coalesce(k.kept_text, '') AS kept_text
+        |  FROM d LEFT JOIN (
+        |    SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS kept_text
+        |    FROM kept GROUP BY doc_id) k ON d.doc_id = k.doc_id),
+        |""".stripMargin +
+        bpeOracleStages(8,
+          "SELECT unnest(string_split(kept_text, ' ')) AS w FROM dd") + ",\n" +
+        """wtok AS (SELECT w, len(string_split(s, '|'))::BIGINT AS ntok FROM w8),
+          |dtok AS (SELECT doc_id, unnest(string_split(kept_text, ' ')) AS w
+          |  FROM dd),
+          |agg AS (SELECT doc_id, count(*)::BIGINT AS n_words,
+          |    sum(ntok)::BIGINT AS n_tokens
+          |  FROM dtok JOIN wtok USING (w)
+          |  WHERE dtok.w <> '' GROUP BY doc_id),
+          |gated AS (SELECT doc_id, n_words, n_tokens FROM agg
+          |  WHERE n_tokens > 0 AND n_tokens::DOUBLE / n_words <= 3.8),
+          |binned AS (SELECT doc_id, n_words, n_tokens,
+          |  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+          |    AS start_offset
+          |  FROM gated)
+          |SELECT doc_id, n_words, n_tokens,
+          |  round(n_tokens::DOUBLE / n_words, 9) AS fertility,
+          |  start_offset,
+          |  (start_offset // 4096)::BIGINT AS pack_id,
+          |  (start_offset % 4096)::BIGINT AS pos_in_pack
+          |FROM binned ORDER BY doc_id""".stripMargin)
   )
 
   /** The unrolled BPE-training WITH-stages for the q92/q93 oracles:
@@ -3799,15 +3896,16 @@ object SparkEntry {
     * (later stages then recompute the same exhausted state and stay
     * no-ops).
     */
-  private def bpeOracleStages(n: Int): String = {
-    val w0 =
-      """w0 AS (
-        |  SELECT w, array_to_string(string_split(w, ''), '|') AS s,
-        |    count(*)::BIGINT AS cnt
-        |  FROM (SELECT unnest(string_split(
+  private def bpeOracleStages(n: Int, wordsSource: String =
+      """SELECT unnest(string_split(
         |    trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')),
-        |    ' ')) AS w FROM documents)
-        |  WHERE w <> '' GROUP BY 1, 2)""".stripMargin
+        |    ' ')) AS w FROM documents""".stripMargin): String = {
+    val w0 =
+      s"""w0 AS (
+         |  SELECT w, array_to_string(string_split(w, ''), '|') AS s,
+         |    count(*)::BIGINT AS cnt
+         |  FROM ($wordsSource)
+         |  WHERE w <> '' GROUP BY 1, 2)""".stripMargin
     val stages = (1 to n).map { r =>
       s"""pairs$r AS (
          |  SELECT sp[i] AS lhs, sp[i+1] AS rhs, sum(cnt)::BIGINT AS pc

@@ -198,7 +198,14 @@ object ScaleCurve {
         graft.SparkEntry.rrfFusionPipeline(
           graft.Tables.load(s, dir, "documents"), caesarTerms)))
 
+    // SPARK_GRAFT_SCALE_COLD=1: drop every cached frame before each
+    // consume, so queries that persist internally (q97's dedup/scored
+    // frames, bm25's tf frame) measure the FULL pipeline per rep instead
+    // of the uncached tail — the number that must scale is the whole
+    // build, not the cache read-back
+    val cold = sys.env.get("SPARK_GRAFT_SCALE_COLD").contains("1")
     def consume(name: String, dir: String): Double = {
+      if (cold) spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val df = embOps.getOrElse(name, graft.SparkEntry.queries(name))(spark, dir)
       df.agg(bit_xor(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)))).collect()

@@ -536,6 +536,34 @@ class PlanSpec extends SparkSpec {
       s"more than one corpus relation/scan shape:\n$p")
   }
 
+  test("q97 curation v3: cached dedup frame, broadcast pack offsets, no global window, no cartesian") {
+    val p = plan("q97_curation_v3")
+    // the deduped frame + the scored frame are cached; every downstream
+    // consumer (train agg ran at build time, pack totals, final join)
+    // reads the caches. The printed plan repeats the cached span-dedup
+    // subtree under each cache scan; that subtree legitimately owns TWO
+    // scan shapes (the windows branch pushes its n_tokens >= k filter) —
+    // so the audit pins the distinct-shape count at the subtree's own 2,
+    // proving no consumer added a fresh corpus relation.
+    val scans = p.linesIterator.filter(_.contains("FileScan"))
+      .map(l => l.substring(l.indexOf("FileScan")).replaceAll("#\\d+", "")).toSeq
+    assert(scans.nonEmpty && scans.distinct.size <= 2,
+      s"consumer added a corpus relation beyond the cached dedup subtree's:\n$p")
+    assert(p.contains("InMemoryTableScan"), s"dedup/scored frames not cached:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in curation-v3 plan:\n$p")
+    // packOffsets: the bucket-offset lookup broadcasts (never shuffles
+    // the corpus against a thousands-row table)
+    assert(p.contains("BroadcastHashJoin"), s"pack offsets not broadcast:\n$p")
+    // the pack's running sum is PARTITIONED by bucket — no Window may sit
+    // on a single-partition exchange (the two-level prefix sum contract)
+    val lines = p.linesIterator.toSeq
+    lines.zipWithIndex.filter(_._1.contains("Window")).foreach { case (_, i) =>
+      val below = lines.drop(i + 1).take(6)
+      assert(!below.exists(_.contains("Exchange SinglePartition")),
+        s"pack window fed by a single-partition exchange:\n$p")
+    }
+  }
+
   test("q88 multi-table lsh: broadcast probe join, no all-pairs, candidate-sized dedup") {
     val p = plan("q88_multi_lsh")
     // the probe join must be a broadcast hash join on (table, bucket) —
