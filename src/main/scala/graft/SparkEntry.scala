@@ -2024,6 +2024,35 @@ object SparkEntry {
   private def q97CurationV3(s: SparkSession, dir: String): DataFrame =
     curationV3Pipeline(t(s, dir, "documents")).orderBy("doc_id")
 
+  /** q98: OPQ retrieval gated end-to-end (r17 — closes the one north-star
+    * operator without a qNN gate). The corpus is the embeddings' first
+    * TWO dimensions: at d=2 the PCA eigensolve is exactly ONE Jacobi
+    * rotation (plus the code's conditional second-sweep micro-rotation),
+    * so DuckDB re-derives the ENTIRE trained index — the fixed-point
+    * Gram/mean fold, the Jacobi rotation with the SAME IEEE formula
+    * sequence (sign/(|θ|+√(θ²+1)), both sweeps unrolled with the code's
+    * 1e-14/1e-18 thresholds as CASE guards), eigen-order component sort,
+    * the rotation projection, the fixed-point PQ Lloyd round over
+    * ROTATED vectors (m=2 one-dim subspaces × 4 entries), ADC and the
+    * exact-cosine rerank. Full-rank d=64 Jacobi stays OpsSpec-pinned
+    * (iterated sweeps are not SQL-expressible — the documented boundary);
+    * this gate proves the OPQ *pipeline* — rotation fold, rotated-space
+    * training, fused code/LUT projections — against an independent
+    * engine.
+    */
+  private def q98OpqAdc(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Similarity
+    val emb = t(s, dir, "embeddings").select(col("vec_id"),
+      slice(col("embedding"), 1, 2).cast("array<double>").as("v2"))
+    val (model, books) = Similarity.trainOpq(
+      emb, "vec_id", "v2", m = 2, ksub = 4, iters = 1)
+    Similarity.opqTopKPrecomputed(
+      emb, "vec_id", "v2",
+      emb.where(col("vec_id") < 10), "vec_id", "v2",
+      k = 5, model, books, coarseK = 40)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2123,7 +2152,8 @@ object SparkEntry {
     "q94_span_dedup" -> (q94SpanDedup _),
     "q95_span_dedup_text" -> (q95SpanDedupText _),
     "q96_bpe_fertility" -> (q96BpeFertility _),
-    "q97_curation_v3" -> (q97CurationV3 _)
+    "q97_curation_v3" -> (q97CurationV3 _),
+    "q98_opq_adc" -> (q98OpqAdc _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3881,7 +3911,129 @@ object SparkEntry {
           |  start_offset,
           |  (start_offset // 4096)::BIGINT AS pack_id,
           |  (start_offset % 4096)::BIGINT AS pos_in_pack
-          |FROM binned ORDER BY doc_id""".stripMargin)
+          |FROM binned ORDER BY doc_id""".stripMargin),
+    // OPQ fully recomputed at d=2: fixed-point Gram/mean fold (2^-24
+    // grid BIGINT sums), ONE closed-form Jacobi rotation with the
+    // trainer's exact IEEE formula sequence — sweep 2's micro-rotation
+    // conditionally mirrored with the code's 1e-14 (loop) / 1e-18
+    // (rotation) thresholds, a10/a01 kept as their DISTINCT IEEE
+    // expressions — eigenvalue-desc component order (stable: ties keep
+    // column 0 first), rotation y = (x−mu)·R row-fold, then q89's PQ
+    // machinery over ROTATED values (init = 4 smallest ids, one
+    // fixed-point Lloyd round, strict-< argmin, index-order LUT folds,
+    // left-fold ADC, coarse-40, exact-cosine rerank on ORIGINAL vectors)
+    "q98_opq_adc" ->
+      """WITH e AS (SELECT vec_id,
+        |    [embedding[1]::DOUBLE, embedding[2]::DOUBLE] AS v FROM embeddings),
+        |g AS (SELECT count(*)::BIGINT AS n,
+        |  sum(floor(v[1]*16777216.0 + 0.5)::BIGINT) AS s0,
+        |  sum(floor(v[2]*16777216.0 + 0.5)::BIGINT) AS s1,
+        |  sum(floor(v[1]*v[1]*16777216.0 + 0.5)::BIGINT) AS q00,
+        |  sum(floor(v[1]*v[2]*16777216.0 + 0.5)::BIGINT) AS q01,
+        |  sum(floor(v[2]*v[2]*16777216.0 + 0.5)::BIGINT) AS q11
+        |  FROM e),
+        |mo AS (SELECT
+        |  s0::DOUBLE/(n::DOUBLE*16777216.0) AS m0,
+        |  s1::DOUBLE/(n::DOUBLE*16777216.0) AS m1,
+        |  q00::DOUBLE/(n::DOUBLE*16777216.0) AS e00,
+        |  q01::DOUBLE/(n::DOUBLE*16777216.0) AS e01,
+        |  q11::DOUBLE/(n::DOUBLE*16777216.0) AS e11 FROM g),
+        |j0 AS (SELECT m0, m1, e00 - m0*m0 AS c00, e01 - m0*m1 AS c01,
+        |  e11 - m1*m1 AS c11 FROM mo),
+        |t1 AS (SELECT *, CASE WHEN abs(c01) > 1e-18
+        |  THEN sign((c11 - c00) / (2 * c01)) /
+        |    (abs((c11 - c00) / (2 * c01)) +
+        |     sqrt(((c11 - c00) / (2 * c01)) * ((c11 - c00) / (2 * c01)) + 1))
+        |  ELSE NULL END AS tt1 FROM j0),
+        |u1 AS (SELECT *, CASE WHEN tt1 IS NULL THEN 1.0
+        |  ELSE 1/sqrt(tt1*tt1 + 1) END AS cc1 FROM t1),
+        |w1 AS (SELECT *, CASE WHEN tt1 IS NULL THEN 0.0
+        |  ELSE tt1 * cc1 END AS ss1 FROM u1),
+        |s1m AS (SELECT m0, m1, c01 AS off1,
+        |  CASE WHEN tt1 IS NULL THEN c00
+        |    ELSE cc1*(cc1*c00 - ss1*c01) - ss1*(cc1*c01 - ss1*c11) END AS a00,
+        |  CASE WHEN tt1 IS NULL THEN c11
+        |    ELSE ss1*(ss1*c00 + cc1*c01) + cc1*(ss1*c01 + cc1*c11) END AS a11,
+        |  CASE WHEN tt1 IS NULL THEN c01
+        |    ELSE cc1*(ss1*c00 + cc1*c01) - ss1*(ss1*c01 + cc1*c11) END AS a01,
+        |  CASE WHEN tt1 IS NULL THEN c01
+        |    ELSE ss1*(cc1*c00 - ss1*c01) + cc1*(cc1*c01 - ss1*c11) END AS a10,
+        |  CASE WHEN tt1 IS NULL THEN 1.0 ELSE cc1 END AS v00,
+        |  CASE WHEN tt1 IS NULL THEN 0.0 ELSE ss1 END AS v01,
+        |  CASE WHEN tt1 IS NULL THEN 0.0 ELSE 0.0 - ss1 END AS v10,
+        |  CASE WHEN tt1 IS NULL THEN 1.0 ELSE cc1 END AS v11
+        |  FROM w1),
+        |t2 AS (SELECT *, CASE WHEN abs(off1) > 1e-14 AND abs(a01) > 1e-18
+        |  THEN sign((a11 - a00) / (2 * a01)) /
+        |    (abs((a11 - a00) / (2 * a01)) +
+        |     sqrt(((a11 - a00) / (2 * a01)) * ((a11 - a00) / (2 * a01)) + 1))
+        |  ELSE NULL END AS tt2 FROM s1m),
+        |u2 AS (SELECT *, CASE WHEN tt2 IS NULL THEN 1.0
+        |  ELSE 1/sqrt(tt2*tt2 + 1) END AS cc2 FROM t2),
+        |w2 AS (SELECT *, CASE WHEN tt2 IS NULL THEN 0.0
+        |  ELSE tt2 * cc2 END AS ss2 FROM u2),
+        |fin AS (SELECT m0, m1,
+        |  CASE WHEN tt2 IS NULL THEN a00
+        |    ELSE cc2*(cc2*a00 - ss2*a01) - ss2*(cc2*a10 - ss2*a11) END AS e0,
+        |  CASE WHEN tt2 IS NULL THEN a11
+        |    ELSE ss2*(ss2*a00 + cc2*a01) + cc2*(ss2*a10 + cc2*a11) END AS e1,
+        |  CASE WHEN tt2 IS NULL THEN v00 ELSE cc2*v00 - ss2*v01 END AS v00f,
+        |  CASE WHEN tt2 IS NULL THEN v01 ELSE ss2*v00 + cc2*v01 END AS v01f,
+        |  CASE WHEN tt2 IS NULL THEN v10 ELSE cc2*v10 - ss2*v11 END AS v10f,
+        |  CASE WHEN tt2 IS NULL THEN v11 ELSE ss2*v10 + cc2*v11 END AS v11f
+        |  FROM w2),
+        |comp AS (SELECT m0, m1,
+        |  CASE WHEN e1 > e0 THEN v01f ELSE v00f END AS r00,
+        |  CASE WHEN e1 > e0 THEN v11f ELSE v10f END AS r01,
+        |  CASE WHEN e1 > e0 THEN v00f ELSE v01f END AS r10,
+        |  CASE WHEN e1 > e0 THEN v10f ELSE v11f END AS r11 FROM fin),
+        |r AS (SELECT vec_id,
+        |  [(v[1]-m0)*r00 + (v[2]-m1)*r01, (v[1]-m0)*r10 + (v[2]-m1)*r11] AS y
+        |  FROM e, comp),
+        |cent0 AS (SELECT s.j,
+        |    (row_number() OVER (PARTITION BY s.j ORDER BY b.vec_id) - 1)::INT AS code,
+        |    b.y[s.j + 1] AS cv
+        |  FROM (SELECT vec_id, y FROM r ORDER BY vec_id LIMIT 4) b,
+        |    range(0, 2) s(j)),
+        |a0 AS (SELECT vec_id, y, j, code FROM (
+        |  SELECT r.vec_id, r.y, c.j, c.code,
+        |    row_number() OVER (PARTITION BY r.vec_id, c.j
+        |      ORDER BY (r.y[c.j + 1] - c.cv) * (r.y[c.j + 1] - c.cv) ASC,
+        |        c.code ASC) AS rn
+        |  FROM r, cent0 c) WHERE rn = 1),
+        |m0u AS (SELECT j, code,
+        |    ssum::DOUBLE / (cnt::DOUBLE * 16777216.0) AS cv
+        |  FROM (SELECT a.j, a.code,
+        |      sum(floor(a.y[a.j + 1] * 16777216.0 + 0.5)::BIGINT) AS ssum,
+        |      count(*) AS cnt
+        |    FROM a0 a GROUP BY a.j, a.code)),
+        |cent AS (SELECT c.j, c.code, coalesce(m.cv, c.cv) AS cv
+        |  FROM cent0 c LEFT JOIN m0u m ON m.j = c.j AND m.code = c.code),
+        |codes AS (SELECT vec_id, j, code FROM (
+        |  SELECT r.vec_id, c.j, c.code,
+        |    row_number() OVER (PARTITION BY r.vec_id, c.j
+        |      ORDER BY (r.y[c.j + 1] - c.cv) * (r.y[c.j + 1] - c.cv) ASC,
+        |        c.code ASC) AS rn
+        |  FROM r, cent c) WHERE rn = 1),
+        |lut AS (SELECT q.vec_id AS qid, c.j, c.code,
+        |    (q.y[c.j + 1] - c.cv) * (q.y[c.j + 1] - c.cv) AS d
+        |  FROM r q, cent c WHERE q.vec_id < 10),
+        |adc AS (SELECT l.qid AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list(l.d ORDER BY l.j), (x, y) -> x + y) AS a
+        |  FROM codes c JOIN lut l ON l.j = c.j AND l.code = c.code
+        |  WHERE c.vec_id <> l.qid GROUP BY 1, 2),
+        |coarse AS (SELECT query_id, neighbor_id, a FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY a ASC, neighbor_id ASC) AS crank FROM adc) WHERE crank <= 40),
+        |scored AS (SELECT c.query_id, c.neighbor_id, c.a,
+        |    list_dot_product(qe.v, ne.v)
+        |      / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ne.v, ne.v))) AS c2
+        |  FROM coarse c JOIN e ne ON ne.vec_id = c.neighbor_id
+        |    JOIN e qe ON qe.vec_id = c.query_id),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY c2 DESC, neighbor_id ASC) AS rank FROM scored)
+        |SELECT query_id, neighbor_id, rank, round(c2, 9) AS cos, round(a, 9) AS adc
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   )
 
   /** The unrolled BPE-training WITH-stages for the q92/q93 oracles:
