@@ -88,9 +88,33 @@ object SkewCurve {
       // the defense under measurement (r16, q94's family)
       "k_span_dedup" -> ((s, dir) =>
         graft.ops.Dedup.spanDedupCut(
-          graft.Tables.load(s, dir, "documents"), "doc_id", "text", k = 8)))
+          graft.Tables.load(s, dir, "documents"), "doc_id", "text", k = 8)),
+      // q91's family under a hot KEY (r17, verdict #5): the m-duplicated
+      // document makes one 16-char key m-hot. The full pair join's
+      // OUTPUT is m²-sized by definition (the editDistanceJoin warning),
+      // so the dedup-caller scale paths are under measurement: the
+      // key-domain join (duplicate multiplicity never multiplies
+      // anything) and the cluster-edge mode (m−1 star edges + one
+      // representative edge per key pair, same components)
+      "k_editdist_keys" -> ((s, dir) =>
+        graft.ops.Dedup.editDistanceJoinKeys(
+          graft.Tables.load(s, dir, "documents").select(col("doc_id"),
+            substring(regexp_replace(lower(col("text")), "[^a-z]", ""), 1, 16)
+              .as("k")),
+          "k", maxDist = 1, q = 2)),
+      "k_editdist_cluster" -> ((s, dir) =>
+        graft.ops.Dedup.editDistanceClusterEdges(
+          graft.Tables.load(s, dir, "documents").select(col("doc_id"),
+            substring(regexp_replace(lower(col("text")), "[^a-z]", ""), 1, 16)
+              .as("k")),
+          "doc_id", "k", maxDist = 1, q = 2)))
 
+    // SPARK_GRAFT_SCALE_COLD=1: same contract as ScaleCurve — drop cached
+    // frames before each consume so internally-persisting operators
+    // measure the full build per rep, not the cached tail
+    val cold = sys.env.get("SPARK_GRAFT_SCALE_COLD").contains("1")
     def consume(name: String, dir: String): Double = {
+      if (cold) spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val df = ops(name)(spark, dir)
       df.agg(bit_xor(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)))).collect()
