@@ -748,6 +748,67 @@ object StreamingPipeline {
     */
   val FileOrderCol = "__order"
 
+  /** Default segment-number extraction: the LAST run of digits in the
+    * file name (rotated log segments are numbered at the end:
+    * `part-00042.json`, `binlog.000019`). Override when names carry
+    * trailing non-segment digits (Spark part files end in `-c000`):
+    * the CLI exposes it as `order.file.regex`.
+    */
+  val FileSeqRegex = "(\\d+)(?!.*\\d)"
+
+  /** The segment number [[withFileOrder]] will read from a file NAME
+    * (same regex semantics as the column-side `regexp_extract`: group 1
+    * of the first match) — lets front ends validate a topic's file list
+    * BEFORE streaming starts, turning the projection's runtime
+    * `raise_error` into a config-time failure (r17 review).
+    */
+  def fileSeqOf(name: String, seqRegex: String = FileSeqRegex): Option[Long] = {
+    val m = java.util.regex.Pattern.compile(seqRegex).matcher(name)
+    if (m.find() && m.group(1).nonEmpty) Some(m.group(1).toLong) else None
+  }
+
+  /** Validate a file-topic DIRECTORY against [[withFileOrder]]'s
+    * contract before the query starts: every data file's name must
+    * yield a segment number, the numbers must be UNIQUE (a collision —
+    * e.g. Spark part files whose last digit run is the constant
+    * `c000` — would silently misorder last-wins state, the exact
+    * failure the deterministic order exists to prevent), and files
+    * must fit the wholetext read (one row per file). Hidden/metadata
+    * entries (`_`/`.` prefixes) are skipped like Spark's file source
+    * does. No-op when `path` is not a directory (globs validate at
+    * read time via the projection's raise_error).
+    */
+  def validateFileTopicOrder(path: String,
+      seqRegex: String = FileSeqRegex,
+      maxFileBytes: Long = 512L << 20): Unit = {
+    val dir = new java.io.File(path)
+    if (!dir.isDirectory) return
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val unnumbered = files.filter(f => fileSeqOf(f.getName, seqRegex).isEmpty)
+    require(unnumbered.isEmpty,
+      s"order.mode=file needs a segment number in every file name " +
+        s"(regex '$seqRegex'); unnumbered: " +
+        s"${unnumbered.take(5).map(_.getName).mkString(", ")} — set " +
+        "order.file.regex, or order.mode: expr/none")
+    val collisions = files.groupBy(f => fileSeqOf(f.getName, seqRegex).get)
+      .filter(_._2.length > 1)
+    require(collisions.isEmpty,
+      "order.mode=file: segment numbers collide across files (records " +
+        "would share __order and last-wins state would be arbitrary): " +
+        collisions.take(3).map { case (n, fs) =>
+          s"$n <- ${fs.map(_.getName).mkString("/")}" }.mkString("; ") +
+        " — fix order.file.regex so the extracted run is the segment " +
+        "number, or use order.mode: expr/none")
+    val oversized = files.filter(_.length() > maxFileBytes)
+    require(oversized.isEmpty,
+      s"order.mode=file reads each segment whole (wholetext) — files over " +
+        s"${maxFileBytes >> 20} MB risk executor OOM: " +
+        s"${oversized.take(3).map(_.getName).mkString(", ")} — split the " +
+        "segments or use order.mode: expr/none")
+  }
+
   /** [[fileJsonStream]] + the file source's NATURAL DETERMINISTIC log
     * order as a column, satisfying the `order` contract of the
     * deterministic-`__seq` fast path with no assumption left on the
@@ -763,24 +824,38 @@ object StreamingPipeline {
     * raises (ansi cast / explicit check) instead of misordering. Blank
     * lines are dropped AFTER numbering, so their removal never renumbers
     * later records. Pass `order = Some(col(FileOrderCol))` to the
-    * `startFrom*` front ends — the CLI file topics do this by default.
+    * `startFrom*` front ends — the CLI file topics do this by default,
+    * after [[validateFileTopicOrder]] (uniqueness, numbering, and the
+    * wholetext size bound fail at CONFIG time, not mid-stream).
+    *
+    * Scope: `__order` totally orders records WITHIN a micro-batch —
+    * `__seq` is epoch-prefixed, so across batches the source's
+    * DISCOVERY order rules. With the default single AvailableNow batch
+    * (no `maxFilesPerTrigger`) that is vacuous; a multi-trigger
+    * deployment must ensure segment discovery order (mod-time) agrees
+    * with segment numbering — true for rotated logs, but a backfilled
+    * older segment landing later still wins the epoch prefix (the same
+    * property any log consumer has: replay order is arrival order).
     */
   def fileJsonStreamOrdered(spark: SparkSession, dir: String,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      seqRegex: String = FileSeqRegex): DataFrame = {
     val reader = spark.readStream.format("text").option("wholetext", "true")
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    withFileOrder(reader.load(dir))
+    withFileOrder(reader.load(dir), seqRegex)
   }
 
   /** The [[fileJsonStreamOrdered]] projection over a `wholetext` read
     * (streaming or batch — the spec pins partitioning/recompute
     * invariance on the batch form): (`__order`, `value`) per line.
     */
-  private[streaming] def withFileOrder(raw: DataFrame): DataFrame = {
+  private[streaming] def withFileOrder(raw: DataFrame,
+      seqRegex: String = FileSeqRegex): DataFrame = {
     import org.apache.spark.sql.functions._
     val fname = element_at(split(col("_metadata.file_path"), "/"), -1)
-    // last run of digits in the file name = the segment sequence number
-    val fseqStr = regexp_extract(fname, "(\\d+)(?!.*\\d)", 1)
+    // the segment sequence number (default: last digit run — see
+    // FileSeqRegex; group 1 of the first regex match)
+    val fseqStr = regexp_extract(fname, seqRegex, 1)
     val fseq = when(fseqStr === "",
         raise_error(concat(lit("fileJsonStreamOrdered: file name carries " +
           "no sequence number: "), fname)))

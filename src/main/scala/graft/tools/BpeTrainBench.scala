@@ -74,21 +74,19 @@ object BpeTrainBench {
       println(s"[bpetrain] k=$k vocabulary: ${vocab.length} words, " +
         s"$symbols symbols")
       for (merges <- Seq(1024, 8192, 32768)) {
-        if (merges <= 32768 || k < 4) {
-          val (inc, wall) = time {
-            graft.ops.Bpe.trainFromWordFreqs(vocab, merges, minPairCount = 2L)
+        val (inc, wall) = time {
+          graft.ops.Bpe.trainFromWordFreqs(vocab, merges, minPairCount = 2L)
+        }
+        println(f"[bpetrain] k=$k incremental: budget $merges%6d -> " +
+          f"${inc.length}%6d merges in $wall%8.2f s")
+        // naive oracle at small budgets only (quadratic wall)
+        if (merges <= 1024 && k <= 3) {
+          val (nv, nWall) = time {
+            graft.ops.Bpe.trainFromWordFreqs(vocab, merges, minPairCount = 2L, naive = true)
           }
-          println(f"[bpetrain] k=$k incremental: budget $merges%6d -> " +
-            f"${inc.length}%6d merges in $wall%8.2f s")
-          // naive oracle at small budgets only (quadratic wall)
-          if (merges <= 1024 && k <= 3) {
-            val (nv, nWall) = time {
-              graft.ops.Bpe.trainFromWordFreqs(vocab, merges, minPairCount = 2L, naive = true)
-            }
-            require(nv == inc, "incremental != naive on the product vocab")
-            println(f"[bpetrain] k=$k naive:       budget $merges%6d -> " +
-              f"${nv.length}%6d merges in $nWall%8.2f s (pinned identical)")
-          }
+          require(nv == inc, "incremental != naive on the product vocab")
+          println(f"[bpetrain] k=$k naive:       budget $merges%6d -> " +
+            f"${nv.length}%6d merges in $nWall%8.2f s (pinned identical)")
         }
       }
     }

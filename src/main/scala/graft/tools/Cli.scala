@@ -87,7 +87,13 @@ object Cli {
                 throw new IllegalArgumentException(
                   "order.mode=expr requires order.expr")))))
           case "file" =>
-            (StreamingPipeline.fileJsonStreamOrdered(spark, path),
+            val seqRegex = pd.source.options.getOrElse("order.file.regex",
+              StreamingPipeline.FileSeqRegex)
+            // fail at CONFIG time with a remedy, not mid-stream: every
+            // file numbered, numbers unique, segments wholetext-sized
+            StreamingPipeline.validateFileTopicOrder(path, seqRegex)
+            (StreamingPipeline.fileJsonStreamOrdered(spark, path,
+                seqRegex = seqRegex),
               Some(org.apache.spark.sql.functions.col(
                 StreamingPipeline.FileOrderCol)))
           case other => throw new IllegalArgumentException(

@@ -634,6 +634,38 @@ class StreamingSpec extends SparkSpec {
       "s0" -> ((10L << 22) + 0), "s1" -> ((10L << 22) + 1)))
   }
 
+  test("validateFileTopicOrder: config-time rejection of colliding, unnumbered, oversized segments") {
+    def dirWith(names: String*): String = {
+      val d = java.nio.file.Files.createTempDirectory("ord_val").toFile
+      names.foreach(n => java.nio.file.Files.write(
+        new java.io.File(d, n).toPath, "x\n".getBytes("UTF-8")))
+      d.getAbsolutePath
+    }
+    // the spark-part-file shape: the last digit run is the constant c000
+    // suffix, so every file would collide on fseq=0 (r17 review finding)
+    val e1 = intercept[IllegalArgumentException] {
+      StreamingPipeline.validateFileTopicOrder(
+        dirWith("part-00000-aaa-c000.json", "part-00001-bbb-c000.json"))
+    }
+    assert(e1.getMessage.contains("collide"))
+    // the remedy: a regex that anchors the segment run to the part- prefix
+    StreamingPipeline.validateFileTopicOrder(
+      dirWith("part-00000-aaa-c000.json", "part-00001-bbb-c000.json"),
+      seqRegex = "part-(\\d+)")
+    val e2 = intercept[IllegalArgumentException] {
+      StreamingPipeline.validateFileTopicOrder(dirWith("feed.json", "f1.json"))
+    }
+    assert(e2.getMessage.contains("unnumbered"))
+    // hidden/metadata entries are skipped like Spark's file source
+    StreamingPipeline.validateFileTopicOrder(
+      dirWith("seg-001.json", "_spark_metadata", ".crc"))
+    val e3 = intercept[IllegalArgumentException] {
+      StreamingPipeline.validateFileTopicOrder(
+        dirWith("seg-001.json"), maxFileBytes = 1L)
+    }
+    assert(e3.getMessage.contains("wholetext"))
+  }
+
   test("withFileOrder raises on a file name with no sequence number") {
     val dir = java.nio.file.Files.createTempDirectory("fileord_bad").toFile
     java.nio.file.Files.write(new java.io.File(dir, "feed.json").toPath,
