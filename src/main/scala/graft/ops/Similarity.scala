@@ -963,16 +963,67 @@ object Similarity {
     * Returns (rotation model, codebooks over rotated coordinates).
     */
   def trainOpq(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int = 4, ksub: Int = 16, iters: Int = 3)
+      m: Int = 4, ksub: Int = 16, iters: Int = 3,
+      balance: Boolean = true)
       : (PcaModel, Array[Array[Array[Double]]]) = {
     val d = corpus.select(col(vecCol)).where(col(vecCol).isNotNull)
       .head().getSeq[Any](0).size
-    val model = pcaFit(corpus, vecCol, d)
+    require(d % m == 0, s"dim $d must divide into m=$m subspaces")
+    val model0 = pcaFit(corpus, vecCol, d)
+    // Eigenvalue-BALANCED subspace allocation (the FAISS parametric-OPQ
+    // pre-processing, Ge et al. CVPR'13 §4): raw eigenvalue-desc row
+    // order CONCENTRATES variance — on a low-rank corpus one subspace
+    // holds the whole signal while the rest quantize noise, measured
+    // 0.40 vs plain PQ's 0.64 recall@10 (AnnRecall `anisotropic`, r17).
+    // Greedy: dims in eigenvalue order each land in the non-full
+    // subspace with the smallest accumulated log-variance — every
+    // subspace gets an equal share of the signal. Driver-side
+    // permutation of the rotation rows; deterministic (ties resolve to
+    // the lower bucket index). `balance = false` keeps the raw PCA
+    // concentration (the measurement baseline).
+    val model = if (!balance) model0 else balanceRotation(model0, m)
     val rotated = corpus.select(col(idCol).as("__id"),
       graft.functions.expressions.NativeVectorFunctions
         .rotate(col(vecCol).cast("array<double>"), model.means, model.components)
         .as("__r"))
     (model, trainPqCodebooks(rotated, "__id", "__r", m, ksub, iters))
+  }
+
+  /** The eigenvalue-balanced row permutation of a full-rank rotation for
+    * an m-subspace PQ split (Ge et al. CVPR'13 §4's product-balancing
+    * intent): dims in eigenvalue-desc order assign LEVEL BY LEVEL — only
+    * the least-filled subspaces are candidates, and among them the one
+    * with the smallest accumulated log-variance takes the next (largest
+    * remaining) dim; ties to the lower bucket index. The level
+    * constraint matters: an unconstrained min-log greedy DEGENERATES
+    * when eigenvalues sit below 1 (logs are negative, so the bucket
+    * holding noise dims keeps attracting every further dim and the
+    * "balanced" split collapses back to contiguous eigenvalue blocks —
+    * measured identical to the unbalanced rotation before the fix).
+    * Pure driver-side reordering of the rotation rows; rotation
+    * distances are unchanged (a permutation is an isometry), only WHERE
+    * each rotated coordinate lands in the subspace split moves.
+    */
+  def balanceRotation(model: PcaModel, m: Int): PcaModel = {
+    val d = model.components.length
+    if (m <= 1) return model
+    require(d % m == 0, s"rank $d must divide into m=$m subspaces")
+    val sd = d / m
+    val logs = Array.fill(m)(0.0)
+    val cnt = Array.fill(m)(0)
+    val slots = Array.fill(m)(scala.collection.mutable.ArrayBuffer[Int]())
+    for (dim <- model.eigenvalues.indices) {
+      val level = (0 until m).filter(cnt(_) < sd).map(cnt).min
+      val j = (0 until m).filter(b => cnt(b) < sd && cnt(b) == level)
+        .minBy(b => (logs(b), b))
+      slots(j) += dim
+      cnt(j) += 1
+      logs(j) += math.log(math.max(model.eigenvalues(dim), 1e-300))
+    }
+    val perm = slots.flatMap(_.toSeq)
+    PcaModel(model.means,
+      perm.map(model.components),
+      perm.map(model.eigenvalues))
   }
 
   /** [[pqTopKPrecomputed]] with an OPQ rotation in front: codes and the

@@ -139,6 +139,46 @@ object ScaleCurve {
       cluster.cast("int").as("label"))
   }
 
+  /** Deterministic ANISOTROPIC low-rank corpus (r17, verdict stretch):
+    * vector i = W·z_i + ε — `rank` latent Gaussian coordinates with
+    * geometrically decaying scales (`decay^j`), mixed through a FIXED
+    * dense matrix W (seeded driver-side Gaussians, so the dominant
+    * variance directions are NOT axis-aligned), plus isotropic ε·σ.
+    * This is the data shape a PQ rotation exists for: axis-aligned
+    * subspaces each see a mixture of the few dominant directions, while
+    * a PCA rotation concentrates them — measuring whether OPQ-lite's
+    * concentration HELPS (aligned codebooks) or HURTS (one subspace
+    * holds all the variance, the others quantize noise) is the point.
+    * Every per-vector value derives from xxhash64 Box–Muller like
+    * [[clusteredCorpus]] — bit-reproducible under any partitioning.
+    */
+  private[tools] def anisotropicCorpus(spark: org.apache.spark.sql.SparkSession,
+      n: Long, dim: Int, rank: Int, decay: Double, sigma: Double,
+      seed: Long): org.apache.spark.sql.DataFrame = {
+    def unif(cols: Column*): Column =
+      (shiftrightunsigned(xxhash64(cols: _*), 11).cast("double") + 0.5) /
+        9007199254740992.0 // 2^53
+    def gauss(tag: String, a: Column, b: Column): Column = {
+      val u1 = unif(lit(tag), lit(1), a, b, lit(seed))
+      val u2 = unif(lit(tag), lit(2), a, b, lit(seed))
+      sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2)
+    }
+    // fixed mixing matrix, driver-side but seed-deterministic
+    val rnd = new scala.util.Random(seed)
+    val w = Array.fill(dim, rank)(rnd.nextGaussian() / math.sqrt(dim.toDouble))
+    val zs = (0 until rank).map(j =>
+      (gauss("z", col("id"), lit(j)) * math.pow(decay, j)).as(s"__z$j"))
+    spark.range(n)
+      .select(col("id") +: zs: _*)
+      .select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)), d =>
+          ((0 until rank).map(j => col(s"__z$j") * lit(w.map(_(j)))(d))
+            .reduce(_ + _) + lit(sigma) * gauss("e", col("id"), d))
+            .cast("float")).as("embedding"),
+        lit(0).as("label"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val factors = args(1).split(',').map(_.trim.toInt).toSeq
