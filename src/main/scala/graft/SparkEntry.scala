@@ -2024,6 +2024,42 @@ object SparkEntry {
   private def q97CurationV3(s: SparkSession, dir: String): DataFrame =
     curationV3Pipeline(t(s, dir, "documents")).orderBy("doc_id")
 
+  /** q99: MULTI-GRANULARITY span dedup
+    * ([[graft.ops.Dedup.spanDedupCutMulti]], r17 stretch — the
+    * variable-length composition): coarse k=12 global pass finds
+    * duplicated windows and their cross-document pairs, a fine k=6 pass
+    * cuts shorter shared spans WITHIN matched pairs only. The synthetic
+    * corpus's duplicates are long verbatim copies (every fine span sits
+    * inside a coarse one), so the gate corpus derives VARIANT documents
+    * in-query — identically in both engines, the q14 shard-derivation
+    * precedent: for each doc_id < 40 with ≥ 40 tokens, a variant
+    * carrying the original's first 12 tokens (one coarse window — makes
+    * the pair), 12 unique filler tokens, and tokens 30..37 (an 8-token
+    * shared run only the fine stage can cut). String window keys for
+    * the oracle; the production path hashes (OpsSpec pins identical).
+    */
+  private def q99MultiSpan(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    val toks = split(graft.ops.TextAnalysis.normalize(col("text")), " ")
+    val variants = docs
+      .where(col("doc_id") < 40)
+      .select(col("doc_id"), toks.as("t"))
+      .where(size(col("t")) >= 40 && !(col("t") === array(lit(""))))
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(concat(
+          slice(col("t"), 1, 12),
+          transform(sequence(lit(1), lit(12)),
+            i => concat(lit("fz"), col("doc_id"), lit("x"), i)),
+          slice(col("t"), 30, 8)), " ").as("text"))
+    graft.ops.Dedup.spanDedupCutMulti(
+      docs.unionByName(variants), "doc_id", "text",
+      kCoarse = 12, kFine = 6, hashWindows = false)
+      .select(col("doc_id"), col("n_tokens"), col("cut_tokens"),
+        round(col("keep_frac"), 9).as("keep_frac"))
+      .orderBy("doc_id")
+  }
+
   /** q98: OPQ retrieval gated end-to-end (r17 — closes the one north-star
     * operator without a qNN gate). The corpus is the embeddings' first
     * TWO dimensions: at d=2 the PCA eigensolve is exactly ONE Jacobi
@@ -2153,7 +2189,8 @@ object SparkEntry {
     "q95_span_dedup_text" -> (q95SpanDedupText _),
     "q96_bpe_fertility" -> (q96BpeFertility _),
     "q97_curation_v3" -> (q97CurationV3 _),
-    "q98_opq_adc" -> (q98OpqAdc _)
+    "q98_opq_adc" -> (q98OpqAdc _),
+    "q99_multi_span" -> (q99MultiSpan _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4033,7 +4070,67 @@ object SparkEntry {
         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY c2 DESC, neighbor_id ASC) AS rank FROM scored)
         |SELECT query_id, neighbor_id, rank, round(c2, 9) AS cos, round(a, 9) AS adc
-        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // multi-granularity span dedup over documents + in-query variants:
+    // coarse k=12 firsts (row_number over (doc,pos)) with the first
+    // occurrence's doc as the pair keeper, fine k=6 windows joined
+    // within cross-doc pairs, interval union via the running-max window
+    "q99_multi_span" ->
+      """WITH raw AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+        |d0 AS (SELECT doc_id, string_split(
+        |    trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')),
+        |    ' ') AS t
+        |  FROM raw),
+        |var AS (SELECT doc_id + 1000000 AS doc_id,
+        |    array_to_string(list_concat(list_concat(t[1:12],
+        |      list_transform(range(1, 13), i -> 'fz' || doc_id || 'x' || i)),
+        |      t[30:37]), ' ') AS text
+        |  FROM d0 WHERE doc_id < 40 AND len(t) >= 40 AND t <> ['']),
+        |base AS (SELECT doc_id, text FROM raw
+        |  UNION ALL SELECT doc_id, text FROM var),
+        |d AS MATERIALIZED (SELECT doc_id, string_split(
+        |    trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')),
+        |    ' ') AS t
+        |  FROM base),
+        |n AS (SELECT doc_id,
+        |  (CASE WHEN t = [''] THEN 0 ELSE len(t) END)::BIGINT AS n_tokens FROM d),
+        |wc AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+11], ' ') AS win
+        |  FROM d, unnest(generate_series(1, len(t) - 11)) AS u(i)
+        |  WHERE len(t) >= 12),
+        |rc AS (SELECT doc_id, pos,
+        |  row_number() OVER w AS rn, first_value(doc_id) OVER w AS adoc
+        |  FROM wc WINDOW w AS (PARTITION BY win ORDER BY doc_id, pos)),
+        |dupc AS (SELECT doc_id, pos, pos + 11 AS e, adoc FROM rc WHERE rn > 1),
+        |pairs AS (SELECT DISTINCT adoc AS a, doc_id AS b FROM dupc
+        |  WHERE adoc <> doc_id),
+        |pdocs AS (SELECT a AS doc_id FROM pairs
+        |  UNION SELECT b FROM pairs),
+        |wf AS MATERIALIZED (SELECT d.doc_id, i AS pos,
+        |    array_to_string(t[i:i+5], ' ') AS win
+        |  FROM d JOIN pdocs USING (doc_id),
+        |    unnest(generate_series(1, len(t) - 5)) AS u(i)
+        |  WHERE len(t) >= 6),
+        |finedup AS (SELECT DISTINCT fb.doc_id, fb.pos, fb.pos + 5 AS e
+        |  FROM (SELECT p.a, f.doc_id, f.pos, f.win
+        |      FROM wf f JOIN pairs p ON f.doc_id = p.b) fb
+        |  JOIN (SELECT DISTINCT p.a, f.win
+        |      FROM wf f JOIN pairs p ON f.doc_id = p.a) fa
+        |    ON fb.a = fa.a AND fb.win = fa.win),
+        |iv AS (SELECT doc_id, pos, max(e) AS e FROM (
+        |  SELECT doc_id, pos, e FROM dupc
+        |  UNION ALL SELECT doc_id, pos, e FROM finedup) GROUP BY 1, 2),
+        |m AS (SELECT doc_id, pos, e, max(e) OVER (PARTITION BY doc_id
+        |  ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM iv),
+        |c AS (SELECT doc_id, sum(greatest(0,
+        |    e - greatest(coalesce(pm, pos - 1), pos - 1)))::BIGINT AS cut
+        |  FROM m GROUP BY 1)
+        |SELECT n.doc_id, n.n_tokens, coalesce(c.cut, 0)::BIGINT AS cut_tokens,
+        |  round(CASE WHEN n.n_tokens > 0
+        |    THEN (n.n_tokens - coalesce(c.cut, 0))::DOUBLE / n.n_tokens
+        |    ELSE 1.0 END, 9) AS keep_frac
+        |FROM n LEFT JOIN c ON n.doc_id = c.doc_id
+        |ORDER BY n.doc_id""".stripMargin
   )
 
   /** The unrolled BPE-training WITH-stages for the q92/q93 oracles:

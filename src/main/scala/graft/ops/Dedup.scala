@@ -999,12 +999,21 @@ object Dedup {
   def spanDedupCut(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, hashWindows: Boolean = true): DataFrame = {
     val (counted, dups) = spanDedupParts(docs, idCol, textCol, k, hashWindows)
-    // gaps-and-islands cut length: each dup interval contributes the part
-    // of [pos, e] past the running max end of earlier intervals in the doc
+    intervalCutAccounting(counted, dups)
+  }
+
+  /** The per-document interval-union accounting shared by
+    * [[spanDedupCut]] and [[spanDedupCutMulti]]: gaps-and-islands cut
+    * length — each dup interval contributes the part of [pos, e] past
+    * the running max end of earlier intervals in the doc — joined back
+    * to the token counts as (doc_id, n_tokens, cut_tokens, keep_frac).
+    */
+  private def intervalCutAccounting(counted: DataFrame,
+      ivs: DataFrame): DataFrame = {
     val byPos = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val cut = dups
+    val cut = ivs
       .select(col("doc_id"), col("pos"), col("e"),
         max(col("e")).over(byPos).as("pm"))
       .groupBy("doc_id")
@@ -1019,6 +1028,79 @@ object Dedup {
           (col("n_tokens") - coalesce(col("cut_tokens"), lit(0L))).cast("double") /
             col("n_tokens"))
           .otherwise(lit(1.0)).as("keep_frac"))
+  }
+
+  /** MULTI-GRANULARITY exact-substring span dedup (r17 — the
+    * variable-length composition closing most of the gap to Lee et al.
+    * 2021's maximal-substring removal without a distributed suffix
+    * array): a coarse GLOBAL pass at `kCoarse` (the scalable, selective
+    * stage — window count and shuffle volume shrink as k grows) finds
+    * duplicated windows and the CROSS-DOCUMENT pairs they connect; a
+    * fine pass at `kFine` then runs ONLY within those matched pairs —
+    * the dup side of each pair additionally cuts every kFine-window
+    * whose content appears anywhere in the pair's keeper. Shared spans
+    * of length in [kFine, kCoarse) between documents already known to
+    * overlap are caught without ever paying a global kFine-gram shuffle
+    * (on a crawl corpus the kFine window table would be the dominant
+    * shuffle; here it exists only for the duplicate-pair sliver).
+    *
+    * Contract: the cut-interval set is a SUPERSET of fixed-`kCoarse`
+    * [[spanDedupCut]]'s (the coarse intervals union in unchanged —
+    * OpsSpec pins per-doc cut_tokens >= the fixed operator's); the fine
+    * stage is DIRECTIONAL (the dup side of a coarse match cuts, the
+    * keeper keeps — even where the keeper's fine occurrence is not
+    * globally first) and CROSS-DOCUMENT only (doc-internal repeats are
+    * the coarse stage's job; a self-pair would cut every token of the
+    * doc). Output shape is [[spanDedupCut]]'s.
+    *
+    * Scale shape: the coarse stage is [[spanDedupCut]]'s (partial
+    * min(struct) firsts, equi-join probe); `pairs` and everything fine
+    * is bounded by DUPLICATED documents only — the fine window explode,
+    * the (a, b, window)-keyed semi-join, and the interval union all run
+    * on the pair sliver, never the corpus.
+    */
+  def spanDedupCutMulti(docs: DataFrame, idCol: String, textCol: String,
+      kCoarse: Int = 12, kFine: Int = 6,
+      hashWindows: Boolean = true): DataFrame = {
+    require(kFine >= 1 && kFine <= kCoarse,
+      s"need 1 <= kFine <= kCoarse: kFine=$kFine kCoarse=$kCoarse")
+    val (counted0, dups) = spanDedupParts(docs, idCol, textCol, kCoarse,
+      hashWindows)
+    // counted feeds the fine window explode AND the final accounting
+    // join; dups feeds pairs AND the interval union — both shared
+    // frames persist (the no-exchange-reuse rule)
+    val counted = counted0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupsP = dups
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = dupsP.where(col("src") =!= col("doc_id"))
+      .select(col("src").as("a"), col("doc_id").as("b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairDocs = pairs.select(col("a").as("doc_id"))
+      .unionByName(pairs.select(col("b").as("doc_id"))).distinct()
+    // fine windows for PAIR MEMBERS only — the semi-join prunes the
+    // corpus before the kFine explode
+    val fine = counted.join(pairDocs, Seq("doc_id"), "leftsemi")
+      .where(col("n_tokens") >= kFine)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), col("n_tokens") - (kFine - 1)),
+        i => struct(i.as("pos"),
+          array_join(slice(col("t"), i, lit(kFine)), " ").as("win")))).as("p"))
+      .select(col("doc_id"), col("p.pos").as("pos"),
+        (if (hashWindows) xxhash64(col("p.win")) else col("p.win")).as("fkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fb = fine.select(col("doc_id").as("b"), col("pos"), col("fkey"))
+      .join(pairs, Seq("b"))
+    val fa = fine.select(col("doc_id").as("a"), col("fkey"))
+    val fineDups = fb.join(fa, Seq("a", "fkey"), "leftsemi")
+      .select(col("b").as("doc_id"), col("pos"),
+        (col("pos") + (kFine - 1)).as("e"))
+    val ivs = dupsP.select(col("doc_id"), col("pos"), col("e"))
+      .unionByName(fineDups)
+      // one interval per (doc, pos): overlapping coarse/fine intervals
+      // at the same start keep the longer end
+      .groupBy(col("doc_id"), col("pos")).agg(max(col("e")).as("e"))
+    intervalCutAccounting(counted, ivs)
   }
 
   /** The dedup TRANSFORM for [[spanDedupCut]]'s accounting: per document,
@@ -1083,7 +1165,8 @@ object Dedup {
       .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
     val dups = wins.join(firsts, "wkey")
       .where(!(col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos")))
-      .select(col("doc_id"), col("pos"), (col("pos") + (k - 1)).as("e"))
+      .select(col("doc_id"), col("pos"), (col("pos") + (k - 1)).as("e"),
+        col("f.doc_id").as("src"))
     (counted, dups)
   }
 }

@@ -2332,4 +2332,42 @@ class OpsSpec extends SparkSpec {
     assert(expect(3L)._2 === 0L)
     assert(expect(5L) === ((0L, 0L, "")))
   }
+
+  test("multi-granularity span dedup: superset of fixed-k, fine stage cuts pair-local short spans, key paths identical") {
+    // doc 2 shares a 6-token COARSE run with doc 1 (makes the pair) and
+    // a separate 3-token run only the FINE stage can cut; doc 3 shares
+    // the same 3-token run but NO coarse run — no pair, so it must stay
+    // uncut (the fine stage is pair-scoped, not global)
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff gg hh ii jj kk ll"),
+      (2L, "aa bb cc dd ee ff x1 x2 x3 x4 jj kk ll y1"),
+      (3L, "z1 z2 z3 jj kk ll z4 z5 z6 z7 z8 z9"),
+      (4L, ""), (5L, null.asInstanceOf[String]))
+    val df = docs.toDF("doc_id", "text")
+    val fixedCut = Dedup.spanDedupCut(df, "doc_id", "text",
+      k = 6, hashWindows = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val multis = Seq(true, false).map { hashed =>
+      val m = Dedup.spanDedupCutMulti(df, "doc_id", "text",
+        kCoarse = 6, kFine = 3, hashWindows = hashed)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      spark.catalog.clearCache()
+      m
+    }
+    assert(multis(0) === multis(1)) // hashed == string keys
+    val multi = multis(1)
+    // SUPERSET contract: every doc's multi cut >= the fixed-kCoarse cut
+    fixedCut.foreach { case (id, c) =>
+      assert(multi(id)._2 >= c, s"doc $id: multi ${multi(id)._2} < fixed $c")
+    }
+    // doc 2: coarse cut = 6 (the aa..ff run vs doc 1), fine adds the
+    // jj kk ll run (3 tokens) -> 9 of 14
+    assert(fixedCut(2L) === 6L)
+    assert(multi(2L) === ((14L, 9L)))
+    // doc 3: no coarse pair -> fine never runs -> nothing cut
+    assert(multi(3L)._2 === 0L)
+    // doc 1 is the keeper on every match: nothing cut
+    assert(multi(1L)._2 === 0L)
+    assert(multi(4L) === ((0L, 0L)))
+  }
 }
