@@ -93,8 +93,12 @@ object Similarity {
     }: _*)
   }
 
-  /** PCA model: per-dimension means, principal components (rows,
-    * descending eigenvalue), and the eigenvalues (component variances).
+  /** PCA model: per-dimension means, principal components (rows), and
+    * the eigenvalues (component variances). [[pcaFit]] returns rows in
+    * DESCENDING eigenvalue order; [[balanceRotation]] PERMUTES rows for
+    * a subspace split (eigenvalues stay row-aligned but are no longer
+    * monotone) — consumers that truncate with `components.take(k)` must
+    * use a pcaFit-ordered model, never a balanced one.
     */
   final case class PcaModel(
       means: Array[Double],
@@ -1013,9 +1017,10 @@ object Similarity {
     val cnt = Array.fill(m)(0)
     val slots = Array.fill(m)(scala.collection.mutable.ArrayBuffer[Int]())
     for (dim <- model.eigenvalues.indices) {
-      val level = (0 until m).filter(cnt(_) < sd).map(cnt).min
-      val j = (0 until m).filter(b => cnt(b) < sd && cnt(b) == level)
-        .minBy(b => (logs(b), b))
+      // least-filled bucket first (the level constraint), then smallest
+      // accumulated log, then lowest index — one deterministic minBy
+      val j = (0 until m).filter(cnt(_) < sd)
+        .minBy(b => (cnt(b), logs(b), b))
       slots(j) += dim
       cnt(j) += 1
       logs(j) += math.log(math.max(model.eigenvalues(dim), 1e-300))

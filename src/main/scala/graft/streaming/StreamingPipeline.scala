@@ -760,11 +760,15 @@ object StreamingPipeline {
     * (same regex semantics as the column-side `regexp_extract`: group 1
     * of the first match) — lets front ends validate a topic's file list
     * BEFORE streaming starts, turning the projection's runtime
-    * `raise_error` into a config-time failure (r17 review).
+    * `raise_error` into a config-time failure (r17 review). None when
+    * the regex does not match, has no capture group, the group does not
+    * participate in the match, or the digit run overflows a long —
+    * every shape a user-supplied `order.file.regex` can produce.
     */
   def fileSeqOf(name: String, seqRegex: String = FileSeqRegex): Option[Long] = {
     val m = java.util.regex.Pattern.compile(seqRegex).matcher(name)
-    if (m.find() && m.group(1).nonEmpty) Some(m.group(1).toLong) else None
+    if (!m.find() || m.groupCount() < 1) None
+    else Option(m.group(1)).filter(_.nonEmpty).flatMap(_.toLongOption)
   }
 
   /** Validate a file-topic DIRECTORY against [[withFileOrder]]'s
@@ -772,11 +776,21 @@ object StreamingPipeline {
     * yield a segment number, the numbers must be UNIQUE (a collision —
     * e.g. Spark part files whose last digit run is the constant
     * `c000` — would silently misorder last-wins state, the exact
-    * failure the deterministic order exists to prevent), and files
-    * must fit the wholetext read (one row per file). Hidden/metadata
-    * entries (`_`/`.` prefixes) are skipped like Spark's file source
-    * does. No-op when `path` is not a directory (globs validate at
-    * read time via the projection's raise_error).
+    * failure the deterministic order exists to prevent), the numbers
+    * must fit the `__order` layout (< 2²¹ — date-stamped names like
+    * `app-20260816` overflow it; anchor `order.file.regex` to the real
+    * segment run), and files must fit the wholetext read (one row per
+    * file). Hidden/metadata entries (`_`/`.` prefixes) are skipped like
+    * Spark's file source does. No-op when `path` is not a directory
+    * (globs validate at read time via the projection's raise_error).
+    *
+    * Scope: this snapshots the directory ONCE, which covers the CLI's
+    * AvailableNow runs completely (the backlog is fixed at start). A
+    * long-running multi-trigger deployment owns the numbering contract
+    * for segments that arrive AFTER start — a later file whose
+    * extracted run collides is caught only if it re-runs validation;
+    * the runtime projection raises on unnumbered/overflowing names but
+    * cannot see cross-file collisions.
     */
   def validateFileTopicOrder(path: String,
       seqRegex: String = FileSeqRegex,
@@ -788,10 +802,18 @@ object StreamingPipeline {
         !f.getName.startsWith("_") && !f.getName.startsWith("."))
     val unnumbered = files.filter(f => fileSeqOf(f.getName, seqRegex).isEmpty)
     require(unnumbered.isEmpty,
-      s"order.mode=file needs a segment number in every file name " +
-        s"(regex '$seqRegex'); unnumbered: " +
-        s"${unnumbered.take(5).map(_.getName).mkString(", ")} — set " +
-        "order.file.regex, or order.mode: expr/none")
+      s"order.mode=file needs a usable segment number in every file name " +
+        s"(regex '$seqRegex', capture group 1, digits fitting a long); " +
+        s"unusable: ${unnumbered.take(5).map(_.getName).mkString(", ")} — " +
+        "set order.file.regex, or order.mode: expr/none")
+    val oversizedSeq = files
+      .filter(f => fileSeqOf(f.getName, seqRegex).exists(_ >= (1L << 21)))
+    require(oversizedSeq.isEmpty,
+      "order.mode=file: segment numbers must fit __order's 21-bit field " +
+        "(< 2097152) — date-stamped names overflow it: " +
+        s"${oversizedSeq.take(3).map(_.getName).mkString(", ")} — anchor " +
+        "order.file.regex to the rotating segment run, or use " +
+        "order.mode: expr/none")
     val collisions = files.groupBy(f => fileSeqOf(f.getName, seqRegex).get)
       .filter(_._2.length > 1)
     require(collisions.isEmpty,

@@ -90,8 +90,12 @@ object Cli {
             val seqRegex = pd.source.options.getOrElse("order.file.regex",
               StreamingPipeline.FileSeqRegex)
             // fail at CONFIG time with a remedy, not mid-stream: every
-            // file numbered, numbers unique, segments wholetext-sized
-            StreamingPipeline.validateFileTopicOrder(path, seqRegex)
+            // file numbered (< 2^21), numbers unique, segments
+            // wholetext-sized (bound overridable for large-heap
+            // deployments via order.file.max-bytes)
+            StreamingPipeline.validateFileTopicOrder(path, seqRegex,
+              maxFileBytes = pd.source.options.get("order.file.max-bytes")
+                .map(_.toLong).getOrElse(512L << 20))
             (StreamingPipeline.fileJsonStreamOrdered(spark, path,
                 seqRegex = seqRegex),
               Some(org.apache.spark.sql.functions.col(

@@ -655,7 +655,7 @@ class StreamingSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException] {
       StreamingPipeline.validateFileTopicOrder(dirWith("feed.json", "f1.json"))
     }
-    assert(e2.getMessage.contains("unnumbered"))
+    assert(e2.getMessage.contains("unusable"))
     // hidden/metadata entries are skipped like Spark's file source
     StreamingPipeline.validateFileTopicOrder(
       dirWith("seg-001.json", "_spark_metadata", ".crc"))
@@ -664,6 +664,22 @@ class StreamingSpec extends SparkSpec {
         dirWith("seg-001.json"), maxFileBytes = 1L)
     }
     assert(e3.getMessage.contains("wholetext"))
+    // date-stamped segment numbers overflow __order's 21-bit field —
+    // must fail at config time, not in the first micro-batch (r17
+    // review pass 2)
+    val e4 = intercept[IllegalArgumentException] {
+      StreamingPipeline.validateFileTopicOrder(
+        dirWith("app-20260816.json", "app-20260817.json"))
+    }
+    assert(e4.getMessage.contains("21-bit"))
+    // user-regex shapes that must degrade to None, not crash: a
+    // non-participating group, no capture group at all, an overflowing
+    // digit run (r17 review pass 2)
+    assert(StreamingPipeline.fileSeqOf("part-x", "seg-(\\d+)|part").isEmpty)
+    assert(StreamingPipeline.fileSeqOf("seg-1", "seg-\\d+").isEmpty)
+    assert(StreamingPipeline.fileSeqOf(
+      "t-12345678901234567890123", "t-(\\d+)").isEmpty)
+    assert(StreamingPipeline.fileSeqOf("seg-0042.json").contains(42L))
   }
 
   test("withFileOrder raises on a file name with no sequence number") {
