@@ -242,11 +242,11 @@ object Similarity {
     */
   def pcaProject(vec: Column, model: PcaModel): Column = {
     val centered = zip_with(vec,
-      array(model.means.map(lit): _*),
+      array(model.means.toIndexedSeq.map(lit): _*),
       (x, mu) => x.cast("double") - mu)
-    array(model.components.map { comp =>
+    array(model.components.toIndexedSeq.map { comp =>
       aggregate(
-        zip_with(centered, array(comp.map(lit): _*), (x, w) => x * w),
+        zip_with(centered, array(comp.toIndexedSeq.map(lit): _*), (x, w) => x * w),
         lit(0.0), (a, x) => a + x)
     }: _*)
   }
@@ -260,7 +260,7 @@ object Similarity {
     array((0 until d).map { r =>
       aggregate(
         zip_with(proj,
-          array(model.components.map(c => lit(c(r))): _*), (p, w) => p * w),
+          array(model.components.toIndexedSeq.map(c => lit(c(r))): _*), (p, w) => p * w),
         lit(model.means(r)), (a, x) => a + x)
     }: _*)
   }
