@@ -781,8 +781,15 @@ object StreamingPipeline {
     * `app-20260816` overflow it; anchor `order.file.regex` to the real
     * segment run), and files must fit the wholetext read (one row per
     * file). Hidden/metadata entries (`_`/`.` prefixes) are skipped like
-    * Spark's file source does. No-op when `path` is not a directory
-    * (globs validate at read time via the projection's raise_error).
+    * Spark's file source does. Paths resolve through the Hadoop
+    * FileSystem API, so remote directories (`hdfs://`, `s3a://`) and
+    * glob patterns validate exactly like local ones (the r17
+    * `java.io.File` listing silently no-opped on every remote path —
+    * cross-file segment collisions then reached the runtime projection,
+    * which can only raise on unnumbered/overflowing names, r18 advice).
+    * When the path matches NO visible data file yet, validation warns
+    * loudly and returns: collisions among files that appear later are
+    * unchecked (the long-running-deployment scope note below).
     *
     * Scope: this snapshots the directory ONCE, which covers the CLI's
     * AvailableNow runs completely (the backlog is fixed at start). A
@@ -794,40 +801,61 @@ object StreamingPipeline {
     */
   def validateFileTopicOrder(path: String,
       seqRegex: String = FileSeqRegex,
-      maxFileBytes: Long = 512L << 20): Unit = {
-    val dir = new java.io.File(path)
-    if (!dir.isDirectory) return
-    val files = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile &&
-        !f.getName.startsWith("_") && !f.getName.startsWith("."))
-    val unnumbered = files.filter(f => fileSeqOf(f.getName, seqRegex).isEmpty)
+      maxFileBytes: Long = 512L << 20,
+      hadoopConf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): Unit = {
+    import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+    val p = new HPath(path)
+    val fs = p.getFileSystem(hadoopConf)
+    // globStatus resolves both literal paths and glob patterns on any
+    // Hadoop filesystem; a matched directory lists one level (the file
+    // source's own non-recursive default)
+    val matched = Option(fs.globStatus(p)).getOrElse(Array.empty[FileStatus])
+    val files = matched.flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
+      else Array(st)
+    }.filter { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (files.isEmpty) {
+      // loud, not silent: the runtime projection raises on unnumbered or
+      // overflowing names, but cross-file collisions among files that
+      // appear AFTER this point are invisible to it
+      System.err.println(s"[graft] order.mode=file: no data files visible " +
+        s"at '$path' — segment-number uniqueness is unchecked for files " +
+        "that arrive later (re-run validation, or use order.mode: expr)")
+      return
+    }
+    def name(st: FileStatus): String = st.getPath.getName
+    val unnumbered = files.filter(f => fileSeqOf(name(f), seqRegex).isEmpty)
     require(unnumbered.isEmpty,
       s"order.mode=file needs a usable segment number in every file name " +
         s"(regex '$seqRegex', capture group 1, digits fitting a long); " +
-        s"unusable: ${unnumbered.take(5).map(_.getName).mkString(", ")} — " +
+        s"unusable: ${unnumbered.take(5).map(name).mkString(", ")} — " +
         "set order.file.regex, or order.mode: expr/none")
     val oversizedSeq = files
-      .filter(f => fileSeqOf(f.getName, seqRegex).exists(_ >= (1L << 21)))
+      .filter(f => fileSeqOf(name(f), seqRegex).exists(_ >= (1L << 21)))
     require(oversizedSeq.isEmpty,
       "order.mode=file: segment numbers must fit __order's 21-bit field " +
         "(< 2097152) — date-stamped names overflow it: " +
-        s"${oversizedSeq.take(3).map(_.getName).mkString(", ")} — anchor " +
+        s"${oversizedSeq.take(3).map(name).mkString(", ")} — anchor " +
         "order.file.regex to the rotating segment run, or use " +
         "order.mode: expr/none")
-    val collisions = files.groupBy(f => fileSeqOf(f.getName, seqRegex).get)
+    val collisions = files.groupBy(f => fileSeqOf(name(f), seqRegex).get)
       .filter(_._2.length > 1)
     require(collisions.isEmpty,
       "order.mode=file: segment numbers collide across files (records " +
         "would share __order and last-wins state would be arbitrary): " +
-        collisions.take(3).map { case (n, fs) =>
-          s"$n <- ${fs.map(_.getName).mkString("/")}" }.mkString("; ") +
+        collisions.take(3).map { case (n, fls) =>
+          s"$n <- ${fls.map(name).mkString("/")}" }.mkString("; ") +
         " — fix order.file.regex so the extracted run is the segment " +
         "number, or use order.mode: expr/none")
-    val oversized = files.filter(_.length() > maxFileBytes)
+    val oversized = files.filter(_.getLen > maxFileBytes)
     require(oversized.isEmpty,
       s"order.mode=file reads each segment whole (wholetext) — files over " +
         s"${maxFileBytes >> 20} MB risk executor OOM: " +
-        s"${oversized.take(3).map(_.getName).mkString(", ")} — split the " +
+        s"${oversized.take(3).map(name).mkString(", ")} — split the " +
         "segments or use order.mode: expr/none")
   }
 
@@ -881,6 +909,13 @@ object StreamingPipeline {
     val fseq = when(fseqStr === "",
         raise_error(concat(lit("fileJsonStreamOrdered: file name carries " +
           "no sequence number: "), fname)))
+      // a digit run past 18 chars would cast to NULL under non-ANSI mode
+      // and slip through the __order overflow check below (null condition
+      // falls to otherwise) — fail it HERE with the targeted message
+      // (validated paths never reach this; globs/late files can)
+      .when(length(fseqStr) > 18,
+        raise_error(concat(lit("fileJsonStreamOrdered: __order overflow: " +
+          "segment digit run exceeds a long: "), fname)))
       .otherwise(fseqStr.cast("long"))
     raw
       .select(fseq.as("__fseq"), col("value"))

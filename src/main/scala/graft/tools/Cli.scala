@@ -75,6 +75,12 @@ object Cli {
         // `order.expr` overrides with a source-field expression over the
         // raw `value` (e.g. a binlog position); `order.mode: none` drops
         // to the legacy unordered stream (un-numbered file names).
+        // MIGRATION (r17): the default changed from unordered to `file`.
+        // Configs whose file names carry no usable segment number now
+        // fail at startup (loudly, with a remedy), and the wholetext
+        // read holds one whole segment per task — pre-r17 deployments
+        // that relied on the unordered stream must set
+        // `order.mode: none` explicitly (or fix their segment naming).
         val orderExpr = pd.source.options.get("order.expr")
         val orderMode = pd.source.options.getOrElse("order.mode",
           if (orderExpr.isDefined) "expr" else "file")
@@ -95,7 +101,10 @@ object Cli {
             // deployments via order.file.max-bytes)
             StreamingPipeline.validateFileTopicOrder(path, seqRegex,
               maxFileBytes = pd.source.options.get("order.file.max-bytes")
-                .map(_.toLong).getOrElse(512L << 20))
+                .map(_.toLong).getOrElse(512L << 20),
+              // the session's Hadoop conf so remote topics (hdfs://,
+              // s3a://) resolve with the user's filesystem settings
+              hadoopConf = spark.sessionState.newHadoopConf())
             (StreamingPipeline.fileJsonStreamOrdered(spark, path,
                 seqRegex = seqRegex),
               Some(org.apache.spark.sql.functions.col(

@@ -682,6 +682,47 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingPipeline.fileSeqOf("seg-0042.json").contains(42L))
   }
 
+  test("validateFileTopicOrder resolves globs and missing paths via Hadoop FS (r18 advice)") {
+    def dirWith(names: String*): String = {
+      val d = java.nio.file.Files.createTempDirectory("ord_glob").toFile
+      names.foreach(n => java.nio.file.Files.write(
+        new java.io.File(d, n).toPath, "x\n".getBytes("UTF-8")))
+      d.getAbsolutePath
+    }
+    // a GLOB path now validates too (the r17 java.io.File listing
+    // no-opped on anything that wasn't a literal local directory, so a
+    // collision behind a glob reached the runtime unchecked)
+    val d = dirWith("part-00000-aaa-c000.json", "part-00001-bbb-c000.json")
+    val e = intercept[IllegalArgumentException] {
+      StreamingPipeline.validateFileTopicOrder(d + "/part-*.json")
+    }
+    assert(e.getMessage.contains("collide"))
+    StreamingPipeline.validateFileTopicOrder(d + "/part-*.json",
+      seqRegex = "part-(\\d+)")
+    // a path with no visible data files warns and returns (no throw) —
+    // there is nothing to validate yet
+    StreamingPipeline.validateFileTopicOrder(d + "/nothing-here-*.json")
+    StreamingPipeline.validateFileTopicOrder("/no/such/dir/anywhere")
+  }
+
+  test("withFileOrder raises the targeted overflow message on a >18-digit run") {
+    // globs skip config-time validation for late files; a digit run past
+    // a long must hit the explicit __order overflow raise, not cast to
+    // NULL and surface as a generic null-order failure (r18 advice)
+    val dir = java.nio.file.Files.createTempDirectory("fileord_bigseq").toFile
+    java.nio.file.Files.write(
+      new java.io.File(dir, "t-12345678901234567890123.json").toPath,
+      "x\n".getBytes("UTF-8"))
+    val raw = spark.read.format("text").option("wholetext", "true")
+      .load(dir.getAbsolutePath)
+    val e = intercept[Exception] {
+      StreamingPipeline.withFileOrder(raw).collect()
+    }
+    def m(t: Throwable) = Option(t.getMessage).getOrElse("")
+    assert(m(e).contains("exceeds a long") ||
+      Option(e.getCause).exists(c => m(c).contains("exceeds a long")))
+  }
+
   test("withFileOrder raises on a file name with no sequence number") {
     val dir = java.nio.file.Files.createTempDirectory("fileord_bad").toFile
     java.nio.file.Files.write(new java.io.File(dir, "feed.json").toPath,
