@@ -2038,23 +2038,120 @@ object SparkEntry {
     * shared run only the fine stage can cut). String window keys for
     * the oracle; the production path hashes (OpsSpec pins identical).
     */
-  private def q99MultiSpan(s: SparkSession, dir: String): DataFrame = {
+  private def q99MultiSpan(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.spanDedupCutMulti(
+      multiSpanGateCorpus(s, dir), "doc_id", "text",
+      kCoarse = 12, kFine = 6, hashWindows = false)
+      .select(col("doc_id"), col("n_tokens"), col("cut_tokens"),
+        round(col("keep_frac"), 9).as("keep_frac"))
+      .orderBy("doc_id")
+
+  /** The q99/q100 gate corpus: documents plus derived VARIANT rows that
+    * make the fine stage load-bearing (the corpus's own duplicates are
+    * long verbatim copies, so every fine span would sit inside a coarse
+    * one) — for each doc_id < 40 with ≥ 40 tokens, a variant carrying
+    * the original's first 12 tokens (one coarse window — makes the
+    * pair), 12 unique filler tokens, and tokens 30..37 (an 8-token
+    * shared run only the fine stage can cut). Derived IDENTICALLY in
+    * the DuckDB oracles (the q14 shard-derivation precedent).
+    */
+  private def multiSpanGateCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
     val toks = split(graft.ops.TextAnalysis.normalize(col("text")), " ")
     val variants = docs
       .where(col("doc_id") < 40)
-      .select(col("doc_id"), toks.as("t"))
+      // the filler references the SOURCE id under a name distinct from
+      // the output alias: Spark resolves a same-select `doc_id` to the
+      // LATERAL alias (the shifted id) while DuckDB resolves it to the
+      // base column — an ambiguity q99's accounting masked (filler
+      // windows are unique under either value) and q100's text exposed
+      .select(col("doc_id").as("src_id"), toks.as("t"))
       .where(size(col("t")) >= 40 && !(col("t") === array(lit(""))))
-      .select((col("doc_id") + 1000000L).as("doc_id"),
+      .select((col("src_id") + 1000000L).as("doc_id"),
         array_join(concat(
           slice(col("t"), 1, 12),
           transform(sequence(lit(1), lit(12)),
-            i => concat(lit("fz"), col("doc_id"), lit("x"), i)),
+            i => concat(lit("fz"), col("src_id"), lit("x"), i)),
           slice(col("t"), 30, 8)), " ").as("text"))
-    graft.ops.Dedup.spanDedupCutMulti(
-      docs.unionByName(variants), "doc_id", "text",
+    docs.unionByName(variants)
+  }
+
+  /** q100: the multi-granularity span-dedup TRANSFORM
+    * ([[graft.ops.Dedup.spanDedupTextMulti]], r18 — q99's accounting
+    * materialized the way q95 materializes q94): per document of the
+    * q99 gate corpus, the normalized text with every coarse global
+    * duplicate AND every fine within-pair span removed. The oracle
+    * re-derives the full multi-granularity interval set (q99's stages)
+    * and rebuilds kept text by position expansion + anti-join + ordered
+    * string_agg (q95's formulation) — both differ from the Spark side's
+    * interval-HOF filter. Exercises mid-doc fine cuts splicing across
+    * the gap and empty-document collapse.
+    */
+  private def q100MultiSpanText(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.spanDedupTextMulti(
+      multiSpanGateCorpus(s, dir), "doc_id", "text",
       kCoarse = 12, kFine = 6, hashWindows = false)
+      .orderBy("doc_id")
+
+  /** The q101 gate corpus: documents plus literal multi-byte rows (the
+    * documents table is ASCII-dominated — the literals make multi-byte
+    * UTF-8 boundaries load-bearing in the byte-level merge inventory).
+    * The same literal rows appear verbatim in the oracle's VALUES list.
+    */
+  private def byteBpeGateCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val extra = Seq(
+      (3000001L, "café crème déjà vu café crème déjà vu café crème"),
+      (3000002L, "naïve αβγ δοκιμή αβγ δοκιμή naïve αβγ über"),
+      (3000003L, "über żółć żółć żółć déjà straße straße"))
+      .toDF("doc_id", "text")
+    t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .unionByName(extra)
+  }
+
+  /** q101: BYTE-LEVEL BPE (r18 — the GPT-2/LLaMA-lineage convention:
+    * the base alphabet is the 256 UTF-8 bytes, so byte fallback makes
+    * out-of-vocabulary symbols impossible and merges learn
+    * sub-character structure of multi-byte scripts). Symbols are
+    * canonically two-hex-digits-per-byte (binary order == byte order in
+    * every engine — see [[graft.functions.expressions.BpeEncodeExpr]]).
+    * Train 8 byte-level merges on documents + multi-byte literals,
+    * encode the corpus with the native kernel, count tokens. The oracle
+    * re-derives training from a hex-substr byte split of each word
+    * (DuckDB `hex` over the word's UTF-8 bytes) through the q92/q93
+    * unrolled stages — the symbol alphabet is the only change — and
+    * counts tokens off the trained word table weighted by frequency.
+    */
+  private def q101BpeByte(s: SparkSession, dir: String): DataFrame = {
+    val docs = byteBpeGateCorpus(s, dir)
+    val merges = graft.ops.Bpe.train(docs, "text", numMerges = 8,
+      minPairCount = 2L, byteLevel = true)
+    docs.select(explode(
+        graft.ops.Bpe.encode(col("text"), merges, byteLevel = true)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("token")).limit(40)
+  }
+
+  /** q102: INCREMENTAL span dedup ([[graft.ops.Dedup.spanDedupCutDelta]],
+    * r18 — the q74 delta-vs-base contract for the exact-substring
+    * family): the even-doc_id half of the corpus is the BASE (only its
+    * window-firsts INDEX is retained — the persistable state), the odd
+    * half is the DELTA deduped against that index plus its own internal
+    * firsts. The oracle recomputes fixed-k=8 span dedup over the WHOLE
+    * corpus and restricts to delta ids — the min-struct union lattice
+    * makes the incremental path coincide exactly, for any id
+    * interleaving. String window keys for the oracle; OpsSpec pins the
+    * hashed path identical and the index-merge fold law.
+    */
+  private def q102SpanDelta(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val idx = graft.ops.Dedup.spanDedupIndex(
+      docs.where(col("doc_id") % 2 === 0), "doc_id", "text",
+      k = 8, hashWindows = false)
+    graft.ops.Dedup.spanDedupCutDelta(
+      docs.where(col("doc_id") % 2 === 1), "doc_id", "text", idx,
+      k = 8, hashWindows = false)
       .select(col("doc_id"), col("n_tokens"), col("cut_tokens"),
         round(col("keep_frac"), 9).as("keep_frac"))
       .orderBy("doc_id")
@@ -2190,7 +2287,10 @@ object SparkEntry {
     "q96_bpe_fertility" -> (q96BpeFertility _),
     "q97_curation_v3" -> (q97CurationV3 _),
     "q98_opq_adc" -> (q98OpqAdc _),
-    "q99_multi_span" -> (q99MultiSpan _)
+    "q99_multi_span" -> (q99MultiSpan _),
+    "q100_multi_span_text" -> (q100MultiSpanText _),
+    "q101_bpe_byte" -> (q101BpeByte _),
+    "q102_span_delta" -> (q102SpanDelta _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4076,49 +4176,71 @@ object SparkEntry {
     // occurrence's doc as the pair keeper, fine k=6 windows joined
     // within cross-doc pairs, interval union via the running-max window
     "q99_multi_span" ->
-      """WITH raw AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
-        |d0 AS (SELECT doc_id, string_split(
-        |    trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')),
+      (s"WITH $multiSpanOracleStages,\n" +
+        """m AS (SELECT doc_id, pos, e, max(e) OVER (PARTITION BY doc_id
+        |  ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM iv),
+        |c AS (SELECT doc_id, sum(greatest(0,
+        |    e - greatest(coalesce(pm, pos - 1), pos - 1)))::BIGINT AS cut
+        |  FROM m GROUP BY 1)
+        |SELECT n.doc_id, n.n_tokens, coalesce(c.cut, 0)::BIGINT AS cut_tokens,
+        |  round(CASE WHEN n.n_tokens > 0
+        |    THEN (n.n_tokens - coalesce(c.cut, 0))::DOUBLE / n.n_tokens
+        |    ELSE 1.0 END, 9) AS keep_frac
+        |FROM n LEFT JOIN c ON n.doc_id = c.doc_id
+        |ORDER BY n.doc_id""".stripMargin),
+    // the multi-granularity TRANSFORM: the same interval derivation,
+    // then q95's kept-text formulation — interval position expansion ->
+    // covered-position anti-join -> ordered string_agg
+    "q100_multi_span_text" ->
+      (s"WITH $multiSpanOracleStages,\n" +
+        """cov AS (SELECT DISTINCT doc_id, u.p
+        |  FROM iv, unnest(generate_series(pos, e)) AS u(p)),
+        |tok AS (SELECT doc_id, i AS pos, t[i] AS tk
+        |  FROM d, unnest(generate_series(1,
+        |    CASE WHEN t = [''] THEN 0 ELSE len(t) END)) AS u(i)),
+        |kept AS (SELECT tok.doc_id, tok.pos, tok.tk
+        |  FROM tok LEFT JOIN cov
+        |    ON tok.doc_id = cov.doc_id AND tok.pos = cov.p
+        |  WHERE cov.p IS NULL)
+        |SELECT d.doc_id,
+        |  coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+        |  coalesce(k.kept_text, '') AS kept_text
+        |FROM d LEFT JOIN (
+        |  SELECT doc_id, count(*)::BIGINT AS n_kept,
+        |    string_agg(tk, ' ' ORDER BY pos) AS kept_text
+        |  FROM kept GROUP BY doc_id) k ON d.doc_id = k.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
+    // byte-level BPE: the q93 formulation with the symbol alphabet
+    // switched to per-UTF-8-byte hex — DuckDB's hex(w) is the word's
+    // UTF-8 bytes uppercase, substr carves fixed-width 2-digit symbols,
+    // strlen is the BYTE length; everything downstream (pair counts,
+    // argmax tiebreak, the merge fold) is alphabet-agnostic
+    "q101_bpe_byte" ->
+      (s"WITH ${bpeOracleStages(8,
+          wordsSource = byteBpeOracleWords,
+          symSplit = "list_transform(range(1, strlen(w) + 1), " +
+            "i -> substr(hex(w), (2*i - 1)::INT, 2))")},\n" +
+        "tok AS (SELECT unnest(string_split(s, '|')) AS token, cnt FROM w8)\n" +
+        "SELECT token, sum(cnt)::BIGINT AS n FROM tok GROUP BY token " +
+        "ORDER BY n DESC, token ASC LIMIT 40"),
+    // incremental span dedup: the oracle is the FULL-corpus recompute
+    // (q94's stages) restricted to the delta ids — the incremental path
+    // must coincide exactly by the min-struct union lattice
+    "q102_span_delta" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(
+        |    trim(regexp_replace(lower(coalesce(text, '')), '[^\p{L}\p{N}]+', ' ', 'g')),
         |    ' ') AS t
-        |  FROM raw),
-        |var AS (SELECT doc_id + 1000000 AS doc_id,
-        |    array_to_string(list_concat(list_concat(t[1:12],
-        |      list_transform(range(1, 13), i -> 'fz' || doc_id || 'x' || i)),
-        |      t[30:37]), ' ') AS text
-        |  FROM d0 WHERE doc_id < 40 AND len(t) >= 40 AND t <> ['']),
-        |base AS (SELECT doc_id, text FROM raw
-        |  UNION ALL SELECT doc_id, text FROM var),
-        |d AS MATERIALIZED (SELECT doc_id, string_split(
-        |    trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')),
-        |    ' ') AS t
-        |  FROM base),
+        |  FROM documents),
         |n AS (SELECT doc_id,
         |  (CASE WHEN t = [''] THEN 0 ELSE len(t) END)::BIGINT AS n_tokens FROM d),
-        |wc AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+11], ' ') AS win
-        |  FROM d, unnest(generate_series(1, len(t) - 11)) AS u(i)
-        |  WHERE len(t) >= 12),
-        |rc AS (SELECT doc_id, pos,
-        |  row_number() OVER w AS rn, first_value(doc_id) OVER w AS adoc
-        |  FROM wc WINDOW w AS (PARTITION BY win ORDER BY doc_id, pos)),
-        |dupc AS (SELECT doc_id, pos, pos + 11 AS e, adoc FROM rc WHERE rn > 1),
-        |pairs AS (SELECT DISTINCT adoc AS a, doc_id AS b FROM dupc
-        |  WHERE adoc <> doc_id),
-        |pdocs AS (SELECT a AS doc_id FROM pairs
-        |  UNION SELECT b FROM pairs),
-        |wf AS MATERIALIZED (SELECT d.doc_id, i AS pos,
-        |    array_to_string(t[i:i+5], ' ') AS win
-        |  FROM d JOIN pdocs USING (doc_id),
-        |    unnest(generate_series(1, len(t) - 5)) AS u(i)
-        |  WHERE len(t) >= 6),
-        |finedup AS (SELECT DISTINCT fb.doc_id, fb.pos, fb.pos + 5 AS e
-        |  FROM (SELECT p.a, f.doc_id, f.pos, f.win
-        |      FROM wf f JOIN pairs p ON f.doc_id = p.b) fb
-        |  JOIN (SELECT DISTINCT p.a, f.win
-        |      FROM wf f JOIN pairs p ON f.doc_id = p.a) fa
-        |    ON fb.a = fa.a AND fb.win = fa.win),
-        |iv AS (SELECT doc_id, pos, max(e) AS e FROM (
-        |  SELECT doc_id, pos, e FROM dupc
-        |  UNION ALL SELECT doc_id, pos, e FROM finedup) GROUP BY 1, 2),
+        |w AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS win
+        |  FROM d, unnest(generate_series(1, len(t) - 7)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |r AS (SELECT doc_id, pos,
+        |  row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn FROM w),
+        |iv AS (SELECT doc_id, pos, pos + 7 AS e FROM r WHERE rn > 1),
         |m AS (SELECT doc_id, pos, e, max(e) OVER (PARTITION BY doc_id
         |  ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
         |  FROM iv),
@@ -4130,28 +4252,97 @@ object SparkEntry {
         |    THEN (n.n_tokens - coalesce(c.cut, 0))::DOUBLE / n.n_tokens
         |    ELSE 1.0 END, 9) AS keep_frac
         |FROM n LEFT JOIN c ON n.doc_id = c.doc_id
+        |WHERE n.doc_id % 2 = 1
         |ORDER BY n.doc_id""".stripMargin
   )
 
-  /** The unrolled BPE-training WITH-stages for the q92/q93 oracles:
-    * `w0` = char-split word frequencies, then per rank r: `pairsR`
-    * (adjacent-pair counts), `bestR` (argmax with the total tiebreak),
-    * `wR` (greedy merge via a separator-string `list_reduce` fold — the
-    * `^` sentinel seeds the accumulator so every symbol is `|`-preceded
-    * and `ends_with` tests complete symbols only). A stage whose best
-    * pair falls under minPairCount=2 — or whose pair table is EMPTY
-    * (every word fully merged; bestR is 0 rows, hence the LEFT JOIN ON
-    * true) — is a no-op, mirroring [[graft.ops.Bpe.train]]'s early stop
-    * (later stages then recompute the same exhausted state and stay
-    * no-ops).
+  /** The q101 word source: documents plus the multi-byte literal rows of
+    * [[byteBpeGateCorpus]], verbatim.
+    */
+  private def byteBpeOracleWords: String =
+    """SELECT unnest(string_split(
+      |    trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')),
+      |    ' ')) AS w
+      |  FROM (SELECT doc_id, text FROM documents UNION ALL
+      |    SELECT * FROM (VALUES
+      |      (3000001, 'café crème déjà vu café crème déjà vu café crème'),
+      |      (3000002, 'naïve αβγ δοκιμή αβγ δοκιμή naïve αβγ über'),
+      |      (3000003, 'über żółć żółć żółć déjà straße straße')
+      |    ) AS v(doc_id, text))""".stripMargin
+
+  /** The shared WITH-prefix of the q99/q100 oracles: the gate corpus
+    * (documents + derived variants, [[multiSpanGateCorpus]]'s exact
+    * derivation in DuckDB), per-doc token arrays `d` and counts `n`,
+    * the coarse k=12 first-occurrence pass, cross-document pairs, the
+    * fine k=6 within-pair pass, and the merged interval set `iv` —
+    * one interval per (doc, pos) keeping the longer end.
+    */
+  private def multiSpanOracleStages: String =
+    """raw AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+      |d0 AS (SELECT doc_id, string_split(
+      |    trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')),
+      |    ' ') AS t
+      |  FROM raw),
+      |var AS (SELECT doc_id + 1000000 AS doc_id,
+      |    array_to_string(list_concat(list_concat(t[1:12],
+      |      list_transform(range(1, 13), i -> 'fz' || doc_id || 'x' || i)),
+      |      t[30:37]), ' ') AS text
+      |  FROM d0 WHERE doc_id < 40 AND len(t) >= 40 AND t <> ['']),
+      |base AS (SELECT doc_id, text FROM raw
+      |  UNION ALL SELECT doc_id, text FROM var),
+      |d AS MATERIALIZED (SELECT doc_id, string_split(
+      |    trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')),
+      |    ' ') AS t
+      |  FROM base),
+      |n AS (SELECT doc_id,
+      |  (CASE WHEN t = [''] THEN 0 ELSE len(t) END)::BIGINT AS n_tokens FROM d),
+      |wc AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+11], ' ') AS win
+      |  FROM d, unnest(generate_series(1, len(t) - 11)) AS u(i)
+      |  WHERE len(t) >= 12),
+      |rc AS (SELECT doc_id, pos,
+      |  row_number() OVER w AS rn, first_value(doc_id) OVER w AS adoc
+      |  FROM wc WINDOW w AS (PARTITION BY win ORDER BY doc_id, pos)),
+      |dupc AS (SELECT doc_id, pos, pos + 11 AS e, adoc FROM rc WHERE rn > 1),
+      |pairs AS (SELECT DISTINCT adoc AS a, doc_id AS b FROM dupc
+      |  WHERE adoc <> doc_id),
+      |pdocs AS (SELECT a AS doc_id FROM pairs
+      |  UNION SELECT b FROM pairs),
+      |wf AS MATERIALIZED (SELECT d.doc_id, i AS pos,
+      |    array_to_string(t[i:i+5], ' ') AS win
+      |  FROM d JOIN pdocs USING (doc_id),
+      |    unnest(generate_series(1, len(t) - 5)) AS u(i)
+      |  WHERE len(t) >= 6),
+      |finedup AS (SELECT DISTINCT fb.doc_id, fb.pos, fb.pos + 5 AS e
+      |  FROM (SELECT p.a, f.doc_id, f.pos, f.win
+      |      FROM wf f JOIN pairs p ON f.doc_id = p.b) fb
+      |  JOIN (SELECT DISTINCT p.a, f.win
+      |      FROM wf f JOIN pairs p ON f.doc_id = p.a) fa
+      |    ON fb.a = fa.a AND fb.win = fa.win),
+      |iv AS (SELECT doc_id, pos, max(e) AS e FROM (
+      |  SELECT doc_id, pos, e FROM dupc
+      |  UNION ALL SELECT doc_id, pos, e FROM finedup) GROUP BY 1, 2)""".stripMargin
+
+  /** The unrolled BPE-training WITH-stages for the q92/q93/q101 oracles:
+    * `w0` = symbol-split word frequencies (`symSplit`: per-code-point by
+    * default; q101 passes the per-UTF-8-byte hex split), then per rank
+    * r: `pairsR` (adjacent-pair counts), `bestR` (argmax with the total
+    * tiebreak), `wR` (greedy merge via a separator-string `list_reduce`
+    * fold — the `^` sentinel seeds the accumulator so every symbol is
+    * `|`-preceded and `ends_with` tests complete symbols only). A stage
+    * whose best pair falls under minPairCount=2 — or whose pair table is
+    * EMPTY (every word fully merged; bestR is 0 rows, hence the LEFT
+    * JOIN ON true) — is a no-op, mirroring [[graft.ops.Bpe.train]]'s
+    * early stop (later stages then recompute the same exhausted state
+    * and stay no-ops).
     */
   private def bpeOracleStages(n: Int, wordsSource: String =
       """SELECT unnest(string_split(
         |    trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')),
-        |    ' ')) AS w FROM documents""".stripMargin): String = {
+        |    ' ')) AS w FROM documents""".stripMargin,
+      symSplit: String = "string_split(w, '')"): String = {
     val w0 =
       s"""w0 AS (
-         |  SELECT w, array_to_string(string_split(w, ''), '|') AS s,
+         |  SELECT w, array_to_string($symSplit, '|') AS s,
          |    count(*)::BIGINT AS cnt
          |  FROM ($wordsSource)
          |  WHERE w <> '' GROUP BY 1, 2)""".stripMargin

@@ -13,12 +13,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * lowest-rank adjacent symbol pair present and merge every
   * non-overlapping occurrence left-to-right, until no ranked pair remains.
   *
+  * `byteLevel = true` switches the base alphabet from code points to the
+  * 256 UTF-8 BYTES of each word (the GPT-2/LLaMA-lineage convention —
+  * byte fallback means NO out-of-vocabulary symbol can exist, and merge
+  * inventories learn sub-character structure of multi-byte scripts).
+  * Symbols are canonically represented as UPPERCASE HEX, two digits per
+  * byte ("61", "C3A9", ...) — a representation whose binary string order
+  * equals byte order (hex digits are monotone in the byte value and
+  * fixed-width per byte), so the trainer's UTF-8 tiebreak, Spark's
+  * binary string sort, and DuckDB's VARCHAR order all agree on it, and
+  * oracle SQL re-derives it with `hex()`. `unhex` recovers the bytes.
+  *
   * One pass per row, inside whole-stage codegen via [[SinglePassCodegen]];
   * the merge table rides in the expression (broadcast with the plan, rank
   * lookup is a hash probe). Equivalent single-word cost is O(len ·
   * numMerges) worst case; real words converge in a handful of rounds.
   */
-case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
+case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)],
+    byteLevel: Boolean = false)
     extends UnaryExpression with SinglePassCodegen {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -55,10 +67,11 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
 
   private def encodeWord(w: String,
       out: scala.collection.mutable.ArrayBuffer[UTF8String]): Unit = {
-    if (w.length == 1) {
+    if (!byteLevel && w.length == 1) {
       out += UTF8String.fromString(w); return
     }
-    var syms = BpeEncodeExpr.cpSyms(w)
+    var syms =
+      if (byteLevel) BpeEncodeExpr.byteSyms(w) else BpeEncodeExpr.cpSyms(w)
     if (merges.isEmpty) { // untrained tokenizer = character split
       syms.foreach(s => out += UTF8String.fromString(s))
       return
@@ -86,8 +99,29 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
 }
 
 object BpeEncodeExpr {
-  def of(text: Column, merges: Seq[(String, String)]): Column =
-    SparkInternals.column(BpeEncodeExpr(SparkInternals.expression(text), merges))
+  def of(text: Column, merges: Seq[(String, String)],
+      byteLevel: Boolean = false): Column =
+    SparkInternals.column(
+      BpeEncodeExpr(SparkInternals.expression(text), merges, byteLevel))
+
+  private val HexDigits = "0123456789ABCDEF".toCharArray
+
+  /** Byte symbol split: the word's UTF-8 bytes, one two-hex-digit symbol
+    * per byte (uppercase — matches Spark's `hex` and DuckDB's `hex`).
+    * The byte-level counterpart of [[cpSyms]], shared by the kernel and
+    * the local trainers so the bit-identical-paths contract can't drift.
+    */
+  def byteSyms(w: String): scala.collection.mutable.ArrayBuffer[String] = {
+    val bytes = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new scala.collection.mutable.ArrayBuffer[String](bytes.length)
+    var k = 0
+    while (k < bytes.length) {
+      val b = bytes(k) & 0xff
+      out += new String(Array(HexDigits(b >>> 4), HexDigits(b & 0xf)))
+      k += 1
+    }
+    out
+  }
 
   /** Code-point alnum test mirroring `[\p{L}\p{N}]` (the Char-based
     * [[ShinglesExpr.isAlnumChar]] can't see supplementary-plane letters).

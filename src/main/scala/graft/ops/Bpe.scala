@@ -41,6 +41,35 @@ object Bpe {
   private def charSyms(w: Column): Column =
     transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
 
+  /** Split a word into per-UTF-8-BYTE symbols, two uppercase hex digits
+    * each — the column-side twin of
+    * [[graft.functions.expressions.BpeEncodeExpr.byteSyms]] (Spark's
+    * `hex` is uppercase; binary string order over the fixed-width hex
+    * equals byte order, so sorts and tiebreaks agree across
+    * representations).
+    */
+  private def byteSymsCol(w: Column): Column = {
+    // fully qualified: this object's `encode` (the tokenizer) shadows
+    // the spark charset function
+    val hx = hex(org.apache.spark.sql.functions.encode(w, "UTF-8"))
+    transform(sequence(lit(1), octet_length(w)),
+      i => hx.substr(i * 2 - 1, lit(2)))
+  }
+
+  /** Deterministic vocabulary prune (the production-trainer
+    * frequency cut): drop words under `minCount`, then keep the
+    * `topN`-most-frequent (ties by binary/UTF-8 word order ASC — the
+    * same total order on both the Spark and the local path). `topN <= 0`
+    * means unbounded.
+    */
+  private[ops] def pruneWordFreqsLocal(words: Array[(String, Long)],
+      minCount: Long, topN: Int): Array[(String, Long)] = {
+    val cut = words.filter(_._2 >= minCount)
+    if (topN <= 0 || cut.length <= topN) cut
+    else cut.sortWith((a, b) =>
+      if (a._2 != b._2) a._2 > b._2 else utf8Lt(a._1, b._1)).take(topN)
+  }
+
   /** Greedy left-to-right merge of one adjacent pair `(l, r) → l+r` in a
     * symbol array — a single fold: the accumulator's last element merges
     * with the incoming symbol iff they equal the pair, and a merged symbol
@@ -76,30 +105,66 @@ object Bpe {
     * (partial combine), a LIMIT-1 argmax with the total tiebreak, then
     * the greedy merge fold over the persisted word table — use it with
     * small `numMerges` (each merge is ~2 Spark jobs; a 32k-merge train
-    * belongs on the driver path, which any real vocabulary fits). Both
-    * paths produce BIT-IDENTICAL merges (integer counts; the local
-    * tiebreak compares UTF-8 bytes to match Spark's binary string
-    * ordering) — OpsSpec pins them equal.
+    * belongs on the driver path). Both paths produce BIT-IDENTICAL
+    * merges (integer counts; the local tiebreak compares UTF-8 bytes to
+    * match Spark's binary string ordering) — OpsSpec pins them equal.
+    *
+    * A REAL crawl's normalized vocabulary (typos, numbers, URL
+    * fragments) exceeds `driverTrainMaxVocab` by orders of magnitude, and
+    * the distributed loop is unusable at production merge counts — so do
+    * what production trainers do and FREQUENCY-CUT first:
+    * `vocabMinCount` drops words rarer than the threshold (a crawl's
+    * singleton tail is typically most of the distinct words and a
+    * negligible share of pair mass), `vocabTopN` caps the table at the
+    * N most frequent words (ties broken by binary word order — the same
+    * deterministic total order on every path). Pruning changes trained
+    * merges only insofar as the dropped words carried pair counts
+    * (OpsSpec pins prune-that-drops-nothing ≡ unpruned; NOTES records
+    * measured drift at a real cut). As a backstop, a vocabulary still
+    * over the bound REFUSES to run more than 256 merges through the
+    * distributed loop (~2 scheduler jobs per merge) instead of silently
+    * launching tens of thousands of jobs.
     */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-      minPairCount: Long = 2L, driverTrainMaxVocab: Int = 1 << 20): Seq[Merge] = {
+      minPairCount: Long = 2L, driverTrainMaxVocab: Int = 1 << 20,
+      vocabMinCount: Long = 1L, vocabTopN: Int = 0,
+      byteLevel: Boolean = false): Seq[Merge] = {
     require(numMerges >= 0, "numMerges must be >= 0")
+    require(vocabMinCount >= 1L, s"vocabMinCount must be >= 1: $vocabMinCount")
+    val wfAll = wordFreqs(docs, textCol)
+    val wfPruned = {
+      val cut = if (vocabMinCount > 1L) wfAll.where(col("cnt") >= vocabMinCount)
+        else wfAll
+      // the topN sort is a global order (cnt DESC, binary word ASC) —
+      // vocabulary-sized, never corpus-sized
+      if (vocabTopN > 0) cut.orderBy(desc("cnt"), asc("w")).limit(vocabTopN)
+      else cut
+    }
     // persisted across the driver-bound probe AND the loop's first
     // iteration — without it an over-bound vocabulary pays the corpus
     // word-count aggregation twice (once for take, once for the loop)
-    val wf = wordFreqs(docs, textCol)
+    val wf = wfPruned
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (driverTrainMaxVocab > 0) {
       val head = wf.take(driverTrainMaxVocab + 1)
       if (head.length <= driverTrainMaxVocab) {
         wf.unpersist()
         return trainLocal(
-          head.map(r => (r.getString(0), r.getLong(1))), numMerges, minPairCount)
+          head.map(r => (r.getString(0), r.getLong(1))), numMerges,
+          minPairCount, byteLevel)
       }
     }
+    require(numMerges <= 256,
+      s"BPE train: the vocabulary exceeds driverTrainMaxVocab=" +
+        s"$driverTrainMaxVocab, and the distributed fallback costs ~2 " +
+        s"Spark jobs per merge — numMerges=$numMerges would launch " +
+        s"~${2L * numMerges} jobs. Frequency-cut the vocabulary first " +
+        "(vocabMinCount / vocabTopN) so it fits the driver path, or " +
+        "raise driverTrainMaxVocab")
     val out = scala.collection.mutable.ArrayBuffer[Merge]()
     var cur = wf
-      .select(col("cnt"), charSyms(col("w")).as("s"))
+      .select(col("cnt"),
+        (if (byteLevel) byteSymsCol(col("w")) else charSyms(col("w"))).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var prev: DataFrame = null
     try {
@@ -138,12 +203,20 @@ object Bpe {
   /** Driver-side training over an explicit word-frequency table — for
     * callers that already hold word counts (and the measurement
     * harness). `naive = true` selects the recount spec oracle; both
-    * paths are bit-identical (OpsSpec).
+    * paths are bit-identical (OpsSpec). `vocabMinCount`/`vocabTopN`
+    * apply [[pruneWordFreqsLocal]] first — the same cut, total order and
+    * tiebreak as [[train]]'s distributed prune.
     */
   def trainFromWordFreqs(words: Array[(String, Long)], numMerges: Int,
-      minPairCount: Long = 2L, naive: Boolean = false): Seq[Merge] =
-    if (naive) trainLocalNaive(words, numMerges, minPairCount)
-    else trainLocal(words, numMerges, minPairCount)
+      minPairCount: Long = 2L, naive: Boolean = false,
+      vocabMinCount: Long = 1L, vocabTopN: Int = 0,
+      byteLevel: Boolean = false): Seq[Merge] = {
+    val pruned =
+      if (vocabMinCount <= 1L && vocabTopN <= 0) words
+      else pruneWordFreqsLocal(words, vocabMinCount, vocabTopN)
+    if (naive) trainLocalNaive(pruned, numMerges, minPairCount, byteLevel)
+    else trainLocal(pruned, numMerges, minPairCount, byteLevel)
+  }
 
   private def utf8Lt(a: String, b: String): Boolean =
     java.util.Arrays.compareUnsigned(
@@ -166,10 +239,11 @@ object Bpe {
     * distributed loop; OpsSpec pins all three.
     */
   private[ops] def trainLocal(words: Array[(String, Long)], numMerges: Int,
-      minPairCount: Long): Seq[Merge] = {
-    import graft.functions.expressions.BpeEncodeExpr.{cpSyms, mergeAll}
+      minPairCount: Long, byteLevel: Boolean = false): Seq[Merge] = {
+    import graft.functions.expressions.BpeEncodeExpr.{byteSyms, cpSyms, mergeAll}
     type Pair = (String, String)
-    val seqs = words.map { case (w, _) => cpSyms(w) }
+    val seqs = words.map { case (w, _) =>
+      if (byteLevel) byteSyms(w) else cpSyms(w) }
     val cnts = words.map(_._2)
     val counts = new java.util.HashMap[Pair, Long]()
     // pair -> indices of words containing it (presence, not multiplicity:
@@ -276,10 +350,10 @@ object Bpe {
     * bit-identical on fixtures and the real corpus).
     */
   private[ops] def trainLocalNaive(words: Array[(String, Long)], numMerges: Int,
-      minPairCount: Long): Seq[Merge] = {
-    import graft.functions.expressions.BpeEncodeExpr.{cpSyms, mergeAll}
+      minPairCount: Long, byteLevel: Boolean = false): Seq[Merge] = {
+    import graft.functions.expressions.BpeEncodeExpr.{byteSyms, cpSyms, mergeAll}
     var ws: Array[(scala.collection.mutable.ArrayBuffer[String], Long)] =
-      words.map { case (w, c) => (cpSyms(w), c) }
+      words.map { case (w, c) => ((if (byteLevel) byteSyms(w) else cpSyms(w)), c) }
     val out = scala.collection.mutable.ArrayBuffer[Merge]()
     var rank = 1
     var done = false
@@ -327,15 +401,20 @@ object Bpe {
     * rank-order application can diverge, so ill-formed tables are
     * rejected rather than silently mis-encoded.
     */
-  def encode(text: Column, merges: Seq[Merge]): Column = {
+  def encode(text: Column, merges: Seq[Merge],
+      byteLevel: Boolean = false): Column = {
     val sorted = merges.sortBy(_.rank)
     val produced = scala.collection.mutable.HashSet[String]()
     sorted.foreach { m =>
       require(!m.lhs.contains(' ') && !m.rhs.contains(' '),
         s"merge ${m.rank}: symbols must not contain spaces " +
           s"(rank keys are space-delimited): (${m.lhs}, ${m.rhs})")
+      // byte mode's base alphabet is the 256 two-hex-digit byte symbols;
+      // code-point mode's is single code points
       def base(s: String) =
-        s.nonEmpty && s.codePointCount(0, s.length) == 1
+        if (byteLevel) s.length == 2 && s.forall(c =>
+          (c >= '0' && c <= '9') || (c >= 'A' && c <= 'F'))
+        else s.nonEmpty && s.codePointCount(0, s.length) == 1
       require(base(m.lhs) || produced.contains(m.lhs),
         s"merge ${m.rank}: lhs '${m.lhs}' is neither a base symbol nor an " +
           "earlier merge's output — not a trained merge table")
@@ -345,6 +424,6 @@ object Bpe {
       produced += m.lhs + m.rhs
     }
     graft.functions.expressions.BpeEncodeExpr.of(
-      text, sorted.map(m => (m.lhs, m.rhs)))
+      text, sorted.map(m => (m.lhs, m.rhs)), byteLevel)
   }
 }

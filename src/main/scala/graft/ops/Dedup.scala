@@ -567,6 +567,7 @@ object Dedup {
     */
   def editDistanceJoin(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int = 1, q: Int = 2): DataFrame = {
+    requireEditDistanceArgs(maxDist, q) // before any persist leaks a frame
     // ids feeds keys-distinct + two crossKey joins + the sameKey
     // self-join — without persists every branch recomputes the whole
     // front end (source scan + regex key projection included): the
@@ -618,6 +619,7 @@ object Dedup {
     */
   def editDistanceClusterEdges(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int = 1, q: Int = 2): DataFrame = {
+    requireEditDistanceArgs(maxDist, q) // before any persist leaks a frame
     val ids = df.select(col(idCol).as("id"),
       coalesce(col(strCol), lit("")).as("k"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -647,10 +649,18 @@ object Dedup {
     * self-joins, so both persist (key-domain-sized) — see the
     * cache-ownership note on [[editDistanceJoin]].
     */
-  private def editDistanceKeyPairsCore(keys0: DataFrame, maxDist: Int,
-      q: Int): DataFrame = {
+  /** Argument validation shared by the edit-distance entry points —
+    * hoisted ABOVE their persist calls so invalid arguments fail before
+    * any frame is cached for the session (r17 advice).
+    */
+  private def requireEditDistanceArgs(maxDist: Int, q: Int): Unit = {
     require(maxDist >= 1, s"maxDist must be >= 1: $maxDist")
     require(q >= 1, s"q must be >= 1: $q")
+  }
+
+  private def editDistanceKeyPairsCore(keys0: DataFrame, maxDist: Int,
+      q: Int): DataFrame = {
+    requireEditDistanceArgs(maxDist, q)
     val keys = keys0.withColumn("len", length(col("k")))
     // numbered positional q-grams: group-count per (key, gram), then
     // re-explode 1..cnt — equivalent to numbering occurrences, without a
@@ -1062,6 +1072,43 @@ object Dedup {
   def spanDedupCutMulti(docs: DataFrame, idCol: String, textCol: String,
       kCoarse: Int = 12, kFine: Int = 6,
       hashWindows: Boolean = true): DataFrame = {
+    val (counted, ivs) = spanDedupPartsMulti(docs, idCol, textCol,
+      kCoarse, kFine, hashWindows)
+    intervalCutAccounting(counted, ivs)
+  }
+
+  /** The multi-granularity TRANSFORM ([[spanDedupCutMulti]]'s accounting
+    * materialized, the way [[spanDedupText]] materializes
+    * [[spanDedupCut]]'s): per document, the normalized text with every
+    * cut interval removed — coarse global duplicates AND the fine
+    * within-pair spans — as `(doc_id, n_kept, kept_text)`. Contract
+    * follows [[spanDedupCutMulti]]: the removed positions are a SUPERSET
+    * of fixed-`kCoarse` [[spanDedupText]]'s (per doc, `n_kept` <= the
+    * fixed operator's), `n_kept` == `n_tokens − cut_tokens` of the
+    * accounting op on the same corpus (OpsSpec pins both), mid-doc fine
+    * cuts splice like coarse ones (tokens rejoin across the gap with a
+    * single space), and a fully-duplicated doc collapses to the empty
+    * string. Scale shape: the accounting op's, plus the doc-bounded
+    * interval collect + per-row HOF filter of [[spanDedupText]].
+    */
+  def spanDedupTextMulti(docs: DataFrame, idCol: String, textCol: String,
+      kCoarse: Int = 12, kFine: Int = 6,
+      hashWindows: Boolean = true): DataFrame = {
+    val (counted, ivs) = spanDedupPartsMulti(docs, idCol, textCol,
+      kCoarse, kFine, hashWindows)
+    keptTextRebuild(counted, ivs)
+  }
+
+  /** Shared front end of the multi-granularity pair ([[spanDedupCutMulti]]
+    * / [[spanDedupTextMulti]]): `counted` = (doc_id, n_tokens, t) per
+    * document (PERSISTED — it feeds the fine window explode and the
+    * caller's final join), `ivs` = (doc_id, pos, e) — one interval per
+    * (doc, pos), coarse global dups unioned with the fine within-pair
+    * dups, same-start overlaps keeping the longer end.
+    */
+  private def spanDedupPartsMulti(docs: DataFrame, idCol: String,
+      textCol: String, kCoarse: Int, kFine: Int,
+      hashWindows: Boolean): (DataFrame, DataFrame) = {
     require(kFine >= 1 && kFine <= kCoarse,
       s"need 1 <= kFine <= kCoarse: kFine=$kFine kCoarse=$kCoarse")
     val (counted0, dups) = spanDedupParts(docs, idCol, textCol, kCoarse,
@@ -1100,7 +1147,7 @@ object Dedup {
       // one interval per (doc, pos): overlapping coarse/fine intervals
       // at the same start keep the longer end
       .groupBy(col("doc_id"), col("pos")).agg(max(col("e")).as("e"))
-    intervalCutAccounting(counted, ivs)
+    (counted, ivs)
   }
 
   /** The dedup TRANSFORM for [[spanDedupCut]]'s accounting: per document,
@@ -1116,7 +1163,19 @@ object Dedup {
   def spanDedupText(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, hashWindows: Boolean = true): DataFrame = {
     val (counted, dups) = spanDedupParts(docs, idCol, textCol, k, hashWindows)
-    val ivs = dups.groupBy("doc_id")
+    keptTextRebuild(counted, dups)
+  }
+
+  /** The kept-text rebuild shared by [[spanDedupText]] and
+    * [[spanDedupTextMulti]]: per document, tokens outside the union of
+    * the cut intervals, in original order — `(doc_id, n_kept,
+    * kept_text)`. `ivRows` is (doc_id, pos, e) interval rows (duplicate
+    * (pos, e) rows are harmless — the HOF membership test is idempotent);
+    * `counted` is [[spanDedupParts]]'s (doc_id, n_tokens, t).
+    */
+  private def keptTextRebuild(counted: DataFrame,
+      ivRows: DataFrame): DataFrame = {
+    val ivs = ivRows.groupBy("doc_id")
       .agg(collect_list(struct(col("pos"), col("e"))).as("ivs"))
     counted.join(ivs, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"), col("t"),
@@ -1141,6 +1200,24 @@ object Dedup {
     */
   private def spanDedupParts(docs: DataFrame, idCol: String, textCol: String,
       k: Int, hashWindows: Boolean): (DataFrame, DataFrame) = {
+    val (counted, wins) = spanWins(docs, idCol, textCol, k, hashWindows)
+    val firsts = wins.groupBy(col("wkey"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    val dups = wins.join(firsts, "wkey")
+      .where(!(col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos")))
+      .select(col("doc_id"), col("pos"), (col("pos") + (k - 1)).as("e"),
+        col("f.doc_id").as("src"))
+    (counted, dups)
+  }
+
+  /** Tokenize + window-explode a corpus: `counted` = (doc_id, n_tokens,
+    * t), `wins` = (doc_id, pos, wkey) — one row per k-window occurrence,
+    * PERSISTED (it always feeds a firsts aggregation AND a probe join;
+    * without the persist the corpus is normalized/exploded twice — the
+    * no-exchange-reuse rule from NOTES).
+    */
+  private def spanWins(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, hashWindows: Boolean): (DataFrame, DataFrame) = {
     require(k >= 1, "window length must be >= 1")
     val base = docs.select(col(idCol).as("doc_id"),
       split(graft.ops.TextAnalysis.normalize(
@@ -1157,16 +1234,76 @@ object Dedup {
           array_join(slice(col("t"), i, lit(k)), " ").as("win")))).as("p"))
       .select(col("doc_id"), col("p.pos").as("pos"),
         (if (hashWindows) xxhash64(col("p.win")) else col("p.win")).as("wkey"))
-      // consumed by the firsts aggregation AND the probe join — without
-      // the persist the corpus is normalized/exploded twice (no exchange
-      // reuse across the two branches; the shared-pass rule from NOTES)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val firsts = wins.groupBy(col("wkey"))
+    (counted, wins)
+  }
+
+  // ---- incremental span dedup (delta vs a persisted firsts index) ----
+
+  /** The window-FIRSTS INDEX of a corpus at fixed `k`: one row per
+    * distinct window key — `(wkey, doc_id, pos)`, the global first
+    * occurrence under (doc_id, pos) order. This is the PERSISTABLE BASE
+    * STATE of the span-dedup family (vocabulary-sized, not corpus-sized):
+    * a re-crawling pipeline materializes it once, dedups every new batch
+    * against it with [[spanDedupCutDelta]], and rolls it forward with
+    * [[spanDedupIndexMerge]] — the [[incrementalKeep]]-style
+    * incremental contract (q74) for the exact-substring family.
+    */
+  def spanDedupIndex(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, hashWindows: Boolean = true): DataFrame = {
+    val (_, wins) = spanWins(docs, idCol, textCol, k, hashWindows)
+    wins.groupBy(col("wkey"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
-    val dups = wins.join(firsts, "wkey")
-      .where(!(col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos")))
-      .select(col("doc_id"), col("pos"), (col("pos") + (k - 1)).as("e"),
-        col("f.doc_id").as("src"))
-    (counted, dups)
+      .select(col("wkey"), col("f.doc_id").as("doc_id"), col("f.pos").as("pos"))
+  }
+
+  /** Merge two firsts indexes (min-struct lattice join — associative,
+    * commutative, idempotent): the result equals [[spanDedupIndex]] of
+    * the concatenated corpora, so batches fold in any grouping. Shuffle
+    * is index-sized (distinct window keys), never corpus-sized.
+    */
+  def spanDedupIndexMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("wkey"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+      .select(col("wkey"), col("f.doc_id").as("doc_id"), col("f.pos").as("pos"))
+
+  /** INCREMENTAL exact-substring span dedup: [[spanDedupCut]]'s
+    * accounting for the DELTA documents only, deduped against `baseIndex`
+    * (a [[spanDedupIndex]] of everything already ingested) unioned with
+    * the delta's own internal firsts. Per batch this touches the delta's
+    * windows plus one index-sized merge — the base corpus is never
+    * re-read or re-exploded.
+    *
+    * Contract (OpsSpec pin, the q74 shape): the output is EXACTLY
+    * `spanDedupCut(base ∪ delta)` restricted to the delta's doc ids —
+    * the merged firsts are the min-struct lattice of the union, so the
+    * dup decision per delta occurrence coincides with the recompute's
+    * for ANY id interleaving. What the incremental form does NOT do is
+    * revisit BASE documents: a delta doc whose (doc_id, pos) sorts below
+    * a base first takes the keeper role (and the base doc's accounting,
+    * frozen at its own ingest time, is stale until a full recompute) —
+    * append-only pipelines whose new ids sort after old ones never hit
+    * this. Pass the returned merged index forward via
+    * [[spanDedupIndexMerge]] (or recompute it; both equal).
+    */
+  def spanDedupCutDelta(delta: DataFrame, idCol: String, textCol: String,
+      baseIndex: DataFrame, k: Int = 8,
+      hashWindows: Boolean = true): DataFrame = {
+    val (counted, wins) = spanWins(delta, idCol, textCol, k, hashWindows)
+    val deltaFirsts = wins.groupBy(col("wkey"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+      .select(col("wkey"), col("f.doc_id").as("doc_id"), col("f.pos").as("pos"))
+    // the union-min lattice: base index ∪ delta firsts, keyed min — but
+    // only keys the DELTA actually carries matter, so semi-prune the
+    // base side before the merge shuffle (the base index is the large
+    // frame here; the delta's distinct keys are the small one)
+    val basePruned = baseIndex.join(
+      wins.select(col("wkey")).distinct(), Seq("wkey"), "leftsemi")
+    val merged = spanDedupIndexMerge(basePruned, deltaFirsts)
+      .select(col("wkey"), col("doc_id").as("f_doc"), col("pos").as("f_pos"))
+    val dups = wins.join(merged, "wkey")
+      .where(!(col("doc_id") === col("f_doc") && col("pos") === col("f_pos")))
+      .select(col("doc_id"), col("pos"), (col("pos") + (k - 1)).as("e"))
+    intervalCutAccounting(counted, dups)
   }
 }

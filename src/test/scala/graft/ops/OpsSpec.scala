@@ -2197,6 +2197,91 @@ class OpsSpec extends SparkSpec {
     assert(dm.nonEmpty && dm.length < 10000) // exhausts, not caps
   }
 
+  test("bpe vocab prune: no-op cut == unpruned, real cut == training on the cut table, all paths agree (r18)") {
+    val docs = Seq(
+      "the cat sat on the mat", "the bat and the cat", "a mat on a hat",
+      "the the the cat cat", "rat bat cat mat hat sat", "on and on and on",
+      "rare singleton wordhere")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val wf = Bpe.wordFreqs(docs, "text").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val full = Bpe.train(docs, "text", 8, 2L)
+    // a cut that drops nothing: bit-identical merges
+    assert(Bpe.train(docs, "text", 8, 2L, vocabMinCount = 1L) === full)
+    assert(Bpe.train(docs, "text", 8, 2L, vocabTopN = wf.length) === full)
+    // a REAL min-count cut: train-with-prune == train on the externally
+    // pruned table (the documented drift is exactly the dropped words'
+    // pair mass — the equivalence pins the cut itself)
+    val pruned2 = Bpe.pruneWordFreqsLocal(wf, 2L, 0)
+    assert(pruned2.length < wf.length)
+    assert(Bpe.train(docs, "text", 8, 2L, vocabMinCount = 2L) ===
+      Bpe.trainFromWordFreqs(pruned2, 8, 2L))
+    // topN cut: the distributed total order (cnt DESC, binary word ASC)
+    // matches the local sort + utf8 tiebreak
+    val top5 = Bpe.pruneWordFreqsLocal(wf, 1L, 5)
+    assert(top5.length === 5)
+    assert(Bpe.train(docs, "text", 8, 2L, vocabTopN = 5) ===
+      Bpe.trainFromWordFreqs(top5, 8, 2L))
+    // and the DISTRIBUTED loop sees the same pruned table
+    assert(Bpe.train(docs, "text", 8, 2L, driverTrainMaxVocab = 0,
+      vocabMinCount = 2L) === Bpe.trainFromWordFreqs(pruned2, 8, 2L))
+    spark.catalog.clearCache()
+  }
+
+  test("bpe distributed fallback refuses a silent multi-thousand-job train (r18 guard)") {
+    val docs = Seq((0L, "aa bb aa bb cc")).toDF("id", "text")
+    // over the driver bound AND over the distributed merge bound: refuse
+    // with a remedy instead of launching ~2 jobs per merge
+    val e = intercept[IllegalArgumentException] {
+      Bpe.train(docs, "text", numMerges = 300, driverTrainMaxVocab = 1)
+    }
+    assert(e.getMessage.contains("jobs") &&
+      e.getMessage.contains("vocabMinCount"))
+    // under the merge bound the distributed loop still runs
+    assert(Bpe.train(docs, "text", 2, 2L, driverTrainMaxVocab = 1).nonEmpty)
+    spark.catalog.clearCache()
+  }
+
+  test("bpe byte-level: hex byte alphabet, multi-byte boundaries, all paths identical, tokens round-trip (r18)") {
+    // é = C3 A9, α = CE B1, β = CE B2 — multi-byte letters exercise
+    // merges across byte boundaries inside one code point
+    val docs = Seq((0L, "café café café beta beta"), (1L, "αβ αβ αβ x"),
+      (2L, ""), (3L, "CAFÉ!!"))
+      .toDF("id", "text")
+    val wf = Bpe.wordFreqs(docs, "text").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val inc = Bpe.trainLocal(wf, 12, 2L, byteLevel = true)
+    val naive = Bpe.trainLocalNaive(wf, 12, 2L, byteLevel = true)
+    assert(inc === naive)
+    val viaTrain = Bpe.train(docs, "text", 12, 2L, byteLevel = true)
+    assert(viaTrain === inc)
+    val dist = Bpe.train(docs.repartition(7), "text", 12, 2L,
+      driverTrainMaxVocab = 0, byteLevel = true)
+    assert(dist === inc)
+    assert(inc.nonEmpty)
+    // every symbol is uppercase hex of whole bytes
+    inc.foreach { m =>
+      assert((m.lhs + m.rhs).matches("[0-9A-F]+") &&
+        m.lhs.length % 2 == 0 && m.rhs.length % 2 == 0, m.toString) }
+    // untrained byte encode = per-byte hex split: 'café' -> 63 61 66 C3 A9
+    val raw = docs.select(col("id"),
+      Bpe.encode(col("text"), Seq.empty, byteLevel = true).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(raw(0L).take(5) === List("63", "61", "66", "C3", "A9"))
+    // trained tokens reassemble to the words' exact UTF-8 bytes in order
+    // (byte fallback: no OOV is possible, nothing is dropped)
+    def hexOf(s: String) =
+      s.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").mkString
+    val toks = docs.select(col("id"),
+      Bpe.encode(col("text"), viaTrain, byteLevel = true).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(toks(0L).mkString === hexOf("café") * 3 + hexOf("beta") * 2)
+    assert(toks(1L).mkString === hexOf("αβ") * 3 + hexOf("x"))
+    assert(toks(2L) === Nil)
+    assert(toks(3L).mkString === hexOf("café")) // lowercased, punct stripped
+    spark.catalog.clearCache()
+  }
+
   test("bpe encode rejects ill-formed merge tables (space symbols, components out of order)") {
     val docs = Seq((0L, "ab")).toDF("id", "text")
     def run(ms: Seq[(String, String)]): Unit = {
@@ -2333,6 +2418,54 @@ class OpsSpec extends SparkSpec {
     assert(expect(5L) === ((0L, 0L, "")))
   }
 
+  test("incremental span dedup: delta vs base index == recompute-on-union, index merge folds (r18)") {
+    val boiler = "all rights reserved contact us for more information today"
+    val base = Seq(
+      (1L, s"unique alpha beta gamma delta epsilon zeta eta theta $boiler"),
+      (3L, "fresh words only nothing repeated in this document at all"),
+      (5L, s"$boiler totally different middle content here now $boiler"))
+    val delta = Seq(
+      // union-first is a BASE doc: cut
+      (2L, s"unique alpha beta gamma delta epsilon zeta eta theta $boiler"),
+      // fresh in delta, duplicated later IN the delta
+      (4L, "delta only content none repeated anywhere in the corpus here"),
+      (9L, "delta only content none repeated anywhere in the corpus here"),
+      // shares base content at a LOWER id than some base docs
+      (0L, "fresh words only nothing repeated in this document at all"),
+      (6L, s"$boiler and then something new entirely for this one"),
+      (7L, ""), (8L, null.asInstanceOf[String]))
+    val union = (base ++ delta).toDF("doc_id", "text")
+    val deltaIds = delta.map(_._1).toSet
+    for (hashed <- Seq(true, false)) {
+      val expect = Dedup.spanDedupCut(union, "doc_id", "text",
+        k = 8, hashWindows = hashed)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        .filter { case (id, _) => deltaIds(id) }
+      spark.catalog.clearCache()
+      val idx = Dedup.spanDedupIndex(base.toDF("doc_id", "text"),
+        "doc_id", "text", k = 8, hashWindows = hashed)
+      val got = Dedup.spanDedupCutDelta(delta.toDF("doc_id", "text"),
+        "doc_id", "text", idx, k = 8, hashWindows = hashed)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got === expect, s"hashWindows=$hashed")
+      spark.catalog.clearCache()
+      // fold law: merge(idx(base), idx(delta)) == idx(union)
+      val merged = Dedup.spanDedupIndexMerge(
+        Dedup.spanDedupIndex(base.toDF("doc_id", "text"), "doc_id", "text",
+          k = 8, hashWindows = hashed),
+        Dedup.spanDedupIndex(delta.toDF("doc_id", "text"), "doc_id", "text",
+          k = 8, hashWindows = hashed))
+        .collect().map(r => (r.get(0).toString, r.getLong(1), r.getInt(2))).toSet
+      val full = Dedup.spanDedupIndex(union, "doc_id", "text",
+        k = 8, hashWindows = hashed)
+        .collect().map(r => (r.get(0).toString, r.getLong(1), r.getInt(2))).toSet
+      assert(merged === full, s"index fold hashWindows=$hashed")
+      spark.catalog.clearCache()
+    }
+    // doc 2 is fully covered by base doc 1; doc 9 by delta doc 4; doc 0
+    // KEEPS its text (it is the union-first against base doc 3)
+  }
+
   test("multi-granularity span dedup: superset of fixed-k, fine stage cuts pair-local short spans, key paths identical") {
     // doc 2 shares a 6-token COARSE run with doc 1 (makes the pair) and
     // a separate 3-token run only the FINE stage can cut; doc 3 shares
@@ -2369,5 +2502,49 @@ class OpsSpec extends SparkSpec {
     // doc 1 is the keeper on every match: nothing cut
     assert(multi(1L)._2 === 0L)
     assert(multi(4L) === ((0L, 0L)))
+  }
+
+  test("multi-granularity span-dedup TRANSFORM: kept text matches the accounting, splices mid-doc cuts, key paths identical") {
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff gg hh ii jj kk ll"),
+      (2L, "aa bb cc dd ee ff x1 x2 x3 x4 jj kk ll y1"),
+      (3L, "z1 z2 z3 jj kk ll z4 z5 z6 z7 z8 z9"),
+      (4L, ""), (5L, null.asInstanceOf[String]),
+      (6L, "aa bb cc dd ee ff")) // fully coarse-covered: collapses
+    val df = docs.toDF("doc_id", "text")
+    val acct = Dedup.spanDedupCutMulti(df, "doc_id", "text",
+      kCoarse = 6, kFine = 3, hashWindows = false)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1) - r.getLong(2))).toMap
+    spark.catalog.clearCache()
+    val texts = Seq(true, false).map { hashed =>
+      val m = Dedup.spanDedupTextMulti(df, "doc_id", "text",
+        kCoarse = 6, kFine = 3, hashWindows = hashed)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      spark.catalog.clearCache()
+      m
+    }
+    assert(texts(0) === texts(1)) // hashed == string keys
+    val text = texts(1)
+    // n_kept == n_tokens - cut_tokens of the ACCOUNTING op on every doc
+    acct.foreach { case (id, kept) =>
+      assert(text(id)._1 === kept, s"doc $id: n_kept vs accounting") }
+    // doc 2: coarse cut [1,6] + fine cut [11,13] -> the survivors rejoin
+    // across BOTH gaps with single spaces (mid-doc splice)
+    assert(text(2L) === ((5L, "x1 x2 x3 x4 y1")))
+    // keeper and unpaired docs keep their full text
+    assert(text(1L)._2 === "aa bb cc dd ee ff gg hh ii jj kk ll")
+    assert(text(3L)._2 === "z1 z2 z3 jj kk ll z4 z5 z6 z7 z8 z9")
+    // empty / null / fully-duplicated docs collapse to the empty string
+    assert(text(4L) === ((0L, "")))
+    assert(text(5L) === ((0L, "")))
+    assert(text(6L) === ((0L, "")))
+    // SUPERSET contract vs the fixed-kCoarse TRANSFORM: multi never
+    // keeps more than fixed-k does
+    val fixedKept = Dedup.spanDedupText(df, "doc_id", "text",
+      k = 6, hashWindows = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fixedKept.foreach { case (id, nk) =>
+      assert(text(id)._1 <= nk, s"doc $id: multi kept ${text(id)._1} > fixed $nk") }
+    spark.catalog.clearCache()
   }
 }
