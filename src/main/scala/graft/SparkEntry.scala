@@ -2144,6 +2144,48 @@ object SparkEntry {
     * interleaving. String window keys for the oracle; OpsSpec pins the
     * hashed path identical and the index-merge fold law.
     */
+  /** q103: eigenvalue-BALANCED OPQ gated through a NON-identity
+    * permutation (r18 — closes the r17 gap where q98's d=2/m=2 made the
+    * balance permutation the identity). The corpus is DERIVED in-query,
+    * identically in DuckDB (the q14/q99 precedent): a full 2⁴ factorial
+    * over `vec_id % 16` — dim j = bit_j·s_j + 1 with power-of-two
+    * scales (8, 4, 2, 1), rows truncated to a multiple of 16 — which
+    * makes the trainer's fixed-point covariance EXACTLY diagonal
+    * (balanced independent bits; dyadic means/second moments make every
+    * IEEE division exact, so the off-diagonals are 0.0 bit-for-bit).
+    * The Jacobi loop therefore performs ZERO rotations and the trained
+    * OPQ rotation is a pure PERMUTATION: eigen sort (16, 4, 1, 0.25)
+    * then [[graft.ops.Similarity.balanceRotation]]'s level-constrained
+    * greedy, which at m=2 allocates subspaces [e0, e3 | e1, e2] —
+    * non-identity, so the permutation arithmetic is load-bearing in the
+    * hash. The oracle re-derives the ALLOCATION FROM THE DATA
+    * (fixed-point variances → eigen order with the stable tie rule →
+    * the greedy's strict/tie CASE), applies the permuted centering, and
+    * replays the full pipeline: q89's PQ machinery at subdim 2 (ksub=4,
+    * one fixed-point Lloyd round), ADC, coarse-40 cut, exact-cosine
+    * rerank over the ORIGINAL derived vectors.
+    */
+  private def q103OpqBalanced(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Similarity
+    val embAll = t(s, dir, "embeddings")
+    // control-plane corpus bound: factorial balance needs a multiple of
+    // 16 rows (vec_ids are contiguous from 0 in this dataset)
+    val nKeep = (embAll.count() / 16L) * 16L
+    def bit(j: Int) = shiftright(col("vec_id") % 16, j) % 2
+    val scales = Seq(8, 4, 2, 1)
+    val corpus = embAll.where(col("vec_id") < nKeep)
+      .select(col("vec_id"), array(
+        scales.zipWithIndex.map { case (sc, j) =>
+          (bit(j) * sc + 1).cast("double") }.toIndexedSeq: _*).as("v"))
+    val (model, books) = Similarity.trainOpq(corpus, "vec_id", "v",
+      m = 2, ksub = 4, iters = 1)
+    Similarity.opqTopKPrecomputed(
+      corpus, "vec_id", "v",
+      corpus.where(col("vec_id") < 10), "vec_id", "v",
+      k = 5, model, books, coarseK = 40)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   private def q102SpanDelta(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val idx = graft.ops.Dedup.spanDedupIndex(
@@ -2290,7 +2332,8 @@ object SparkEntry {
     "q99_multi_span" -> (q99MultiSpan _),
     "q100_multi_span_text" -> (q100MultiSpanText _),
     "q101_bpe_byte" -> (q101BpeByte _),
-    "q102_span_delta" -> (q102SpanDelta _)
+    "q102_span_delta" -> (q102SpanDelta _),
+    "q103_opq_balanced" -> (q103OpqBalanced _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4253,7 +4296,115 @@ object SparkEntry {
         |    ELSE 1.0 END, 9) AS keep_frac
         |FROM n LEFT JOIN c ON n.doc_id = c.doc_id
         |WHERE n.doc_id % 2 = 1
-        |ORDER BY n.doc_id""".stripMargin
+        |ORDER BY n.doc_id""".stripMargin,
+    // balanced OPQ through a NON-identity permutation, fully recomputed:
+    // the 2^4-factorial corpus makes the fixed-point covariance exactly
+    // diagonal (dyadic means/moments -> exact IEEE divisions -> 0.0
+    // off-diagonals -> zero Jacobi rotations), so the trained rotation
+    // is eigen-sort + balanced-greedy PERMUTATION rows. The oracle
+    // derives variances with the trainer's own fixed-point formulas,
+    // sorts (var DESC, dim ASC — the stable tie rule), unrolls the
+    // m=2/sd=2 level-constrained greedy (bucket0 takes r0; bucket1
+    // takes r1; r2 joins the smaller accumulated log — bucket1 iff
+    // var(r1) < var(r0), ties to bucket0; r3 fills the rest), centers
+    // by the permuted means, then replays q89's PQ machinery at
+    // subdim 2 / ksub 4 / one fixed-point Lloyd round, ADC, coarse-40,
+    // exact-cosine rerank on the ORIGINAL derived vectors
+    "q103_opq_balanced" ->
+      """WITH p AS (SELECT (count(*) // 16) * 16 AS nkeep FROM embeddings),
+        |e AS (SELECT vec_id, [
+        |    ((((vec_id % 16) // 1) % 2) * 8 + 1)::DOUBLE,
+        |    ((((vec_id % 16) // 2) % 2) * 4 + 1)::DOUBLE,
+        |    ((((vec_id % 16) // 4) % 2) * 2 + 1)::DOUBLE,
+        |    ((((vec_id % 16) // 8) % 2) * 1 + 1)::DOUBLE] AS v
+        |  FROM embeddings, p WHERE vec_id < p.nkeep),
+        |g AS (SELECT count(*)::BIGINT AS n,
+        |  sum(floor(v[1]*16777216.0 + 0.5)::BIGINT) AS s0,
+        |  sum(floor(v[2]*16777216.0 + 0.5)::BIGINT) AS s1,
+        |  sum(floor(v[3]*16777216.0 + 0.5)::BIGINT) AS s2,
+        |  sum(floor(v[4]*16777216.0 + 0.5)::BIGINT) AS s3,
+        |  sum(floor(v[1]*v[1]*16777216.0 + 0.5)::BIGINT) AS q0,
+        |  sum(floor(v[2]*v[2]*16777216.0 + 0.5)::BIGINT) AS q1,
+        |  sum(floor(v[3]*v[3]*16777216.0 + 0.5)::BIGINT) AS q2,
+        |  sum(floor(v[4]*v[4]*16777216.0 + 0.5)::BIGINT) AS q3
+        |  FROM e),
+        |mo AS (SELECT
+        |  s0::DOUBLE/(n::DOUBLE*16777216.0) AS m0,
+        |  s1::DOUBLE/(n::DOUBLE*16777216.0) AS m1,
+        |  s2::DOUBLE/(n::DOUBLE*16777216.0) AS m2,
+        |  s3::DOUBLE/(n::DOUBLE*16777216.0) AS m3,
+        |  q0::DOUBLE/(n::DOUBLE*16777216.0) AS e0,
+        |  q1::DOUBLE/(n::DOUBLE*16777216.0) AS e1,
+        |  q2::DOUBLE/(n::DOUBLE*16777216.0) AS e2,
+        |  q3::DOUBLE/(n::DOUBLE*16777216.0) AS e3 FROM g),
+        |vr AS (SELECT u.dim,
+        |  CASE u.dim WHEN 0 THEN e0 - m0*m0 WHEN 1 THEN e1 - m1*m1
+        |    WHEN 2 THEN e2 - m2*m2 ELSE e3 - m3*m3 END AS var,
+        |  CASE u.dim WHEN 0 THEN m0 WHEN 1 THEN m1
+        |    WHEN 2 THEN m2 ELSE m3 END AS mu
+        |  FROM mo, range(0, 4) u(dim)),
+        |ord AS (SELECT dim, var, mu,
+        |  (row_number() OVER (ORDER BY var DESC, dim ASC) - 1)::INT AS rr
+        |  FROM vr),
+        |alloc AS (SELECT CASE WHEN (SELECT var FROM ord WHERE rr = 1) <
+        |    (SELECT var FROM ord WHERE rr = 0) THEN 1 ELSE 0 END AS strict),
+        |rot AS (SELECT t.j::INT AS j, CASE t.j
+        |    WHEN 0 THEN 0
+        |    WHEN 1 THEN (CASE WHEN a.strict = 1 THEN 3 ELSE 2 END)
+        |    WHEN 2 THEN 1
+        |    ELSE (CASE WHEN a.strict = 1 THEN 2 ELSE 3 END) END AS rr
+        |  FROM range(0, 4) t(j), alloc a),
+        |pm AS (SELECT rt.j, o.dim, o.mu FROM rot rt JOIN ord o ON o.rr = rt.rr),
+        |r AS (SELECT e.vec_id, list(e.v[pm.dim + 1] - pm.mu ORDER BY pm.j) AS y
+        |  FROM e, pm GROUP BY e.vec_id),
+        |cent0 AS (SELECT s.j,
+        |    (row_number() OVER (PARTITION BY s.j ORDER BY b.vec_id) - 1)::INT AS code,
+        |    list_transform(range(1, 3), i -> b.y[s.j*2 + i]) AS cv
+        |  FROM (SELECT vec_id, y FROM r ORDER BY vec_id LIMIT 4) b,
+        |    range(0, 2) s(j)),
+        |a0 AS (SELECT vec_id, y, j, code FROM (
+        |  SELECT r.vec_id, r.y, c.j, c.code,
+        |    row_number() OVER (PARTITION BY r.vec_id, c.j
+        |      ORDER BY list_reduce(list_transform(range(1, 3),
+        |        i -> (r.y[c.j*2 + i] - c.cv[i]) * (r.y[c.j*2 + i] - c.cv[i])),
+        |        (x, y) -> x + y) ASC, c.code ASC) AS rn
+        |  FROM r, cent0 c) WHERE rn = 1),
+        |m0u AS (SELECT j, code, list(s::DOUBLE / (n * 16777216.0) ORDER BY i) AS cv
+        |  FROM (SELECT a.j, a.code, t.i AS i,
+        |      sum(floor(a.y[a.j*2 + t.i] * 16777216.0 + 0.5)::BIGINT) AS s,
+        |      count(*) AS n
+        |    FROM a0 a, range(1, 3) t(i) GROUP BY a.j, a.code, t.i)
+        |  GROUP BY j, code),
+        |cent AS (SELECT c.j, c.code, coalesce(m.cv, c.cv) AS cv
+        |  FROM cent0 c LEFT JOIN m0u m ON m.j = c.j AND m.code = c.code),
+        |codes AS (SELECT vec_id, j, code FROM (
+        |  SELECT r.vec_id, c.j, c.code,
+        |    row_number() OVER (PARTITION BY r.vec_id, c.j
+        |      ORDER BY list_reduce(list_transform(range(1, 3),
+        |        i -> (r.y[c.j*2 + i] - c.cv[i]) * (r.y[c.j*2 + i] - c.cv[i])),
+        |        (x, y) -> x + y) ASC, c.code ASC) AS rn
+        |  FROM r, cent c) WHERE rn = 1),
+        |lut AS (SELECT q.vec_id AS qid, c.j, c.code,
+        |    list_reduce(list_transform(range(1, 3),
+        |      i -> (q.y[c.j*2 + i] - c.cv[i]) * (q.y[c.j*2 + i] - c.cv[i])),
+        |      (x, y) -> x + y) AS d
+        |  FROM r q, cent c WHERE q.vec_id < 10),
+        |adc AS (SELECT l.qid AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list(l.d ORDER BY l.j), (x, y) -> x + y) AS a
+        |  FROM codes c JOIN lut l ON l.j = c.j AND l.code = c.code
+        |  WHERE c.vec_id <> l.qid GROUP BY 1, 2),
+        |coarse AS (SELECT query_id, neighbor_id, a FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY a ASC, neighbor_id ASC) AS crank FROM adc) WHERE crank <= 40),
+        |scored AS (SELECT c.query_id, c.neighbor_id, c.a,
+        |    list_dot_product(qe.v, ne.v)
+        |      / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ne.v, ne.v))) AS c2
+        |  FROM coarse c JOIN e ne ON ne.vec_id = c.neighbor_id
+        |    JOIN e qe ON qe.vec_id = c.query_id),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY c2 DESC, neighbor_id ASC) AS rank FROM scored)
+        |SELECT query_id, neighbor_id, rank, round(c2, 9) AS cos, round(a, 9) AS adc
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   )
 
   /** The q101 word source: documents plus the multi-byte literal rows of

@@ -1251,6 +1251,35 @@ class OpsSpec extends SparkSpec {
     assert(full === exact)
   }
 
+  test("balanced OPQ allocation: diagonal-covariance factorial corpus permutes [0,3,1,2] (r18)") {
+    // a full 2^4 factorial with power-of-two scales: the fixed-point
+    // covariance is EXACTLY diagonal (balanced bits, dyadic means and
+    // second moments — every division exact in IEEE), so the Jacobi
+    // loop performs zero rotations and the trained rotation is a pure
+    // permutation — the shape the q103 gate derives externally
+    val rows = (0 until 32).map { i =>
+      val p = i % 16
+      (i.toLong,
+        Array.tabulate(4)(j => (((p >> j) & 1) * (8 >> j) + 1).toDouble).toSeq)
+    }
+    val df = rows.toDF("vec_id", "v")
+    val model0 = Similarity.pcaFit(df, "v", 4)
+    assert(model0.eigenvalues.toSeq === Seq(16.0, 4.0, 1.0, 0.25))
+    assert(model0.components.map(_.toSeq).toSeq === Seq(
+      Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 1.0, 0.0), Seq(0.0, 0.0, 0.0, 1.0)))
+    assert(model0.means.toSeq === Seq(5.0, 3.0, 2.0, 1.5))
+    // the level-constrained greedy at m=2: [e0, e3 | e1, e2]
+    val bal = Similarity.balanceRotation(model0, 2)
+    assert(bal.eigenvalues.toSeq === Seq(16.0, 0.25, 4.0, 1.0))
+    assert(bal.components.map(_.indexWhere(_ == 1.0)).toSeq === Seq(0, 3, 1, 2))
+    // trainOpq's default balance ships exactly this rotation
+    val (model, _) = Similarity.trainOpq(df, "vec_id", "v",
+      m = 2, ksub = 4, iters = 1)
+    assert(model.components.map(_.toSeq).toSeq ===
+      bal.components.map(_.toSeq).toSeq)
+  }
+
   test("pq: dim mismatch raises in BOTH directions; autoCoarseK is corpus-proportional") {
     // codebooks trained at dim 8 (m=2 × subdim 4): a 6-element vector
     // would read truncated subspaces as distance 0, a 12-element vector
