@@ -2133,17 +2133,6 @@ object SparkEntry {
       .orderBy(desc("n"), asc("token")).limit(40)
   }
 
-  /** q102: INCREMENTAL span dedup ([[graft.ops.Dedup.spanDedupCutDelta]],
-    * r18 — the q74 delta-vs-base contract for the exact-substring
-    * family): the even-doc_id half of the corpus is the BASE (only its
-    * window-firsts INDEX is retained — the persistable state), the odd
-    * half is the DELTA deduped against that index plus its own internal
-    * firsts. The oracle recomputes fixed-k=8 span dedup over the WHOLE
-    * corpus and restricts to delta ids — the min-struct union lattice
-    * makes the incremental path coincide exactly, for any id
-    * interleaving. String window keys for the oracle; OpsSpec pins the
-    * hashed path identical and the index-merge fold law.
-    */
   /** q103: eigenvalue-BALANCED OPQ gated through a NON-identity
     * permutation (r18 — closes the r17 gap where q98's d=2/m=2 made the
     * balance permutation the identity). The corpus is DERIVED in-query,
@@ -2186,6 +2175,17 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q102: INCREMENTAL span dedup ([[graft.ops.Dedup.spanDedupCutDelta]],
+    * r18 — the q74 delta-vs-base contract for the exact-substring
+    * family): the even-doc_id half of the corpus is the BASE (only its
+    * window-firsts INDEX is retained — the persistable state), the odd
+    * half is the DELTA deduped against that index plus its own internal
+    * firsts. The oracle recomputes fixed-k=8 span dedup over the WHOLE
+    * corpus and restricts to delta ids — the min-struct union lattice
+    * makes the incremental path coincide exactly, for any id
+    * interleaving. String window keys for the oracle; OpsSpec pins the
+    * hashed path identical and the index-merge fold law.
+    */
   private def q102SpanDelta(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val idx = graft.ops.Dedup.spanDedupIndex(

@@ -154,13 +154,16 @@ object Bpe {
           minPairCount, byteLevel)
       }
     }
-    require(numMerges <= 256,
-      s"BPE train: the vocabulary exceeds driverTrainMaxVocab=" +
-        s"$driverTrainMaxVocab, and the distributed fallback costs ~2 " +
-        s"Spark jobs per merge — numMerges=$numMerges would launch " +
-        s"~${2L * numMerges} jobs. Frequency-cut the vocabulary first " +
-        "(vocabMinCount / vocabTopN) so it fits the driver path, or " +
-        "raise driverTrainMaxVocab")
+    if (numMerges > 256) {
+      wf.unpersist() // don't leak the cached vocabulary on refusal (r18)
+      throw new IllegalArgumentException(
+        s"BPE train: the vocabulary exceeds driverTrainMaxVocab=" +
+          s"$driverTrainMaxVocab, and the distributed fallback costs ~2 " +
+          s"Spark jobs per merge — numMerges=$numMerges would launch " +
+          s"~${2L * numMerges} jobs. Frequency-cut the vocabulary first " +
+          "(vocabMinCount / vocabTopN) so it fits the driver path, or " +
+          "raise driverTrainMaxVocab")
+    }
     val out = scala.collection.mutable.ArrayBuffer[Merge]()
     var cur = wf
       .select(col("cnt"),

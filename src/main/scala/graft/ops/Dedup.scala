@@ -1201,23 +1201,39 @@ object Dedup {
   private def spanDedupParts(docs: DataFrame, idCol: String, textCol: String,
       k: Int, hashWindows: Boolean): (DataFrame, DataFrame) = {
     val (counted, wins) = spanWins(docs, idCol, textCol, k, hashWindows)
-    val firsts = wins.groupBy(col("wkey"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    val firsts = firstsOf(wins)
+      .select(col("wkey"), col("doc_id").as("f_doc"), col("pos").as("f_pos"))
     val dups = wins.join(firsts, "wkey")
-      .where(!(col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos")))
+      .where(!(col("doc_id") === col("f_doc") && col("pos") === col("f_pos")))
       .select(col("doc_id"), col("pos"), (col("pos") + (k - 1)).as("e"),
-        col("f.doc_id").as("src"))
+        col("f_doc").as("src"))
     (counted, dups)
   }
 
+  /** First occurrence per window key, flattened to (wkey, doc_id, pos) —
+    * the ONE definition of the min-struct lattice every span-family
+    * consumer shares ([[spanDedupParts]]'s probe, [[spanDedupIndex]],
+    * [[spanDedupIndexMerge]], [[spanDedupCutDelta]]'s delta firsts), so
+    * the tie rule cannot drift between the batch and incremental paths
+    * (r18 review).
+    */
+  private def firstsOf(rows: DataFrame): DataFrame =
+    rows.groupBy(col("wkey"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+      .select(col("wkey"), col("f.doc_id").as("doc_id"), col("f.pos").as("pos"))
+
   /** Tokenize + window-explode a corpus: `counted` = (doc_id, n_tokens,
-    * t), `wins` = (doc_id, pos, wkey) — one row per k-window occurrence,
-    * PERSISTED (it always feeds a firsts aggregation AND a probe join;
-    * without the persist the corpus is normalized/exploded twice — the
-    * no-exchange-reuse rule from NOTES).
+    * t), `wins` = (doc_id, pos, wkey) — one row per k-window occurrence.
+    * `persistWins` (default on) caches the window table for callers that
+    * consume it from SEVERAL plan branches (a firsts aggregation AND a
+    * probe join — without the persist the corpus is normalized/exploded
+    * once per branch, the no-exchange-reuse rule from NOTES);
+    * single-consumer callers ([[spanDedupIndex]]) pass false and skip
+    * the corpus-window-sized materialization entirely (r18 review).
     */
   private def spanWins(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, hashWindows: Boolean): (DataFrame, DataFrame) = {
+      k: Int, hashWindows: Boolean,
+      persistWins: Boolean = true): (DataFrame, DataFrame) = {
     require(k >= 1, "window length must be >= 1")
     val base = docs.select(col(idCol).as("doc_id"),
       split(graft.ops.TextAnalysis.normalize(
@@ -1234,8 +1250,10 @@ object Dedup {
           array_join(slice(col("t"), i, lit(k)), " ").as("win")))).as("p"))
       .select(col("doc_id"), col("p.pos").as("pos"),
         (if (hashWindows) xxhash64(col("p.win")) else col("p.win")).as("wkey"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    (counted, wins)
+    (counted,
+      if (persistWins)
+        wins.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else wins)
   }
 
   // ---- incremental span dedup (delta vs a persisted firsts index) ----
@@ -1251,21 +1269,47 @@ object Dedup {
     */
   def spanDedupIndex(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, hashWindows: Boolean = true): DataFrame = {
-    val (_, wins) = spanWins(docs, idCol, textCol, k, hashWindows)
-    wins.groupBy(col("wkey"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
-      .select(col("wkey"), col("f.doc_id").as("doc_id"), col("f.pos").as("pos"))
+    // single consumer of the window table: no persist (r18 review)
+    val (_, wins) = spanWins(docs, idCol, textCol, k, hashWindows,
+      persistWins = false)
+    stampIndexK(firstsOf(wins), k)
+  }
+
+  /** The window length `k` an index was built at rides as field metadata
+    * on `wkey` (Spark persists field metadata through parquet round
+    * trips), so [[spanDedupCutDelta]] can refuse a parameter-drifted
+    * index instead of silently under/over-cutting (r18 review).
+    * Hand-built indexes without the stamp are accepted unchecked.
+    */
+  private def stampIndexK(idx: DataFrame, k: Int): DataFrame = {
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.span.k", k.toLong).build()
+    idx.select(col("wkey").as("wkey", md), col("doc_id"), col("pos"))
+  }
+
+  private def indexKOf(idx: DataFrame): Option[Long] = {
+    val m = idx.schema("wkey").metadata
+    if (m.contains("graft.span.k")) Some(m.getLong("graft.span.k")) else None
   }
 
   /** Merge two firsts indexes (min-struct lattice join — associative,
     * commutative, idempotent): the result equals [[spanDedupIndex]] of
     * the concatenated corpora, so batches fold in any grouping. Shuffle
-    * is index-sized (distinct window keys), never corpus-sized.
+    * is index-sized (distinct window keys), never corpus-sized. Indexes
+    * stamped with DIFFERENT window lengths refuse to merge; the stamp
+    * propagates when present.
     */
-  def spanDedupIndexMerge(a: DataFrame, b: DataFrame): DataFrame =
-    a.unionByName(b).groupBy(col("wkey"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
-      .select(col("wkey"), col("f.doc_id").as("doc_id"), col("f.pos").as("pos"))
+  def spanDedupIndexMerge(a: DataFrame, b: DataFrame): DataFrame = {
+    (indexKOf(a), indexKOf(b)) match {
+      case (Some(x), Some(y)) =>
+        require(x == y, s"cannot merge span indexes built at different " +
+          s"window lengths: k=$x vs k=$y")
+      case _ => ()
+    }
+    val merged = firstsOf(a.unionByName(b))
+    indexKOf(a).orElse(indexKOf(b))
+      .map(kk => stampIndexK(merged, kk.toInt)).getOrElse(merged)
+  }
 
   /** INCREMENTAL exact-substring span dedup: [[spanDedupCut]]'s
     * accounting for the DELTA documents only, deduped against `baseIndex`
@@ -1289,10 +1333,23 @@ object Dedup {
   def spanDedupCutDelta(delta: DataFrame, idCol: String, textCol: String,
       baseIndex: DataFrame, k: Int = 8,
       hashWindows: Boolean = true): DataFrame = {
+    // parameter-drift guards (r18 review): a hashed index probed with
+    // string keys (or vice versa) matches NOTHING and silently keeps
+    // every duplicate; a k-drifted index silently under/over-cuts. The
+    // key TYPE catches the first; the metadata stamp (when present —
+    // spanDedupIndex always writes it) catches the second.
+    val keyType = baseIndex.schema("wkey").dataType
+    val expected: org.apache.spark.sql.types.DataType =
+      if (hashWindows) org.apache.spark.sql.types.LongType
+      else org.apache.spark.sql.types.StringType
+    require(keyType == expected,
+      s"baseIndex wkey is $keyType but hashWindows=$hashWindows expects " +
+        s"$expected — the index was built with the other key mode")
+    indexKOf(baseIndex).foreach(ik => require(ik == k.toLong,
+      s"baseIndex was built at k=$ik; this delta run uses k=$k — " +
+        "rebuild the index or match the window length"))
     val (counted, wins) = spanWins(delta, idCol, textCol, k, hashWindows)
-    val deltaFirsts = wins.groupBy(col("wkey"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
-      .select(col("wkey"), col("f.doc_id").as("doc_id"), col("f.pos").as("pos"))
+    val deltaFirsts = firstsOf(wins)
     // the union-min lattice: base index ∪ delta firsts, keyed min — but
     // only keys the DELTA actually carries matter, so semi-prune the
     // base side before the merge shuffle (the base index is the large

@@ -909,14 +909,18 @@ object StreamingPipeline {
     val fseq = when(fseqStr === "",
         raise_error(concat(lit("fileJsonStreamOrdered: file name carries " +
           "no sequence number: "), fname)))
-      // a digit run past 18 chars would cast to NULL under non-ANSI mode
-      // and slip through the __order overflow check below (null condition
-      // falls to otherwise) — fail it HERE with the targeted message
-      // (validated paths never reach this; globs/late files can)
-      .when(length(fseqStr) > 18,
+      // a digit run past a long must fail HERE with the targeted message
+      // rather than as an ANSI cast error (or, non-ANSI, a NULL that
+      // slips past the __order overflow check below — null condition
+      // falls to otherwise). try_cast covers both modes. Test the PARSED
+      // value, not the run length: Kafka-style zero-padded names
+      // (00000000000000012345.log, 20 digits) fit a long and must keep
+      // working (r18 review). Validated paths never reach this;
+      // globs/late files can.
+      .when(fseqStr.try_cast("long").isNull,
         raise_error(concat(lit("fileJsonStreamOrdered: __order overflow: " +
           "segment digit run exceeds a long: "), fname)))
-      .otherwise(fseqStr.cast("long"))
+      .otherwise(fseqStr.try_cast("long"))
     raw
       .select(fseq.as("__fseq"), col("value"))
       .select(col("__fseq"),

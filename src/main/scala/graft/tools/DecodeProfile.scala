@@ -107,8 +107,20 @@ object DecodeProfile {
     time("d_enc+slice+from_json(payload)")(sliced.select(
       from_json(col("p"), basePayloadSchema).as("__env"))
       .select(col("__env.op").as("op")))
-    time("e_enc+decode (current path)")(decoded)
+    // xxhash64 refuses maps: render __meta as json for the consumption hash
+    time("e_enc+decode (current path)")(decoded
+      .withColumn(Changelog.MetaCol, to_json(col(Changelog.MetaCol))))
     time("f_full q79 (materialize)")(full)
+    // the end-to-end effect of slicing INSIDE the roundtrip: the sliced
+    // payload is exactly the flat envelope, so decode runs with
+    // schemaEnvelope = false on it
+    def decodedSliced: DataFrame = graft.cdc.DebeziumJson.decode(
+      sliced.withColumnRenamed("p", "value"), "value", info.schema,
+      seqCol = Some(Changelog.SeqCol),
+      connectWire = true, schemaEnvelope = false)
+    time("g_full q79 over sliced decode")(Changelog.materialize(
+      Changelog.explode(decodedSliced.drop("__table")), Seq("user_id"))
+      .orderBy(col("user_id")))
 
     spark.stop()
   }

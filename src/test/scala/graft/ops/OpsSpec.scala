@@ -2493,6 +2493,37 @@ class OpsSpec extends SparkSpec {
     }
     // doc 2 is fully covered by base doc 1; doc 9 by delta doc 4; doc 0
     // KEEPS its text (it is the union-first against base doc 3)
+
+    // parameter-drift guards (r18 review): a key-mode or window-length
+    // mismatch between the persisted index and the delta run must REFUSE
+    // instead of silently keeping/cutting wrong spans
+    val baseDf = base.toDF("doc_id", "text")
+    val deltaDf = delta.toDF("doc_id", "text")
+    val idxS = Dedup.spanDedupIndex(baseDf, "doc_id", "text",
+      k = 8, hashWindows = false)
+    assert(intercept[IllegalArgumentException] {
+      Dedup.spanDedupCutDelta(deltaDf, "doc_id", "text", idxS,
+        k = 8, hashWindows = true)
+    }.getMessage.contains("key mode"))
+    assert(intercept[IllegalArgumentException] {
+      Dedup.spanDedupCutDelta(deltaDf, "doc_id", "text", idxS,
+        k = 6, hashWindows = false)
+    }.getMessage.contains("k=8"))
+    assert(intercept[IllegalArgumentException] {
+      Dedup.spanDedupIndexMerge(idxS,
+        Dedup.spanDedupIndex(baseDf, "doc_id", "text",
+          k = 6, hashWindows = false))
+    }.getMessage.contains("different"))
+    // the k stamp survives a parquet round trip (field metadata rides in
+    // Spark's parquet schema property) — the persisted-state contract
+    val dir = java.nio.file.Files.createTempDirectory("span_idx").toFile
+    idxS.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val reloaded = spark.read.parquet(dir.getAbsolutePath)
+    assert(intercept[IllegalArgumentException] {
+      Dedup.spanDedupCutDelta(deltaDf, "doc_id", "text", reloaded,
+        k = 6, hashWindows = false)
+    }.getMessage.contains("k=8"))
+    spark.catalog.clearCache()
   }
 
   test("multi-granularity span dedup: superset of fixed-k, fine stage cuts pair-local short spans, key paths identical") {

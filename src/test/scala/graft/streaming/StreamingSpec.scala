@@ -705,7 +705,7 @@ class StreamingSpec extends SparkSpec {
     StreamingPipeline.validateFileTopicOrder("/no/such/dir/anywhere")
   }
 
-  test("withFileOrder raises the targeted overflow message on a >18-digit run") {
+  test("withFileOrder raises the targeted overflow message on a past-long run; zero-padded long values keep working") {
     // globs skip config-time validation for late files; a digit run past
     // a long must hit the explicit __order overflow raise, not cast to
     // NULL and surface as a generic null-order failure (r18 advice)
@@ -721,6 +721,17 @@ class StreamingSpec extends SparkSpec {
     def m(t: Throwable) = Option(t.getMessage).getOrElse("")
     assert(m(e).contains("exceeds a long") ||
       Option(e.getCause).exists(c => m(c).contains("exceeds a long")))
+    // the guard tests the PARSED value, not the run length: Kafka-style
+    // 20-digit zero-padded segment names fit a long and must not raise
+    // (r18 review — a length>18 check would have broken them)
+    val dir2 = java.nio.file.Files.createTempDirectory("fileord_zeropad").toFile
+    java.nio.file.Files.write(
+      new java.io.File(dir2, "00000000000000012345.log").toPath,
+      "y\n".getBytes("UTF-8"))
+    val ok = StreamingPipeline.withFileOrder(
+      spark.read.format("text").option("wholetext", "true")
+        .load(dir2.getAbsolutePath)).collect()
+    assert(ok.map(r => r.getLong(0)).toSeq === Seq((12345L << 22) + 0))
   }
 
   test("withFileOrder raises on a file name with no sequence number") {
