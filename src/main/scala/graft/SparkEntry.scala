@@ -1871,9 +1871,18 @@ object SparkEntry {
     val emb = t(s, dir, "embeddings")
     val (cents, books) = Similarity.trainIvfPq(emb, "vec_id", "embedding",
       nlist = 8, itersIvf = 1, m = 4, ksub = 8, itersPq = 1)
+    // r18: the query routes through a full ANN-model SAVE/LOAD cycle
+    // ([[graft.ops.AnnModels]]) — train-once-reuse-across-sessions is the
+    // 100 TB deployment shape, and the bit-exact round trip (doubles as
+    // raw IEEE bits) means the DuckDB oracle, which re-derives the index
+    // from the data alone, keeps gating the LOADED model byte-identically.
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_q90_ivfpq_idx").toString
+    graft.ops.AnnModels.saveIvfPq(s, cents, books, idxDir)
+    val (lc, lb) = graft.ops.AnnModels.loadIvfPq(s, idxDir)
     Similarity.ivfPqTopKPrecomputed(emb, "vec_id", "embedding",
       emb.where(col("vec_id") < 10), "vec_id", "embedding",
-      k = 5, cents, books, nprobe = 2, coarseK = 32)
+      k = 5, lc, lb, nprobe = 2, coarseK = 32)
       .orderBy(col("query_id"), col("rank"))
   }
 

@@ -1446,6 +1446,64 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("ann model persistence: bit-exact round trips, kind/shape guards (r18)") {
+    val vecs = (0 until 60).map(i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 7 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val base = java.nio.file.Files.createTempDirectory("ann_models").toString
+    import graft.ops.AnnModels
+
+    // PcaModel: every double returns with identical raw bits
+    val pca = Similarity.pcaFit(vecs, "embedding", k = 5)
+    AnnModels.savePca(spark, pca, s"$base/pca")
+    val pca2 = AnnModels.loadPca(spark, s"$base/pca")
+    def rb(a: Array[Double]) = a.map(java.lang.Double.doubleToRawLongBits).toSeq
+    assert(rb(pca2.means) === rb(pca.means))
+    assert(rb(pca2.eigenvalues) === rb(pca.eigenvalues))
+    assert(pca2.components.map(rb).toSeq === pca.components.map(rb).toSeq)
+
+    // IVF centroids + PQ codebooks through the bundle helper
+    val (cents, books) = Similarity.trainIvfPq(vecs, "vec_id", "embedding",
+      nlist = 4, itersIvf = 2, m = 2, ksub = 4, itersPq = 2)
+    AnnModels.saveIvfPq(spark, cents, books, s"$base/ivfpq")
+    val (c2, b2) = AnnModels.loadIvfPq(spark, s"$base/ivfpq")
+    assert(centroidBits(c2) === centroidBits(cents))
+    assert(bookBits(b2) === bookBits(books))
+
+    // a loaded index retrieves row-identically to the in-memory one
+    val queries = vecs.where(col("vec_id") < 3)
+    val mem = Similarity.ivfPqTopKPrecomputed(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 4, cents, books,
+      nprobe = 2, coarseK = 16).collect().map(_.toSeq).toSeq
+    val loaded = Similarity.ivfPqTopKPrecomputed(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 4, c2, b2,
+      nprobe = 2, coarseK = 16).collect().map(_.toSeq).toSeq
+    assert(loaded === mem)
+
+    // kind guards: wrong-kind and unstamped files refuse to load
+    assert(intercept[IllegalArgumentException] {
+      AnnModels.loadCodebooks(spark, s"$base/ivfpq/centroids")
+    }.getMessage.contains("expects"))
+    assert(intercept[IllegalArgumentException] {
+      AnnModels.loadPca(spark, s"$base/ivfpq/codebooks")
+    }.getMessage.contains("expects"))
+    vecs.write.parquet(s"$base/plain")
+    assert(intercept[IllegalArgumentException] {
+      AnnModels.loadCentroids(spark, s"$base/plain")
+    }.getMessage.contains("not an AnnModels file"))
+
+    // shape guard: a truncated file (dropped rows) refuses to assemble
+    val raw = spark.read.parquet(s"$base/ivfpq/centroids")
+    val md = raw.schema("bits").metadata
+    raw.where(!(col("i") === 2 && col("j") === 3))
+      .select(col("s"), col("i"), col("j"), col("bits").as("bits",
+        md))
+      .write.parquet(s"$base/truncated")
+    assert(intercept[IllegalArgumentException] {
+      AnnModels.loadCentroids(spark, s"$base/truncated")
+    }.getMessage.contains("rectangular"))
+  }
+
   test("ivfpq: precoded path is row-identical to derive-on-the-fly") {
     val vecs = (0 until 60).map(i =>
       (i.toLong, Array.tabulate(8)(j => math.sin(i * 7 + j).toFloat)))
