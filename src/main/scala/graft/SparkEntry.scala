@@ -1876,8 +1876,11 @@ object SparkEntry {
     // 100 TB deployment shape, and the bit-exact round trip (doubles as
     // raw IEEE bits) means the DuckDB oracle, which re-derives the index
     // from the data alone, keeps gating the LOADED model byte-identically.
-    val idxDir = java.nio.file.Files
-      .createTempDirectory("graft_q90_ivfpq_idx").toString
+    // fixed path keyed by the data dir (overwritten each run): repeated
+    // bench/verify invocations must not accumulate /tmp dirs (r18 review)
+    val idxDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_q90_ivfpq_idx_" +
+        Integer.toHexString(dir.hashCode)).getAbsolutePath
     graft.ops.AnnModels.saveIvfPq(s, cents, books, idxDir)
     val (lc, lb) = graft.ops.AnnModels.loadIvfPq(s, idxDir)
     Similarity.ivfPqTopKPrecomputed(emb, "vec_id", "embedding",

@@ -130,8 +130,20 @@ object AnnModels {
 
   // ---- IVF centroids ((cid, vector); s unused)
 
+  /** Save contract (r18 review): cids must be contiguous `0..n-1` —
+    * what [[Similarity.trainIvfCentroids]] produces — checked HERE so a
+    * pruned/holey table fails at save, not as an unloadable file later.
+    * [[loadCentroids]] returns the array in ASCENDING cid order
+    * regardless of input order (cid is the identity; array position is
+    * not part of the contract).
+    */
   def saveCentroids(spark: SparkSession,
       centroids: Array[(Int, Array[Double])], dir: String): Unit = {
+    val cids = centroids.map(_._1).sorted
+    require(cids.sameElements(centroids.indices),
+      s"centroid ids must be contiguous 0..${centroids.length - 1} " +
+        s"(the trainer's output shape); got ${cids.take(8).mkString(",")}" +
+        (if (cids.length > 8) ",…" else ""))
     val rows = centroids.toSeq.flatMap { case (cid, v) =>
       v.zipWithIndex.map { case (x, j) => Row(0, cid, j, bits(x)) } }
     write(spark, rows, KindCentroids, dir)

@@ -156,13 +156,25 @@ object Bpe {
     }
     if (numMerges > 256) {
       wf.unpersist() // don't leak the cached vocabulary on refusal (r18)
+      // two distinct ways to reach the distributed loop deserve distinct
+      // diagnostics (r18 review): the probe found the vocabulary over a
+      // POSITIVE bound (frequency cuts help), or the caller FORCED the
+      // path with driverTrainMaxVocab <= 0 (they don't)
+      val (why, remedy) =
+        if (driverTrainMaxVocab > 0)
+          (s"the vocabulary exceeds driverTrainMaxVocab=$driverTrainMaxVocab",
+            "Frequency-cut the vocabulary first (vocabMinCount / " +
+              "vocabTopN) so it fits the driver path, or raise " +
+              "driverTrainMaxVocab")
+        else
+          (s"driverTrainMaxVocab=$driverTrainMaxVocab forces the " +
+            "distributed path",
+            "Use the driver path (driverTrainMaxVocab > 0) for " +
+              "production merge counts, or lower numMerges")
       throw new IllegalArgumentException(
-        s"BPE train: the vocabulary exceeds driverTrainMaxVocab=" +
-          s"$driverTrainMaxVocab, and the distributed fallback costs ~2 " +
+        s"BPE train: $why, and the distributed fallback costs ~2 " +
           s"Spark jobs per merge — numMerges=$numMerges would launch " +
-          s"~${2L * numMerges} jobs. Frequency-cut the vocabulary first " +
-          "(vocabMinCount / vocabTopN) so it fits the driver path, or " +
-          "raise driverTrainMaxVocab")
+          s"~${2L * numMerges} jobs. $remedy")
     }
     val out = scala.collection.mutable.ArrayBuffer[Merge]()
     var cur = wf

@@ -1329,6 +1329,14 @@ object Dedup {
     * append-only pipelines whose new ids sort after old ones never hit
     * this. Pass the returned merged index forward via
     * [[spanDedupIndexMerge]] (or recompute it; both equal).
+    *
+    * Cache ownership (the [[editDistanceJoin]] convention): the result
+    * references a MEMORY_AND_DISK persist of the DELTA's window table
+    * (two plan branches consume it) that stays registered after the
+    * consuming action. A long-running ingest loop calling this per
+    * batch should `spark.catalog.clearCache()` (or unpersist via
+    * `spark.sharedState.cacheManager`) between batches — each batch's
+    * cache is delta-sized, but hundreds of batches accumulate.
     */
   def spanDedupCutDelta(delta: DataFrame, idCol: String, textCol: String,
       baseIndex: DataFrame, k: Int = 8,

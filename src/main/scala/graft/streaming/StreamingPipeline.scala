@@ -802,11 +802,18 @@ object StreamingPipeline {
   def validateFileTopicOrder(path: String,
       seqRegex: String = FileSeqRegex,
       maxFileBytes: Long = 512L << 20,
-      hadoopConf: org.apache.hadoop.conf.Configuration =
-        new org.apache.hadoop.conf.Configuration()): Unit = {
+      hadoopConf: org.apache.hadoop.conf.Configuration = null): Unit = {
     import org.apache.hadoop.fs.{FileStatus, Path => HPath}
     val p = new HPath(path)
-    val fs = p.getFileSystem(hadoopConf)
+    // default to the ACTIVE session's Hadoop conf (fs.s3a credentials,
+    // fs.defaultFS, ...) so remote topics validate against the same
+    // filesystem view the read will use; a bare Configuration only when
+    // no session exists (r18 review)
+    val conf = Option(hadoopConf)
+      .orElse(org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sessionState.newHadoopConf()))
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf)
     // globStatus resolves both literal paths and glob patterns on any
     // Hadoop filesystem; a matched directory lists one level (the file
     // source's own non-recursive default)

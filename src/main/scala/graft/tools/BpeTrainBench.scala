@@ -25,8 +25,11 @@ object BpeTrainBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     // optional section filter: any of train|drift|fertility (default all)
-    val sections = if (args.length > 1) args.drop(1).toSet
-      else Set("train", "drift", "fertility")
+    val allSections = Set("train", "drift", "fertility")
+    val sections = if (args.length > 1) args.drop(1).toSet else allSections
+    require(sections.subsetOf(allSections),
+      s"unknown section(s): ${(sections -- allSections).mkString(",")} — " +
+        s"valid: ${allSections.mkString("|")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = graft.Sessions.tuned(SparkSession.builder()

@@ -100,8 +100,12 @@ object DecodeProfile {
     // sees the schema block; instr+substring are byte scans
     val basePayloadSchema = graft.cdc.DebeziumJson.parseSchema(info.schema,
       connectWire = true, schemaEnvelope = false)
+    // FIRST occurrence of the marker: in a schema-included envelope the
+    // envelope's own "payload": key precedes any payload CONTENT that
+    // happens to contain the same bytes (substring_index(-1) sliced at
+    // the LAST occurrence — wrong for such records; r18 review)
     def sliced: DataFrame = encoded.select(
-      substring_index(col("value"), "\"payload\":", -1).as("p"),
+      expr("substring(value, instr(value, '\"payload\":') + 10)").as("p"),
       col(Changelog.SeqCol))
       .select(expr("substring(p, 1, length(p) - 1)").as("p"), col(Changelog.SeqCol))
     time("d_enc+slice+from_json(payload)")(sliced.select(

@@ -1492,6 +1492,13 @@ class OpsSpec extends SparkSpec {
       AnnModels.loadCentroids(spark, s"$base/plain")
     }.getMessage.contains("not an AnnModels file"))
 
+    // save contract: non-contiguous cids (pruned cluster) refuse at SAVE
+    // time, not as an unloadable file later (r18 review)
+    assert(intercept[IllegalArgumentException] {
+      AnnModels.saveCentroids(spark,
+        cents.filter(_._1 != 1), s"$base/holey")
+    }.getMessage.contains("contiguous"))
+
     // shape guard: a truncated file (dropped rows) refuses to assemble
     val raw = spark.read.parquet(s"$base/ivfpq/centroids")
     val md = raw.schema("bits").metadata
