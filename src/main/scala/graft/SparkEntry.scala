@@ -2198,6 +2198,25 @@ object SparkEntry {
     * interleaving. String window keys for the oracle; OpsSpec pins the
     * hashed path identical and the index-merge fold law.
     */
+  /** q104: incremental span-dedup TRANSFORM
+    * ([[graft.ops.Dedup.spanDedupTextDelta]], r18 — the kept-text form
+    * of q102's accounting): the odd-doc_id delta's cleaned text against
+    * the even-half's persisted index. The oracle recomputes fixed-k=8
+    * union firsts over the WHOLE corpus, rebuilds each delta doc's kept
+    * text by position expansion (the q100 pattern), and restricts to
+    * delta ids — equal by the min-struct union lattice.
+    */
+  private def q104SpanTextDelta(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val idx = graft.ops.Dedup.spanDedupIndex(
+      docs.where(col("doc_id") % 2 === 0), "doc_id", "text",
+      k = 8, hashWindows = false)
+    graft.ops.Dedup.spanDedupTextDelta(
+      docs.where(col("doc_id") % 2 === 1), "doc_id", "text", idx,
+      k = 8, hashWindows = false)
+      .orderBy("doc_id")
+  }
+
   private def q102SpanDelta(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val idx = graft.ops.Dedup.spanDedupIndex(
@@ -2345,7 +2364,8 @@ object SparkEntry {
     "q100_multi_span_text" -> (q100MultiSpanText _),
     "q101_bpe_byte" -> (q101BpeByte _),
     "q102_span_delta" -> (q102SpanDelta _),
-    "q103_opq_balanced" -> (q103OpqBalanced _)
+    "q103_opq_balanced" -> (q103OpqBalanced _),
+    "q104_span_text_delta" -> (q104SpanTextDelta _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4416,7 +4436,42 @@ object SparkEntry {
         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY c2 DESC, neighbor_id ASC) AS rank FROM scored)
         |SELECT query_id, neighbor_id, rank, round(c2, 9) AS cos, round(a, 9) AS adc
-        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // incremental span-dedup TRANSFORM: q102's whole-corpus union-firsts
+    // recompute (row_number firsts == the min-struct lattice) + q100's
+    // position-expansion kept-text rebuild, restricted to delta ids
+    "q104_span_text_delta" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(
+        |    trim(regexp_replace(lower(coalesce(text, '')), '[^\p{L}\p{N}]+', ' ', 'g')),
+        |    ' ') AS t
+        |  FROM documents),
+        |w AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS win
+        |  FROM d, unnest(generate_series(1, len(t) - 7)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |r AS (SELECT doc_id, pos,
+        |  row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn FROM w),
+        |iv AS (SELECT doc_id, pos, pos + 7 AS e FROM r
+        |  WHERE rn > 1 AND doc_id % 2 = 1),
+        |cov AS (SELECT DISTINCT doc_id, u.p
+        |  FROM iv, unnest(generate_series(pos, e)) AS u(p)),
+        |tok AS (SELECT doc_id, i AS pos, t[i] AS tk
+        |  FROM d, unnest(generate_series(1,
+        |    CASE WHEN t = [''] THEN 0 ELSE len(t) END)) AS u(i)
+        |  WHERE doc_id % 2 = 1),
+        |kept AS (SELECT tok.doc_id, tok.pos, tok.tk
+        |  FROM tok LEFT JOIN cov
+        |    ON tok.doc_id = cov.doc_id AND tok.pos = cov.p
+        |  WHERE cov.p IS NULL)
+        |SELECT d.doc_id,
+        |  coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+        |  coalesce(k.kept_text, '') AS kept_text
+        |FROM d LEFT JOIN (
+        |  SELECT doc_id, count(*)::BIGINT AS n_kept,
+        |    string_agg(tk, ' ' ORDER BY pos) AS kept_text
+        |  FROM kept GROUP BY doc_id) k ON d.doc_id = k.doc_id
+        |WHERE d.doc_id % 2 = 1
+        |ORDER BY d.doc_id""".stripMargin
   )
 
   /** The q101 word source: documents plus the multi-byte literal rows of

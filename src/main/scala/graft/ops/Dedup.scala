@@ -1341,6 +1341,36 @@ object Dedup {
   def spanDedupCutDelta(delta: DataFrame, idCol: String, textCol: String,
       baseIndex: DataFrame, k: Int = 8,
       hashWindows: Boolean = true): DataFrame = {
+    val (counted, dups) =
+      spanDedupPartsDelta(delta, idCol, textCol, baseIndex, k, hashWindows)
+    intervalCutAccounting(counted, dups)
+  }
+
+  /** The dedup TRANSFORM for [[spanDedupCutDelta]]'s accounting
+    * (r18 — completes the incremental matrix the way [[spanDedupText]]
+    * completes [[spanDedupCut]]): per DELTA document, the normalized
+    * text with every span duplicating the base index or an earlier
+    * delta occurrence removed — `(doc_id, n_kept, kept_text)`. Same
+    * contract as the accounting form: equals `spanDedupText(base ∪
+    * delta)` restricted to delta ids, for any id interleaving. Shares
+    * [[spanDedupCutDelta]]'s cache-ownership note.
+    */
+  def spanDedupTextDelta(delta: DataFrame, idCol: String, textCol: String,
+      baseIndex: DataFrame, k: Int = 8,
+      hashWindows: Boolean = true): DataFrame = {
+    val (counted, dups) =
+      spanDedupPartsDelta(delta, idCol, textCol, baseIndex, k, hashWindows)
+    keptTextRebuild(counted, dups)
+  }
+
+  /** Shared front end of the incremental pair ([[spanDedupCutDelta]] /
+    * [[spanDedupTextDelta]]): parameter-drift guards, the delta window
+    * table, and the (doc_id, pos, e) duplicate intervals against the
+    * union-min lattice of `baseIndex` ∪ delta firsts.
+    */
+  private def spanDedupPartsDelta(delta: DataFrame, idCol: String,
+      textCol: String, baseIndex: DataFrame, k: Int,
+      hashWindows: Boolean): (DataFrame, DataFrame) = {
     // parameter-drift guards (r18 review): a hashed index probed with
     // string keys (or vice versa) matches NOTHING and silently keeps
     // every duplicate; a k-drifted index silently under/over-cuts. The
@@ -1369,6 +1399,6 @@ object Dedup {
     val dups = wins.join(merged, "wkey")
       .where(!(col("doc_id") === col("f_doc") && col("pos") === col("f_pos")))
       .select(col("doc_id"), col("pos"), (col("pos") + (k - 1)).as("e"))
-    intervalCutAccounting(counted, dups)
+    (counted, dups)
   }
 }

@@ -2555,6 +2555,20 @@ class OpsSpec extends SparkSpec {
         .collect().map(r => (r.get(0).toString, r.getLong(1), r.getInt(2))).toSet
       assert(merged === full, s"index fold hashWindows=$hashed")
       spark.catalog.clearCache()
+      // TRANSFORM form (r18): delta kept text == recompute-on-union's
+      // kept text restricted to delta ids
+      val expectText = Dedup.spanDedupText(union, "doc_id", "text",
+        k = 8, hashWindows = hashed)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+        .toMap.filter { case (id, _) => deltaIds(id) }
+      spark.catalog.clearCache()
+      val idxT = Dedup.spanDedupIndex(base.toDF("doc_id", "text"),
+        "doc_id", "text", k = 8, hashWindows = hashed)
+      val gotText = Dedup.spanDedupTextDelta(delta.toDF("doc_id", "text"),
+        "doc_id", "text", idxT, k = 8, hashWindows = hashed)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      assert(gotText === expectText, s"text delta hashWindows=$hashed")
+      spark.catalog.clearCache()
     }
     // doc 2 is fully covered by base doc 1; doc 9 by delta doc 4; doc 0
     // KEEPS its text (it is the union-first against base doc 3)
