@@ -182,6 +182,21 @@ object AnnModels {
     books
   }
 
+  // ---- OPQ bundle (rotation/ + codebooks/ subdirectories — what
+  // trainOpq returns: the balanced rotation model and the rotated-space
+  // PQ codebooks)
+
+  def saveOpq(spark: SparkSession, rotation: Similarity.PcaModel,
+      codebooks: Array[Array[Array[Double]]], dir: String): Unit = {
+    savePca(spark, rotation, s"$dir/rotation")
+    saveCodebooks(spark, codebooks, s"$dir/codebooks")
+  }
+
+  def loadOpq(spark: SparkSession, dir: String)
+      : (Similarity.PcaModel, Array[Array[Array[Double]]]) =
+    (loadPca(spark, s"$dir/rotation"),
+      loadCodebooks(spark, s"$dir/codebooks"))
+
   // ---- IVF-PQ bundle (centroids/ + codebooks/ subdirectories)
 
   def saveIvfPq(spark: SparkSession,

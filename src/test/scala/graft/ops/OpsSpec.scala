@@ -1480,6 +1480,16 @@ class OpsSpec extends SparkSpec {
       nprobe = 2, coarseK = 16).collect().map(_.toSeq).toSeq
     assert(loaded === mem)
 
+    // OPQ bundle (trainOpq's (rotation, codebooks) pair): raw-bits equal
+    val (rot, obooks) = Similarity.trainOpq(vecs, "vec_id", "embedding",
+      m = 2, ksub = 4, iters = 1)
+    AnnModels.saveOpq(spark, rot, obooks, s"$base/opq")
+    val (rot2, obooks2) = AnnModels.loadOpq(spark, s"$base/opq")
+    assert(rb(rot2.means) === rb(rot.means))
+    assert(rb(rot2.eigenvalues) === rb(rot.eigenvalues))
+    assert(rot2.components.map(rb).toSeq === rot.components.map(rb).toSeq)
+    assert(bookBits(obooks2) === bookBits(obooks))
+
     // kind guards: wrong-kind and unstamped files refuse to load
     assert(intercept[IllegalArgumentException] {
       AnnModels.loadCodebooks(spark, s"$base/ivfpq/centroids")
