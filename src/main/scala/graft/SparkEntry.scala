@@ -2198,6 +2198,19 @@ object SparkEntry {
     * interleaving. String window keys for the oracle; OpsSpec pins the
     * hashed path identical and the index-merge fold law.
     */
+  private def q102SpanDelta(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val idx = graft.ops.Dedup.spanDedupIndex(
+      docs.where(col("doc_id") % 2 === 0), "doc_id", "text",
+      k = 8, hashWindows = false)
+    graft.ops.Dedup.spanDedupCutDelta(
+      docs.where(col("doc_id") % 2 === 1), "doc_id", "text", idx,
+      k = 8, hashWindows = false)
+      .select(col("doc_id"), col("n_tokens"), col("cut_tokens"),
+        round(col("keep_frac"), 9).as("keep_frac"))
+      .orderBy("doc_id")
+  }
+
   /** q104: incremental span-dedup TRANSFORM
     * ([[graft.ops.Dedup.spanDedupTextDelta]], r18 — the kept-text form
     * of q102's accounting): the odd-doc_id delta's cleaned text against
@@ -2214,19 +2227,6 @@ object SparkEntry {
     graft.ops.Dedup.spanDedupTextDelta(
       docs.where(col("doc_id") % 2 === 1), "doc_id", "text", idx,
       k = 8, hashWindows = false)
-      .orderBy("doc_id")
-  }
-
-  private def q102SpanDelta(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val idx = graft.ops.Dedup.spanDedupIndex(
-      docs.where(col("doc_id") % 2 === 0), "doc_id", "text",
-      k = 8, hashWindows = false)
-    graft.ops.Dedup.spanDedupCutDelta(
-      docs.where(col("doc_id") % 2 === 1), "doc_id", "text", idx,
-      k = 8, hashWindows = false)
-      .select(col("doc_id"), col("n_tokens"), col("cut_tokens"),
-        round(col("keep_frac"), 9).as("keep_frac"))
       .orderBy("doc_id")
   }
 
@@ -2367,6 +2367,24 @@ object SparkEntry {
     "q103_opq_balanced" -> (q103OpqBalanced _),
     "q104_span_text_delta" -> (q104SpanTextDelta _)
   )
+
+  /** Shared DuckDB stages for the incremental span gates (q102/q104):
+    * tokenization (`d`), fixed-k=8 windows (`w`), and whole-corpus
+    * firsts numbering (`r` — `row_number` per window == the min-struct
+    * union lattice). One definition so the tie rule cannot drift
+    * between the accounting and TRANSFORM oracles (r18 review).
+    */
+  private def spanDeltaOracleStages: String =
+    """d AS (
+      |  SELECT doc_id, string_split(
+      |    trim(regexp_replace(lower(coalesce(text, '')), '[^\p{L}\p{N}]+', ' ', 'g')),
+      |    ' ') AS t
+      |  FROM documents),
+      |w AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS win
+      |  FROM d, unnest(generate_series(1, len(t) - 7)) AS u(i)
+      |  WHERE len(t) >= 8),
+      |r AS (SELECT doc_id, pos,
+      |  row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn FROM w)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -4303,18 +4321,9 @@ object SparkEntry {
     // (q94's stages) restricted to the delta ids — the incremental path
     // must coincide exactly by the min-struct union lattice
     "q102_span_delta" ->
-      """WITH d AS (
-        |  SELECT doc_id, string_split(
-        |    trim(regexp_replace(lower(coalesce(text, '')), '[^\p{L}\p{N}]+', ' ', 'g')),
-        |    ' ') AS t
-        |  FROM documents),
-        |n AS (SELECT doc_id,
+      (s"WITH $spanDeltaOracleStages,\n" +
+      """n AS (SELECT doc_id,
         |  (CASE WHEN t = [''] THEN 0 ELSE len(t) END)::BIGINT AS n_tokens FROM d),
-        |w AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS win
-        |  FROM d, unnest(generate_series(1, len(t) - 7)) AS u(i)
-        |  WHERE len(t) >= 8),
-        |r AS (SELECT doc_id, pos,
-        |  row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn FROM w),
         |iv AS (SELECT doc_id, pos, pos + 7 AS e FROM r WHERE rn > 1),
         |m AS (SELECT doc_id, pos, e, max(e) OVER (PARTITION BY doc_id
         |  ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
@@ -4328,7 +4337,7 @@ object SparkEntry {
         |    ELSE 1.0 END, 9) AS keep_frac
         |FROM n LEFT JOIN c ON n.doc_id = c.doc_id
         |WHERE n.doc_id % 2 = 1
-        |ORDER BY n.doc_id""".stripMargin,
+        |ORDER BY n.doc_id""".stripMargin),
     // balanced OPQ through a NON-identity permutation, fully recomputed:
     // the 2^4-factorial corpus makes the fixed-point covariance exactly
     // diagonal (dyadic means/moments -> exact IEEE divisions -> 0.0
@@ -4441,17 +4450,8 @@ object SparkEntry {
     // recompute (row_number firsts == the min-struct lattice) + q100's
     // position-expansion kept-text rebuild, restricted to delta ids
     "q104_span_text_delta" ->
-      """WITH d AS (
-        |  SELECT doc_id, string_split(
-        |    trim(regexp_replace(lower(coalesce(text, '')), '[^\p{L}\p{N}]+', ' ', 'g')),
-        |    ' ') AS t
-        |  FROM documents),
-        |w AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS win
-        |  FROM d, unnest(generate_series(1, len(t) - 7)) AS u(i)
-        |  WHERE len(t) >= 8),
-        |r AS (SELECT doc_id, pos,
-        |  row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn FROM w),
-        |iv AS (SELECT doc_id, pos, pos + 7 AS e FROM r
+      (s"WITH $spanDeltaOracleStages,\n" +
+      """iv AS (SELECT doc_id, pos, pos + 7 AS e FROM r
         |  WHERE rn > 1 AND doc_id % 2 = 1),
         |cov AS (SELECT DISTINCT doc_id, u.p
         |  FROM iv, unnest(generate_series(pos, e)) AS u(p)),
@@ -4471,7 +4471,7 @@ object SparkEntry {
         |    string_agg(tk, ' ' ORDER BY pos) AS kept_text
         |  FROM kept GROUP BY doc_id) k ON d.doc_id = k.doc_id
         |WHERE d.doc_id % 2 = 1
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin)
   )
 
   /** The q101 word source: documents plus the multi-byte literal rows of

@@ -179,6 +179,14 @@ object ScaleCurve {
         lit(0).as("label"))
   }
 
+  /** The replica-cache scheme identity ([[ReplicaCache]] marker): the
+    * replication scheme version AND the base corpus it replicated —
+    * shared with [[SpanDeltaBench]], which validates it before trusting
+    * a cached dir as its base.
+    */
+  private[tools] def schemeId(sfDir: String): String =
+    s"caesar-markerfix-v2 base=$sfDir"
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val factors = args(1).split(',').map(_.trim.toInt).toSeq
@@ -260,7 +268,7 @@ object ScaleCurve {
     // whitespace preconditions below are only asserted at build time. The
     // marker is written LAST, after every table lands, so a half-built dir
     // (crash mid-generation) also rebuilds instead of being trusted.
-    val schemeId = s"caesar-markerfix-v2 base=$sfDir"
+    val schemeId = ScaleCurve.schemeId(sfDir)
     for (f <- factors) {
       val dir = s"/tmp/graft_scale_f$f"
       val dirFile = new java.io.File(dir)

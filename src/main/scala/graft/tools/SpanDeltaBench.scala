@@ -59,9 +59,23 @@ object SpanDeltaBench {
       factors: Seq[Int], reps: Int): Unit = {
     val k = 8
     for (f <- factors) {
-      val basePath = s"/tmp/graft_scale_f$f/documents.parquet"
+      val baseDir = s"/tmp/graft_scale_f$f"
+      val basePath = s"$baseDir/documents.parquet"
       require(new java.io.File(basePath).isDirectory,
         s"$basePath missing — run graft.tools.ScaleCurve for factor $f first")
+      // validate the replica dir's SCHEME marker (r18 review): a dir
+      // built from a DIFFERENT base corpus or an older replication
+      // scheme would share no windows with this delta, silently turning
+      // the adversarial full-duplication workload into a no-op probe
+      val marker = new java.io.File(baseDir, "SCHEME")
+      val expectScheme = ScaleCurve.schemeId(sfDir)
+      val gotScheme =
+        if (marker.isFile)
+          new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+        else "<missing>"
+      require(gotScheme == expectScheme,
+        s"$baseDir was built under scheme '$gotScheme', need " +
+          s"'$expectScheme' — re-run ScaleCurve against this base corpus")
       val base = spark.read.parquet(basePath)
         .select(col("doc_id"), col("text"))
       val baseN = base.count()
