@@ -1260,13 +1260,23 @@ object SparkEntry {
   private def q62Hll(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Sketches
     val li = t(s, dir, "lineitem")
-    val regs = Sketches.hllRegisters(li, "l_orderkey", Seq("l_returnflag"))
+    // (r18 optimization) ONE distinct (flag, orderkey) pass feeds
+    // everything: HLL registers are duplicate-insensitive (max over
+    // ρ(md5) — identical registers from the distinct pairs), the
+    // per-flag true count is the pair count, and the ALL true count is
+    // the distinct-orderkey count over the pairs. Before: lineitem was
+    // scanned + distinct-aggregated three times (registers, per-flag
+    // count_distinct, ALL count_distinct); after: one scan + one
+    // distinct agg, everything else pair-frame-sized.
+    val pairs = li.select(col("l_returnflag"), col("l_orderkey")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val regs = Sketches.hllRegisters(pairs, "l_orderkey", Seq("l_returnflag"))
     val all = Sketches.hllMerge(
       regs.withColumn("l_returnflag", lit("ALL")), Seq("l_returnflag"))
     val est = Sketches.hllEstimate(regs.unionByName(all), Seq("l_returnflag"))
-    val nd = li.groupBy(col("l_returnflag"))
-      .agg(count_distinct(col("l_orderkey")).as("true_nd"))
-      .unionByName(li.select(lit("ALL").as("l_returnflag"),
+    val nd = pairs.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("true_nd"))
+      .unionByName(pairs.select(lit("ALL").as("l_returnflag"),
         col("l_orderkey")).groupBy(col("l_returnflag"))
         .agg(count_distinct(col("l_orderkey")).as("true_nd")))
     est.join(nd, "l_returnflag")
@@ -1762,7 +1772,11 @@ object SparkEntry {
       .select(col("term"), col("doc_id"), col("rank"))
     val tfW = Window.partitionBy(col("term"))
       .orderBy(col("tf").desc, col("doc_id").asc)
-    val tfTop = TextAnalysis.termFrequencies(docs, "doc_id", "text")
+    // raw tf frame: this retriever never reads df, so the full-vocab df
+    // agg + corpus-sized join of termFrequencies would be dead weight
+    // (r18 optimization; the persisted tf cache stays plan-identical
+    // with bm25TopK's — one tokenize for both retrievers, as before)
+    val tfTop = TextAnalysis.termFrequenciesRaw(docs, "doc_id", "text")
       .where(col("term").isin(terms: _*))
       .withColumn("rank", row_number().over(tfW))
       .where(col("rank") <= 20)

@@ -473,6 +473,11 @@ object Dedup {
     // prefix grams with their 0-based position in the document's full
     // frequency-sorted gram list (prefix = the first elements, so the
     // in-prefix position IS the global position)
+    // both join sides read the prefix table: persisted, or the whole
+    // prefix build (shingle explode, document-frequency aggregation, the
+    // collect_list sort) runs once PER SIDE — self-join exchanges are not
+    // reused across per-side alias projections (NOTES, the r8 rule; the
+    // r18 plan audit showed the subtree duplicated)
     val prefix = exploded.join(dfreq, "g")
       .groupBy(col("id"), col("sz"))
       .agg(array_sort(collect_list(struct(col("df"), col("g")))).as("ordered"))
@@ -480,6 +485,7 @@ object Dedup {
         posexplode(slice(col("ordered").getField("g"), lit(1),
           (col("sz") - alpha + 1).cast("int"))))
       .toDF("id", "sz", "p", "g")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val left = prefix.select(col("g"), col("id").as("id_a"),
       col("sz").as("sz_a"), col("p").as("p_a"))
     val right = prefix.select(col("g"), col("id").as("id_b"),
@@ -958,19 +964,26 @@ object Dedup {
     val wins = base.select(col("doc_id"), explode(expr(
       s"CASE WHEN size(t) >= $k THEN transform(sequence(1, size(t) - $k + 1), " +
         s"i -> array_join(slice(t, i, $k), ' ')) ELSE array() END")).as("win"))
-    // persisted: the per-window-key doc counts AND the per-doc stats join
-    // both consume this frame — unpersisted, the corpus would be
-    // normalized/split/window-exploded twice (the shared-pass pattern from
-    // TextAnalysis.termFrequencies; hashed keys keep the cache ~16 B/row)
     val keyed = wins.select(col("doc_id"),
       (if (hashWindows) xxhash64(col("win")) else col("win")).as("wkey"))
+    // aggregate BEFORE the shuffle-join (r18 optimization, guide §2.3):
+    // collapse to per-(doc, wkey) occurrence counts first — the doc-count
+    // aggregation and the stats join then run on the collapsed frame
+    // instead of the raw window-occurrence stream, the distinct-doc count
+    // becomes a plain count (occ rows are distinct (doc, wkey) by
+    // construction — no two-stage count_distinct), and the persisted
+    // shared frame (both branches consume occ) shrinks to the collapsed
+    // size. Output is identical: n_windows = Σ occurrence counts,
+    // dup_windows = Σ counts where the key spans >= 2 docs.
+    val occ = keyed.groupBy(col("doc_id"), col("wkey"))
+      .agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val docCounts = keyed.groupBy(col("wkey"))
-      .agg(count_distinct(col("doc_id")).as("ndocs"))
-    val stats = keyed.join(docCounts, "wkey")
+    val docCounts = occ.groupBy(col("wkey"))
+      .agg(count(lit(1)).as("ndocs"))
+    val stats = occ.join(docCounts, "wkey")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_windows"),
-        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("dup_windows"))
+      .agg(sum(col("c")).as("n_windows"),
+        sum(when(col("ndocs") >= 2, col("c")).otherwise(0L)).as("dup_windows"))
     docs.select(col(idCol).as("doc_id")).join(stats, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_windows"), lit(0L)).as("n_windows"),
@@ -1387,14 +1400,20 @@ object Dedup {
       s"baseIndex was built at k=$ik; this delta run uses k=$k — " +
         "rebuild the index or match the window length"))
     val (counted, wins) = spanWins(delta, idCol, textCol, k, hashWindows)
-    val deltaFirsts = firstsOf(wins)
-    // the union-min lattice: base index ∪ delta firsts, keyed min — but
+    // the union-min lattice: base index ∪ delta occurrences, keyed min —
     // only keys the DELTA actually carries matter, so semi-prune the
     // base side before the merge shuffle (the base index is the large
-    // frame here; the delta's distinct keys are the small one)
+    // frame here; the delta's distinct keys are the small one). min is
+    // associative/idempotent, so folding the delta's RAW window rows
+    // straight into one firstsOf equals the former two-stage
+    // firstsOf(delta) ∪-merge — and drops a full sort-aggregation pass
+    // over the delta window table (r18 optimization; plan: 3 sort-agg
+    // pairs → 2).
     val basePruned = baseIndex.join(
       wins.select(col("wkey")).distinct(), Seq("wkey"), "leftsemi")
-    val merged = spanDedupIndexMerge(basePruned, deltaFirsts)
+    val merged = firstsOf(
+      basePruned.select(col("wkey"), col("doc_id"), col("pos"))
+        .unionByName(wins.select(col("wkey"), col("doc_id"), col("pos"))))
       .select(col("wkey"), col("doc_id").as("f_doc"), col("pos").as("f_pos"))
     val dups = wins.join(merged, "wkey")
       .where(!(col("doc_id") === col("f_doc") && col("pos") === col("f_pos")))

@@ -259,18 +259,34 @@ object TextAnalysis {
   def termFrequencies(docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String,
       persistTf: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val tf = termFrequenciesRaw(docs, idCol, textCol, persistTf)
+    // tf rows are distinct (doc, term): counting them per term IS the
+    // document frequency — no second pass over raw tokens
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(df, "term").select(col("doc_id"), col("term"), col("tf"), col("df"))
+  }
+
+  /** The per-(doc, term) frequency frame WITHOUT the document-frequency
+    * join: `(doc_id, term, tf)` over [[normalize]]d alnum tokens — the
+    * single corpus tokenize behind [[termFrequencies]] and [[bm25TopK]],
+    * persisted by default (plan-identical callers share one cache).
+    * Use this when `df` is not needed (or is needed only for a pruned
+    * term subset): the full-vocabulary df aggregation and the
+    * corpus-row-sized tf⋈df join are exactly the work it skips
+    * (r18 optimization — bm25TopK paid that join twice, once per
+    * consumer branch).
+    */
+  def termFrequenciesRaw(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      persistTf: Boolean = true): org.apache.spark.sql.DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(split(normalize(col(textCol)), " ")).as("term"))
       .where(col("term") =!= "")
     val tf0 = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val tf = if (persistTf)
+    if (persistTf)
       tf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else tf0
-    // tf rows are distinct (doc, term): counting them per term IS the
-    // document frequency — no second pass over raw tokens
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    tf.join(df, "term").select(col("doc_id"), col("term"), col("tf"), col("df"))
   }
 
   /** Top-k distinctive terms per document, ranked by smoothed tf-idf
@@ -375,11 +391,23 @@ object TextAnalysis {
     require(k1Num >= 0 && k1Den > 0 && bNum >= 0 && bDen > 0 && bNum <= bDen,
       s"k1 >= 0 and b in [0,1] as positive rationals: $k1Num/$k1Den, $bNum/$bDen")
     import org.apache.spark.sql.expressions.Window
-    val tf = termFrequencies(docs, idCol, textCol)
+    // (r18 optimization) work from the RAW tf frame: the full-vocabulary
+    // df aggregation and the corpus-row-sized tf⋈df join of
+    // [[termFrequencies]] are unnecessary — df is only consumed for the
+    // query terms, and counting the FILTERED postings per term yields the
+    // identical corpus df (tf rows are distinct (doc, term)). Before this
+    // change both consumer branches (dl and cand) re-planned the tf⋈df
+    // join; plan: 2 full-vocab aggs + 2 corpus-sized joins → 0.
+    val tf = termFrequenciesRaw(docs, idCol, textCol)
+    // dl feeds the corpus stats AND the candidate join — persist, or the
+    // doc-length aggregation over the tf cache runs once per branch
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
-    val cand = tf
-      .where(col("term").isin(queryTerms: _*))
+    val post = tf.where(col("term").isin(queryTerms: _*))
+    val dfq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val cand = post
+      .join(broadcast(dfq), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
     val den = (lit(2) * col("df") + lit(1)) *
