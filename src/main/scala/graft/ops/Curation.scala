@@ -316,9 +316,13 @@ object Curation {
     // persisted: the first-occurrence aggregate AND the join-back both
     // consume the exploded line frame — unpersisted, the corpus would be
     // line-exploded twice (the termFrequencies shared-pass pattern)
+    // __key: the order-preserving (id, pos) packing — min(__key) ≡
+    // min(struct(id, pos)) bit-identically but hash-aggregates instead
+    // of sort-aggregating, and packed equality is pair equality (see
+    // PackedOrder; r18 optimization)
     val ex = docs.select(col(idCol).cast("long").as("__id"),
         posexplode(col(linesCol)).as(Seq("__pos", "__line")))
-      .withColumn("__key", struct(col("__id"), col("__pos")))
+      .withColumn("__key", PackedOrder.pack(col("__id"), col("__pos")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val firsts = ex.groupBy(col("__line")).agg(min(col("__key")).as("__first"))
     ex.join(firsts, "__line")

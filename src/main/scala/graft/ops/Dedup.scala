@@ -1231,6 +1231,13 @@ object Dedup {
     * (r18 review).
     */
   private def firstsOf(rows: DataFrame): DataFrame =
+    // NOTE (r18): min(struct) plans as SortAggregate; the PackedOrder
+    // decimal-min rewrite (HashAggregate) was tried and measured NEUTRAL
+    // here (q94 ±8% within noise, q97/q100 equal) — the span family's
+    // cost is the tokenize/explode, not this agg, and the production
+    // hashWindows path sorts cheap 8-byte keys. Kept as struct-min;
+    // dedupLinesCorpus (string keys, agg-dominated) keeps the packed
+    // form where it measured −32%.
     rows.groupBy(col("wkey"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
       .select(col("wkey"), col("f.doc_id").as("doc_id"), col("f.pos").as("pos"))
