@@ -626,6 +626,45 @@ class OpsSpec extends SparkSpec {
     assert(out === expected)
   }
 
+  test("PackedOrder: bijective round-trip, order-isomorphic, min ≡ min(struct)") {
+    // extreme ids + adjacent pairs: the sign offset and the 2^32 radix
+    // must preserve lexicographic order across the full long range
+    val pairs = Seq(
+      (Long.MinValue, 0), (Long.MinValue, Int.MaxValue), (-1L, 5),
+      (0L, 0), (0L, 1), (1L, 0), (41L, Int.MaxValue), (42L, 7), (42L, 8),
+      (Long.MaxValue, 0), (Long.MaxValue, Int.MaxValue))
+    val rows = pairs.toDF("id", "pos")
+      .select(col("id"), col("pos"),
+        PackedOrder.pack(col("id"), col("pos")).as("p"))
+      .select(col("id"), col("pos"), col("p"),
+        PackedOrder.unpackId(col("p")).as("id2"),
+        PackedOrder.unpackPos(col("p")).as("pos2"))
+      .collect()
+    rows.foreach { r =>
+      assert((r.getLong(3), r.getInt(4)) === ((r.getLong(0), r.getInt(1)))) }
+    val byPacked = rows
+      .sortBy(r => scala.math.BigDecimal(r.getDecimal(2)))
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(byPacked === pairs.sorted)
+    // grouped min over the packing ≡ min(struct) — the dedupLinesCorpus
+    // first-occurrence rewrite's exact contract
+    val rnd = new scala.util.Random(7)
+    val g = (1 to 300).map(_ =>
+      (rnd.nextInt(10).toString, rnd.nextLong(), rnd.nextInt(1000)))
+      .toDF("k", "id", "pos")
+    val viaPack = g.groupBy(col("k"))
+      .agg(min(PackedOrder.pack(col("id"), col("pos"))).as("p"))
+      .select(col("k"), PackedOrder.unpackId(col("p")).as("id"),
+        PackedOrder.unpackPos(col("p")).as("pos"))
+      .orderBy(col("k")).collect().toSeq
+    val viaStruct = g.groupBy(col("k"))
+      .agg(min(struct(col("id"), col("pos"))).as("f"))
+      .select(col("k"), col("f.id"), col("f.pos"))
+      .orderBy(col("k")).collect().toSeq
+    assert(viaPack.map(r => (r.getString(0), r.getLong(1), r.getInt(2))) ===
+      viaStruct.map(r => (r.getString(0), r.getLong(1), r.getInt(2))))
+  }
+
   test("bpe token estimate: pieces + long-word penalty") {
     val out = Seq(
       "Hello, world",          // hello + , + world = 3
