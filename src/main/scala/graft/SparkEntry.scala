@@ -1275,7 +1275,11 @@ object SparkEntry {
       regs.withColumn("l_returnflag", lit("ALL")), Seq("l_returnflag"))
     val est = Sketches.hllEstimate(regs.unionByName(all), Seq("l_returnflag"))
     val nd = pairs.groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("true_nd"))
+      // count(col), not count(1): a NULL orderkey forms a distinct
+      // (flag, NULL) pair but count_distinct — the pre-r18 form and the
+      // ALL branch below — excludes NULLs; keep both branches agreeing
+      // (r18 review)
+      .agg(count(col("l_orderkey")).as("true_nd"))
       .unionByName(pairs.select(lit("ALL").as("l_returnflag"),
         col("l_orderkey")).groupBy(col("l_returnflag"))
         .agg(count_distinct(col("l_orderkey")).as("true_nd")))

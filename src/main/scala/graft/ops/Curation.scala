@@ -301,15 +301,20 @@ object Curation {
     * repeats (navigation chrome, cookie banners, license footers).
     *
     * First-occurrence resolution is a partial-combining `min` aggregate
-    * over the struct `(id, pos)` (struct ordering is lexicographic, so
-    * min = earliest document, then earliest position — no arithmetic
-    * encoding to overflow or collide) plus an equi-join back on the
-    * line — NOT a `row_number` window partitioned by line: a boilerplate
-    * line repeated 10⁹ times would serialize through one sorted
-    * partition, while the aggregate combines map-side and AQE splits the
-    * remaining skewed join. Input: one row per document with an
-    * array-of-lines column. Output: (id, kept_lines in original order,
-    * n_lines, n_removed).
+    * over [[PackedOrder]]'s exact decimal encoding of `(id, pos)`
+    * (numeric order ≡ lexicographic pair order, so min = earliest
+    * document, then earliest position — bit-identical to a
+    * `min(struct(id, pos))`, but the decimal buffer hash-aggregates
+    * where a struct buffer forces SortAggregate; r18 optimization,
+    * −32% measured) plus an equi-join back on the line — NOT a
+    * `row_number` window partitioned by line: a boilerplate line
+    * repeated 10⁹ times would serialize through one sorted partition,
+    * while the aggregate combines map-side and AQE splits the remaining
+    * skewed join. Input: one row per document with an array-of-lines
+    * column; ids must be non-null and long-castable (a null id fails
+    * fast — under the packing it would otherwise silently drop the
+    * doc's lines from the keeper resolution). Output: (id, kept_lines
+    * in original order, n_lines, n_removed).
     */
   def dedupLinesCorpus(
       docs: DataFrame, idCol: String, linesCol: String): DataFrame = {
@@ -319,8 +324,14 @@ object Curation {
     // __key: the order-preserving (id, pos) packing — min(__key) ≡
     // min(struct(id, pos)) bit-identically but hash-aggregates instead
     // of sort-aggregating, and packed equality is pair equality (see
-    // PackedOrder; r18 optimization)
-    val ex = docs.select(col(idCol).cast("long").as("__id"),
+    // PackedOrder; r18 optimization). A null id packs to null, which
+    // min() would silently skip (and null equality never matches) —
+    // raise instead of corrupting the keeper resolution (r18 review).
+    val idChecked = when(col(idCol).isNull,
+        raise_error(lit("dedupLinesCorpus: null document id — ids must " +
+          "be non-null and long-castable")))
+      .otherwise(col(idCol).cast("long"))
+    val ex = docs.select(idChecked.as("__id"),
         posexplode(col(linesCol)).as(Seq("__pos", "__line")))
       .withColumn("__key", PackedOrder.pack(col("__id"), col("__pos")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -947,15 +947,17 @@ object Dedup {
     * windows, how many of those windows also occur in at least one OTHER
     * document, and the duplicated fraction.
     *
-    * Shape at 100 TB: windows explode to ~tokens-per-doc rows but
-    * immediately hash-aggregate by window key with map-side partials
-    * (count-distinct-docs is the standard two-level expand aggregate);
-    * the per-position verdict is one equi-join of the window frame
-    * against the aggregate. Nothing is ever all-pairs. `hashWindows`
-    * shuffles 8-byte xxhash64 keys instead of the window strings — the
-    * scale path; the string path exists so an external oracle can
-    * reproduce counts exactly (OpsSpec pins both paths to identical
-    * output on fixtures).
+    * Shape at 100 TB (r18): windows explode to ~tokens-per-doc rows but
+    * immediately hash-aggregate to per-(doc, wkey) occurrence counts
+    * with map-side partials; the per-key doc count is then a PLAIN
+    * count over that collapsed frame (its rows are distinct (doc, wkey)
+    * by construction — no two-level distinct aggregate), and the
+    * per-doc verdict is one equi-join of collapsed-frame-sized inputs,
+    * never the raw occurrence stream. Nothing is ever all-pairs.
+    * `hashWindows` shuffles 8-byte xxhash64 keys instead of the window
+    * strings — the scale path; the string path exists so an external
+    * oracle can reproduce counts exactly (OpsSpec pins both paths to
+    * identical output on fixtures).
     */
   def crossDocSpanStats(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, hashWindows: Boolean = true): DataFrame = {

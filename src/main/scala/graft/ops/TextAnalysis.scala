@@ -376,12 +376,16 @@ object TextAnalysis {
     *
     * N counts documents with ≥1 alnum token (the only BM25 candidates).
     *
-    * Scale shape: ONE corpus tokenize via [[termFrequencies]] (persisted
-    * tf frame feeds tf, df AND dl); corpus stats (N, S) are a 1-row
-    * aggregate broadcast into the scoring projection; the query-term
-    * filter prunes the tf frame to the terms' postings BEFORE any join;
-    * per-term top-k plans as a window-group-limit over the postings, so
-    * nothing corpus-sized ever sorts or shuffles beyond the tf hash aggs.
+    * Scale shape (r18): ONE corpus tokenize via [[termFrequenciesRaw]]
+    * (the persisted raw tf frame feeds the postings filter AND the
+    * persisted per-doc dl aggregate); df is computed ON the filtered
+    * postings — identical to the corpus df for those terms, since tf
+    * rows are distinct (doc, term) — so no full-vocabulary df aggregate
+    * and no corpus-row-sized tf⋈df join exists anywhere in the plan;
+    * corpus stats (N, S) are a 1-row aggregate broadcast into the
+    * scoring projection; per-term top-k plans as a window-group-limit
+    * over the postings, so nothing corpus-sized ever sorts or shuffles
+    * beyond the tf hash agg.
     */
   def bm25TopK(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, queryTerms: Seq[String], k: Int,
