@@ -327,10 +327,14 @@ object Curation {
     // PackedOrder; r18 optimization). A null id packs to null, which
     // min() would silently skip (and null equality never matches) —
     // raise instead of corrupting the keeper resolution (r18 review).
-    val idChecked = when(col(idCol).isNull,
-        raise_error(lit("dedupLinesCorpus: null document id — ids must " +
-          "be non-null and long-castable")))
-      .otherwise(col(idCol).cast("long"))
+    // checks the CASTED value too: under non-ANSI Spark a non-castable
+    // id casts to null (ANSI throws at the cast itself) — both modes
+    // must fail loudly, the hashSample convention (r18 review)
+    val idCast = col(idCol).cast("long")
+    val idChecked = when(col(idCol).isNull || idCast.isNull,
+        raise_error(lit("dedupLinesCorpus: null or non-long-castable " +
+          "document id — ids must be non-null and long-castable")))
+      .otherwise(idCast)
     val ex = docs.select(idChecked.as("__id"),
         posexplode(col(linesCol)).as(Seq("__pos", "__line")))
       .withColumn("__key", PackedOrder.pack(col("__id"), col("__pos")))

@@ -981,7 +981,10 @@ object Dedup {
       .agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docCounts = occ.groupBy(col("wkey"))
-      .agg(count(lit(1)).as("ndocs"))
+      // count(col), not count(1): a NULL doc id forms its own occ row,
+      // but the pre-r18 count_distinct(doc_id) excluded NULLs from
+      // ndocs — keep that semantics (r18 review)
+      .agg(count(col("doc_id")).as("ndocs"))
     val stats = occ.join(docCounts, "wkey")
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_windows"),

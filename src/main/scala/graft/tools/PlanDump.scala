@@ -19,10 +19,12 @@ object PlanDump {
       .config("spark.sql.shuffle.partitions", 4))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // fmt mode needs the outDir operand; a bare 3-arg "fmt" stays the
-    // legacy filter mode (grep plan lines containing "fmt") instead of
-    // dying on args(3) after a full session spin-up (r18 review)
-    if (args.length > 3 && args(2) == "fmt") {
+    // fmt mode needs the outDir operand — fail with usage, not an
+    // ArrayIndexOutOfBounds (nor a silent fall-through to filter mode
+    // grepping for the literal "fmt") after session spin-up (r18 review)
+    if (args.length > 2 && args(2) == "fmt") {
+      require(args.length > 3,
+        "usage: PlanDump <sfDir> <q1,q2,...> fmt <outDir> [suffix]")
       val outDir = new java.io.File(args(3))
       outDir.mkdirs()
       val suffix = if (args.length > 4) args(4) else "plan"
