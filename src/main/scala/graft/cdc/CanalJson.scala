@@ -62,7 +62,18 @@ object CanalJson {
     */
   def decode(json: DataFrame, jsonCol: String, payload: StructType,
       seqCol: Option[String] = None): DataFrame = {
-    val env = json.withColumn("__env", from_json(col(jsonCol), envelopeSchema(payload)))
+    // explode(array(...)) is a generator BARRIER (NOTES "Fix B"):
+    // InferFiltersFromGenerate infers `size(data) > 0 AND isnotnull(data)`
+    // for the posexplode below and pushes it under the projection by
+    // INLINING the aliased envelope parse — every row then paid the
+    // to_json+from_json round trip twice (q40's r19 before-plan shows the
+    // duplicated from_json in the pushed Filter). Inferred/pushed filters
+    // cannot cross a Generate, so with the barrier they evaluate against
+    // the materialized `__env` attribute instead — one parse per row.
+    // array(x) is a never-null 1-element array: explode yields exactly
+    // one row per input row (null x included) — same rows as withColumn.
+    val env = json.withColumn("__env",
+      explode(array(from_json(col(jsonCol), envelopeSchema(payload)))))
     val seq = seqCol.map(col).getOrElse(monotonically_increasing_id())
     env
       // extract the envelope's scalar fields BEFORE the generator: the

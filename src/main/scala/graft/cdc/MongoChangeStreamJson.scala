@@ -72,8 +72,17 @@ object MongoChangeStreamJson {
     */
   def decode(json: DataFrame, jsonCol: String, payload: StructType,
       seqCol: Option[String] = None): DataFrame = {
+    // explode(array(...)) is a generator BARRIER (NOTES "Fix B"): the op
+    // filters below reference `__env`, and Catalyst pushes a filter below
+    // a plain projection by INLINING the aliased expression — every row
+    // then paid the envelope parse twice (a schema-pruned but still
+    // full-tokenize from_json copy in the pushed Filter, plus the full
+    // parse in the Project; q60's r19 before-plan shows both nodes).
+    // Filters cannot cross a Generate, so the parse runs exactly once.
+    // array(x) is a never-null 1-element array: explode yields exactly
+    // one row per input row (null x included) — same rows as withColumn.
     val env = json.withColumn("__env",
-      from_json(col(jsonCol), envelopeSchema(payload)))
+      explode(array(from_json(col(jsonCol), envelopeSchema(payload)))))
     val op = col("__env.operationType")
     val seq = seqCol.map(col).getOrElse(col("__env.clusterTime"))
     env
