@@ -41,9 +41,16 @@ private[ops] object PackedOrder {
   def pack(id: Column, pos: Column): Column =
     (id.cast(DecimalType(20, 0)) + lit(SignOffset)) * lit(PosRadix) + pos
 
-  /** The id component of a packed value, as a long. */
+  /** The id component of a packed value, as a long. Subtracting the pos
+    * remainder FIRST makes the division exact (quotient is an integer),
+    * so Spark's round-to-scale decimal division is a no-op for any pos
+    * in [0, 2^32) — the previous `floor(packed / 2^32)` relied on the
+    * quotient's fraction staying under the HALF_UP threshold, which held
+    * only while pos < 2^31 (r19, ADVICE hardening).
+    */
   def unpackId(packed: Column): Column =
-    (floor(packed / lit(PosRadix)) - lit(SignOffset)).cast("long")
+    (((packed - packed % lit(PosRadix)) / lit(PosRadix)) - lit(SignOffset))
+      .cast("long")
 
   /** The pos component of a packed value, as an int. */
   def unpackPos(packed: Column): Column =
