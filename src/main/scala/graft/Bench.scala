@@ -47,6 +47,13 @@ object Bench {
     streamThroughput(spark, warmDir, tableCount = 4)
     ingestThroughput(spark, warmDir)
     logCodeCache("after-warmup")
+    // r19 cache hygiene (r18 verdict #3): the warmup pass registers every
+    // in-query persist against the WARMUP corpus — plan-distinct from the
+    // measured SF's frames, so they are dead weight in the storage pool
+    // for the rest of the run. Drop them (and log what was held) before
+    // the measured passes. This runs OUTSIDE any timed region and does
+    // not change what the measured cells cache or reuse.
+    logAndClearCaches(spark, "after-warmup")
     // 2-run protocol: single runs swing 2-5x on individual queries (JSON
     // codec + GC luck); the committed artifact IS the authoritative
     // record, so it carries BOTH measured totals and the per-query min —
@@ -64,6 +71,12 @@ object Bench {
     logCodeCache("after-pass1")
     val run2 = measuredPass().toMap
     logCodeCache("after-pass2")
+    // r19 cache hygiene: after BOTH measured passes (pass-2 cells keep
+    // their warm-cache semantics — unchanged since r8), release the 104
+    // queries' accumulated in-query persists so the stream/ingest phases
+    // run with a clean storage pool, and log the held set so unbounded
+    // growth across a long session is visible in every artifact.
+    logAndClearCaches(spark, "after-pass2")
     val mins = run1.map { case (k, v) => k -> math.min(v, run2(k)) }
     // SHORT query keys (qNN — the prefix before the first underscore, all
     // unique) at 2 decimals: the driver stores only the output TAIL, and
@@ -225,6 +238,22 @@ object Bench {
     System.err.println(
       f"[bench] machine_factor_mem: $secs%.2f s (floor across artifacts = nominal; NOTES)")
     secs
+  }
+
+  /** Storage-pool audit + release (r19, r18 verdict #3): print how many
+    * RDDs the in-query persists left registered and their memory/disk
+    * footprint, then clear the SQL cache. The operators' documented
+    * ownership contract is caller-releases (module headers since r8);
+    * the bench is the caller here, and a 104-query session that never
+    * releases grows the pool until LRU eviction starts thrashing the
+    * frames a RUNNING query still needs.
+    */
+  private def logAndClearCaches(spark: SparkSession, tag: String): Unit = {
+    val rdds = spark.sparkContext.getRDDStorageInfo
+    System.err.println(s"[bench] cached RDDs @$tag: n=${rdds.length} " +
+      f"mem=${rdds.map(_.memSize).sum / 1048576}%dMB " +
+      f"disk=${rdds.map(_.diskSize).sum / 1048576}%dMB — clearing")
+    spark.catalog.clearCache()
   }
 
   /** JIT code-cache occupancy per CodeHeap segment (stderr). The bench's
