@@ -19,6 +19,32 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Fan a small single-split scan out to the session's shuffle width
+    * before per-row-expensive work (the JSON envelope codec round trips):
+    * a table that arrives as one scan partition — the sf corpora are
+    * single small parquet files with one row group — otherwise runs its
+    * entire pre-first-exchange stage (to_json encode + from_json parse in
+    * the decode family) in ONE task regardless of core count (r19; guide
+    * §2 scale-adaptive partitioning — measured 2× on the q18 shape at
+    * sf0.1/local[32], where all ten tables scan as 1 split). The exchange
+    * moves the narrow pre-encode rows once — far fewer bytes than the
+    * JSON strings built after it. Skipped when the scan already has at
+    * least half the target width: a 100 TB input arrives as thousands of
+    * splits, where this repartition would be a pure extra pass over the
+    * data. The partition count is pinned explicitly because AQE would
+    * coalesce a sub-advisory-size exchange back down to one partition —
+    * and it is the session's configured shuffle width, not a constant,
+    * so the driver's low-core bench run keeps its own scale. Safe only
+    * where row placement cannot reach the output: every caller's __seq
+    * is a source column (never monotonically_increasing_id) and every
+    * downstream materialize/orderBy keys on deterministic columns.
+    */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (df.rdd.getNumPartitions * 2 >= target) df
+    else df.repartition(target)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -253,7 +279,7 @@ object SparkEntry {
     */
   private def q18DebeziumRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val ev = t(s, dir, "events")
+    val ev = fanOut(t(s, dir, "events"))
     val payloadSchema = StructType(Seq(
       StructField("user_id", LongType),
       StructField("last_value", DoubleType)))
@@ -288,7 +314,7 @@ object SparkEntry {
     */
   private def q79ConnectSchemaRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val ev = t(s, dir, "events")
+    val ev = fanOut(t(s, dir, "events"))
     val info = graft.model.TableInfo(
       StructType(Seq(
         StructField("user_id", LongType, nullable = false),
@@ -342,7 +368,7 @@ object SparkEntry {
 
   private def q19TextStats(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.TextAnalysis._
-    t(s, dir, "documents").select(
+    fanOut(t(s, dir, "documents")).select(
       col("doc_id"),
       tokenCount(col("text")).as("n_tokens"),
       round(punctRatio(col("text")), 6).as("punct_ratio"),
@@ -370,7 +396,8 @@ object SparkEntry {
 
   private def q22DedupMinhash(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Dedup
-    Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text", threshold = 0.6)
+    Dedup.minhashLshPairs(fanOut(t(s, dir, "documents")), "doc_id", "text",
+      threshold = 0.6)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -556,7 +583,7 @@ object SparkEntry {
     */
   private def q33EmbedIvf(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Similarity
-    val emb = t(s, dir, "embeddings")
+    val emb = fanOut(t(s, dir, "embeddings"))
     Similarity.ivfTopK(
       emb, "vec_id", "embedding",
       emb.where(col("vec_id") < 10), "vec_id", "embedding",
@@ -738,7 +765,7 @@ object SparkEntry {
     * must equal the direct materialization (same oracle as q13).
     */
   private def q40CanalRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
+    val ev = fanOut(t(s, dir, "events"))
     val payload = struct(col("user_id"), round(col("value"), 2).as("last_value"))
     val paired = ev.select(
       when(col("event_type") === "signup", "I")
@@ -843,7 +870,7 @@ object SparkEntry {
     * Jaccard pair set.
     */
   private def q45DedupResolve(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    val docs = fanOut(t(s, dir, "documents"))
     val pairs = graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.6)
     graft.ops.Dedup.nearDupClusters(docs.select(col("doc_id")), "doc_id", pairs)
       .select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
@@ -859,7 +886,7 @@ object SparkEntry {
     * shuffle, no UDFs.
     */
   private def q46Pii(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    val docs = fanOut(t(s, dir, "documents"))
     val synth = concat(
       lit("contact user"), col("doc_id").cast(StringType),
       lit("@"), col("source"), lit(".org call 202-555-"),
@@ -1031,7 +1058,7 @@ object SparkEntry {
   private def q54Temporal(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.CdcTemporal
     import org.apache.spark.sql.types._
-    val ev = t(s, dir, "events").select(col("event_id"))
+    val ev = fanOut(t(s, dir, "events").select(col("event_id")))
     val h0 = col("event_id") % 24
     val m = (col("event_id") * 7) % 60
     val sec = (col("event_id") * 13) % 60
@@ -1145,7 +1172,7 @@ object SparkEntry {
     */
   private def q58IvfExhaustive(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Similarity
-    val emb = t(s, dir, "embeddings")
+    val emb = fanOut(t(s, dir, "embeddings"))
     Similarity.ivfTopK(
       emb, "vec_id", "embedding",
       emb.where(col("vec_id") >= 20 && col("vec_id") < 30), "vec_id", "embedding",
@@ -1168,7 +1195,7 @@ object SparkEntry {
     */
   private def q59SimhashBlocking(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Dedup
-    Dedup.simhashPairsOf(md5Simhash60(t(s, dir, "documents")),
+    Dedup.simhashPairsOf(md5Simhash60(fanOut(t(s, dir, "documents"))),
         maxHamming = 3, numChunks = 6)
       .select(col("id_a"), col("id_b"),
         col("hamming").cast("bigint").as("hamming"))
@@ -1208,7 +1235,7 @@ object SparkEntry {
     * images and materialized latest-wins by user.
     */
   private def q60MongoRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
+    val ev = fanOut(t(s, dir, "events"))
     val payloadSchema = StructType(Seq(
       StructField("user_id", LongType),
       StructField("last_value", DoubleType)))
@@ -1260,16 +1287,19 @@ object SparkEntry {
   private def q62Hll(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Sketches
     val li = t(s, dir, "lineitem")
-    // (r18 optimization) ONE distinct (flag, orderkey) pass feeds
-    // everything: HLL registers are duplicate-insensitive (max over
-    // ρ(md5) — identical registers from the distinct pairs), the
-    // per-flag true count is the pair count, and the ALL true count is
-    // the distinct-orderkey count over the pairs. Before: lineitem was
-    // scanned + distinct-aggregated three times (registers, per-flag
-    // count_distinct, ALL count_distinct); after: one scan + one
-    // distinct agg, everything else pair-frame-sized.
+    // (r18 optimization, r19 adjudication) ONE distinct (flag, orderkey)
+    // frame feeds everything: HLL registers are duplicate-insensitive
+    // (max over ρ(md5) — identical registers from the distinct pairs),
+    // the per-flag true count is the pair count, and the ALL true count
+    // is the distinct-orderkey count over the pairs. Before r18:
+    // lineitem was scanned + distinct-aggregated three times. r18
+    // additionally PERSISTED this frame; the r19 interleaved A/B
+    // (Q62Probe, 5 reps) showed the persist IS the regression the r18
+    // driver artifact caught (old 3-scan 1.15 s median / persist 1.72 /
+    // no-persist 1.07): the three consumers' distinct subtrees are
+    // plan-identical, so Spark reuses ONE exchange across them anyway,
+    // and the cache materialization was pure overhead on top.
     val pairs = li.select(col("l_returnflag"), col("l_orderkey")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val regs = Sketches.hllRegisters(pairs, "l_orderkey", Seq("l_returnflag"))
     val all = Sketches.hllMerge(
       regs.withColumn("l_returnflag", lit("ALL")), Seq("l_returnflag"))
@@ -1336,7 +1366,8 @@ object SparkEntry {
     */
   private def q65DupSpans(s: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.crossDocSpanStats(
-      t(s, dir, "documents"), "doc_id", "text", k = 8, hashWindows = false)
+      fanOut(t(s, dir, "documents")), "doc_id", "text", k = 8,
+      hashWindows = false)
       .orderBy(col("doc_id"))
 
   /** EXACT n-gram Jaccard join via document-frequency prefix filtering
@@ -1345,8 +1376,8 @@ object SparkEntry {
     * filter dropped a qualifying pair.
     */
   private def q66JaccardJoin(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Dedup.jaccardJoinExact(t(s, dir, "documents"), "doc_id", "text",
-      threshold = 0.6)
+    graft.ops.Dedup.jaccardJoinExact(fanOut(t(s, dir, "documents")),
+      "doc_id", "text", threshold = 0.6)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
 
@@ -1363,8 +1394,8 @@ object SparkEntry {
     * tf-idf's ranking).
     */
   private def q68LmScore(s: SparkSession, dir: String): DataFrame =
-    graft.ops.LanguageModel.scoreCorpus(t(s, dir, "documents"), "doc_id", "text",
-      minCount = 5)
+    graft.ops.LanguageModel.scoreCorpus(t(s, dir, "documents"),
+      "doc_id", "text", minCount = 5)
       .select(col("doc_id"), col("n_tok"), col("n_oov"), col("sum_cnt"),
         round(col("avg_cnt"), 6).as("avg_cnt"))
       .orderBy(col("doc_id"))
@@ -1376,7 +1407,8 @@ object SparkEntry {
     */
   private def q69Dsir(s: SparkSession, dir: String): DataFrame =
     graft.ops.LanguageModel.importanceWeights(
-      t(s, dir, "documents"), "doc_id", "text", col("lang") === "en", minCount = 5)
+      t(s, dir, "documents"), "doc_id", "text", col("lang") === "en",
+      minCount = 5)
       .select(col("doc_id"), col("n_tok"), col("sum_t_cnt"), col("sum_b_cnt"))
       .orderBy(col("doc_id"))
 
@@ -1560,7 +1592,7 @@ object SparkEntry {
         pmod(lit(i.toLong * 1103515245L) + (j + 1) * lit(12345L) + lit(42L),
           lit(65536L)) / 32768.0)
     val proj = Similarity.signProjection(col("embedding"), 16, sign = sign)
-    t(s, dir, "embeddings")
+    fanOut(t(s, dir, "embeddings"))
       .select(col("vec_id").as("emb_id"), proj.as("p"))
       .select(col("emb_id"),
         round(element_at(col("p"), 1), 9).as("p0"),
@@ -1967,7 +1999,7 @@ object SparkEntry {
     * (OpsSpec pins both paths identical).
     */
   private def q94SpanDedup(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Dedup.spanDedupCut(t(s, dir, "documents"), "doc_id", "text",
+    graft.ops.Dedup.spanDedupCut(fanOut(t(s, dir, "documents")), "doc_id", "text",
       k = 8, hashWindows = false)
       .select(col("doc_id"), col("n_tokens"), col("cut_tokens"),
         round(col("keep_frac"), 9).as("keep_frac"))
@@ -1983,7 +2015,7 @@ object SparkEntry {
     * filter) of the same cut.
     */
   private def q95SpanDedupText(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Dedup.spanDedupText(t(s, dir, "documents"), "doc_id", "text",
+    graft.ops.Dedup.spanDedupText(fanOut(t(s, dir, "documents")), "doc_id", "text",
       k = 8, hashWindows = false)
       .orderBy("doc_id")
 
@@ -2086,7 +2118,7 @@ object SparkEntry {
     * the DuckDB oracles (the q14 shard-derivation precedent).
     */
   private def multiSpanGateCorpus(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    val docs = fanOut(t(s, dir, "documents"))
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
     val toks = split(graft.ops.TextAnalysis.normalize(col("text")), " ")
     val variants = docs
@@ -2217,7 +2249,7 @@ object SparkEntry {
     * hashed path identical and the index-merge fold law.
     */
   private def q102SpanDelta(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    val docs = fanOut(t(s, dir, "documents"))
     val idx = graft.ops.Dedup.spanDedupIndex(
       docs.where(col("doc_id") % 2 === 0), "doc_id", "text",
       k = 8, hashWindows = false)
@@ -2238,7 +2270,7 @@ object SparkEntry {
     * delta ids — equal by the min-struct union lattice.
     */
   private def q104SpanTextDelta(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    val docs = fanOut(t(s, dir, "documents"))
     val idx = graft.ops.Dedup.spanDedupIndex(
       docs.where(col("doc_id") % 2 === 0), "doc_id", "text",
       k = 8, hashWindows = false)

@@ -131,9 +131,15 @@ class PlanSpec extends SparkSpec {
     val p = plan("q46_pii")
     assert(!p.contains("Exchange hashpartitioning"),
       s"PII scrub must not shuffle (projection-only):\n$p")
-    // the only exchange is the final output sort's range partitioning
+    // allowed exchanges: the final output sort's range partitioning, plus
+    // the r19 scan fan-out (a round-robin repartition of the NARROW
+    // pre-scrub rows — single-split inputs otherwise run the whole regex
+    // stage in one task; it must sit BELOW the scrub projection so only
+    // source columns cross it)
     val exchanges = "Exchange ".r.findAllIn(p).size
-    assert(exchanges <= 1, s"extra exchange in scrub plan:\n$p")
+    assert(exchanges <= 2, s"extra exchange in scrub plan:\n$p")
+    val rr = "Exchange RoundRobinPartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1 + rr, s"non-fan-out extra exchange in scrub plan:\n$p")
   }
 
   test("q47 domain mix: filter + single partial-agg shuffle, nothing else") {
