@@ -583,7 +583,7 @@ object SparkEntry {
     */
   private def q33EmbedIvf(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Similarity
-    val emb = fanOut(t(s, dir, "embeddings"))
+    val emb = t(s, dir, "embeddings")
     Similarity.ivfTopK(
       emb, "vec_id", "embedding",
       emb.where(col("vec_id") < 10), "vec_id", "embedding",
@@ -1172,7 +1172,7 @@ object SparkEntry {
     */
   private def q58IvfExhaustive(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Similarity
-    val emb = fanOut(t(s, dir, "embeddings"))
+    val emb = t(s, dir, "embeddings")
     Similarity.ivfTopK(
       emb, "vec_id", "embedding",
       emb.where(col("vec_id") >= 20 && col("vec_id") < 30), "vec_id", "embedding",
@@ -1366,8 +1366,7 @@ object SparkEntry {
     */
   private def q65DupSpans(s: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.crossDocSpanStats(
-      fanOut(t(s, dir, "documents")), "doc_id", "text", k = 8,
-      hashWindows = false)
+      t(s, dir, "documents"), "doc_id", "text", k = 8, hashWindows = false)
       .orderBy(col("doc_id"))
 
   /** EXACT n-gram Jaccard join via document-frequency prefix filtering
@@ -1999,7 +1998,7 @@ object SparkEntry {
     * (OpsSpec pins both paths identical).
     */
   private def q94SpanDedup(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Dedup.spanDedupCut(fanOut(t(s, dir, "documents")), "doc_id", "text",
+    graft.ops.Dedup.spanDedupCut(t(s, dir, "documents"), "doc_id", "text",
       k = 8, hashWindows = false)
       .select(col("doc_id"), col("n_tokens"), col("cut_tokens"),
         round(col("keep_frac"), 9).as("keep_frac"))
@@ -2015,7 +2014,7 @@ object SparkEntry {
     * filter) of the same cut.
     */
   private def q95SpanDedupText(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Dedup.spanDedupText(fanOut(t(s, dir, "documents")), "doc_id", "text",
+    graft.ops.Dedup.spanDedupText(t(s, dir, "documents"), "doc_id", "text",
       k = 8, hashWindows = false)
       .orderBy("doc_id")
 
@@ -2118,7 +2117,7 @@ object SparkEntry {
     * the DuckDB oracles (the q14 shard-derivation precedent).
     */
   private def multiSpanGateCorpus(s: SparkSession, dir: String): DataFrame = {
-    val docs = fanOut(t(s, dir, "documents"))
+    val docs = t(s, dir, "documents")
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
     val toks = split(graft.ops.TextAnalysis.normalize(col("text")), " ")
     val variants = docs
