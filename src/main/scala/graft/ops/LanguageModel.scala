@@ -132,8 +132,12 @@ object LanguageModel {
       minCount: Long = 5): DataFrame = {
     val tf = docTermFreqs(docs, idCol, textCol, None)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // vocabulary-sized persist: the model feeds the scalar collect AND
+    // the broadcast build — two separate actions, each of which would
+    // otherwise re-run the doc×vocab tf-cache pass + term shuffle (r19)
     val model = foldModel(
       tf.groupBy(col("term")).agg(sum(col("tf")).as("raw")), minCount)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     scoreTf(tf, model)
   }
 
@@ -153,11 +157,26 @@ object LanguageModel {
       targetFilter: Column, minCount: Long = 5): DataFrame = {
     val tf = docTermFreqs(docs, idCol, textCol, Some(targetFilter))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE term-keyed aggregation feeds BOTH models (r19, guide §2.3/§2.4):
+    // the target mass rides the base agg as a conditional sum, so the
+    // doc×vocab tf cache is scanned and term-shuffled once, not once per
+    // model — and the vocabulary-sized result persists because FOUR plan
+    // branches consume it (two folds, each read by a scalar collect and
+    // the broadcast build; without the persist each action re-runs the
+    // tf-cache pass). Target rows are exactly `rawT > 0`: a term with no
+    // target occurrence must stay OUT of the target vocabulary (a 0-count
+    // row would shadow the <unk> backoff in the scoring join), and
+    // when(__tgt, ...) matches the old where(__tgt) null handling.
+    val rawBoth = tf.groupBy(col("term")).agg(
+        sum(col("tf")).as("raw"),
+        sum(when(col("__tgt"), col("tf")).otherwise(0L)).as("rawT"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tgt = foldModel(
-      tf.where(col("__tgt")).groupBy(col("term")).agg(sum(col("tf")).as("raw")), minCount)
+      rawBoth.where(col("rawT") > 0).select(col("term"), col("rawT").as("raw")),
+      minCount)
       .withColumnRenamed("cnt", "t_cnt")
     val base = foldModel(
-      tf.groupBy(col("term")).agg(sum(col("tf")).as("raw")), minCount)
+      rawBoth.select(col("term"), col("raw")), minCount)
       .withColumnRenamed("cnt", "b_cnt")
     val (tTotal, tUnk) = modelScalars(tgt, "term", "t_cnt")
     val (bTotal, bUnk) = modelScalars(base, "term", "b_cnt")
