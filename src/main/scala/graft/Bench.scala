@@ -51,8 +51,12 @@ object Bench {
     // in-query persist against the WARMUP corpus — plan-distinct from the
     // measured SF's frames, so they are dead weight in the storage pool
     // for the rest of the run. Drop them (and log what was held) before
-    // the measured passes. This runs OUTSIDE any timed region and does
-    // not change what the measured cells cache or reuse.
+    // the measured passes. This runs OUTSIDE any timed region; in the
+    // normal two-dir setup it does not change what the measured cells
+    // cache or reuse. Caveat: when sf0.001 is absent, warmDir falls back
+    // to sfDir and warmup's caches ARE plan-identical to pass-1's — this
+    // clear then makes pass-1 cold where it used to run warm (the more
+    // consistent protocol, but a cell-semantics change in that fallback).
     logAndClearCaches(spark, "after-warmup")
     // 2-run protocol: single runs swing 2-5x on individual queries (JSON
     // codec + GC luck); the committed artifact IS the authoritative

@@ -1296,9 +1296,13 @@ object SparkEntry {
     // additionally PERSISTED this frame; the r19 interleaved A/B
     // (Q62Probe, 5 reps) showed the persist IS the regression the r18
     // driver artifact caught (old 3-scan 1.15 s median / persist 1.72 /
-    // no-persist 1.07): the three consumers' distinct subtrees are
-    // plan-identical, so Spark reuses ONE exchange across them anyway,
-    // and the cache materialization was pure overhead on top.
+    // no-persist 1.07). Note the initial plan dump still shows the
+    // distinct subtree duplicated per consumer (whether AQE stage/
+    // exchange reuse collapses them at runtime is not guaranteed — the
+    // pre-exchange Filter/Project shapes differ per branch); the persist
+    // drop stands on the measured timings, not on a reuse claim, and a
+    // wider-than-lineitem input may want the persist back — re-measure
+    // before copying this shape.
     val pairs = li.select(col("l_returnflag"), col("l_orderkey")).distinct()
     val regs = Sketches.hllRegisters(pairs, "l_orderkey", Seq("l_returnflag"))
     val all = Sketches.hllMerge(

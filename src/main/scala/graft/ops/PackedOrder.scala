@@ -45,8 +45,12 @@ private[ops] object PackedOrder {
     * remainder FIRST makes the division exact (quotient is an integer),
     * so Spark's round-to-scale decimal division is a no-op for any pos
     * in [0, 2^32) — the previous `floor(packed / 2^32)` relied on the
-    * quotient's fraction staying under the HALF_UP threshold, which held
-    * only while pos < 2^31 (r19, ADVICE hardening).
+    * quotient's fraction pos/2^32 staying under the HALF_UP threshold
+    * at the result scale of 6, which holds for pos < 2^32 − 2148
+    * (fraction < 0.9999995) — i.e. it was correct over the documented
+    * non-negative-int pos domain, but only by that margin; the exact
+    * form removes the dependence on the division's scale entirely
+    * (r19, ADVICE hardening).
     */
   def unpackId(packed: Column): Column =
     (((packed - packed % lit(PosRadix)) / lit(PosRadix)) - lit(SignOffset))
